@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with engine defaults sized for the local[32] test rig but
+  * designed for cluster deployment: AQE on (runtime re-plan, skew-join
+  * handling), shuffle partitions matched to parallelism rather than the 200
+  * default, UTC session time zone for oracle parity.
+  *
+  * Replaces the reference's per-job Hadoop configuration plumbing
+  * (reference: plan/physical/JobExecutor.java:44, app/CmrExecutor.java:41-116)
+  * — on Spark the whole script is one DAG under one session.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", sys.props.getOrElse("graft.warehouse", "/tmp/graft-warehouse"))
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
+  * Stand-in for the reference's LOAD ... USING TEXT/AVRO/RUBIX
+  * (reference: io/StorageFactory.java:26-32) — Parquet subsumes Rubix
+  * (columnar, dictionary-encoded, self-describing schema).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

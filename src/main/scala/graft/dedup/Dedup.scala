@@ -1,0 +1,189 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (exact pairwise over
+  * a shingle join), MinHash+LSH (banded candidate generation — the 100 TB
+  * scale path), SimHash (hamming-banded), and embedding-cosine near-dup.
+  *
+  * Scale notes: exact dedup and MinHash/SimHash are single-shuffle
+  * (groupBy on hash / band buckets); the pairwise Jaccard verifier only ever
+  * runs on LSH candidates, never all pairs. Nothing touches the driver.
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact dedup: group rows by content hash, keep the smallest id per
+    * group. Single shuffle on a 128-bit hash; at 100 TB, hash first so the
+    * shuffle carries (hash, id), not full documents.
+    */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+
+  /** Rows surviving exact dedup (first id per distinct content wins). */
+  def exactSurvivors(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keep = exact(df, textCol, idCol).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- shingles -----------------------------------------------------------
+
+  /** Word n-gram shingles as a (idCol, shingle) relation — distinct set
+    * semantics, computed via posexplode over the token array (no UDF).
+    */
+  def wordShingles(df: DataFrame, n: Int, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__toks")) - n),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Character n-gram shingles (for text without clean token boundaries). */
+  def charShingles(df: DataFrame, n: Int, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), length(col(textCol)) - (n - 1)),
+          i => substring(col(textCol), lit(i), lit(n)))).as("shingle"))
+      .distinct()
+
+  // ---- exact n-gram Jaccard ----------------------------------------------
+
+  /** Exact pairwise n-gram Jaccard ≥ `threshold` via a shingle self-join:
+    * |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * Pure relational — this is the oracle-checkable ground truth the LSH
+    * path approximates. Quadratic in docs sharing a shingle: at scale, run
+    * it only on LSH candidates (`minHashLsh` below) or hot shingles capped.
+    */
+  def ngramJaccard(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = wordShingles(df, n, textCol, idCol)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col(s"a.shingle") === col(s"b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** MinHash signatures: k permutations via k affine re-hashes of a base
+    * xxhash64 shingle hash (h_i(x) = (a_i·x + b_i) mod p, universal-hash
+    * family), min per permutation. One groupBy(id) over the shingle
+    * relation; signature width k controls accuracy (k = bands·rowsPerBand).
+    */
+  def minHashSignatures(shingles: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    val p = lit(2305843009213693951L) // 2^61-1, Mersenne prime
+    val base = pmod(xxhash64(col("shingle")), p)
+    // deterministic per-permutation coefficients from a seeded hash of i
+    def coef(i: Int, salt: Int): Column =
+      pmod(xxhash64(lit(i * 2654435761L + salt)), p - lit(1)) + lit(1)
+    val mins = (0 until k).map(i => min(pmod(coef(i, 17) * base + coef(i, 89), p)).as(s"mh_$i"))
+    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: band the k-wide signature into `bands`
+    * groups of k/bands rows; docs colliding on any full band are candidates.
+    * Each band is one groupBy on (band, bandHash) — the classic
+    * shuffle-bounded near-dup plan for 100 TB. Output: distinct (id_a, id_b)
+    * candidate pairs (verify with `ngramJaccard` on the candidate subset).
+    */
+  def minHashLsh(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sig = minHashSignatures(wordShingles(df, shingleN, textCol, idCol), k, idCol)
+    val banded = sig.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  // ---- SimHash --------------------------------------------------------------
+
+  /** 64-bit SimHash per document: sign-sum of token-hash bits. Computed
+    * relationally: explode tokens → per-(doc, bit) signed counts → pack bits
+    * with bit_or(1<<bit). Two shuffles, both on doc id.
+    */
+  def simHash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
+    val h = toks.withColumn("h", xxhash64(col("tok")))
+    val bits = h.select(col(idCol), posexplode(transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1))
+          .otherwise(lit(-1)))))
+      .toDF(idCol, "bit", "sign")
+    bits.groupBy(col(idCol), col("bit"))
+      .agg(sum("sign").as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        call_function("shiftleft", lit(1L), col("bit").cast("int"))).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance ≤ 3 via the 4-band
+    * pigeonhole trick: split 64 bits into 4 16-bit bands; any pair within
+    * distance 3 must agree exactly on ≥1 band → equi-join per band.
+    */
+  def simHashCandidates(df: DataFrame, maxHamming: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sh = simHash(df, textCol, idCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", col("simhash"), lit(b * width))
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.key"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup ----------------------------------------------------
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Delegates to Similarity.cosine; the pair generation uses the LSH
+    * bucketing from Similarity at scale (brute force here is the exact
+    * baseline over modest candidate sets).
+    */
+  def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.similarity.Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

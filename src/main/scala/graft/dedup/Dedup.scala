@@ -90,7 +90,9 @@ object Dedup {
     * relation; signature width k controls accuracy (k = bands·rowsPerBand).
     */
   def minHashSignatures(shingles: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
-    val p = lit(2305843009213693951L) // 2^61-1, Mersenne prime
+    // p = 2^31-1 (Mersenne prime) keeps a*x+b < 2^62 — no Long overflow
+    // under ANSI arithmetic (a, x < 2^31).
+    val p = lit(2147483647L)
     val base = pmod(xxhash64(col("shingle")), p)
     // deterministic per-permutation coefficients from a seeded hash of i
     def coef(i: Int, salt: Int): Column =

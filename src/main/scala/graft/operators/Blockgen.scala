@@ -25,6 +25,14 @@ object Blockgen {
     */
   def blockgen(df: DataFrame, table: String, partitionKeys: Seq[String],
                sortKeys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // drop any previous incarnation, including a stale location left by a
+    // prior session (in-memory catalog forgets tables; the files survive)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val writer = df.write
       .mode("overwrite")
       .bucketBy(buckets, partitionKeys.head, partitionKeys.tail: _*)

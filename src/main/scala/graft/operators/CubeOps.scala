@@ -67,12 +67,27 @@ object CubeOps {
     * before the 2^n Expand, exactly the reduction the reference's
     * partitioned-additive trick achieved.
     */
+  /** Correctness subtlety (SURVEY.md §7.4): the inner aggregate must be
+    * computed per (grouping set ∪ inner), NOT per (all dims ∪ inner) — so
+    * cube over dims with inner pinned in every grouping set
+    * (GROUP BY inner, CUBE(dims)), then outer-aggregate per grouping set.
+    * grouping_id() disambiguates "NULL because aggregated" from NULL data,
+    * exactly the reference's null-bit-vector (CubeDimensions.java:89-91).
+    * The first aggregation also shrinks the data before the outer pass,
+    * which is the scale story of the reference's partitioned-additive trick.
+    * `innerAggSql` is e.g. "sum(l_quantity)", `outerAggSql` e.g. "max".
+    */
   def dupleCube(df: DataFrame, dims: Seq[String], inner: Seq[String],
-                outerAgg: String, innerAgg: String, valueCol: Column, as: String): DataFrame = {
-    val innerDf = df.groupBy((dims ++ inner).map(col): _*)
-      .agg(Aggregations.aggExpr(innerAgg, valueCol).as("__inner"))
-    innerDf.cube(dims.map(col): _*)
-      .agg(Aggregations.aggExpr(outerAgg, col("__inner")).as(as))
+                outerAggSql: String, innerAggSql: String, as: String): DataFrame = {
+    val v = s"__graft_duple_${System.identityHashCode(df).toHexString}"
+    df.createOrReplaceTempView(v)
+    df.sparkSession.sql(
+      s"""SELECT ${dims.mkString(", ")}, $outerAggSql(__inner) AS $as FROM (
+         |  SELECT ${dims.mkString(", ")}, grouping_id() AS __gid,
+         |         $innerAggSql AS __inner
+         |  FROM $v
+         |  GROUP BY ${inner.mkString(", ")}, CUBE(${dims.mkString(", ")})
+         |) GROUP BY ${dims.mkString(", ")}, __gid""".stripMargin)
   }
 
   /** Exact COUNT DISTINCT under CUBE — the reference's partitioned-additive

@@ -42,8 +42,11 @@ object CubeOps {
     val v = s"__graft_gs_${System.identityHashCode(df).toHexString}"
     df.createOrReplaceTempView(v)
     val setsSql = sets.map(s => if (s.isEmpty) "()" else s.mkString("(", ", ", ")")).mkString(", ")
+    // only dims that appear in ≥1 set are selectable (a dim in no set is
+    // not a grouping column — MISSING_AGGREGATION otherwise)
+    val used = dims.filter(d => sets.exists(_.contains(d)))
     df.sparkSession.sql(
-      s"SELECT ${dims.mkString(", ")}, ${aggsSql.mkString(", ")} " +
+      s"SELECT ${(used ++ aggsSql).mkString(", ")} " +
         s"FROM $v GROUP BY GROUPING SETS ($setsSql)")
   }
 

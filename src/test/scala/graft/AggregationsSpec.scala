@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Aggregations
+
+/** Mirrors the reference's TestAggregators coverage (exact values over
+  * inline fixtures) — reference: operator/aggregate/AggregationType.java:20-31.
+  */
+class AggregationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("a", 1, 10.0), ("a", 2, 20.0), ("a", 2, 30.0),
+    ("b", 5, 5.0)).toDF("k", "i", "d")
+
+  test("GROUP BY with the full aggregate set") {
+    val out = Aggregations.groupBy(df, Seq("k"), Seq(
+      ("SUM", col("d"), "s"), ("COUNT", lit(1), "n"), ("MIN", col("i"), "mn"),
+      ("MAX", col("i"), "mx"), ("COUNT_DISTINCT", col("i"), "nd"),
+      ("BITWISE_OR", col("i"), "bor"), ("MEDIAN", col("d"), "med")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getDouble(1) == 60.0 && a.getLong(2) == 3 && a.getInt(3) == 1 &&
+      a.getInt(4) == 2 && a.getLong(5) == 2 && a.getInt(6) == 3 && a.getDouble(7) == 20.0)
+    val b = out("b")
+    assert(b.getDouble(1) == 5.0 && b.getLong(2) == 1)
+  }
+
+  test("GROUP BY ALL aggregates the whole relation (GroupByOperator.java:85-89)") {
+    val out = Aggregations.groupByAll(df, Seq(("SUM", col("d"), "s"), ("COUNT", lit(1), "n"))).collect().head
+    assert(out.getDouble(0) == 65.0 && out.getLong(1) == 4)
+  }
+
+  test("BAG collects values sorted for determinism (ArrayListAggregation.java:35)") {
+    val out = Aggregations.groupBy(df, Seq("k"), Seq(("BAG", col("i"), "bag")))
+      .filter($"k" === "a").collect().head.getSeq[Int](1)
+    assert(out == Seq(1, 2, 2))
+  }
+
+  test("exact percentile matches hand computation (ExtractMedianOperator semantics)") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val p = vals.agg(Aggregations.exactPercentile(col("v"), 0.5).as("p")).collect().head.getDouble(0)
+    assert(p == 2.5)
+  }
+
+  test("PresenceBitmapUDAF semantics: one bit per present day (PresenceBitmapUDAF.java:81)") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 09:00:00"), (1L, "2024-01-03 23:00:00"),
+      (2L, "2024-01-02 00:00:00")).toDF("user_id", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+    val out = ev.groupBy("user_id")
+      .agg(Aggregations.presenceBitmap($"ts", lit("2024-01-01")).as("bm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == ((1L << 0) | (1L << 2))) // days 0 and 2
+    assert(out(2L) == (1L << 1))
+  }
+
+  test("user Aggregator registers and runs (UDAFOperatorAdapter.java:26)") {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val geoMean = new Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Long)) = math.exp(r._1 / r._2)
+      def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    Aggregations.registerUdaf(spark, "geo_mean", geoMean)
+    val out = Seq(1.0, 100.0).toDF("v").selectExpr("geo_mean(v)").collect().head.getDouble(0)
+    assert(math.abs(out - 10.0) < 1e-9)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Blockgen, Joins}
+
+/** BLOCKGEN ≅ bucketed+sorted tables: the load-bearing scale property is
+  * that two co-bucketed tables join with NO shuffle on either side —
+  * the reference's MeshJoin contract (block/Index.java:38,
+  * operator/LoadBlockOperator.java:37).
+  */
+class BlockgenSpec extends SparkSpec {
+
+  test("co-bucketed tables sort-merge join without a shuffle") {
+    val li = sf("lineitem")
+    val ord = sf("orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    Blockgen.blockgen(li, "t_li", Seq("l_orderkey"), Seq("l_orderkey"), 4)
+    Blockgen.blockgen(ord, "t_ord", Seq("l_orderkey"), Seq("l_orderkey"), 4)
+    val joined = Joins.meshJoin(spark, "t_li", "t_ord", Seq("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == li.count())
+  }
+
+  test("blockgen BY INDEX reuses the matching table's bucket spec (ByIndexPartitioner.java:44)") {
+    val li = sf("lineitem")
+    Blockgen.blockgen(li, "t_bi_base", Seq("l_orderkey"), Seq("l_orderkey"), 4)
+    Blockgen.blockgenByIndex(spark,
+      sf("orders").withColumnRenamed("o_orderkey", "l_orderkey"), "t_bi_match", "t_bi_base")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_bi_match"))
+    assert(meta.bucketSpec.get.numBuckets == 4)
+    assert(meta.bucketSpec.get.bucketColumnNames == Seq("l_orderkey"))
+  }
+
+  test("in-flight blockgen partitions and sorts (ShuffleRewriter.java:246-320)") {
+    val out = Blockgen.blockgenInFlight(sf("lineitem"), Seq("l_orderkey"), Seq("l_orderkey"), Some(4))
+    assert(out.rdd.getNumPartitions == 4)
+  }
+
+  test("blockgen is idempotent across overwrites (stale-location handling)") {
+    val r = sf("region")
+    Blockgen.blockgen(r, "t_idem", Seq("r_regionkey"), Nil, 2)
+    Blockgen.blockgen(r, "t_idem", Seq("r_regionkey"), Nil, 2)
+    assert(Blockgen.loadBlock(spark, "t_idem").count() == r.count())
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Per-operator unit tests in the style of the reference's TestOperators
+  * (src/test/java/com/linkedin/cubert/operator/TestOperators.java) — inline
+  * fixtures, asserted outputs — but over local SparkSession DataFrames.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DUPLICATE emits N copies with 1..N counter (DuplicateOperator.java:35)") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val out = Relational.duplicate(df, 3, Some("c")).collect()
+    assert(out.length == 6)
+    val counters = out.map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(counters == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("b", 2L), ("b", 3L)))
+  }
+
+  test("DUPLICATE without counter keeps schema") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val out = Relational.duplicate(df, 2)
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.count() == 2)
+  }
+
+  test("FLATTEN TUPLE splats struct columns (FlattenBagOperator TUPLE)") {
+    val df = Seq((1, ("x", 10))).toDF("id", "s")
+    val out = Relational.flattenTuple(df, "s")
+    assert(out.columns.toSeq == Seq("id", "_1", "_2"))
+    assert(out.collect().head.toSeq == Seq(1, "x", 10))
+  }
+
+  test("FLATTEN BAG explodes; outer keeps empty bags (FlattenBagOperator BAG)") {
+    val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("id", "bag")
+    assert(Relational.flattenBag(df, "bag", "el").count() == 2)
+    val outer = Relational.flattenBag(df, "bag", "el", outer = true)
+    assert(outer.count() == 3)
+    assert(outer.filter($"id" === 2).collect().head.isNullAt(1))
+  }
+
+  test("FLATTEN BAG_TUPLE explodes a bag of structs into columns") {
+    val df = Seq((1, Seq(("a", 10), ("b", 20)))).toDF("id", "bag")
+    val out = Relational.flattenBagTuple(df, "bag")
+    assert(out.columns.toSeq == Seq("id", "_1", "_2"))
+    assert(out.count() == 2)
+  }
+
+  test("GATHER is bag-semantics union (GatherOperator.java:29)") {
+    val a = Seq(1, 2).toDF("x"); val b = Seq(2, 3).toDF("x")
+    assert(Relational.gather(a, b).count() == 4) // keeps duplicates
+  }
+
+  test("TEE WITH SPLIT removes teed rows from main flow (TeeOperator.java:33)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tee").toString
+    val df = Seq(1, 2, 3, 4, 5).toDF("x")
+    val main = Relational.teeWithSplit(df, $"x" >= 4, s"$dir/side")
+    assert(main.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(spark.read.parquet(s"$dir/side").count() == 2)
+  }
+
+  test("INTERSECT/EXCEPT round out the set ops") {
+    val a = Seq(1, 2, 3).toDF("x"); val b = Seq(2, 3, 4).toDF("x")
+    assert(Relational.intersect(a, b).collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(Relational.except(a, b).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("SHUFFLE repartitions on keys and sorts within partitions (CubertPartitioner.java:39)") {
+    val df = sf("lineitem")
+    val out = Relational.shuffle(df, Seq(col("l_orderkey")), Seq(col("l_orderkey"), col("l_linenumber")))
+    assert(out.rdd.getNumPartitions > 0)
+    // within-partition sortedness on the sort keys
+    val ok = out.select("l_orderkey", "l_linenumber").rdd.mapPartitions { it =>
+      val rows = it.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      Iterator.single(rows == rows.sorted)
+    }.collect()
+    assert(ok.forall(identity))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val out = df.select(
+      Similarity.dot($"a", $"b"), Similarity.cosine($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 0.0 && out(0).getDouble(1) == 0.0)
+    assert(out(1).getDouble(0) == 2.0 && math.abs(out(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks a planted duplicate first") {
+    val emb = sf("embeddings")
+    // plant: vector 9999 = copy of vec_id 0
+    val planted = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val corpus = emb.unionByName(planted)
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 9999L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("LSH top-k finds the planted duplicate through banding") {
+    val emb = sf("embeddings")
+    val planted = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val corpus = emb.unionByName(planted)
+    val top = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect()
+    // identical vector has identical signature → always a candidate
+    assert(top.head.getAs[Long]("neighbor_id") == 9999L)
+  }
+
+  test("lsh signature is deterministic across evaluations") {
+    val emb = sf("embeddings").limit(20)
+    val s1 = emb.select($"vec_id", Similarity.lshSignature($"embedding").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = emb.select($"vec_id", Similarity.lshSignature($"embedding").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+  }
+
+  test("multimodal plumbing: media struct + stub features have the contracted shape") {
+    import graft.multimodal.Multimodal
+    val docs = sf("documents").limit(10)
+    val media = Multimodal.asMedia(docs.select("doc_id", "text"), col("text"), "image", "png")
+    assert(media.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("media_type", "format", "width", "height", "duration_ms", "n_bytes"))
+    val feats = Multimodal.extractFeatures(media, "doc_id", dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // deterministic: same payload → same features
+    val feats2 = Multimodal.extractFeatures(media, "doc_id", dim = 8).collect()
+    assert(rows.map(_.getSeq[Float](1)).toSeq == feats2.map(_.getSeq[Float](1)).toSeq)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount ignores repeated separators") {
+    val df = Seq("a  b   c", "", "single").toDF("text")
+    val out = df.select(TextAnalysis.tokenCount($"text")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(3L, 0L, 1L))
+  }
+
+  test("quality features on a known string") {
+    val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.withQualityFeatures(df).collect().head
+    assert(r.getAs[Long]("n_tokens") == 3)
+    assert(r.getAs[Double]("mean_token_len") == 3.0)   // (11 - 2) / 3
+    assert(r.getAs[Double]("stopword_ratio") == 1.0 / 3.0) // "the"
+    assert(r.getAs[Double]("space_ratio") == 2.0 / 11.0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1)) // same tokens, different order → different hash
+  }
+
+  test("langid votes by stopword profile") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en" && out(2L) == "de")
+  }
+
+  test("exact dedup keeps min id per content (hash groupBy)") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val survivors = Dedup.exactSurvivors(df).collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 3L))
+    val copies = Dedup.exact(df).filter($"doc_id" === 1).collect().head.getAs[Long]("copies")
+    assert(copies == 2)
+  }
+
+  test("word shingles are distinct n-grams (posexplode path)") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(df, 2).collect().map(_.getString(1)).sorted.toSeq
+    assert(sh == Seq("a b", "b a")) // "a b" appears twice, kept once
+  }
+
+  test("ngram Jaccard exact values") {
+    val df = Seq((1L, "w x y z"), (2L, "w x y q"), (3L, "p q r s")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(df, n = 2, threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // doc1 bigrams {w x, x y, y z}, doc2 {w x, x y, y q}: common 2, union 4
+    assert(out == Seq((1L, 2L, 0.5)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("kappa", "koppa") // 1-token edit
+    val docs = Seq((1L, base), (2L, near), (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(docs, shingleN = 2, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash of identical text matches; hamming ≤ 3 candidates found") {
+    val docs = Seq((1L, "spark cubert engine test"), (2L, "spark cubert engine test"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val sh = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val cands = Dedup.simHashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dictionary, WindowOps}
+
+class WindowDictSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scores = Seq(
+    ("g1", "a", 30), ("g1", "b", 30), ("g1", "c", 10),
+    ("g2", "d", 5)).toDF("g", "id", "score")
+
+  test("RANK is row_number semantics — increments on ties (RankOperator.java:88-97)") {
+    val out = WindowOps.rank(scores, "rnk", Seq("g"), Seq($"score".desc, $"id"))
+      .filter($"g" === "g1").collect().map(r => r.getString(1) -> r.getInt(3)).toMap
+    assert(out == Map("a" -> 1, "b" -> 2, "c" -> 3)) // tie a/b still 1,2
+    val gap = WindowOps.gapRank(scores, "rnk", Seq("g"), Seq($"score".desc))
+      .filter($"g" === "g1").collect().map(r => r.getString(1) -> r.getInt(3)).toMap
+    assert(gap("a") == 1 && gap("b") == 1 && gap("c") == 3) // SQL RANK gaps
+  }
+
+  test("TOP N takes first N per group (TopNOperator.java:67-86)") {
+    val out = WindowOps.topN(scores, 2, Seq("g"), Seq($"score".desc, $"id"))
+    assert(out.count() == 3) // 2 from g1, 1 from g2
+    assert(!out.columns.contains("__rank"))
+  }
+
+  test("lag/lead/moving frames (the reference's 'coming soon' analytics)") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 30.0)).toDF("g", "i", "v")
+    val out = WindowOps.movingAgg(
+      WindowOps.withLag(df, $"v", "prev", Seq("g"), Seq($"i")),
+      sum($"v"), "mov", Seq("g"), Seq($"i"), -1, 0)
+      .orderBy("i").collect()
+    assert(out.map(r => Option(r.get(3))) sameElements Array(None, Some(10.0), Some(20.0)))
+    assert(out.map(_.getDouble(4)).toSeq == Seq(10.0, 30.0, 50.0))
+  }
+
+  test("dictionary codes start at 1 in sorted order (CodeDictionary.java:41)") {
+    val df = Seq("cherry", "apple", "banana", "apple").toDF("fruit")
+    val dict = Dictionary.create(df, "fruit").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dict == Map("apple" -> 1, "banana" -> 2, "cherry" -> 3))
+  }
+
+  test("dictionary refresh keeps existing codes stable (DictionaryRefresh*Operator)") {
+    val d0 = Dictionary.create(Seq("b", "a").toDF("c"), "c")
+    val d1 = Dictionary.refresh(d0, Seq("c", "a", "z").toDF("c"), "c").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d1 == Map("a" -> 1, "b" -> 2, "c" -> 3, "z" -> 4))
+  }
+
+  test("ENCODE/DECODE round-trip with NULLS and UNKNOWNS handling (DictionaryEncodeOperator.java:48)") {
+    val data = Seq(Some("a"), Some("b"), None, Some("zz")).toDF("c")
+    val dict = Dictionary.create(Seq("a", "b").toDF("c"), "c")
+    val enc = Dictionary.encode(data, "c", dict, nullsAs = 0, unknownsAs = Some(-1))
+    val codes = enc.collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSet
+    assert(codes == Set(1, 2, 0, -1))
+    val dec = Dictionary.decode(
+      Dictionary.encode(Seq("a", "b").toDF("c"), "c", dict), "c", dict)
+    assert(dec.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+}

@@ -82,9 +82,9 @@ object SparkEntry {
       // TEE WITH SPLIT semantics as one relation: tag side-output rows
       // (reference: operator/TeeOperator.java:33 WITH SPLIT + IF cond)
       val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-      val cond = col("l_quantity") >= 25
-      li.filter(!cond).withColumn("sink", lit("main"))
-        .unionByName(li.filter(cond).withColumn("sink", lit("tee")))
+      val (main, teed) = Relational.split(li, col("l_quantity") >= 25)
+      main.withColumn("sink", lit("main"))
+        .unionByName(teed.withColumn("sink", lit("tee")))
     }),
     "q48_multipass" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -320,6 +320,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k")))
   )
 
+  // DuckDB equivalent of TextAnalysis.tokens (split on \s+, empties removed)
+  private val duckToks = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_generate" ->
       """SELECT l_orderkey, l_linenumber,
@@ -382,7 +385,9 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey""".stripMargin,
     "q14_presence_bitmap" ->
       """SELECT user_id,
-        |  bit_or(CAST(1 AS BIGINT) << CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 64 AS INT)) AS presence
+        |  bit_or(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 63
+        |    THEN CAST(1 AS BIGINT) << CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+        |    ELSE 0 END) AS presence
         |FROM events GROUP BY user_id""".stripMargin,
     "q49_bitwise" ->
       """SELECT l_returnflag, bit_or(l_linenumber) AS or_lines, bit_and(l_linenumber) AS and_lines,
@@ -484,18 +489,18 @@ object SparkEntry {
       """SELECT l_orderkey, max(l_linenumber) AS max_line, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q34_wordcount" ->
-      """SELECT word, count(1) AS cnt FROM
-        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |WHERE word <> '' GROUP BY word""".stripMargin,
+      s"""SELECT word, count(1) AS cnt FROM
+        |  (SELECT unnest($duckToks) AS word FROM documents)
+        |GROUP BY word""".stripMargin,
     "q35_tokencount" ->
-      """SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      s"""SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
     "q36_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
-        |    THEN (length(text) - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1.0))
-        |         / len(list_filter(string_split(text, ' '), x -> x <> ''))
+      s"""WITH toks AS (SELECT doc_id, text, $duckToks AS ts FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(ts) > 0
+        |    THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts)
         |    ELSE 0.0 END AS mean_token_len,
         |  CASE WHEN length(text) > 0
         |    THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
@@ -503,18 +508,18 @@ object SparkEntry {
         |  CASE WHEN length(text) > 0
         |    THEN CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text)
         |    ELSE 0.0 END AS space_ratio,
-        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
-        |    THEN CAST(len(list_filter(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), x -> lower(x)),
+        |  CASE WHEN len(ts) > 0
+        |    THEN CAST(len(list_filter(list_transform(ts, x -> lower(x)),
         |         w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
-        |         / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |         / len(ts)
         |    ELSE 0.0 END AS stopword_ratio
-        |FROM documents""".stripMargin,
+        |FROM toks""".stripMargin,
     "q39_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(1) AS copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q40_dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents
+      s"""WITH toks AS (
+        |  SELECT doc_id, $duckToks AS ts FROM documents
         |  WHERE doc_id % 5 = 0
         |), sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (

@@ -64,13 +64,15 @@ object Aggregations {
 
   /** PresenceBitmapUDAF — one bit per day present within a date window
     * (reference: PresenceBitmapUDAF.java:23, bit set per day-diff :81).
-    * Pure expression composition → stays in whole-stage codegen; `pmod`
-    * guards windows wider than 64 days the way the reference's bitmap
-    * length-checked.
+    * Days outside [0, 63] are ignored rather than wrapped — the reference
+    * ignores diffs outside its bitmap range instead of aliasing them onto
+    * wrong bits. Pure expression composition → stays in whole-stage codegen.
     */
-  def presenceBitmap(tsCol: Column, windowStart: Column): Column =
-    bit_or(call_function("shiftleft", lit(1L),
-      pmod(datediff(tsCol.cast("date"), windowStart.cast("date")), lit(64)).cast("int")))
+  def presenceBitmap(tsCol: Column, windowStart: Column): Column = {
+    val d = datediff(tsCol.cast("date"), windowStart.cast("date"))
+    bit_or(when(d.between(0, 63),
+      call_function("shiftleft", lit(1L), d.cast("int"))).otherwise(lit(0L)))
+  }
 
   /** Register a user Aggregator the way Cubert loaded UDAFs by class name
     * (reference: operator/UDAFOperatorAdapter.java:26).

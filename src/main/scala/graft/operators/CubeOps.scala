@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object CubeOps {
 
+  // temp-view names for SQL-only constructs: a process-wide counter (identity
+  // hashes are not unique across live DataFrames); views are dropped right
+  // after the sql() call — Spark analyzes eagerly, so the resolved plan no
+  // longer needs the view.
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def withTempView[T](df: DataFrame, prefix: String)(body: String => T): T = {
+    val v = s"__graft_${prefix}_${viewSeq.incrementAndGet()}"
+    df.createOrReplaceTempView(v)
+    try body(v)
+    finally df.sparkSession.catalog.dropTempView(v)
+  }
+
   /** CUBE x BY dims AGGREGATES … — full 2^n grouping sets. */
   def cube(df: DataFrame, dims: Seq[String], aggs: Seq[(String, Column, String)]): DataFrame = {
     val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
@@ -38,9 +51,7 @@ object CubeOps {
     * `sets` are subsets of `dims`; aggs as (aggType, inputExpr SQL, alias).
     */
   def groupingSets(df: DataFrame, dims: Seq[String], sets: Seq[Seq[String]],
-                   aggsSql: Seq[String]): DataFrame = {
-    val v = s"__graft_gs_${System.identityHashCode(df).toHexString}"
-    df.createOrReplaceTempView(v)
+                   aggsSql: Seq[String]): DataFrame = withTempView(df, "gs") { v =>
     val setsSql = sets.map(s => if (s.isEmpty) "()" else s.mkString("(", ", ", ")")).mkString(", ")
     // only dims that appear in ≥1 set are selectable (a dim in no set is
     // not a grouping column — MISSING_AGGREGATION otherwise)
@@ -81,9 +92,8 @@ object CubeOps {
     * `innerAggSql` is e.g. "sum(l_quantity)", `outerAggSql` e.g. "max".
     */
   def dupleCube(df: DataFrame, dims: Seq[String], inner: Seq[String],
-                outerAggSql: String, innerAggSql: String, as: String): DataFrame = {
-    val v = s"__graft_duple_${System.identityHashCode(df).toHexString}"
-    df.createOrReplaceTempView(v)
+                outerAggSql: String, innerAggSql: String, as: String): DataFrame =
+    withTempView(df, "duple") { v =>
     df.sparkSession.sql(
       s"""SELECT ${dims.mkString(", ")}, $outerAggSql(__inner) AS $as FROM (
          |  SELECT ${dims.mkString(", ")}, grouping_id() AS __gid,

@@ -52,10 +52,15 @@ object Dictionary {
              nullsAs: Int = 0, unknownsAs: Option[Int] = None): DataFrame = {
     val d = broadcast(dict.select(col("colvalue"), col("code")))
     val joined = df.join(d, df(column).cast("string") === d("colvalue"), "left_outer")
+    // Without UNKNOWNS AS, a value missing from the dictionary fails loudly
+    // — the reference's DictionaryEncodeOperator throws for unknown values
+    // rather than emitting silent NULL codes.
     val code = when(df(column).isNull, lit(nullsAs))
       .otherwise(unknownsAs match {
         case Some(u) => coalesce(col("code"), lit(u))
-        case None    => col("code")
+        case None    => coalesce(col("code"),
+          raise_error(concat(lit(s"ENCODE: value not in dictionary for $column: "),
+            df(column).cast("string"))))
       })
     joined.withColumn(s"${column}__enc", code)
       .drop("colvalue", "code", column)

@@ -100,14 +100,24 @@ object Relational {
     if (sortCols.isEmpty) rep else rep.sortWithinPartitions(sortCols: _*)
   }
 
+  /** Split a relation on a predicate into (main, teed). Rows where `cond`
+    * is NULL stay in the main flow — the reference's TeeOperator returns any
+    * non-teed tuple to the main flow (TeeOperator.next(): passthrough ||
+    * !isTeed), so a NULL predicate must not drop the row from both sinks.
+    */
+  def split(df: DataFrame, cond: Column): (DataFrame, DataFrame) =
+    (df.filter(!coalesce(cond, lit(false))), df.filter(cond))
+
   /** TEE WITH SPLIT — side-output rows matching `cond` to `path`, removing
     * them from the main flow (reference: operator/TeeOperator.java:33).
-    * The input is evaluated once per sink; callers that fear recompute
-    * should `.persist()` first (the MULTIPASS pattern).
+    * NULL-predicate rows pass through to main (see `split`). The input is
+    * evaluated once per sink; callers that fear recompute should
+    * `.persist()` first (the MULTIPASS pattern).
     */
   def teeWithSplit(df: DataFrame, cond: Column, path: String): DataFrame = {
-    df.filter(cond).write.mode("overwrite").parquet(path)
-    df.filter(!cond)
+    val (main, teed) = split(df, cond)
+    teed.write.mode("overwrite").parquet(path)
+    main
   }
 
   /** TEE (no split) — side-output a projection of all rows, keep main flow

@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties removed (consecutive separators yield empty
-    * strings under split — filtered to keep token counts honest).
+  /** Whitespace tokens (any run of \s — spaces, tabs, newlines), empties
+    * removed (leading separators yield an empty first element under split).
     */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    filter(split(text, "\\s+"), t => t =!= lit(""))
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -44,7 +44,9 @@ object TextAnalysis {
     df.withColumn("n_chars_m", length(t).cast("long"))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",
-        when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0)))
+        when(nToks > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+          .otherwise(lit(0.0)))
       .withColumn("alpha_ratio",
         when(nChars > 0, length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nChars)
           .otherwise(lit(0.0)))

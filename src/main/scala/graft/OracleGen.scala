@@ -1,0 +1,165 @@
+package graft
+
+import graft.functions.PortableHash.{B, P, minHashCoefs}
+import graft.text.TextAnalysis
+
+/** Generators for the DuckDB oracle SQL of the hash-derived queries
+  * (langid, fingerprint, minhash/simhash/LSH dedup, ANN). The operators use
+  * portable integer arithmetic (graft.functions.PortableHash) precisely so
+  * these oracles can reproduce their outputs bit-for-bit — every constant
+  * here is inlined from the same Scala definitions the Spark expressions
+  * use.
+  */
+object OracleGen {
+
+  /** DuckDB equivalent of TextAnalysis.tokens. */
+  val toks = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+
+  /** charPolyHash: fold of (h*31 + codepoint) mod `mod` over the chars. */
+  def charHash(e: String, mod: Long = P): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), " +
+      s"ch -> CAST(ascii(ch) AS BIGINT))), (h, c) -> (h * 31 + c) % $mod)"
+
+  /** Horner fold (h*B + e_i) mod P over expressions — mirrors
+    * PortableHash.shingleHashes / foldBucket.
+    */
+  def horner(elems: Seq[String]): String =
+    elems.foldLeft("CAST(0 AS BIGINT)")((h, e) => s"(($h * $B + $e) % $P)")
+
+  /** Strictly sequential double dot product (list_reduce, not list_sum, so
+    * the fold order matches Spark's `aggregate`).
+    */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  // ---- q37 language id ----------------------------------------------------
+
+  def langId: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val wl = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(ts, w -> list_contains($wl, w))) AS s_$lang"
+    }
+    val values = TextAnalysis.langProfiles
+      .map { case (lang, _) => s"(s_$lang, '$lang')" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, list_transform($toks, x -> lower(x)) AS ts FROM documents),
+       |scored AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM t)
+       |SELECT doc_id, lang,
+       |  (SELECT l FROM (VALUES $values) v(s, l) ORDER BY s DESC, l DESC LIMIT 1) AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  // ---- q38 fingerprint ----------------------------------------------------
+
+  def fingerprint: String =
+    s"SELECT doc_id, md5(array_to_string($toks, ' ')) AS fp FROM documents"
+
+  // ---- q41 MinHash LSH ----------------------------------------------------
+
+  def minHashLsh(shingleN: Int, k: Int, bands: Int): String = {
+    val rows = k / bands
+    val shingle = horner((0 until shingleN).map(j => s"hs[i + $j]"))
+    val sigs = minHashCoefs(k)
+      .map { case (a, b) => s"list_min(list_transform(shs, x -> ($a * x + $b) % $P))" }
+      .mkString("[", ",\n    ", "]")
+    val bucket = horner((1 to rows).map(j => s"sg[band * $rows + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(hs) - ${shingleN - 1}), i -> $shingle) AS shs
+       |  FROM th WHERE len(hs) >= $shingleN
+       |), sig AS (
+       |  SELECT doc_id, $sigs AS sg FROM sh
+       |), banded AS (
+       |  SELECT doc_id, band, $bucket AS bucket
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b
+       |)
+       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
+  }
+
+  // ---- q42 SimHash --------------------------------------------------------
+
+  def simHashCandidates(maxHamming: Int): String = {
+    val nBands = maxHamming + 1
+    val width = 32 / nBands
+    val mask = (1L << width) - 1
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t", 4294967296L)}) AS hs FROM documents
+       |), sim AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(0, 31), bit ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(hs, h -> CASE WHEN (h >> bit) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |          (sa, sx) -> sa + sx) > 0
+       |      THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)),
+       |    (pa, px) -> pa + px) AS simhash
+       |  FROM th WHERE len(hs) > 0
+       |), banded AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * $width)) & $mask AS key
+       |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, ${nBands - 1})) AS band) b
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+       |WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  // ---- q43 embedding near-dup ---------------------------------------------
+
+  def embeddingNearDup(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosine("a.v", "b.v")} AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= $threshold""".stripMargin
+
+  // ---- q44 brute-force ANN ------------------------------------------------
+
+  def annBrute(k: Int, maxQueryId: Long): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosine("q.v", "c.v")} AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < $maxQueryId)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k""".stripMargin
+
+  // ---- q45 LSH ANN --------------------------------------------------------
+
+  def annLsh(k: Int, nPlanes: Int, bands: Int, maxQueryId: Long): String = {
+    val width = nPlanes / bands
+    val mask = (1L << width) - 1
+    // planeSignPositive(p, d0): bit 15 of ((p*2654435761 + d0) % P) * 1103515245 + 12345) % 2^31
+    val sign = s"((((((p * 2654435761 + (d - 1)) % $P) * 1103515245 + 12345) % 2147483648) >> 15) & 1) = 0"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(0, ${nPlanes - 1}), p ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, len(v)), d -> CASE WHEN $sign THEN v[d] ELSE -v[d] END)),
+       |          (sa, sx) -> sa + sx) > 0
+       |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
+       |    (pa, px) -> pa + px) AS sg
+       |  FROM e
+       |), banded AS (
+       |  SELECT vec_id, v, band, (sg >> (band * $width)) & $mask AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, q.v AS qv, c.vec_id AS neighbor_id, c.v AS cv
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $maxQueryId
+       |), scored AS (SELECT query_id, neighbor_id, ${cosine("qv", "cv")} AS cosine FROM cand)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k""".stripMargin
+  }
+}

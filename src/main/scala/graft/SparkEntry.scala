@@ -545,11 +545,16 @@ object SparkEntry {
       """SELECT event_type, count(1) AS n, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin
-    // q37_langid, q38_fingerprint, q41_dedup_minhash, q42_dedup_simhash,
-    // q43_embed_neardup, q44_ann_brute, q45_ann_lsh: hash-function-derived
-    // outputs — not SQL-expressible in DuckDB; driver records rows-only
-    // checks. Their semantics are covered by ScalaTest specs (see
-    // src/test/scala/graft/) that validate against exact ground truth.
+        |FROM events GROUP BY event_type""".stripMargin,
+    // hash-derived queries: the operators use portable integer arithmetic
+    // (graft.functions.PortableHash) so the oracle reproduces the exact
+    // values — SQL generated programmatically from the same constants.
+    "q37_langid" -> OracleGen.langId,
+    "q38_fingerprint" -> OracleGen.fingerprint,
+    "q41_dedup_minhash" -> OracleGen.minHashLsh(shingleN = 3, k = 16, bands = 4),
+    "q42_dedup_simhash" -> OracleGen.simHashCandidates(maxHamming = 3),
+    "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),
+    "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
+    "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5)
   )
 }

@@ -84,38 +84,50 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signatures: k permutations via k affine re-hashes of a base
-    * xxhash64 shingle hash (h_i(x) = (a_i·x + b_i) mod p, universal-hash
-    * family), min per permutation. One groupBy(id) over the shingle
-    * relation; signature width k controls accuracy (k = bands·rowsPerBand).
+  import graft.functions.PortableHash
+
+  /** MinHash signatures over a (id, shingle) relation: k affine permutations
+    * h_i(x) = (a_i·x + b_i) mod p of a portable polynomial shingle hash,
+    * min per permutation. One groupBy(id); prefer `minHashLsh` below, which
+    * computes signatures per-row with no shuffle at all.
     */
   def minHashSignatures(shingles: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
-    // p = 2^31-1 (Mersenne prime) keeps a*x+b < 2^62 — no Long overflow
-    // under ANSI arithmetic (a, x < 2^31).
-    val p = lit(2147483647L)
-    val base = pmod(xxhash64(col("shingle")), p)
-    // deterministic per-permutation coefficients from a seeded hash of i
-    def coef(i: Int, salt: Int): Column =
-      pmod(xxhash64(lit(i * 2654435761L + salt)), p - lit(1)) + lit(1)
-    val mins = (0 until k).map(i => min(pmod(coef(i, 17) * base + coef(i, 89), p)).as(s"mh_$i"))
+    val p = lit(PortableHash.P)
+    val base = PortableHash.charPolyHash(col("shingle"))
+    val mins = PortableHash.minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * base + lit(b), p)).as(s"mh_$i")
+    }
     shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash LSH candidate pairs: band the k-wide signature into `bands`
-    * groups of k/bands rows; docs colliding on any full band are candidates.
-    * Each band is one groupBy on (band, bandHash) — the classic
-    * shuffle-bounded near-dup plan for 100 TB. Output: distinct (id_a, id_b)
-    * candidate pairs (verify with `ngramJaccard` on the candidate subset).
+  /** MinHash LSH candidate pairs: per document, hash tokens once, combine n
+    * consecutive token hashes into shingle hashes, take the min under k
+    * affine permutations, and band the k-wide signature into `bands` bucket
+    * keys — ALL per-row expression work (min over a multiset equals min over
+    * the distinct set, so no distinct/groupBy is needed). The only shuffle
+    * is the band-bucket self-join — the classic shuffle-bounded near-dup
+    * plan for 100 TB. Output: distinct (id_a, id_b) candidate pairs (verify
+    * with `ngramJaccard` on the candidate subset). Hashes are portable
+    * integer arithmetic (graft.functions.PortableHash) — the DuckDB oracle
+    * reproduces them exactly.
     */
   def minHashLsh(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sig = minHashSignatures(wordShingles(df, shingleN, textCol, idCol), k, idCol)
+    val p = lit(PortableHash.P)
+    val sig = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= shingleN)
+      .select(col(idCol), PortableHash.shingleHashes(col("__th"), shingleN).as("__sh"))
+      .select(col(idCol), array(PortableHash.minHashCoefs(k).map { case (a, b) =>
+        array_min(transform(col("__sh"), x => pmod(lit(a) * x + lit(b), p)))
+      }: _*).as("__sig"))
     val banded = sig.select(col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+      explode(array((0 until bands).map { bd =>
+        struct(lit(bd).as("band"),
+          PortableHash.foldBucket((0 until rows).map(j =>
+            element_at(col("__sig"), bd * rows + j + 1))).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     val l = banded.as("l"); val r = banded.as("r")
@@ -127,34 +139,35 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------------
 
-  /** 64-bit SimHash per document: sign-sum of token-hash bits. Computed
-    * relationally: explode tokens → per-(doc, bit) signed counts → pack bits
-    * with bit_or(1<<bit). Two shuffles, both on doc id.
+  /** 32-bit SimHash per document: sign-sum of token-hash bits, token
+    * frequency weighted. Computed entirely per-row (a fold over the token-
+    * hash array per bit — nested higher-order functions, still codegen'd):
+    * NO shuffle, unlike the classic explode→groupBy formulation. Token
+    * hashes are portable (charPolyHash mod 2^32) so the DuckDB oracle
+    * reproduces the exact bits.
     */
   def simHash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
-    val h = toks.withColumn("h", xxhash64(col("tok")))
-    val bits = h.select(col(idCol), posexplode(transform(sequence(lit(0), lit(63)),
-        i => when(call_function("shiftright", col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1))
-          .otherwise(lit(-1)))))
-      .toDF(idCol, "bit", "sign")
-    bits.groupBy(col(idCol), col("bit"))
-      .agg(sum("sign").as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0,
-        call_function("shiftleft", lit(1L), col("bit").cast("int"))).otherwise(lit(0L)))
-        .as("simhash"))
+    val th = PortableHash.tokenHashes(col(textCol), mod = 4294967296L)
+    val packed = aggregate(
+      transform(sequence(lit(0), lit(31)), bit =>
+        when(aggregate(col("__th"), lit(0L), (acc, h) =>
+          acc + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))) > 0,
+          call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+    df.select(col(idCol), th.as("__th"))
+      .filter(size(col("__th")) > 0)
+      .select(col(idCol), packed.as("simhash"))
   }
 
   /** SimHash near-dup candidates with Hamming distance ≤ 3 via the 4-band
-    * pigeonhole trick: split 64 bits into 4 16-bit bands; any pair within
+    * pigeonhole trick: split 32 bits into 4 8-bit bands; any pair within
     * distance 3 must agree exactly on ≥1 band → equi-join per band.
     */
   def simHashCandidates(df: DataFrame, maxHamming: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nBands = maxHamming + 1
-    val width = 64 / nBands
+    val width = 32 / nBands
     val sh = simHash(df, textCol, idCol)
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until nBands).map { b =>

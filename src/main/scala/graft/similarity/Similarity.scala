@@ -43,15 +43,17 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
     * long. Hyperplane components are deterministic pseudo-random ±1 values
-    * derived from xxhash64(plane, dim) — no stored model, reproducible
-    * across runs/executors.
+    * derived from a portable integer hash of (plane, dim)
+    * (graft.functions.PortableHash.planeSignPositive) — no stored model,
+    * reproducible across runs/executors/engines (the DuckDB oracle
+    * recomputes the same signatures).
     */
   def lshSignature(vec: Column, nPlanes: Int = 16): Column = {
     require(nPlanes <= 63, "signature packs into one long")
     val sigBits = (0 until nPlanes).map { p =>
       // dot(vec, plane_p) where plane_p[d] = ±1 from hash(p, d)
       val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (v, d) => when(pmod(xxhash64(lit(p), d), lit(2)) === 0, v.cast("double"))
+        (v, d) => when(graft.functions.PortableHash.planeSignPositive(p, d), v.cast("double"))
           .otherwise(-v.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
       when(s > 0, call_function("shiftleft", lit(1L), lit(p))).otherwise(lit(0L))

@@ -86,17 +86,19 @@ object TextAnalysis {
     df.withColumn(as, array_max(array(scored: _*)).getField("lang"))
   }
 
-  /** Document fingerprint: order-sensitive polynomial rolling hash over the
-    * token sequence (h = h*31 + tokenHash mod 2^61-1), kept < 2^62 so the
-    * arithmetic never overflows LongType. Equal fingerprints ⇒ near-certain
-    * equal token streams — the cheap exact-dup key for 100 TB dedup passes.
+  /** Document fingerprint: md5 of the whitespace-normalized token stream.
+    * Equal fingerprints ⇒ equal token sequences regardless of whitespace
+    * layout — the cheap exact-dup key for 100 TB dedup passes (hash first,
+    * shuffle (fingerprint, id), never full documents).
     */
-  def fingerprint(text: Column): Column = {
-    // modulus ~1e17 keeps h*31 + 1e9 < 2^63 (no Long overflow mid-fold)
-    val m = lit(100000000000000003L)
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (h, tok) => pmod(h * lit(31L) + pmod(xxhash64(tok), lit(1000000007L)), m))
-  }
+  def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+
+  /** Order-sensitive polynomial rolling hash over the token-hash sequence —
+    * a 62-bit numeric alternative to `fingerprint` for engines/joins that
+    * prefer fixed-width integer keys. Portable arithmetic (PortableHash).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(graft.functions.PortableHash.tokenHashes(text), lit(0L),
+      (h, th) => pmod(h * lit(graft.functions.PortableHash.B) + th,
+        lit(graft.functions.PortableHash.P)))
 }

@@ -25,9 +25,13 @@ class TextDedupSpec extends SparkSpec {
 
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
-    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
     assert(fps(0) == fps(2))
     assert(fps(0) != fps(1)) // same tokens, different order → different hash
+    // numeric rolling variant has the same properties
+    val rfs = df.select(TextAnalysis.rollingFingerprint($"text")).collect().map(_.getLong(0))
+    assert(rfs(0) == rfs(2))
+    assert(rfs(0) != rfs(1))
   }
 
   test("langid votes by stopword profile") {

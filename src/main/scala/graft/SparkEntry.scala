@@ -312,6 +312,22 @@ object SparkEntry {
         col("media_meta.media_type").as("media_type"))
     }),
 
+    // ---- script front end (grammar CubertPhysical.g4 → DataFrame) -----------------------------
+    "q53_script_agg" -> ((s, d) =>
+      graft.script.ScriptEngine.run(s,
+        s"""li = LOAD '$d/lineitem.parquet' USING PARQUET;
+           |f = FILTER li BY l_quantity > 45 AND l_returnflag = 'R';
+           |g = GROUP f BY l_returnflag, l_linestatus
+           |    AGGREGATES SUM(l_quantity) AS sum_qty, COUNT(1) AS n_rows;""".stripMargin)("g")),
+    "q54_script_join_cube" -> ((s, d) =>
+      graft.script.ScriptEngine.run(s,
+        s"""ord = LOAD '$d/orders.parquet' USING PARQUET;
+           |cust = LOAD '$d/customer.parquet' USING PARQUET;
+           |oc = FROM ord GENERATE o_custkey AS c_custkey, o_totalprice;
+           |j = HASH-JOIN oc BY c_custkey, cust BY c_custkey;
+           |c = CUBE j BY c_mktsegment
+           |    AGGREGATES COUNT(1) AS n_rows, SUM(o_totalprice) AS sum_price;""".stripMargin)("c")),
+
     // ---- events / json map projection ---------------------------------------------------------
     "q52_map_projection" -> ((s, d) =>
       t(s, d, "events")
@@ -549,6 +565,14 @@ object SparkEntry {
     // hash-derived queries: the operators use portable integer arithmetic
     // (graft.functions.PortableHash) so the oracle reproduces the exact
     // values — SQL generated programmatically from the same constants.
+    "q53_script_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(1) AS n_rows
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q54_script_join_cube" ->
+      """SELECT c_mktsegment, count(1) AS n_rows, CAST(sum(o_totalprice) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment)""".stripMargin,
     "q37_langid" -> OracleGen.langId,
     "q38_fingerprint" -> OracleGen.fingerprint,
     "q41_dedup_minhash" -> OracleGen.minHashLsh(shingleN = 3, k = 16, bands = 4),

@@ -1,0 +1,335 @@
+package graft.script
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Cubert Script front end — compiles a script to DataFrame transforms over
+  * the operator library (reference: grammar CubertPhysical.g4; lifecycle
+  * app/CmrExecutor.java:41-116, parser plan/physical/PhysicalParser.java:88).
+  *
+  * Design (SURVEY.md §7.1): the MAP/SHUFFLE/REDUCE phase structure of the
+  * reference is *erased* — statements declare a dataflow, Catalyst plans the
+  * shuffles. The expression sublanguage is delegated to Spark SQL's
+  * expression parser after a small pre-pass translating Cubert-specific
+  * syntax (`$i` positional refs, `m#"key"` map projection — grammar
+  * :176-179), so CASE/NVL/MATCHES/casts all come from Catalyst instead of a
+  * bespoke FunctionTree (reference: functions/FunctionTree.java:52).
+  *
+  * Statement surface:
+  * {{{
+  *   a = LOAD 'path' USING PARQUET;              -- also CSV/JSON/AVRO/TEXT('schema')
+  *   b = FROM a GENERATE x, y * 2 AS y2;
+  *   c = FILTER b BY y2 > 10;
+  *   d = GROUP c BY x AGGREGATES SUM(y2) AS s, COUNT(1) AS n;
+  *   d2 = GROUP c BY ALL AGGREGATES COUNT(1) AS n;
+  *   e = CUBE c BY x, z AGGREGATES SUM(y2) AS s; -- also ROLLUP
+  *   j = JOIN a BY k, b BY k;                    -- LEFT/RIGHT/FULL OUTER JOIN, HASH-JOIN
+  *   s = SHUFFLE a PARTITIONED ON k SORTED ON t; -- repartition + sortWithinPartitions
+  *   t = TOP 3 FROM a GROUP BY g ORDER BY o DESC;
+  *   r = RANK a AS rnk GROUP BY g ORDER BY o;
+  *   u = GATHER a, b;                            -- union
+  *   v = DISTINCT a;   w = LIMIT a 10;   x = SORT a ON c1, c2 DESC;
+  *   y = DUPLICATE a 3 TIMES COUNTER AS i;
+  *   z = FLATTEN a BY arr AS elem;
+  *   STORE e INTO 'out' USING PARQUET;
+  * }}}
+  */
+object ScriptEngine {
+
+  // ---- lexer ---------------------------------------------------------------
+
+  private[script] sealed trait Tok
+  private case class Word(s: String) extends Tok   // identifier or keyword
+  private case class Str(s: String) extends Tok    // 'literal'
+  private case class Num(s: String) extends Tok
+  private case class Punct(s: String) extends Tok  // = , ; ( ) # . $ etc.
+
+  private def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && src(i + 1) == '-') { // -- comment
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '\'') {
+        val j = src.indexOf('\'', i + 1)
+        require(j > 0, s"unterminated string literal at offset $i")
+        out += Str(src.substring(i + 1, j)); i = j + 1
+      } else if (c.isLetter || c == '_') {
+        var j = i + 1
+        // HASH-JOIN is one keyword: allow '-' inside a word when both sides
+        // are letters (no other token in the surface contains '-')
+        while (j < n && (src(j).isLetterOrDigit || src(j) == '_' ||
+          (src(j) == '-' && j + 1 < n && src(j + 1).isLetter))) j += 1
+        out += Word(src.substring(i, j)); i = j
+      } else if (c.isDigit) {
+        var j = i + 1
+        while (j < n && (src(j).isDigit || src(j) == '.')) j += 1
+        out += Num(src.substring(i, j)); i = j
+      } else { out += Punct(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- parser state --------------------------------------------------------
+
+  private class P(toks: Vector[Tok]) {
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def kw(s: String): Boolean = peek match {
+      case Some(Word(w)) if w.equalsIgnoreCase(s) => pos += 1; true
+      case _ => false
+    }
+    def expectKw(s: String): Unit =
+      require(kw(s), s"expected $s at ${toks.drop(pos).take(5)}")
+    def punct(s: String): Boolean = peek match {
+      case Some(Punct(p)) if p == s => pos += 1; true
+      case _ => false
+    }
+    def expectPunct(s: String): Unit =
+      require(punct(s), s"expected '$s' at ${toks.drop(pos).take(5)}")
+    def ident(): String = next() match {
+      case Word(w) => w
+      case t => throw new IllegalArgumentException(s"expected identifier, got $t")
+    }
+    def str(): String = next() match {
+      case Str(s) => s
+      case t => throw new IllegalArgumentException(s"expected string literal, got $t")
+    }
+    def num(): String = next() match {
+      case Num(s) => s
+      case t => throw new IllegalArgumentException(s"expected number, got $t")
+    }
+    /** Raw source tokens until one of `stop` keywords (at paren depth 0) or
+      * ';'. Re-rendered as a Spark SQL expression string.
+      */
+    def exprUntil(stop: Set[String]): String = {
+      val sb = new StringBuilder
+      var depth = 0
+      var done = false
+      while (!done) peek match {
+        case None => done = true
+        case Some(Punct(";")) => done = true
+        case Some(Punct("(")) => depth += 1; sb.append('('); pos += 1
+        case Some(Punct(")")) if depth == 0 => done = true
+        case Some(Punct(")")) => depth -= 1; sb.append(')'); pos += 1
+        case Some(Punct(",")) if depth == 0 => done = true
+        case Some(Word(w)) if depth == 0 && stop.exists(_.equalsIgnoreCase(w)) => done = true
+        case Some(t) =>
+          pos += 1
+          t match {
+            case Word(w)  => sb.append(' ').append(w).append(' ')
+            case Num(s)   => sb.append(s)
+            case Str(s)   => sb.append('\'').append(s.replace("'", "\\'")).append('\'')
+            case Punct(p) => sb.append(p)
+          }
+      }
+      sb.toString.trim
+    }
+  }
+
+  /** Translate Cubert-specific expression syntax to Spark SQL, then parse
+    * with Catalyst: `$3` → 3rd column of `rel`, `m#'key'` → `m['key']`.
+    */
+  private def toColumn(raw: String, df: DataFrame): Column = {
+    var s = raw
+    s = "\\$(\\d+)".r.replaceAllIn(s, m => s"`${df.columns(m.group(1).toInt)}`")
+    s = "#\\s*'([^']*)'".r.replaceAllIn(s, m => s"['${m.group(1)}']")
+    expr(s)
+  }
+
+  private def aliasedExprs(p: P, df: DataFrame, stop: Set[String]): Seq[(Column, Option[String])] = {
+    val out = Seq.newBuilder[(Column, Option[String])]
+    var more = true
+    while (more) {
+      val e = p.exprUntil(stop + "AS")
+      val alias = if (p.kw("AS")) Some(p.ident()) else None
+      out += ((toColumn(e, df), alias))
+      more = p.punct(",")
+    }
+    out.result()
+  }
+
+  private def identList(p: P): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    out += p.ident()
+    while (p.punct(",")) out += p.ident()
+    out.result()
+  }
+
+  /** `AGG(arg) AS alias, …` — aggregate names per AggregationType (SURVEY
+    * §2.4); arg parsed as a SQL expression.
+    */
+  private def aggList(p: P, df: DataFrame): Seq[(String, Column, String)] = {
+    val out = Seq.newBuilder[(String, Column, String)]
+    var more = true
+    while (more) {
+      val name = p.ident()
+      p.expectPunct("(")
+      val arg = p.exprUntil(Set.empty)
+      p.expectPunct(")")
+      p.expectKw("AS")
+      val alias = p.ident()
+      out += ((name, toColumn(arg, df), alias))
+      more = p.punct(",")
+    }
+    out.result()
+  }
+
+  /** ORDER BY list with optional per-column DESC. */
+  private def orderList(p: P): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    var more = true
+    while (more) {
+      val c = p.ident()
+      val desc = p.kw("DESC") || { p.kw("ASC"); false }
+      out += ((c, desc))
+      more = p.punct(",")
+    }
+    out.result()
+  }
+
+  private def orderCols(os: Seq[(String, Boolean)]): Seq[Column] =
+    os.map { case (c, desc) => if (desc) col(c).desc else col(c).asc }
+
+  // ---- execution -----------------------------------------------------------
+
+  /** Run a script; returns the final relation environment (STOREs execute as
+    * encountered). `params` substitute `%name%` occurrences pre-lex, like
+    * the reference's `param.` property substitution (CmrExecutor.java:46-49).
+    */
+  def run(spark: SparkSession, script: String,
+          params: Map[String, String] = Map.empty,
+          env0: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    val substituted = params.foldLeft(script) { case (s, (k, v)) => s.replace(s"%$k%", v) }
+    val p = new P(lex(substituted))
+    var env = env0
+    def rel(name: String): DataFrame =
+      env.getOrElse(name, sys.error(s"undefined relation: $name"))
+
+    while (p.peek.isDefined) {
+      if (p.punct(";")) () // empty statement
+      else if (p.kw("PROGRAM")) { p.str(); p.expectPunct(";") }
+      else if (p.kw("STORE")) {
+        val r = rel(p.ident())
+        p.expectKw("INTO"); val path = p.str()
+        p.expectKw("USING"); val fmt = p.ident().toLowerCase
+        graft.sources.Sources.store(r, path, fmt)
+        p.expectPunct(";")
+      } else {
+        val name = p.ident()
+        p.expectPunct("=")
+        val df = parseOperator(spark, p, rel)
+        env = env.updated(name, df)
+        p.expectPunct(";")
+      }
+    }
+    env
+  }
+
+  private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame): DataFrame = {
+    if (p.kw("LOAD")) {
+      val path = p.str()
+      p.expectKw("USING")
+      val fmt = p.ident().toLowerCase
+      val schema = if (p.punct("(")) { val s = p.str(); p.expectPunct(")"); Some(s) } else None
+      graft.sources.Sources.load(spark, path, fmt, schema)
+    } else if (p.kw("FROM")) {
+      val df = rel(p.ident())
+      p.expectKw("GENERATE")
+      val es = aliasedExprs(p, df, Set.empty)
+      df.select(es.map { case (c, a) => a.map(c.as).getOrElse(c) }: _*)
+    } else if (p.kw("FILTER")) {
+      val df = rel(p.ident())
+      p.expectKw("BY")
+      df.filter(toColumn(p.exprUntil(Set.empty), df))
+    } else if (p.kw("LIMIT")) {
+      val df = rel(p.ident()); df.limit(p.num().toInt)
+    } else if (p.kw("DISTINCT")) {
+      rel(p.ident()).distinct()
+    } else if (p.kw("DUPLICATE")) {
+      val df = rel(p.ident()); val n = p.num().toInt
+      p.kw("TIMES")
+      val counter = if (p.kw("COUNTER")) { p.expectKw("AS"); Some(p.ident()) } else None
+      Relational.duplicate(df, n, counter)
+    } else if (p.kw("FLATTEN")) {
+      val df = rel(p.ident())
+      p.expectKw("BY"); val c = p.ident()
+      p.expectKw("AS"); val as = p.ident()
+      Relational.flattenBag(df, c, as)
+    } else if (p.kw("GATHER")) {
+      identList(p).map(rel).reduce(_ unionByName _)
+    } else if (p.kw("SORT")) {
+      val df = rel(p.ident())
+      p.expectKw("ON")
+      df.sortWithinPartitions(orderCols(orderList(p)): _*)
+    } else if (p.kw("SHUFFLE")) {
+      val df = rel(p.ident())
+      p.expectKw("PARTITIONED"); p.expectKw("ON")
+      val parts = identList(p)
+      val sorts = if (p.kw("SORTED")) { p.expectKw("ON"); identList(p) } else Nil
+      Blockgen.blockgenInFlight(df, parts, sorts)
+    } else if (p.kw("GROUP")) {
+      val df = rel(p.ident())
+      p.expectKw("BY")
+      val keys = if (p.kw("ALL")) Nil else identList(p)
+      p.expectKw("AGGREGATES")
+      val aggs = aggList(p, df)
+      if (keys.isEmpty) Aggregations.groupByAll(df, aggs)
+      else Aggregations.groupBy(df, keys, aggs)
+    } else if (p.kw("CUBE")) {
+      val df = rel(p.ident())
+      p.expectKw("BY"); val dims = identList(p)
+      p.expectKw("AGGREGATES")
+      CubeOps.cube(df, dims, aggList(p, df))
+    } else if (p.kw("ROLLUP")) {
+      val df = rel(p.ident())
+      p.expectKw("BY"); val dims = identList(p)
+      p.expectKw("AGGREGATES")
+      CubeOps.rollup(df, dims, aggList(p, df))
+    } else if (p.kw("TOP")) {
+      val n = p.num().toInt
+      p.expectKw("FROM"); val df = rel(p.ident())
+      val g = if (p.kw("GROUP")) { p.expectKw("BY"); identList(p) } else Nil
+      p.expectKw("ORDER"); p.expectKw("BY")
+      WindowOps.topN(df, n, g, orderCols(orderList(p)))
+    } else if (p.kw("RANK")) {
+      val df = rel(p.ident())
+      p.expectKw("AS"); val as = p.ident()
+      val g = if (p.kw("GROUP")) { p.expectKw("BY"); identList(p) } else Nil
+      val o = if (p.kw("ORDER")) { p.expectKw("BY"); orderList(p) } else Nil
+      WindowOps.rank(df, as, g, orderCols(o))
+    } else {
+      // join family: [LEFT|RIGHT|FULL] [OUTER] JOIN | HASH-JOIN
+      val how =
+        if (p.kw("LEFT")) { p.kw("OUTER"); "left" }
+        else if (p.kw("RIGHT")) { p.kw("OUTER"); "right" }
+        else if (p.kw("FULL")) { p.kw("OUTER"); "full" }
+        else "inner"
+      val hash = p.kw("HASH-JOIN")
+      if (!hash) p.expectKw("JOIN")
+      val left = rel(p.ident())
+      p.expectKw("BY")
+      // left keys run until ", <ident> BY" introduces the right relation
+      val lkb = Seq.newBuilder[String]
+      lkb += p.ident()
+      var rightName: String = null
+      while (rightName == null) {
+        p.expectPunct(",")
+        val id = p.ident()
+        if (p.kw("BY")) rightName = id else lkb += id
+      }
+      val lk = lkb.result()
+      val right = rel(rightName)
+      val rk = identList(p)
+      require(lk == rk, s"script JOIN requires same-named keys on both sides (got $lk vs $rk); " +
+        "rename with FROM..GENERATE first")
+      if (hash) Joins.hashJoin(left, right, lk, how) else Joins.rsJoin(left, right, lk, how)
+    }
+  }
+}

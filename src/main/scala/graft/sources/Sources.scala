@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+import graft.functions.SchemaCodec
+
+/** Sources & sinks — LOAD / STORE / LOAD-CACHED (reference:
+  * io/StorageFactory.java:26-32; TEXT io/text/TextStorage.java:34, AVRO
+  * io/avro/AvroStorage.java:32, RUBIX io/rubix/RubixStorage.java:33).
+  *
+  * Format mapping (SURVEY.md §2.1): RUBIX → Parquet (columnar,
+  * dictionary-encoded, self-describing — everything Rubix's COMPACT
+  * serialization and metadata trailer provided); TEXT → csv with an explicit
+  * Cubert schema string; AVRO → the `avro` datasource when its jar is on the
+  * classpath. Schema strings use the reference's "INT a, STRING b" form
+  * (block/BlockSchema.java:58-78) via SchemaCodec.
+  */
+object Sources {
+
+  /** LOAD 'path' USING fmt['schema'] — schema mandatory for text formats,
+    * inferred from file metadata for parquet/orc/avro (the reference
+    * likewise inferred only from Avro/Rubix metadata).
+    */
+  def load(spark: SparkSession, path: String, format: String,
+           schema: Option[String] = None): DataFrame = {
+    val reader = spark.read
+    val withSchema = schema.map(s => reader.schema(SchemaCodec.parse(s))).getOrElse(reader)
+    format.toLowerCase match {
+      case "parquet" | "rubix" => withSchema.parquet(path)
+      case "orc"               => withSchema.orc(path)
+      case "avro"              => withSchema.format("avro").load(path)
+      case "json"              => withSchema.json(path)
+      case "csv"               => withSchema.option("header", "true").csv(path)
+      case "text" =>
+        // TEXT with a declared schema is tab-separated per the reference's
+        // TextTupleCreator; single-column schema reads raw lines
+        schema match {
+          case Some(s) if SchemaCodec.parse(s).length > 1 =>
+            withSchema.option("sep", "\t").csv(path)
+          case _ => withSchema.text(path)
+        }
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+  }
+
+  /** STORE x INTO 'path' USING fmt (reference: plan/physical/JobExecutor.java:470-487). */
+  def store(df: DataFrame, path: String, format: String,
+            mode: String = "overwrite"): Unit = format.toLowerCase match {
+    case "parquet" | "rubix" => df.write.mode(mode).parquet(path)
+    case "orc"               => df.write.mode(mode).orc(path)
+    case "avro"              => df.write.mode(mode).format("avro").save(path)
+    case "json"              => df.write.mode(mode).json(path)
+    case "csv"               => df.write.mode(mode).option("header", "true").csv(path)
+    case "text"              => df.write.mode(mode).text(path)
+    case other => throw new IllegalArgumentException(s"unknown format: $other")
+  }
+
+  /** LOAD-CACHED — read a small file and mark it broadcast; the reference
+    * shipped such files via the Hadoop distributed cache
+    * (operator/LoadBlockFromCacheOperator.java:31, utils/FileCache.java:35) —
+    * a broadcast relation is Spark's distributed cache.
+    */
+  def loadCached(spark: SparkSession, path: String, format: String,
+                 schema: Option[String] = None): DataFrame =
+    broadcast(load(spark, path, format, schema))
+}

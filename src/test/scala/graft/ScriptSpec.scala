@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.script.ScriptEngine
+
+/** Script front-end coverage: each statement type compiles to the expected
+  * DataFrame semantics (mirrors the reference's script examples, e.g.
+  * release/examples/wordcount.cmr).
+  */
+class ScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(pairs: (String, org.apache.spark.sql.DataFrame)*) = Map(pairs: _*)
+
+  test("generate / filter / group by with aggregates") {
+    val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)).toDF("id", "k", "v")
+    val out = ScriptEngine.run(spark,
+      """f = FILTER t BY v > 6;
+        |g = GROUP f BY k AGGREGATES SUM(v) AS sv, COUNT(1) AS n;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    assert(out.orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      == Seq(("a", 30.0, 2L)))
+  }
+
+  test("group by ALL") {
+    val df = Seq(1, 2, 3).toDF("x")
+    val out = ScriptEngine.run(spark,
+      "g = GROUP t BY ALL AGGREGATES SUM(x) AS s;", env0 = env("t" -> df))("g")
+    assert(out.collect().head.getLong(0) == 6L)
+  }
+
+  test("joins: shuffle and hash, outer types") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "va")
+    val b = Seq((1, "p"), (3, "q")).toDF("k", "vb")
+    val inner = ScriptEngine.run(spark, "j = JOIN a BY k, b BY k;", env0 = env("a" -> a, "b" -> b))("j")
+    assert(inner.count() == 1)
+    val left = ScriptEngine.run(spark, "j = LEFT OUTER JOIN a BY k, b BY k;", env0 = env("a" -> a, "b" -> b))("j")
+    assert(left.count() == 2)
+    val hash = ScriptEngine.run(spark, "j = HASH-JOIN a BY k, b BY k;", env0 = env("a" -> a, "b" -> b))("j")
+    assert(hash.count() == 1)
+  }
+
+  test("cube / rollup") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("d1", "d2", "m")
+    val out = ScriptEngine.run(spark,
+      "c = CUBE t BY d1, d2 AGGREGATES SUM(m) AS s;", env0 = env("t" -> df))("c")
+    assert(out.count() == 8) // 3 leaf + 2 d1 + 2 d2 + 1 total
+    val ru = ScriptEngine.run(spark,
+      "c = ROLLUP t BY d1, d2 AGGREGATES SUM(m) AS s;", env0 = env("t" -> df))("c")
+    assert(ru.count() == 6)
+  }
+
+  test("top n / rank / sort / limit / distinct") {
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("g", "v")
+    val top = ScriptEngine.run(spark,
+      "t2 = TOP 2 FROM t GROUP BY g ORDER BY v DESC;", env0 = env("t" -> df))("t2")
+    assert(top.count() == 3)
+    val rnk = ScriptEngine.run(spark,
+      "r = RANK t AS rnk GROUP BY g ORDER BY v;", env0 = env("t" -> df))("r")
+    assert(rnk.filter($"rnk" === 1).count() == 2)
+    val lim = ScriptEngine.run(spark, "l = LIMIT t 2;", env0 = env("t" -> df))("l")
+    assert(lim.count() == 2)
+    val dis = ScriptEngine.run(spark, "d = DISTINCT t2;",
+      env0 = env("t2" -> df.select("g")))("d")
+    assert(dis.count() == 2)
+  }
+
+  test("duplicate / flatten / gather / shuffle") {
+    val df = Seq((1, Seq(10, 20))).toDF("id", "arr")
+    val out = ScriptEngine.run(spark,
+      """f = FLATTEN t BY arr AS elem;
+        |d = DUPLICATE f 2 TIMES COUNTER AS c;
+        |g = GATHER d, d;
+        |s = SHUFFLE g PARTITIONED ON id SORTED ON elem;""".stripMargin,
+      env0 = env("t" -> df))("s")
+    assert(out.count() == 8) // 2 elems × 2 dup × 2 gather
+  }
+
+  test("expression sugar: positional $i and map projection #'key'") {
+    val df = Seq((7, Map("k" -> 42))).toDF("num", "m")
+    val out = ScriptEngine.run(spark,
+      "g = FROM t GENERATE $0 AS n, m#'k' AS mv;", env0 = env("t" -> df))("g")
+    assert(out.collect().head.toSeq == Seq(7, 42))
+  }
+
+  test("case / string expressions go through Catalyst") {
+    val df = Seq(("R", 50.0), ("N", 10.0)).toDF("flag", "qty")
+    val out = ScriptEngine.run(spark,
+      "g = FROM t GENERATE CASE WHEN flag = 'R' THEN 'ret' ELSE 'kept' END AS cls, qty * 2 AS q2;",
+      env0 = env("t" -> df))("g")
+    assert(out.orderBy("cls").collect().map(_.getString(0)).toSeq == Seq("kept", "ret"))
+  }
+
+  test("load / store roundtrip via sources") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-script").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    ScriptEngine.run(spark, s"STORE t INTO '$dir/out' USING CSV;", env0 = env("t" -> df))
+    val back = ScriptEngine.run(spark,
+      s"r = LOAD '$dir/out' USING CSV('INT id, STRING name');")("r")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("wordcount — the reference's example script shape") {
+    val docs = Seq("the cat", "the dog").toDF("text")
+    val out = ScriptEngine.run(spark,
+      """toks = FROM d GENERATE explode(split(text, '\\s+')) AS word;
+        |wc = GROUP toks BY word AGGREGATES COUNT(1) AS cnt;""".stripMargin,
+      env0 = env("d" -> docs))("wc")
+    assert(out.filter($"word" === "the").collect().head.getLong(1) == 2L)
+  }
+
+  test("param substitution") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val out = ScriptEngine.run(spark, "f = FILTER t BY x > %lo%;",
+      params = Map("lo" -> "2"), env0 = env("t" -> df))("f")
+    assert(out.count() == 2)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental computation / materialized-view reuse — the reference's
+  * summary rewriters for time-partitioned facts (reference:
+  * analyzer/physical/SummaryRewriter.java:57-94, AggregateRewriter.java:54-110,
+  * CountDistinctRewriter.java:55; dates as yyyyMMdd ints via
+  * utils/DateTimeUtilities.java:25).
+  *
+  * Model: a fact relation partitioned by a date column. A *summary* MV holds
+  * per-(date, keys) partial aggregates; `refresh` processes only dates newer
+  * than the MV's high-water mark and appends them (date-partitioned parquet,
+  * so each refresh writes only new partitions); `query` rolls the summary up
+  * to per-keys results. For COUNT(DISTINCT) — not additive across dates —
+  * the summary stores distinct (date, keys, member) tuples
+  * (`refreshDistinct`), exactly the reference's member-level summary trick,
+  * and the final count dedups members across dates.
+  *
+  * At 100 TB/day this is the difference between scanning one day and
+  * re-scanning history: refresh cost is O(delta), query cost is O(summary).
+  */
+object Incremental {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** High-water mark of the MV (max date present), if any. */
+  def highWaterMark(spark: SparkSession, mvPath: String, dateCol: String): Option[Any] =
+    if (!exists(spark, mvPath)) None
+    else spark.read.parquet(mvPath).agg(max(col(dateCol))).collect().headOption
+      .flatMap(r => Option(r.get(0)))
+
+  /** Refresh an additive summary: aggregate fact rows with date > HWM into
+    * per-(date, keys) partials and append as new date partitions.
+    * `aggs` must be additive (SUM/COUNT/MIN/MAX — the reference's
+    * ValueAggregationType set); COUNT is stored as a SUM-able partial count,
+    * mirroring the rewriters' COUNT→SUM phase switch
+    * (ShuffleRewriter.java:495-523).
+    */
+  def refresh(spark: SparkSession, fact: DataFrame, mvPath: String,
+              dateCol: String, keys: Seq[String],
+              aggs: Seq[(String, Column, String)]): Unit = {
+    val delta = highWaterMark(spark, mvPath, dateCol) match {
+      case Some(hwm) => fact.filter(col(dateCol) > lit(hwm))
+      case None      => fact
+    }
+    val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    delta
+      .groupBy((dateCol +: keys).map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+      .write.mode("append").partitionBy(dateCol).parquet(mvPath)
+  }
+
+  /** Roll the additive summary up to per-keys totals. `rollup` maps each
+    * summary column to its re-aggregation (COUNT partials roll up with SUM).
+    */
+  def query(spark: SparkSession, mvPath: String, keys: Seq[String],
+            rollup: Seq[(String, String, String)]): DataFrame = {
+    val exprs = rollup.map { case (t, c, n) => Aggregations.aggExpr(t, col(c)).as(n) }
+    spark.read.parquet(mvPath)
+      .groupBy(keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Refresh a COUNT(DISTINCT member) summary: store distinct
+    * (date, keys, member) tuples for new dates only (reference:
+    * CountDistinctRewriter.java:55 — partitioned-additive via member-level
+    * summaries).
+    */
+  def refreshDistinct(spark: SparkSession, fact: DataFrame, mvPath: String,
+                      dateCol: String, keys: Seq[String], memberCol: String): Unit = {
+    val delta = highWaterMark(spark, mvPath, dateCol) match {
+      case Some(hwm) => fact.filter(col(dateCol) > lit(hwm))
+      case None      => fact
+    }
+    delta
+      .select((dateCol +: keys :+ memberCol).map(col): _*)
+      .distinct()
+      .write.mode("append").partitionBy(dateCol).parquet(mvPath)
+  }
+
+  /** Exact COUNT(DISTINCT member) per keys from the member-level summary —
+    * members recurring across dates count once.
+    */
+  def queryDistinct(spark: SparkSession, mvPath: String, keys: Seq[String],
+                    memberCol: String, as: String): DataFrame =
+    spark.read.parquet(mvPath)
+      .groupBy(keys.map(col): _*)
+      .agg(count_distinct(col(memberCol)).as(as))
+}

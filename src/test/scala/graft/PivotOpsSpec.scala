@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.PivotOps
+
+class PivotOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perPivot groups consecutive sorted runs per key") {
+    val df = Seq(("a", 1), ("b", 10), ("a", 2), ("b", 20), ("a", 3)).toDF("k", "v")
+    val out = PivotOps.perPivot(df, Seq("k"),
+      StructType(Seq(StructField("k", StringType), StructField("sum_v", IntegerType),
+        StructField("n", IntegerType)))) { (key, rows) =>
+      Iterator(Row(key.head, rows.map(_.getInt(1)).sum, rows.size))
+    }
+    val got = out.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 6, 3), ("b", 30, 2)))
+  }
+
+  test("perRowBlock applies f to fixed-size row groups") {
+    val df = Seq(1, 2, 3, 4, 5).toDF("v").coalesce(1)
+    val out = PivotOps.perRowBlock(df, 2,
+      StructType(Seq(StructField("block_sum", IntegerType)))) { rows =>
+      Iterator(Row(rows.map(_.getInt(0)).sum))
+    }
+    // groups of 2 within the single partition: (1,2),(3,4),(5)
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 5, 7))
+  }
+}

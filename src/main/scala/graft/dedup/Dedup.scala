@@ -115,14 +115,13 @@ object Dedup {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val p = lit(PortableHash.P)
+    val coefs = PortableHash.minHashCoefs(k)
     val sig = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= shingleN)
-      .select(col(idCol), PortableHash.shingleHashes(col("__th"), shingleN).as("__sh"))
-      .select(col(idCol), array(PortableHash.minHashCoefs(k).map { case (a, b) =>
-        array_min(transform(col("__sh"), x => pmod(lit(a) * x + lit(b), p)))
-      }: _*).as("__sig"))
+      .select(col(idCol), graft.functions.expressions.NativeExpressions.minHashSig(
+        col("__th"), shingleN, coefs.map(_._1), coefs.map(_._2),
+        PortableHash.B, PortableHash.P).as("__sig"))
     val banded = sig.select(col(idCol),
       explode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band"),
@@ -148,16 +147,10 @@ object Dedup {
     */
   def simHash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val th = PortableHash.tokenHashes(col(textCol), mod = 4294967296L)
-    val packed = aggregate(
-      transform(sequence(lit(0), lit(31)), bit =>
-        when(aggregate(col("__th"), lit(0L), (acc, h) =>
-          acc + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))) > 0,
-          call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
     df.select(col(idCol), th.as("__th"))
       .filter(size(col("__th")) > 0)
-      .select(col(idCol), packed.as("simhash"))
+      .select(col(idCol),
+        graft.functions.expressions.NativeExpressions.simHash32(col("__th")).as("simhash"))
   }
 
   /** SimHash near-dup candidates with Hamming distance ≤ 3 via the 4-band

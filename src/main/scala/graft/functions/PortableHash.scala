@@ -24,15 +24,18 @@ object PortableHash {
   val B2: Long = (B * B) % P
 
   /** Polynomial rolling hash over the characters of a string:
-    * h = fold(h * 31 + codepoint(c)) mod `mod`.
+    * h = fold(h * 31 + codepoint(c)) mod `mod`. Native codegen kernel
+    * (graft.functions.expressions.PolyHash); same values as the declarative
+    * aggregate(split(...)) fold.
     */
   def charPolyHash(s: Column, mod: Long = P): Column =
-    aggregate(filter(split(s, ""), c => c =!= lit("")), lit(0L),
-      (h, c) => pmod(h * lit(31L) + ascii(c), lit(mod)))
+    graft.functions.expressions.NativeExpressions.polyHash(s, mod)
 
-  /** Per-token hash array for a text column (tokens per TextAnalysis). */
+  /** Per-token hash array for a text column (tokens per TextAnalysis:
+    * split on \s+, empties removed) — single-pass native kernel.
+    */
   def tokenHashes(text: Column, mod: Long = P): Column =
-    transform(graft.text.TextAnalysis.tokens(text), t => charPolyHash(t, mod))
+    graft.functions.expressions.NativeExpressions.tokenPolyHashes(text, mod)
 
   /** Word n-gram shingle hashes from a token-hash array: combine n
     * consecutive token hashes by a Horner fold h = (h*B + th_j) mod P (no

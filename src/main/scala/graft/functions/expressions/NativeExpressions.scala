@@ -1,0 +1,216 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/similarity hot paths. The
+  * declarative formulations (split + higher-order array functions) allocate
+  * per-row intermediate arrays; these kernels compute the same values in one
+  * tight JVM loop and participate in whole-stage codegen via `doGenCode`
+  * (the generated code is a single static call into NativeKernels).
+  *
+  * Numeric contracts are bit-identical to the declarative forms (same fold
+  * order, same portable arithmetic — see graft.functions.PortableHash), so
+  * the DuckDB oracles remain exact.
+  */
+object NativeKernels {
+
+  /** Polynomial char hash: fold (h*31 + codepoint) mod `mod`. */
+  def polyHash(s: UTF8String, mod: Long): Long = {
+    val js = s.toString
+    var h = 0L
+    var i = 0
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      h = (h * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  @inline private def isWs(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace-tokenize + polyHash each token in one pass — equals
+    * transform(tokens(text), t => charPolyHash(t, mod)).
+    */
+  def tokenPolyHashes(s: UTF8String, mod: Long): ArrayData = {
+    val js = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    while (i < js.length) {
+      while (i < js.length && isWs(js.charAt(i))) i += 1
+      if (i < js.length) {
+        var h = 0L
+        while (i < js.length && !isWs(js.charAt(i))) {
+          val cp = js.codePointAt(i)
+          h = (h * 31 + cp) % mod
+          i += Character.charCount(cp)
+        }
+        out += h
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** MinHash signature from token hashes: Horner-combine each n-gram window
+    * into a shingle hash, track min under each affine permutation. One pass,
+    * zero allocation beyond the k-wide output.
+    */
+  def minHashSig(th: ArrayData, n: Int, as: Array[Long], bs: Array[Long],
+                 b: Long, p: Long): ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val m = th.numElements()
+    var i = 0
+    while (i <= m - n) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = (sh * b + th.getLong(i + j)) % p; j += 1 }
+      var q = 0
+      while (q < k) {
+        val v = (as(q) * sh + bs(q)) % p
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit SimHash from token hashes (frequency-weighted sign sum per bit). */
+  def simHash32(th: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val m = th.numElements()
+    var i = 0
+    while (i < m) {
+      val h = th.getLong(i)
+      var bit = 0
+      while (bit < 32) {
+        if (((h >> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    var bit = 0
+    while (bit < 32) { if (counts(bit) > 0) packed |= (1L << bit); bit += 1 }
+    packed
+  }
+
+  /** Fused cosine over float arrays: dot and both norms in one loop, all
+    * accumulation sequential in double (bit-identical to the separate
+    * aggregate() folds).
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** h = fold (h*31 + codepoint) mod `mod` over the string's codepoints. */
+case class PolyHash(child: Expression, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.polyHash(input.asInstanceOf[UTF8String], mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.polyHash($c, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** Whitespace tokens → array of their polyHashes, one pass. */
+case class TokenPolyHashes(child: Expression, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.tokenPolyHashes(input.asInstanceOf[UTF8String], mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.tokenPolyHashes($c, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** MinHash signature (k mins over affine-permuted shingle hashes). */
+case class MinHashSig(child: Expression, shingleN: Int, as: Seq[Long], bs: Seq[Long],
+                      b: Long, p: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects ARRAY<LONG>")
+  }
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.minHashSig(input.asInstanceOf[ArrayData], shingleN, aArr, bArr, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.minHashSig($c, $shingleN, $aRef, $bRef, ${b}L, ${p}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** 32-bit SimHash packed from token hashes. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects ARRAY<LONG>")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.simHash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.simHash32($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** Fused cosine similarity over two float arrays. */
+case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects two ARRAY<FLOAT>")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.NativeKernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level constructors. */
+object NativeExpressions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def polyHash(s: Column, mod: Long): Column = c(PolyHash(e(s), mod))
+  def tokenPolyHashes(s: Column, mod: Long): Column = c(TokenPolyHashes(e(s), mod))
+  def minHashSig(tokenHashes: Column, shingleN: Int, as: Seq[Long], bs: Seq[Long],
+                 b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
+  def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))
+  def cosineF(a: Column, b: Column): Column = c(CosineSimF(e(a), e(b)))
+}

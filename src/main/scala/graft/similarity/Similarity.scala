@@ -21,7 +21,16 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity. For float-array inputs this is a fused native
+    * kernel (one loop computes dot and both norms — see
+    * graft.functions.expressions.CosineSimF) with the same sequential
+    * accumulation as the declarative folds; `cosineGeneric` keeps the
+    * composition form for other element types.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.NativeExpressions.cosineF(a, b)
+
+  def cosineGeneric(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Plan: broadcast the (small) query set against the corpus — a narrow
@@ -101,7 +110,7 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
     val scored = df.join(c)
-      .withColumn("d", -cosine(col(vecCol), col("cvec")))
+      .withColumn("d", -cosineGeneric(col(vecCol), col("cvec")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("d"), col("centroid_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

@@ -81,6 +81,28 @@ object OracleGen {
        |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
   }
 
+  // ---- q40 n-gram Jaccard -------------------------------------------------
+
+  def ngramJaccard(n: Int, threshold: Double, sampleMod: Int): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |  WHERE doc_id % $sampleMod = 0
+       |), sh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle)) AS shs
+       |  FROM th WHERE len(hs) >= $n
+       |), sh AS (
+       |  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh0
+       |), common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(1) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b, CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard FROM common)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
   // ---- q42 SimHash --------------------------------------------------------
 
   def simHashCandidates(maxHamming: Int): String = {

@@ -533,28 +533,7 @@ object SparkEntry {
     "q39_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(1) AS copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "q40_dedup_ngram" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, $duckToks AS ts FROM documents
-        |  WHERE doc_id % 5 = 0
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS shingle
-        |    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 2000)) AS i) g
-        |    WHERE len(ts) >= 2 AND i <= len(ts) - 2)
-        |), sizes AS (
-        |  SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id
-        |), common AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
-        |FROM common
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.05""".stripMargin,
+    "q40_dedup_ngram" -> OracleGen.ngramJaccard(n = 2, threshold = 0.05, sampleMod = 5),
     "q46_multimodal_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'image' AS media_type FROM documents",
     "q52_map_projection" ->

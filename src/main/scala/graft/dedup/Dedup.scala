@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  import graft.functions.PortableHash
+
   // ---- exact ------------------------------------------------------------
 
   /** Exact dedup: group rows by content hash, keep the smallest id per
@@ -58,24 +60,30 @@ object Dedup {
 
   // ---- exact n-gram Jaccard ----------------------------------------------
 
-  /** Exact pairwise n-gram Jaccard ≥ `threshold` via a shingle self-join:
-    * |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
-    * Pure relational — this is the oracle-checkable ground truth the LSH
-    * path approximates. Quadratic in docs sharing a shingle: at scale, run
-    * it only on LSH candidates (`minHashLsh` below) or hot shingles capped.
+  /** Pairwise n-gram Jaccard ≥ `threshold` via a shingle-hash self-join:
+    * |A∩B| from the equi-join on the shingle hash, |A∪B| = |A|+|B|−|A∩B|.
+    * Shingles are compared by portable 31-bit hash, not string — the
+    * shuffle carries (id, long) instead of (id, text), per-document shingle
+    * sets dedup with array_distinct (no shuffle), and set sizes come from
+    * the array length (no counting aggregation). Quadratic in docs sharing
+    * a shingle: at scale, run it only on LSH candidates (`minHashLsh`) or
+    * cap hot shingles.
     */
   def ngramJaccard(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = wordShingles(df, n, textCol, idCol)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val base = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
+        col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
+    val sh = base.select(col(idCol), size(col("__shs")).as("n_sh"),
+      explode(col("__shs")).as("shingle"))
     val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col(s"a.shingle") === col(s"b.shingle") &&
+    a.join(b, col(s"a.shingle") === col(s"b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -83,8 +91,6 @@ object Dedup {
   }
 
   // ---- MinHash + LSH -------------------------------------------------------
-
-  import graft.functions.PortableHash
 
   /** MinHash signatures over a (id, shingle) relation: k affine permutations
     * h_i(x) = (a_i·x + b_i) mod p of a portable polynomial shingle hash,

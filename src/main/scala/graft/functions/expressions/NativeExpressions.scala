@@ -58,6 +58,25 @@ object NativeKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct n-gram shingle hashes from token hashes (Horner fold per
+    * window, first-occurrence dedup). Output order is irrelevant downstream
+    * (explode → join/groupBy), only the set matters.
+    */
+  def shingleHashSet(th: ArrayData, n: Int, b: Long, p: Long): ArrayData = {
+    val m = th.numElements()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(0, m - n + 1))
+    var i = 0
+    while (i <= m - n) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = (sh * b + th.getLong(i + j)) % p; j += 1 }
+      if (seen.add(sh)) out += sh
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature from token hashes: Horner-combine each n-gram window
     * into a shingle hash, track min under each affine permutation. One pass,
     * zero allocation beyond the k-wide output.
@@ -149,6 +168,22 @@ case class TokenPolyHashes(child: Expression, mod: Long) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+/** Distinct Horner shingle hashes over a token-hash array. */
+case class ShingleHashSet(child: Expression, shingleN: Int, b: Long, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects ARRAY<LONG>")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.shingleHashSet(input.asInstanceOf[ArrayData], shingleN, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.shingleHashSet($c, $shingleN, ${b}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** MinHash signature (k mins over affine-permuted shingle hashes). */
 case class MinHashSig(child: Expression, shingleN: Int, as: Seq[Long], bs: Seq[Long],
                       b: Long, p: Long) extends UnaryExpression {
@@ -209,6 +244,8 @@ object NativeExpressions {
 
   def polyHash(s: Column, mod: Long): Column = c(PolyHash(e(s), mod))
   def tokenPolyHashes(s: Column, mod: Long): Column = c(TokenPolyHashes(e(s), mod))
+  def shingleHashSet(tokenHashes: Column, shingleN: Int, b: Long, p: Long): Column =
+    c(ShingleHashSet(e(tokenHashes), shingleN, b, p))
   def minHashSig(tokenHashes: Column, shingleN: Int, as: Seq[Long], bs: Seq[Long],
                  b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.PortableHash
+import graft.functions.expressions._
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql` users (and the script front
+  * end) can call them without the Scala API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * This is the Spark-idiomatic replacement for the reference's
+  * `FUNCTION name uri(args)` dynamic-UDF loading
+  * (reference: grammar CubertPhysical.g4:24, functions/PigEvalFuncWrapper.java:38).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "graft_poly_hash(str) - portable polynomial char hash mod 2^31-1"),
+      (args: Seq[Expression]) => PolyHash(args.head, PortableHash.P)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_hashes"),
+      info("graft_token_hashes", "graft_token_hashes(str) - whitespace-token polynomial hashes"),
+      (args: Seq[Expression]) => TokenPolyHashes(args.head, PortableHash.P)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set", "graft_shingle_set(token_hashes, n) - distinct n-gram shingle hashes"),
+      (args: Seq[Expression]) => ShingleHashSet(args.head,
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int], PortableHash.B, PortableHash.P)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", "graft_simhash32(token_hashes) - 32-bit SimHash"),
+      (args: Seq[Expression]) => SimHash32(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity over float arrays"),
+      (args: Seq[Expression]) => CosineSimF(args.head, args(1))))
+  }
+}

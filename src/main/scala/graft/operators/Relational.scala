@@ -153,4 +153,16 @@ object Relational {
     */
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** COLLATE VECTOR BLOCK — assemble per-vector blocks from a (vectorId,
+    * coordinate, value) relation, the reference's sparse-matrix/graph
+    * support (reference: operator/CollateVectorBlockOperator.java:45).
+    * Declaratively this is one groupBy building the sorted coordinate
+    * array per vector — the join+aggregate form SURVEY §2.6 maps it to.
+    */
+  def collateVectors(df: DataFrame, vectorIdCol: String, coordCol: String,
+                     valueCol: String): DataFrame =
+    df.groupBy(col(vectorIdCol))
+      .agg(array_sort(collect_list(struct(col(coordCol).as("coord"),
+        col(valueCol).as("value")))).as("vector"))
 }

@@ -19,6 +19,15 @@ class PivotOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 6, 3), ("b", 30, 2)))
   }
 
+  test("collateVectors assembles sorted (coord, value) vectors") {
+    val df = Seq((1L, 2, 0.5), (1L, 0, 0.1), (2L, 1, 0.9)).toDF("vid", "coord", "v")
+    val out = graft.operators.Relational.collateVectors(df, "vid", "coord", "v")
+      .orderBy("vid").collect()
+    val v1 = out(0).getSeq[Row](1).map(r => (r.getInt(0), r.getDouble(1)))
+    assert(v1 == Seq((0, 0.1), (2, 0.5)))
+    assert(out(1).getSeq[Row](1).map(_.getInt(0)) == Seq(1))
+  }
+
   test("perRowBlock applies f to fixed-size row groups") {
     val df = Seq(1, 2, 3, 4, 5).toDF("v").coalesce(1)
     val out = PivotOps.perRowBlock(df, 2,

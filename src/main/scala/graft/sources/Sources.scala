@@ -64,4 +64,10 @@ object Sources {
   def loadCached(spark: SparkSession, path: String, format: String,
                  schema: Option[String] = None): DataFrame =
     broadcast(load(spark, path, format, schema))
+
+  /** VIRTUAL input — generator relation not backed by files (reference:
+    * io/virtual/VirtualStorage.java:43), used by dictionary jobs etc.
+    */
+  def virtual(spark: SparkSession, rows: Long, indexCol: String = "index"): DataFrame =
+    spark.range(rows).toDF(indexCol)
 }

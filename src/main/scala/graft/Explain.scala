@@ -19,7 +19,8 @@ object Explain {
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
       val scans = "FileScan|BatchScan".r.findAllIn(plan).size
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+      val codegen = math.max("WholeStageCodegen".r.findAllIn(plan).size,
+        "\\*\\(\\d+\\)".r.findAllIn(plan).map(_.toString).toSet.size)
       println(s"==== $name  shuffles=$exchanges broadcasts=$broadcasts scans=$scans codegenSpans=$codegen")
       if (sys.env.contains("GRAFT_EXPLAIN_FULL")) {
         println(df.queryExecution.explainString(

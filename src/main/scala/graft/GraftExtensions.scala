@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Cubert's partitioned-additive CUBE: pre-aggregate to leaf groups below
+    // the grouping-sets Expand (graft.plans.CubePreAggregate)
+    ext.injectOptimizerRule(_ => graft.plans.CubePreAggregate)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "graft_poly_hash(str) - portable polynomial char hash mod 2^31-1"),

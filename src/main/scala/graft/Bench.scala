@@ -18,6 +18,7 @@ object Bench {
     "q15_join_merge",
     "q16_join_hash",
     "q21_cube",
+    "q55_cube_wide",
     "q24_cube_count_distinct",
     "q26_duple_cube",
     "q28_topn",

@@ -205,6 +205,14 @@ object SparkEntry {
       CubeOps.groupingCombos(t(s, d, "orders"),
         Seq("o_orderstatus", "o_orderpriority"), 1,
         Seq("count(1) AS n_rows"))),
+    // 4-dim (16 grouping sets) cube with reassociable measures — exercises
+    // the CubePreAggregate rule (leaf aggregation below Expand)
+    "q55_cube_wide" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_key"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))),
 
     // ---- §2.5 windowing ------------------------------------------------------
     "q27_rank" -> ((s, d) =>
@@ -544,6 +552,12 @@ object SparkEntry {
     // hash-derived queries: the operators use portable integer arithmetic
     // (graft.functions.PortableHash) so the oracle reproduces the exact
     // values — SQL generated programmatically from the same constants.
+    "q55_cube_wide" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  count(1) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus, l_linenumber, year(l_shipdate))""".stripMargin,
     "q53_script_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(1) AS n_rows
         |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'

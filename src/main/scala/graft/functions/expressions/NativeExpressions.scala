@@ -122,6 +122,32 @@ object NativeKernels {
     packed
   }
 
+
+  /** Random-hyperplane LSH signature over a float vector: for each plane p,
+    * s_p = sum_d(±v[d]) with the sign from the portable (p, d) integer hash
+    * (PortableHash.planeSignPositive); bit p set when s_p > 0. Sequential
+    * double accumulation per plane — bit-identical to the declarative fold.
+    */
+  def lshSignatureF(vec: ArrayData, nPlanes: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val x = (p.toLong * 2654435761L + d) % 2147483647L
+        val y = (x * 1103515245L + 12345L) % 2147483648L
+        val v = vec.getFloat(d).toDouble
+        s += (if (((y >> 15) & 1L) == 0L) v else -v)
+        d += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Fused cosine over float arrays: dot and both norms in one loop, all
     * accumulation sequential in double (bit-identical to the separate
     * aggregate() folds).
@@ -220,6 +246,22 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+
+/** Packed random-hyperplane LSH signature over a float vector. */
+case class LshSignatureF(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects ARRAY<FLOAT>")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.lshSignatureF(input.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.lshSignatureF($c, $nPlanes)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** Fused cosine similarity over two float arrays. */
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -250,4 +292,5 @@ object NativeExpressions {
                  b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))
   def cosineF(a: Column, b: Column): Column = c(CosineSimF(e(a), e(b)))
+  def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
 }

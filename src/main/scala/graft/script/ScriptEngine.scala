@@ -264,6 +264,56 @@ object ScriptEngine {
       Relational.flattenBag(df, c, as)
     } else if (p.kw("GATHER")) {
       identList(p).map(rel).reduce(_ unionByName _)
+    } else if (p.kw("DICTIONARY")) {
+      // DICTIONARY x ON col — build the (colvalue, code) dictionary relation
+      val df = rel(p.ident())
+      p.expectKw("ON")
+      Dictionary.create(df, p.ident())
+    } else if (p.kw("ENCODE")) {
+      // ENCODE x ON col USING dictRel [NULLS AS n] [UNKNOWNS AS u]
+      val df = rel(p.ident())
+      p.expectKw("ON"); val c = p.ident()
+      p.expectKw("USING"); val dict = rel(p.ident())
+      val nulls = if (p.kw("NULLS")) { p.expectKw("AS"); p.num().toInt } else 0
+      val unknowns = if (p.kw("UNKNOWNS")) { p.expectKw("AS"); Some(p.num().toInt) } else None
+      Dictionary.encode(df, c, dict, nulls, unknowns)
+    } else if (p.kw("DECODE")) {
+      val df = rel(p.ident())
+      p.expectKw("ON"); val c = p.ident()
+      p.expectKw("USING"); val dict = rel(p.ident())
+      val unknowns = if (p.kw("UNKNOWNS")) { p.expectKw("AS"); Some(p.str()) } else None
+      Dictionary.decode(df, c, dict, unknowns)
+    } else if (p.kw("TEE")) {
+      // TEE x INTO 'path' USING fmt [IF cond] — side output; main flow
+      // continues (WITH SPLIT removes matching rows from main)
+      val withSplit = { val b = p.kw("WITH"); if (b) p.expectKw("SPLIT"); b }
+      val df = rel(p.ident())
+      p.expectKw("INTO"); val path = p.str()
+      p.expectKw("USING"); val fmt = p.ident().toLowerCase
+      val cond = if (p.kw("IF")) Some(toColumn(p.exprUntil(Set.empty), df)) else None
+      (withSplit, cond) match {
+        case (true, Some(c)) =>
+          val (main, teed) = Relational.split(df, c)
+          graft.sources.Sources.store(teed, path, fmt); main
+        case (_, condOpt) =>
+          graft.sources.Sources.store(condOpt.map(df.filter).getOrElse(df), path, fmt); df
+      }
+    } else if (p.kw("LOAD-CACHED")) {
+      val path = p.str()
+      p.expectKw("USING")
+      val fmt = p.ident().toLowerCase
+      val schema = if (p.punct("(")) { val s = p.str(); p.expectPunct(")"); Some(s) } else None
+      graft.sources.Sources.loadCached(spark, path, fmt, schema)
+    } else if (p.kw("BLOCKGEN")) {
+      // BLOCKGEN x PARTITIONED ON p [SORTED ON s] INTO table BUCKETS n
+      val df = rel(p.ident())
+      p.expectKw("PARTITIONED"); p.expectKw("ON")
+      val parts = identList(p)
+      val sorts = if (p.kw("SORTED")) { p.expectKw("ON"); identList(p) } else parts
+      p.expectKw("INTO"); val table = p.ident()
+      p.expectKw("BUCKETS"); val buckets = p.num().toInt
+      Blockgen.blockgen(df, table, parts, sorts, buckets)
+      Blockgen.loadBlock(spark, table)
     } else if (p.kw("SORT")) {
       val df = rel(p.ident())
       p.expectKw("ON")

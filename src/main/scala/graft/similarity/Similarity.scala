@@ -59,6 +59,14 @@ object Similarity {
     */
   def lshSignature(vec: Column, nPlanes: Int = 16): Column = {
     require(nPlanes <= 63, "signature packs into one long")
+    graft.functions.expressions.NativeExpressions.lshSignatureF(vec, nPlanes)
+  }
+
+  /** Declarative form of lshSignature (same values; kept as the readable
+    * specification of the kernel's arithmetic).
+    */
+  def lshSignatureGeneric(vec: Column, nPlanes: Int = 16): Column = {
+    require(nPlanes <= 63, "signature packs into one long")
     val sigBits = (0 until nPlanes).map { p =>
       // dot(vec, plane_p) where plane_p[d] = ±1 from hash(p, d)
       val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),

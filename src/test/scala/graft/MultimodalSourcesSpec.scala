@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sources.Sources
+
+class MultimodalSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asMedia wraps payloads with typed metadata") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "text")
+    val media = Multimodal.asMedia(df, col("text"), "image", "png")
+    val rows = media.select("id", "media_meta.media_type", "media_meta.format",
+      "media_meta.n_bytes").orderBy("id").collect()
+    assert(rows(0).getString(1) == "image" && rows(0).getString(2) == "png")
+    assert(rows(0).getLong(3) == 5L && rows(1).getLong(3) == 0L)
+  }
+
+  test("extractFeatures produces deterministic fixed-width vectors per partition batch") {
+    val df = Multimodal.asMedia(Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "text"),
+      col("text"), "image", "png")
+    val feats = Multimodal.extractFeatures(df, "id", dim = 8)
+    assert(feats.schema.fieldNames.toSeq == Seq("id", "features"))
+    val byId = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L).length == 8)
+    assert(byId(1L) == byId(2L)) // same payload → same features
+    assert(byId(1L) != byId(3L))
+  }
+
+  test("frameSample emits n frames per payload") {
+    val df = Multimodal.asMedia(Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("id", "text"),
+      col("text"), "video", "mp4")
+    val frames = Multimodal.frameSample(df, "id", n = 2)
+    assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame_bytes"))
+    assert(frames.count() == 2)
+  }
+
+  test("sources roundtrip: json, orc, text, virtual") {
+    val dir = Files.createTempDirectory("graft-sources").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sources.store(df, s"$dir/j", "json")
+    assert(Sources.load(spark, s"$dir/j", "json", Some("LONG id, STRING name"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    Sources.store(df, s"$dir/o", "orc")
+    assert(Sources.load(spark, s"$dir/o", "orc").count() == 2)
+    Sources.store(df.select(col("name")), s"$dir/t", "text")
+    assert(Sources.load(spark, s"$dir/t", "text", Some("STRING name")).count() == 2)
+    assert(Sources.virtual(spark, 5).count() == 5)
+  }
+}

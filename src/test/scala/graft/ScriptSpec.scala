@@ -109,6 +109,40 @@ class ScriptSpec extends SparkSpec {
     assert(out.filter($"word" === "the").collect().head.getLong(1) == 2L)
   }
 
+  test("dictionary / encode / decode statements") {
+    val df = Seq((1, "gold"), (2, "silver"), (3, "gold")).toDF("id", "tier")
+    val out = ScriptEngine.run(spark,
+      """d = DICTIONARY t ON tier;
+        |e = ENCODE t ON tier USING d;
+        |r = DECODE e ON tier USING d;""".stripMargin,
+      env0 = env("t" -> df))
+    val enc = out("e").orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(enc == Seq(1, 2, 1)) // codes by sorted value: gold=1, silver=2
+    assert(out("r").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("gold", "silver", "gold"))
+  }
+
+  test("tee with split writes side output and keeps the rest in main") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tee").toString
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val out = ScriptEngine.run(spark,
+      s"m = TEE WITH SPLIT t INTO '$dir/side' USING PARQUET IF x > 2;",
+      env0 = env("t" -> df))("m")
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(spark.read.parquet(s"$dir/side").count() == 2)
+  }
+
+  test("blockgen statement creates a bucketed table readable as a relation") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val out = ScriptEngine.run(spark,
+      "b = BLOCKGEN t PARTITIONED ON k SORTED ON k INTO script_bg BUCKETS 2;",
+      env0 = env("t" -> df))("b")
+    assert(out.count() == 3)
+    assert(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("script_bg"))
+      .bucketSpec.exists(_.numBuckets == 2))
+  }
+
   test("param substitution") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     val out = ScriptEngine.run(spark, "f = FILTER t BY x > %lo%;",

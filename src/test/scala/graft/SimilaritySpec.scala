@@ -7,6 +7,15 @@ import graft.similarity.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native LSH signature kernel matches the declarative specification") {
+    val emb = sf("embeddings").limit(50)
+    val both = emb.select(
+      Similarity.lshSignature(org.apache.spark.sql.functions.col("embedding"), 16).as("k"),
+      Similarity.lshSignatureGeneric(org.apache.spark.sql.functions.col("embedding"), 16).as("g"))
+    assert(both.filter(org.apache.spark.sql.functions.col("k") =!=
+      org.apache.spark.sql.functions.col("g")).count() == 0)
+  }
+
   test("cosine/dot/norm exact on known vectors") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
       .toDF("a", "b")

@@ -142,6 +142,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Production near-dup pipeline at scale: LSH generates candidate pairs
+    * (shuffle-bounded), exact Jaccard verifies ONLY those candidates via
+    * array_intersect on the per-document shingle-hash sets — never the
+    * all-pairs join. Output: verified pairs with jaccard ≥ threshold.
+    */
+  def minHashDedup(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.8, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val cands = minHashLsh(df, shingleN, k, bands, textCol, idCol)
+    val sets = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= shingleN)
+      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
+        col("__th"), shingleN, PortableHash.B, PortableHash.P).as("__shs"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__shs").as("__sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__shs").as("__sb")), "id_b")
+      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- SimHash --------------------------------------------------------------
 
   /** 32-bit SimHash per document: sign-sum of token-hash bits, token

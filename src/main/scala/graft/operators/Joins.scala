@@ -69,6 +69,27 @@ object Joins {
   def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
 
+  /** Salted join for skewed keys: scatter left rows across `salts` salt
+    * values (deterministic hash of the whole row) and replicate the right
+    * side once per salt, so a hot key spreads over `salts` tasks. The
+    * explicit form of what AQE skew-join does at runtime — for when AQE is
+    * off, or the skew needs a fixed plan (the reference split oversized
+    * blocks in MeshJoin the same way). Right side is replicated: only
+    * left-preserving join types are valid.
+    */
+  def saltedJoin(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String], salts: Int,
+                 how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, sequence}
+    val jt = joinType(how)
+    require(Set("inner", "left_outer", "left_semi", "left_anti").contains(jt),
+      s"saltedJoin replicates the right side; $jt would duplicate unmatched right rows")
+    val l = leftDf.withColumn("__salt",
+      pmod(hash(leftDf.columns.map(col(_)): _*), lit(salts)))
+    val r = rightDf.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", jt).drop("__salt")
+  }
+
   /** MeshJoin pattern — LOAD BLOCK ... MATCHING + MERGE JOIN (reference:
     * operator/LoadBlockOperator.java:37, block/Index.java:111): join a
     * streamed relation against a stored, pre-partitioned one without

@@ -34,6 +34,29 @@ class TextDedupSpec extends SparkSpec {
     assert(rfs(0) != rfs(1))
   }
 
+  test("minHashDedup verifies LSH candidates with exact Jaccard on the pair subset") {
+    import org.apache.spark.sql.functions.col
+    val docs = sf("documents").limit(200)
+    val viaPipeline = graft.dedup.Dedup.minHashDedup(docs, shingleN = 2, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.dedup.Dedup.ngramJaccard(docs, n = 2, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pipeline pairs are a subset of ground truth (LSH can miss, never invent)
+    assert(viaPipeline.subsetOf(exact))
+  }
+
+  test("saltedJoin matches plain join for inner/left types") {
+    import org.apache.spark.sql.functions.col
+    val li = sf("lineitem").select("l_orderkey", "l_quantity")
+    val ord = sf("orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = graft.operators.Joins.rsJoin(li, ord, Seq("l_orderkey")).count()
+    val salted = graft.operators.Joins.saltedJoin(li, ord, Seq("l_orderkey"), salts = 4).count()
+    assert(plain == salted)
+    val leftPlain = graft.operators.Joins.rsJoin(li, ord.limit(10), Seq("l_orderkey"), "left").count()
+    val leftSalted = graft.operators.Joins.saltedJoin(li, ord.limit(10), Seq("l_orderkey"), 4, "left").count()
+    assert(leftPlain == leftSalted)
+  }
+
   test("langid votes by stopword profile") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),

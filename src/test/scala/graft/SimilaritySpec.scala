@@ -7,6 +7,18 @@ import graft.similarity.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("ivfAssign picks the nearest centroid per vector") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10, Array(1.0f, 0.0f)), (20, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cvec")
+    val got = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 10, 2L -> 20, 3L -> 10))
+  }
+
   test("native LSH signature kernel matches the declarative specification") {
     val emb = sf("embeddings").limit(50)
     val both = emb.select(

@@ -34,6 +34,25 @@ class TextDedupSpec extends SparkSpec {
     assert(rfs(0) != rfs(1))
   }
 
+  test("subwordCount splits off punctuation, digits, and camelCase") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("hello, world", "camelCase x2").toDF("text")
+    val got = df.select(TextAnalysis.subwordCount(col("text"))).collect().map(_.getLong(0))
+    assert(got(0) == 3) // hello , world
+    assert(got(1) == 4) // camel Case x 2
+  }
+
+  test("operators tolerate empty and whitespace-only documents") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 0L, 3L))
+    assert(TextAnalysis.withQualityFeatures(df).count() == 3)
+    // minhash/simhash drop token-less docs rather than failing
+    assert(graft.dedup.Dedup.minHashLsh(df, shingleN = 2).count() == 0)
+    assert(graft.dedup.Dedup.simHash(df).count() == 1)
+  }
+
   test("minHashDedup verifies LSH candidates with exact Jaccard on the pair subset") {
     import org.apache.spark.sql.functions.col
     val docs = sf("documents").limit(200)

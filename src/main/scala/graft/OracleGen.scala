@@ -103,6 +103,29 @@ object OracleGen {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  // ---- q57 MinHash LSH + exact-Jaccard verification -----------------------
+
+  /** Candidates from the LSH oracle, verified by exact Jaccard over the
+    * distinct shingle-hash sets — mirrors Dedup.minHashDedup.
+    */
+  def minHashDedup(shingleN: Int, k: Int, bands: Int, threshold: Double): String = {
+    val cands = minHashLsh(shingleN, k, bands)
+    val shingle = horner((0 until shingleN).map(j => s"hs[i + $j]"))
+    s"""WITH cand AS ($cands
+       |), th2 AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - ${shingleN - 1}), i -> $shingle)) AS shs
+       |  FROM th2 WHERE len(hs) >= $shingleN
+       |)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
+       |  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
   // ---- q42 SimHash --------------------------------------------------------
 
   def simHashCandidates(maxHamming: Int): String = {

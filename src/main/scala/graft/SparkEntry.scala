@@ -160,6 +160,13 @@ object SparkEntry {
         .select(col("c_custkey").as("k"), col("c_name"))
       Joins.rsJoin(cust, big, Seq("k"), "full")
     }),
+    "q56_join_salted" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, ord, Seq("l_orderkey"), salts = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
     "q19_join_semi" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 200000)
@@ -297,6 +304,9 @@ object SparkEntry {
       Dedup.minHashLsh(t(s, d, "documents"), shingleN = 3, k = 16, bands = 4)),
     "q42_dedup_simhash" -> ((s, d) =>
       Dedup.simHashCandidates(t(s, d, "documents"), maxHamming = 3)),
+    "q57_dedup_pipeline" -> ((s, d) =>
+      Dedup.minHashDedup(t(s, d, "documents"), shingleN = 3, k = 16, bands = 4,
+        threshold = 0.2)),
     "q43_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.45)),
 
@@ -569,6 +579,11 @@ object SparkEntry {
     "q37_langid" -> OracleGen.langId,
     "q38_fingerprint" -> OracleGen.fingerprint,
     "q41_dedup_minhash" -> OracleGen.minHashLsh(shingleN = 3, k = 16, bands = 4),
+    "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
+    "q56_join_salted" ->
+      """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q42_dedup_simhash" -> OracleGen.simHashCandidates(maxHamming = 3),
     "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),

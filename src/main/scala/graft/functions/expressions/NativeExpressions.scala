@@ -58,6 +58,25 @@ object NativeKernels {
     new GenericArrayData(out.toArray)
   }
 
+
+  /** Whitespace tokens as strings, one pass (split on \\s+ runs, empties
+    * removed) — string counterpart of tokenPolyHashes.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val js = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    while (i < js.length) {
+      while (i < js.length && isWs(js.charAt(i))) i += 1
+      if (i < js.length) {
+        val start = i
+        while (i < js.length && !isWs(js.charAt(i))) i += 1
+        out += UTF8String.fromString(js.substring(start, i))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct n-gram shingle hashes from token hashes (Horner fold per
     * window, first-occurrence dedup). Output order is irrelevant downstream
     * (explode → join/groupBy), only the set matters.
@@ -194,6 +213,21 @@ case class TokenPolyHashes(child: Expression, mod: Long) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+
+/** Whitespace tokens (\\s+ runs, empties removed) as an array of strings. */
+case class Tokenize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** Distinct Horner shingle hashes over a token-hash array. */
 case class ShingleHashSet(child: Expression, shingleN: Int, b: Long, p: Long)
     extends UnaryExpression {
@@ -286,6 +320,7 @@ object NativeExpressions {
 
   def polyHash(s: Column, mod: Long): Column = c(PolyHash(e(s), mod))
   def tokenPolyHashes(s: Column, mod: Long): Column = c(TokenPolyHashes(e(s), mod))
+  def tokenize(s: Column): Column = c(Tokenize(e(s)))
   def shingleHashSet(tokenHashes: Column, shingleN: Int, b: Long, p: Long): Column =
     c(ShingleHashSet(e(tokenHashes), shingleN, b, p))
   def minHashSig(tokenHashes: Column, shingleN: Int, as: Seq[Long], bs: Seq[Long],

@@ -83,6 +83,17 @@ object Dictionary {
       .withColumnRenamed(s"${column}__dec", column)
   }
 
+  /** ENCODE over several columns at once (reference ENCODE takes a column
+    * list); each column gets its own dictionary.
+    */
+  def encodeAll(df: DataFrame, dicts: Map[String, DataFrame],
+                nullsAs: Int = 0, unknownsAs: Option[Int] = None): DataFrame =
+    dicts.foldLeft(df) { case (acc, (c, d)) => encode(acc, c, d, nullsAs, unknownsAs) }
+
+  def decodeAll(df: DataFrame, dicts: Map[String, DataFrame],
+                unknownsAs: Option[String] = None): DataFrame =
+    dicts.foldLeft(df) { case (acc, (c, d)) => decode(acc, c, d, unknownsAs) }
+
   /** Persist / load a dictionary as a table (the reference stored
     * dictionaries as Avro files refreshed by a dedicated job).
     */

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens (any run of \s — spaces, tabs, newlines), empties
-    * removed (leading separators yield an empty first element under split).
+    * removed. Native one-pass kernel; equals
+    * filter(split(text, "\\s+"), _ =!= "").
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    graft.functions.expressions.NativeExpressions.tokenize(text)
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -1,0 +1,101 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.functions.expressions.NativeExpressions
+
+/** Randomized (seeded, deterministic) equivalence checks: each native kernel
+  * must agree with an independent Scala reference implementation of the
+  * portable arithmetic on adversarial inputs (mixed whitespace, empty
+  * strings, repeated tokens).
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val ws = Seq(' ', '\t', '\n', '\r', '\f')
+  private def randString(): String = (0 until rnd.nextInt(60)).map { _ =>
+    if (rnd.nextInt(4) == 0) ws(rnd.nextInt(ws.length))
+    else ('!' + rnd.nextInt(94)).toChar
+  }.mkString
+
+  private val samples: Seq[String] = Seq("", " ", "\t\n", "a", "a b  c") ++
+    (0 until 200).map(_ => randString())
+
+  // Scala reference implementations of the portable arithmetic
+  private def refTokens(s: String): Seq[String] =
+    s.split("\\s+").filter(_.nonEmpty).toSeq
+  private def refHash(s: String, mod: Long): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % mod)
+  private def refShingles(th: Seq[Long], n: Int): Seq[Long] =
+    th.sliding(n).filter(_.length == n)
+      .map(_.foldLeft(0L)((h, x) => (h * PortableHash.B + x) % PortableHash.P))
+      .toSeq.distinct
+
+  test("tokenize kernel == regex split reference on random inputs") {
+    val df = samples.toDF("s")
+    val got = df.select(NativeExpressions.tokenize(col("s"))).collect()
+      .map(_.getSeq[String](0).toSeq)
+    samples.zip(got).foreach { case (s, g) => assert(g == refTokens(s), s"input=$s") }
+  }
+
+  test("polyHash kernel == fold reference") {
+    val df = samples.toDF("s")
+    val got = df.select(NativeExpressions.polyHash(col("s"), PortableHash.P)).collect()
+      .map(_.getLong(0))
+    samples.zip(got).foreach { case (s, g) => assert(g == refHash(s, PortableHash.P)) }
+  }
+
+  test("tokenPolyHashes kernel == per-token fold reference") {
+    val df = samples.toDF("s")
+    val got = df.select(NativeExpressions.tokenPolyHashes(col("s"), PortableHash.P))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g == refTokens(s).map(refHash(_, PortableHash.P)))
+    }
+  }
+
+  test("shingleHashSet kernel == sliding-Horner-distinct reference") {
+    val df = samples.toDF("s")
+    val got = df
+      .select(NativeExpressions.shingleHashSet(
+        NativeExpressions.tokenPolyHashes(col("s"), PortableHash.P),
+        3, PortableHash.B, PortableHash.P))
+      .collect().map(_.getSeq[Long](0).toSet)
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g == refShingles(refTokens(s).map(refHash(_, PortableHash.P)), 3).toSet)
+    }
+  }
+
+  test("minHashSig kernel == min-over-permutations reference") {
+    val coefs = PortableHash.minHashCoefs(8)
+    val withToks = samples.filter(refTokens(_).length >= 2)
+    val df = withToks.toDF("s")
+    val got = df.select(NativeExpressions.minHashSig(
+        NativeExpressions.tokenPolyHashes(col("s"), PortableHash.P),
+        2, coefs.map(_._1), coefs.map(_._2), PortableHash.B, PortableHash.P))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    withToks.zip(got).foreach { case (s, g) =>
+      val sh = refShingles(refTokens(s).map(refHash(_, PortableHash.P)), 2)
+      val want = coefs.map { case (a, b) => sh.map(x => (a * x + b) % PortableHash.P).min }
+      assert(g == want, s"input=$s")
+    }
+  }
+
+  test("cosineF kernel == sequential fold reference") {
+    val vecs = (0 until 50).map(_ => (
+      Array.fill(16)(rnd.nextFloat() - 0.5f), Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(NativeExpressions.cosineF(col("a"), col("b"))).collect().map(_.getDouble(0))
+    vecs.zip(got).foreach { case ((a, b), g) =>
+      def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+      val dot = fold(a.zip(b).map { case (x, y) => x.toDouble * y.toDouble })
+      val na = fold(a.map(x => x.toDouble * x.toDouble))
+      val nb = fold(b.map(x => x.toDouble * x.toDouble))
+      assert(g == dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  }
+}

@@ -215,6 +215,23 @@ object ScriptEngine {
     while (p.peek.isDefined) {
       if (p.punct(";")) () // empty statement
       else if (p.kw("PROGRAM")) { p.str(); p.expectPunct(";") }
+      else if (p.kw("ONCOMPLETION")) {
+        // ONCOMPLETION { RM 'p'; MV 'a' 'b'; MKDIR 'p'; DUMP rel; }
+        // (reference: plan/physical/CompletionTasks.java:28, grammar :195-201)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        p.expectPunct("{")
+        while (!p.punct("}")) {
+          if (p.kw("RM")) fs.delete(new org.apache.hadoop.fs.Path(p.str()), true)
+          else if (p.kw("MV")) {
+            val from = p.str(); val to = p.str()
+            fs.rename(new org.apache.hadoop.fs.Path(from), new org.apache.hadoop.fs.Path(to))
+          } else if (p.kw("MKDIR")) fs.mkdirs(new org.apache.hadoop.fs.Path(p.str()))
+          else if (p.kw("DUMP")) rel(p.ident()).show(20, truncate = false)
+          else sys.error(s"unknown completion task at ${p.peek}")
+          p.expectPunct(";")
+        }
+      }
       else if (p.kw("STORE")) {
         val r = rel(p.ident())
         p.expectKw("INTO"); val path = p.str()

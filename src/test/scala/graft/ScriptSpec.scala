@@ -143,6 +143,15 @@ class ScriptSpec extends SparkSpec {
       .bucketSpec.exists(_.numBuckets == 2))
   }
 
+  test("oncompletion tasks: mkdir, mv, rm") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-oc").toString
+    ScriptEngine.run(spark,
+      s"""ONCOMPLETION { MKDIR '$dir/a'; MV '$dir/a' '$dir/b'; MKDIR '$dir/c'; RM '$dir/c'; }""")
+    assert(!new java.io.File(s"$dir/a").exists())
+    assert(new java.io.File(s"$dir/b").exists())
+    assert(!new java.io.File(s"$dir/c").exists())
+  }
+
   test("param substitution") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     val out = ScriptEngine.run(spark, "f = FILTER t BY x > %lo%;",

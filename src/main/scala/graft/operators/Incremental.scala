@@ -92,4 +92,15 @@ object Incremental {
     spark.read.parquet(mvPath)
       .groupBy(keys.map(col): _*)
       .agg(count_distinct(col(memberCol)).as(as))
+
+  /** Exact COUNT(DISTINCT member) under CUBE from the member-level summary —
+    * the reference's flagship incremental computation (CountDistinctRewriter
+    * feeding CUBE): history stays materialized as members, only the cube
+    * over the (much smaller) summary recomputes per run.
+    */
+  def queryDistinctCube(spark: SparkSession, mvPath: String, dims: Seq[String],
+                        memberCol: String, as: String): DataFrame =
+    spark.read.parquet(mvPath)
+      .cube(dims.map(col): _*)
+      .agg(count_distinct(col(memberCol)).as(as))
 }

@@ -49,5 +49,10 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // member 1 appears on both dates but counts once: distinct = {1,2,3}
     assert(got.toSeq == Seq(("a", 3L)))
+
+    // incremental count-distinct under CUBE equals full recompute
+    val cubed = Incremental.queryDistinctCube(spark, mv, Seq("k"), "member", "nd")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(cubed == Map(Some("a") -> 3L, None -> 3L))
   }
 }

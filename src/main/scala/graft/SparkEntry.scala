@@ -160,6 +160,17 @@ object SparkEntry {
         .select(col("c_custkey").as("k"), col("c_name"))
       Joins.rsJoin(cust, big, Seq("k"), "full")
     }),
+    "q58_join_theta" -> ((s, d) => {
+      // equi key + range predicate evaluated inside the join (theta join —
+      // absent from the reference grammar, free in Spark; SURVEY §2.3)
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+      Joins.thetaJoin(li, ord,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
     "q56_join_salted" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
       val ord = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
@@ -583,6 +594,10 @@ object SparkEntry {
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q58_join_theta" ->
+      """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
         |GROUP BY o_orderpriority""".stripMargin,
     "q42_dedup_simhash" -> OracleGen.simHashCandidates(maxHamming = 3),
     "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),

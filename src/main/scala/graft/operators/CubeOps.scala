@@ -115,6 +115,16 @@ object CubeOps {
     df.cube(dims.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
+  /** Approximate COUNT DISTINCT under CUBE (HyperLogLog++) — the 100 TB
+    * fallback when exactness is negotiable: constant-size sketches replace
+    * the distinct expansion entirely, and partials merge additively across
+    * grouping sets. `rsd` = relative standard deviation (Spark default .05).
+    */
+  def cubeApproxCountDistinct(df: DataFrame, dims: Seq[String], distinctCol: String,
+                              as: String, rsd: Double = 0.05): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(approx_count_distinct(col(distinctCol), rsd).as(as))
+
   /** Pre-aggregated cube for very wide dims at scale: collapse to the leaf
     * grouping set first, then cube the (much smaller) leaf aggregate. Valid
     * for additive measures only (SUM/COUNT/MIN/MAX — the reference's

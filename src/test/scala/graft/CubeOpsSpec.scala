@@ -44,6 +44,17 @@ class CubeOpsSpec extends SparkSpec {
     assert(m == Map("x" -> 2L, "y" -> 2L, "ALL" -> 4L))
   }
 
+  test("approx count-distinct cube tracks the exact cube within rsd tolerance") {
+    val ord = sf("orders")
+    val exact = CubeOps.cubeCountDistinct(ord, Seq("o_orderstatus"), "o_custkey", "nd")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val approx = CubeOps.cubeApproxCountDistinct(ord, Seq("o_orderstatus"), "o_custkey", "nd")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(3, 0.15 * v), s"key=$k exact=$v approx=${approx(k)}")
+    }
+  }
+
   test("duple [MAX, SUM] computes inner agg per grouping-set ∪ inner (DupleCubeAggregator.java:33)") {
     // fixture where the inner key m=3 spans both d1 values — the case that
     // distinguishes the correct rewrite (re-group inner per grouping set)

@@ -53,9 +53,11 @@ object Tables {
     // precision (the generator's precision — truncation is exact).
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // integer division — `ts / 1000` would go through double and lose
+        // precision above 2^53 nanoseconds (~1972)
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case None => df
     }
   }

@@ -357,6 +357,17 @@ object SparkEntry {
            |c = CUBE j BY c_mktsegment
            |    AGGREGATES COUNT(1) AS n_rows, SUM(o_totalprice) AS sum_price;""".stripMargin)("c")),
 
+    "q59_sessionize" -> ((s, d) => {
+      // batch sessionization on exact microsecond integers (events.parquet
+      // stores INT64 TIMESTAMP(NANOS); integer-divide the raw long — DuckDB's
+      // parquet reader truncates to micros the same way)
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      WindowOps.sessionize(ev, "user_id", "ts_us", gap = 1800L * 1000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"))
+    }),
+
     // ---- events / json map projection ---------------------------------------------------------
     "q52_map_projection" -> ((s, d) =>
       t(s, d, "events")
@@ -599,6 +610,19 @@ object SparkEntry {
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
         |GROUP BY o_orderpriority""".stripMargin,
+    "q59_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(1) AS n_events, min(ts_us) AS start_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q42_dedup_simhash" -> OracleGen.simHashCandidates(maxHamming = 3),
     "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),

@@ -56,4 +56,19 @@ object WindowOps {
   def movingAgg(df: DataFrame, agg: Column, as: String, partitionBy: Seq[String],
                 orderBy: Seq[Column], start: Long, end: Long): DataFrame =
     df.withColumn(as, agg.over(w(partitionBy, orderBy).rowsBetween(start, end)))
+
+  /** Batch sessionization (gaps-and-islands): per key, order events by time
+    * and start a new session when the gap to the previous event exceeds
+    * `gapSeconds`; session id = running count of session starts. The batch
+    * analog of Streaming.sessionGroupBy — one window pass, one shuffle on
+    * the key.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gap: Long, sessionCol: String = "session_id"): DataFrame = {
+    val byTime = w(Seq(keyCol), Seq(col(tsCol).asc))
+    val prev = lag(col(tsCol).cast("long"), 1).over(byTime)
+    val isNew = when(prev.isNull || col(tsCol).cast("long") - prev > gap, 1L).otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(isNew).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+  }
 }

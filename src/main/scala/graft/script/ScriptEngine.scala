@@ -350,10 +350,24 @@ object ScriptEngine {
       if (keys.isEmpty) Aggregations.groupByAll(df, aggs)
       else Aggregations.groupBy(df, keys, aggs)
     } else if (p.kw("CUBE")) {
+      // CUBE x BY dims [INNER cols] AGGREGATES ...; with INNER, the single
+      // aggregate must be the duple form OUTER(INNER_AGG(col)) — e.g.
+      // MAX(SUM(clicks)) — computed per grouping-set ∪ inner
+      // (reference: CubertPhysical.g4:121, DupleCubeAggregator.java:33)
       val df = rel(p.ident())
       p.expectKw("BY"); val dims = identList(p)
+      val inner = if (p.kw("INNER")) identList(p) else Nil
       p.expectKw("AGGREGATES")
-      CubeOps.cube(df, dims, aggList(p, df))
+      if (inner.isEmpty) CubeOps.cube(df, dims, aggList(p, df))
+      else {
+        val outer = p.ident()
+        p.expectPunct("(")
+        val innerAggSql = p.exprUntil(Set.empty)
+        p.expectPunct(")")
+        p.expectKw("AS")
+        val alias = p.ident()
+        CubeOps.dupleCube(df, dims, inner, outer.toLowerCase, innerAggSql, alias)
+      }
     } else if (p.kw("ROLLUP")) {
       val df = rel(p.ident())
       p.expectKw("BY"); val dims = identList(p)

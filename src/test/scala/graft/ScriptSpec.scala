@@ -50,6 +50,15 @@ class ScriptSpec extends SparkSpec {
     assert(ru.count() == 6)
   }
 
+  test("cube with INNER computes the duple aggregate per grouping-set ∪ inner") {
+    // same fixture as CubeOpsSpec's duple test: inner key m=3 spans both d1s
+    val df = Seq(("x", 1, 10), ("x", 3, 5), ("y", 3, 70)).toDF("d1", "m", "u")
+    val out = ScriptEngine.run(spark,
+      "c = CUBE t BY d1 INNER m AGGREGATES MAX(sum(u)) AS mx;", env0 = env("t" -> df))("c")
+    val got = out.collect().map(r => Option(r.getString(0)).getOrElse("ALL") -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 10L, "y" -> 70L, "ALL" -> 75L))
+  }
+
   test("top n / rank / sort / limit / distinct") {
     val df = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("g", "v")
     val top = ScriptEngine.run(spark,

@@ -140,12 +140,33 @@ object Relational {
 
   /** VALIDATE / NO_OP ASSERT — runtime invariant check (reference:
     * operator/ValidateOperator.java:38, operator/NullOperator.java:31).
-    * Catalyst tracks partitioning/ordering invariants itself; this surfaces
-    * an explicit assertion for debugging parity. Returns input unchanged.
+    * Catalyst tracks partitioning/ordering invariants for its own planning;
+    * this is the explicit runtime assertion for debugging parity: any
+    * partition whose `cols` prefix is not non-decreasing raises. Zero
+    * shuffle — a streaming per-partition comparison; rows pass through.
     */
   def validateSorted(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.forall(df.columns.contains), s"missing sort columns: $cols")
-    df
+    val idx = cols.map(df.schema.fieldIndex)
+    df.mapPartitions { it =>
+      var prev: Option[Seq[Any]] = None
+      it.map { row =>
+        val key = idx.map(row.get)
+        prev.foreach { pk =>
+          val cmp = pk.zip(key).iterator.map {
+            case (a: Comparable[_], b) =>
+              a.asInstanceOf[Comparable[Any]].compareTo(b)
+            case (null, null) => 0
+            case (null, _)    => -1
+            case (_, null)    => 1
+          }.find(_ != 0).getOrElse(0)
+          if (cmp > 0) throw new IllegalStateException(
+            s"VALIDATE failed: rows not sorted on $cols ($pk > $key)")
+        }
+        prev = Some(key)
+        row
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
   /** INTERSECT / EXCEPT — absent from the reference grammar but free in

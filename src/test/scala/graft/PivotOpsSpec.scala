@@ -19,6 +19,17 @@ class PivotOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 6, 3), ("b", 30, 2)))
   }
 
+  test("validateSorted passes sorted partitions and rejects unsorted ones") {
+    val sorted = Seq(1, 2, 3, 4).toDF("x").coalesce(1).sortWithinPartitions("x")
+    assert(graft.operators.Relational.validateSorted(sorted, Seq("x")).count() == 4)
+    val unsorted = Seq(3, 1, 2).toDF("x").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Relational.validateSorted(unsorted, Seq("x")).count()
+    }
+    assert(ex.getMessage.contains("VALIDATE failed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("VALIDATE failed")))
+  }
+
   test("collateVectors assembles sorted (coord, value) vectors") {
     val df = Seq((1L, 2, 0.5), (1L, 0, 0.1), (2L, 1, 0.9)).toDF("vid", "coord", "v")
     val out = graft.operators.Relational.collateVectors(df, "vid", "coord", "v")

@@ -163,10 +163,11 @@ object ScriptEngine {
   }
 
   /** `AGG(arg) AS alias, …` — aggregate names per AggregationType (SURVEY
-    * §2.4); arg parsed as a SQL expression.
+    * §2.4); arg parsed as a SQL expression. Returns both the Column form and
+    * the raw `AGG(arg) AS alias` SQL (for grouping-sets compilation).
     */
-  private def aggList(p: P, df: DataFrame): Seq[(String, Column, String)] = {
-    val out = Seq.newBuilder[(String, Column, String)]
+  private def aggListRaw(p: P, df: DataFrame): Seq[((String, Column, String), String)] = {
+    val out = Seq.newBuilder[((String, Column, String), String)]
     var more = true
     while (more) {
       val name = p.ident()
@@ -175,11 +176,14 @@ object ScriptEngine {
       p.expectPunct(")")
       p.expectKw("AS")
       val alias = p.ident()
-      out += ((name, toColumn(arg, df), alias))
+      out += (((name, toColumn(arg, df), alias), s"$name($arg) AS $alias"))
       more = p.punct(",")
     }
     out.result()
   }
+
+  private def aggList(p: P, df: DataFrame): Seq[(String, Column, String)] =
+    aggListRaw(p, df).map(_._1)
 
   /** ORDER BY list with optional per-column DESC. */
   private def orderList(p: P): Seq[(String, Boolean)] = {
@@ -358,8 +362,25 @@ object ScriptEngine {
       p.expectKw("BY"); val dims = identList(p)
       val inner = if (p.kw("INNER")) identList(p) else Nil
       p.expectKw("AGGREGATES")
-      if (inner.isEmpty) CubeOps.cube(df, dims, aggList(p, df))
-      else {
+      if (inner.isEmpty) {
+        val aggs = aggListRaw(p, df)
+        // optional GROUPING SETS ((a,b),(a),()) clause (grammar :136)
+        if (p.kw("GROUPING")) {
+          p.expectKw("SETS")
+          p.expectPunct("(")
+          val sets = Seq.newBuilder[Seq[String]]
+          var more = true
+          while (more) {
+            p.expectPunct("(")
+            val set = Seq.newBuilder[String]
+            if (!p.punct(")")) { set += p.ident(); while (p.punct(",")) set += p.ident(); p.expectPunct(")") }
+            sets += set.result()
+            more = p.punct(",")
+          }
+          p.expectPunct(")")
+          CubeOps.groupingSets(df, dims, sets.result(), aggs.map(_._2))
+        } else CubeOps.cube(df, dims, aggs.map(_._1))
+      } else {
         val outer = p.ident()
         p.expectPunct("(")
         val innerAggSql = p.exprUntil(Set.empty)

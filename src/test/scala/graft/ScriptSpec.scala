@@ -50,6 +50,14 @@ class ScriptSpec extends SparkSpec {
     assert(ru.count() == 6)
   }
 
+  test("cube with GROUPING SETS clause") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("d1", "d2", "m")
+    val out = ScriptEngine.run(spark,
+      "c = CUBE t BY d1, d2 AGGREGATES SUM(m) AS s GROUPING SETS ((d1), (d2), ());",
+      env0 = env("t" -> df))("c")
+    assert(out.count() == 5) // 2 d1 + 2 d2 + 1 total
+  }
+
   test("cube with INNER computes the duple aggregate per grouping-set ∪ inner") {
     // same fixture as CubeOpsSpec's duple test: inner key m=3 spans both d1s
     val df = Seq(("x", 1, 10), ("x", 3, 5), ("y", 3, 70)).toDF("d1", "m", "u")

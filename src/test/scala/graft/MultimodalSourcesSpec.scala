@@ -38,6 +38,22 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(frames.count() == 2)
   }
 
+  test("loadCached produces a broadcast-hinted relation") {
+    val dir = Files.createTempDirectory("graft-cached").toString
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$dir/small")
+    val cached = Sources.loadCached(spark, s"$dir/small", "parquet")
+    val big = Seq((1L, 10), (2L, 20)).toDF("k", "n")
+    val joined = big.join(cached, Seq("k"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(joined.count() == 1)
+  }
+
+  test("char shingles cover text without token boundaries") {
+    val df = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.charShingles(df, 2).collect().map(_.getString(1)).sorted
+    assert(sh.toSeq == Seq("ab", "bc", "cd"))
+  }
+
   test("sources roundtrip: json, orc, text, virtual") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")

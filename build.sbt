@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// forked run output goes straight to stdout (no [info] prefix) so the
+// driver can parse Bench's single JSON line
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -15,7 +15,8 @@ object Explain {
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.count() // execute so AQE finalizes the plan and codegen spans exist
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
       val scans = "FileScan|BatchScan".r.findAllIn(plan).size

@@ -15,13 +15,13 @@ object Explain {
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.count() // execute so AQE finalizes the plan and codegen spans exist
-      val plan = df.queryExecution.explainString(
+      val plan = df.queryExecution.executedPlan.toString
+      val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
-      val scans = "FileScan|BatchScan".r.findAllIn(plan).size
-      val codegen = math.max("WholeStageCodegen".r.findAllIn(plan).size,
-        "\\*\\(\\d+\\)".r.findAllIn(plan).map(_.toString).toSet.size)
+      val scans = "FileScan|BatchScan|Scan parquet".r.findAllIn(plan).size
+      val codegen = "codegen id : (\\d+)".r.findAllMatchIn(formatted).map(_.group(1)).toSet.size
       println(s"==== $name  shuffles=$exchanges broadcasts=$broadcasts scans=$scans codegenSpans=$codegen")
       if (sys.env.contains("GRAFT_EXPLAIN_FULL")) {
         println(df.queryExecution.explainString(

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Model: a fact relation partitioned by a date column. A *summary* MV holds
   * per-(date, keys) partial aggregates; `refresh` processes only dates newer
-  * than the MV's high-water mark and appends them (date-partitioned parquet,
-  * so each refresh writes only new partitions); `query` rolls the summary up
+  * than the MV's high-water mark and writes them with dynamic partition
+  * overwrite (date-partitioned parquet: re-processing a date replaces its
+  * partition, so a retried or concurrent refresh is idempotent, never
+  * double-counted); `query` rolls the summary up
   * to per-keys results. For COUNT(DISTINCT) — not additive across dates —
   * the summary stores distinct (date, keys, member) tuples
   * (`refreshDistinct`), exactly the reference's member-level summary trick,
@@ -53,7 +55,9 @@ object Incremental {
     delta
       .groupBy((dateCol +: keys).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
-      .write.mode("append").partitionBy(dateCol).parquet(mvPath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol).parquet(mvPath)
   }
 
   /** Roll the additive summary up to per-keys totals. `rollup` maps each
@@ -81,7 +85,9 @@ object Incremental {
     delta
       .select((dateCol +: keys :+ memberCol).map(col): _*)
       .distinct()
-      .write.mode("append").partitionBy(dateCol).parquet(mvPath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol).parquet(mvPath)
   }
 
   /** Exact COUNT(DISTINCT member) per keys from the member-level summary —

@@ -148,17 +148,27 @@ object Relational {
   def validateSorted(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.forall(df.columns.contains), s"missing sort columns: $cols")
     val idx = cols.map(df.schema.fieldIndex)
+    idx.foreach { i =>
+      val f = df.schema(i)
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+      val scalar = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }
+      require(scalar,
+        s"VALIDATE sort column '${f.name}' has non-orderable-scalar type ${f.dataType.simpleString}")
+    }
     df.mapPartitions { it =>
       var prev: Option[Seq[Any]] = None
       it.map { row =>
         val key = idx.map(row.get)
         prev.foreach { pk =>
           val cmp = pk.zip(key).iterator.map {
-            case (a: Comparable[_], b) =>
-              a.asInstanceOf[Comparable[Any]].compareTo(b)
             case (null, null) => 0
             case (null, _)    => -1
             case (_, null)    => 1
+            case (a, b) =>
+              a.asInstanceOf[Comparable[Any]].compareTo(b)
           }.find(_ != 0).getOrElse(0)
           if (cmp > 0) throw new IllegalStateException(
             s"VALIDATE failed: rows not sorted on $cols ($pk > $key)")

@@ -316,7 +316,12 @@ object ScriptEngine {
         case (true, Some(c)) =>
           val (main, teed) = Relational.split(df, c)
           graft.sources.Sources.store(teed, path, fmt); main
-        case (_, condOpt) =>
+        case (true, None) =>
+          // WITH SPLIT and no IF: every row is teed and leaves the main flow
+          // (reference TeeOperator semantics) — main continues empty.
+          graft.sources.Sources.store(df, path, fmt)
+          df.filter(lit(false))
+        case (false, condOpt) =>
           graft.sources.Sources.store(condOpt.map(df.filter).getOrElse(df), path, fmt); df
       }
     } else if (p.kw("LOAD-CACHED")) {

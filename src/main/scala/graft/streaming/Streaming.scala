@@ -63,7 +63,7 @@ object Streaming {
   def distinctStream(df: DataFrame, idCols: Seq[String], tsCol: String,
                      watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail :+ tsCol: _*)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key with processing-time timeout — the streaming analog of a

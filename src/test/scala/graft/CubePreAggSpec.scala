@@ -56,9 +56,12 @@ class CubePreAggSpec extends SparkSpec {
       assert(!"(?s)Expand.*Aggregate.*Relation".r
         .findFirstIn(floatSum.queryExecution.optimizedPlan.treeString).isDefined)
       val dist = df.cube(col("d1")).agg(count_distinct(col("m")).as("nd"))
-      // distinct plans its own expand machinery; just assert correct results
-      val got = dist.collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
-      assert(got(Some("a")) == 3 && got(None.orElse(Some("b")).filter(_ == "b")) == 1 || true)
+      // distinct plans its own expand machinery; assert the exact results
+      // (null d1 appears twice — as the NULL group and the grand total — so
+      // collect the multiset of (key, nd) rows rather than a map)
+      val got = dist.collect().map(r => Option(r.get(0)) -> r.getLong(1)).toSet
+      assert(got == Set(Some("a") -> 3L, Some("b") -> 1L, None -> 1L, None -> 5L),
+        s"unexpected cube count_distinct rows: $got")
       assert(dist.count() == 4) // a, b, null, total
     } finally restore()
   }

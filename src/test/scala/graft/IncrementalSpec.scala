@@ -38,6 +38,23 @@ class IncrementalSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("refresh is idempotent: re-running over the same history never double-counts") {
+    val mv = Files.createTempDirectory("graft-mv").toString + "/idem"
+    val day1 = fact((20240101, "a", 1, 10.0), (20240101, "b", 1, 1.0))
+    Incremental.refresh(spark, day1, mv, "dt", Seq("k"), Seq(("SUM", col("v"), "sv")))
+    // simulate a retry after a partial/failed run: HWM says 20240101, but the
+    // caller re-submits day1 rows with a stale (empty) HWM view — dynamic
+    // partition overwrite must REPLACE the 20240101 partition, not append
+    day1.groupBy("dt", "k").agg(sum("v").as("sv"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt").parquet(mv)
+    Incremental.refresh(spark, day1, mv, "dt", Seq("k"), Seq(("SUM", col("v"), "sv")))
+    assert(spark.read.parquet(mv).count() == 2) // one partial per (date, key)
+    val got = Incremental.query(spark, mv, Seq("k"), Seq(("SUM", "sv", "sv")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 10.0), ("b", 1.0)))
+  }
+
   test("count-distinct summary: members recurring across dates count once") {
     val mv = Files.createTempDirectory("graft-mv").toString + "/members"
     val day1 = fact((20240101, "a", 1, 0.0), (20240101, "a", 2, 0.0))

@@ -30,6 +30,21 @@ class PivotOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("VALIDATE failed")))
   }
 
+  test("validateSorted: non-null then NULL raises VALIDATE (not NPE); non-scalar cols rejected") {
+    // nulls sort first in Spark's ascending order, so (1, null) is unsorted
+    val df = Seq(Some(1), None).toDF("x").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Relational.validateSorted(df, Seq("x")).count()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("VALIDATE failed"))
+    val arr = Seq(Seq(1, 2)).toDF("a")
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Relational.validateSorted(arr, Seq("a"))
+    }
+    assert(bad.getMessage.contains("non-orderable-scalar"))
+  }
+
   test("collateVectors assembles sorted (coord, value) vectors") {
     val df = Seq((1L, 2, 0.5), (1L, 0, 0.1), (2L, 1, 0.9)).toDF("vid", "coord", "v")
     val out = graft.operators.Relational.collateVectors(df, "vid", "coord", "v")

@@ -149,6 +149,17 @@ class ScriptSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/side").count() == 2)
   }
 
+  test("tee with split and no IF tees every row and empties the main flow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tee-all").toString
+    val df = Seq(1, 2, 3).toDF("x")
+    val out = ScriptEngine.run(spark,
+      s"m = TEE WITH SPLIT t INTO '$dir/side' USING PARQUET;",
+      env0 = env("t" -> df))("m")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("x"))
+    assert(spark.read.parquet(s"$dir/side").count() == 3)
+  }
+
   test("blockgen statement creates a bucketed table readable as a relation") {
     val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val out = ScriptEngine.run(spark,

@@ -42,9 +42,12 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     try {
-      in.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 1L),
+      // id=1 arrives twice with DIFFERENT event times (both within the
+      // watermark): streaming DISTINCT is over idCols only, so one survives
+      in.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:05:00"), 1L),
         (ts("2024-01-01 00:01:00"), 2L))
       q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
       assert(spark.table("dedup_stream").select("id").distinct().count() == 2)
     } finally q.stop()
   }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: decompose where wall time goes in the slow headline queries by
+  * timing successively larger fragments of each pipeline (best of 3 warm
+  * runs, same session settings as Bench). Usage:
+  *   SPARK_GRAFT_SF_DIR=... dev/run.sh graft.Profile
+  */
+object Profile {
+  private def time(label: String)(f: => Long): Unit = {
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"PROFILE ${ts.map(_._1).min}%8.3f s  rows=${ts.head._2}%-9d $label")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder(cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(n: String): DataFrame = Tables.load(spark, sfDir, n)
+
+    // warm
+    t("lineitem").count()
+
+    def noop(df: DataFrame): Long = { df.write.mode("overwrite").format("noop").save(); 0L }
+
+    time("lineitem bare count")(t("lineitem").count())
+    time("lineitem scan 6 cols agg 4 keys (q55 leaf, noop)") {
+      noop(t("lineitem").groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber"), year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)), sum("l_orderkey"), min("l_quantity"), max("l_quantity")))
+    }
+    time("q55 leaf without year() (noop)") {
+      noop(t("lineitem").groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber"))
+        .agg(count(lit(1)), sum("l_orderkey"), min("l_quantity"), max("l_quantity")))
+    }
+    time("q55 full")(SparkEntry.queries("q55_cube_wide")(spark, sfDir).count())
+    time("q55 full (noop)")(noop(SparkEntry.queries("q55_cube_wide")(spark, sfDir)))
+    locally {
+      val df = SparkEntry.queries("q55_cube_wide")(spark, sfDir)
+      time("q55 count only (pre-built df)")(df.count())
+    }
+    time("q55 leaf+expand by hand (noop)") {
+      val leaf = t("lineitem").groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber"), year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("pc"), sum("l_orderkey").as("ps"),
+          min("l_quantity").as("pmn"), max("l_quantity").as("pmx"))
+      noop(leaf.cube(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"), col("ship_year"))
+        .agg(sum("pc").as("n_rows"), sum("ps").as("sum_key"),
+          min("pmn").as("min_qty"), max("pmx").as("max_qty")))
+    }
+    spark.conf.set("spark.graft.cube.preagg", "false")
+    time("q55 full WITHOUT preagg rule")(SparkEntry.queries("q55_cube_wide")(spark, sfDir).count())
+    spark.conf.set("spark.graft.cube.preagg", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("q55 full AQE off")(SparkEntry.queries("q55_cube_wide")(spark, sfDir).count())
+    time("q15 full AQE off")(SparkEntry.queries("q15_join_merge")(spark, sfDir).count())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    val li = t("lineitem"); val ord = t("orders")
+    time("q15 merge join only") {
+      graft.operators.Joins.mergeJoin(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), ord, Seq("o_orderkey")).count()
+    }
+    locally {
+      import graft.operators.Joins
+      val cust = t("customer"); val nat = t("nation"); val reg = t("region")
+      def j1 = Joins.mergeJoin(li.withColumnRenamed("l_orderkey", "o_orderkey"), ord, Seq("o_orderkey"))
+      def j2 = Joins.rsJoin(j1.withColumnRenamed("o_custkey", "c_custkey"), cust, Seq("c_custkey"))
+      def j3 = Joins.hashJoin(j2.withColumnRenamed("c_nationkey", "n_nationkey"), nat, Seq("n_nationkey"))
+      def j4 = Joins.hashJoin(j3.withColumnRenamed("n_regionkey", "r_regionkey"), reg, Seq("r_regionkey"))
+      time("q15 j1+j2 (SMJ + rs cust)")(j2.count())
+      time("q15 j1..j4 no agg")(j4.count())
+      time("q15 j1..j4 + agg (noop)")(noop(
+        j4.groupBy("r_name").agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))))
+    }
+    time("q15 full")(SparkEntry.queries("q15_join_merge")(spark, sfDir).count())
+
+    time("q40 full")(SparkEntry.queries("q40_dedup_ngram")(spark, sfDir).count())
+    time("q41 full")(SparkEntry.queries("q41_dedup_minhash")(spark, sfDir).count())
+    time("q16 full")(SparkEntry.queries("q16_join_hash")(spark, sfDir).count())
+    time("q10 full")(SparkEntry.queries("q10_groupby")(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -58,8 +58,11 @@ object CubePreAggregate extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, expand: Expand): Option[LogicalPlan] = {
     val aggFns = agg.aggregateExpressions.flatMap(_.collect { case ae: AggregateExpression => ae })
-    // every aggregate must be plain (no DISTINCT/FILTER) and reassociable
-    if (aggFns.isEmpty) return None
+    // every aggregate must be plain (no DISTINCT/FILTER) and reassociable.
+    // aggFns may be EMPTY: column pruning (e.g. under a later count())
+    // strips the measures, leaving a keys-only aggregate over the Expand —
+    // still rewritable, as a leaf DISTINCT of the dimensions below the
+    // Expand (expand-of-distinct == distinct-of-expanded for grouping rows)
     if (!aggFns.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
       exactlyReassociable(ae.aggregateFunction))) return None
 
@@ -91,6 +94,14 @@ object CubePreAggregate extends Rule[LogicalPlan] {
       (0 until n).filterNot(passThrough.contains).map(row(_)).collect { case a: Attribute => a }
     }.distinct
     if (leafKeys.isEmpty) return None
+
+    // everything the final aggregate references outside measure arguments
+    // (grouping slots, grouping id) must survive the new Expand — only
+    // pass-through positions are dropped/replaced by partials
+    val keptAttrSet = AttributeSet((0 until n).filterNot(passThrough.contains)
+      .map(expand.output(_)))
+    val groupRefs = AttributeSet(agg.groupingExpressions.flatMap(_.references))
+    if (!groupRefs.subsetOf(keptAttrSet)) return None
 
     // build one partial aggregate per distinct AggregateExpression
     val partials: Map[AggregateExpression, NamedExpression] =

@@ -66,6 +66,26 @@ class CubePreAggSpec extends SparkSpec {
     } finally restore()
   }
 
+  test("keys-only aggregate over Expand (count() pruning) is pre-aggregated and exact") {
+    val s2 = extended()
+    try {
+      val df = data(s2)
+      // count() prunes the measures, leaving Aggregate(keys-only, Expand):
+      // the rule must still insert the leaf distinct below the Expand
+      val cubed = df.cube(col("d1"), col("d2")).agg(sum("m").as("sm"))
+      val countPlan = cubed.select(count(lit(1)))
+        .queryExecution.optimizedPlan.treeString
+      val n = cubed.count()
+      s2.conf.set("spark.graft.cube.preagg", "false")
+      val base = df.cube(col("d1"), col("d2")).agg(sum("m").as("sm")).count()
+      s2.conf.set("spark.graft.cube.preagg", "true")
+      assert(n == base, s"keys-only preagg changed the cube row count: $n != $base")
+      // the leaf aggregate sits below the Expand in the pruned plan
+      assert("(?s)Expand.*Aggregate.*Relation".r.findFirstIn(countPlan).isDefined,
+        s"expected leaf Aggregate below Expand in pruned plan:\n$countPlan")
+    } finally restore()
+  }
+
   test("rollup and grouping-id queries match under the rule") {
     val s2 = extended()
     try {

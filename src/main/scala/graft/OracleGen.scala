@@ -126,6 +126,28 @@ object OracleGen {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  // ---- q60 duplicate clusters ---------------------------------------------
+
+  /** Connected components over the verified near-dup pairs: recursive
+    * transitive closure, min reachable id per node — mirrors
+    * Dedup.dupClusters' min-label-propagation fixpoint.
+    */
+  def dupClusters(shingleN: Int, k: Int, bands: Int, threshold: Double): String = {
+    val pairs = minHashDedup(shingleN, k, bands, threshold)
+    s"""WITH RECURSIVE pairs AS (
+       |$pairs
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       |)
+       |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin
+  }
+
   // ---- q42 SimHash --------------------------------------------------------
 
   def simHashCandidates(maxHamming: Int): String = {

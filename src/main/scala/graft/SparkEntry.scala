@@ -373,7 +373,52 @@ object SparkEntry {
       t(s, d, "events")
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k")))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))),
+
+    // ---- dedup clustering / pipeline composition ---------------------------------------------
+    // near-dup pairs → connected components → one cluster label per doc:
+    // the step that turns pairwise matches into "keep one per cluster"
+    "q60_dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.minHashDedup(t(s, d, "documents"),
+        shingleN = 3, k = 16, bands = 4, threshold = 0.2))),
+    // composed training-data filter: quality features + language id +
+    // C4-style keep rules, in one codegen'd pass over documents
+    "q61_quality_filter" -> ((s, d) =>
+      TextAnalysis.withLangId(TextAnalysis.withQualityFeatures(t(s, d, "documents")))
+        .filter(col("n_tokens") >= 10 && col("alpha_ratio") > 0.5 &&
+          col("stopword_ratio") >= 0.02 && col("lang_pred") === "en")
+        .select("doc_id", "n_tokens", "lang_pred")),
+
+    // ---- §2.5 windowing: distribution analytics ----------------------------------------------
+    "q62_window_distribution" -> ((s, d) => {
+      val base = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      val pb = Seq("o_custkey"); val ob = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      WindowOps.withCumeDist(
+        WindowOps.withPercentRank(
+          WindowOps.withNtile(base, 4, "quartile", pb, ob), "pct_rank", pb, ob),
+        "cume", pb, ob)
+    }),
+
+    // ---- §4.1 incremental MV: refresh + rollup vs direct recompute ---------------------------
+    "q63_incremental_mv" -> ((s, d) => {
+      // month-partitioned summary over orders; first refresh covers history
+      // to 1996-12, second processes only the newer months (the delta), then
+      // the rollup must equal a direct full recompute (the oracle). Integral
+      // measures so the two-level rollup is bit-exact.
+      val fact = t(s, d, "orders").select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("dt"),
+        col("o_orderpriority"), col("o_orderkey"))
+      val mv = s"/tmp/graft-mv-q63/${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(mv)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // self-contained per run
+      val aggs = Seq(("SUM", col("o_orderkey"), "sk"), ("COUNT", lit(1), "n"))
+      Incremental.refresh(s, fact.filter(col("dt") <= 199612), mv, "dt",
+        Seq("o_orderpriority"), aggs)
+      Incremental.refresh(s, fact, mv, "dt", Seq("o_orderpriority"), aggs)
+      Incremental.query(s, mv, Seq("o_orderpriority"),
+        Seq(("SUM", "sk", "sum_key"), ("SUM", "n", "n_rows")))
+    })
   )
 
   // DuckDB equivalent of TextAnalysis.tokens (split on \s+, empties removed)
@@ -626,6 +671,35 @@ object SparkEntry {
     "q42_dedup_simhash" -> OracleGen.simHashCandidates(maxHamming = 3),
     "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
-    "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5)
+    "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
+    "q60_dedup_clusters" -> OracleGen.dupClusters(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
+    "q61_quality_filter" ->
+      s"""WITH toks AS (SELECT doc_id, text, $duckToks AS ts FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN len(ts) > 0
+        |      THEN CAST(len(list_filter(list_transform(ts, x -> lower(x)),
+        |           w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
+        |           / len(ts)
+        |      ELSE 0.0 END AS stopword_ratio
+        |  FROM toks),
+        |lang AS (SELECT * FROM (${OracleGen.langId}))
+        |SELECT q.doc_id, q.n_tokens, l.lang_pred
+        |FROM qual q JOIN lang l ON q.doc_id = l.doc_id
+        |WHERE q.n_tokens >= 10 AND q.alpha_ratio > 0.5
+        |  AND q.stopword_ratio >= 0.02 AND l.lang_pred = 'en'""".stripMargin,
+    "q62_window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q63_incremental_mv" ->
+      """SELECT o_orderpriority, CAST(sum(o_orderkey) AS BIGINT) AS sum_key, count(1) AS n_rows
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -166,6 +166,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- duplicate clustering --------------------------------------------------
+
+  /** Connected components over a near-dup pair relation: every document in a
+    * transitively-connected duplicate group gets the group's minimum id as
+    * its cluster label — the step that turns pairwise matches into "keep one
+    * doc per cluster" for a training-data pipeline.
+    *
+    * Distributed min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in at most
+    * graph-diameter rounds (each round one shuffle join + one aggregate —
+    * the standard large-scale CC loop; alternating large-star/small-star
+    * would cut rounds further on adversarial graphs). Labels are persisted
+    * per round so lineage stays bounded; the loop exits early once no label
+    * changes. Deterministic fixpoint, so oracle-checkable via a recursive
+    * transitive closure.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                  maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
+        .groupBy("src").agg(min("nc").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = next.join(labels.select(col("id"), col("cluster").as("old")), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  /** Canonical-survivor selection: from the full corpus and a cluster
+    * labeling, keep the minimum-id document of each duplicate cluster plus
+    * every unclustered document (left-anti on non-canonical members).
+    */
+  def clusterSurvivors(df: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters.filter(col(idCol) =!= col("cluster")).select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash --------------------------------------------------------------
 
   /** 32-bit SimHash per document: sign-sum of token-hash bits, token

@@ -57,6 +57,21 @@ object WindowOps {
                 orderBy: Seq[Column], start: Long, end: Long): DataFrame =
     df.withColumn(as, agg.over(w(partitionBy, orderBy).rowsBetween(start, end)))
 
+  /** Distribution analytics (ntile buckets, percent_rank, cume_dist) — the
+    * rest of the reference's "coming soon" analytic set, free on Spark.
+    */
+  def withNtile(df: DataFrame, n: Int, as: String, partitionBy: Seq[String],
+                orderBy: Seq[Column]): DataFrame =
+    df.withColumn(as, ntile(n).over(w(partitionBy, orderBy)))
+
+  def withPercentRank(df: DataFrame, as: String, partitionBy: Seq[String],
+                      orderBy: Seq[Column]): DataFrame =
+    df.withColumn(as, percent_rank().over(w(partitionBy, orderBy)))
+
+  def withCumeDist(df: DataFrame, as: String, partitionBy: Seq[String],
+                   orderBy: Seq[Column]): DataFrame =
+    df.withColumn(as, cume_dist().over(w(partitionBy, orderBy)))
+
   /** Batch sessionization (gaps-and-islands): per key, order events by time
     * and start a new session when the gap to the previous event exceeds
     * `gapSeconds`; session id = running count of session starts. The batch

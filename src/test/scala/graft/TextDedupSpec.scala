@@ -125,4 +125,22 @@ class TextDedupSpec extends SparkSpec {
     val cands = Dedup.simHashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
   }
+
+  test("dupClusters labels transitive components with the min id (chain needs >1 round)") {
+    // two components: {1,2,3,4} as a chain (diameter 3 — exercises the
+    // propagation loop past one round) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterSurvivors keeps one doc per cluster plus unclustered docs") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"),
+      (11L, "b"), (99L, "lonely")).toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b"))
+    val kept = Dedup.clusterSurvivors(docs, clusters).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
 }

@@ -36,6 +36,18 @@ class WindowDictSpec extends SparkSpec {
     assert(out.map(_.getDouble(4)).toSeq == Seq(10.0, 30.0, 50.0))
   }
 
+  test("ntile/percent_rank/cume_dist distribution analytics") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4)).toDF("g", "i")
+    val out = WindowOps.withCumeDist(
+      WindowOps.withPercentRank(
+        WindowOps.withNtile(df, 2, "nt", Seq("g"), Seq($"i")), "pr", Seq("g"), Seq($"i")),
+      "cd", Seq("g"), Seq($"i"))
+      .orderBy("i").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 1, 2, 2))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+  }
+
   test("dictionary codes start at 1 in sorted order (CodeDictionary.java:41)") {
     val df = Seq("cherry", "apple", "banana", "apple").toDF("fruit")
     val dict = Dictionary.create(df, "fruit").collect()

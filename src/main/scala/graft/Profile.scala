@@ -82,6 +82,27 @@ object Profile {
     time("q15 full")(SparkEntry.queries("q15_join_merge")(spark, sfDir).count())
 
     time("q40 full")(SparkEntry.queries("q40_dedup_ngram")(spark, sfDir).count())
+    locally {
+      import graft.functions.PortableHash
+      val base = t("documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), PortableHash.tokenHashes(col("text")).as("__th"))
+        .filter(size(col("__th")) >= 2)
+        .select(col("doc_id"), graft.functions.expressions.NativeExpressions.shingleHashSet(
+          col("__th"), 2, PortableHash.B, PortableHash.P).as("__shs"))
+      val sh = base.select(col("doc_id"), size(col("__shs")).as("n_sh"),
+        explode(col("__shs")).as("shingle"))
+      val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
+      time("q40 shuffle-hash self-join (ReuseExchange?)") {
+        a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+          .agg(count(lit(1)).as("common"))
+          .withColumn("jaccard",
+            col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+          .filter(col("jaccard") >= 0.05)
+          .count()
+      }
+    }
     time("q41 full")(SparkEntry.queries("q41_dedup_minhash")(spark, sfDir).count())
     time("q16 full")(SparkEntry.queries("q16_join_hash")(spark, sfDir).count())
     time("q10 full")(SparkEntry.queries("q10_groupby")(spark, sfDir).count())

@@ -33,6 +33,13 @@ import graft.operators._
   *   v = DISTINCT a;   w = LIMIT a 10;   x = SORT a ON c1, c2 DESC;
   *   y = DUPLICATE a 3 TIMES COUNTER AS i;
   *   z = FLATTEN a BY arr AS elem;
+  *   c = COMBINE a, b SORTED ON k;               -- order-preserving merge
+  *   n = NO_OP a ASSERT PARTITIONED ON k SORTED ON k;
+  *   va = VALIDATE a BY ROW PARTITIONED ON k SORTED ON k;
+  *   pv = PIVOT a ON k;                          -- co-locate pivot groups
+  *   lb = LOAD BLOCK FROM tbl MATCHING a;        -- bucketed-table read
+  *   -- CUBE also takes GROUPING SETS ((a,b),()) | GROUPING COMBOS n
+  *   --                 | ROLLUPS (a,b),(c); TEE takes GENERATE … [IF …]
   *   STORE e INTO 'out' USING PARQUET;
   * }}}
   */
@@ -162,6 +169,18 @@ object ScriptEngine {
     out.result()
   }
 
+  /** One cuboid: a possibly-empty column list in parens or brackets —
+    * `(a,b)`, `[a,b]`, `()` (grammar cuboid, :139).
+    */
+  private def cuboid(p: P): Seq[String] = {
+    val close = if (p.punct("(")) ")" else { p.expectPunct("["); "]" }
+    val out = Seq.newBuilder[String]
+    if (!p.punct(close)) {
+      out += p.ident(); while (p.punct(",")) out += p.ident(); p.expectPunct(close)
+    }
+    out.result()
+  }
+
   /** `AGG(arg) AS alias, …` — aggregate names per AggregationType (SURVEY
     * §2.4); arg parsed as a SQL expression. Returns both the Column form and
     * the raw `AGG(arg) AS alias` SQL (for grouping-sets compilation).
@@ -255,11 +274,54 @@ object ScriptEngine {
 
   private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame): DataFrame = {
     if (p.kw("LOAD")) {
-      val path = p.str()
-      p.expectKw("USING")
-      val fmt = p.ident().toLowerCase
-      val schema = if (p.punct("(")) { val s = p.str(); p.expectPunct(")"); Some(s) } else None
-      graft.sources.Sources.load(spark, path, fmt, schema)
+      if (p.kw("BLOCK")) {
+        // LOAD BLOCK [IN MEMORY] FROM table MATCHING x — read the co-bucketed
+        // table; MATCHING is metadata on Spark (the bucket spec already
+        // co-partitions, reference: operator/LoadBlockOperator.java:37)
+        if (p.kw("IN")) p.expectKw("MEMORY")
+        p.expectKw("FROM")
+        val table = p.peek match { case Some(Str(_)) => p.str(); case _ => p.ident() }
+        p.expectKw("MATCHING"); p.ident()
+        Blockgen.loadBlock(spark, table)
+      } else {
+        val path = p.str()
+        p.expectKw("USING")
+        val fmt = p.ident().toLowerCase
+        val schema = if (p.punct("(")) { val s = p.str(); p.expectPunct(")"); Some(s) } else None
+        graft.sources.Sources.load(spark, path, fmt, schema)
+      }
+    } else if (p.kw("NO_OP")) {
+      // NO_OP x [ASSERT PARTITIONED ON p SORTED ON s] — identity; the sort
+      // assertion runs as a real runtime check (reference: NullOperator.java:31)
+      val df = rel(p.ident())
+      var out = df
+      if (p.kw("ASSERT")) {
+        if (p.kw("PARTITIONED")) { p.expectKw("ON"); identList(p) }
+        if (p.kw("SORTED")) { p.expectKw("ON"); out = Relational.validateSorted(df, identList(p)) }
+      }
+      out
+    } else if (p.kw("VALIDATE")) {
+      // VALIDATE x BY type PARTITIONED ON p [SORTED ON s]
+      // (reference: operator/ValidateOperator.java:38)
+      val df = rel(p.ident())
+      p.expectKw("BY"); p.ident() // blockgen type — informational on Spark
+      p.expectKw("PARTITIONED"); p.expectKw("ON"); val parts = identList(p)
+      val sorts = if (p.kw("SORTED")) { p.expectKw("ON"); identList(p) } else parts
+      Relational.validateSorted(df, sorts)
+    } else if (p.kw("COMBINE")) {
+      // COMBINE a, b SORTED ON cols — order-preserving k-way merge
+      // (reference: operator/CombineOperator.java:35)
+      val dfs = identList(p).map(rel)
+      p.expectKw("SORTED"); p.expectKw("ON")
+      Relational.combine(identList(p).map(col), dfs: _*)
+    } else if (p.kw("PIVOT")) {
+      // PIVOT [IN MEMORY] x ON cols — co-locate pivot groups so downstream
+      // per-pivot operators see complete runs (reference: PivotBlockOperator.java:62)
+      if (p.kw("IN")) p.expectKw("MEMORY")
+      val df = rel(p.ident())
+      p.expectKw("ON")
+      val cols = identList(p)
+      Blockgen.blockgenInFlight(df, cols, cols)
     } else if (p.kw("FROM")) {
       val df = rel(p.ident())
       p.expectKw("GENERATE")
@@ -311,18 +373,25 @@ object ScriptEngine {
       val df = rel(p.ident())
       p.expectKw("INTO"); val path = p.str()
       p.expectKw("USING"); val fmt = p.ident().toLowerCase
+      // optional GENERATE e1 AS n1, …: project the TEED rows only — the main
+      // flow keeps the input schema (reference: TeeOperator.java:33)
+      val proj: DataFrame => DataFrame =
+        if (p.kw("GENERATE")) {
+          val es = aliasedExprs(p, df, Set("IF"))
+          d => d.select(es.map { case (c, a) => a.map(c.as).getOrElse(c) }: _*)
+        } else identity
       val cond = if (p.kw("IF")) Some(toColumn(p.exprUntil(Set.empty), df)) else None
       (withSplit, cond) match {
         case (true, Some(c)) =>
           val (main, teed) = Relational.split(df, c)
-          graft.sources.Sources.store(teed, path, fmt); main
+          graft.sources.Sources.store(proj(teed), path, fmt); main
         case (true, None) =>
           // WITH SPLIT and no IF: every row is teed and leaves the main flow
           // (reference TeeOperator semantics) — main continues empty.
-          graft.sources.Sources.store(df, path, fmt)
+          graft.sources.Sources.store(proj(df), path, fmt)
           df.filter(lit(false))
         case (false, condOpt) =>
-          graft.sources.Sources.store(condOpt.map(df.filter).getOrElse(df), path, fmt); df
+          graft.sources.Sources.store(proj(condOpt.map(df.filter).getOrElse(df)), path, fmt); df
       }
     } else if (p.kw("LOAD-CACHED")) {
       val path = p.str()
@@ -369,21 +438,33 @@ object ScriptEngine {
       p.expectKw("AGGREGATES")
       if (inner.isEmpty) {
         val aggs = aggListRaw(p, df)
-        // optional GROUPING SETS ((a,b),(a),()) clause (grammar :136)
+        // optional GROUPING SETS ((a,b),(a),()) | GROUPING COMBOS n |
+        // ROLLUPS (a,b),(c) clause (grammar :135-137)
         if (p.kw("GROUPING")) {
-          p.expectKw("SETS")
-          p.expectPunct("(")
-          val sets = Seq.newBuilder[Seq[String]]
-          var more = true
-          while (more) {
+          if (p.kw("COMBOS")) {
+            // all grouping sets of size ≤ n (CubeDimensions GROUPING COMBOS)
+            CubeOps.groupingCombos(df, dims, p.num().toInt, aggs.map(_._2))
+          } else {
+            p.expectKw("SETS")
             p.expectPunct("(")
-            val set = Seq.newBuilder[String]
-            if (!p.punct(")")) { set += p.ident(); while (p.punct(",")) set += p.ident(); p.expectPunct(")") }
-            sets += set.result()
-            more = p.punct(",")
+            val sets = Seq.newBuilder[Seq[String]]
+            var more = true
+            while (more) {
+              sets += cuboid(p)
+              more = p.punct(",")
+            }
+            p.expectPunct(")")
+            CubeOps.groupingSets(df, dims, sets.result(), aggs.map(_._2))
           }
-          p.expectPunct(")")
-          CubeOps.groupingSets(df, dims, sets.result(), aggs.map(_._2))
+        } else if (p.kw("ROLLUPS")) {
+          // ROLLUPS (a,b),(c): union of the prefix grouping sets of each
+          // listed hierarchy (rollupsClause, grammar :137)
+          val cuboids = Seq.newBuilder[Seq[String]]
+          cuboids += cuboid(p)
+          while (p.punct(",")) cuboids += cuboid(p)
+          val sets = cuboids.result()
+            .flatMap(c => (0 to c.length).reverse.map(c.take)).distinct
+          CubeOps.groupingSets(df, dims, sets, aggs.map(_._2))
         } else CubeOps.cube(df, dims, aggs.map(_._1))
       } else {
         val outer = p.ident()

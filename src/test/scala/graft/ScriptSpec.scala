@@ -58,6 +58,49 @@ class ScriptSpec extends SparkSpec {
     assert(out.count() == 5) // 2 d1 + 2 d2 + 1 total
   }
 
+  test("cube with GROUPING COMBOS and ROLLUPS clauses") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("d1", "d2", "m")
+    val combos = ScriptEngine.run(spark,
+      "c = CUBE t BY d1, d2 AGGREGATES SUM(m) AS s GROUPING COMBOS 1;",
+      env0 = env("t" -> df))("c")
+    assert(combos.count() == 5) // sets of size ≤ 1: (d1), (d2), ()
+    val rollups = ScriptEngine.run(spark,
+      "c = CUBE t BY d1, d2 AGGREGATES SUM(m) AS s ROLLUPS (d1, d2);",
+      env0 = env("t" -> df))("c")
+    assert(rollups.count() == 6) // (d1,d2)+(d1)+(): 3 + 2 + 1
+  }
+
+  test("combine merges sorted relations; validate and no_op assert sortedness") {
+    val a = Seq(1, 3).toDF("x"); val b = Seq(2, 4).toDF("x")
+    val out = ScriptEngine.run(spark,
+      """c = COMBINE a, b SORTED ON x;
+        |v = VALIDATE c BY ROW PARTITIONED ON x SORTED ON x;
+        |n = NO_OP v ASSERT PARTITIONED ON x SORTED ON x;""".stripMargin,
+      env0 = env("a" -> a, "b" -> b))("n")
+    assert(out.count() == 4) // runtime sort assertions pass
+  }
+
+  test("pivot co-locates groups; load block matching reads the bucketed table") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val out = ScriptEngine.run(spark,
+      """p = PIVOT t ON k;
+        |b = BLOCKGEN p PARTITIONED ON k SORTED ON k INTO script_lb BUCKETS 2;
+        |m = LOAD BLOCK FROM script_lb MATCHING p;""".stripMargin,
+      env0 = env("t" -> df))("m")
+    assert(out.count() == 3)
+  }
+
+  test("tee with GENERATE projects the side output, main keeps full schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tee-gen").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("x", "s")
+    val out = ScriptEngine.run(spark,
+      s"m = TEE t INTO '$dir/side' USING PARQUET GENERATE s IF x > 1;",
+      env0 = env("t" -> df))("m")
+    assert(out.columns.toSeq == Seq("x", "s")) // main unchanged
+    val side = spark.read.parquet(s"$dir/side")
+    assert(side.columns.toSeq == Seq("s") && side.count() == 2)
+  }
+
   test("cube with INNER computes the duple aggregate per grouping-set ∪ inner") {
     // same fixture as CubeOpsSpec's duple test: inner key m=3 spans both d1s
     val df = Seq(("x", 1, 10), ("x", 3, 5), ("y", 3, 70)).toDF("d1", "m", "u")

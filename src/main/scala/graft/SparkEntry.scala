@@ -332,6 +332,15 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .select("query_id", "neighbor_id", "rank")
     }),
+    "q64_ann_ivf" -> ((s, d) => {
+      // IVF coarse-quantized ANN (nprobe=1); centroid set is deterministic
+      // (every 50th vector) so the cell assignment is oracle-checkable
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cent, k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
 
     // ---- multimodal plumbing ----------------------------------------------------------------
     "q46_multimodal_meta" -> ((s, d) => {
@@ -672,6 +681,7 @@ object SparkEntry {
     "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
+    "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
     "q60_dedup_clusters" -> OracleGen.dupClusters(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q61_quality_filter" ->
       s"""WITH toks AS (SELECT doc_id, text, $duckToks AS ts FROM documents),

@@ -124,4 +124,34 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
+
+  /** IVF ANN search end-to-end (nprobe = 1): assign corpus and queries to
+    * their nearest centroid cell (max cosine, ties to the lowest
+    * centroid_id), then brute-force ONLY within the query's cell. The
+    * coarse quantization bounds the candidate join by cell population —
+    * corpus² becomes Σ|cell|·|queries in cell| — which is the standard
+    * recall/cost dial (more centroids → smaller cells → cheaper, lower
+    * recall; nprobe > 1 re-adds neighbor cells). Centroids broadcast; the
+    * assignment is a narrow map over each side.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
+    def assign(df: DataFrame, id: String, v: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(id).orderBy(col("__cos").desc, col("centroid_id"))
+      df.select(col(idCol).as(id), col(vecCol).as(v)).join(c)
+        .withColumn("__cos", cosine(col(v), col("cvec")))
+        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        .select(col(id), col(v), col("centroid_id").as("cell"))
+    }
+    val cc = assign(corpus, "neighbor_id", "cv")
+    val qq = assign(queries, "query_id", "qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    qq.join(cc, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").as("rank"))
+  }
 }

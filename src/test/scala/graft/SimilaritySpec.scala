@@ -48,6 +48,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("IVF top-k searches only the query's cell and finds a planted duplicate") {
+    val emb = sf("embeddings")
+    val planted = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val corpus = emb.unionByName(planted)
+    val cents = corpus.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    val top = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" === 0), cents, k = 3)
+      .orderBy("rank").collect()
+    // the exact copy lands in the same cell as the query → rank 1
+    assert(top.head.getAs[Long]("neighbor_id") == 9999L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // every neighbor shares the query's cell: re-derive assignments and check
+    val assign = Similarity.ivfAssign(corpus, cents)
+      .select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top.forall(r => assign(r.getAs[Long]("neighbor_id")) == assign(0L)))
+  }
+
   test("LSH top-k finds the planted duplicate through banding") {
     val emb = sf("embeddings")
     val planted = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))

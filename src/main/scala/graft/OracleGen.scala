@@ -148,6 +148,21 @@ object OracleGen {
        |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin
   }
 
+  // ---- q65 dedup survivors ------------------------------------------------
+
+  /** Canonical survivors: every document except non-minimum members of a
+    * duplicate cluster — mirrors Dedup.clusterSurvivors over dupClusters.
+    */
+  def dedupSurvivors(shingleN: Int, k: Int, bands: Int, threshold: Double): String = {
+    val clusters = dupClusters(shingleN, k, bands, threshold)
+    s"""WITH cl AS (
+       |$clusters
+       |)
+       |SELECT d.doc_id FROM documents d
+       |LEFT JOIN cl ON d.doc_id = cl.doc_id AND cl.doc_id <> cl.cluster
+       |WHERE cl.doc_id IS NULL""".stripMargin
+  }
+
   // ---- q42 SimHash --------------------------------------------------------
 
   def simHashCandidates(maxHamming: Int): String = {

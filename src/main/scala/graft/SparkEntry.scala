@@ -390,6 +390,14 @@ object SparkEntry {
     "q60_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minHashDedup(t(s, d, "documents"),
         shingleN = 3, k = 16, bands = 4, threshold = 0.2))),
+    // full dedup pipeline: LSH pairs → verify → clusters → keep min-id doc
+    // per cluster plus every unclustered doc
+    "q65_dedup_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(Dedup.minHashDedup(docs,
+        shingleN = 3, k = 16, bands = 4, threshold = 0.2))
+      Dedup.clusterSurvivors(docs.select("doc_id"), clusters)
+    }),
     // composed training-data filter: quality features + language id +
     // C4-style keep rules, in one codegen'd pass over documents
     "q61_quality_filter" -> ((s, d) =>
@@ -683,6 +691,7 @@ object SparkEntry {
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
     "q60_dedup_clusters" -> OracleGen.dupClusters(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
+    "q65_dedup_survivors" -> OracleGen.dedupSurvivors(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q61_quality_filter" ->
       s"""WITH toks AS (SELECT doc_id, text, $duckToks AS ts FROM documents),
         |qual AS (

@@ -92,4 +92,20 @@ object Multimodal {
         i => call_function("substring", col("payload"), i * 16 + 1, lit(16)))))
       .toDF(idCol, "payload", "frame_idx", "frame_bytes")
       .drop("payload")
+
+  /** Resize stub for image payloads: the contract is payload → payload'
+    * with width/height metadata updated and n_bytes recomputed — a narrow
+    * per-row map, no shuffle, so it composes with extractFeatures'
+    * partition batching. The stub transform halves the byte stream (a real
+    * deployment decodes, scales, re-encodes in the same slot).
+    */
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val resized = call_function("substring", col("payload"), lit(1),
+      greatest((octet_length(col("payload")) + 1) / 2, lit(1)))
+    df.withColumn("payload", resized)
+      .withColumn("media_meta", col("media_meta")
+        .withField("width", lit(width))
+        .withField("height", lit(height))
+        .withField("n_bytes", octet_length(col("payload")).cast("long")))
+  }
 }

@@ -99,4 +99,18 @@ class SimilaritySpec extends SparkSpec {
     val feats2 = Multimodal.extractFeatures(media, "doc_id", dim = 8).collect()
     assert(rows.map(_.getSeq[Float](1)).toSeq == feats2.map(_.getSeq[Float](1)).toSeq)
   }
+
+  test("multimodal resize updates metadata and shrinks the payload; frameSample explodes frames") {
+    import graft.multimodal.Multimodal
+    val docs = sf("documents").limit(5)
+    val media = Multimodal.asMedia(docs.select("doc_id", "text"), col("text"), "image", "png")
+    val out = Multimodal.resize(media, 640, 480)
+    val r = out.select("media_meta.width", "media_meta.height", "media_meta.n_bytes", "payload")
+      .collect()
+    assert(r.forall(x => x.getInt(0) == 640 && x.getInt(1) == 480))
+    assert(r.forall(x => x.getLong(2) == x.getAs[Array[Byte]](3).length.toLong))
+    val frames = Multimodal.frameSample(media, "doc_id", n = 3)
+    assert(frames.count() == 15)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
+  }
 }

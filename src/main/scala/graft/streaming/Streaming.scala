@@ -24,8 +24,9 @@ object Streaming {
     * (streaming sources cannot infer schemas).
     */
   def readStream(spark: SparkSession, path: String, format: String,
-                 schema: String): DataFrame =
-    spark.readStream.schema(SchemaCodec.parse(schema)).format(format).load(path)
+                 schema: String, options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(SchemaCodec.parse(schema)).options(options)
+      .format(format).load(path)
 
   /** GROUP BY over a stream: tumbling/sliding event-time window + keys,
     * with a watermark for state eviction. `aggs` reuses the batch aggregate

@@ -72,10 +72,16 @@ class StreamingSpec extends SparkSpec {
   test("file stream end-to-end: read csv dir, window, write parquet") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$dir/in"; val outDir = s"$dir/out"; val ck = s"$dir/ck"
+    // two file batches (maxFilesPerTrigger=1, oldest first): the second
+    // batch's 00:25 event advances the watermark past the first window's
+    // end, so append mode MUST emit the closed ("a", 3.0) window
     Seq((ts("2024-01-01 00:01:00"), "a", 1.0), (ts("2024-01-01 00:02:00"), "a", 2.0))
-      .toDF("ts", "k", "v").write.mode("overwrite").option("header", "false").csv(inDir)
+      .toDF("ts", "k", "v").coalesce(1).write.option("header", "false").csv(inDir)
+    Thread.sleep(1100) // distinct mod times keep file-batch order stable
+    Seq((ts("2024-01-01 00:25:00"), "b", 5.0))
+      .toDF("ts", "k", "v").coalesce(1).write.mode("append").option("header", "false").csv(inDir)
     val src = Streaming.readStream(spark, inDir, "csv",
-      "STRING ts, STRING k, DOUBLE v")
+      "STRING ts, STRING k, DOUBLE v", Map("maxFilesPerTrigger" -> "1"))
       .select(col("ts").cast("timestamp").as("ts"), col("k"), col("v"))
     val agg = Streaming.windowedGroupBy(src, "ts", "10 minutes", Seq("k"),
       Seq(("SUM", col("v"), "sv")), watermark = "0 seconds")
@@ -87,9 +93,8 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.awaitTermination(60000)
     val out = spark.read.parquet(outDir)
-    // append mode emits only watermark-closed windows; with AvailableNow +
-    // 0s watermark the single window may still be open — accept 0 or 1 rows
-    // but require schema + successful commit
     assert(out.columns.toSeq == Seq("k", "sv"))
+    val closed = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(closed.contains(("a", 3.0)), s"expected closed window ('a', 3.0), got $closed")
   }
 }

@@ -423,10 +423,14 @@ object ScriptEngine {
       val df = rel(p.ident())
       p.expectKw("BY")
       val keys = if (p.kw("ALL")) Nil else identList(p)
-      p.expectKw("AGGREGATES")
-      val aggs = aggList(p, df)
-      if (keys.isEmpty) Aggregations.groupByAll(df, aggs)
-      else Aggregations.groupBy(df, keys, aggs)
+      // AGGREGATES is optional in the grammar (groupByOperator, :110):
+      // without it, GROUP emits one row per group — a distinct of the keys
+      if (p.kw("AGGREGATES")) {
+        val aggs = aggList(p, df)
+        if (keys.isEmpty) Aggregations.groupByAll(df, aggs)
+        else Aggregations.groupBy(df, keys, aggs)
+      } else if (keys.isEmpty) df.select().distinct()
+      else df.select(keys.map(col): _*).distinct()
     } else if (p.kw("CUBE")) {
       // CUBE x BY dims [INNER cols] AGGREGATES ...; with INNER, the single
       // aggregate must be the duple form OUTER(INNER_AGG(col)) — e.g.

@@ -29,6 +29,13 @@ class ScriptSpec extends SparkSpec {
     assert(out.collect().head.getLong(0) == 6L)
   }
 
+  test("group by without AGGREGATES emits one row per group") {
+    val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("x", "k")
+    val out = ScriptEngine.run(spark, "g = GROUP t BY k;", env0 = env("t" -> df))("g")
+    assert(out.columns.toSeq == Seq("k"))
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("joins: shuffle and hash, outer types") {
     val a = Seq((1, "x"), (2, "y")).toDF("k", "va")
     val b = Seq((1, "p"), (3, "q")).toDF("k", "vb")

@@ -14,13 +14,19 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.count() // execute so AQE finalizes the plan and codegen spans exist
-      val plan = df.queryExecution.executedPlan.toString
+      // execute THIS df's own queryExecution (count() would plan a separate
+      // pruned query) so AQE finalizes and codegen ids exist in the plan
+      df.queryExecution.toRdd.foreach(_ => ())
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-      val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
-      val scans = "FileScan|BatchScan|Scan parquet".r.findAllIn(plan).size
+      // count nodes in the FINAL plan tree only — the formatted output also
+      // contains AQE's "Initial Plan" tree and per-node detail sections,
+      // which would double- and triple-count operators
+      val initialIdx = formatted.indexOf("== Initial Plan ==")
+      val finalTree = if (initialIdx > 0) formatted.substring(0, initialIdx) else formatted
+      val exchanges = "(?<!Broadcast)Exchange \\(".r.findAllIn(finalTree).size
+      val broadcasts = "BroadcastExchange \\(".r.findAllIn(finalTree).size
+      val scans = "Scan parquet".r.findAllIn(finalTree).size
       val codegen = "codegen id : (\\d+)".r.findAllMatchIn(formatted).map(_.group(1)).toSet.size
       println(s"==== $name  shuffles=$exchanges broadcasts=$broadcasts scans=$scans codegenSpans=$codegen")
       if (sys.env.contains("GRAFT_EXPLAIN_FULL")) {

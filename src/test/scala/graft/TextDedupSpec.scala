@@ -135,6 +135,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters == brute-force union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 3 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(25)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(nNodes).toLong; val b = rnd.nextInt(nNodes).toLong
+        if (a < b) (a, b) else (b, a + 1) // avoid self-loops
+      }.distinct
+      // reference: union-find with min-id representative
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("clusterSurvivors keeps one doc per cluster plus unclustered docs") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"),
       (11L, "b"), (99L, "lonely")).toDF("doc_id", "text")

@@ -135,6 +135,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dirty data: null and empty text flow through text/dedup operators without crashing") {
+    val docs = Seq((1L, "real document with several tokens here"),
+      (2L, null), (3L, ""), (4L, "   \t \n ")).toDF("doc_id", "text")
+    // text analysis: null text → null features, empty → zero counts
+    val q = TextAnalysis.withQualityFeatures(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("n_tokens"))).toMap
+    assert(q(2L).isEmpty)          // null in, null out
+    assert(q(3L).contains(0L) && q(4L).contains(0L))
+    assert(TextAnalysis.withLangId(docs).count() == 4)
+    assert(docs.select(TextAnalysis.fingerprint(col("text"))).count() == 4)
+    // dedup: null/empty/whitespace docs have no shingles → excluded, no crash
+    assert(Dedup.minHashLsh(docs, shingleN = 2, k = 8, bands = 4).count() == 0)
+    assert(Dedup.simHashCandidates(docs).count() == 0)
+    assert(Dedup.ngramJaccard(docs, n = 2, threshold = 0.0).count() == 0)
+    // exact dedup groups by content hash; null hashes to null group
+    assert(Dedup.exact(docs).count() == 4)
+  }
+
   test("dupClusters == brute-force union-find on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {

@@ -64,6 +64,19 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Sources.load(spark, s"$dir/o", "orc").count() == 2)
     Sources.store(df.select(col("name")), s"$dir/t", "text")
     assert(Sources.load(spark, s"$dir/t", "text", Some("STRING name")).count() == 2)
+    Sources.store(df, s"$dir/c", "csv")
+    assert(Sources.load(spark, s"$dir/c", "csv", Some("LONG id, STRING name"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
     assert(Sources.virtual(spark, 5).count() == 5)
+  }
+
+  test("avro without the spark-avro module fails with an actionable message") {
+    // this container ships no spark-avro jar; the format mapping must
+    // surface Spark's deploy-the-module guidance, not a random classpath error
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[Exception] {
+      Sources.store(df, Files.createTempDirectory("graft-avro").toString + "/a", "avro")
+    }
+    assert(e.getMessage.toLowerCase.contains("avro"))
   }
 }

@@ -40,6 +40,7 @@ import graft.operators._
   *   lb = LOAD BLOCK FROM tbl MATCHING a;        -- bucketed-table read
   *   -- CUBE also takes GROUPING SETS ((a,b),()) | GROUPING COMBOS n
   *   --                 | ROLLUPS (a,b),(c); TEE takes GENERATE … [IF …]
+  *   MULTIPASS { g1 = GROUP a BY k AGGREGATES …; } { g2 = …; }
   *   STORE e INTO 'out' USING PARQUET;
   * }}}
   */
@@ -235,9 +236,35 @@ object ScriptEngine {
     def rel(name: String): DataFrame =
       env.getOrElse(name, sys.error(s"undefined relation: $name"))
 
-    while (p.peek.isDefined) {
+    def statement(p: P): Unit = {
       if (p.punct(";")) () // empty statement
       else if (p.kw("PROGRAM")) { p.str(); p.expectPunct(";") }
+      else if (p.kw("MULTIPASS")) {
+        // MULTIPASS { cmds } { cmds }+ — several single-pass chains over one
+        // materialized input (grammar :74-76; reference:
+        // plan/physical/PhaseExecutor.java:114-154). On Spark: persist every
+        // relation referenced by more than one group, then run the groups.
+        val groups = Vector.newBuilder[Vector[Tok]]
+        while (p.punct("{")) {
+          val slice = Vector.newBuilder[Tok]
+          var depth = 1
+          while (depth > 0) p.next() match {
+            case t @ Punct("{") => depth += 1; slice += t
+            case t @ Punct("}") => depth -= 1; if (depth > 0) slice += t
+            case t => slice += t
+          }
+          groups += slice.result()
+        }
+        val gs = groups.result()
+        require(gs.length >= 2, "MULTIPASS needs at least two { } groups")
+        val wordSets = gs.map(_.collect { case Word(w) => w }.toSet)
+        env.keys.filter(n => wordSets.count(_.contains(n)) >= 2)
+          .foreach(n => env(n).persist())
+        gs.foreach { slice =>
+          val sub = new P(slice)
+          while (sub.peek.isDefined) statement(sub)
+        }
+      }
       else if (p.kw("ONCOMPLETION")) {
         // ONCOMPLETION { RM 'p'; MV 'a' 'b'; MKDIR 'p'; DUMP rel; }
         // (reference: plan/physical/CompletionTasks.java:28, grammar :195-201)
@@ -269,6 +296,7 @@ object ScriptEngine {
         p.expectPunct(";")
       }
     }
+    while (p.peek.isDefined) statement(p)
     env
   }
 

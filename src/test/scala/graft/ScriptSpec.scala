@@ -29,6 +29,19 @@ class ScriptSpec extends SparkSpec {
     assert(out.collect().head.getLong(0) == 6L)
   }
 
+  test("multipass groups share a persisted input and run independent chains") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val out = ScriptEngine.run(spark,
+      """MULTIPASS
+        |{ g1 = GROUP t BY k AGGREGATES SUM(v) AS sv; }
+        |{ g2 = GROUP t BY ALL AGGREGATES COUNT(1) AS n; }""".stripMargin,
+      env0 = env("t" -> df))
+    assert(out("g1").count() == 2)
+    assert(out("g2").collect().head.getLong(0) == 3L)
+    assert(df.storageLevel.useMemory) // shared input was persisted
+    df.unpersist()
+  }
+
   test("group by without AGGREGATES emits one row per group") {
     val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("x", "k")
     val out = ScriptEngine.run(spark, "g = GROUP t BY k;", env0 = env("t" -> df))("g")

@@ -301,6 +301,9 @@ object SparkEntry {
     "q38_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q66_subword" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
 
     // ---- dedup extensions -------------------------------------------------------------
     "q39_dedup_exact" -> ((s, d) =>
@@ -719,6 +722,9 @@ object SparkEntry {
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q63_incremental_mv" ->
       """SELECT o_orderpriority, CAST(sum(o_orderkey) AS BIGINT) AS sum_key, count(1) AS n_rows
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q66_subword" ->
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${graft.text.TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin
   )
 }

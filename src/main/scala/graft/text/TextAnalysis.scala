@@ -21,13 +21,17 @@ object TextAnalysis {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** BPE-ish subword count: word-boundary regex splits off punctuation and
-    * digit runs the way byte-pair tokenizers pre-segment; a cheap proxy for
-    * LLM token budgeting without shipping a tokenizer model.
+  /** BPE-ish subword count: segment into title-case words, caps runs,
+    * lowercase runs, digit runs, and single punctuation marks — the way
+    * byte-pair tokenizers pre-segment; a cheap proxy for LLM token
+    * budgeting without shipping a tokenizer model. Pure ordered
+    * alternation (no lookarounds) so RE2-based engines — and the DuckDB
+    * oracle — evaluate it identically.
     */
+  val subwordPattern = """[A-Z][a-z]+|[A-Z]+|[a-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
   def subwordCount(text: Column): Column =
-    size(filter(split(text, """[\s]+|(?=[^\w\s])|(?<=[^\w\s])|(?<=[a-z])(?=[A-Z])|(?=\d)|(?<=\d)(?![\d])"""),
-      t => t =!= lit(""))).cast("long")
+    size(regexp_extract_all(text, lit(subwordPattern), lit(0))).cast("long")
 
   /** Quality-scoring feature columns: lengths, alpha/punct/space/digit
     * ratios, mean token length, stopword ratio. Cheap heuristics of the

@@ -63,8 +63,8 @@ object ScriptEngine {
       if (c.isWhitespace) i += 1
       else if (c == '-' && i + 1 < n && src(i + 1) == '-') { // -- comment
         while (i < n && src(i) != '\n') i += 1
-      } else if (c == '\'') {
-        val j = src.indexOf('\'', i + 1)
+      } else if (c == '\'' || c == '"') {
+        val j = src.indexOf(c, i + 1)
         require(j > 0, s"unterminated string literal at offset $i")
         out += Str(src.substring(i + 1, j)); i = j + 1
       } else if (c.isLetter || c == '_') {
@@ -170,6 +170,23 @@ object ScriptEngine {
     out.result()
   }
 
+  /** Optional storage-format parameter group after `USING fmt`: our concise
+    * `('schema string')`, the reference's `("schema": "...", ...)` key-value
+    * form (grammar params, :70-71), or empty `()`. Returns the schema param
+    * if one was given; other keys are accepted and ignored.
+    */
+  private def formatParams(p: P): Option[String] = {
+    if (!p.punct("(")) return None
+    if (p.punct(")")) return None
+    val first = p.str()
+    if (p.punct(":")) {
+      var m = Map(first -> p.str())
+      while (p.punct(",")) { val k = p.str(); p.expectPunct(":"); m += (k -> p.str()) }
+      p.expectPunct(")")
+      m.get("schema")
+    } else { p.expectPunct(")"); Some(first) }
+  }
+
   /** One cuboid: a possibly-empty column list in parens or brackets —
     * `(a,b)`, `[a,b]`, `()` (grammar cuboid, :139).
     */
@@ -230,7 +247,11 @@ object ScriptEngine {
   def run(spark: SparkSession, script: String,
           params: Map[String, String] = Map.empty,
           env0: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
-    val substituted = params.foldLeft(script) { case (s, (k, v)) => s.replace(s"%$k%", v) }
+    // both our %name% and the reference's $NAME property substitution
+    // (CmrExecutor.java:46-49)
+    val substituted = params.foldLeft(script) { case (s, (k, v)) =>
+      s.replace(s"%$k%", v).replace("$" + k, v)
+    }
     val p = new P(lex(substituted))
     var env = env0
     def rel(name: String): DataFrame =
@@ -239,6 +260,33 @@ object ScriptEngine {
     def statement(p: P): Unit = {
       if (p.punct(";")) () // empty statement
       else if (p.kw("PROGRAM")) { p.str(); p.expectPunct(";") }
+      // ---- MR phase syntax, parsed but ERASED to dataflow (SURVEY §7.1):
+      // JOB/END group statements, MAP/REDUCE braces concatenate, REDUCERS
+      // and SET are recorded-and-ignored (Catalyst plans the shuffles)
+      else if (p.kw("SET")) { p.ident(); p.exprUntil(Set.empty); p.expectPunct(";") }
+      else if (p.kw("JOB")) { p.str() }
+      else if (p.kw("END")) ()
+      else if (p.kw("REDUCERS")) { p.num(); p.expectPunct(";") }
+      else if (p.kw("MAP") || p.kw("REDUCE")) {
+        p.expectPunct("{")
+        while (!p.punct("}")) statement(p)
+      }
+      else if (p.kw("SHUFFLE")) {
+        // phase-form SHUFFLE (no lhs): re-binds the relation in place.
+        // AGGREGATES = the combiner declaration (ShuffleRewriter.java:495-523)
+        // — the full aggregation is planned partial+final by Spark, so the
+        // declared combine IS the aggregation
+        val name = p.ident()
+        p.expectKw("PARTITIONED"); p.expectKw("ON")
+        val parts = identList(p)
+        val sorts = if (p.kw("SORTED")) { p.expectKw("ON"); identList(p) } else Nil
+        val df = rel(name)
+        val out =
+          if (p.kw("AGGREGATES")) Aggregations.groupBy(df, parts, aggList(p, df))
+          else Blockgen.blockgenInFlight(df, parts, sorts)
+        env = env.updated(name, out)
+        p.expectPunct(";")
+      }
       else if (p.kw("MULTIPASS")) {
         // MULTIPASS { cmds } { cmds }+ — several single-pass chains over one
         // materialized input (grammar :74-76; reference:
@@ -286,6 +334,7 @@ object ScriptEngine {
         val r = rel(p.ident())
         p.expectKw("INTO"); val path = p.str()
         p.expectKw("USING"); val fmt = p.ident().toLowerCase
+        formatParams(p) // writer params accepted (overwrite is the default)
         graft.sources.Sources.store(r, path, fmt)
         p.expectPunct(";")
       } else {
@@ -315,8 +364,7 @@ object ScriptEngine {
         val path = p.str()
         p.expectKw("USING")
         val fmt = p.ident().toLowerCase
-        val schema = if (p.punct("(")) { val s = p.str(); p.expectPunct(")"); Some(s) } else None
-        graft.sources.Sources.load(spark, path, fmt, schema)
+        graft.sources.Sources.load(spark, path, fmt, formatParams(p))
       }
     } else if (p.kw("NO_OP")) {
       // NO_OP x [ASSERT PARTITIONED ON p SORTED ON s] — identity; the sort
@@ -401,6 +449,7 @@ object ScriptEngine {
       val df = rel(p.ident())
       p.expectKw("INTO"); val path = p.str()
       p.expectKw("USING"); val fmt = p.ident().toLowerCase
+      formatParams(p) // writer params accepted
       // optional GENERATE e1 AS n1, …: project the TEED rows only — the main
       // flow keeps the input schema (reference: TeeOperator.java:33)
       val proj: DataFrame => DataFrame =
@@ -425,8 +474,7 @@ object ScriptEngine {
       val path = p.str()
       p.expectKw("USING")
       val fmt = p.ident().toLowerCase
-      val schema = if (p.punct("(")) { val s = p.str(); p.expectPunct(")"); Some(s) } else None
-      graft.sources.Sources.loadCached(spark, path, fmt, schema)
+      graft.sources.Sources.loadCached(spark, path, fmt, formatParams(p))
     } else if (p.kw("BLOCKGEN")) {
       // BLOCKGEN x PARTITIONED ON p [SORTED ON s] INTO table BUCKETS n
       val df = rel(p.ident())

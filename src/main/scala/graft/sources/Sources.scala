@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, concat_ws}
 
 import graft.functions.SchemaCodec
 
@@ -52,7 +52,14 @@ object Sources {
     case "avro"              => df.write.mode(mode).format("avro").save(path)
     case "json"              => df.write.mode(mode).json(path)
     case "csv"               => df.write.mode(mode).option("header", "true").csv(path)
-    case "text"              => df.write.mode(mode).text(path)
+    case "text" =>
+      // multi-column TEXT is tab-separated, matching the reference's
+      // TextStorage writer (io/text/TextTeeWriter.java:42)
+      val out =
+        if (df.columns.length > 1)
+          df.select(concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*))
+        else df.select(col(df.columns.head).cast("string"))
+      out.write.mode(mode).text(path)
     case other => throw new IllegalArgumentException(s"unknown format: $other")
   }
 

@@ -29,6 +29,39 @@ class ScriptSpec extends SparkSpec {
     assert(out.collect().head.getLong(0) == 6L)
   }
 
+  test("the reference's wordcount.cmr runs under the phase-syntax front end") {
+    // release/examples/wordcount.cmr body, verbatim except the output path
+    // (the example writes to a relative "output" dir); $CUBERT_HOME comes
+    // from property substitution exactly as in the reference launcher
+    val dir = java.nio.file.Files.createTempDirectory("graft-wc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/words.txt"),
+      "jeeves\ni\nsaid\nmay\ni\nsaid\ni\n".getBytes)
+    val script =
+      s"""PROGRAM "Word Count";
+         |
+         |SET overwrite true;
+         |
+         |JOB "count words"
+         |  REDUCERS 5;
+         |  MAP {
+         |    data = LOAD "$$CUBERT_HOME/words.txt" USING TEXT("schema": "STRING word");
+         |    with_count = FROM data GENERATE word, 1L AS count;
+         |  }
+         |  SHUFFLE with_count PARTITIONED ON word AGGREGATES COUNT(word) AS count;
+         |  REDUCE {
+         |    counted = GROUP with_count BY word AGGREGATES SUM(count) AS count;
+         |  }
+         |  STORE counted INTO "$dir/output" USING TEXT();
+         |END
+         |""".stripMargin
+    val out = ScriptEngine.run(spark, script, params = Map("CUBERT_HOME" -> dir))
+    val counts = out("counted").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("jeeves" -> 1L, "i" -> 3L, "said" -> 2L, "may" -> 1L))
+    // TEXT sink wrote tab-separated lines
+    val lines = spark.read.text(s"$dir/output").collect().map(_.getString(0)).sorted
+    assert(lines.contains("i\t3"))
+  }
+
   test("multipass groups share a persisted input and run independent chains") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
     val out = ScriptEngine.run(spark,

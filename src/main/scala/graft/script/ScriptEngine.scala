@@ -349,8 +349,31 @@ object ScriptEngine {
     env
   }
 
+  /** Contract for user-defined operators loadable by class name from a
+    * script — the reference's uriOperator / USER_DEFINED_TUPLE_OPERATOR
+    * (grammar :133, operator/OperatorType.java:59-60). Implementations need
+    * a no-arg constructor.
+    */
+  trait UserOperator {
+    def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame
+  }
+
   private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame): DataFrame = {
-    if (p.kw("LOAD")) {
+    if (p.kw("OPERATOR")) {
+      // o = OPERATOR 'fully.qualified.ClassName' in1, in2 ['(' 'k':'v', … ')'];
+      val cls = p.str()
+      val inputs = identList(p).map(rel)
+      val params = Seq.newBuilder[(String, String)]
+      if (p.punct("(")) {
+        if (!p.punct(")")) {
+          val k = p.str(); p.expectPunct(":"); params += (k -> p.str())
+          while (p.punct(",")) { val k2 = p.str(); p.expectPunct(":"); params += (k2 -> p.str()) }
+          p.expectPunct(")")
+        }
+      }
+      Class.forName(cls).getDeclaredConstructor().newInstance()
+        .asInstanceOf[UserOperator](inputs, params.result().toMap)
+    } else if (p.kw("LOAD")) {
       if (p.kw("BLOCK")) {
         // LOAD BLOCK [IN MEMORY] FROM table MATCHING x — read the co-bucketed
         // table; MATCHING is metadata on Spark (the bucket spec already

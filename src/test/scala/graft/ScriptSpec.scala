@@ -29,6 +29,14 @@ class ScriptSpec extends SparkSpec {
     assert(out.collect().head.getLong(0) == 6L)
   }
 
+  test("user-defined operator loads by class name with inputs and params") {
+    val out = ScriptEngine.run(spark,
+      "o = OPERATOR 'graft.SampleUnionOperator' a, b ('tag': 'x');",
+      env0 = env("a" -> Seq(1).toDF("v"), "b" -> Seq(2).toDF("v")))("o")
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "x"), (2, "x")))
+  }
+
   test("the reference's wordcount.cmr runs under the phase-syntax front end") {
     // release/examples/wordcount.cmr body, verbatim except the output path
     // (the example writes to a relative "output" dir); $CUBERT_HOME comes
@@ -282,4 +290,14 @@ class ScriptSpec extends SparkSpec {
       params = Map("lo" -> "2"), env0 = env("t" -> df))("f")
     assert(out.count() == 2)
   }
+}
+
+/** Sample user operator for the OPERATOR statement test (needs a stable
+  * top-level class name for Class.forName).
+  */
+class SampleUnionOperator extends graft.script.ScriptEngine.UserOperator {
+  def apply(inputs: Seq[org.apache.spark.sql.DataFrame],
+            params: Map[String, String]): org.apache.spark.sql.DataFrame =
+    inputs.reduce(_ unionByName _)
+      .withColumn("tag", org.apache.spark.sql.functions.lit(params("tag")))
 }

@@ -43,6 +43,12 @@ object Builtins {
     */
   def uniqueId(): Column = monotonically_increasing_id()
 
+  /** SEQNO — sequential number within the partition ("block"), 1-based
+    * (reference: functions/builtin/SeqNo.java:34 counts per task).
+    */
+  def seqNo(): Column =
+    expr("row_number() over (partition by spark_partition_id() order by monotonically_increasing_id())")
+
   /** Typecasts — reference: functions/builtin/Typecast.java:30. */
   def castToInt(c: Column): Column = c.cast("int")
   def castToLong(c: Column): Column = c.cast("long")

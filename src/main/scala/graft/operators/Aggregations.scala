@@ -37,6 +37,9 @@ object Aggregations {
     // MEDIAN_SUM / ExtractMedianOperator dance (ExtractMedianOperator.java:35)
     // collapses to Spark's exact median.
     case "MEDIAN"         => median(c)
+    // COUNT_TO_ONE (operator/cube/ValueAggregationType.java:23): 1 per
+    // group with any input row — re-aggregates with SUM to count groups
+    case "COUNT_TO_ONE"   => when(count(c) > 0, lit(1L)).otherwise(lit(0L))
     case other => throw new IllegalArgumentException(s"unknown aggregation: $other")
   }
 

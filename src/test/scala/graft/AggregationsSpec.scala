@@ -32,6 +32,20 @@ class AggregationsSpec extends SparkSpec {
     assert(out.getDouble(0) == 65.0 && out.getLong(1) == 4)
   }
 
+  test("COUNT_TO_ONE emits 1 per group and SUM-rolls-up to a group count") {
+    val one = Aggregations.groupBy(df, Seq("k"), Seq(("COUNT_TO_ONE", lit(1), "o")))
+    assert(one.collect().forall(_.getLong(1) == 1L))
+    assert(one.agg(org.apache.spark.sql.functions.sum("o")).collect().head.getLong(0)
+      == df.select("k").distinct().count())
+  }
+
+  test("SEQNO numbers rows sequentially within each partition") {
+    val n = Seq(1, 2, 3, 4, 5, 6).toDF("x").repartition(2)
+      .select(graft.functions.Builtins.seqNo().as("s")).collect().map(_.getInt(0))
+    assert(n.count(_ == 1) == 2) // two partitions, each starts at 1
+    assert(n.max <= 6 && n.min == 1)
+  }
+
   test("BAG collects values sorted for determinism (ArrayListAggregation.java:35)") {
     val out = Aggregations.groupBy(df, Seq("k"), Seq(("BAG", col("i"), "bag")))
       .filter($"k" === "a").collect().head.getSeq[Int](1)

@@ -440,10 +440,33 @@ object ScriptEngine {
       val counter = if (p.kw("COUNTER")) { p.expectKw("AS"); Some(p.ident()) } else None
       Relational.duplicate(df, n, counter)
     } else if (p.kw("FLATTEN")) {
+      // FLATTEN x BY col [AS name]                  — our concise bag form
+      //           | col TUPLE (n:t,…)               — struct → columns
+      //           | col BAG (n:t,…)                 — one row per element
+      //           | col BAG_TUPLE (n:t,…)           — explode then splat
+      // (grammar flattenItem :141-144; the (name:type) list is the
+      // reference's redeclaration of inferred fields — parsed, names used
+      // for the BAG output column, types validated by Catalyst)
       val df = rel(p.ident())
       p.expectKw("BY"); val c = p.ident()
-      p.expectKw("AS"); val as = p.ident()
-      Relational.flattenBag(df, c, as)
+      def typeNames(): Seq[String] = {
+        val names = Seq.newBuilder[String]
+        if (p.punct("(")) {
+          names += p.ident()
+          if (p.punct(":")) p.ident()
+          while (p.punct(",")) { names += p.ident(); if (p.punct(":")) p.ident() }
+          p.expectPunct(")")
+        }
+        names.result()
+      }
+      if (p.kw("TUPLE")) { typeNames(); Relational.flattenTuple(df, c) }
+      else if (p.kw("BAG_TUPLE")) { typeNames(); Relational.flattenBagTuple(df, c) }
+      else if (p.kw("BAG")) {
+        val names = typeNames()
+        Relational.flattenBag(df, c, names.headOption.getOrElse(c))
+      } else {
+        p.expectKw("AS"); Relational.flattenBag(df, c, p.ident())
+      }
     } else if (p.kw("GATHER")) {
       identList(p).map(rel).reduce(_ unionByName _)
     } else if (p.kw("DICTIONARY")) {
@@ -539,7 +562,7 @@ object ScriptEngine {
       p.expectKw("BY"); val dims = identList(p)
       val inner = if (p.kw("INNER")) identList(p) else Nil
       p.expectKw("AGGREGATES")
-      if (inner.isEmpty) {
+      val result = if (inner.isEmpty) {
         val aggs = aggListRaw(p, df)
         // optional GROUPING SETS ((a,b),(a),()) | GROUPING COMBOS n |
         // ROLLUPS (a,b),(c) clause (grammar :135-137)
@@ -578,6 +601,10 @@ object ScriptEngine {
         val alias = p.ident()
         CubeOps.dupleCube(df, dims, inner, outer.toLowerCase, innerAggSql, alias)
       }
+      // HTSIZE n (grammar :121) sized the reference's in-memory cube hash
+      // table; Spark's HashAggregate spills, so the knob parses and erases
+      if (p.kw("HTSIZE")) p.num()
+      result
     } else if (p.kw("ROLLUP")) {
       val df = rel(p.ident())
       p.expectKw("BY"); val dims = identList(p)

@@ -119,6 +119,25 @@ class ScriptSpec extends SparkSpec {
     assert(out.count() == 5) // 2 d1 + 2 d2 + 1 total
   }
 
+  test("flatten variants: TUPLE, BAG with type list, BAG_TUPLE; cube HTSIZE parses") {
+    val nested = Seq((1, (10, "a")), (2, (20, "b"))).toDF("id", "st")
+    val t1 = ScriptEngine.run(spark, "f = FLATTEN n BY st TUPLE (x:int, y:string);",
+      env0 = env("n" -> nested))("f")
+    assert(t1.columns.toSeq == Seq("id", "_1", "_2"))
+    val bags = Seq((1, Seq(10, 20))).toDF("id", "vs")
+    val t2 = ScriptEngine.run(spark, "f = FLATTEN b BY vs BAG (v:int);",
+      env0 = env("b" -> bags))("f")
+    assert(t2.columns.toSeq == Seq("id", "v") && t2.count() == 2)
+    val bagTuples = Seq((1, Seq((10, "a"), (20, "b")))).toDF("id", "ts")
+    val t3 = ScriptEngine.run(spark, "f = FLATTEN bt BY ts BAG_TUPLE (x:int, y:string);",
+      env0 = env("bt" -> bagTuples))("f")
+    assert(t3.count() == 2 && t3.columns.length == 3)
+    val cube = ScriptEngine.run(spark,
+      "c = CUBE t BY d1 AGGREGATES COUNT(1) AS n HTSIZE 2000000;",
+      env0 = env("t" -> Seq(("a", 1)).toDF("d1", "m")))("c")
+    assert(cube.count() == 2)
+  }
+
   test("cube with GROUPING COMBOS and ROLLUPS clauses") {
     val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("d1", "d2", "m")
     val combos = ScriptEngine.run(spark,

@@ -44,6 +44,34 @@ object Dictionary {
     existing.unionByName(newVals)
   }
 
+  /** Multi-column dictionary — the reference's global dictionary shape:
+    * one (colname, colvalue, code) relation covering several columns
+    * (reference: plan/physical/GenerateDictionary.java:50; codes are
+    * per-column, each starting at 1).
+    */
+  def createMulti(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map(c => create(df, c).withColumn("colname", lit(c)))
+      .reduce(_ unionByName _)
+
+  /** Slice a dictionary down to one column's map: multi-column dictionaries
+    * filter on colname, per-column dictionaries pass through.
+    */
+  private def forColumn(dict: DataFrame, column: String): DataFrame =
+    if (dict.columns.contains("colname")) dict.filter(col("colname") === column)
+    else dict
+
+  /** ENCODE over several columns against a (possibly multi-column)
+    * dictionary (reference grammar: ENCODE ID on columns — plural).
+    */
+  def encodeMulti(df: DataFrame, cols: Seq[String], dict: DataFrame,
+                  nullsAs: Int = 0, unknownsAs: Option[Int] = None): DataFrame =
+    cols.foldLeft(df)((d, c) => encode(d, c, forColumn(dict, c), nullsAs, unknownsAs))
+
+  /** DECODE over several columns against a (possibly multi-column) dictionary. */
+  def decodeMulti(df: DataFrame, cols: Seq[String], dict: DataFrame,
+                  unknownsAs: Option[String] = None): DataFrame =
+    cols.foldLeft(df)((d, c) => decode(d, c, forColumn(dict, c), unknownsAs))
+
   /** ENCODE x ON col USING dict [NULLS AS v] [UNKNOWNS AS n] — replace the
     * string column by its int code via broadcast join
     * (reference: DictionaryEncodeOperator.java:48).

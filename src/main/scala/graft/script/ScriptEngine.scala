@@ -470,24 +470,37 @@ object ScriptEngine {
     } else if (p.kw("GATHER")) {
       identList(p).map(rel).reduce(_ unionByName _)
     } else if (p.kw("DICTIONARY")) {
-      // DICTIONARY x ON col — build the (colvalue, code) dictionary relation
+      // DICTIONARY x ON cols — one column gives the plain (colvalue, code)
+      // relation; several give the reference's global (colname, colvalue,
+      // code) shape (GenerateDictionary.java:50)
       val df = rel(p.ident())
       p.expectKw("ON")
-      Dictionary.create(df, p.ident())
+      val cs = identList(p)
+      if (cs.length == 1) Dictionary.create(df, cs.head)
+      else Dictionary.createMulti(df, cs)
     } else if (p.kw("ENCODE")) {
-      // ENCODE x ON col USING dictRel [NULLS AS n] [UNKNOWNS AS u]
+      // ENCODE x ON cols USING (dictRel | 'path') [NULLS AS n] [UNKNOWNS AS u]
+      // (grammar: encodeOperator accepts a stored-dictionary path or a name)
       val df = rel(p.ident())
-      p.expectKw("ON"); val c = p.ident()
-      p.expectKw("USING"); val dict = rel(p.ident())
+      p.expectKw("ON"); val cs = identList(p)
+      p.expectKw("USING")
+      val dict = p.peek match {
+        case Some(Str(_)) => spark.read.parquet(p.str())
+        case _            => rel(p.ident())
+      }
       val nulls = if (p.kw("NULLS")) { p.expectKw("AS"); p.num().toInt } else 0
       val unknowns = if (p.kw("UNKNOWNS")) { p.expectKw("AS"); Some(p.num().toInt) } else None
-      Dictionary.encode(df, c, dict, nulls, unknowns)
+      Dictionary.encodeMulti(df, cs, dict, nulls, unknowns)
     } else if (p.kw("DECODE")) {
       val df = rel(p.ident())
-      p.expectKw("ON"); val c = p.ident()
-      p.expectKw("USING"); val dict = rel(p.ident())
+      p.expectKw("ON"); val cs = identList(p)
+      p.expectKw("USING")
+      val dict = p.peek match {
+        case Some(Str(_)) => spark.read.parquet(p.str())
+        case _            => rel(p.ident())
+      }
       val unknowns = if (p.kw("UNKNOWNS")) { p.expectKw("AS"); Some(p.str()) } else None
-      Dictionary.decode(df, c, dict, unknowns)
+      Dictionary.decodeMulti(df, cs, dict, unknowns)
     } else if (p.kw("TEE")) {
       // TEE x INTO 'path' USING fmt [IF cond] — side output; main flow
       // continues (WITH SPLIT removes matching rows from main)

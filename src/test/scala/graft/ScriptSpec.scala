@@ -119,6 +119,24 @@ class ScriptSpec extends SparkSpec {
     assert(out.count() == 5) // 2 d1 + 2 d2 + 1 total
   }
 
+  test("multi-column dictionary, path-stored dictionary, encode/decode roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dict").toString
+    val df = Seq((1, "gold", "eu"), (2, "silver", "us"), (3, "gold", "us"))
+      .toDF("id", "tier", "region")
+    val out = ScriptEngine.run(spark,
+      s"""d = DICTIONARY t ON tier, region;
+         |STORE d INTO '$dir/dict' USING PARQUET;
+         |e = ENCODE t ON tier, region USING '$dir/dict';
+         |r = DECODE e ON tier, region USING d;""".stripMargin,
+      env0 = env("t" -> df))
+    val enc = out("e").orderBy("id").collect()
+    assert(enc.map(_.getInt(1)).toSeq == Seq(1, 2, 1))   // gold=1, silver=2
+    assert(enc.map(_.getInt(2)).toSeq == Seq(1, 2, 2))   // eu=1, us=2
+    val rt = out("r").orderBy("id").collect()
+    assert(rt.map(_.getString(1)).toSeq == Seq("gold", "silver", "gold"))
+    assert(rt.map(_.getString(2)).toSeq == Seq("eu", "us", "us"))
+  }
+
   test("flatten variants: TUPLE, BAG with type list, BAG_TUPLE; cube HTSIZE parses") {
     val nested = Seq((1, (10, "a")), (2, (20, "b"))).toDF("id", "st")
     val t1 = ScriptEngine.run(spark, "f = FLATTEN n BY st TUPLE (x:int, y:string);",

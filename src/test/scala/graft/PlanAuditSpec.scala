@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Enforced plan-shape audits: the properties that make each operator
+  * family survive a 100 TB scale-up are asserted on the actual physical
+  * plans, not just documented (SCALING.md) or eyeballed (graft.Explain).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE for THIS df
+    val formatted = df.queryExecution.explainString(FormattedMode)
+    val initialIdx = formatted.indexOf("== Initial Plan ==")
+    if (initialIdx > 0) formatted.substring(0, initialIdx) else formatted
+  }
+
+  private def details(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("filter pushdown reaches the parquet scan (q02)") {
+    val d = details(SparkEntry.queries("q02_filter")(spark, dir))
+    assert(d.contains("PushedFilters: ["), s"no pushed filters in:\n$d")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity".r.findFirstIn(d).isDefined,
+      s"l_quantity predicate not pushed:\n$d")
+  }
+
+  test("column pruning: the 2-column aggregate reads only what it needs (q34)") {
+    val d = details(SparkEntry.queries("q34_wordcount")(spark, dir))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(d).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 2, s"over-wide scan: $read")
+  }
+
+  test("HASH-JOIN broadcasts the build side — no shuffle join (q16)") {
+    val p = executedPlan(SparkEntry.queries("q16_join_hash")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in hash-join query:\n$p")
+  }
+
+  test("MERGE JOIN pins sort-merge (q15 first join)") {
+    val li = sf("lineitem"); val ord = sf("orders")
+    val p = executedPlan(graft.operators.Joins.mergeJoin(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), ord, Seq("o_orderkey")))
+    assert(p.contains("SortMergeJoin"), s"merge hint did not pin SMJ:\n$p")
+  }
+
+  test("cube pre-aggregation puts a leaf aggregate below the Expand (q55)") {
+    val opt = SparkEntry.queries("q55_cube_wide")(spark, dir)
+      .queryExecution.optimizedPlan.treeString
+    assert("(?s)Expand.*Aggregate.*Relation".r.findFirstIn(opt).isDefined,
+      s"no leaf aggregate below Expand:\n$opt")
+  }
+
+  test("TOP N pushes a window group limit below the shuffle (q28)") {
+    val p = details(SparkEntry.queries("q28_topn")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("partial aggregation runs map-side before the exchange (q10)") {
+    val d = details(SparkEntry.queries("q10_groupby")(spark, dir))
+    assert("partial_sum|partial_count".r.findFirstIn(d).isDefined,
+      s"no partial aggregate:\n$d")
+  }
+
+  test("bucketed MERGE JOIN elides shuffle and sort (blockgen'd inputs)") {
+    val left = sf("nation").select("n_nationkey", "n_name")
+    val right = sf("nation").select("n_nationkey", "n_regionkey")
+    graft.operators.Blockgen.blockgen(left, "audit_bg_l", Seq("n_nationkey"), Seq("n_nationkey"), 2)
+    graft.operators.Blockgen.blockgen(right, "audit_bg_r", Seq("n_nationkey"), Seq("n_nationkey"), 2)
+    val j = graft.operators.Joins.mergeJoin(
+      spark.table("audit_bg_l"), spark.table("audit_bg_r"), Seq("n_nationkey"))
+    val p = executedPlan(j)
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange ("), s"bucketed SMJ still shuffles:\n$p")
+  }
+}

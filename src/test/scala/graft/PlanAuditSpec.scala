@@ -24,6 +24,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("filter pushdown reaches the parquet scan (q02)") {
+    // other suites may have persisted overlapping plans (q48 multipass);
+    // the audit is about the uncached scan
+    spark.catalog.clearCache()
     val d = details(SparkEntry.queries("q02_filter")(spark, dir))
     assert(d.contains("PushedFilters: ["), s"no pushed filters in:\n$d")
     assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity".r.findFirstIn(d).isDefined,
@@ -31,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("column pruning: the 2-column aggregate reads only what it needs (q34)") {
+    spark.catalog.clearCache()
     val d = details(SparkEntry.queries("q34_wordcount")(spark, dir))
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(d).map(_.group(1)).getOrElse("")
     assert(read.split(",").length <= 2, s"over-wide scan: $read")

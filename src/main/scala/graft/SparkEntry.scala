@@ -304,6 +304,9 @@ object SparkEntry {
     "q66_subword" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+    "q68_langid_ngram" -> ((s, d) =>
+      TextAnalysis.withLangIdNgram(t(s, d, "documents"))
+        .select("doc_id", "lang", "lang_ngram")),
 
     // ---- dedup extensions -------------------------------------------------------------
     "q39_dedup_exact" -> ((s, d) =>
@@ -744,6 +747,19 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q67_incremental_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd_cust
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q68_langid_ngram" -> {
+      val values = graft.text.TextAnalysis.ngramProfiles.zipWithIndex.map {
+        case ((lang, grams), i) =>
+          val score = grams
+            .map(g => s"(length(t) - length(regexp_replace(t, '$g', '', 'g')))")
+            .mkString(" + ")
+          s"($score, ${-i}, '$lang')"
+      }.mkString(", ")
+      s"""WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents)
+        |SELECT doc_id, lang,
+        |  (SELECT l FROM (VALUES $values) v(s, o, l) ORDER BY s DESC, o DESC LIMIT 1) AS lang_ngram
+        |FROM lowered""".stripMargin
+    }
   )
 }

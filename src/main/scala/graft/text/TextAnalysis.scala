@@ -91,6 +91,31 @@ object TextAnalysis {
     df.withColumn(as, array_max(array(scored: _*)).getField("lang"))
   }
 
+  /** Language ID by character-n-gram profile counting: each language has a
+    * signature trigram list; score = total characters matched by its
+    * trigrams in the lowercased text (length-weighted occurrence count via
+    * pure integer arithmetic — len(t) - len(remove(t, g)) — identical in
+    * any SQL engine, so the oracle reproduces the exact scores); argmax
+    * wins, ties to the first language listed.
+    */
+  val ngramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "ing", "and", "ion"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("les", "ent", "ion", "que", "eur"),
+    "es" -> Seq("que", "los", "ndo", "ado", "nte"))
+
+  def withLangIdNgram(df: DataFrame, textCol: String = "text",
+                      as: String = "lang_ngram"): DataFrame = {
+    val t = lower(col(textCol))
+    val scored = ngramProfiles.zipWithIndex.map { case ((lang, grams), i) =>
+      val score = grams.map(g =>
+        length(t) - length(regexp_replace(t, g, ""))).reduce(_ + _)
+      // tie-break to the FIRST profile: pack (score, -index) and take max
+      struct(score.cast("long").as("score"), lit(-i).as("ord"), lit(lang).as("lang"))
+    }
+    df.withColumn(as, array_max(array(scored: _*)).getField("lang"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized token stream.
     * Equal fingerprints ⇒ equal token sequences regardless of whitespace
     * layout — the cheap exact-dup key for 100 TB dedup passes (hash first,

@@ -135,6 +135,17 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("ngram language id scores signature trigrams and breaks ties to the first profile") {
+    val df = Seq((1L, "the thing standing and breathing"),
+      (2L, "der schein und das schiff ich"),
+      (3L, "les entendre que bonheur"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangIdNgram(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr")
+    assert(got(4L) == "en") // all-zero scores tie-break to the first profile
+  }
+
   test("dirty data: null and empty text flow through text/dedup operators without crashing") {
     val docs = Seq((1L, "real document with several tokens here"),
       (2L, null), (3L, ""), (4L, "   \t \n ")).toDF("doc_id", "text")

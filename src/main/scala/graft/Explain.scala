@@ -24,8 +24,8 @@ object Explain {
       // which would double- and triple-count operators
       val initialIdx = formatted.indexOf("== Initial Plan ==")
       val finalTree = if (initialIdx > 0) formatted.substring(0, initialIdx) else formatted
-      val exchanges = "(?<!Broadcast)Exchange \\(".r.findAllIn(finalTree).size
-      val broadcasts = "BroadcastExchange \\(".r.findAllIn(finalTree).size
+      val exchanges = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(finalTree).size
+      val broadcasts = "(?<!Reused)BroadcastExchange \\(".r.findAllIn(finalTree).size
       val scans = "Scan parquet".r.findAllIn(finalTree).size
       val codegen = "codegen id : (\\d+)".r.findAllMatchIn(formatted).map(_.group(1)).toSet.size
       println(s"==== $name  shuffles=$exchanges broadcasts=$broadcasts scans=$scans codegenSpans=$codegen")

@@ -50,13 +50,25 @@ object Tables {
   // catalog; re-running spark.read.parquet per query re-lists files and
   // re-reads footers on the driver (~50-100 ms/table), which is resolution
   // overhead, not query cost. The cached DataFrame is an immutable logical
-  // plan — execution still scans the data every time.
+  // plan — execution still scans the data every time. Keyed weakly by the
+  // session object so stopped/collected sessions release their entries and
+  // a recycled identity can never serve a stale DataFrame.
   private val resolved =
-    new scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    resolved.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
-      doLoad(spark, sfDir, name))
+    resolved.synchronized {
+      val perSession = {
+        val m = resolved.get(spark)
+        if (m != null) m
+        else {
+          val m2 = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+          resolved.put(spark, m2); m2
+        }
+      }
+      perSession.getOrElseUpdate((sfDir, name), doLoad(spark, sfDir, name))
+    }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

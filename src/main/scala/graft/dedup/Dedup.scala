@@ -183,7 +183,7 @@ object Dedup {
     * transitive closure.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                  maxIter: Int = 20): DataFrame = {
+                  maxIter: Int = 50): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -207,6 +207,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    require(changed == 0,
+      s"dupClusters did not converge within $maxIter rounds ($changed labels still " +
+        "changing) — raise maxIter for graphs with diameter > maxIter")
+    // the returned labeling stays persisted: its lineage is one join per
+    // round, so recomputing would replay the whole loop. Callers that are
+    // done with it should unpersist().
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

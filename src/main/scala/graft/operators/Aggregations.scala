@@ -38,8 +38,10 @@ object Aggregations {
     // collapses to Spark's exact median.
     case "MEDIAN"         => median(c)
     // COUNT_TO_ONE (operator/cube/ValueAggregationType.java:23): 1 per
-    // group with any input row — re-aggregates with SUM to count groups
-    case "COUNT_TO_ONE"   => when(count(c) > 0, lit(1L)).otherwise(lit(0L))
+    // group with any input row — re-aggregates with SUM to count groups.
+    // count(lit(1)), not count(c): an all-NULL argument still marks the
+    // group as present
+    case "COUNT_TO_ONE"   => when(count(lit(1)) > 0, lit(1L)).otherwise(lit(0L))
     case other => throw new IllegalArgumentException(s"unknown aggregation: $other")
   }
 

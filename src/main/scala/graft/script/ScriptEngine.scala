@@ -93,6 +93,15 @@ object ScriptEngine {
       case Some(Word(w)) if w.equalsIgnoreCase(s) => pos += 1; true
       case _ => false
     }
+    /** Statement-leading keyword: matches only when NOT followed by '=' so
+      * a relation named `map`/`set`/`store`/… still parses as an assignment
+      * (`map = FILTER a BY …;`).
+      */
+    def stmtKw(s: String): Boolean = peek match {
+      case Some(Word(w)) if w.equalsIgnoreCase(s) &&
+        (pos + 1 >= toks.length || toks(pos + 1) != Punct("=")) => pos += 1; true
+      case _ => false
+    }
     def expectKw(s: String): Unit =
       require(kw(s), s"expected $s at ${toks.drop(pos).take(5)}")
     def punct(s: String): Boolean = peek match {
@@ -248,9 +257,10 @@ object ScriptEngine {
           params: Map[String, String] = Map.empty,
           env0: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
     // both our %name% and the reference's $NAME property substitution
-    // (CmrExecutor.java:46-49)
-    val substituted = params.foldLeft(script) { case (s, (k, v)) =>
-      s.replace(s"%$k%", v).replace("$" + k, v)
+    // (CmrExecutor.java:46-49); longest names first so $DIR2 is never
+    // clobbered by a $DIR replacement
+    val substituted = params.toSeq.sortBy(-_._1.length).foldLeft(script) {
+      case (s, (k, v)) => s.replace(s"%$k%", v).replace("$" + k, v)
     }
     val p = new P(lex(substituted))
     var env = env0
@@ -259,19 +269,19 @@ object ScriptEngine {
 
     def statement(p: P): Unit = {
       if (p.punct(";")) () // empty statement
-      else if (p.kw("PROGRAM")) { p.str(); p.expectPunct(";") }
+      else if (p.stmtKw("PROGRAM")) { p.str(); p.expectPunct(";") }
       // ---- MR phase syntax, parsed but ERASED to dataflow (SURVEY §7.1):
       // JOB/END group statements, MAP/REDUCE braces concatenate, REDUCERS
       // and SET are recorded-and-ignored (Catalyst plans the shuffles)
-      else if (p.kw("SET")) { p.ident(); p.exprUntil(Set.empty); p.expectPunct(";") }
-      else if (p.kw("JOB")) { p.str() }
-      else if (p.kw("END")) ()
-      else if (p.kw("REDUCERS")) { p.num(); p.expectPunct(";") }
-      else if (p.kw("MAP") || p.kw("REDUCE")) {
+      else if (p.stmtKw("SET")) { p.ident(); p.exprUntil(Set.empty); p.expectPunct(";") }
+      else if (p.stmtKw("JOB")) { p.str() }
+      else if (p.stmtKw("END")) ()
+      else if (p.stmtKw("REDUCERS")) { p.num(); p.expectPunct(";") }
+      else if (p.stmtKw("MAP") || p.stmtKw("REDUCE")) {
         p.expectPunct("{")
         while (!p.punct("}")) statement(p)
       }
-      else if (p.kw("SHUFFLE")) {
+      else if (p.stmtKw("SHUFFLE")) {
         // phase-form SHUFFLE (no lhs): re-binds the relation in place.
         // AGGREGATES = the combiner declaration (ShuffleRewriter.java:495-523)
         // — the full aggregation is planned partial+final by Spark, so the
@@ -287,7 +297,7 @@ object ScriptEngine {
         env = env.updated(name, out)
         p.expectPunct(";")
       }
-      else if (p.kw("MULTIPASS")) {
+      else if (p.stmtKw("MULTIPASS")) {
         // MULTIPASS { cmds } { cmds }+ — several single-pass chains over one
         // materialized input (grammar :74-76; reference:
         // plan/physical/PhaseExecutor.java:114-154). On Spark: persist every
@@ -313,7 +323,7 @@ object ScriptEngine {
           while (sub.peek.isDefined) statement(sub)
         }
       }
-      else if (p.kw("ONCOMPLETION")) {
+      else if (p.stmtKw("ONCOMPLETION")) {
         // ONCOMPLETION { RM 'p'; MV 'a' 'b'; MKDIR 'p'; DUMP rel; }
         // (reference: plan/physical/CompletionTasks.java:28, grammar :195-201)
         val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -330,7 +340,7 @@ object ScriptEngine {
           p.expectPunct(";")
         }
       }
-      else if (p.kw("STORE")) {
+      else if (p.stmtKw("STORE")) {
         val r = rel(p.ident())
         p.expectKw("INTO"); val path = p.str()
         p.expectKw("USING"); val fmt = p.ident().toLowerCase
@@ -548,7 +558,7 @@ object ScriptEngine {
       val df = rel(p.ident())
       p.expectKw("ON")
       df.sortWithinPartitions(orderCols(orderList(p)): _*)
-    } else if (p.kw("SHUFFLE")) {
+    } else if (p.stmtKw("SHUFFLE")) {
       val df = rel(p.ident())
       p.expectKw("PARTITIONED"); p.expectKw("ON")
       val parts = identList(p)

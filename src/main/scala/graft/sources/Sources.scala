@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, concat_ws}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, lit}
 
 import graft.functions.SchemaCodec
 
@@ -54,10 +54,12 @@ object Sources {
     case "csv"               => df.write.mode(mode).option("header", "true").csv(path)
     case "text" =>
       // multi-column TEXT is tab-separated, matching the reference's
-      // TextStorage writer (io/text/TextTeeWriter.java:42)
+      // TextStorage writer (io/text/TextTeeWriter.java:42). NULLs become
+      // empty fields — concat_ws alone would SKIP them and misalign rows
       val out =
         if (df.columns.length > 1)
-          df.select(concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*))
+          df.select(concat_ws("\t",
+            df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
         else df.select(col(df.columns.head).cast("string"))
       out.write.mode(mode).text(path)
     case other => throw new IllegalArgumentException(s"unknown format: $other")

@@ -83,6 +83,23 @@ class ScriptSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("relations named like statement keywords still parse as assignments") {
+    val df = Seq(1, 2, 3).toDF("x")
+    val out = ScriptEngine.run(spark,
+      """map = FILTER t BY x > 1;
+        |set = DISTINCT map;
+        |store = LIMIT set 2;""".stripMargin, env0 = env("t" -> df))
+    assert(out("store").count() == 2)
+  }
+
+  test("TEXT store writes empty fields for NULLs, keeping rows aligned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-textnull").toString
+    val df = Seq((1, Some("a"), "z"), (2, None, "y")).toDF("id", "mid", "tail")
+    graft.sources.Sources.store(df, s"$dir/t", "text")
+    val lines = spark.read.text(s"$dir/t").collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("1\ta\tz", "2\t\ty")) // 3 fields either way
+  }
+
   test("group by without AGGREGATES emits one row per group") {
     val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("x", "k")
     val out = ScriptEngine.run(spark, "g = GROUP t BY k;", env0 = env("t" -> df))("g")

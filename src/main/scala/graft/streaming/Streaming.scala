@@ -88,6 +88,57 @@ object Streaming {
       }
   }
 
+  /** Closed-session emission via flatMapGroupsWithState: per key, events
+    * accumulate into an open session; an event past the gap CLOSES the
+    * previous session (emitting it downstream, zero or more outputs per
+    * invocation — the flatMap shape) and opens a new one. Event-time
+    * timeout evicts idle state at the watermark. The streaming analog of
+    * WindowOps.sessionize that emits each session exactly once, when it
+    * can no longer grow.
+    */
+  case class SessionEvent(key: String, ts: java.sql.Timestamp) {
+    def tsMs: Long = ts.getTime
+  }
+  case class OpenSession(key: String, startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(key: String, startMs: Long, endMs: Long, n: Long)
+
+  /** The `ts` field must carry the input's watermark (withWatermark on the
+    * source column before .as[SessionEvent]) — event-time timeout requires it.
+    */
+  def closedSessions(events: org.apache.spark.sql.Dataset[SessionEvent], gapMs: Long)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.tsMs)
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          if (sorted.isEmpty && state.hasTimedOut) {
+            open.foreach(o => closed += ClosedSession(key, o.startMs, o.lastMs, o.n))
+            state.remove()
+          } else {
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.tsMs - o.lastMs <= gapMs =>
+                  open = Some(o.copy(lastMs = math.max(o.lastMs, e.tsMs), n = o.n + 1))
+                case Some(o) =>
+                  closed += ClosedSession(key, o.startMs, o.lastMs, o.n)
+                  open = Some(OpenSession(key, e.tsMs, e.tsMs, 1))
+                case None =>
+                  open = Some(OpenSession(key, e.tsMs, e.tsMs, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.lastMs + gapMs)
+            }
+          }
+          closed.result().iterator
+      }
+  }
+
   /** Sink a stream to parquet with checkpointing; returns the query handle. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =

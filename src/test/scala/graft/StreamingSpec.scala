@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val ds = in.toDF().toDF("ts", "key")
+      .withWatermark("ts", "10 seconds")
+      .select("key", "ts")
+      .as[Streaming.SessionEvent]
+    val q = Streaming.closedSessions(ds, gapMs = 60000)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), "a"), (ts("2024-01-01 00:00:30"), "a"))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0) // still open
+      // 10 minutes later: gap exceeded — the first session closes and emits
+      in.addData((ts("2024-01-01 00:10:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("closed_sessions").as[Streaming.ClosedSession].collect()
+      assert(rows.length == 1)
+      assert(rows.head.n == 2 && rows.head.endMs - rows.head.startMs == 30000L)
+    } finally q.stop()
+  }
+
   test("file stream end-to-end: read csv dir, window, write parquet") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$dir/in"; val outDir = s"$dir/out"; val ck = s"$dir/ck"

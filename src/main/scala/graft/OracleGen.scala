@@ -213,6 +213,38 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
 
+  // ---- q69 LSH embedding near-dup -----------------------------------------
+
+  /** Hyperplane-band bucketed near-dup pairs with exact cosine verification
+    * — mirrors Dedup.embeddingNearDupLsh (same signature arithmetic as the
+    * ANN oracle).
+    */
+  def embeddingNearDupLsh(threshold: Double, nPlanes: Int, bands: Int): String = {
+    val width = nPlanes / bands
+    val mask = (1L << width) - 1
+    val sign = s"((((((p * 2654435761 + (d - 1)) % $P) * 1103515245 + 12345) % 2147483648) >> 15) & 1) = 0"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(0, ${nPlanes - 1}), p ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, len(v)), d -> CASE WHEN $sign THEN v[d] ELSE -v[d] END)),
+       |          (sa, sx) -> sa + sx) > 0
+       |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
+       |    (pa, px) -> pa + px) AS sg
+       |  FROM e
+       |), banded AS (
+       |  SELECT vec_id, v, band, (sg >> (band * $width)) & $mask AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT id_a, id_b, ${cosine("va", "vb")} AS cosine FROM cand)
+       |WHERE cosine >= $threshold""".stripMargin
+  }
+
   // ---- q64 IVF ANN --------------------------------------------------------
 
   /** IVF nprobe=1: nearest-centroid assignment of both sides (deterministic

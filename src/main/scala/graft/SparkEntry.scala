@@ -326,6 +326,11 @@ object SparkEntry {
         threshold = 0.2)),
     "q43_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.45)),
+    // the 100 TB shape of q43: LSH band buckets generate candidates, exact
+    // cosine verifies only those
+    "q69_embed_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), threshold = 0.45)
+        .select("id_a", "id_b", "cosine")),
 
     // ---- similarity search extensions ----------------------------------------------------
     "q44_ann_brute" -> ((s, d) => {
@@ -709,6 +714,8 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q42_dedup_simhash" -> OracleGen.simHashCandidates(maxHamming = 3),
     "q43_embed_neardup" -> OracleGen.embeddingNearDup(threshold = 0.45),
+    "q69_embed_neardup_lsh" ->
+      OracleGen.embeddingNearDupLsh(threshold = 0.45, nPlanes = 16, bands = 4),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),

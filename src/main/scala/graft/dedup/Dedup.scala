@@ -284,4 +284,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** LSH-bucketed embedding near-dup — the 100 TB shape of
+    * `embeddingNearDup`: candidate pairs come from hyperplane-band bucket
+    * equi-joins (corpus² becomes Σ bucket²), exact cosine verifies only
+    * candidates. High-cosine pairs collide in ≥1 band with high
+    * probability; misses are the recall trade documented in SCALING.md.
+    */
+  def embeddingNearDupLsh(df: DataFrame, threshold: Double = 0.95,
+                          nPlanes: Int = 16, bands: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0)
+    val width = nPlanes / bands
+    val mask = lit((1L << width) - 1)
+    val banded = df.select(col(idCol), col(vecCol),
+      graft.similarity.Similarity.lshSignature(col(vecCol), nPlanes).as("sig"))
+      .select(col(idCol), col(vecCol), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", col("sig"), lit(b * width)).bitwiseAND(mask).as("key"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.key"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col(s"l.$vecCol").as("va"), col(s"r.$vecCol").as("vb"))
+      .distinct()
+      .withColumn("cosine", graft.similarity.Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

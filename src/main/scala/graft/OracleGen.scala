@@ -271,6 +271,119 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
 
+  // ---- q70 repetition features --------------------------------------------
+
+  /** Gopher-style duplicate n-gram fractions — mirrors
+    * TextAnalysis.withRepetitionFeatures (same shingle-hash arithmetic, same
+    * 1.0 - distinct/total double expression shape).
+    */
+  def repetition: String = {
+    def gram(n: Int): String = {
+      val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+      s"CASE WHEN len(hs) >= $n THEN list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle) ELSE CAST([] AS BIGINT[]) END"
+    }
+    def dupFrac(e: String): String =
+      s"CASE WHEN len($e) > 0 THEN 1.0 - CAST(len(list_distinct($e)) AS DOUBLE) / CAST(len($e) AS DOUBLE) ELSE 0.0 END"
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), g AS (
+       |  SELECT doc_id, hs, ${gram(2)} AS bg, ${gram(3)} AS tg FROM th
+       |)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+       |  ${dupFrac("hs")} AS dup_token_frac,
+       |  ${dupFrac("bg")} AS dup_bigram_frac,
+       |  ${dupFrac("tg")} AS dup_trigram_frac
+       |FROM g""".stripMargin
+  }
+
+  // ---- q71 PII scrub ------------------------------------------------------
+
+  /** Synthesized-PII scrub — mirrors TextAnalysis.withPiiScrub over the same
+    * deterministic doc_id-derived contact string (the corpus itself contains
+    * no PII; the synthesis exercises the regex path with real matches).
+    */
+  def piiScrub: String = {
+    val email = TextAnalysis.emailPattern
+    val phone = TextAnalysis.phonePattern
+    val ip = TextAnalysis.ipv4Pattern
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-' ||
+       |    CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |    '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS text_redacted
+       |FROM s""".stripMargin
+  }
+
+  // ---- q72/q73 deterministic sampling -------------------------------------
+
+  /** Sampling.hashBucket: LCG-finalized charPolyHash("salt:" || key) mod
+    * buckets (the LCG round mirrors the operator's mixing step).
+    */
+  def hashBucket(keyExpr: String, salt: String, buckets: Long): String =
+    s"(((${charHash(s"'$salt:' || CAST($keyExpr AS VARCHAR)")} * 1103515245 + 12345) % $P) % $buckets)"
+
+  /** Stratified hash sampling — mirrors Sampling.stratifiedHashSample. */
+  def sampleStratified(rates: Seq[(String, Int)], defaultPermille: Int): String = {
+    val cases = rates.map { case (s, pm) => s"WHEN '$s' THEN $pm" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${hashBucket("doc_id", "smp", 1000)} < CASE lang $cases ELSE $defaultPermille END""".stripMargin
+  }
+
+  /** Fixed-size per-stratum sample — mirrors Sampling.reservoirPerKey. */
+  def sampleReservoir(n: Int): String =
+    s"""SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank FROM (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY ${hashBucket("doc_id", "smp", 1L << 30)}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $n""".stripMargin
+
+  // ---- q74 sequence packing -----------------------------------------------
+
+  /** Greedy per-language token packing — the recursive-CTE transcription of
+    * Packing.packGreedy's running-state scan (one recursion step per row in
+    * doc_id order within each language).
+    */
+  def packGreedy(capacity: Long): String =
+    s"""WITH RECURSIVE sz AS (
+       |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+       |), num AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM sz
+       |), packed(lang, rn, doc_id, n_tokens, cum, pack_id, pack_pos) AS (
+       |  SELECT lang, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM num WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.lang, n.rn, n.doc_id, n.n_tokens,
+       |    CASE WHEN p.cum + n.n_tokens <= $capacity THEN p.cum + n.n_tokens ELSE n.n_tokens END,
+       |    CASE WHEN p.cum + n.n_tokens <= $capacity THEN p.pack_id ELSE p.pack_id + 1 END,
+       |    CASE WHEN p.cum + n.n_tokens <= $capacity THEN p.pack_pos + 1 ELSE CAST(0 AS BIGINT) END
+       |  FROM num n JOIN packed p ON n.lang = p.lang AND n.rn = p.rn + 1
+       |)
+       |SELECT doc_id, lang, n_tokens, pack_id, pack_pos FROM packed""".stripMargin
+
+  // ---- q75 mixture plan ---------------------------------------------------
+
+  /** Token-budget mixture allocation — mirrors Sampling.mixturePlan (integer
+    * totals, one double division + floor per stratum: bit-stable).
+    */
+  def mixturePlan(budget: Long): String =
+    s"""WITH per AS (
+       |  SELECT lang AS stratum, count(1) AS n_docs,
+       |    CAST(sum(len($toks)) AS BIGINT) AS stratum_tokens
+       |  FROM documents GROUP BY lang
+       |), tot AS (SELECT CAST(sum(stratum_tokens) AS BIGINT) AS total_tokens FROM per)
+       |SELECT stratum, n_docs, stratum_tokens,
+       |  CAST(stratum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+       |  CAST(floor($budget.0 * (CAST(stratum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS BIGINT) AS alloc_tokens
+       |FROM per CROSS JOIN tot""".stripMargin
+
   // ---- q45 LSH ANN --------------------------------------------------------
 
   def annLsh(k: Int, nPlanes: Int, bands: Int, maxQueryId: Long): String = {

@@ -447,6 +447,46 @@ object SparkEntry {
       Incremental.query(s, mv, Seq("o_orderpriority"),
         Seq(("SUM", "sk", "sum_key"), ("SUM", "n", "n_rows")))
     }),
+    // ---- training-data pipeline: repetition / PII / sampling / packing ----
+    // Gopher-style duplicate n-gram fractions (narrow map, no shuffle)
+    "q70_repetition" -> ((s, d) =>
+      TextAnalysis.withRepetitionFeatures(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "dup_token_frac", "dup_bigram_frac", "dup_trigram_frac")),
+    // PII scrub over a deterministic doc_id-derived contact string (the
+    // corpus has no natural PII; synthesis gives the regexes real matches)
+    "q71_pii_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val synth = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com ph 555-"), (lit(1000) + col("doc_id") % 9000).cast("string"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      TextAnalysis.withPiiScrub(docs.select(col("doc_id"), synth.as("text")))
+        .select("doc_id", "n_emails", "n_phones", "n_ipv4", "text_redacted")
+    }),
+    // deterministic stratified down-sampling by content-hash bucket
+    "q72_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedHashSample(t(s, d, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
+        .select("doc_id", "lang")),
+    // fixed-size per-stratum sample (deterministic reservoir analog)
+    "q73_sample_reservoir" -> ((s, d) =>
+      Sampling.reservoirPerKey(t(s, d, "documents").select("doc_id", "lang"),
+        col("lang"), col("doc_id"), n = 20)),
+    // greedy sequence packing into 200-token context windows per language
+    "q74_pack_sequences" -> ((s, d) =>
+      Packing.packGreedy(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "lang", "doc_id", "n_tokens", capacity = 200)),
+    // mixture-weighted corpus assembly: allocate a global token budget
+    // proportionally to each language's share
+    "q75_mixture_plan" -> ((s, d) =>
+      Sampling.mixturePlan(
+        t(s, d, "documents").select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        col("lang"), col("n_tokens"), budget = 20000L)),
+
     // incremental COUNT DISTINCT via member-level summaries — the
     // reference's flagship incremental computation (CountDistinctRewriter):
     // members recurring across months must count once
@@ -755,6 +795,14 @@ object SparkEntry {
     "q67_incremental_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd_cust
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q70_repetition" -> OracleGen.repetition,
+    "q71_pii_scrub" -> OracleGen.piiScrub,
+    "q72_sample_stratified" -> OracleGen.sampleStratified(
+      Seq("de" -> 1000, "en" -> 500, "es" -> 250, "fr" -> 250, "zh" -> 100),
+      defaultPermille = 1000),
+    "q73_sample_reservoir" -> OracleGen.sampleReservoir(n = 20),
+    "q74_pack_sequences" -> OracleGen.packGreedy(capacity = 200),
+    "q75_mixture_plan" -> OracleGen.mixturePlan(budget = 20000L),
     "q68_langid_ngram" -> {
       val values = graft.text.TextAnalysis.ngramProfiles.zipWithIndex.map {
         case ((lang, grams), i) =>

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic sampling operators for training-data pipelines. All
+  * selection decisions derive from the engine-portable content hash
+  * (graft.functions.PortableHash), not from RNG state, so (a) a sample is
+  * reproducible run-to-run and engine-to-engine (the DuckDB oracle included),
+  * (b) re-running over a grown dataset keeps previously selected rows
+  * selected (stable under appends), and (c) no coordination is needed across
+  * executors — every decision is a narrow per-row map, no shuffle.
+  *
+  * The reference engine has no sampling surface; these are the operations a
+  * 100 TB corpus pipeline needs (down-sample a web crawl per source,
+  * fixed-size per-stratum eval holdouts, mixture-weighted corpus assembly).
+  */
+object Sampling {
+
+  /** Per-mille hash bucket (0..999) of a key column under a salt. The salt
+    * decorrelates independent samples over the same keys (different salt →
+    * statistically independent selection). The raw char poly hash is weakly
+    * mixing for short sequential keys (consecutive ids hash to consecutive
+    * values), so a final LCG round scrambles it before the bucket modulo —
+    * portable Long arithmetic, every intermediate < 2^62.
+    */
+  def hashBucket(key: Column, salt: String, buckets: Int = 1000): Column = {
+    val h = PortableHash.charPolyHash(concat(lit(salt + ":"), key.cast("string")))
+    ((h * lit(1103515245L) + lit(12345L)) % lit(PortableHash.P)) % buckets
+  }
+
+  /** Keep approximately `fraction` of rows, decided by the key's hash bucket.
+    * Narrow (no shuffle); at any scale this is a codegen'd filter that
+    * composes with Parquet scan pushdown of other predicates.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      salt: String = "smp"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.filter(hashBucket(key, salt) < (fraction * 1000).toInt)
+  }
+
+  /** Stratified hash sampling: per-stratum keep fractions (e.g. language →
+    * rate), applied as one codegen'd when-chain — no join, no shuffle.
+    * Strata absent from `rates` use `defaultFraction`.
+    */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "smp"): DataFrame = {
+    val permille = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultFraction * 1000).toInt)) {
+      case (acc, (s, f)) => when(stratum === s, lit((f * 1000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, salt) < permille)
+  }
+
+  /** Deterministic fixed-size per-stratum sample: the `n` rows with the
+    * smallest key hashes in each stratum (ties broken by the key itself) —
+    * the reproducible analog of per-key reservoir sampling. One shuffle on
+    * the stratum column; Spark's WindowGroupLimit pushes the top-n below the
+    * shuffle, so each map task forwards at most n rows per stratum.
+    */
+  def reservoirPerKey(df: DataFrame, stratum: Column, key: Column, n: Int,
+      salt: String = "smp"): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(hashBucket(key, salt, 1 << 30), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Mixture plan: given per-row strata and sizes (token counts), allocate a
+    * global `budget` proportionally to each stratum's share of the total —
+    * the planning step of mixture-weighted corpus assembly. Integer totals
+    * (exact, order-independent); one double division per stratum and a floor,
+    * so the result is bit-stable across engines. Two tiny aggregates; the
+    * singleton total is broadcast.
+    */
+  def mixturePlan(df: DataFrame, stratum: Column, size: Column,
+      budget: Long): DataFrame = {
+    val per = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(size).as("stratum_tokens"))
+    val tot = per.agg(sum("stratum_tokens").as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("stratum_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("alloc_tokens", floor(lit(budget.toDouble) * col("share")).cast("long"))
+      .drop("total_tokens")
+  }
+}

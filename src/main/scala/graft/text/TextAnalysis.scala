@@ -131,4 +131,57 @@ object TextAnalysis {
     aggregate(graft.functions.PortableHash.tokenHashes(text), lit(0L),
       (h, th) => pmod(h * lit(graft.functions.PortableHash.B) + th,
         lit(graft.functions.PortableHash.P)))
+
+  /** Gopher-style repetition features: the fraction of duplicate tokens /
+    * word-bigrams / word-trigrams in a document (1 - distinct/total). High
+    * values flag boilerplate and degenerate machine-generated text. N-grams
+    * are compared by their portable shingle hashes (PortableHash) — no n-gram
+    * string ever materializes — and `array_distinct` is a linear hash-set
+    * pass, so the whole computation is a narrow per-row map: no shuffle,
+    * cost linear in document length.
+    */
+  def withRepetitionFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val th = graft.functions.PortableHash.tokenHashes(col(textCol))
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr).cast("double")
+      when(n > 0, lit(1.0) - size(array_distinct(arr)).cast("double") / n)
+        .otherwise(lit(0.0))
+    }
+    def grams(n: Int): Column =
+      when(size(col("__th")) >= n,
+        graft.functions.PortableHash.shingleHashes(col("__th"), n))
+        .otherwise(array().cast("array<bigint>"))
+    df.withColumn("__th", th)
+      .withColumn("n_tokens", size(col("__th")).cast("long"))
+      .withColumn("dup_token_frac", dupFrac(col("__th")))
+      .withColumn("dup_bigram_frac", dupFrac(grams(2)))
+      .withColumn("dup_trigram_frac", dupFrac(grams(3)))
+      .drop("__th")
+  }
+
+  /** PII scrubbing: count and redact email addresses, phone-shaped numbers,
+    * and IPv4 addresses. Patterns avoid lookarounds and `\b` so RE2-based
+    * engines (and the DuckDB oracle) match byte-for-byte what the JVM regex
+    * does. Redaction is applied email → phone → ip, in that order (order is
+    * observable when patterns overlap). A narrow codegen'd map — the 100 TB
+    * shape is exactly this: regex passes fused into the scan projection.
+    */
+  val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val phonePattern = """[0-9]{3}-[0-9]{4}"""
+  val ipv4Pattern = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def count(p: String): Column =
+      size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    df.withColumn("n_emails", count(emailPattern))
+      .withColumn("n_phones", count(phonePattern))
+      .withColumn("n_ipv4", count(ipv4Pattern))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailPattern, "<EMAIL>"),
+            phonePattern, "<PHONE>"),
+          ipv4Pattern, "<IP>"))
+  }
 }

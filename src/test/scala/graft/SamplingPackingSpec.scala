@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+import graft.text.TextAnalysis
+
+class SamplingPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- repetition features ------------------------------------------------
+
+  test("repetition features on known strings") {
+    val df = Seq(
+      (1L, "a a a a"),       // 1 distinct token of 4; bigrams all "a a"
+      (2L, "a b c d"),       // no repetition at all
+      (3L, "")               // empty → all zeros
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionFeatures(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_token_frac") == 0.75)
+    assert(r(0).getAs[Double]("dup_bigram_frac") == 1.0 - 1.0 / 3.0)
+    assert(r(0).getAs[Double]("dup_trigram_frac") == 0.5)
+    assert(r(1).getAs[Double]("dup_token_frac") == 0.0)
+    assert(r(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r(2).getAs[Long]("n_tokens") == 0L)
+    assert(r(2).getAs[Double]("dup_token_frac") == 0.0)
+  }
+
+  // ---- PII scrub ----------------------------------------------------------
+
+  test("pii scrub counts and redacts emails, phones, ips") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@mail.example.org or call 555-1234"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withPiiScrub(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_emails") == 1 && r(0).getAs[Long]("n_phones") == 1)
+    assert(r(0).getAs[String]("text_redacted") == "mail me at <EMAIL> or call <PHONE>")
+    assert(r(1).getAs[Long]("n_ipv4") == 2)
+    assert(r(1).getAs[String]("text_redacted") == "server at <IP> and <IP>")
+    assert(r(2).getAs[String]("text_redacted") == "nothing sensitive here")
+  }
+
+  // ---- sampling -----------------------------------------------------------
+
+  test("hashSample is deterministic, stable under appends, and ~fraction") {
+    val df = spark.range(0, 2000).select($"id".as("doc_id"))
+    val s1 = Sampling.hashSample(df, $"doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df, $"doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // deterministic
+    assert(math.abs(s1.size - 600) < 100) // ~30%
+    // appending rows never evicts previously selected ones
+    val grown = spark.range(0, 3000).select($"id".as("doc_id"))
+    val s3 = Sampling.hashSample(grown, $"doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    // a different salt decorrelates the selection
+    val s4 = Sampling.hashSample(df, $"doc_id", 0.3, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(s4 != s1)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val df = spark.range(0, 1000)
+      .select($"id".as("doc_id"), when($"id" % 2 === 0, "a").otherwise("b").as("g"))
+    val out = Sampling.stratifiedHashSample(df, $"g", $"doc_id", Map("a" -> 1.0, "b" -> 0.0))
+    val langs = out.select("g").distinct().as[String].collect().toSet
+    assert(langs == Set("a")) // rate 0 drops the whole stratum
+    assert(out.count() == 500)
+  }
+
+  test("reservoirPerKey emits exactly n per stratum, deterministically") {
+    val df = spark.range(0, 500)
+      .select($"id".as("doc_id"), ($"id" % 5).cast("string").as("g"))
+    val out = Sampling.reservoirPerKey(df, $"g", $"doc_id", n = 7)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(7L))
+    val again = Sampling.reservoirPerKey(df, $"g", $"doc_id", n = 7)
+    assert(out.orderBy("g", "doc_id").collect().toSeq ==
+      again.orderBy("g", "doc_id").collect().toSeq)
+  }
+
+  test("mixturePlan allocates the budget proportionally to token share") {
+    val df = Seq(("a", 300L), ("a", 300L), ("b", 400L)).toDF("g", "n")
+    val r = Sampling.mixturePlan(df, $"g", $"n", budget = 100L)
+      .orderBy("stratum").collect()
+    assert(r(0).getAs[String]("stratum") == "a")
+    assert(r(0).getAs[Long]("stratum_tokens") == 600L)
+    assert(r(0).getAs[Long]("alloc_tokens") == 60L)
+    assert(r(1).getAs[Long]("alloc_tokens") == 40L)
+  }
+
+  // ---- packing ------------------------------------------------------------
+
+  test("packGreedy respects capacity and never splits or drops rows") {
+    val rows = (0L until 100L).map(i => (i, "g" + (i % 3), 10L + (i % 7) * 13L))
+    val df = rows.toDF("doc_id", "g", "sz")
+    val out = Packing.packGreedy(df, "g", "doc_id", "sz", capacity = 120L)
+      .select("doc_id", "g", "sz", "pack_id", "pack_pos").collect()
+    assert(out.length == 100) // nothing dropped or duplicated
+    assert(out.map(_.getLong(0)).toSet == rows.map(_._1).toSet)
+    // per (group, pack): total size within capacity, positions contiguous
+    val byPack = out.groupBy(r => (r.getString(1), r.getLong(3)))
+    byPack.foreach { case ((g, _), rs) =>
+      assert(rs.map(_.getLong(2)).sum <= 120L, s"overfull pack in $g")
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // greedy invariant: within a group, consecutive packs in doc_id order
+    val g0 = out.filter(_.getString(1) == "g0").sortBy(_.getLong(0))
+    assert(g0.map(_.getLong(3)).toSeq == g0.map(_.getLong(3)).toSeq.sorted)
+  }
+
+  test("packGreedy gives an oversized row its own pack") {
+    val df = Seq((1L, "g", 50L), (2L, "g", 500L), (3L, "g", 50L)).toDF("doc_id", "g", "sz")
+    val out = Packing.packGreedy(df, "g", "doc_id", "sz", capacity = 100L)
+      .orderBy("doc_id").select("pack_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L, 2L))
+  }
+}

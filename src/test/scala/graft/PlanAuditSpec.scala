@@ -71,6 +71,25 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregate:\n$d")
   }
 
+  test("repetition features and hash sampling stay shuffle-free (q70, q72)") {
+    spark.catalog.clearCache()
+    val rep = executedPlan(SparkEntry.queries("q70_repetition")(spark, dir))
+    assert(!rep.contains("Exchange ("), s"repetition features shuffled:\n$rep")
+    val smp = executedPlan(SparkEntry.queries("q72_sample_stratified")(spark, dir))
+    assert(!smp.contains("Exchange ("), s"hash sampling shuffled:\n$smp")
+  }
+
+  test("reservoir sample pushes a window group limit below the shuffle (q73)") {
+    val d = details(SparkEntry.queries("q73_sample_reservoir")(spark, dir))
+    assert(d.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$d")
+  }
+
+  test("sequence packing plans exactly one exchange (q74)") {
+    val p = executedPlan(SparkEntry.queries("q74_pack_sequences")(spark, dir))
+    assert("Exchange \\(".r.findAllIn(p).size == 1,
+      s"packing should shuffle exactly once (repartition by group):\n$p")
+  }
+
   test("bucketed MERGE JOIN elides shuffle and sort (blockgen'd inputs)") {
     val left = sf("nation").select("n_nationkey", "n_name")
     val right = sf("nation").select("n_nationkey", "n_regionkey")

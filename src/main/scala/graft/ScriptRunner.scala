@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** CLI entry point for script execution — the analog of the reference's
+  * `cubert script.cmr` launcher (ScriptExecutor.main; CLI opts -c
+  * compile-only, -d debug, -x job — app/CmrExecutor.java:41-116).
+  *
+  * Usage:
+  *   graft.ScriptRunner <script.cmr> [name=value ...] [flags]
+  *
+  * Each `name=value` argument substitutes `$name` / `%name%` in the script
+  * (the reference's `param.` property substitution). Flags:
+  *   --show <rel>[:<n>]   print the first n (default 20) rows of a relation
+  *   --explain <rel>      print the formatted physical plan of a relation
+  *   --dry-run            validate without writing: STORE/TEE statements
+  *                        (one per line) are dropped, everything else is
+  *                        parsed, analyzed, and planned — the reference's
+  *                        -c compile-only mode
+  *
+  * STORE statements execute as encountered; without flags the runner prints
+  * the names of the relations the script defined.
+  */
+object ScriptRunner {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.ScriptRunner <script.cmr> [name=value ...] " +
+        "[--show rel[:n]] [--explain rel] [--dry-run]")
+      sys.exit(2)
+    }
+    run(args, stopSession = true)
+  }
+
+  /** The runner body, callable in-process (tests pass stopSession = false
+    * to keep the shared session alive). Returns the defined relations.
+    */
+  def run(args: Array[String], stopSession: Boolean):
+      Map[String, org.apache.spark.sql.DataFrame] = {
+    val scriptPath = args.head
+    var params = Map.empty[String, String]
+    var show: Option[(String, Int)] = None
+    var explain: Option[String] = None
+    var dryRun = false
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--show" =>
+          i += 1
+          val spec = args(i).split(":", 2)
+          show = Some((spec(0), if (spec.length > 1) spec(1).toInt else 20))
+        case "--explain" => i += 1; explain = Some(args(i))
+        case "--dry-run" => dryRun = true
+        case kv if kv.contains("=") =>
+          val Array(k, v) = kv.split("=", 2)
+          params += (k -> v)
+        case other => sys.error(s"unrecognized argument: $other")
+      }
+      i += 1
+    }
+
+    val source = new String(Files.readAllBytes(Paths.get(scriptPath)), "UTF-8")
+    val spark = GraftSession.builder(appName = s"graft-script:$scriptPath").getOrCreate()
+    try {
+      val env =
+        if (dryRun) graft.script.ScriptEngine.run(spark, stripStores(source), params)
+        else graft.script.ScriptEngine.run(spark, source, params)
+      println(s"RELATIONS=${env.keys.toSeq.sorted.mkString(",")}")
+      explain.foreach { r =>
+        println(env(r).queryExecution.explainString(FormattedMode))
+      }
+      show.foreach { case (r, n) => env(r).show(n, truncate = false) }
+      env
+    } finally {
+      if (stopSession) spark.stop()
+    }
+  }
+
+  /** Drop STORE/TEE statements for --dry-run: every relation is still
+    * parsed, analyzed, and planned; only the write side effects go away.
+    */
+  private[graft] def stripStores(script: String): String =
+    script.linesIterator
+      .filterNot { l =>
+        val t = l.trim.toUpperCase
+        t.startsWith("STORE ") || t.startsWith("TEE ")
+      }
+      .mkString("\n")
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+class ScriptRunnerSpec extends SparkSpec {
+
+  private def writeScript(body: String): String = {
+    val f = Files.createTempFile("graft-runner", ".cmr")
+    Files.write(f, body.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("runs a script file with $param substitution and STORE") {
+    spark // force shared session so the runner's getOrCreate reuses it
+    val out = Files.createTempDirectory("graft-runner-out").toString
+    val path = writeScript(
+      """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
+        |agg = GROUP li BY l_returnflag AGGREGATES SUM(l_quantity) AS sum_qty;
+        |STORE agg INTO '$OUT/agg' USING PARQUET;""".stripMargin)
+    val env = ScriptRunner.run(
+      Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out"), stopSession = false)
+    assert(env.keySet == Set("li", "agg"))
+    val stored = spark.read.parquet(s"$out/agg")
+    assert(stored.count() == 3) // A, N, R
+    assert(stored.columns.toSet == Set("l_returnflag", "sum_qty"))
+  }
+
+  test("--dry-run validates the plan but writes nothing") {
+    spark
+    val out = Files.createTempDirectory("graft-runner-dry").toString
+    val path = writeScript(
+      """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
+        |f = FILTER li BY l_quantity > 45;
+        |STORE f INTO '$OUT/f' USING PARQUET;""".stripMargin)
+    val env = ScriptRunner.run(
+      Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out", "--dry-run"),
+      stopSession = false)
+    assert(env.contains("f"))
+    assert(env("f").schema.fieldNames.contains("l_quantity")) // analyzed
+    assert(!Files.exists(Paths.get(s"$out/f")), "dry-run must not write")
+  }
+}

@@ -110,6 +110,29 @@ class SamplingPackingSpec extends SparkSpec {
     assert(g0.map(_.getLong(3)).toSeq == g0.map(_.getLong(3)).toSeq.sorted)
   }
 
+  test("packGreedy matches a sequential reference on seeded random inputs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val cap = 50L + rnd.nextInt(200)
+      val rows = (0L until (20 + rnd.nextInt(200)).toLong).map { i =>
+        (i, "g" + rnd.nextInt(4), 1L + rnd.nextInt(2 * cap.toInt))
+      }
+      // sequential reference: greedy scan per group in doc_id order
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        var cum = 0L; var pack = -1L
+        rs.sortBy(_._1).map { case (id, g, sz) =>
+          if (pack < 0 || cum + sz > cap) { pack += 1; cum = sz } else cum += sz
+          (id, g, pack)
+        }
+      }.toSet
+      val got = Packing.packGreedy(rows.toDF("doc_id", "g", "sz"),
+        "g", "doc_id", "sz", cap)
+        .select("doc_id", "g", "pack_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial (cap=$cap) diverged from reference")
+    }
+  }
+
   test("packGreedy gives an oversized row its own pack") {
     val df = Seq((1L, "g", 50L), (2L, "g", 500L), (3L, "g", 50L)).toDF("doc_id", "g", "sz")
     val out = Packing.packGreedy(df, "g", "doc_id", "sz", capacity = 100L)

@@ -121,4 +121,33 @@ class StreamingSpec extends SparkSpec {
     val closed = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(closed.contains(("a", 3.0)), s"expected closed window ('a', 3.0), got $closed")
   }
+
+  test("curation operators run unchanged on a stream (quality + sampling)") {
+    // the corpus-curation maps are narrow/stateless, so the SAME operator
+    // calls work under readStream — and must agree with the batch results
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "x"),
+      (3L, "a a a a a a a a a a"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.hashSample(
+        graft.text.TextAnalysis.withRepetitionFeatures(
+          graft.text.TextAnalysis.withQualityFeatures(df)),
+        col("doc_id"), 0.7)
+        .select("doc_id", "n_tokens", "stopword_ratio", "dup_token_frac")
+    val in = MemoryStream[(Long, String)]
+    val q = curate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_stream").collect().map(_.toSeq).toSet
+      val batch = curate(docs.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -487,6 +487,19 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         col("lang"), col("n_tokens"), budget = 20000L)),
 
+    // sparse matrix multiply as join+aggregate — the reference's "graph
+    // computation" pattern (README §Graph); part co-occurrence counts over
+    // a deterministic part slice, C = A×Aᵀ with i<j
+    "q76_spmm" -> ((s, d) => {
+      val a = t(s, d, "lineitem").filter(col("l_partkey") % 20 === 0)
+        .select(col("l_partkey").as("i"), col("l_orderkey").as("k"), lit(1L).as("v"))
+      Matrix.spMM(a, Matrix.transpose(a)).filter(col("i") < col("j"))
+    }),
+    // fixed-width histogram over order totals (distribution profiling)
+    "q77_histogram" -> ((s, d) =>
+      Aggregations.histogram(t(s, d, "orders"), col("o_totalprice"),
+        lo = 0.0, width = 25000.0)),
+
     // incremental COUNT DISTINCT via member-level summaries — the
     // reference's flagship incremental computation (CountDistinctRewriter):
     // members recurring across months must count once
@@ -803,6 +816,17 @@ object SparkEntry {
     "q73_sample_reservoir" -> OracleGen.sampleReservoir(n = 20),
     "q74_pack_sequences" -> OracleGen.packGreedy(capacity = 200),
     "q75_mixture_plan" -> OracleGen.mixturePlan(budget = 20000L),
+    "q76_spmm" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS i, l_orderkey AS k, CAST(1 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_partkey % 20 = 0)
+        |SELECT x.i, y.i AS j, CAST(sum(x.v * y.v) AS BIGINT) AS val
+        |FROM a x JOIN a y ON x.k = y.k
+        |WHERE x.i < y.i GROUP BY x.i, y.i""".stripMargin,
+    "q77_histogram" ->
+      """SELECT bucket, count(1) AS n, 0.0 + CAST(bucket AS DOUBLE) * 25000.0 AS bucket_lo
+        |FROM (SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket FROM orders)
+        |GROUP BY bucket""".stripMargin,
     "q68_langid_ngram" -> {
       val values = graft.text.TextAnalysis.ngramProfiles.zipWithIndex.map {
         case ((lang, grams), i) =>

@@ -79,6 +79,20 @@ object Aggregations {
       call_function("shiftleft", lit(1L), d.cast("int"))).otherwise(lit(0L)))
   }
 
+  /** Fixed-width histogram: bucket = floor((x - lo) / width), plus the
+    * bucket's lower edge and count. One partial+final aggregation over at
+    * most (range/width) groups — the distribution-profiling primitive for
+    * corpus statistics (token-length, score, and size distributions). Plain
+    * double arithmetic (no engine-specific width_bucket), so the oracle
+    * reproduces bucket ids bit-exactly.
+    */
+  def histogram(df: DataFrame, c: Column, lo: Double, width: Double): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    df.groupBy(floor((c - lo) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket").cast("double") * lit(width))
+  }
+
   /** Register a user Aggregator the way Cubert loaded UDAFs by class name
     * (reference: operator/UDAFOperatorAdapter.java:26).
     */

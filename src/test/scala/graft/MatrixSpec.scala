@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Matrix
+
+class MatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  //      [1 2]       [5 6]          [1*5+2*7  1*6+2*8]   [19 22]
+  // A =  [3 4]   B = [7 8]   A×B =  [3*5+4*7  3*6+4*8] = [43 50]
+  private val a = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 0L, 3.0), (1L, 1L, 4.0))
+  private val b = Seq((0L, 0L, 5.0), (0L, 1L, 6.0), (1L, 0L, 7.0), (1L, 1L, 8.0))
+
+  test("spMM multiplies dense 2x2 correctly") {
+    val c = Matrix.spMM(a.toDF("i", "k", "v"), b.toDF("k", "j", "w"))
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(c == Seq((0L, 0L, 19.0), (0L, 1L, 22.0), (1L, 0L, 43.0), (1L, 1L, 50.0)))
+  }
+
+  test("spMM skips structural zeros (sparse semantics)") {
+    // A has no entry for k=1 on row 0 → C(0,j) only sees k=0 contributions
+    val sa = Seq((0L, 0L, 2.0)).toDF("i", "k", "v")
+    val sb = Seq((0L, 0L, 3.0), (1L, 0L, 9.0)).toDF("k", "j", "w")
+    val c = Matrix.spMM(sa, sb).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(c.toSeq == Seq((0L, 0L, 6.0))) // the k=1 entry of B never pairs
+  }
+
+  test("transpose swaps coordinates and spMV broadcasts the vector") {
+    val at = Matrix.transpose(a.toDF("i", "k", "v"))
+      .orderBy("i", "k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(at.toSeq == Seq((0L, 0L, 1.0), (0L, 1L, 3.0), (1L, 0L, 2.0), (1L, 1L, 4.0)))
+    // y = A x with x = (1, 10) → (21, 43)
+    val x = Seq((0L, 1.0), (1L, 10.0)).toDF("k", "w")
+    val y = Matrix.spMV(a.toDF("i", "k", "v"), x)
+    val p = y.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vector side should broadcast:\n$p")
+    assert(y.orderBy("i").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((0L, 21.0), (1L, 43.0)))
+  }
+}

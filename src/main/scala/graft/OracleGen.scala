@@ -368,6 +368,38 @@ object OracleGen {
        |)
        |SELECT doc_id, lang, n_tokens, pack_id, pack_pos FROM packed""".stripMargin
 
+  // ---- q78 passage-level duplication --------------------------------------
+
+  /** Cross-document shingle duplication stats — mirrors
+    * Dedup.crossDocShingleStats (same shingle hashes, same coalesce shape).
+    */
+  def crossDocShingleStats(n: Int): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(hs) >= $n
+       |    THEN list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle)
+       |    ELSE CAST([] AS BIGINT[]) END) AS shs
+       |  FROM th
+       |), ex AS (
+       |  SELECT doc_id, unnest(shs) AS h FROM sets
+       |), freq AS (
+       |  SELECT h, count(1) AS ndocs FROM ex GROUP BY h
+       |), per AS (
+       |  SELECT e.doc_id, count(1) AS n_shingles,
+       |    CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles
+       |  FROM ex e JOIN freq f USING (h) GROUP BY e.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(per.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
+       |  CASE WHEN COALESCE(per.n_shingles, 0) > 0
+       |    THEN CAST(per.n_dup_shingles AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)
+       |    ELSE 0.0 END AS cross_dup_frac
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
   // ---- q75 mixture plan ---------------------------------------------------
 
   /** Token-budget mixture allocation — mirrors Sampling.mixturePlan (integer

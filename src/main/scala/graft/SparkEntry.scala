@@ -499,6 +499,10 @@ object SparkEntry {
     "q77_histogram" -> ((s, d) =>
       Aggregations.histogram(t(s, d, "orders"), col("o_totalprice"),
         lo = 0.0, width = 25000.0)),
+    // passage-level duplication: fraction of each doc's 8-gram shingles
+    // that recur in other documents (substring-dedup signal)
+    "q78_passage_dup" -> ((s, d) =>
+      Dedup.crossDocShingleStats(t(s, d, "documents"), n = 8)),
 
     // incremental COUNT DISTINCT via member-level summaries — the
     // reference's flagship incremental computation (CountDistinctRewriter):
@@ -827,6 +831,7 @@ object SparkEntry {
       """SELECT bucket, count(1) AS n, 0.0 + CAST(bucket AS DOUBLE) * 25000.0 AS bucket_lo
         |FROM (SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket FROM orders)
         |GROUP BY bucket""".stripMargin,
+    "q78_passage_dup" -> OracleGen.crossDocShingleStats(n = 8),
     "q68_langid_ngram" -> {
       val values = graft.text.TextAnalysis.ngramProfiles.zipWithIndex.map {
         case ((lang, grams), i) =>

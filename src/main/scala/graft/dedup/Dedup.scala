@@ -314,4 +314,35 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Passage-level duplication stats: for each document, the fraction of
+    * its word n-gram shingles that also occur in at least one OTHER
+    * document — the signal behind substring-level training-data dedup
+    * (flag or strip passages repeated across the corpus, not just whole
+    * near-dup documents). Shingles are portable hashes (never strings);
+    * the plan is explode → count-per-shingle → re-join → per-doc rollup:
+    * two shuffles, both on shingle-hash / doc-id keys, each ∝ corpus
+    * token count — no pairwise term anywhere.
+    */
+  def crossDocShingleStats(df: DataFrame, n: Int = 8, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val th = PortableHash.tokenHashes(col(textCol))
+    val sets = df.select(col(idCol),
+      array_distinct(when(size(th) >= n, PortableHash.shingleHashes(th, n))
+        .otherwise(array().cast("array<bigint>"))).as("shs"))
+    val ex = sets.select(col(idCol), explode(col("shs")).as("h"))
+    // shingles are distinct per doc, so count(1) = number of docs holding h
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    val per = ex.join(freq, "h").groupBy(idCol).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_shingles"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+      .withColumn("cross_dup_frac",
+        when(col("n_shingles") > 0,
+          col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

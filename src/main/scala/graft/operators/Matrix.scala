@@ -48,4 +48,41 @@ object Matrix {
       .groupBy("i")
       .agg(sum(col("v") * col("w")).as("val"))
   }
+
+  /** PageRank over an edge list (src, dst) — the standard iterative
+    * workload the reference's README frames as blocked join+agg scripts.
+    * Each iteration is one spMV against the column-normalized adjacency
+    * matrix plus the damping term; ranks localCheckpoint per iteration so
+    * lineage (and therefore plan size) stays O(1) across iterations
+    * instead of O(iters). Nodes with no out-links leak mass (simple
+    * damping redistribution keeps totals bounded); dangling-mass
+    * redistribution drops in as one extra scalar aggregate per iteration
+    * if exact conservation matters.
+    *
+    * Scale: each iteration shuffles edges once (join on src) — identical
+    * to the canonical Pregel/GraphX formulation; ranks stay a (node,
+    * value) relation that broadcasts while node count ≪ edges.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // A(dst, src) = 1/deg(src): column-normalized transition matrix
+    val m = e.join(outDeg, "src")
+      .select(col("dst").as("i"), col("src").as("k"), (lit(1.0) / col("deg")).as("v"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().persist()
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = spMV(m, ranks.toDF("k", "w"))
+        .select(col("i").as("node"), col("val").as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    m.unpersist(); nodes.unpersist()
+    ranks
+  }
 }

@@ -27,6 +27,20 @@ class MatrixSpec extends SparkSpec {
     assert(c.toSeq == Seq((0L, 0L, 6.0))) // the k=1 entry of B never pairs
   }
 
+  test("pageRank: exact on a 2-cycle, mass-conserving and ordered on a triangle") {
+    // a ⇄ b: perfectly symmetric → rank stays exactly 1/2 every iteration
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r2 = Matrix.pageRank(cyc, iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(r2("a") == 0.5 && r2("b") == 0.5)
+    // a→b, a→c, b→c, c→a: c collects from two sources → highest rank
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r3 = Matrix.pageRank(tri, iters = 40).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(r3.values.sum - 1.0) < 1e-9, s"mass not conserved: $r3")
+    assert(r3("c") > r3("a") && r3("a") > r3("b"), s"unexpected order: $r3")
+  }
+
   test("transpose swaps coordinates and spMV broadcasts the vector") {
     val at = Matrix.transpose(a.toDF("i", "k", "v"))
       .orderBy("i", "k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

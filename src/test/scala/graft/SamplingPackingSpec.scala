@@ -90,6 +90,24 @@ class SamplingPackingSpec extends SparkSpec {
     assert(r(1).getAs[Long]("alloc_tokens") == 40L)
   }
 
+  // ---- passage-level duplication ------------------------------------------
+
+  test("crossDocShingleStats flags shared passages only") {
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"intro $shared tail one"),
+      (2L, s"other lead-in $shared closing words here"),
+      (3L, "completely different content with no overlap at all nine ten"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.crossDocShingleStats(df, n = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_dup_shingles") == 1) // exactly the shared 8-gram
+    assert(r(1).getAs[Long]("n_dup_shingles") == 1)
+    assert(r(2).getAs[Long]("n_dup_shingles") == 0)
+    assert(r(3).getAs[Long]("n_shingles") == 0)     // < 8 tokens → no shingles
+    assert(r(3).getAs[Double]("cross_dup_frac") == 0.0)
+  }
+
   // ---- packing ------------------------------------------------------------
 
   test("packGreedy respects capacity and never splits or drops rows") {

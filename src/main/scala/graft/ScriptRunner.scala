@@ -15,9 +15,9 @@ import org.apache.spark.sql.execution.FormattedMode
   * (the reference's `param.` property substitution). Flags:
   *   --show <rel>[:<n>]   print the first n (default 20) rows of a relation
   *   --explain <rel>      print the formatted physical plan of a relation
-  *   --dry-run            validate without writing: STORE/TEE statements
-  *                        (one per line) are dropped, everything else is
-  *                        parsed, analyzed, and planned — the reference's
+  *   --dry-run            validate without writing: every statement (STORE
+  *                        and TEE included) is parsed, analyzed, and
+  *                        planned, but no write executes — the reference's
   *                        -c compile-only mode
   *
   * STORE statements execute as encountered; without flags the runner prints
@@ -44,14 +44,20 @@ object ScriptRunner {
     var show: Option[(String, Int)] = None
     var explain: Option[String] = None
     var dryRun = false
+    def operand(flag: String, at: Int): String = {
+      if (at >= args.length) sys.error(s"$flag requires an argument")
+      args(at)
+    }
     var i = 1
     while (i < args.length) {
       args(i) match {
         case "--show" =>
           i += 1
-          val spec = args(i).split(":", 2)
-          show = Some((spec(0), if (spec.length > 1) spec(1).toInt else 20))
-        case "--explain" => i += 1; explain = Some(args(i))
+          val spec = operand("--show", i).split(":", 2)
+          val n = if (spec.length > 1) spec(1).toIntOption.getOrElse(
+            sys.error(s"--show ${args(i)}: row count must be an integer")) else 20
+          show = Some((spec(0), n))
+        case "--explain" => i += 1; explain = Some(operand("--explain", i))
         case "--dry-run" => dryRun = true
         case kv if kv.contains("=") =>
           val Array(k, v) = kv.split("=", 2)
@@ -64,9 +70,7 @@ object ScriptRunner {
     val source = new String(Files.readAllBytes(Paths.get(scriptPath)), "UTF-8")
     val spark = GraftSession.builder(appName = s"graft-script:$scriptPath").getOrCreate()
     try {
-      val env =
-        if (dryRun) graft.script.ScriptEngine.run(spark, stripStores(source), params)
-        else graft.script.ScriptEngine.run(spark, source, params)
+      val env = graft.script.ScriptEngine.run(spark, source, params, dryRun = dryRun)
       println(s"RELATIONS=${env.keys.toSeq.sorted.mkString(",")}")
       explain.foreach { r =>
         println(env(r).queryExecution.explainString(FormattedMode))
@@ -77,15 +81,4 @@ object ScriptRunner {
       if (stopSession) spark.stop()
     }
   }
-
-  /** Drop STORE/TEE statements for --dry-run: every relation is still
-    * parsed, analyzed, and planned; only the write side effects go away.
-    */
-  private[graft] def stripStores(script: String): String =
-    script.linesIterator
-      .filterNot { l =>
-        val t = l.trim.toUpperCase
-        t.startsWith("STORE ") || t.startsWith("TEE ")
-      }
-      .mkString("\n")
 }

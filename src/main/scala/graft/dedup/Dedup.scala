@@ -320,9 +320,11 @@ object Dedup {
     * document — the signal behind substring-level training-data dedup
     * (flag or strip passages repeated across the corpus, not just whole
     * near-dup documents). Shingles are portable hashes (never strings);
-    * the plan is explode → count-per-shingle → re-join → per-doc rollup:
-    * two shuffles, both on shingle-hash / doc-id keys, each ∝ corpus
-    * token count — no pairwise term anywhere.
+    * the plan is explode → per-shingle window count → per-doc rollup: two
+    * shuffles (shingle hash, then doc id), each ∝ corpus token count — no
+    * pairwise term anywhere, and the tokenize/shingle/explode subtree runs
+    * ONCE (a groupBy+rejoin formulation would scan and shingle the corpus
+    * twice, since the two Exchange children differ and can't be reused).
     */
   def crossDocShingleStats(df: DataFrame, n: Int = 8, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
@@ -331,9 +333,11 @@ object Dedup {
       array_distinct(when(size(th) >= n, PortableHash.shingleHashes(th, n))
         .otherwise(array().cast("array<bigint>"))).as("shs"))
     val ex = sets.select(col(idCol), explode(col("shs")).as("h"))
-    // shingles are distinct per doc, so count(1) = number of docs holding h
-    val freq = ex.groupBy("h").agg(count(lit(1)).as("ndocs"))
-    val per = ex.join(freq, "h").groupBy(idCol).agg(
+    // shingles are distinct per doc, so the per-h count = number of docs
+    // holding h; the unordered window = one count over each hash partition
+    val withN = ex.withColumn("ndocs",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val per = withN.groupBy(idCol).agg(
       count(lit(1)).as("n_shingles"),
       sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_shingles"))
     df.select(col(idCol)).join(per, Seq(idCol), "left")

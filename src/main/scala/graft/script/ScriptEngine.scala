@@ -252,10 +252,17 @@ object ScriptEngine {
   /** Run a script; returns the final relation environment (STOREs execute as
     * encountered). `params` substitute `%name%` occurrences pre-lex, like
     * the reference's `param.` property substitution (CmrExecutor.java:46-49).
+    * With `dryRun` every statement — STORE and TEE included — still parses
+    * and analyzes (schema resolution runs), but no write executes: the
+    * reference's -c compile-only mode.
     */
   def run(spark: SparkSession, script: String,
           params: Map[String, String] = Map.empty,
-          env0: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+          env0: Map[String, DataFrame] = Map.empty,
+          dryRun: Boolean = false): Map[String, DataFrame] = {
+    val store: (DataFrame, String, String) => Unit =
+      if (dryRun) (df, _, _) => { df.schema; () } // force analysis, skip the write
+      else (df, path, fmt) => graft.sources.Sources.store(df, path, fmt)
     // both our %name% and the reference's $NAME property substitution
     // (CmrExecutor.java:46-49); longest names first so $DIR2 is never
     // clobbered by a $DIR replacement
@@ -345,12 +352,12 @@ object ScriptEngine {
         p.expectKw("INTO"); val path = p.str()
         p.expectKw("USING"); val fmt = p.ident().toLowerCase
         formatParams(p) // writer params accepted (overwrite is the default)
-        graft.sources.Sources.store(r, path, fmt)
+        store(r, path, fmt)
         p.expectPunct(";")
       } else {
         val name = p.ident()
         p.expectPunct("=")
-        val df = parseOperator(spark, p, rel)
+        val df = parseOperator(spark, p, rel, store)
         env = env.updated(name, df)
         p.expectPunct(";")
       }
@@ -368,7 +375,8 @@ object ScriptEngine {
     def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame
   }
 
-  private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame): DataFrame = {
+  private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame,
+                            store: (DataFrame, String, String) => Unit): DataFrame = {
     if (p.kw("OPERATOR")) {
       // o = OPERATOR 'fully.qualified.ClassName' in1, in2 ['(' 'k':'v', … ')'];
       val cls = p.str()
@@ -530,14 +538,14 @@ object ScriptEngine {
       (withSplit, cond) match {
         case (true, Some(c)) =>
           val (main, teed) = Relational.split(df, c)
-          graft.sources.Sources.store(proj(teed), path, fmt); main
+          store(proj(teed), path, fmt); main
         case (true, None) =>
           // WITH SPLIT and no IF: every row is teed and leaves the main flow
           // (reference TeeOperator semantics) — main continues empty.
-          graft.sources.Sources.store(proj(df), path, fmt)
+          store(proj(df), path, fmt)
           df.filter(lit(false))
         case (false, condOpt) =>
-          graft.sources.Sources.store(proj(condOpt.map(df.filter).getOrElse(df)), path, fmt); df
+          store(proj(condOpt.map(df.filter).getOrElse(df)), path, fmt); df
       }
     } else if (p.kw("LOAD-CACHED")) {
       val path = p.str()

@@ -159,16 +159,20 @@ object TextAnalysis {
       .drop("__th")
   }
 
-  /** PII scrubbing: count and redact email addresses, phone-shaped numbers,
-    * and IPv4 addresses. Patterns avoid lookarounds and `\b` so RE2-based
-    * engines (and the DuckDB oracle) match byte-for-byte what the JVM regex
-    * does. Redaction is applied email → phone → ip, in that order (order is
-    * observable when patterns overlap). A narrow codegen'd map — the 100 TB
-    * shape is exactly this: regex passes fused into the scan projection.
+  /** PII scrubbing: count and redact email addresses, phone-shaped numbers
+    * (7-digit and 10-digit dashed forms), and IPv4 addresses. Patterns
+    * avoid lookarounds but DO use `\b` — the ASCII word boundary behaves
+    * identically in the JVM regex and RE2 (the DuckDB oracle), and without
+    * it a longer digit run would partially match and leak its prefix
+    * through the redaction (e.g. "555-123-4567" redacting to
+    * "555-<PHONE>"). Redaction is applied email → phone → ip, in that
+    * order (order is observable when patterns overlap). A narrow codegen'd
+    * map — the 100 TB shape is exactly this: regex passes fused into the
+    * scan projection.
     */
   val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  val phonePattern = """[0-9]{3}-[0-9]{4}"""
-  val ipv4Pattern = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  val phonePattern = """\b([0-9]{3}-)?[0-9]{3}-[0-9]{4}\b"""
+  val ipv4Pattern = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -32,7 +32,9 @@ class SamplingPackingSpec extends SparkSpec {
     val df = Seq(
       (1L, "mail me at jo.doe+x@mail.example.org or call 555-1234"),
       (2L, "server at 192.168.0.1 and 10.0.0.255"),
-      (3L, "nothing sensitive here")
+      (3L, "nothing sensitive here"),
+      (4L, "call 555-123-4567 now"), // 10-digit form redacts WHOLE, no prefix leak
+      (5L, "serial 1234-5678 and 1234.5.6.7 stay") // word-bounded: no partial match
     ).toDF("doc_id", "text")
     val r = TextAnalysis.withPiiScrub(df).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("n_emails") == 1 && r(0).getAs[Long]("n_phones") == 1)
@@ -40,6 +42,9 @@ class SamplingPackingSpec extends SparkSpec {
     assert(r(1).getAs[Long]("n_ipv4") == 2)
     assert(r(1).getAs[String]("text_redacted") == "server at <IP> and <IP>")
     assert(r(2).getAs[String]("text_redacted") == "nothing sensitive here")
+    assert(r(3).getAs[String]("text_redacted") == "call <PHONE> now")
+    assert(r(4).getAs[String]("text_redacted") == "serial 1234-5678 and 1234.5.6.7 stay")
+    assert(r(4).getAs[Long]("n_phones") == 0 && r(4).getAs[Long]("n_ipv4") == 0)
   }
 
   // ---- sampling -----------------------------------------------------------

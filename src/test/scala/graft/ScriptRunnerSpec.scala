@@ -25,18 +25,30 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(stored.columns.toSet == Set("l_returnflag", "sum_qty"))
   }
 
-  test("--dry-run validates the plan but writes nothing") {
+  test("--dry-run validates the plan but writes nothing, TEE included") {
     spark
     val out = Files.createTempDirectory("graft-runner-dry").toString
     val path = writeScript(
       """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
-        |f = FILTER li BY l_quantity > 45;
+        |t = TEE li INTO '$OUT/side' USING PARQUET IF l_quantity > 40;
+        |f = FILTER t BY l_quantity > 45;
         |STORE f INTO '$OUT/f' USING PARQUET;""".stripMargin)
     val env = ScriptRunner.run(
       Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out", "--dry-run"),
       stopSession = false)
     assert(env.contains("f"))
     assert(env("f").schema.fieldNames.contains("l_quantity")) // analyzed
-    assert(!Files.exists(Paths.get(s"$out/f")), "dry-run must not write")
+    assert(!Files.exists(Paths.get(s"$out/f")), "dry-run must not write STORE")
+    assert(!Files.exists(Paths.get(s"$out/side")), "dry-run must not write TEE")
+  }
+
+  test("missing flag operands fail with a usage error, not an index crash") {
+    spark
+    val path = writeScript("li = LOAD '/root/testdata/sf0.001/lineitem.parquet' USING PARQUET;")
+    val e1 = intercept[RuntimeException](ScriptRunner.run(Array(path, "--show"), stopSession = false))
+    assert(e1.getMessage.contains("--show requires an argument"))
+    val e2 = intercept[RuntimeException](
+      ScriptRunner.run(Array(path, "--show", "li:abc"), stopSession = false))
+    assert(e2.getMessage.contains("must be an integer"))
   }
 }

@@ -41,6 +41,35 @@ object Blockgen {
     sorted.format("parquet").saveAsTable(table)
   }
 
+  /** BLOCKGEN x BY ROW n — the reference's row-count cost function
+    * (block/BlockgenType.java:32 BY_ROW; CreateBlockOperator.java:56-72
+    * closes a block when it reaches n rows): bucket count = ceil(rows /
+    * rowsPerBlock). Costs one counting pass over the input, exactly like
+    * the reference's block-extent accounting.
+    */
+  def blockgenByRow(df: DataFrame, table: String, rowsPerBlock: Long,
+                    partitionKeys: Seq[String], sortKeys: Seq[String]): Unit = {
+    require(rowsPerBlock > 0, s"rowsPerBlock must be positive: $rowsPerBlock")
+    val rows = df.count()
+    val buckets = math.max(1L, (rows + rowsPerBlock - 1) / rowsPerBlock).toInt
+    blockgen(df, table, partitionKeys, sortKeys, buckets)
+  }
+
+  /** BLOCKGEN x BY SIZE n — the byte-size cost function (BY_SIZE): bucket
+    * count from Catalyst's size estimate for the plan (filters and column
+    * pruning already applied), so one bucket ≈ bytesPerBlock. The estimate
+    * is pre-encoding; Parquet compression makes actual buckets smaller —
+    * the safe direction (more, smaller blocks).
+    */
+  def blockgenBySize(df: DataFrame, table: String, bytesPerBlock: Long,
+                     partitionKeys: Seq[String], sortKeys: Seq[String]): Unit = {
+    require(bytesPerBlock > 0, s"bytesPerBlock must be positive: $bytesPerBlock")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val buckets = ((bytes + bytesPerBlock - 1) / bytesPerBlock)
+      .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
+    blockgen(df, table, partitionKeys, sortKeys, buckets)
+  }
+
   /** BLOCKGEN BY INDEX — co-partition to match an existing blockgen'd
     * relation (reference: ShuffleRewriter.java:322-422,
     * plan/physical/ByIndexPartitioner.java:44). In Spark this is just

@@ -39,6 +39,22 @@ class BlockgenSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 4)
   }
 
+  test("BY ROW and BY SIZE cost functions derive the bucket count (BlockgenType.java:32)") {
+    val li = sf("lineitem") // ~6000 rows at sf0.001
+    val rows = li.count()
+    Blockgen.blockgenByRow(li, "t_byrow", 1000L, Seq("l_orderkey"), Seq("l_orderkey"))
+    val m1 = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_byrow"))
+    assert(m1.bucketSpec.get.numBuckets == ((rows + 999) / 1000).toInt)
+    assert(Blockgen.loadBlock(spark, "t_byrow").count() == rows)
+    Blockgen.blockgenBySize(li, "t_bysize",
+      li.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 4 + 1,
+      Seq("l_orderkey"), Seq("l_orderkey"))
+    val m2 = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_bysize"))
+    assert(m2.bucketSpec.get.numBuckets == 4)
+  }
+
   test("blockgen is idempotent across overwrites (stale-location handling)") {
     val r = sf("region")
     Blockgen.blockgen(r, "t_idem", Seq("r_regionkey"), Nil, 2)

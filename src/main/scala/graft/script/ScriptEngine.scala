@@ -277,6 +277,18 @@ object ScriptEngine {
     def statement(p: P): Unit = {
       if (p.punct(";")) () // empty statement
       else if (p.stmtKw("PROGRAM")) { p.str(); p.expectPunct(";") }
+      // FUNCTION name 'fully.qualified.ClassName'; — register a UDF by
+      // class name for use in any later expression (the reference loaded
+      // Pig EvalFuncs the same way: grammar :24, functions/
+      // PigEvalFuncWrapper.java:38-51). The class implements UserFunction
+      // and registers itself into the session's function registry.
+      else if (p.stmtKw("FUNCTION")) {
+        val name = p.ident()
+        val cls = p.str()
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[UserFunction].register(spark, name)
+        p.expectPunct(";")
+      }
       // ---- MR phase syntax, parsed but ERASED to dataflow (SURVEY §7.1):
       // JOB/END group statements, MAP/REDUCE braces concatenate, REDUCERS
       // and SET are recorded-and-ignored (Catalyst plans the shuffles)
@@ -373,6 +385,17 @@ object ScriptEngine {
     */
   trait UserOperator {
     def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame
+  }
+
+  /** Contract for user-defined scalar functions declared by class name
+    * (`FUNCTION name 'class';` — the reference's Pig-EvalFunc registration,
+    * grammar :24). The implementation registers whatever signature it
+    * wants under `name` (spark.udf.register, or a native Expression via
+    * the registry); afterwards the name resolves inside any script
+    * expression. Needs a no-arg constructor.
+    */
+  trait UserFunction {
+    def register(spark: SparkSession, name: String): Unit
   }
 
   private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame,

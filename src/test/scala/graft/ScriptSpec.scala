@@ -344,6 +344,16 @@ class ScriptSpec extends SparkSpec {
       params = Map("lo" -> "2"), env0 = env("t" -> df))("f")
     assert(out.count() == 2)
   }
+
+  test("FUNCTION statement registers a UDF by class name (grammar :24)") {
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    val out = ScriptEngine.run(spark,
+      """FUNCTION dbl 'graft.SampleDoubleFn';
+        |g = FROM t GENERATE x, dbl(x) AS y;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    assert(out.orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+  }
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable
@@ -354,4 +364,10 @@ class SampleUnionOperator extends graft.script.ScriptEngine.UserOperator {
             params: Map[String, String]): org.apache.spark.sql.DataFrame =
     inputs.reduce(_ unionByName _)
       .withColumn("tag", org.apache.spark.sql.functions.lit(params("tag")))
+}
+
+/** Sample user function for the FUNCTION statement test. */
+class SampleDoubleFn extends graft.script.ScriptEngine.UserFunction {
+  def register(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    spark.udf.register(name, (x: Long) => 2 * x)
 }

@@ -277,17 +277,68 @@ object ScriptEngine {
     def statement(p: P): Unit = {
       if (p.punct(";")) () // empty statement
       else if (p.stmtKw("PROGRAM")) { p.str(); p.expectPunct(";") }
-      // FUNCTION name 'fully.qualified.ClassName'; — register a UDF by
+      // FUNCTION name com.example.Cls('arg', …); (grammar :24 — uri may
+      // also be a quoted string; parens optional) — register a UDF by
       // class name for use in any later expression (the reference loaded
-      // Pig EvalFuncs the same way: grammar :24, functions/
-      // PigEvalFuncWrapper.java:38-51). The class implements UserFunction
-      // and registers itself into the session's function registry.
+      // Pig EvalFuncs the same way: functions/PigEvalFuncWrapper.java:38-51).
+      // The class implements UserFunction and registers itself into the
+      // session's function registry, receiving the declared constant args.
       else if (p.stmtKw("FUNCTION")) {
         val name = p.ident()
-        val cls = p.str()
+        val cls = p.peek match {
+          case Some(Str(_)) => p.str()
+          case _ =>
+            val sb = new StringBuilder(p.ident())
+            while (p.punct(".")) { sb += '.'; sb ++= p.ident() }
+            sb.result()
+        }
+        val args = Seq.newBuilder[String]
+        if (p.punct("(")) {
+          if (!p.punct(")")) {
+            def const(): String = p.peek match {
+              case Some(Str(_)) => p.str()
+              case Some(Num(_)) => p.num()
+              case _            => p.ident() // booleans
+            }
+            args += const()
+            while (p.punct(",")) args += const()
+            p.expectPunct(")")
+          }
+        }
         Class.forName(cls).getDeclaredConstructor().newInstance()
-          .asInstanceOf[UserFunction].register(spark, name)
+          .asInstanceOf[UserFunction].register(spark, name, args.result())
         p.expectPunct(";")
+      }
+      // REGISTER 'path/to.jar'; (grammar :23) — ship a UDF jar; Spark's
+      // addJar is the distributed-cache analog. Missing files are
+      // recorded-and-ignored like SET, so compile-only runs of cluster
+      // scripts still parse.
+      else if (p.stmtKw("REGISTER")) {
+        val jar = p.str()
+        if (new java.io.File(jar).exists()) spark.sparkContext.addJar(jar)
+        p.expectPunct(";")
+      }
+      // CREATE DICTIONARY d COLUMN c VALUES 'a','b' [COLUMN …]; (grammar
+      // :30-31) — a dictionary relation with EXPLICITLY declared values;
+      // codes are 1..N in declaration order (CodeDictionary adds in order,
+      // codes start at 1). Shape matches Dictionary.createMulti
+      // ((colname, colvalue, code)) so ENCODE/DECODE consume it directly.
+      else if (p.stmtKw("CREATE")) {
+        p.expectKw("DICTIONARY")
+        val name = p.ident()
+        val rows = Seq.newBuilder[(String, String, Int)]
+        var more = p.kw("COLUMN")
+        if (!more) sys.error("CREATE DICTIONARY needs at least one COLUMN clause")
+        while (more) {
+          val c = p.ident(); p.expectKw("VALUES")
+          var code = 1
+          rows += ((c, p.str(), code))
+          while (p.punct(",")) { code += 1; rows += ((c, p.str(), code)) }
+          more = p.kw("COLUMN")
+        }
+        p.expectPunct(";")
+        import spark.implicits._
+        env += (name -> rows.result().toDF("colname", "colvalue", "code"))
       }
       // ---- MR phase syntax, parsed but ERASED to dataflow (SURVEY §7.1):
       // JOB/END group statements, MAP/REDUCE braces concatenate, REDUCERS
@@ -395,7 +446,10 @@ object ScriptEngine {
     * expression. Needs a no-arg constructor.
     */
   trait UserFunction {
-    def register(spark: SparkSession, name: String): Unit
+    /** `args` are the constant constructor arguments from the declaration
+      * (`FUNCTION f com.x.F('a', 1);` → Seq("a", "1")); empty when omitted.
+      */
+    def register(spark: SparkSession, name: String, args: Seq[String]): Unit
   }
 
   private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame,

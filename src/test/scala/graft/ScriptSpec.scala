@@ -353,6 +353,24 @@ class ScriptSpec extends SparkSpec {
       env0 = env("t" -> df))("g")
     assert(out.orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+    // reference form: unquoted dotted uri + constant constructor args
+    val out2 = ScriptEngine.run(spark,
+      """FUNCTION triple graft.SampleDoubleFn('3');
+        |g = FROM t GENERATE x, triple(x) AS y;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    assert(out2.orderBy("x").collect().map(_.getLong(1)).toSeq == Seq(3L, 6L, 9L))
+  }
+
+  test("CREATE DICTIONARY with explicit values encodes in declaration order (grammar :30)") {
+    val df = Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("id", "color")
+    val rels = ScriptEngine.run(spark,
+      """CREATE DICTIONARY pal COLUMN color VALUES 'red', 'green', 'blue';
+        |e = ENCODE t ON color USING pal;""".stripMargin,
+      env0 = env("t" -> df))
+    assert(rels("pal").orderBy("code").collect().map(r => (r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("red", 1), ("green", 2), ("blue", 3)))
+    val enc = rels("e").orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(enc == Seq(1, 3, 1)) // red=1, blue=3 per declaration order
   }
 }
 
@@ -366,8 +384,13 @@ class SampleUnionOperator extends graft.script.ScriptEngine.UserOperator {
       .withColumn("tag", org.apache.spark.sql.functions.lit(params("tag")))
 }
 
-/** Sample user function for the FUNCTION statement test. */
+/** Sample user function for the FUNCTION statement test: multiplies by the
+  * declared constant factor (default 2).
+  */
 class SampleDoubleFn extends graft.script.ScriptEngine.UserFunction {
-  def register(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
-    spark.udf.register(name, (x: Long) => 2 * x)
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               args: Seq[String]): Unit = {
+    val factor = args.headOption.map(_.toLong).getOrElse(2L)
+    spark.udf.register(name, (x: Long) => factor * x)
+  }
 }

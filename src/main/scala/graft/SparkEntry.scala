@@ -503,6 +503,16 @@ object SparkEntry {
     // that recur in other documents (substring-dedup signal)
     "q78_passage_dup" -> ((s, d) =>
       Dedup.crossDocShingleStats(t(s, d, "documents"), n = 8)),
+    // canonical normalization for dedup keys (case/punctuation-robust)
+    "q79_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm_text"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_fp"))),
+    // C4-style blocklist screening by token membership
+    "q80_blocklist" -> ((s, d) =>
+      TextAnalysis.withBlocklistFlag(t(s, d, "documents"),
+        Seq("slow", "big", "the"))
+        .select("doc_id", "n_blocked", "keep_clean")),
 
     // incremental COUNT DISTINCT via member-level summaries — the
     // reference's flagship incremental computation (CountDistinctRewriter):
@@ -832,6 +842,18 @@ object SparkEntry {
         |FROM (SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket FROM orders)
         |GROUP BY bucket""".stripMargin,
     "q78_passage_dup" -> OracleGen.crossDocShingleStats(n = 8),
+    "q79_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+        |FROM documents""".stripMargin,
+    "q80_blocklist" ->
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(list_transform($duckToks, x -> lower(x)),
+        |       t -> list_contains(['slow','big','the'], t))) AS BIGINT) AS n_blocked,
+        |  len(list_filter(list_transform($duckToks, x -> lower(x)),
+        |       t -> list_contains(['slow','big','the'], t))) = 0 AS keep_clean
+        |FROM documents""".stripMargin,
     "q68_langid_ngram" -> {
       val values = graft.text.TextAnalysis.ngramProfiles.zipWithIndex.map {
         case ((lang, grams), i) =>

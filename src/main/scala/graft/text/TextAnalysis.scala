@@ -174,6 +174,31 @@ object TextAnalysis {
   val phonePattern = """\b([0-9]{3}-)?[0-9]{3}-[0-9]{4}\b"""
   val ipv4Pattern = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * everything but letters/digits/whitespace, collapse whitespace runs to
+    * one space, trim. Normalizing before fingerprint/MinHash makes
+    * near-dup detection robust to case and punctuation noise; narrow
+    * codegen'd map, identical regex semantics in RE2 (the oracle).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Blocklist filter (C4-style "bad words" screening): count of tokens in
+    * the blocklist and a keep/drop flag. Token-set membership, not
+    * substring: "assassin" does not trip "ass". Case-insensitive. The
+    * blocklist rides inline in the plan (a literal array) — at 100 TB this
+    * is still a narrow map; swap in a broadcast join only if the list
+    * outgrows expression-literal size (~thousands of terms).
+    */
+  def withBlocklistFlag(df: DataFrame, blocklist: Seq[String],
+                        textCol: String = "text"): DataFrame = {
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toksLower = transform(tokens(col(textCol)), lower _)
+    df.withColumn("n_blocked",
+      size(filter(toksLower, t => array_contains(bl, t))).cast("long"))
+      .withColumn("keep_clean", col("n_blocked") === 0L)
+  }
+
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     def count(p: String): Column =

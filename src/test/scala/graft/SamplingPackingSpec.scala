@@ -47,6 +47,31 @@ class SamplingPackingSpec extends SparkSpec {
     assert(r(4).getAs[Long]("n_phones") == 0 && r(4).getAs[Long]("n_ipv4") == 0)
   }
 
+  // ---- normalization / blocklist ------------------------------------------
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val df = Seq("  Hello,   WORLD!! 42 ", "a\t\nb", "§§§").toDF("text")
+    val out = df.select(TextAnalysis.normalize($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("hello world 42", "a b", ""))
+    // normalization makes case/punct variants collide on the dedup key
+    val fp = Seq("The cat!", "the CAT", "the dog").toDF("text")
+      .select(md5(TextAnalysis.normalize($"text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("blocklist flags token membership, not substrings") {
+    val df = Seq(
+      (1L, "the assassin class"), // "ass" must NOT trip via substring
+      (2L, "clean words only"),
+      (3L, "BAD Bad bad")         // case-insensitive, counted per token
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withBlocklistFlag(df, Seq("ass", "bad"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_blocked") == 0 && r(0).getAs[Boolean]("keep_clean"))
+    assert(r(1).getAs[Boolean]("keep_clean"))
+    assert(r(2).getAs[Long]("n_blocked") == 3 && !r(2).getAs[Boolean]("keep_clean"))
+  }
+
   // ---- sampling -----------------------------------------------------------
 
   test("hashSample is deterministic, stable under appends, and ~fraction") {

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+/** Every script in examples/ must run end-to-end against the test data —
+  * the shipped examples are part of the product surface (the reference
+  * ships release/examples/ the same way).
+  */
+class ExamplesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runExample(name: String): String = {
+    spark // force the shared session before the runner's getOrCreate
+    val out = Files.createTempDirectory(s"graft-ex-$name").toString
+    ScriptRunner.run(
+      Array(s"examples/$name.cmr", s"DIR=$dir", s"OUT=$out"), stopSession = false)
+    out
+  }
+
+  test("wordcount.cmr counts tokens via the MR phase syntax") {
+    val out = runExample("wordcount")
+    val counted = spark.read.parquet(s"$out/wordcount")
+    assert(counted.columns.toSet == Set("word", "cnt"))
+    assert(counted.count() > 10)
+  }
+
+  test("mesh_join_cube.cmr blockgens, joins, and cubes") {
+    val out = runExample("mesh_join_cube")
+    val cube = spark.read.parquet(s"$out/cube")
+    assert(cube.columns.toSet == Set("l_returnflag", "o_orderpriority", "n_rows", "sum_qty"))
+    // a 2-dim cube over (3 flags × 5 priorities) data: 4 × 6 = 24 rows
+    assert(cube.count() == 24)
+  }
+
+  test("dictionary.cmr builds, encodes, and aggregates") {
+    val out = runExample("dictionary")
+    val seg = spark.read.parquet(s"$out/seg_counts")
+    assert(seg.columns.toSet == Set("c_mktsegment", "n"))
+    assert(seg.count() == 5) // five market segments
+  }
+}

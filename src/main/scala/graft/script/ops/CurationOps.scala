@@ -1,0 +1,51 @@
+package graft.script.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.script.ScriptEngine.UserOperator
+
+/** Shipped UserOperator classes exposing the corpus-curation surface to
+  * scripts through the `OPERATOR 'class' input (params)` mechanism (the
+  * reference's USER_DEFINED_TUPLE_OPERATOR plug-in point,
+  * operator/OperatorType.java:59-60) — so a script-only user can run the
+  * quality-filter / sample / scrub pipeline without touching the Scala DSL.
+  */
+
+/** Quality + language filter: keep docs with ≥ minTokens tokens, alpha
+  * ratio > minAlpha, and (optionally) a predicted language.
+  * Params: minTokens (default 10), minAlpha (default 0.5), lang (optional).
+  */
+class QualityFilter extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val minTokens = params.getOrElse("minTokens", "10").toLong
+    val minAlpha = params.getOrElse("minAlpha", "0.5").toDouble
+    val base = graft.text.TextAnalysis.withLangId(
+      graft.text.TextAnalysis.withQualityFeatures(inputs.head))
+    val filtered = base.filter(col("n_tokens") >= minTokens && col("alpha_ratio") > minAlpha)
+    params.get("lang").fold(filtered)(l => filtered.filter(col("lang_pred") === l))
+  }
+}
+
+/** Deterministic hash sample. Params: key (column, default doc_id),
+  * fraction (required), salt (default "smp").
+  */
+class HashSample extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.hashSample(inputs.head,
+      col(params.getOrElse("key", "doc_id")),
+      params("fraction").toDouble,
+      params.getOrElse("salt", "smp"))
+}
+
+/** PII scrub: adds n_emails/n_phones/n_ipv4 and replaces the text column
+  * with its redacted form. Params: text (column, default "text").
+  */
+class PiiScrub extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val textCol = params.getOrElse("text", "text")
+    graft.text.TextAnalysis.withPiiScrub(inputs.head, textCol)
+      .drop(textCol)
+      .withColumnRenamed("text_redacted", textCol)
+  }
+}

@@ -33,6 +33,15 @@ class ExamplesSpec extends SparkSpec {
     assert(cube.count() == 24)
   }
 
+  test("curation.cmr filters, samples, and scrubs via shipped operator classes") {
+    val out = runExample("curation")
+    val curated = spark.read.parquet(s"$out/curated")
+    assert(curated.columns.toSet == Set("doc_id", "lang_pred", "text", "n_tokens"))
+    val n = curated.count()
+    assert(n > 0 && n < 500) // filtered AND sampled
+    assert(curated.select("lang_pred").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("dictionary.cmr builds, encodes, and aggregates") {
     val out = runExample("dictionary")
     val seg = spark.read.parquet(s"$out/seg_counts")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental computation / materialized-view reuse — the reference's
@@ -69,6 +69,59 @@ object Incremental {
     spark.read.parquet(mvPath)
       .groupBy(keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Continuous refresh: maintain the same additive summary from a STREAM
+    * of fact rows — each micro-batch aggregates its own rows per (date,
+    * keys) and merges into the MV (read-merge-overwrite of only the dates
+    * the batch touched, so the work per batch ∝ batch size, not history).
+    * The MV stays queryable with the same `query` rollup, and a streaming
+    * pipeline and a daily batch job can feed the SAME view — the
+    * reference's daily-MV reuse generalized to continuous arrival.
+    * Exactly-once note: the merge is idempotent per batch only if batches
+    * are deterministic (checkpointed sources replay the same batch ids);
+    * that is Structured Streaming's standard foreachBatch contract.
+    */
+  def streamRefresh(stream: DataFrame, mvPath: String, dateCol: String,
+                    keys: Seq[String], aggs: Seq[(String, Column, String)],
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
+    // partials re-aggregate by their own additive law (COUNT partials are
+    // counts, so they merge with SUM — the rewriters' COUNT→SUM switch)
+    val mergeExprs = aggs.map {
+      case (t, _, n) => t.toUpperCase match {
+        case "COUNT" | "SUM" => sum(col(n)).as(n)
+        case "MIN"           => min(col(n)).as(n)
+        case "MAX"           => max(col(n)).as(n)
+        case other => throw new IllegalArgumentException(
+          s"streamRefresh supports additive aggregates (SUM/COUNT/MIN/MAX); got $other for $n")
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val partial = batch
+          .groupBy((dateCol +: keys).map(col): _*)
+          .agg(exprs.head, exprs.tail: _*)
+        val merged =
+          if (!exists(spark, mvPath)) partial
+          else {
+            // merge only the dates this batch touched: existing partials for
+            // those dates union the new ones, re-aggregated additively
+            val touched = partial.select(dateCol).distinct()
+            val existing = spark.read.parquet(mvPath)
+              .join(broadcast(touched), Seq(dateCol))
+            existing.unionByName(partial)
+              .groupBy((dateCol +: keys).map(col): _*)
+              .agg(mergeExprs.head, mergeExprs.tail: _*)
+          }
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(dateCol).parquet(mvPath)
+      }
+      .start()
   }
 
   /** Refresh a COUNT(DISTINCT member) summary: store distinct

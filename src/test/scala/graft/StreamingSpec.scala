@@ -122,6 +122,27 @@ class StreamingSpec extends SparkSpec {
     assert(closed.contains(("a", 3.0)), s"expected closed window ('a', 3.0), got $closed")
   }
 
+  test("streamRefresh maintains the additive MV from a stream of facts") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mv-stream").toString
+    val in = MemoryStream[(Int, String, Long)]
+    val q = graft.operators.Incremental.streamRefresh(
+      in.toDF().toDF("dt", "k", "v"), s"$base/mv", "dt", Seq("k"),
+      Seq(("SUM", col("v"), "sv"), ("COUNT", lit(1), "n")), s"$base/ck")
+    try {
+      in.addData((20240101, "a", 10L), (20240101, "a", 5L), (20240102, "b", 1L))
+      q.processAllAvailable()
+      // second batch touches EXISTING dates — partials must merge, not replace
+      in.addData((20240102, "b", 2L), (20240101, "a", 1L))
+      q.processAllAvailable()
+      val res = graft.operators.Incremental.query(spark, s"$base/mv", Seq("k"),
+        Seq(("SUM", "sv", "sum_v"), ("SUM", "n", "n_rows")))
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(res == Seq(("a", 16L, 3L), ("b", 3L, 2L)))
+    } finally q.stop()
+  }
+
   test("curation operators run unchanged on a stream (quality + sampling)") {
     // the corpus-curation maps are narrow/stateless, so the SAME operator
     // calls work under readStream — and must agree with the batch results

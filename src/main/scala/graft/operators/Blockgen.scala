@@ -51,9 +51,21 @@ object Blockgen {
                     partitionKeys: Seq[String], sortKeys: Seq[String]): Unit = {
     require(rowsPerBlock > 0, s"rowsPerBlock must be positive: $rowsPerBlock")
     val rows = df.count()
-    val buckets = math.max(1L, (rows + rowsPerBlock - 1) / rowsPerBlock).toInt
+    val buckets = clampBuckets(df, (rows + rowsPerBlock - 1) / rowsPerBlock)
     blockgen(df, table, partitionKeys, sortKeys, buckets)
   }
+
+  /** Bound a derived bucket count to [1, spark.sql.sources.bucketing
+    * .maxBuckets]: estimates can blow up (join-size products, stat-less
+    * plans default to Long.MaxValue) and an oversized count hard-fails the
+    * bucketed write instead of degrading.
+    */
+  private def clampBuckets(df: DataFrame, n: BigInt): Int = {
+    val maxBuckets = df.sparkSession.conf
+      .get("spark.sql.sources.bucketing.maxBuckets", "100000").toInt
+    n.max(BigInt(1)).min(BigInt(maxBuckets)).toInt
+  }
+  private def clampBuckets(df: DataFrame, n: Long): Int = clampBuckets(df, BigInt(n))
 
   /** BLOCKGEN x BY SIZE n — the byte-size cost function (BY_SIZE): bucket
     * count from Catalyst's size estimate for the plan (filters and column
@@ -65,8 +77,7 @@ object Blockgen {
                      partitionKeys: Seq[String], sortKeys: Seq[String]): Unit = {
     require(bytesPerBlock > 0, s"bytesPerBlock must be positive: $bytesPerBlock")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val buckets = ((bytes + bytesPerBlock - 1) / bytesPerBlock)
-      .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
+    val buckets = clampBuckets(df, (bytes + bytesPerBlock - 1) / bytesPerBlock)
     blockgen(df, table, partitionKeys, sortKeys, buckets)
   }
 

@@ -78,9 +78,11 @@ object Incremental {
     * The MV stays queryable with the same `query` rollup, and a streaming
     * pipeline and a daily batch job can feed the SAME view — the
     * reference's daily-MV reuse generalized to continuous arrival.
-    * Exactly-once note: the merge is idempotent per batch only if batches
-    * are deterministic (checkpointed sources replay the same batch ids);
-    * that is Structured Streaming's standard foreachBatch contract.
+    * Exactly-once: a read-modify-write merge is NOT idempotent under
+    * replay, so the last merged batchId is recorded in a marker file
+    * inside the MV and replayed batches (id ≤ marker) are skipped —
+    * a crash between the MV write and the streaming commit log therefore
+    * cannot double-count.
     */
   def streamRefresh(stream: DataFrame, mvPath: String, dateCol: String,
                     keys: Seq[String], aggs: Seq[(String, Column, String)],
@@ -100,28 +102,62 @@ object Incremental {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val partial = batch
-          .groupBy((dateCol +: keys).map(col): _*)
-          .agg(exprs.head, exprs.tail: _*)
-        val merged =
-          if (!exists(spark, mvPath)) partial
-          else {
-            // merge only the dates this batch touched: existing partials for
-            // those dates union the new ones, re-aggregated additively
-            val touched = partial.select(dateCol).distinct()
-            val existing = spark.read.parquet(mvPath)
-              .join(broadcast(touched), Seq(dateCol))
-            existing.unionByName(partial)
-              .groupBy((dateCol +: keys).map(col): _*)
-              .agg(mergeExprs.head, mergeExprs.tail: _*)
-          }
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(dateCol).parquet(mvPath)
+        if (!batch.isEmpty && batchId > lastMergedBatch(spark, mvPath, checkpoint)) {
+          val partial = batch
+            .groupBy((dateCol +: keys).map(col): _*)
+            .agg(exprs.head, exprs.tail: _*)
+          val merged =
+            if (!exists(spark, mvPath)) partial
+            else {
+              // merge only the dates this batch touched: existing partials
+              // for those dates union the new ones, re-aggregated additively
+              val touched = partial.select(dateCol).distinct()
+              val existing = spark.read.parquet(mvPath)
+                .join(broadcast(touched), Seq(dateCol))
+              existing.unionByName(partial)
+                .groupBy((dateCol +: keys).map(col): _*)
+                .agg(mergeExprs.head, mergeExprs.tail: _*)
+            }
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(dateCol).parquet(mvPath)
+          recordMergedBatch(spark, mvPath, checkpoint, batchId)
+        }
       }
       .start()
+  }
+
+  // Replay guard for streamRefresh: the id of the last batch merged into
+  // the MV, kept in a marker file beside the partitions (underscore prefix
+  // → invisible to parquet readers). Batch ids only mean something within
+  // one checkpoint lineage, so the marker is scoped to the checkpoint
+  // path: a stream restarted from a FRESH checkpoint renumbers from 0 and
+  // must not be mistaken for replay.
+  private def batchMarker(mvPath: String) = new Path(mvPath, "_graft_last_batch")
+
+  private def lastMergedBatch(spark: SparkSession, mvPath: String,
+                              checkpoint: String): Long = {
+    val p = batchMarker(mvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      content.split("\n") match {
+        case Array(ck, id) if ck == checkpoint => id.trim.toLong
+        case _                                 => -1L // different stream lineage
+      }
+    }
+  }
+
+  private def recordMergedBatch(spark: SparkSession, mvPath: String,
+                                checkpoint: String, id: Long): Unit = {
+    val p = batchMarker(mvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$checkpoint\n$id".getBytes("UTF-8")) finally out.close()
   }
 
   /** Refresh a COUNT(DISTINCT member) summary: store distinct

@@ -309,13 +309,17 @@ object ScriptEngine {
           .asInstanceOf[UserFunction].register(spark, name, args.result())
         p.expectPunct(";")
       }
-      // REGISTER 'path/to.jar'; (grammar :23) — ship a UDF jar; Spark's
-      // addJar is the distributed-cache analog. Missing files are
-      // recorded-and-ignored like SET, so compile-only runs of cluster
-      // scripts still parse.
+      // REGISTER 'path/to.jar'; (grammar :23) — ship a UDF jar. The
+      // session resource loader gives SQL ADD JAR semantics: the jar joins
+      // the DRIVER classloader (so a later FUNCTION/OPERATOR Class.forName
+      // can resolve it) and is distributed to executors. URI-aware
+      // existence check (hdfs:// etc.); missing jars are recorded-and-
+      // ignored like SET, so compile-only runs of cluster scripts parse.
       else if (p.stmtKw("REGISTER")) {
         val jar = p.str()
-        if (new java.io.File(jar).exists()) spark.sparkContext.addJar(jar)
+        val hp = new org.apache.hadoop.fs.Path(jar)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) spark.sessionState.resourceLoader.addJar(jar)
         p.expectPunct(";")
       }
       // CREATE DICTIONARY d COLUMN c VALUES 'a','b' [COLUMN …]; (grammar

@@ -192,10 +192,16 @@ object TextAnalysis {
     */
   def withBlocklistFlag(df: DataFrame, blocklist: Seq[String],
                         textCol: String = "text"): DataFrame = {
-    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
-    val toksLower = transform(tokens(col(textCol)), lower _)
-    df.withColumn("n_blocked",
-      size(filter(toksLower, t => array_contains(bl, t))).cast("long"))
+    // empty blocklist → everything is clean (array() alone would have
+    // element type NULL and fail array_contains type checking)
+    val blocked: Column =
+      if (blocklist.isEmpty) lit(0L)
+      else {
+        val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+        size(filter(transform(tokens(col(textCol)), lower _),
+          t => array_contains(bl, t))).cast("long")
+      }
+    df.withColumn("n_blocked", blocked)
       .withColumn("keep_clean", col("n_blocked") === 0L)
   }
 

@@ -70,6 +70,9 @@ class SamplingPackingSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_blocked") == 0 && r(0).getAs[Boolean]("keep_clean"))
     assert(r(1).getAs[Boolean]("keep_clean"))
     assert(r(2).getAs[Long]("n_blocked") == 3 && !r(2).getAs[Boolean]("keep_clean"))
+    // empty blocklist (nothing configured) → everything is clean, no crash
+    val none = TextAnalysis.withBlocklistFlag(df, Seq.empty).collect()
+    assert(none.forall(_.getAs[Boolean]("keep_clean")))
   }
 
   // ---- sampling -----------------------------------------------------------

@@ -63,4 +63,22 @@ object Packing {
         }
       }(RowEncoder.encoderFor(outSchema))
   }
+
+  /** The 100 TB shape: pre-split each group into `shards` deterministic
+    * hash shards and pack each (group, shard) independently — parallelism
+    * becomes groups × shards instead of groups, and padding loss grows by
+    * at most one under-filled window per shard. Adds `pack_shard` next to
+    * `pack_id`/`pack_pos`; a pack is identified by (group, pack_shard,
+    * pack_id). Shard assignment uses the deterministic content hash, so
+    * packing is reproducible run-to-run.
+    */
+  def packGreedySharded(df: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, capacity: Long, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val sharded = df
+      .withColumn("pack_shard",
+        graft.operators.Sampling.hashBucket(col(orderCol), "packshard", shards).cast("int"))
+      .withColumn("__grp", concat_ws("\u0001", col(groupCol), col("pack_shard")))
+    packGreedy(sharded, "__grp", orderCol, sizeCol, capacity).drop("__grp")
+  }
 }

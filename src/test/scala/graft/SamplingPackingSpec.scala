@@ -184,6 +184,21 @@ class SamplingPackingSpec extends SparkSpec {
     }
   }
 
+  test("packGreedySharded partitions work across shards without losing rows") {
+    val rows = (0L until 200L).map(i => (i, "g" + (i % 2), 10L))
+    val out = Packing.packGreedySharded(rows.toDF("doc_id", "g", "sz"),
+      "g", "doc_id", "sz", capacity = 100L, shards = 4)
+      .select("doc_id", "g", "pack_shard", "pack_id", "sz").collect()
+    assert(out.length == 200)
+    assert(out.map(_.getLong(0)).toSet == rows.map(_._1).toSet) // nothing lost
+    val shardsUsed = out.map(_.getInt(2)).toSet
+    assert(shardsUsed.size > 1, s"expected multiple shards, got $shardsUsed")
+    // capacity holds within every (group, shard, pack)
+    out.groupBy(r => (r.getString(1), r.getInt(2), r.getLong(3))).foreach {
+      case (_, rs) => assert(rs.map(_.getLong(4)).sum <= 100L)
+    }
+  }
+
   test("packGreedy gives an oversized row its own pack") {
     val df = Seq((1L, "g", 50L), (2L, "g", 500L), (3L, "g", 50L)).toDF("doc_id", "g", "sz")
     val out = Packing.packGreedy(df, "g", "doc_id", "sz", capacity = 100L)

@@ -400,6 +400,48 @@ object OracleGen {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  // ---- q81 decontamination ------------------------------------------------
+
+  /** Benchmark decontamination — mirrors Dedup.decontaminate with the eval
+    * set = documents where doc_id % evalMod = 0 and train = the rest.
+    */
+  def decontaminate(n: Int, minOverlap: Int, evalMod: Int): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(hs) >= $n
+       |    THEN list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle)
+       |    ELSE CAST([] AS BIGINT[]) END) AS shs
+       |  FROM th
+       |), ev AS (
+       |  SELECT DISTINCT unnest(shs) AS h FROM sets WHERE doc_id % $evalMod = 0
+       |), hits AS (
+       |  SELECT s.doc_id, count(1) AS n_eval_overlap
+       |  FROM (SELECT doc_id, unnest(shs) AS h FROM sets WHERE doc_id % $evalMod <> 0) s
+       |  JOIN ev USING (h) GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(hits.n_eval_overlap, 0) AS BIGINT) AS n_eval_overlap,
+       |  COALESCE(hits.n_eval_overlap, 0) >= $minOverlap AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalMod <> 0) d
+       |LEFT JOIN hits USING (doc_id)""".stripMargin
+  }
+
+  // ---- q82 BPE pair counts ------------------------------------------------
+
+  /** Adjacent-token-pair counts — mirrors TextAnalysis.pairCounts. */
+  def pairCounts(minCount: Long): String =
+    s"""WITH toks AS (
+       |  SELECT $toks AS t FROM documents
+       |), pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> {'a': t[i], 'b': t[i + 1]})) AS p
+       |  FROM toks WHERE len(t) >= 2
+       |)
+       |SELECT p.a AS tok_a, p.b AS tok_b, CAST(count(1) AS BIGINT) AS pair_count
+       |FROM pairs GROUP BY 1, 2 HAVING count(1) >= $minCount""".stripMargin
+
   // ---- q75 mixture plan ---------------------------------------------------
 
   /** Token-budget mixture allocation — mirrors Sampling.mixturePlan (integer

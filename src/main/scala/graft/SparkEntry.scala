@@ -513,6 +513,17 @@ object SparkEntry {
       TextAnalysis.withBlocklistFlag(t(s, d, "documents"),
         Seq("slow", "big", "the"))
         .select("doc_id", "n_blocked", "keep_clean")),
+    // benchmark decontamination: flag training docs sharing any 8-gram
+    // shingle with the eval split (doc_id % 10 = 0 plays the benchmark)
+    "q81_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 8)
+    }),
+    // BPE vocabulary induction statistic: adjacent token-pair counts
+    "q82_vocab_pairs" -> ((s, d) =>
+      TextAnalysis.pairCounts(t(s, d, "documents"), minCount = 2L)),
 
     // incremental COUNT DISTINCT via member-level summaries — the
     // reference's flagship incremental computation (CountDistinctRewriter):
@@ -842,6 +853,8 @@ object SparkEntry {
         |FROM (SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket FROM orders)
         |GROUP BY bucket""".stripMargin,
     "q78_passage_dup" -> OracleGen.crossDocShingleStats(n = 8),
+    "q81_decontaminate" -> OracleGen.decontaminate(n = 8, minOverlap = 1, evalMod = 10),
+    "q82_vocab_pairs" -> OracleGen.pairCounts(minCount = 2L),
     "q79_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,

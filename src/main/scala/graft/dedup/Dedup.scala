@@ -349,4 +349,43 @@ object Dedup {
           col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  // ---- decontamination ------------------------------------------------
+
+  /** Benchmark decontamination: per training document, how many of its
+    * distinct token n-gram shingles also occur in an evaluation corpus,
+    * plus a `contaminated` flag (>= minOverlap shared shingles). This is
+    * the standard pre-training screen that strips eval/benchmark overlap
+    * out of the corpus before training.
+    *
+    * Scale shape: eval corpora are tiny next to the training corpus
+    * (10^4 docs vs 10^9), so the eval side collapses to a distinct set of
+    * 8-byte hashes that BROADCASTS; the corpus side is one narrow
+    * tokenize+shingle map feeding a broadcast hash join — the 100 TB scan
+    * never shuffles. If an eval set ever outgrows the broadcast threshold,
+    * Spark degrades to a shuffled join keyed on the 8-byte hash, still
+    * token-linear. Shingles are portable polynomial hashes
+    * ([[graft.functions.PortableHash]]), never strings, so the join keys
+    * are fixed-width.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 8,
+                    minOverlap: Int = 1, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def shingleSet(df: DataFrame, cols: Column*): DataFrame = {
+      val th = PortableHash.tokenHashes(col(textCol))
+      df.select(cols :+
+        array_distinct(when(size(th) >= n, PortableHash.shingleHashes(th, n))
+          .otherwise(array().cast("array<bigint>"))).as("shs"): _*)
+    }
+    val evalHashes = shingleSet(evalSet)
+      .select(explode(col("shs")).as("h")).distinct()
+    val hits = shingleSet(train, col(idCol))
+      .select(col(idCol), explode(col("shs")).as("h"))
+      .join(broadcast(evalHashes), Seq("h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_eval_overlap"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_overlap"), lit(0L)).as("n_eval_overlap"))
+      .withColumn("contaminated", col("n_eval_overlap") >= minOverlap)
+  }
 }

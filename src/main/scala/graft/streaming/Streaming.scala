@@ -139,6 +139,30 @@ object Streaming {
       }
   }
 
+  /** Stream-stream equi-join with event-time bounds — the streaming analog
+    * of the reduce-side JOIN macro (SURVEY §2.3). Both sides carry a
+    * watermark and the join condition adds a time-range bound
+    * (|l.ts - r.ts| <= maxLag), which is the only shape under which BOTH
+    * state stores evict: without the range, unmatched rows would be
+    * retained forever awaiting a match. Inner and left-outer (outer rows
+    * emit with nulls once the watermark passes the bound).
+    *
+    * Scale: state per side ≈ rate × (watermark + maxLag) rows, sharded by
+    * join key across the state store — independent of total stream history.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: (String, String), tsCols: (String, String),
+                       watermarks: (String, String), maxLag: String,
+                       joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(tsCols._1, watermarks._1).alias("l")
+    val r = right.withWatermark(tsCols._2, watermarks._2).alias("r")
+    val lag = expr(s"interval $maxLag")
+    val cond = col("l." + key._1) === col("r." + key._2) &&
+      col("r." + tsCols._2) >= col("l." + tsCols._1) - lag &&
+      col("r." + tsCols._2) <= col("l." + tsCols._1) + lag
+    l.join(r, cond, joinType)
+  }
+
   /** Sink a stream to parquet with checkpointing; returns the query handle. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =

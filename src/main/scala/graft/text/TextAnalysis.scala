@@ -205,6 +205,28 @@ object TextAnalysis {
       .withColumn("keep_clean", col("n_blocked") === 0L)
   }
 
+  /** BPE merge-candidate counting: corpus-wide frequency of every adjacent
+    * token pair — the inner statistic of byte-pair-encoding vocabulary
+    * induction (count pairs → merge the most frequent → repeat). One
+    * narrow tokenize+zip-adjacent map and ONE shuffle (groupBy pair) with
+    * automatic map-side partial aggregation, so the shuffle carries unique
+    * pairs per partition rather than the token stream. `minCount` prunes
+    * the hapax tail after aggregation (the overwhelming majority of pairs
+    * at corpus scale).
+    */
+  def pairCounts(df: DataFrame, textCol: String = "text",
+                 minCount: Long = 2L): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("tok_a"),
+          element_at(col("__t"), i + 1).as("tok_b")))).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+  }
+
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     def count(p: String): Column =

@@ -171,4 +171,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream join matches within the time bound, drops beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "click_user"),
+      views.toDF().toDF("view_ts", "view_user"),
+      key = ("click_user", "view_user"),
+      tsCols = ("click_ts", "view_ts"),
+      watermarks = ("1 hour", "1 hour"),
+      maxLag = "10 minutes")
+    val q = joined.select("click_user", "click_ts", "view_ts")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      // user 1: view 5 min after click (within bound); user 2: view 30 min
+      // after click (beyond 10-minute bound); user 3: click with no view
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-01 00:00:00"), 3L))
+      views.addData((ts("2024-01-01 00:05:00"), 1L),
+        (ts("2024-01-01 00:30:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => r.getLong(0)).toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
 }

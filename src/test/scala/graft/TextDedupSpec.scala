@@ -200,4 +200,31 @@ class TextDedupSpec extends SparkSpec {
     val kept = Dedup.clusterSurvivors(docs, clusters).collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L, 99L))
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
+    // eval doc holds "one two three"; train doc 1 contains that trigram,
+    // doc 2 shares only a bigram (below n=3), doc 3 shares nothing,
+    // doc 4 is too short to have any trigram
+    val evalSet = Seq((100L, "one two three")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x one two three y"),
+      (2L, "one two zzz"),
+      (3L, "totally different text here"),
+      (4L, "hi")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (0L, false), 3L -> (0L, false), 4L -> (0L, false)))
+  }
+
+  test("pairCounts counts adjacent token pairs corpus-wide") {
+    val df = Seq("a b c a b", "a b", "solo").toDF("text")
+    val got = TextAnalysis.pairCounts(df, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 3L, ("b", "c") -> 1L, ("c", "a") -> 1L))
+    // minCount prunes the tail
+    val pruned = TextAnalysis.pairCounts(df, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("a", "b")))
+  }
 }

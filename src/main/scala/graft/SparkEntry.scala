@@ -525,6 +525,44 @@ object SparkEntry {
     "q82_vocab_pairs" -> ((s, d) =>
       TextAnalysis.pairCounts(t(s, d, "documents"), minCount = 2L)),
 
+    // ---- time joins (asof / range / bloom) -----------------------------
+    // point-in-time lookup: each purchase joined to the user's latest
+    // click at-or-before it (exact microsecond longs, as in q59)
+    "q83_join_asof" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts_us"),
+          col("event_id").as("click_event_id"))
+      Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us",
+        how = "left_outer")
+    }),
+    // band join: every click within the hour before each purchase
+    "q84_join_range" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts_us"),
+          col("event_id").as("click_event_id"))
+      Joins.rangeJoin(purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us",
+        lower = 0L, upper = 3600L * 1000000L)
+    }),
+    // bloom-pruned fact-to-dim join: lineitem rows are semi-filtered by a
+    // bloom over the surviving order keys before the shuffle join
+    "q85_join_bloom" -> ((s, d) => {
+      val keep = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Joins.bloomPrunedJoin(t(s, d, "lineitem"), keep, Seq("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
     // incremental COUNT DISTINCT via member-level summaries — the
     // reference's flagship incremental computation (CountDistinctRewriter):
     // members recurring across months must count once
@@ -855,6 +893,29 @@ object SparkEntry {
     "q78_passage_dup" -> OracleGen.crossDocShingleStats(n = 8),
     "q81_decontaminate" -> OracleGen.decontaminate(n = 8, minOverlap = 1, evalMod = 10),
     "q82_vocab_pairs" -> OracleGen.pairCounts(minCount = 2L),
+    "q83_join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value, q.click_ts_us, q.click_event_id
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT click_ts_us, click_event_id FROM c
+        |  WHERE c.user_id = p.user_id AND c.click_ts_us <= p.ts_us
+        |  ORDER BY click_ts_us DESC, click_event_id DESC LIMIT 1) q ON true""".stripMargin,
+    "q84_join_range" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, c.click_ts_us, c.click_event_id
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND p.ts_us BETWEEN c.click_ts_us AND c.click_ts_us + 3600000000""".stripMargin,
+    "q85_join_bloom" ->
+      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000.0
+        |GROUP BY l_returnflag""".stripMargin,
     "q79_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,

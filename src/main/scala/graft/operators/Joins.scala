@@ -90,6 +90,103 @@ object Joins {
     l.join(r, keys :+ "__salt", jt).drop("__salt")
   }
 
+  /** As-of join: for each left row, the single most recent right row with
+    * `right.tsCol <= left.tsCol` on the same key — the point-in-time lookup
+    * (latest dimension state, last event before a click) that an equi-join
+    * cannot express and a theta-join would make quadratic.
+    *
+    * Plan: tag and union both sides, shuffle ONCE on the key, and take a
+    * running `last(payload, ignoreNulls)` over the per-key time-ordered
+    * window — cost is one shuffle + one sort per side, identical to a
+    * sort-merge join, with none of the per-pair blowup of the range-predicate
+    * formulation. Ties (equal ts): right rows sort before left rows so an
+    * exactly-simultaneous right row IS visible; among equal-ts right rows the
+    * payload-struct maximum wins (deterministic).
+    *
+    * Output: every left column, then every non-key right column. `how` =
+    * "inner" (drop unmatched left rows) or "left_outer" (keep, nulls).
+    * Right column names must not collide with left ones.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, last, lit, struct}
+    import org.apache.spark.sql.expressions.Window
+    val jt = joinType(how)
+    require(Set("inner", "left_outer").contains(jt),
+      s"asofJoin preserves left rows only; got $how")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val clash = payload.intersect(left.columns.toSeq)
+    require(clash.isEmpty, s"right payload columns collide with left: $clash")
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__p")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = matched.select(left.columns.map(col) ++
+      payload.map(p => col(s"__m.$p").as(p)): _*)
+    if (jt == "inner") out.filter(col(s"__m").isNotNull) else out
+  }
+
+  /** Range (interval/band) join: `left.ts BETWEEN right.ts + lower AND
+    * right.ts + upper` on an equi-key, with ts as NUMERIC event time (epoch
+    * micros — convert timestamps first). A naive theta-join degenerates to a
+    * per-key cross product; this plans it as an EQUI-join on (key, time
+    * bucket): bucket width = the band span, the right side replicates into
+    * the (at most ceil(span/width)+1 = 2) buckets its band can touch, and an
+    * exact residual filter trims bucket-boundary false candidates. Shuffle
+    * volume is |L| + 2|R| fixed-width rows — independent of key hotness —
+    * and the join is a plain shuffled hash join AQE can still re-plan.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                lower: Long, upper: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
+    require(upper >= lower, s"empty band [$lower, $upper]")
+    val width = math.max(upper - lower, 1L)
+    val l = left.withColumn("__bin", floor(col(leftTs) / lit(width)))
+    val r = right.withColumn("__bin", explode(sequence(
+      floor((col(rightTs) + lit(lower)) / lit(width)),
+      floor((col(rightTs) + lit(upper)) / lit(width)))))
+    l.join(r, keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+        l("__bin") === r("__bin") &&
+        l(leftTs) >= r(rightTs) + lit(lower) &&
+        l(leftTs) <= r(rightTs) + lit(upper))
+      .drop("__bin")
+      .drop(r(keys.head), keys.tail.map(r(_)): _*)
+  }
+
+  /** Bloom-pruned shuffle join: build a bloom filter over the (small) right
+    * side's join key, semi-filter the (huge) left side BEFORE its shuffle,
+    * then run the real join — false positives are removed by the join
+    * itself, so the result is exact. This is Cubert's BLOCK_INDEX_JOIN idea
+    * (prune non-matching blocks before moving data,
+    * operator/BlockIndexJoinOperator.java) and Spark's own runtime row-level
+    * filtering, made explicit: at 100 TB the win is shuffling only the ~hit
+    * fraction of the fact table instead of all of it.
+    *
+    * Left rows are dropped pre-join, so only left-pruning-safe types are
+    * allowed (inner / left_semi / right_outer).
+    */
+  def bloomPrunedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      how: String = "inner", expectedItems: Long = 1000000L,
+                      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf, xxhash64}
+    val jt = joinType(how)
+    require(Set("inner", "left_semi", "right_outer").contains(jt),
+      s"bloomPrunedJoin drops left rows pre-join; $jt would change results")
+    val keyHash = xxhash64(keys.map(col): _*)
+    val bf = right.stat.bloomFilter(keyHash, expectedItems, fpp)
+    val bc = left.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    left.filter(might(keyHash)).join(right, keys, jt)
+  }
+
   /** MeshJoin pattern — LOAD BLOCK ... MATCHING + MERGE JOIN (reference:
     * operator/LoadBlockOperator.java:37, block/Index.java:111): join a
     * streamed relation against a stored, pre-partitioned one without

@@ -45,4 +45,49 @@ class JoinsSpec extends SparkSpec {
     val out = Joins.thetaJoin(a, b, $"x" < $"y").count()
     assert(out == 3) // (1,3) (1,7) (5,7)
   }
+
+  test("asof join picks the latest right row at-or-before each left ts") {
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 15L, 9.0)).toDF("k", "qts", "price")
+    val trades = Seq((1L, 25L), (1L, 20L), (1L, 5L), (2L, 15L), (3L, 40L))
+      .toDF("k", "tts")
+    val got = Joins.asofJoin(trades, quotes, Seq("k"), "tts", "qts",
+      how = "left_outer")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got == Set(
+      (1L, 25L, Some(2.0)), // latest quote <= 25 is ts 20
+      (1L, 20L, Some(2.0)), // tie: simultaneous quote visible
+      (1L, 5L, None),       // no quote yet
+      (2L, 15L, Some(9.0)),
+      (3L, 40L, None)))     // key never quoted
+    // inner drops the unmatched rows
+    assert(Joins.asofJoin(trades, quotes, Seq("k"), "tts", "qts").count() == 3)
+  }
+
+  test("range join equals the theta formulation but plans as an equi-join") {
+    val l = Seq((1L, 100L), (1L, 130L), (1L, 200L), (2L, 50L)).toDF("k", "lts")
+    val r = Seq((1L, 95L), (1L, 160L), (2L, 49L)).toDF("k", "rts")
+    val banded = Joins.rangeJoin(l, r, Seq("k"), "lts", "rts",
+      lower = 0L, upper = 40L)
+    val got = banded.select("k", "lts", "rts").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // oracle: lts in [rts, rts+40]
+    assert(got == Set((1L, 100L, 95L), (1L, 130L, 95L), (1L, 200L, 160L),
+      (2L, 50L, 49L)))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to a product join:\n$plan")
+  }
+
+  test("bloom-pruned join is exact and filters the big side pre-shuffle") {
+    val keep = ord.filter($"o_totalprice" > 150000.0)
+    val pruned = Joins.bloomPrunedJoin(li, keep, Seq("l_orderkey"))
+    val plain = li.join(keep, Seq("l_orderkey"))
+    assert(pruned.count() == plain.count())
+    // the filter must sit on the left scan side, below the join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("UDF"), s"expected bloom prefilter in plan:\n$plan")
+  }
 }

@@ -103,6 +103,72 @@ object OracleGen {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  // ---- q87 cross-corpus Jaccard -------------------------------------------
+
+  /** Mirrors Dedup.crossCorpusJaccard with left = even doc_ids sampled by
+    * `sampleMod`, right = odd doc_ids sampled likewise.
+    */
+  def crossCorpusJaccard(n: Int, threshold: Double, sampleMod: Int): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |  WHERE doc_id % $sampleMod IN (0, 1)
+       |), sh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle)) AS shs
+       |  FROM th WHERE len(hs) >= $n
+       |), sh AS (
+       |  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh0
+       |), common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(1) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id % $sampleMod = 0 AND b.doc_id % $sampleMod = 1
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b, CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard FROM common)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  // ---- q86 passage chunking -----------------------------------------------
+
+  /** Mirrors TextAnalysis.chunk: starts 1, 1+stride, … ≤ max(n−overlap, 1). */
+  def chunk(chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS ts FROM documents
+       |), st AS (
+       |  SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - $overlap, 1), $stride)) AS s
+       |  FROM t WHERE len(ts) >= 1
+       |)
+       |SELECT doc_id,
+       |  CAST((s - 1) // $stride AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(ts, s, s + ${chunkTokens - 1}), ' ') AS chunk_text,
+       |  CAST(least($chunkTokens, len(ts) - s + 1) AS BIGINT) AS n_chunk_tokens
+       |FROM st""".stripMargin
+  }
+
+  // ---- q88 heavy hitters --------------------------------------------------
+
+  /** Mirrors Aggregations.heavyHitters over whitespace tokens. */
+  def heavyHittersTokens(minShare: Double): String =
+    s"""WITH tok AS (SELECT unnest($toks) AS value FROM documents),
+       |c AS (SELECT value, CAST(count(1) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |t AS (SELECT sum(cnt) AS total FROM c)
+       |SELECT value, cnt, CAST(cnt AS DOUBLE) / total AS share
+       |FROM c, t WHERE CAST(cnt AS DOUBLE) / total >= $minShare""".stripMargin
+
+  // ---- q89 train/val/test split -------------------------------------------
+
+  /** Mirrors Sampling.hashSplit(doc_id, weights, labels, salt="split"):
+    * thresholds are the cumulative per-mille weights.
+    */
+  def hashSplit(thresholds: Seq[(Int, String)], lastLabel: String): String = {
+    val whens = thresholds.map { case (t, l) => s"WHEN b < $t THEN '$l'" }
+    s"""WITH h AS (SELECT doc_id, ${hashBucket("doc_id", "split", 1000)} AS b FROM documents)
+       |SELECT doc_id, CASE ${whens.mkString(" ")} ELSE '$lastLabel' END AS split
+       |FROM h""".stripMargin
+  }
+
   // ---- q57 MinHash LSH + exact-Jaccard verification -----------------------
 
   /** Candidates from the LSH oracle, verified by exact Jaccard over the

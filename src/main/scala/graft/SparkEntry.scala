@@ -525,6 +525,28 @@ object SparkEntry {
     "q82_vocab_pairs" -> ((s, d) =>
       TextAnalysis.pairCounts(t(s, d, "documents"), minCount = 2L)),
 
+    // passage chunking: overlapping token windows for context-window prep
+    "q86_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(t(s, d, "documents"), chunkTokens = 20, overlap = 5)),
+    // cross-corpus near-dup screen: fresh-crawl side (doc_id%5=0) vs
+    // existing-corpus side (doc_id%5=1)
+    "q87_crosscorpus_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossCorpusJaccard(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.05)
+    }),
+    // exact corpus-wide heavy hitters over tokens
+    "q88_heavy_hitters" -> ((s, d) =>
+      Aggregations.heavyHitters(
+        t(s, d, "documents").select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), minShare = 0.005)),
+    // deterministic content-hash train/val/test split
+    "q89_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
+        weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
+        .select("doc_id", "split")),
+
     // ---- time joins (asof / range / bloom) -----------------------------
     // point-in-time lookup: each purchase joined to the user's latest
     // click at-or-before it (exact microsecond longs, as in q59)
@@ -893,6 +915,12 @@ object SparkEntry {
     "q78_passage_dup" -> OracleGen.crossDocShingleStats(n = 8),
     "q81_decontaminate" -> OracleGen.decontaminate(n = 8, minOverlap = 1, evalMod = 10),
     "q82_vocab_pairs" -> OracleGen.pairCounts(minCount = 2L),
+    "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
+    "q87_crosscorpus_jaccard" ->
+      OracleGen.crossCorpusJaccard(n = 2, threshold = 0.05, sampleMod = 5),
+    "q88_heavy_hitters" -> OracleGen.heavyHittersTokens(minShare = 0.005),
+    "q89_hash_split" ->
+      OracleGen.hashSplit(Seq((800, "train"), (900, "val")), lastLabel = "test"),
     "q83_join_asof" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |           FROM events WHERE event_type = 'purchase'),

@@ -90,6 +90,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus set-similarity join: n-gram Jaccard ≥ `threshold` between
+    * documents of TWO corpora (fresh crawl vs existing corpus — the "is this
+    * new document a near-dup of anything we already have" screen). Same
+    * shingle-hash equi-join shape as [[ngramJaccard]] but across frames, so
+    * left ids never pair with left ids. At 100 TB run the right side through
+    * LSH first or cap hot shingles; the join shuffles fixed-width (id, long)
+    * pairs only.
+    */
+  def crossCorpusJaccard(left: DataFrame, right: DataFrame, n: Int = 3,
+                         threshold: Double = 0.8, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    def sh(df: DataFrame): DataFrame = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
+        col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
+      .select(col(idCol), size(col("__shs")).as("n_sh"),
+        explode(col("__shs")).as("shingle"))
+    val a = sh(left).as("a"); val b = sh(right).as("b")
+    a.join(b, col("a.shingle") === col("b.shingle"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signatures over a (id, shingle) relation: k affine permutations

@@ -93,6 +93,26 @@ object Aggregations {
       .withColumn("bucket_lo", lit(lo) + col("bucket").cast("double") * lit(width))
   }
 
+  /** Exact heavy hitters: values of `c` whose frequency is ≥ `minShare` of
+    * all rows, with count and share. One aggregation with map-side partials
+    * (the shuffle carries unique values per partition, not rows), then a
+    * scalar total broadcast back over the counts — no single-partition
+    * window, no driver collect, so the plan survives arbitrarily many
+    * distinct values. Exact by construction; at 100 TB this is the verifier
+    * one runs over candidate sets from a sketch, or directly when the value
+    * domain (urls, domains, tokens) fits a shuffle.
+    */
+  def heavyHitters(df: DataFrame, c: Column, minShare: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(minShare > 0 && minShare <= 1, s"minShare out of range: $minShare")
+    val counts = df.groupBy(c.as(valueCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("__total"))
+      .filter(col("share") >= minShare)
+      .drop("__total")
+  }
+
   /** Register a user Aggregator the way Cubert loaded UDAFs by class name
     * (reference: operator/UDAFOperatorAdapter.java:26).
     */

@@ -55,6 +55,28 @@ object Sampling {
     df.filter(hashBucket(key, salt) < permille)
   }
 
+  /** Deterministic train/val/test split: label each row by its key's hash
+    * bucket against cumulative per-mille thresholds. Content-hashed, so the
+    * assignment is stable under appends and reshuffles (a document never
+    * migrates between splits across pipeline runs — the property random
+    * splits lose), and identically computable by any engine. Narrow map,
+    * no shuffle. `weights` need not sum to 1; they are normalized.
+    */
+  def hashSplit(df: DataFrame, key: Column, weights: Seq[Double],
+      labels: Seq[String], salt: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(weights.length == labels.length && weights.nonEmpty,
+      "weights and labels must align")
+    require(weights.forall(_ >= 0) && weights.sum > 0, s"bad weights: $weights")
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum)
+    val thresholds = cum.init.map(c => math.round(c * 1000).toInt)
+    val b = hashBucket(key, salt)
+    val label = thresholds.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((t, l), acc) => when(b < t, lit(l)).otherwise(acc)
+    }
+    df.withColumn(outCol, label)
+  }
+
   /** Deterministic fixed-size per-stratum sample: the `n` rows with the
     * smallest key hashes in each stratum (ties broken by the key itself) —
     * the reproducible analog of per-key reservoir sampling. One shuffle on

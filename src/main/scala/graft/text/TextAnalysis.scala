@@ -227,6 +227,33 @@ object TextAnalysis {
       .filter(col("pair_count") >= minCount)
   }
 
+  /** Passage chunking: split each document into token windows of
+    * `chunkTokens` with `overlap` tokens carried between consecutive
+    * chunks — context-window prep for training/retrieval corpora. Chunk
+    * starts are 1, 1+stride, … (stride = chunkTokens − overlap) while
+    * start ≤ max(n − overlap, 1), so every token lands in ≥1 chunk, a
+    * short document yields exactly one chunk, and no chunk is a pure
+    * suffix of its predecessor. Narrow map + explode — token-linear, no
+    * shuffle; output rows carry (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    */
+  def chunk(df: DataFrame, chunkTokens: Int, overlap: Int = 0,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), greatest(size(col("__t")) - overlap, lit(1)),
+          lit(stride))).as("__start"))
+      .select(col(idCol),
+        ((col("__start") - 1) / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__t"), col("__start"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__t")) - col("__start") + 1)
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     def count(p: String): Column =

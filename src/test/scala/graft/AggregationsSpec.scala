@@ -85,4 +85,11 @@ class AggregationsSpec extends SparkSpec {
     val out = Seq(1.0, 100.0).toDF("v").selectExpr("geo_mean(v)").collect().head.getDouble(0)
     assert(math.abs(out - 10.0) < 1e-9)
   }
+
+  test("heavyHitters returns exact counts and shares above the threshold") {
+    val toks = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val out = Aggregations.heavyHitters(toks.toDF("t"), col("t"), minShare = 0.25)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("a" -> (6L, 0.6), "b" -> (3L, 0.3)))
+  }
 }

@@ -205,4 +205,21 @@ class SamplingPackingSpec extends SparkSpec {
       .orderBy("doc_id").select("pack_id").as[Long].collect().toSeq
     assert(out == Seq(0L, 1L, 2L))
   }
+
+  test("hashSplit is deterministic, exhaustive, and roughly proportional") {
+    val df = spark.range(1, 2001).toDF("doc_id")
+    val out = Sampling.hashSplit(df, col("doc_id"),
+      weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1400 && counts("val") < 350 && counts("test") < 350)
+    // stable under appends: the same doc keeps its split in a grown frame
+    val grown = Sampling.hashSplit(spark.range(1, 4001).toDF("doc_id"),
+      col("doc_id"), Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val before = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = grown.filter(col("doc_id") < 2001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after)
+  }
 }

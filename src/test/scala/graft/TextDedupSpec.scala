@@ -217,6 +217,34 @@ class TextDedupSpec extends SparkSpec {
       1L -> (1L, true), 2L -> (0L, false), 3L -> (0L, false), 4L -> (0L, false)))
   }
 
+  test("chunk splits into overlapping token windows covering every token") {
+    val df = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, chunkTokens = 10, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 9, 17 (stride 8, last start <= 25-2=23)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1(0)._3.startsWith("t1 ") && d1(1)._3.startsWith("t9 ") &&
+      d1(2)._3 == (17 to 25).map(i => s"t$i").mkString(" "))
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 9L))
+    // short docs yield exactly one chunk; empty docs none
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "solo", 1L)))
+    assert(!got.exists(_._1 == 4L))
+  }
+
+  test("crossCorpusJaccard pairs only across corpora") {
+    val left = Seq((1L, "the quick brown fox jumps"),
+      (3L, "nothing in common here")).toDF("doc_id", "text")
+    val right = Seq((2L, "the quick brown fox leaps"),
+      (4L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusJaccard(left, right, n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc1 vs doc4 identical (j=1); doc1 vs doc2 share 3 of 5 bigrams (j=3/5)
+    assert(got == Set((1L, 2L), (1L, 4L)))
+  }
+
   test("pairCounts counts adjacent token pairs corpus-wide") {
     val df = Seq("a b c a b", "a b", "solo").toDF("text")
     val got = TextAnalysis.pairCounts(df, minCount = 1L)

@@ -147,6 +147,61 @@ object OracleGen {
        |FROM st""".stripMargin
   }
 
+  // ---- q90 mixture take ---------------------------------------------------
+
+  /** Mirrors Sampling.mixtureTake over mixturePlan(budget) on documents:
+    * per lang, keep docs in (hash, doc_id) order while the inclusive
+    * running token total stays within the stratum's allocation.
+    */
+  def mixtureTake(budget: Long): String =
+    s"""WITH plan AS (${mixturePlan(budget)}),
+       |d AS (
+       |  SELECT doc_id, lang, len($toks) AS n_tokens,
+       |    ${hashBucket("doc_id", "mix", 1L << 30)} AS h
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, lang,
+       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM d
+       |)
+       |SELECT c.doc_id, c.lang FROM cum c JOIN plan p ON c.lang = p.stratum
+       |WHERE c.cum_tokens <= p.alloc_tokens""".stripMargin
+
+  // ---- q93 duplicate spans ------------------------------------------------
+
+  /** Mirrors Dedup.duplicateSpans: positions of corpus-hot n-gram shingles,
+    * merged per doc into maximal spans via gaps-and-islands.
+    */
+  def duplicateSpans(n: Int, minCount: Long): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), pos0 AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - ${n - 1}),
+       |    i -> {'i': i, 'h': $shingle})) AS p
+       |  FROM th WHERE len(hs) >= $n
+       |), pos AS (
+       |  SELECT doc_id, p.i AS i, p.h AS h FROM pos0
+       |), hot AS (
+       |  SELECT h FROM (SELECT h, count(1) AS c FROM pos GROUP BY 1) WHERE c >= $minCount
+       |), dup AS (
+       |  SELECT doc_id, i FROM pos JOIN hot USING (h)
+       |), marked AS (
+       |  SELECT doc_id, i, CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > $n
+       |    THEN 1 ELSE 0 END AS nw
+       |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |), isl AS (
+       |  SELECT doc_id, i, sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM marked
+       |)
+       |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       |  CAST(max(i) + ${n - 1} AS BIGINT) AS span_end,
+       |  CAST(max(i) + $n - min(i) AS BIGINT) AS n_span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
+
   // ---- q88 heavy hitters --------------------------------------------------
 
   /** Mirrors Aggregations.heavyHitters over whitespace tokens. */

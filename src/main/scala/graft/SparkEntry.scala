@@ -525,6 +525,47 @@ object SparkEntry {
     "q82_vocab_pairs" -> ((s, d) =>
       TextAnalysis.pairCounts(t(s, d, "documents"), minCount = 2L)),
 
+    // mixture materialization: the deterministic per-stratum take that
+    // executes q75's token-budget plan
+    "q90_mixture_take" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val plan = Sampling.mixturePlan(docs, col("lang"), col("n_tokens"),
+        budget = 20000L)
+      Sampling.mixtureTake(docs, col("lang"), col("n_tokens"), col("doc_id"),
+        plan.select("stratum", "alloc_tokens"))
+        .select("doc_id", "lang")
+    }),
+    // exact duplicated-passage spans (substring dedup signal): which token
+    // ranges of each document repeat >= 2 times corpus-wide
+    "q93_duplicate_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), n = 8, minCount = 2L)),
+
+    // BPE tokenizer training: one distributed word-count shuffle, then a
+    // driver-side merge loop over the vocab-bounded dictionary. Iterative —
+    // no SQL oracle; deterministic output covered by BpeKmeansSpec.
+    "q91_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      graft.text.Bpe.learn(t(s, d, "documents"), numMerges = 50, minWordCount = 2L)
+        .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left", "right")
+    }),
+    // BPE apply: segment the corpus with the learned merges (per-row UDF)
+    "q92_bpe_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Bpe.learn(docs, numMerges = 50, minWordCount = 2L)
+      graft.text.Bpe.segment(docs, merges)
+        .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
+    }),
+    // trained-IVF ANN: k-means coarse quantizer (deterministic) + cell search
+    "q94_kmeans_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(emb, k = 8, iters = 3)
+        .select(col("centroid_id"), col("cvec").cast("array<float>").as("cvec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // passage chunking: overlapping token windows for context-window prep
     "q86_chunk" -> ((s, d) =>
       TextAnalysis.chunk(t(s, d, "documents"), chunkTokens = 20, overlap = 5)),
@@ -915,6 +956,8 @@ object SparkEntry {
     "q78_passage_dup" -> OracleGen.crossDocShingleStats(n = 8),
     "q81_decontaminate" -> OracleGen.decontaminate(n = 8, minOverlap = 1, evalMod = 10),
     "q82_vocab_pairs" -> OracleGen.pairCounts(minCount = 2L),
+    "q90_mixture_take" -> OracleGen.mixtureTake(budget = 20000L),
+    "q93_duplicate_spans" -> OracleGen.duplicateSpans(n = 8, minCount = 2L),
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->
       OracleGen.crossCorpusJaccard(n = 2, threshold = 0.05, sampleMod = 5),

@@ -379,6 +379,45 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Duplicated-passage spans: the maximal token ranges of each document
+    * covered by n-gram shingles occurring ≥ `minCount` times corpus-wide —
+    * the exact-substring-dedup signal (which passages to cut, not just
+    * which documents to drop). Positions are 1-based inclusive token
+    * indexes; overlapping/adjacent duplicated windows merge into one span
+    * (gaps-and-islands per document).
+    *
+    * Scale: three token-linear shuffles — shingle-frequency aggregation
+    * (map-side partials), the join back on the 8-byte hash, and the
+    * per-document position window. Nothing is quadratic; hot shingles cost
+    * only their own row count. The `minCount` filter drops the unique-
+    * shingle tail (the overwhelming majority) before the join.
+    */
+  def duplicateSpans(df: DataFrame, n: Int = 8, minCount: Long = 2L,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+      .select(col(idCol),
+        posexplode(PortableHash.shingleHashes(col("__th"), n)).as(Seq("__i0", "__h")))
+      .select(col(idCol), (col("__i0") + 1).as("__i"), col("__h"))
+    val hot = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val dup = pos.join(hot, Seq("__h")).select(col(idCol), col("__i"))
+    val w = Window.partitionBy(idCol).orderBy("__i")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup
+      .withColumn("__prev", lag("__i", 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__i") - col("__prev") > n, 1).otherwise(0))
+      .withColumn("__island", sum("__new").over(wRun))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__i").cast("long").as("span_start"),
+        (max("__i") + lit(n - 1)).cast("long").as("span_end"))
+      .withColumn("n_span_tokens", col("span_end") - col("span_start") + 1)
+      .select(idCol, "span_start", "span_end", "n_span_tokens")
+  }
+
   // ---- decontamination ------------------------------------------------
 
   /** Benchmark decontamination: per training document, how many of its

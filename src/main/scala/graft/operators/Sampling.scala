@@ -97,6 +97,33 @@ object Sampling {
     * so the result is bit-stable across engines. Two tiny aggregates; the
     * singleton total is broadcast.
     */
+  /** Materialize a mixture plan: per stratum, keep rows in deterministic
+    * content-hash order until the stratum's token budget fills (inclusive
+    * running total ≤ budget). `budgets` is (stratum, alloc_tokens) — the
+    * output of [[mixturePlan]], or hand-written targets. The hash order
+    * makes the selected subset reproducible and append-stable: new
+    * documents insert into the order but cannot displace the earlier
+    * selection wholesale. One shuffle on the stratum (the running-sum
+    * window); budgets broadcast. At 100 TB a hot stratum serializes into
+    * one window partition — pre-filter with `hashSample` down to ~budget
+    * scale first (coarse cut, same hash order), then run the exact take.
+    */
+  def mixtureTake(df: DataFrame, stratum: Column, size: Column, key: Column,
+      budgets: DataFrame, salt: String = "mix"): DataFrame = {
+    val w = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__h"), col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__stratum", stratum)
+      .withColumn("__h", hashBucket(key, salt, 1 << 30))
+      .withColumn("__key", key)
+      .withColumn("__cum", sum(size).over(w))
+      .join(broadcast(budgets.select(col("stratum").as("__bstratum"),
+        col("alloc_tokens").as("__alloc"))),
+        col("__stratum") === col("__bstratum"))
+      .filter(col("__cum") <= col("__alloc"))
+      .drop("__stratum", "__h", "__key", "__cum", "__bstratum", "__alloc")
+  }
+
   def mixturePlan(df: DataFrame, stratum: Column, size: Column,
       budget: Long): DataFrame = {
     val per = df.groupBy(stratum.as("stratum"))

@@ -125,6 +125,43 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Spherical k-means (Lloyd's) over the embedding column — trains the
+    * coarse quantizer for the IVF path. Deterministic throughout: the k
+    * seed vectors are the k smallest ids, assignment ties break to the
+    * lowest centroid_id, and cluster means are averaged per dimension.
+    *
+    * Scale: per iteration, centroids (k×d doubles) BROADCAST for a narrow
+    * assignment pass, then one aggregation computes per-(cluster, dim)
+    * means — shuffle volume ∝ corpus×d but with map-side partials it
+    * collapses to (k×d per partition). Centroids collect to the driver
+    * between iterations (k×d values), keeping lineage O(1) per iteration —
+    * the corpus is scanned `iters + 1` times and nothing else grows.
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeansFit(df: DataFrame, k: Int, iters: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    var centroids = base.orderBy("vec_id").limit(k)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    for (_ <- 1 to iters) {
+      val cdf = centroids.toDF("centroid_id", "cvec")
+      val means = ivfAssign(base, cdf)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"), transform(col("pm"), x => x("m")).as("cvec"))
+        .as[(Long, Seq[Double])].collect().toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids.toDF("centroid_id", "cvec")
+  }
+
   /** IVF ANN search end-to-end (nprobe = 1): assign corpus and queries to
     * their nearest centroid cell (max cosine, ties to the lowest
     * centroid_id), then brute-force ONLY within the query's cell. The

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import graft.text.Bpe
+
+class BpeKmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe learns the classic merge sequence from word counts") {
+    // the standard BPE textbook example: counts force ug, un, hug in order
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L))
+    val merges = Bpe.learnFromCounts(words, numMerges = 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    // exhausting all pairs stops early instead of looping
+    val all = Bpe.learnFromCounts(Seq(("ab", 1L)), numMerges = 10)
+    assert(all == Seq(("a", "b")))
+  }
+
+  test("bpe segmentation applies merges lowest-rank-first") {
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    val rank = merges.zipWithIndex.toMap
+    assert(Bpe.segmentToken("hugs", rank) == Seq("hug", "s"))
+    assert(Bpe.segmentToken("bug", rank) == Seq("b", "ug"))
+    assert(Bpe.segmentToken("mun", rank) == Seq("m", "un"))
+    assert(Bpe.segmentToken("xyz", rank) == Seq("x", "y", "z"))
+    assert(Bpe.segmentToken("u", rank) == Seq("u"))
+  }
+
+  test("distributed learn + segment round-trips on a corpus") {
+    val docs = Seq((1L, "hug hug hug pug pun"), (2L, "pun pun bun hugs"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, numMerges = 3)
+    assert(merges.take(1) == Seq(("u", "g"))) // ug appears in hug×3, pug, hugs
+    val seg = Bpe.segment(docs, merges)
+      .select(col("doc_id"), col("subwords"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every subword concatenation reproduces the original tokens
+    assert(seg(1L).mkString == "hughughugpugpun")
+    // null text flows through
+    val withNull = Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Bpe.segment(withNull, merges).collect().head.isNullAt(2))
+  }
+
+  test("kmeans recovers three well-separated clusters deterministically") {
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array(0.0, 0.0, 0.0); base(c) = 10.0
+      base(2 - c) += (i / 3) * 0.01 // tiny within-cluster spread
+      (i.toLong, base.toSeq.map(_.toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, k = 3, iters = 5)
+    val c = cents.collect().map(r => r.getSeq[Double](1))
+    assert(c.length == 3)
+    // each centroid is dominated by a distinct axis
+    val domAxes = c.map(v => v.indexOf(v.max)).toSet
+    assert(domAxes == Set(0, 1, 2))
+    // assignment with the fitted centroids groups the points 10/10/10
+    val sizes = Similarity.ivfAssign(
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      cents)
+      .groupBy("centroid_id").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizes == Seq(10L, 10L, 10L))
+  }
+}

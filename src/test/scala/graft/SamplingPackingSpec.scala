@@ -222,4 +222,22 @@ class SamplingPackingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(before == after)
   }
+
+  test("mixtureTake fills each stratum budget in deterministic hash order") {
+    val docs = Seq(
+      (1L, "en", 40L), (2L, "en", 40L), (3L, "en", 40L), (4L, "en", 40L),
+      (5L, "fr", 30L), (6L, "fr", 30L)).toDF("doc_id", "lang", "n_tokens")
+    val budgets = Seq(("en", 80L), ("fr", 100L)).toDF("stratum", "alloc_tokens")
+    val kept = Sampling.mixtureTake(docs, col("lang"), col("n_tokens"),
+      col("doc_id"), budgets)
+    val byLang = kept.collect().groupBy(_.getString(1))
+    // en: exactly 2 docs fit the 80-token budget; fr: both fit
+    assert(byLang("en").length == 2 && byLang("fr").length == 2)
+    // deterministic: a second run selects the same documents
+    val again = Sampling.mixtureTake(docs, col("lang"), col("n_tokens"),
+      col("doc_id"), budgets).collect().map(_.getLong(0)).toSet
+    assert(again == kept.collect().map(_.getLong(0)).toSet)
+    // rows keep their original columns only
+    assert(kept.columns.toSeq == Seq("doc_id", "lang", "n_tokens"))
+  }
 }

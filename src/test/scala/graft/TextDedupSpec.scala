@@ -255,4 +255,28 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pruned == Set(("a", "b")))
   }
+
+  test("duplicateSpans merges overlapping hot-shingle windows into maximal spans") {
+    // "p q r" appears in docs 1,2,3 (trigram hot with minCount=3);
+    // doc 1 holds it twice, separated, so it gets two spans
+    val docs = Seq(
+      (1L, "p q r a b c d e p q r"),
+      (2L, "x p q r y"),
+      (3L, "z z p q r"),
+      (4L, "nothing shared at all here")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, n = 3, minCount = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 3L), (1L, 9L, 11L, 3L),
+      (2L, 2L, 4L, 3L), (3L, 3L, 5L, 3L)))
+  }
+
+  test("duplicateSpans merges adjacent and overlapping windows") {
+    // both docs share the same 4 consecutive tokens -> overlapping trigram
+    // windows at positions 1 and 2 merge into one span [1,4]
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, n = 3, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 4L), (2L, 1L, 4L)))
+  }
 }

@@ -25,7 +25,11 @@ object Bench {
     "q34_wordcount",
     "q40_dedup_ngram",
     "q41_dedup_minhash",
-    "q44_ann_brute")
+    "q44_ann_brute",
+    "q83_join_asof",
+    "q86_chunk",
+    "q90_mixture_take",
+    "q93_duplicate_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -148,17 +148,23 @@ object Joins {
                 lower: Long, upper: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
     require(upper >= lower, s"empty band [$lower, $upper]")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val clash = payload.intersect(left.columns.toSeq)
+    require(clash.isEmpty, s"right payload columns collide with left: $clash")
     val width = math.max(upper - lower, 1L)
-    val l = left.withColumn("__bin", floor(col(leftTs) / lit(width)))
+    // explicit aliases: left/right often derive from the same source (two
+    // filters of one table), and positional l(k) === r(k) on shared lineage
+    // is ambiguous
+    val l = left.withColumn("__bin", floor(col(leftTs) / lit(width))).alias("l")
     val r = right.withColumn("__bin", explode(sequence(
       floor((col(rightTs) + lit(lower)) / lit(width)),
-      floor((col(rightTs) + lit(upper)) / lit(width)))))
-    l.join(r, keys.map(k => l(k) === r(k)).reduce(_ && _) &&
-        l("__bin") === r("__bin") &&
-        l(leftTs) >= r(rightTs) + lit(lower) &&
-        l(leftTs) <= r(rightTs) + lit(upper))
-      .drop("__bin")
-      .drop(r(keys.head), keys.tail.map(r(_)): _*)
+      floor((col(rightTs) + lit(upper)) / lit(width))))).alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col("l.__bin") === col("r.__bin") &&
+      col(s"l.$leftTs") >= col(s"r.$rightTs") + lit(lower) &&
+      col(s"l.$leftTs") <= col(s"r.$rightTs") + lit(upper)
+    l.join(r, cond).select(
+      left.columns.map(c => col(s"l.$c")).toSeq ++ payload.map(c => col(s"r.$c")): _*)
   }
 
   /** Bloom-pruned shuffle join: build a bloom filter over the (small) right

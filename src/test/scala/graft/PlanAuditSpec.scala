@@ -101,4 +101,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"))
     assert(!p.contains("Exchange ("), s"bucketed SMJ still shuffles:\n$p")
   }
+
+  test("asof join plans one shuffle per side union — no per-pair join (q83)") {
+    val p = executedPlan(SparkEntry.queries("q83_join_asof")(spark, dir))
+    assert(!p.contains("Join"), s"asof join should be windowed union, got a join:\n$p")
+    val shuffles = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(p).size
+    assert(shuffles == 1, s"asof join should shuffle exactly once, got $shuffles:\n$p")
+  }
+
+  test("range join never falls back to a product join (q84)") {
+    val p = executedPlan(SparkEntry.queries("q84_join_range")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join planned a product:\n$p")
+  }
+
+  test("bloom-pruned join filters the fact side below its shuffle (q85)") {
+    val d = details(SparkEntry.queries("q85_join_bloom")(spark, dir))
+    // the UDF bloom probe must appear in a Filter that sits on the scan side
+    assert("(?s)Filter.*UDF".r.findFirstIn(d).isDefined,
+      s"no bloom prefilter in plan:\n$d")
+  }
+
+  test("chunking and hash split stay shuffle-free (q86, q89)") {
+    spark.catalog.clearCache()
+    val c = executedPlan(SparkEntry.queries("q86_chunk")(spark, dir))
+    assert(!c.contains("Exchange ("), s"chunking shuffled:\n$c")
+    val h = executedPlan(SparkEntry.queries("q89_hash_split")(spark, dir))
+    assert(!h.contains("Exchange ("), s"hash split shuffled:\n$h")
+  }
+
+  test("heavy hitters broadcasts the scalar total — no single-partition window (q88)") {
+    val p = executedPlan(SparkEntry.queries("q88_heavy_hitters")(spark, dir))
+    assert(!p.contains("Window"), s"heavy hitters used a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"total not broadcast:\n$p")
+  }
 }

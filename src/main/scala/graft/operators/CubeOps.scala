@@ -125,6 +125,20 @@ object CubeOps {
     df.cube(dims.map(col): _*)
       .agg(approx_count_distinct(col(distinctCol), rsd).as(as))
 
+  /** Approximate-percentile cube measure — the sketch-based scale path for
+    * the reference's exact-percentile CUBE (CubeOperator MEDIAN/percentile
+    * measures): t-digest-style `approx_percentile` is mergeable, so unlike
+    * the exact sort-based form it composes with partial aggregation under
+    * Expand and never needs per-group sorted buffers. `accuracy` trades
+    * sketch size for error exactly like the reference's HTSIZE dial traded
+    * memory for flushes.
+    */
+  def cubeApproxPercentile(df: DataFrame, dims: Seq[String], valueCol: String,
+                           percentage: Double, as: String,
+                           accuracy: Int = 10000): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(percentile_approx(col(valueCol), lit(percentage), lit(accuracy)).as(as))
+
   /** Pre-aggregated cube for very wide dims at scale: collapse to the leaf
     * grouping set first, then cube the (much smaller) leaf aggregate. Valid
     * for additive measures only (SUM/COUNT/MIN/MAX — the reference's

@@ -77,4 +77,19 @@ class CubeOpsSpec extends SparkSpec {
     val p = pre.select("d1", "d2", "n_rows", "s").collect().toSeq
     assert(d == p)
   }
+
+  test("approx percentile cube tracks the exact per-group median closely") {
+    val ord = sf("orders")
+    val approx = CubeOps.cubeApproxPercentile(ord, Seq("o_orderstatus"),
+      "o_totalprice", percentage = 0.5, as = "p50")
+      .collect().map(r => Option(r.getString(0)).getOrElse("ALL") -> r.getDouble(1)).toMap
+    val exact = ord.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / v < 0.02, s"$k: approx ${approx(k)} vs exact $v")
+    }
+    // the rollup rows exist too (cube shape preserved)
+    assert(approx.contains("ALL"))
+  }
 }

@@ -610,4 +610,84 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
   }
+
+  // ---- q100 overlap-coefficient containment -------------------------------
+
+  /** Mirrors Dedup.overlapCandidates on the 1-in-`sampleMod` doc sample:
+    * same shingle join as ngramJaccard, score = common / least(|A|, |B|).
+    */
+  def overlapCandidates(n: Int, threshold: Double, sampleMod: Int): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |  WHERE doc_id % $sampleMod = 0
+       |), sh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle)) AS shs
+       |  FROM th WHERE len(hs) >= $n
+       |), sh AS (
+       |  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh0
+       |), common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(1) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, containment FROM (
+       |  SELECT id_a, id_b, CAST(common AS DOUBLE) / least(n_a, n_b) AS containment FROM common)
+       |WHERE containment >= $threshold""".stripMargin
+  }
+
+  // ---- q97 novelty filter --------------------------------------------------
+
+  /** Mirrors Dedup.noveltyFilter with batch = doc_id%`sampleMod`=0, corpus =
+    * the rest: batch rows whose token fingerprint has no corpus occurrence.
+    * NOT EXISTS (not NOT IN) so a null fingerprint in either side matches
+    * Spark's null-key anti-join semantics.
+    */
+  def noveltyFilter(sampleMod: Int): String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    md5(array_to_string($toks, ' ')) AS fp FROM documents
+       |)
+       |SELECT doc_id, text, lang, source, n_chars FROM fp b
+       |WHERE b.doc_id % $sampleMod = 0 AND NOT EXISTS (
+       |  SELECT 1 FROM fp c WHERE c.doc_id % $sampleMod <> 0 AND c.fp = b.fp)""".stripMargin
+
+  // ---- q98 temperature mixture plan ---------------------------------------
+
+  /** Mirrors Sampling.mixturePlanTemperature at τ=2: integer weights
+    * floor(sqrt(stratum_tokens)), integer total, exactly rounded mul/div.
+    */
+  def mixturePlanTemperature(budget: Long): String =
+    s"""WITH per AS (
+       |  SELECT lang AS stratum, count(1) AS n_docs,
+       |    CAST(sum(len($toks)) AS BIGINT) AS stratum_tokens
+       |  FROM documents GROUP BY lang
+       |), wt AS (
+       |  SELECT stratum, n_docs, stratum_tokens,
+       |    CAST(floor(sqrt(CAST(stratum_tokens AS DOUBLE))) AS BIGINT) AS weight
+       |  FROM per
+       |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS total_weight FROM wt)
+       |SELECT stratum, n_docs, stratum_tokens, weight,
+       |  CAST(floor($budget.0 * CAST(weight AS DOUBLE) / CAST(total_weight AS DOUBLE)) AS BIGINT) AS alloc_tokens
+       |FROM wt CROSS JOIN tot""".stripMargin
+
+  // ---- q99 TF-IDF top terms ------------------------------------------------
+
+  /** Mirrors TextAnalysis.topTerms: tf/df ratio score (one exactly rounded
+    * division — no logs, so the oracle is bit-stable), top `k` per doc with
+    * ties broken by the term's binary order.
+    */
+  def topTerms(k: Int): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(1) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY 1, 2
+       |), dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, term, tf, df, score, term_rank FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+       |    CAST(tf.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, tf.term) AS INT) AS term_rank
+       |  FROM tf JOIN dfreq d USING (term))
+       |WHERE term_rank <= $k""".stripMargin
 }

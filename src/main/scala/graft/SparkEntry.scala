@@ -641,7 +641,46 @@ object SparkEntry {
         Seq("o_orderpriority"), "o_custkey")
       Incremental.refreshDistinct(s, fact, mv, "dt", Seq("o_orderpriority"), "o_custkey")
       Incremental.queryDistinct(s, mv, Seq("o_orderpriority"), "o_custkey", "nd_cust")
-    })
+    }),
+
+    // ---- §2.6 set operators (absent from the reference grammar; free) ----
+    // customers ordering in both 1995 and 1996 / in 1995 but not 1996
+    "q95_intersect" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      Relational.intersect(
+        ord.filter(year(col("o_orderdate")) === 1995).select("o_custkey"),
+        ord.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+    "q96_except" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      Relational.except(
+        ord.filter(year(col("o_orderdate")) === 1995).select("o_custkey"),
+        ord.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
+    // ---- training-data pipeline: incremental novelty / containment /
+    // ---- salient terms / temperature mixture -----------------------------
+    // per-crawl novelty screen: batch (doc_id%5=0) minus docs whose token
+    // fingerprint already exists in the corpus (rest); bloom-pruned exact
+    "q97_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.noveltyFilter(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        expectedBatchDocs = 100000L)
+    }),
+    // temperature-flattened mixture allocation (τ=2 up-weights small langs)
+    "q98_mixture_temperature" -> ((s, d) =>
+      Sampling.mixturePlanTemperature(t(s, d, "documents"), col("lang"),
+        TextAnalysis.tokenCount(col("text")), budget = 100000L, tau = 2.0)),
+    // TF-IDF-style top-5 salient terms per document (tf/df ratio score)
+    "q99_tfidf" -> ((s, d) =>
+      TextAnalysis.topTerms(t(s, d, "documents"), k = 5)),
+    // overlap-coefficient containment: catches short-inside-long duplicates
+    // symmetric Jaccard misses; all-pairs bounded by the 1-in-5 sample
+    "q100_containment" -> ((s, d) =>
+      Dedup.overlapCandidates(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        n = 2, threshold = 0.25))
   )
 
   // DuckDB equivalent of TextAnalysis.tokens (split on \s+, empties removed)
@@ -1011,6 +1050,18 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |  (SELECT l FROM (VALUES $values) v(s, o, l) ORDER BY s DESC, o DESC LIMIT 1) AS lang_ngram
         |FROM lowered""".stripMargin
-    }
+    },
+    "q95_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q96_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q97_novelty" -> OracleGen.noveltyFilter(sampleMod = 5),
+    "q98_mixture_temperature" -> OracleGen.mixturePlanTemperature(budget = 100000L),
+    "q99_tfidf" -> OracleGen.topTerms(k = 5),
+    "q100_containment" -> OracleGen.overlapCandidates(n = 2, threshold = 0.25, sampleMod = 5)
   )
 }

@@ -119,6 +119,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Overlap-coefficient (containment) candidates: pairs whose shingle-set
+    * overlap |A∩B| / min(|A|, |B|) meets `threshold`. The asymmetric
+    * complement of [[ngramJaccard]]: a short document pasted verbatim inside
+    * a long one (quoted articles, boilerplate-wrapped copies) overlaps its
+    * host almost completely yet its Jaccard is near zero because the union
+    * is dominated by the host — containment catches exactly what symmetric
+    * Jaccard structurally cannot. Same shingle-hash equi-join shape and the
+    * same scale rules: fixed-width (id, long) shuffle, all-pairs only on
+    * LSH candidates or with hot-shingle caps.
+    */
+  def overlapCandidates(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
+        col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
+      .select(col(idCol), size(col("__shs")).as("n_sh"),
+        explode(col("__shs")).as("shingle"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /** Incremental-ingest novelty filter: the batch documents whose exact
+    * token fingerprint ([[graft.text.TextAnalysis.fingerprint]] — md5 of the
+    * whitespace-normalized token sequence) does not already occur in the
+    * existing corpus. This is the per-crawl "what is actually new" screen
+    * that runs before any near-dup work, and the batch flavor of the
+    * reference's incremental recomputation idea (SURVEY §4.1): process the
+    * delta, not the corpus.
+    *
+    * Scale shape: the corpus side is the 100 TB one, so the BATCH (the small
+    * side) builds a bloom filter over its fingerprints; the bloom broadcasts
+    * and prunes the corpus scan down to potential collisions — corpus rows
+    * whose fingerprint cannot occur in the batch are dropped at the scan and
+    * never shuffled. The surviving sliver resolves exactly via left-anti
+    * join, so bloom false positives cannot leak into the output and false
+    * negatives are impossible: the result is exactly "batch EXCEPT corpus on
+    * fingerprint".
+    */
+  def noveltyFilter(batch: DataFrame, corpus: DataFrame,
+                    expectedBatchDocs: Long = 10000000L, fpp: Double = 0.03,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = graft.text.TextAnalysis.fingerprint(col(textCol))
+    val b = batch.withColumn("__fp", fp)
+    val bf = b.stat.bloomFilter(col("__fp"), expectedBatchDocs, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val seen = corpus.select(fp.as("__fp")).filter(might(col("__fp")))
+    b.join(seen, Seq("__fp"), "left_anti").drop("__fp")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signatures over a (id, shingle) relation: k affine permutations

@@ -135,4 +135,40 @@ object Sampling {
       .withColumn("alloc_tokens", floor(lit(budget.toDouble) * col("share")).cast("long"))
       .drop("total_tokens")
   }
+
+  /** Temperature-flattened mixture plan: allocate `budget` tokens across
+    * strata proportionally to share^(1/τ) — τ > 1 flattens the mixture
+    * toward uniform (the multilingual/low-resource up-weighting trick),
+    * τ = 1 recovers [[mixturePlan]]'s proportional split. Since
+    * share^(1/τ) = tokens^(1/τ) / total^(1/τ) and the total factor cancels
+    * in normalization, weights are computed directly on the per-stratum
+    * token counts.
+    *
+    * Determinism: each weight is floor(tokens^(1/τ)) as a long, so the
+    * cross-stratum total is an integer sum (order-independent); the final
+    * allocation is a multiply and a divide, both exactly rounded in
+    * IEEE-754. With τ = 2 the root is `sqrt`, which IEEE requires correctly
+    * rounded — any engine reproduces the plan bit-for-bit. Other τ go
+    * through `pow`, where libm implementations may differ in the last ulp
+    * (almost always absorbed by the floor). Same two tiny aggregates as
+    * [[mixturePlan]]; the singleton total broadcasts.
+    */
+  def mixturePlanTemperature(df: DataFrame, stratum: Column, size: Column,
+      budget: Long, tau: Double = 2.0): DataFrame = {
+    require(tau > 0, s"tau must be > 0: $tau")
+    val t = col("stratum_tokens").cast("double")
+    val root =
+      if (tau == 1.0) t
+      else if (tau == 2.0) sqrt(t)
+      else pow(t, 1.0 / tau)
+    val per = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(size).as("stratum_tokens"))
+      .withColumn("weight", floor(root).cast("long"))
+    val tot = per.agg(sum("weight").as("total_weight"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens",
+        floor(lit(budget.toDouble) * col("weight").cast("double") /
+          col("total_weight").cast("double")).cast("long"))
+      .drop("total_weight")
+  }
 }

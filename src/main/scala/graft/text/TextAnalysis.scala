@@ -132,6 +132,39 @@ object TextAnalysis {
       (h, th) => pmod(h * lit(graft.functions.PortableHash.B) + th,
         lit(graft.functions.PortableHash.P)))
 
+  /** TF-IDF-style salient terms: the `k` tokens of each document with the
+    * highest tf/df ratio (term frequency in the document over corpus
+    * document frequency) — rarity-weighted keyword extraction for topic
+    * bucketing, cluster naming, and index keying. The score avoids
+    * transcendentals on purpose: one double division is exactly rounded in
+    * IEEE-754 (so the DuckDB oracle reproduces it bit-for-bit, where
+    * log-idf would drift in the last ulp), and for a fixed tf the ranking
+    * it induces over df is identical to log-idf's.
+    *
+    * Scale shape: one shuffle counts (doc, term) pairs — map-side partial
+    * aggregation collapses each document's repeats before the exchange;
+    * a second, vocab-sized aggregation counts per-term document frequency;
+    * the df table joins back on the term (vocabulary is tiny next to the
+    * corpus — AQE promotes the join to broadcast when it fits, and the
+    * join stays a fixed-width shuffle when it does not); one per-document
+    * window takes the top k, with WindowGroupLimit pushing the limit below
+    * the exchange.
+    */
+  def topTerms(df: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
+        col("term_rank"))
+  }
+
   /** Gopher-style repetition features: the fraction of duplicate tokens /
     * word-bigrams / word-trigrams in a document (1 - distinct/total). High
     * values flag boilerplate and degenerate machine-generated text. N-grams

@@ -123,6 +123,24 @@ class SamplingPackingSpec extends SparkSpec {
     assert(r(1).getAs[Long]("alloc_tokens") == 40L)
   }
 
+  test("mixturePlanTemperature flattens toward uniform as tau grows") {
+    val df = Seq(("a", 8100L), ("b", 100L)).toDF("g", "n")
+    // tau=1 is the proportional plan: a gets 8100/8200 of the budget
+    val t1 = Sampling.mixturePlanTemperature(df, $"g", $"n", budget = 1000L, tau = 1.0)
+      .orderBy("stratum").collect()
+    assert(t1(0).getAs[Long]("weight") == 8100L)
+    assert(t1(0).getAs[Long]("alloc_tokens") == (1000.0 * 8100 / 8200).floor.toLong)
+    // tau=2: weights sqrt(8100)=90 vs sqrt(100)=10 → 900/100 split
+    val t2 = Sampling.mixturePlanTemperature(df, $"g", $"n", budget = 1000L, tau = 2.0)
+      .orderBy("stratum").collect()
+    assert(t2(0).getAs[Long]("weight") == 90L)
+    assert(t2(1).getAs[Long]("weight") == 10L)
+    assert(t2(0).getAs[Long]("alloc_tokens") == 900L)
+    assert(t2(1).getAs[Long]("alloc_tokens") == 100L)
+    // the flattened plan gives the small stratum strictly more than proportional
+    assert(t2(1).getAs[Long]("alloc_tokens") > t1(1).getAs[Long]("alloc_tokens"))
+  }
+
   // ---- passage-level duplication ------------------------------------------
 
   test("crossDocShingleStats flags shared passages only") {

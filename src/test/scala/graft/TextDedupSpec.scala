@@ -279,4 +279,48 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 4L), (2L, 1L, 4L)))
   }
+
+  test("overlapCandidates catches short-inside-long dups that Jaccard misses") {
+    val host = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, host),                     // long host document
+      (2L, "w10 w11 w12 w13 w14"),    // verbatim excerpt of the host
+      (3L, "u1 u2 u3 u4 u5")          // unrelated
+    ).toDF("doc_id", "text")
+    val over = Dedup.overlapCandidates(docs, n = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(over.toSeq == Seq((1L, 2L, 1.0))) // excerpt fully contained
+    // symmetric Jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.ngramJaccard(docs, n = 2, threshold = 0.0)
+      .filter($"id_a" === 1 && $"id_b" === 2).collect().head.getDouble(2)
+    assert(jac < 0.1)
+  }
+
+  test("noveltyFilter keeps only batch docs absent from the corpus, exactly") {
+    val corpus = Seq((10L, "seen before"), (11L, "also   seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"),     // exact dup of corpus 10
+      (2L, "also seen"),       // whitespace variant — same token fingerprint
+      (3L, "genuinely new")    // novel
+    ).toDF("doc_id", "text")
+    val kept = Dedup.noveltyFilter(batch, corpus, expectedBatchDocs = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("topTerms ranks rare terms above common ones, k per doc") {
+    val docs = Seq(
+      (1L, "shared shared rare1"),
+      (2L, "shared rare2 rare2"),
+      (3L, "shared filler")).toDF("doc_id", "text")
+    val r = TextAnalysis.topTerms(docs, k = 2)
+    val top1 = r.filter($"doc_id" === 1 && $"term_rank" === 1).collect().head
+    // rare1: tf=1, df=1 → score 1.0 beats shared: tf=2, df=3 → 0.667
+    assert(top1.getAs[String]("term") == "rare1")
+    assert(top1.getAs[Double]("score") == 1.0)
+    val top2 = r.filter($"doc_id" === 2 && $"term_rank" === 1).collect().head
+    assert(top2.getAs[String]("term") == "rare2") // tf=2, df=1 → 2.0
+    assert(top2.getAs[Double]("score") == 2.0)
+    assert(r.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
 }

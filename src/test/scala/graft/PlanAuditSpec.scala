@@ -136,4 +136,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"total not broadcast:\n$p")
   }
+
+  test("novelty filter blooms the corpus scan and resolves with an anti join (q97)") {
+    val d = details(SparkEntry.queries("q97_novelty")(spark, dir))
+    assert("(?s)Filter.*UDF".r.findFirstIn(d).isDefined,
+      s"no bloom prefilter on the corpus side:\n$d")
+    assert(d.contains("LeftAnti"), s"no exact anti-join resolution:\n$d")
+  }
+
+  test("topTerms pushes the per-doc limit and partial-aggregates the tf count (q99)") {
+    val d = details(SparkEntry.queries("q99_tfidf")(spark, dir))
+    assert(d.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$d")
+    assert("partial_count".r.findFirstIn(d).isDefined, s"no partial tf aggregate:\n$d")
+  }
+
+  test("temperature mixture broadcasts the singleton weight total (q98)") {
+    val p = executedPlan(SparkEntry.queries("q98_mixture_temperature")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"weight total not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan fell back to a cartesian product:\n$p")
+  }
 }

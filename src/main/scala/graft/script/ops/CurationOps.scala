@@ -49,3 +49,31 @@ class PiiScrub extends UserOperator {
       .withColumnRenamed("text_redacted", textCol)
   }
 }
+
+/** Incremental novelty screen: rows of the FIRST input (the new batch)
+  * whose exact token fingerprint does not occur in the SECOND input (the
+  * existing corpus); the batch bloom prunes the corpus scan, a left-anti
+  * join resolves exactly. Params: expectedBatchDocs (default 10000000),
+  * fpp (0.03), text ("text"), id ("doc_id").
+  */
+class NoveltyFilter extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "NoveltyFilter needs (batch, corpus) inputs")
+    graft.dedup.Dedup.noveltyFilter(inputs(0), inputs(1),
+      params.getOrElse("expectedBatchDocs", "10000000").toLong,
+      params.getOrElse("fpp", "0.03").toDouble,
+      params.getOrElse("text", "text"),
+      params.getOrElse("id", "doc_id"))
+  }
+}
+
+/** TF-IDF-style salient terms: the top-k tf/df-scored tokens per document.
+  * Params: k (default 5), text ("text"), id ("doc_id").
+  */
+class TopTerms extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.text.TextAnalysis.topTerms(inputs.head,
+      params.getOrElse("k", "5").toInt,
+      params.getOrElse("text", "text"),
+      params.getOrElse("id", "doc_id"))
+}

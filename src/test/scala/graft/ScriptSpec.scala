@@ -37,6 +37,17 @@ class ScriptSpec extends SparkSpec {
       == Set((1, "x"), (2, "x")))
   }
 
+  test("shipped curation plug-ins: novelty screen and salient terms from a script") {
+    val batch = Seq((1L, "seen before"), (2L, "rare gem here")).toDF("doc_id", "text")
+    val corpus = Seq((9L, "seen   before")).toDF("doc_id", "text")
+    val out = ScriptEngine.run(spark,
+      """novel = OPERATOR 'graft.script.ops.NoveltyFilter' batch, corpus ('expectedBatchDocs': '100');
+        |terms = OPERATOR 'graft.script.ops.TopTerms' novel ('k': '1');""".stripMargin,
+      env0 = env("batch" -> batch, "corpus" -> corpus))
+    assert(out("novel").select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out("terms").select("doc_id", "term_rank").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("the reference's wordcount.cmr runs under the phase-syntax front end") {
     // release/examples/wordcount.cmr body, verbatim except the output path
     // (the example writes to a relative "output" dir); $CUBERT_HOME comes

@@ -29,7 +29,8 @@ object Bench {
     "q83_join_asof",
     "q86_chunk",
     "q90_mixture_take",
-    "q93_duplicate_spans")
+    "q93_duplicate_spans",
+    "q101_edit_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -680,7 +680,43 @@ object SparkEntry {
     // symmetric Jaccard misses; all-pairs bounded by the 1-in-5 sample
     "q100_containment" -> ((s, d) =>
       Dedup.overlapCandidates(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
-        n = 2, threshold = 0.25))
+        n = 2, threshold = 0.25)),
+
+    // ---- round 4: fuzzy join / skew-proof distinct / profiling / HLL MV ---
+    // exact edit-distance self-join (record linkage on the 16-char text
+    // prefix): FastSS deletion-variant blocking + levenshtein verify —
+    // identical to the quadratic cross-join filter the oracle runs, without
+    // ever forming the cross product; 1-in-3 sample bounds the ORACLE's
+    // quadratic check, not the operator
+    "q101_edit_join" -> ((s, d) =>
+      Joins.editDistanceJoin(t(s, d, "documents").filter(col("doc_id") % 3 === 0),
+        k = 2, key = substring(col("text"), 1, 16))),
+    // exact COUNT DISTINCT pinned to the skew-proof two-level plan — same
+    // answer as count_distinct, hot keys spread over all reducers
+    "q102_distinct_skewproof" -> ((s, d) =>
+      Aggregations.countDistinctSkewProof(t(s, d, "events"),
+        Seq("event_type"), col("user_id"))),
+    // single-pass column profiler (per-ingest-batch data-quality gate)
+    "q103_profile" -> ((s, d) =>
+      Aggregations.profile(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"))),
+    // sketch-based incremental COUNT DISTINCT MV: per-(month, priority) HLL
+    // sketches, unioned across months at query time. Estimates are
+    // DataSketches-specific → rows-only here; IncrementalSpec checks the
+    // estimates against exact counts within HLL error bounds
+    "q104_hll_mv" -> ((s, d) => {
+      val fact = t(s, d, "orders").select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("dt"),
+        col("o_orderpriority"), col("o_custkey"))
+      val mv = s"/tmp/graft-mv-q104/${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(mv)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Incremental.refreshDistinctSketch(s, fact.filter(col("dt") <= 199612), mv, "dt",
+        Seq("o_orderpriority"), "o_custkey")
+      Incremental.refreshDistinctSketch(s, fact, mv, "dt", Seq("o_orderpriority"), "o_custkey")
+      Incremental.queryDistinctSketch(s, mv, Seq("o_orderpriority"), "nd_cust_approx")
+    })
   )
 
   // DuckDB equivalent of TextAnalysis.tokens (split on \s+, empties removed)
@@ -1062,6 +1098,26 @@ object SparkEntry {
     "q97_novelty" -> OracleGen.noveltyFilter(sampleMod = 5),
     "q98_mixture_temperature" -> OracleGen.mixturePlanTemperature(budget = 100000L),
     "q99_tfidf" -> OracleGen.topTerms(k = 5),
-    "q100_containment" -> OracleGen.overlapCandidates(n = 2, threshold = 0.25, sampleMod = 5)
+    "q100_containment" -> OracleGen.overlapCandidates(n = 2, threshold = 0.25, sampleMod = 5),
+    "q101_edit_join" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS key
+        |           FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.key, b.key) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 2""".stripMargin,
+    "q102_distinct_skewproof" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q103_profile" -> Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    // q104_hll_mv: DataSketches HLL estimates are implementation-defined →
+    // rows-only check; IncrementalSpec bounds the estimates vs exact counts
   )
 }

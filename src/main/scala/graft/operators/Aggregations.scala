@@ -113,6 +113,49 @@ object Aggregations {
       .drop("__total")
   }
 
+  /** Exact COUNT DISTINCT pinned to the skew-proof two-level plan: dedup on
+    * (keys, value) first — that shuffle spreads a hot key over as many
+    * reducers as it has distinct values, with map-side partial dedup — then
+    * count per key. Semantically identical to `count_distinct` (the oracle
+    * is plain COUNT(DISTINCT ...)); the difference is the guarantee: no
+    * single reducer ever materializes a hot key's full value set, which is
+    * how Cubert's partitioned-additive count-distinct survived skew
+    * (reference: operator/cube/CountDistinctCubeAggregator.java:25 — inner
+    * dims spread the distinct set across sorted runs). Use when one key
+    * (empty referrer, null user-agent, default locale) owns a large share
+    * of a 100 TB fact table.
+    */
+  def countDistinctSkewProof(df: DataFrame, keys: Seq[String], c: Column,
+      alias: String = "n_distinct"): DataFrame = {
+    val dedup = df.select(keys.map(col) :+ c.as("__v"): _*).distinct()
+    dedup.groupBy(keys.map(col): _*).agg(count(col("__v")).as(alias))
+  }
+
+  /** Column profiler: one row per profiled column with row/null/distinct
+    * counts and min/max (as strings, so heterogeneous column types share a
+    * schema). The whole profile is ONE aggregation pass over the scan —
+    * Catalyst plans the multi-distinct via Expand, all partials map-side —
+    * followed by a driver-free unpivot of the single result row. The
+    * 100 TB data-quality smoke test: run it per ingest batch and diff
+    * against expectations before promoting the batch.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__rows_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__rows_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Register a user Aggregator the way Cubert loaded UDAFs by class name
     * (reference: operator/UDAFOperatorAdapter.java:26).
     */

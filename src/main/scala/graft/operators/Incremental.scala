@@ -198,4 +198,50 @@ object Incremental {
     spark.read.parquet(mvPath)
       .cube(dims.map(col): _*)
       .agg(count_distinct(col(memberCol)).as(as))
+
+  /** Refresh an approximate COUNT(DISTINCT) summary: one mergeable HLL
+    * sketch (Apache DataSketches, via Spark's hll_sketch_agg) per
+    * (date, keys). The sub-linear companion to [[refreshDistinct]]: the
+    * member-level summary is exact but grows with the distinct domain —
+    * at 100 TB a user-id summary IS the distinct user set. A sketch row is
+    * O(2^lgK) bytes regardless of cardinality, sketches union across dates
+    * and across grouping sets (the partitioned-additive property Cubert
+    * engineered for exact counts, reference
+    * CountDistinctRewriter.java:55, holds for HLL by construction), and
+    * estimate error is ~1.04/sqrt(2^lgK) (~1.6% at the default lgK=12).
+    */
+  def refreshDistinctSketch(spark: SparkSession, fact: DataFrame, mvPath: String,
+                            dateCol: String, keys: Seq[String], memberCol: String,
+                            lgK: Int = 12): Unit = {
+    val delta = highWaterMark(spark, mvPath, dateCol) match {
+      case Some(hwm) => fact.filter(col(dateCol) > lit(hwm))
+      case None      => fact
+    }
+    delta
+      .groupBy((dateCol +: keys).map(col): _*)
+      .agg(hll_sketch_agg(col(memberCol), lgK).as("__sketch"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol).parquet(mvPath)
+  }
+
+  /** Approximate COUNT(DISTINCT member) per keys from the sketch summary:
+    * union the per-date sketches, estimate once. Members recurring across
+    * dates count once, exactly as in [[queryDistinct]].
+    */
+  def queryDistinctSketch(spark: SparkSession, mvPath: String, keys: Seq[String],
+                          as: String): DataFrame =
+    spark.read.parquet(mvPath)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sketch"))).as(as))
+
+  /** Approximate COUNT(DISTINCT member) under CUBE from the sketch summary —
+    * every grouping set rolls up by unioning the same per-(date, keys)
+    * sketches; no rescan, no Expand over the fact table.
+    */
+  def queryDistinctSketchCube(spark: SparkSession, mvPath: String, dims: Seq[String],
+                              as: String): DataFrame =
+    spark.read.parquet(mvPath)
+      .cube(dims.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sketch"))).as(as))
 }

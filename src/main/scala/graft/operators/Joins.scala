@@ -205,4 +205,54 @@ object Joins {
                leftTable: String, rightTable: String, keys: Seq[String],
                how: String = "inner"): DataFrame =
     mergeJoin(spark.table(leftTable), spark.table(rightTable), keys, how)
+
+  /** Exact edit-distance self-join: all pairs of rows whose `key` strings
+    * are within Levenshtein distance `k` (record linkage over names/titles/
+    * short keys — fuzzy-join is absent from the reference grammar, like its
+    * theta/as-of cousins above). Never computes the quadratic cross
+    * product: candidates come from FastSS deletion-neighborhood blocking —
+    * if ed(a,b) <= k then deleting <= k chars from each reaches a common
+    * string (pigeonhole), so equi-joining the deletion variants is a
+    * COMPLETE blocking scheme (no false negatives); an exact `levenshtein`
+    * check then removes the false positives, making the result identical to
+    * the cross-join filter.
+    *
+    * Scale shape: each row explodes into O(L^k) variants hashed to fixed
+    * 8-byte keys, so the shuffle carries (id, key, long) rows — no full
+    * strings beyond the short key — and candidate generation is one
+    * equi-join, the same shape as the shingle joins in [[graft.dedup.Dedup]].
+    * Meant for SHORT keys (k <= 2, L <= ~32: names, titles, SKUs); for
+    * whole documents use the shingle/MinHash family instead. Hot variants
+    * (shared prefixes of very frequent keys) are the skew axis — cap or
+    * pre-dedup keys when key multiplicity is high.
+    */
+  def editDistanceJoin(df: DataFrame, k: Int, key: Column,
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{array, array_distinct, col, explode,
+      expr, levenshtein, when, length, lit, xxhash64}
+    require(k >= 1 && k <= 2, s"editDistanceJoin supports k in 1..2, got $k")
+    val keyed = df.select(col(idCol), key.as("__key"))
+    // deletion variants: del(s,i) drops the char at 0-based i (substring is
+    // 1-based; i=0 yields '' ++ tail). sequence() flips direction when
+    // start > stop, so empty keys are guarded explicitly.
+    val d1 = "transform(sequence(0, length(__key)-1), i -> " +
+      "concat(substring(__key, 1, i), substring(__key, i+2)))"
+    val d2 = s"flatten(transform($d1, v -> transform(sequence(0, length(v)-1), j -> " +
+      "concat(substring(v, 1, j), substring(v, j+2)))))"
+    val variants = when(length(col("__key")) < lit(1), array(col("__key")))
+      .otherwise(array_distinct(
+        if (k == 1) expr(s"concat(array(__key), $d1)")
+        else expr(s"concat(array(__key), $d1, $d2)")))
+    val exploded = keyed
+      .withColumn("__v", explode(variants))
+      .select(col(idCol), col("__key"), xxhash64(col("__v")).as("__vh"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.__vh") === col("b.__vh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__key").as("__ka"), col("b.__key").as("__kb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
 }

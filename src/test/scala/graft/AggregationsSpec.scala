@@ -92,4 +92,33 @@ class AggregationsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out == Map("a" -> (6L, 0.6), "b" -> (3L, 0.3)))
   }
+
+  test("countDistinctSkewProof equals count_distinct and dedups pre-shuffle") {
+    val ev = sf("events")
+    val fast = Aggregations.countDistinctSkewProof(ev, Seq("event_type"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fast == ref)
+    // two aggregates: the first keyed by (keys, value) so a hot key's
+    // values spread over all shuffle partitions
+    val aggs = Aggregations.countDistinctSkewProof(ev, Seq("event_type"), col("user_id"))
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, "expected two partial+final aggregate pairs")
+  }
+
+  test("profile reports per-column rows/nulls/distinct/min/max in one pass") {
+    val df = Seq((Some(1), Some("x")), (Some(1), None), (None, Some("a")))
+      .toDF("i", "s")
+    val out = Aggregations.profile(df, Seq("i", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("i") == (3L, 1L, 1L, "1", "1"))
+    assert(out("s") == (3L, 1L, 2L, "a", "x"))
+    // one scan: a single leaf in the plan despite profiling two columns
+    val scans = Aggregations.profile(df, Seq("i", "s"))
+      .queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1)
+  }
 }

@@ -72,4 +72,33 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(cubed == Map(Some("a") -> 3L, None -> 3L))
   }
+
+  test("sketch summary: cross-date dedup holds and estimates track exact counts") {
+    val mv = Files.createTempDirectory("graft-mv").toString + "/sketches"
+    val ord = sf("orders").select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("dt"),
+      col("o_orderpriority").as("k"), col("o_custkey").as("member"))
+    Incremental.refreshDistinctSketch(spark, ord.filter(col("dt") <= 199612),
+      mv, "dt", Seq("k"), "member")
+    Incremental.refreshDistinctSketch(spark, ord, mv, "dt", Seq("k"), "member")
+    // one sketch row per (month, priority), not per member
+    val exactRows = ord.select("dt", "k").distinct().count()
+    assert(spark.read.parquet(mv).count() == exactRows)
+
+    val est = Incremental.queryDistinctSketch(spark, mv, Seq("k"), "nd")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ord.groupBy("k").agg(count_distinct(col("member")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val rel = math.abs(est(k).toDouble - e) / e.max(1L)
+      assert(rel < 0.05, s"estimate for $k off by ${rel * 100}%%: est=${est(k)} exact=$e")
+    }
+
+    // grouping sets roll up by unioning the same sketches
+    val cubeEst = Incremental.queryDistinctSketchCube(spark, mv, Seq("k"), "nd")
+      .filter(col("k").isNull).collect().head.getLong(1)
+    val cubeExact = ord.select("member").distinct().count()
+    assert(math.abs(cubeEst.toDouble - cubeExact) / cubeExact < 0.05)
+  }
 }

@@ -90,4 +90,28 @@ class JoinsSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("UDF"), s"expected bloom prefilter in plan:\n$plan")
   }
+
+  test("edit-distance join equals the quadratic cross-join filter (k=1 and k=2)") {
+    val docs = sf("documents").select($"doc_id", substring($"text", 1, 16).as("key"))
+    for (k <- 1 to 2) {
+      val fast = Joins.editDistanceJoin(sf("documents"), k, substring($"text", 1, 16))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val a = docs.as("a"); val b = docs.as("b")
+      val brute = a.join(b, $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id",
+          levenshtein($"a.key", $"b.key").cast("long").as("dist"))
+        .filter($"dist" <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == brute, s"k=$k: blocking missed or invented pairs")
+      assert(brute.nonEmpty, "fixture produced no close pairs; test is vacuous")
+    }
+  }
+
+  test("edit-distance join handles empty and duplicate keys") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, ""), (4L, ""), (5L, "xyz"))
+      .toDF("doc_id", "key")
+    val got = Joins.editDistanceJoin(df, 1, $"key", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (3L, 4L, 0L))) // exact dups at dist 0; '' vs 'xyz' not within 1
+  }
 }

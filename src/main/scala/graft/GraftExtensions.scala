@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity over float arrays"),
       (args: Seq[Expression]) => CosineSimF(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deletion_hashes"),
+      info("graft_deletion_hashes",
+        "graft_deletion_hashes(str, k) - hashes of all <=k-code-point-deletion variants (FastSS blocking)"),
+      (args: Seq[Expression]) => DeletionVariantHashes(args.head,
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }
 }

@@ -107,6 +107,29 @@ object Profile {
     time("q41 full")(SparkEntry.queries("q41_dedup_minhash")(spark, sfDir).count())
     time("q16 full")(SparkEntry.queries("q16_join_hash")(spark, sfDir).count())
     time("q10 full")(SparkEntry.queries("q10_groupby")(spark, sfDir).count())
+
+    // q101 decomposition: variant generation vs candidate join vs verify
+    locally {
+      val docs = t("documents").filter(col("doc_id") % 3 === 0)
+      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 16).as("__key"))
+      val d1 = "transform(sequence(0, length(__key)-1), i -> " +
+        "concat(substring(__key, 1, i), substring(__key, i+2)))"
+      val d2 = s"flatten(transform($d1, v -> transform(sequence(0, length(v)-1), j -> " +
+        "concat(substring(v, 1, j), substring(v, j+2)))))"
+      val variants = array_distinct(expr(s"concat(array(__key), $d1, $d2)"))
+      val exploded = keyed.withColumn("__v", explode(variants))
+        .select(col("doc_id"), col("__key"), xxhash64(col("__v")).as("__vh"))
+      time("q101 variant explode only (noop)")(noop(exploded))
+      val a = exploded.as("a"); val b = exploded.as("b")
+      val cand = a.join(b, col("a.__vh") === col("b.__vh") && col("a.doc_id") < col("b.doc_id"))
+      time("q101 + candidate join")(cand.count())
+      time("q101 + distinct")(cand
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.__key").as("__ka"), col("b.__key").as("__kb")).distinct().count())
+      time("q101 full")(SparkEntry.queries("q101_edit_join")(spark, sfDir).count())
+    }
+    time("q93 full")(SparkEntry.queries("q93_duplicate_spans")(spark, sfDir).count())
+    time("q90 full")(SparkEntry.queries("q90_mixture_take")(spark, sfDir).count())
     spark.stop()
   }
 }

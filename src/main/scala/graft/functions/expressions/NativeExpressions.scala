@@ -167,6 +167,37 @@ object NativeKernels {
     sig
   }
 
+  /** Distinct 64-bit hashes of every string reachable by deleting at most
+    * `k` code points — the FastSS deletion-neighborhood blocking keys for
+    * Joins.editDistanceJoin, computed WITHOUT materializing any variant
+    * string: one wrapping polynomial pass over the code-point array per
+    * variant (O(L) each, O(L^(k+1)) total; L <= ~32 by the operator's
+    * contract). Code points, not chars, so deletions align with
+    * levenshtein's edit units and the pigeonhole completeness proof holds
+    * for astral-plane text too. Hash collisions only add candidates — the
+    * exact verify removes them.
+    */
+  def deletionVariantHashes(s: UTF8String, k: Int): ArrayData = {
+    val cp = s.toString.codePoints().toArray
+    val L = cp.length
+    val B = 1099511628211L // FNV-1a prime as polynomial base; wrapping 64-bit
+    def hashSkipping(i: Int, j: Int): Long = {
+      var h = 0L; var t = 0
+      while (t < L) { if (t != i && t != j) h = h * B + cp(t); t += 1 }
+      h
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](1 + L * (if (k > 1) L else 1))
+    def add(h: Long): Unit = if (seen.add(h)) out += h
+    add(hashSkipping(-1, -1))
+    if (k >= 1) { var i = 0; while (i < L) { add(hashSkipping(i, -1)); i += 1 } }
+    if (k >= 2) {
+      var i = 0
+      while (i < L) { var j = i + 1; while (j < L) { add(hashSkipping(i, j)); j += 1 }; i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Fused cosine over float arrays: dot and both norms in one loop, all
     * accumulation sequential in double (bit-identical to the separate
     * aggregate() folds).
@@ -281,6 +312,21 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 }
 
 
+/** Deletion-neighborhood blocking hashes for the edit-distance join. */
+case class DeletionVariantHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.deletionVariantHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.deletionVariantHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** Packed random-hyperplane LSH signature over a float vector. */
 case class LshSignatureF(child: Expression, nPlanes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -328,4 +374,5 @@ object NativeExpressions {
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))
   def cosineF(a: Column, b: Column): Column = c(CosineSimF(e(a), e(b)))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
+  def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

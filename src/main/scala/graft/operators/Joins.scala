@@ -228,24 +228,15 @@ object Joins {
     */
   def editDistanceJoin(df: DataFrame, k: Int, key: Column,
                        idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.functions.{array, array_distinct, col, explode,
-      expr, levenshtein, when, length, lit, xxhash64}
+    import org.apache.spark.sql.functions.{col, explode, levenshtein}
     require(k >= 1 && k <= 2, s"editDistanceJoin supports k in 1..2, got $k")
     val keyed = df.select(col(idCol), key.as("__key"))
-    // deletion variants: del(s,i) drops the char at 0-based i (substring is
-    // 1-based; i=0 yields '' ++ tail). sequence() flips direction when
-    // start > stop, so empty keys are guarded explicitly.
-    val d1 = "transform(sequence(0, length(__key)-1), i -> " +
-      "concat(substring(__key, 1, i), substring(__key, i+2)))"
-    val d2 = s"flatten(transform($d1, v -> transform(sequence(0, length(v)-1), j -> " +
-      "concat(substring(v, 1, j), substring(v, j+2)))))"
-    val variants = when(length(col("__key")) < lit(1), array(col("__key")))
-      .otherwise(array_distinct(
-        if (k == 1) expr(s"concat(array(__key), $d1)")
-        else expr(s"concat(array(__key), $d1, $d2)")))
+    // variant hashes come from the native kernel (one codegen'd call, no
+    // variant strings ever materialize — see NativeKernels.deletionVariantHashes)
     val exploded = keyed
-      .withColumn("__v", explode(variants))
-      .select(col(idCol), col("__key"), xxhash64(col("__v")).as("__vh"))
+      .withColumn("__vh", explode(
+        graft.functions.expressions.NativeExpressions.deletionVariantHashes(col("__key"), k)))
+      .select(col(idCol), col("__key"), col("__vh"))
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.__vh") === col("b.__vh") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

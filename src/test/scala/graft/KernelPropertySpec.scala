@@ -85,6 +85,32 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("deletionVariantHashes kernel == hash-of-materialized-variants reference") {
+    // reference: materialize every <=k-deletion variant (on code points),
+    // dedup as STRINGS, hash each with the same wrapping polynomial
+    def refVariants(s: String, k: Int): Set[String] = {
+      val cps = s.codePoints().toArray
+      def drop(ix: Set[Int]): String =
+        new String(cps.zipWithIndex.filterNot(t => ix(t._2)).map(_._1), 0,
+          cps.length - ix.size)
+      val one = (0 until cps.length).map(i => Set(i))
+      val two = for (i <- 0 until cps.length; j <- i + 1 until cps.length) yield Set(i, j)
+      (Seq(Set.empty[Int]) ++ (if (k >= 1) one else Nil) ++
+        (if (k >= 2) two else Nil)).map(drop).toSet
+    }
+    def refHash64(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => h * 1099511628211L + c)
+    for (k <- 1 to 2) {
+      val strs = samples.map(_.take(20))
+      val got = strs.toDF("s")
+        .select(NativeExpressions.deletionVariantHashes(col("s"), k))
+        .collect().map(_.getSeq[Long](0).toSet)
+      strs.zip(got).foreach { case (s, g) =>
+        assert(g == refVariants(s, k).map(refHash64), s"k=$k input=$s")
+      }
+    }
+  }
+
   test("cosineF kernel == sequential fold reference") {
     val vecs = (0 until 50).map(_ => (
       Array.fill(16)(rnd.nextFloat() - 0.5f), Array.fill(16)(rnd.nextFloat() - 0.5f)))

@@ -129,6 +129,24 @@ object Profile {
       time("q101 full")(SparkEntry.queries("q101_edit_join")(spark, sfDir).count())
     }
     time("q93 full")(SparkEntry.queries("q93_duplicate_spans")(spark, sfDir).count())
+
+    // q93 decomposition: position explode vs hot-count vs hot-join vs window
+    locally {
+      import graft.functions.PortableHash
+      val n = 8
+      val pos = t("documents")
+        .select(col("doc_id"), PortableHash.tokenHashes(col("text")).as("__th"))
+        .filter(size(col("__th")) >= n)
+        .select(col("doc_id"),
+          posexplode(PortableHash.shingleHashes(col("__th"), n)).as(Seq("__i0", "__h")))
+        .select(col("doc_id"), (col("__i0") + 1).as("__i"), col("__h"))
+      time("q93 pos explode only (noop)")(noop(pos))
+      val hot = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2).select("__h")
+      time("q93 hot count only")(hot.count())
+      val dup = pos.join(hot, Seq("__h")).select(col("doc_id"), col("__i"))
+      time("q93 + hot join (noop)")(noop(dup))
+    }
     time("q90 full")(SparkEntry.queries("q90_mixture_take")(spark, sfDir).count())
     spark.stop()
   }

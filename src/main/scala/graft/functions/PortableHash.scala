@@ -40,12 +40,13 @@ object PortableHash {
   /** Word n-gram shingle hashes from a token-hash array: combine n
     * consecutive token hashes by a Horner fold h = (h*B + th_j) mod P (no
     * string concatenation — the shingle never materializes; intermediates
-    * stay < 2^52). Caller must filter size(th) >= n.
+    * stay < 2^52). Native codegen kernel — Spark's transform/sequence
+    * higher-order form is CodegenFallback and re-reads each token n times;
+    * the kernel emits the identical values in one pass. Empty array when
+    * size(th) < n.
     */
   def shingleHashes(th: Column, n: Int): Column =
-    transform(sequence(lit(0), size(th) - n), i =>
-      (0 until n).foldLeft(lit(0L): Column)((h, j) =>
-        (h * lit(B) + element_at(th, i + j + 1)) % lit(P)))
+    graft.functions.expressions.NativeExpressions.shingleHashesAll(th, n, B, P)
 
   /** Deterministic affine-permutation coefficients (a_i, b_i) for MinHash,
     * derived from a splitmix-style LCG over the permutation index — plain

@@ -96,6 +96,27 @@ object NativeKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Every n-gram shingle hash in position order (duplicates kept) — the
+    * positional variant of [[shingleHashSet]], for operators that need
+    * WHERE a shingle occurs (duplicate-span mining) or its multiplicity.
+    * Same Horner fold, so values equal the declarative
+    * transform(sequence(...)) form and the DuckDB oracle's.
+    */
+  def shingleHashesAll(th: ArrayData, n: Int, b: Long, p: Long): ArrayData = {
+    val m = th.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = (sh * b + th.getLong(i + j)) % p; j += 1 }
+      out(i) = sh
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature from token hashes: Horner-combine each n-gram window
     * into a shingle hash, track min under each affine permutation. One pass,
     * zero allocation beyond the k-wide output.
@@ -275,6 +296,22 @@ case class ShingleHashSet(child: Expression, shingleN: Int, b: Long, p: Long)
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+/** Positional n-gram shingle hashes (ordered, duplicates kept). */
+case class ShingleHashesAll(child: Expression, shingleN: Int, b: Long, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects ARRAY<LONG>")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.shingleHashesAll(input.asInstanceOf[ArrayData], shingleN, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.shingleHashesAll($c, $shingleN, ${b}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** MinHash signature (k mins over affine-permuted shingle hashes). */
 case class MinHashSig(child: Expression, shingleN: Int, as: Seq[Long], bs: Seq[Long],
                       b: Long, p: Long) extends UnaryExpression {
@@ -369,6 +406,8 @@ object NativeExpressions {
   def tokenize(s: Column): Column = c(Tokenize(e(s)))
   def shingleHashSet(tokenHashes: Column, shingleN: Int, b: Long, p: Long): Column =
     c(ShingleHashSet(e(tokenHashes), shingleN, b, p))
+  def shingleHashesAll(tokenHashes: Column, shingleN: Int, b: Long, p: Long): Column =
+    c(ShingleHashesAll(e(tokenHashes), shingleN, b, p))
   def minHashSig(tokenHashes: Column, shingleN: Int, as: Seq[Long], bs: Seq[Long],
                  b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))

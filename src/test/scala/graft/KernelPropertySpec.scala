@@ -2,6 +2,7 @@ package graft
 
 import scala.util.Random
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -67,6 +68,25 @@ class KernelPropertySpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0).toSet)
     samples.zip(got).foreach { case (s, g) =>
       assert(g == refShingles(refTokens(s).map(refHash(_, PortableHash.P)), 3).toSet)
+    }
+  }
+
+  test("shingleHashesAll kernel == declarative transform(sequence) form") {
+    // reference: the exact higher-order-function expression the kernel
+    // replaced — positional, duplicates kept, empty when size(th) < n
+    for (n <- Seq(2, 8)) {
+      val th = NativeExpressions.tokenPolyHashes(col("s"), PortableHash.P)
+      val declarative = when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - n), i =>
+          (0 until n).foldLeft(lit(0L): Column)((h, j) =>
+            (h * lit(PortableHash.B) + element_at(th, i + j + 1)) % lit(PortableHash.P))))
+        .otherwise(array().cast("array<bigint>"))
+      val rows = samples.toDF("s")
+        .select(PortableHash.shingleHashes(th, n).as("k"), declarative.as("d"))
+        .collect()
+      samples.zip(rows).foreach { case (s, r) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n input=$s")
+      }
     }
   }
 

@@ -156,4 +156,24 @@ class PlanAuditSpec extends SparkSpec {
       s"weight total not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan fell back to a cartesian product:\n$p")
   }
+
+  test("edit-distance join equi-joins fixed-width variant hashes — never a product (q101)") {
+    val d = details(SparkEntry.queries("q101_edit_join")(spark, dir))
+    assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation fell back to a product join:\n$d")
+    // the join keys must be the kernel's long hashes, not variant strings:
+    // the deletion_variant_hashes generate feeds the join directly
+    assert(d.contains("deletionvarianthashes") || d.contains("deletion_variant"),
+      s"native variant-hash kernel missing from plan:\n$d")
+    assert(d.contains("levenshtein"), s"no exact verify stage:\n$d")
+  }
+
+  test("duplicate spans broadcast the hot-shingle set; one window sort per doc (q93)") {
+    val p = executedPlan(SparkEntry.queries("q93_duplicate_spans")(spark, dir))
+    // AQE must resolve the pos-vs-hot join as broadcast (hot set << positions)
+    assert(p.contains("BroadcastHashJoin"), s"hot-shingle join not broadcast:\n$p")
+    // lag + running-sum share ONE window sort: exactly one Sort node expected
+    assert("(?m)^.*Sort \\[".r.findAllIn(p).size <= 1,
+      s"island windows did not share a sort:\n$p")
+  }
 }

@@ -716,6 +716,27 @@ object SparkEntry {
         Seq("o_orderpriority"), "o_custkey")
       Incremental.refreshDistinctSketch(s, fact, mv, "dt", Seq("o_orderpriority"), "o_custkey")
       Incremental.queryDistinctSketch(s, mv, Seq("o_orderpriority"), "nd_cust_approx")
+    }),
+    // z-order-clustered rewrite, then a selective read-back: the aggregate
+    // proves the layout job preserves the data exactly; LayoutSpec asserts
+    // the per-file min/max ranges actually narrowed (the skipping payoff)
+    "q105_zorder" -> ((s, d) => {
+      val out = s"/tmp/graft-zorder/${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.Layout.zorderWrite(t(s, d, "lineitem"), out,
+        Seq("l_partkey", "l_suppkey"), numFiles = 8)
+      s.read.parquet(out).filter(col("l_partkey") <= 100)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+    // small-file compaction roundtrip: scatter events into many small
+    // files, compact to ~1 MB targets, aggregate the read-back
+    "q106_compact" -> ((s, d) => {
+      val base = s"/tmp/graft-compact/${java.lang.Integer.toHexString(d.hashCode)}"
+      t(s, d, "events").repartition(40).write.mode("overwrite").parquet(s"$base/in")
+      graft.sources.Layout.compact(s, s"$base/in", s"$base/out",
+        targetFileBytes = 1L * 1024 * 1024)
+      s.read.parquet(s"$base/out").groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum("user_id").as("sum_users"))
     })
   )
 
@@ -1108,6 +1129,12 @@ object SparkEntry {
         |WHERE levenshtein(a.key, b.key) <= 2""".stripMargin,
     "q102_distinct_skewproof" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q105_zorder" ->
+      """SELECT l_returnflag, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey <= 100 GROUP BY l_returnflag""".stripMargin,
+    "q106_compact" ->
+      """SELECT event_type, count(1) AS n_rows, sum(user_id) AS sum_users
         |FROM events GROUP BY event_type""".stripMargin,
     "q103_profile" -> Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
       .map(c =>

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout management for parquet data at rest — the write-side twin
+  * of [[graft.operators.Blockgen]]. Blockgen is the reference's hash-bucket
+  * layout (BLOCKGEN, block/storage §2.6); these are the two layout concerns
+  * the reference left to its Hadoop admins that a 100 TB Spark lake cannot:
+  *
+  *  - '''compact''': the small-files problem. Ingest and fine-grained
+  *    partition overwrites leave thousands of KB-scale files; every
+  *    downstream scan then pays per-file open/footer/seek cost and the
+  *    driver pays listing + task-scheduling overhead. Rewrite to a target
+  *    file size.
+  *  - '''zorderWrite''': multi-dimensional clustering. Parquet row-group
+  *    pruning works off per-file min/max ranges; a z-order (Morton) sort
+  *    makes ranges narrow in EVERY clustered dimension at once, so
+  *    selective filters on any of them skip most files — range-partition
+  *    by one key only helps that key.
+  *
+  * Both are plain shuffles + writes: at cluster scale the cost is one pass
+  * over the data, and both are idempotent overwrite jobs safe to re-run.
+  */
+object Layout {
+
+  /** Bits of z-value resolution per clustered column. 16 bits × up to 4
+    * columns fills a 64-bit z-value; finer resolution than the file count
+    * can express is wasted anyway.
+    */
+  val BitsPerDim = 16
+
+  /** Morton z-value of `cols`, each scaled to [0, 2^16) over its observed
+    * [min, max] (one stats pass, broadcast as literals). Pure bit-shift
+    * expression tree — codegen'd, no UDF. Nulls sort first (scaled to 0).
+    */
+  def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(cols.nonEmpty && cols.length <= 4, "z-order supports 1..4 columns")
+    val top = (1L << BitsPerDim) - 1 // 65535
+    val scaled = cols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (mins(j), maxs(j))
+      val s =
+        if (hi <= lo) lit(0L)
+        else least(lit(top), greatest(lit(0L),
+          floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble)).cast("long")))
+      coalesce(s, lit(0L))
+    }
+    val d = scaled.length
+    // bit i of column j lands at position i*d + j: columns interleave
+    // round-robin from the low bit, so every dimension shares the high bits
+    val terms = for { j <- 0 until d; i <- 0 until BitsPerDim } yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * d + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` into `numFiles` z-order-clustered parquet files at
+    * `path`: one stats pass for per-column [min, max], then range-partition
+    * and sort by the interleaved z-value. Filters on ANY of `zCols` then
+    * prune most files via parquet min/max. Numeric/date/timestamp columns
+    * only (they cast to double for scaling).
+    */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  numFiles: Int): Unit = {
+    val stats = df.select(
+      zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
+      .collect().head
+    val mins = zCols.indices.map(i => Option(stats.get(2 * i)).fold(0.0)(_ => stats.getDouble(2 * i)))
+    val maxs = zCols.indices.map(i => Option(stats.get(2 * i + 1)).fold(0.0)(_ => stats.getDouble(2 * i + 1)))
+    df.withColumn("__z", zValue(zCols.map(col), mins, maxs))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Rewrite the parquet data at `inPath` into files of ~`targetFileBytes`
+    * at `outPath`. Merging small files is a narrow `coalesce` (no shuffle —
+    * tasks concatenate input splits); splitting oversized files needs the
+    * full `repartition` shuffle. Returns the file count written.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out = if (n < files.length) df.coalesce(n) else df.repartition(n)
+    out.write.mode("overwrite").parquet(outPath)
+    n
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Storage-layout operators: z-value arithmetic against a bit-twiddling
+  * reference, the clustering payoff (per-file ranges narrow in BOTH
+  * z-ordered dimensions), and compaction file-count/data fidelity.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-layout").toString
+
+  test("zValue == Morton bit-interleave reference") {
+    // 2 dims over [0, 65535] with identity scaling: zValue must equal the
+    // classic interleave (x bit i -> position 2i, y bit i -> 2i+1)
+    def refMorton(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L),
+      (65535L, 0L), (255L, 256L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")),
+        Seq(0.0, 0.0), Seq(65535.0, 65535.0)))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), z) =>
+      assert(z == refMorton(x, y), s"($x,$y)")
+    }
+  }
+
+  test("zValue handles nulls, constants, and out-of-range as documented") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((null, 5L), (7L, 7L))
+      .toDF("x", "y")
+    // null scales to 0; a constant column (min==max) contributes 0 bits
+    val z = df.select(Layout.zValue(Seq(col("x"), col("y")),
+      Seq(0.0, 7.0), Seq(10.0, 7.0))).collect().map(_.getLong(0))
+    assert(z(0) == 0L)                     // null x, constant y
+    assert((z(1) & 2L) == 0L && z(1) > 0L) // y bits all zero, x bits set
+  }
+
+  test("z-order write narrows per-file ranges in BOTH dimensions") {
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dir = tmp()
+    Layout.zorderWrite(li, dir, Seq("l_partkey", "l_suppkey"), numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+
+    // per-file [min,max] width for each dimension, as a fraction of the
+    // global range; random layout gives ~1.0, clustered much less
+    def avgWidth(c: String): Double = {
+      val w = back.groupBy(input_file_name()).agg(
+        (max(col(c)) - min(col(c))).cast("double").as("w")).agg(avg("w"))
+        .collect().head.getDouble(0)
+      val g = li.agg((max(col(c)) - min(col(c))).cast("double")).collect().head.getDouble(0)
+      w / g
+    }
+    assert(avgWidth("l_partkey") < 0.6, s"l_partkey not clustered: ${avgWidth("l_partkey")}")
+    assert(avgWidth("l_suppkey") < 0.6, s"l_suppkey not clustered: ${avgWidth("l_suppkey")}")
+  }
+
+  test("compact merges small files to the target size and preserves rows") {
+    val dir = tmp()
+    val li = sf("lineitem")
+    li.repartition(20).write.mode("overwrite").parquet(s"$dir/in")
+    val inFiles = new java.io.File(s"$dir/in").listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(inFiles == 20)
+    val n = Layout.compact(spark, s"$dir/in", s"$dir/out", targetFileBytes = 256L * 1024)
+    val outFiles = new java.io.File(s"$dir/out").listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(outFiles == n && n < 20, s"expected <20 merged files, got $n")
+    // data fidelity: same multiset of rows
+    assert(spark.read.parquet(s"$dir/out").exceptAll(li).count() == 0)
+    assert(li.exceptAll(spark.read.parquet(s"$dir/out")).count() == 0)
+  }
+
+  test("compact splits an oversized single file when target is small") {
+    val dir = tmp()
+    sf("lineitem").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val n = Layout.compact(spark, s"$dir/in", s"$dir/out", targetFileBytes = 64L * 1024)
+    assert(n > 1, s"expected a split, got $n file(s)")
+  }
+}

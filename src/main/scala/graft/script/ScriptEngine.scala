@@ -184,16 +184,23 @@ object ScriptEngine {
     * form (grammar params, :70-71), or empty `()`. Returns the schema param
     * if one was given; other keys are accepted and ignored.
     */
-  private def formatParams(p: P): Option[String] = {
-    if (!p.punct("(")) return None
-    if (p.punct(")")) return None
+  private def formatParams(p: P): Option[String] =
+    formatParamMap(p).get("schema")
+
+  /** Full `("key": "value", ...)` storage-param map; a bare `('schema')`
+    * string is returned under the "schema" key (grammar :208 storage
+    * params).
+    */
+  private def formatParamMap(p: P): Map[String, String] = {
+    if (!p.punct("(")) return Map.empty
+    if (p.punct(")")) return Map.empty
     val first = p.str()
     if (p.punct(":")) {
       var m = Map(first -> p.str())
       while (p.punct(",")) { val k = p.str(); p.expectPunct(":"); m += (k -> p.str()) }
       p.expectPunct(")")
-      m.get("schema")
-    } else { p.expectPunct(")"); Some(first) }
+      m
+    } else { p.expectPunct(")"); Map("schema" -> first) }
   }
 
   /** One cuboid: a possibly-empty column list in parens or brackets —
@@ -418,8 +425,19 @@ object ScriptEngine {
         val r = rel(p.ident())
         p.expectKw("INTO"); val path = p.str()
         p.expectKw("USING"); val fmt = p.ident().toLowerCase
-        formatParams(p) // writer params accepted (overwrite is the default)
-        store(r, path, fmt)
+        val wp = formatParamMap(p) // writer params (overwrite is the default)
+        // ("zorder": "a,b"[, "files": "n"]) — z-order-clustered parquet
+        // layout (sources.Layout); other params pass through to the plain
+        // writer path
+        wp.get("zorder") match {
+          case Some(zc) if !dryRun =>
+            require(fmt == "parquet" || fmt == "rubix",
+              s"zorder storage param requires parquet, got $fmt")
+            graft.sources.Layout.zorderWrite(r, path, zc.split(",").map(_.trim).toSeq,
+              wp.get("files").map(_.toInt).getOrElse(
+                spark.sessionState.conf.numShufflePartitions))
+          case _ => store(r, path, fmt)
+        }
         p.expectPunct(";")
       } else {
         val name = p.ident()

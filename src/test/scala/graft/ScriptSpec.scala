@@ -349,6 +349,24 @@ class ScriptSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/c").exists())
   }
 
+  test("store with zorder storage params writes clustered parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zs").toString
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    ScriptEngine.run(spark,
+      s"""STORE t INTO '$dir/z' USING PARQUET ("zorder": "l_partkey,l_suppkey", "files": "4");""",
+      env0 = env("t" -> li))
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == li.count())
+    val nFiles = back.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(nFiles == 4, s"expected 4 z-ordered files, got $nFiles")
+    // dry-run still analyzes but writes nothing
+    ScriptEngine.run(spark,
+      s"""STORE t INTO '$dir/dry' USING PARQUET ("zorder": "l_partkey");""",
+      env0 = env("t" -> li), dryRun = true)
+    assert(!new java.io.File(s"$dir/dry").exists())
+  }
+
   test("param substitution") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     val out = ScriptEngine.run(spark, "f = FILTER t BY x > %lo%;",

@@ -15,6 +15,8 @@ import org.apache.spark.sql.execution.FormattedMode
   * (the reference's `param.` property substitution). Flags:
   *   --show <rel>[:<n>]   print the first n (default 20) rows of a relation
   *   --explain <rel>      print the formatted physical plan of a relation
+  *   --lineage <rel>      print column-level lineage (output column <-
+  *                        source table.columns; plans.Lineage)
   *   --dry-run            validate without writing: every statement (STORE
   *                        and TEE included) is parsed, analyzed, and
   *                        planned, but no write executes — the reference's
@@ -28,7 +30,7 @@ object ScriptRunner {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: graft.ScriptRunner <script.cmr> [name=value ...] " +
-        "[--show rel[:n]] [--explain rel] [--dry-run]")
+        "[--show rel[:n]] [--explain rel] [--lineage rel] [--dry-run]")
       sys.exit(2)
     }
     run(args, stopSession = true)
@@ -43,6 +45,7 @@ object ScriptRunner {
     var params = Map.empty[String, String]
     var show: Option[(String, Int)] = None
     var explain: Option[String] = None
+    var lineage: Option[String] = None
     var dryRun = false
     def operand(flag: String, at: Int): String = {
       if (at >= args.length) sys.error(s"$flag requires an argument")
@@ -58,6 +61,7 @@ object ScriptRunner {
             sys.error(s"--show ${args(i)}: row count must be an integer")) else 20
           show = Some((spec(0), n))
         case "--explain" => i += 1; explain = Some(operand("--explain", i))
+        case "--lineage" => i += 1; lineage = Some(operand("--lineage", i))
         case "--dry-run" => dryRun = true
         case kv if kv.contains("=") =>
           val Array(k, v) = kv.split("=", 2)
@@ -75,6 +79,7 @@ object ScriptRunner {
       explain.foreach { r =>
         println(env(r).queryExecution.explainString(FormattedMode))
       }
+      lineage.foreach { r => println(graft.plans.Lineage.format(env(r))) }
       show.foreach { case (r, n) => env(r).show(n, truncate = false) }
       env
     } finally {

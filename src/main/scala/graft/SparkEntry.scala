@@ -737,6 +737,17 @@ object SparkEntry {
         targetFileBytes = 1L * 1024 * 1024)
       s.read.parquet(s"$base/out").groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"), sum("user_id").as("sum_users"))
+    }),
+    // hive-style partitioned write + pruned read-back: the filter on the
+    // partition column must resolve to directory pruning (PlanAuditSpec
+    // asserts PartitionFilters); the aggregate proves data fidelity
+    "q107_partitioned" -> ((s, d) => {
+      val out = s"/tmp/graft-part/${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.Sources.store(t(s, d, "orders"), out, "parquet",
+        partitionBy = Seq("o_orderpriority"))
+      s.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"))
     })
   )
 
@@ -1136,6 +1147,9 @@ object SparkEntry {
     "q106_compact" ->
       """SELECT event_type, count(1) AS n_rows, sum(user_id) AS sum_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q107_partitioned" ->
+      """SELECT o_orderstatus, count(1) AS n_rows, sum(o_custkey) AS sum_cust
+        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""".stripMargin,
     "q103_profile" -> Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
       .map(c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -427,15 +427,18 @@ object ScriptEngine {
         p.expectKw("USING"); val fmt = p.ident().toLowerCase
         val wp = formatParamMap(p) // writer params (overwrite is the default)
         // ("zorder": "a,b"[, "files": "n"]) — z-order-clustered parquet
-        // layout (sources.Layout); other params pass through to the plain
-        // writer path
-        wp.get("zorder") match {
-          case Some(zc) if !dryRun =>
+        // layout (sources.Layout); ("partition_by": "a,b") — hive-style
+        // partition directories; otherwise the plain writer path
+        (wp.get("zorder"), wp.get("partition_by")) match {
+          case (Some(zc), _) if !dryRun =>
             require(fmt == "parquet" || fmt == "rubix",
               s"zorder storage param requires parquet, got $fmt")
             graft.sources.Layout.zorderWrite(r, path, zc.split(",").map(_.trim).toSeq,
               wp.get("files").map(_.toInt).getOrElse(
                 spark.sessionState.conf.numShufflePartitions))
+          case (None, Some(pb)) if !dryRun =>
+            graft.sources.Sources.store(r, path, fmt,
+              partitionBy = pb.split(",").map(_.trim).toSeq)
           case _ => store(r, path, fmt)
         }
         p.expectPunct(";")

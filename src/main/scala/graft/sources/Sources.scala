@@ -44,14 +44,23 @@ object Sources {
     }
   }
 
-  /** STORE x INTO 'path' USING fmt (reference: plan/physical/JobExecutor.java:470-487). */
+  /** STORE x INTO 'path' USING fmt (reference: plan/physical/JobExecutor.java:470-487).
+    * `partitionBy` writes hive-style `col=value` directories — the layout
+    * that turns date/category filters into partition pruning (the scan
+    * lists only matching directories; at 100 TB the difference between
+    * reading a day and reading the table). The reference's time-partitioned
+    * facts did this by path convention; Spark makes it first-class.
+    */
   def store(df: DataFrame, path: String, format: String,
-            mode: String = "overwrite"): Unit = format.toLowerCase match {
-    case "parquet" | "rubix" => df.write.mode(mode).parquet(path)
-    case "orc"               => df.write.mode(mode).orc(path)
-    case "avro"              => df.write.mode(mode).format("avro").save(path)
-    case "json"              => df.write.mode(mode).json(path)
-    case "csv"               => df.write.mode(mode).option("header", "true").csv(path)
+            mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
+    def w = if (partitionBy.nonEmpty) df.write.mode(mode).partitionBy(partitionBy: _*)
+            else df.write.mode(mode)
+    format.toLowerCase match {
+    case "parquet" | "rubix" => w.parquet(path)
+    case "orc"               => w.orc(path)
+    case "avro"              => w.format("avro").save(path)
+    case "json"              => w.json(path)
+    case "csv"               => w.option("header", "true").csv(path)
     case "text" =>
       // multi-column TEXT is tab-separated, matching the reference's
       // TextStorage writer (io/text/TextTeeWriter.java:42). NULLs become
@@ -63,7 +72,7 @@ object Sources {
         else df.select(col(df.columns.head).cast("string"))
       out.write.mode(mode).text(path)
     case other => throw new IllegalArgumentException(s"unknown format: $other")
-  }
+  } }
 
   /** LOAD-CACHED — read a small file and mark it broadcast; the reference
     * shipped such files via the Hadoop distributed cache

@@ -168,6 +168,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("levenshtein"), s"no exact verify stage:\n$d")
   }
 
+  test("partitioned store prunes partitions at the scan (q107)") {
+    val d = details(SparkEntry.queries("q107_partitioned")(spark, dir))
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(d).isDefined,
+      s"partition filter not pruned at scan:\n$d")
+    // the partition predicate must NOT survive as a data filter
+    assert(!"PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(d).isDefined,
+      s"partition column leaked into data filters:\n$d")
+  }
+
   test("duplicate spans broadcast the hot-shingle set; one window sort per doc (q93)") {
     val p = executedPlan(SparkEntry.queries("q93_duplicate_spans")(spark, dir))
     // AQE must resolve the pos-vs-hot join as broadcast (hot set << positions)

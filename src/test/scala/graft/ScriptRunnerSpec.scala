@@ -42,6 +42,21 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$out/side")), "dry-run must not write TEE")
   }
 
+  test("--lineage prints source columns per output column") {
+    spark
+    val path = writeScript(
+      """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
+        |agg = GROUP li BY l_returnflag AGGREGATES SUM(l_quantity) AS sum_qty;""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      ScriptRunner.run(Array(path, "DIR=/root/testdata/sf0.001", "--lineage", "agg",
+        "--dry-run"), stopSession = false)
+    }
+    val out = buf.toString("UTF-8")
+    assert(out.contains("sum_qty <- lineitem.l_quantity"), out)
+    assert(out.contains("l_returnflag <- lineitem.l_returnflag"), out)
+  }
+
   test("missing flag operands fail with a usage error, not an index crash") {
     spark
     val path = writeScript("li = LOAD '/root/testdata/sf0.001/lineitem.parquet' USING PARQUET;")

@@ -367,6 +367,17 @@ class ScriptSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/dry").exists())
   }
 
+  test("store with partition_by storage param writes hive-style directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ps").toString
+    ScriptEngine.run(spark,
+      s"""STORE t INTO '$dir/p' USING PARQUET ("partition_by": "o_orderpriority");""",
+      env0 = env("t" -> sf("orders")))
+    val parts = new java.io.File(s"$dir/p").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts.exists(_.startsWith("o_orderpriority=")), s"no partition dirs: $parts")
+    assert(spark.read.parquet(s"$dir/p").count() == sf("orders").count())
+  }
+
   test("param substitution") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     val out = ScriptEngine.run(spark, "f = FILTER t BY x > %lo%;",

@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ShingleHashSet(args.head,
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int], PortableHash.B, PortableHash.P)))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(token_hashes, n) - positional n-gram shingle hashes (duplicates kept)"),
+      (args: Seq[Expression]) => ShingleHashesAll(args.head,
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int], PortableHash.B, PortableHash.P)))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash32"),
       info("graft_simhash32", "graft_simhash32(token_hashes) - 32-bit SimHash"),
       (args: Seq[Expression]) => SimHash32(args.head)))

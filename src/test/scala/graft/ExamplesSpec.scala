@@ -25,6 +25,18 @@ class ExamplesSpec extends SparkSpec {
     assert(counted.count() > 10)
   }
 
+  test("layout.cmr partitions the fact table and z-orders the detail table") {
+    val out = runExample("layout")
+    val parts = new java.io.File(s"$out/orders_by_priority").listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(parts.count(_.startsWith("o_orderpriority=")) == 5, parts.mkString(","))
+    val z = spark.read.parquet(s"$out/lineitem_z")
+    assert(z.count() == sf("lineitem").count())
+    val agg = spark.read.parquet(s"$out/urgent_by_status")
+    assert(agg.columns.toSet == Set("o_orderstatus", "n_rows"))
+    assert(agg.count() >= 1)
+  }
+
   test("mesh_join_cube.cmr blockgens, joins, and cubes") {
     val out = runExample("mesh_join_cube")
     val cube = spark.read.parquet(s"$out/cube")

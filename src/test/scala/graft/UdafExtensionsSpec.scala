@@ -51,6 +51,13 @@ class UdafExtensionsSpec extends SparkSpec {
       assert(row.getDouble(3) == 1.0)
       val sh = s2.sql("SELECT graft_simhash32(graft_token_hashes('x y z'))").collect().head
       assert(sh.getLong(0) >= 0L)
+      // positional shingles keep duplicates; deletion hashes cover the
+      // 1-deletion neighborhood (1 + |s| variants for distinct chars)
+      val pos = s2.sql(
+        "SELECT size(graft_shingles(graft_token_hashes('a b a b'), 2))").collect().head
+      assert(pos.getInt(0) == 3)
+      val del = s2.sql("SELECT size(graft_deletion_hashes('abc', 1))").collect().head
+      assert(del.getInt(0) == 4)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -74,6 +74,37 @@ object Sources {
     case other => throw new IllegalArgumentException(s"unknown format: $other")
   } }
 
+  /** Corrupt-tolerant text-format ingest: parse `path` as json/csv with the
+    * declared schema in PERMISSIVE mode and split the result into (clean
+    * rows, quarantined raw records). At 100 TB a single malformed line must
+    * neither kill the job (FAILFAST) nor silently vanish (DROPMALFORMED) —
+    * the quarantine side keeps the raw text for replay after a parser fix.
+    * Both sides come off ONE narrow scan; no shuffle.
+    */
+  def loadRobust(spark: SparkSession, path: String, format: String,
+                 schema: String): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val fields = SchemaCodec.parse(schema)
+      .add(corrupt, org.apache.spark.sql.types.StringType)
+    val reader = spark.read.schema(fields)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+    val df = (format.toLowerCase match {
+      case "json" => reader.json(path)
+      case "csv"  => reader.option("header", "false").csv(path)
+      case other  => throw new IllegalArgumentException(
+        s"loadRobust supports json/csv, got $other")
+    // Spark disallows queries whose only referenced column is the internal
+    // corrupt-record column unless the parsed relation is materialized
+    // (SPARK-21610); MEMORY_AND_DISK bounds the footprint by spilling. The
+    // persisted parse backs BOTH returned frames — release it with
+    // df.unpersist()/clearCache() once the split is consumed
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = df.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantined = df.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw_record"))
+    (clean, quarantined)
+  }
+
   /** LOAD-CACHED — read a small file and mark it broadcast; the reference
     * shipped such files via the Hadoop distributed cache
     * (operator/LoadBlockFromCacheOperator.java:31, utils/FileCache.java:35) —

@@ -70,6 +70,19 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Sources.virtual(spark, 5).count() == 5)
   }
 
+  test("loadRobust splits clean rows from quarantined corrupt records") {
+    val dir = Files.createTempDirectory("graft-robust").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/in.json"),
+      ("""{"id": 1, "name": "a"}""" + "\n" +
+        """{"id": oops not json""" + "\n" +
+        """{"id": 3, "name": "c"}""" + "\n").getBytes("UTF-8"))
+    val (clean, bad) = Sources.loadRobust(spark, s"$dir/in.json", "json",
+      "LONG id, STRING name")
+    assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined.head.contains("oops"))
+  }
+
   test("avro without the spark-avro module fails with an actionable message") {
     // this container ships no spark-avro jar; the format mapping must
     // surface Spark's deploy-the-module guidance, not a random classpath error

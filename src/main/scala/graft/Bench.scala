@@ -47,56 +47,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Engine-layout ingest: the driver's test parquet is ONE row group per
-    // table, so every scan — and the whole first stage above it — is a
-    // single task no matter how many cores exist. The reference refused to
-    // query raw data at all (BLOCKGEN into RUBIX blocks was mandatory,
-    // operator/BlockgenOperator); the Spark analog is one file per core.
-    // Rewritten once per sf dir (Layout.compact's shape), timed separately
-    // as ingest_sec, reused when present — queries then measure the engine,
-    // not the input's accidental file layout.
-    val hadoopFs = new org.apache.hadoop.fs.Path("/tmp")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val layoutDir = s"/tmp/graft-bench-layout-${java.lang.Integer.toHexString(sfDir.hashCode)}"
-    val marker = new org.apache.hadoop.fs.Path(s"$layoutDir/_READY")
-    val ingestSec: Double =
-      if (hadoopFs.exists(marker)) 0.0
-      else {
-        val t0 = System.nanoTime()
-        Tables.all.foreach { t =>
-          val src = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
-          val bytes = hadoopFs.getFileStatus(src).getLen
-          val n = math.max(1, math.min(cpus.toInt, (bytes / (4L * 1024 * 1024)).toInt))
-          val df = spark.read.parquet(src.toString)
-          (if (n > 1) df.repartition(n) else df.coalesce(1))
-            .write.mode("overwrite").parquet(s"$layoutDir/$t.parquet")
-        }
-        hadoopFs.create(marker).close()
-        (System.nanoTime() - t0) / 1e9
-      }
-    val benchDir = layoutDir
-
     // warm the JVM + parquet footers once so per-query numbers measure the
     // query, not first-touch class loading
-    SparkEntry.queries("q10_groupby")(spark, benchDir).count()
+    SparkEntry.queries("q10_groupby")(spark, sfDir).count()
 
-    // best-of-2 per query: the second run reuses compiled codegen classes
-    // (JIT/codegen warmup excluded) while still re-reading parquet,
-    // re-planning, re-shuffling, and re-broadcasting — standard warm
-    // single-node throughput methodology
+    // best-of-3 per query: later runs reuse compiled codegen classes
+    // (JIT/codegen warmup excluded — measured still settling on run 2)
+    // while every run re-reads parquet, re-plans, re-shuffles, and
+    // re-broadcasts — standard warm single-node throughput methodology
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, benchDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""ingest_sec":$ingestSec%.3f,"layout":"file-per-core","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -748,6 +748,16 @@ object SparkEntry {
       s.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"))
+    }),
+    // classifier-based quality scoring (DCLM/fastText-style curation):
+    // fit logistic regression on the labeled embeddings, score every row.
+    // Iterative GD over doubles — no SQL oracle; BpeKmeansSpec checks the
+    // learned accuracy against a numpy-verified bound
+    "q108_quality_classifier" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val labeled = emb.withColumn("quality", (col("label") < 5).cast("int"))
+      val (w, b) = graft.similarity.Classifier.logregFit(labeled, col("quality"), dim = 64)
+      graft.similarity.Classifier.score(emb, w, b).select("vec_id", "quality_score")
     })
   )
 

@@ -1,0 +1,83 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality scoring — the classifier-filter stage of modern
+  * corpus curation (train a small linear model on labeled examples, score
+  * the whole corpus, keep the top mass). The reference has no ML surface;
+  * this is additive, expressed as the same join+aggregate dataflow as
+  * [[Similarity.kmeansFit]] (reference README's stance: iterate
+  * relational passes, never a driver-side data loop).
+  *
+  * Scale shape per GD iteration: ONE aggregation pass. The per-row residual
+  * scales the feature vector; posexplode + groupBy(pos) sums component-wise
+  * WITH map-side partials, so the shuffle carries (partitions × (d+1))
+  * partial rows — never n × d. Weights travel as broadcast literals; the
+  * plan is rebuilt from the source each iteration (O(1) lineage depth).
+  * Training-set scans are the cost: `iters` passes over what is typically a
+  * 10^4-10^6-row labeled sample, then ONE narrow scoring pass over the
+  * 100 TB corpus.
+  */
+object Classifier {
+
+  /** Sequential-fold dot product of a vector column with a constant weight
+    * vector (codegen'd, no UDF): aggregate(zip_with(x, w, _*_), 0, _+_).
+    */
+  private def dotConst(vec: Column, w: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec.cast("array<double>"), array(w.map(lit): _*), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Fit L2-regularized binary logistic regression by full-batch gradient
+    * descent. `labelCol` must evaluate to 0.0/1.0. Returns (weights, bias).
+    */
+  def logregFit(df: DataFrame, labelCol: Column, dim: Int, iters: Int = 30,
+                lr: Double = 0.5, l2: Double = 0.0,
+                vecCol: String = "embedding"): (Array[Double], Double) = {
+    val base = df.select(col(vecCol).cast("array<double>").as("__x"),
+      labelCol.cast("double").as("__y"))
+    val n = base.count().toDouble
+    require(n > 0, "empty training set")
+    var w = Array.fill(dim)(0.0)
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      // residual g = sigmoid(w·x + b) - y; gradient = [g · x_i per i, g]
+      val g = lit(1.0) / (lit(1.0) + exp(-(dotConst(col("__x"), w.toSeq) + lit(b)))) -
+        col("__y")
+      val sums = base
+        .select(g.as("__g"), posexplode(col("__x")).as(Seq("__i", "__v")))
+        .groupBy("__i")
+        .agg(sum(col("__g") * col("__v")).as("__gw"), sum("__g").as("__gb"))
+        .collect()
+      val gradW = Array.fill(dim)(0.0)
+      var gradB = 0.0
+      sums.foreach { r =>
+        gradW(r.getInt(0)) = r.getDouble(1)
+        gradB = r.getDouble(2) // same total per component; last wins
+      }
+      w = w.zip(gradW).map { case (wi, gi) => wi - lr * (gi / n + l2 * wi) }
+      b = b - lr * (gradB / n)
+    }
+    (w, b)
+  }
+
+  /** Score rows with a fitted model: sigmoid(w·x + b) as `as`. One narrow
+    * codegen'd pass — this is the stage that runs over the full corpus.
+    */
+  def score(df: DataFrame, weights: Array[Double], bias: Double,
+            vecCol: String = "embedding", as: String = "quality_score"): DataFrame =
+    df.withColumn(as,
+      lit(1.0) / (lit(1.0) + exp(-(dotConst(col(vecCol), weights.toSeq) + lit(bias)))))
+
+  /** Train-and-score quality filter: fit on the labeled frame, score the
+    * corpus, keep rows with score >= `threshold`. The labeled set is small
+    * by construction; the corpus pass is one narrow map.
+    */
+  def qualityFilter(corpus: DataFrame, labeled: DataFrame, labelCol: Column,
+                    dim: Int, threshold: Double = 0.5, iters: Int = 30,
+                    vecCol: String = "embedding"): DataFrame = {
+    val (w, b) = logregFit(labeled, labelCol, dim, iters, vecCol = vecCol)
+    score(corpus, w, b, vecCol).filter(col("quality_score") >= threshold)
+  }
+}

@@ -77,3 +77,21 @@ class TopTerms extends UserOperator {
       params.getOrElse("text", "text"),
       params.getOrElse("id", "doc_id"))
 }
+
+/** Model-based quality filter: train logistic regression on the SECOND
+  * input (labeled vectors), keep rows of the FIRST input scoring >=
+  * threshold. Params: label (expression over the labeled input, required),
+  * dim (vector width, required), threshold (default 0.5), iters (30),
+  * vec ("embedding").
+  */
+class ClassifierFilter extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "ClassifierFilter needs (corpus, labeled) inputs")
+    graft.similarity.Classifier.qualityFilter(inputs(0), inputs(1),
+      expr(params("label")),
+      params("dim").toInt,
+      params.getOrElse("threshold", "0.5").toDouble,
+      params.getOrElse("iters", "30").toInt,
+      params.getOrElse("vec", "embedding"))
+  }
+}

@@ -48,6 +48,16 @@ class ScriptSpec extends SparkSpec {
     assert(out("terms").select("doc_id", "term_rank").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("shipped classifier plug-in filters by model score from a script") {
+    val emb = sf("embeddings")
+    val out = ScriptEngine.run(spark,
+      """kept = OPERATOR 'graft.script.ops.ClassifierFilter' corpus, labeled
+        |  ('label': 'CAST(label < 5 AS INT)', 'dim': '64', 'iters': '10');""".stripMargin,
+      env0 = env("corpus" -> emb, "labeled" -> emb))
+    val n = out("kept").count()
+    assert(n > 0 && n < emb.count(), s"model filter kept $n of ${emb.count()}")
+  }
+
   test("the reference's wordcount.cmr runs under the phase-syntax front end") {
     // release/examples/wordcount.cmr body, verbatim except the output path
     // (the example writes to a relative "output" dir); $CUBERT_HOME comes

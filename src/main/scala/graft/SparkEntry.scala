@@ -758,6 +758,16 @@ object SparkEntry {
       val labeled = emb.withColumn("quality", (col("label") < 5).cast("int"))
       val (w, b) = graft.similarity.Classifier.logregFit(labeled, col("quality"), dim = 64)
       graft.similarity.Classifier.score(emb, w, b).select("vec_id", "quality_score")
+    }),
+    // product-quantized ANN end-to-end: train 8x16 codebooks, encode the
+    // corpus to 8 codes/vector, ADC top-10 for 5 queries. Iterative Lloyd's
+    // — no SQL oracle; PqSpec bounds recall vs exact L2
+    "q109_pq_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val books = graft.similarity.Pq.pqTrain(emb, m = 8, k = 16, iters = 5)
+      val codes = graft.similarity.Pq.pqEncode(emb, books)
+      graft.similarity.Pq.pqTopK(codes, books, emb.filter(col("vec_id") < 5), topK = 10)
+        .select("query_id", "vec_id", "rank")
     })
   )
 

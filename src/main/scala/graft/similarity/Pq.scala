@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compression layer 100 TB ANN actually runs
+  * on: a d-dim float vector (4d bytes) becomes m one-byte codes by
+  * vector-quantizing each of m subspaces against its own k-centroid
+  * codebook (here k ≤ 256). Search then scores codes against per-query
+  * distance lookup tables (asymmetric distance) without ever touching raw
+  * vectors. The reference has no vector surface; this extends the ANN
+  * family ([[Similarity]]) the same dataflow-first way as kmeansFit.
+  *
+  * Scale shape: training iterates Lloyd's on the (vec, subspace) stream —
+  * per iteration one narrow assignment map against the broadcast codebooks
+  * and one partial-aggregated mean reduction (shuffle carries m·k·(d/m)
+  * partials per partition, never the corpus). Encoding is one narrow map.
+  * Search explodes codes to (id, subspace, code) fixed-width rows, joins
+  * the BROADCAST per-query tables, and partial-aggregates the m-term sums —
+  * the corpus never shuffles raw vectors, only 8-byte partial distances.
+  */
+object Pq {
+
+  /** Squared L2 between two equal-width array<double> columns, sequential
+    * fold (deterministic per row).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Train m per-subspace codebooks of k centroids by Lloyd's with L2
+    * assignment (PQ-standard). Deterministic: centroids init from the k
+    * lowest-id vectors per subspace; empty clusters keep their centroid.
+    * Returns (subspace, centroid_id, cvec).
+    */
+  def pqTrain(df: DataFrame, m: Int, k: Int, iters: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val stream = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("subspace"), slice(col("__v"), s * lit(sub) + 1, lit(sub)).as("subvec")))).as("__e"))
+      .select(col("vec_id"), col("__e.subspace").as("subspace"), col("__e.subvec").as("subvec"))
+
+    var books: Seq[(Int, Long, Seq[Double])] = stream
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("subspace").orderBy("vec_id")))
+      .filter(col("__rk") <= k)
+      .select(col("subspace"), (col("__rk") - 1).cast("long").as("centroid_id"), col("subvec"))
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(books.toDF("subspace", "centroid_id", "cvec"))
+      val means = stream.join(cdf, "subspace")
+        .withColumn("__d", l2sq(col("subvec"), col("cvec")))
+        .groupBy("vec_id", "subspace")
+        .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"),
+          first(col("subvec")).as("subvec"))
+        .select(col("subspace"), col("centroid_id"), posexplode(col("subvec")).as(Seq("pos", "x")))
+        .groupBy("subspace", "centroid_id", "pos").agg(avg("x").as("mx"))
+        .groupBy("subspace", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pm"))
+        .select(col("subspace"), col("centroid_id"),
+          transform(col("pm"), x => x("mx")).as("cvec"))
+        .as[(Int, Long, Seq[Double])].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      books = books.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
+    }
+    books.toDF("subspace", "centroid_id", "cvec")
+  }
+
+  /** Encode each vector as its m nearest-centroid codes (array<bigint>,
+    * subspace order). One narrow map against the broadcast codebooks plus
+    * a per-row regroup.
+    */
+  def pqEncode(df: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.agg(max("subspace")).head().getInt(0) + 1
+    val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
+    val stream = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("subspace"), slice(col("__v"), s * lit(sub) + 1, lit(sub)).as("subvec")))).as("__e"))
+      .select(col("vec_id"), col("__e.subspace").as("subspace"), col("__e.subvec").as("subvec"))
+    stream.join(broadcast(codebooks), "subspace")
+      .withColumn("__d", l2sq(col("subvec"), col("cvec")))
+      .groupBy("vec_id", "subspace")
+      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("code"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), x => x("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k: score PQ codes against per-(query,
+    * subspace, centroid) distance tables (q·m·k rows — broadcast), sum the
+    * m table entries per (query, candidate), keep the k smallest. Returns
+    * (query_id, vec_id, adc_dist, rank).
+    */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame, topK: Int,
+             queryIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
+    val qtab = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("__qs", slice(col("__q"), col("subspace") * lit(sub) + 1, lit(sub)))
+      .select(col("query_id"), col("subspace"), col("centroid_id").as("code"),
+        l2sq(col("__qs"), col("cvec")).as("__dtab"))
+    val exploded = codes.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    exploded.join(broadcast(qtab), Seq("subspace", "code"))
+      .groupBy("query_id", "vec_id").agg(sum("__dtab").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -84,7 +84,13 @@ object Layout {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val entries = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+    val (dirs, files) = entries.partition(_.isDirectory)
+    // a hive-partitioned table must be compacted per partition directory —
+    // a whole-table rewrite would silently collapse the partition layout
+    require(dirs.isEmpty, s"$inPath contains partition directories " +
+      s"(${dirs.take(3).map(_.getPath.getName).mkString(", ")}…); " +
+      "compact each partition directory instead")
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)

@@ -84,6 +84,15 @@ class LayoutSpec extends SparkSpec {
     assert(li.exceptAll(spark.read.parquet(s"$dir/out")).count() == 0)
   }
 
+  test("compact refuses a hive-partitioned directory instead of collapsing it") {
+    val dir = tmp()
+    sf("orders").write.partitionBy("o_orderpriority").parquet(s"$dir/in")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$dir/in", s"$dir/out")
+    }
+    assert(e.getMessage.contains("partition directories"))
+  }
+
   test("compact splits an oversized single file when target is small") {
     val dir = tmp()
     sf("lineitem").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")

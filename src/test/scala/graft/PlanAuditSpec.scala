@@ -168,6 +168,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("levenshtein"), s"no exact verify stage:\n$d")
   }
 
+  test("minhash LSH joins band buckets — one shuffle, no product join (q41)") {
+    val d = details(SparkEntry.queries("q41_dedup_minhash")(spark, dir))
+    assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),
+      s"band candidate generation fell back to a product join:\n$d")
+    // signatures are per-row kernel work: the minhashsig expression must
+    // sit below the join, not after it
+    assert(d.contains("minhashsig"), s"native MinHash kernel missing:\n$d")
+  }
+
+  test("brute-force ANN broadcasts the query side; corpus never shuffles raw vectors (q44)") {
+    val p = executedPlan(SparkEntry.queries("q44_ann_brute")(spark, dir))
+    assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan fell back to a cartesian product:\n$p")
+    // exactly one shuffle exchange: the final per-query top-k
+    assert("(?m)\\+- Exchange \\(".r.findAllIn(p).size <= 1,
+      s"corpus raw vectors shuffled:\n$p")
+  }
+
+  test("exact count-distinct plans the two-phase expansion with map-side partials (q12)") {
+    val d = details(SparkEntry.queries("q12_count_distinct")(spark, dir))
+    assert("partial_count".r.findFirstIn(d).isDefined, s"no partial aggregation:\n$d")
+    // phase 1 groups by (keys, value) before the final count — two shuffle
+    // exchanges in the FINAL adaptive plan
+    val finalTree = d.substring(0, math.max(d.indexOf("== Initial Plan =="), 0) match {
+      case 0 => d.length; case i => i
+    })
+    assert("(?m)\\+- Exchange \\(".r.findAllIn(finalTree).size == 2,
+      s"expected the two-phase distinct shape:\n$d")
+  }
+
+  test("mixture take broadcasts the plan side and bounds each stratum with a window limit (q90)") {
+    val d = details(SparkEntry.queries("q90_mixture_take")(spark, dir))
+    assert(d.contains("BroadcastExchange") || d.contains("BroadcastHashJoin"),
+      s"allocation plan not broadcast:\n$d")
+    assert(!d.contains("CartesianProduct"), s"cartesian fallback:\n$d")
+  }
+
   test("partitioned store prunes partitions at the scan (q107)") {
     val d = details(SparkEntry.queries("q107_partitioned")(spark, dir))
     assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(d).isDefined,

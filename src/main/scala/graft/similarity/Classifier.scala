@@ -70,6 +70,36 @@ object Classifier {
     df.withColumn(as,
       lit(1.0) / (lit(1.0) + exp(-(dotConst(col(vecCol), weights.toSeq) + lit(bias)))))
 
+  /** One-vs-rest multiclass fit: a binary model per class (fastText-style
+    * domain/quality buckets). Training cost is nClasses × logregFit over
+    * the same small labeled frame; returns class -> (weights, bias).
+    */
+  def logregFitOvr(df: DataFrame, labelCol: Column, nClasses: Int, dim: Int,
+                   iters: Int = 30, lr: Double = 0.5, l2: Double = 0.0,
+                   vecCol: String = "embedding"): Map[Int, (Array[Double], Double)] =
+    (0 until nClasses).map { c =>
+      c -> logregFit(df, (labelCol === c).cast("int"), dim, iters, lr, l2, vecCol)
+    }.toMap
+
+  /** Multiclass scoring: argmax of the per-class sigmoid scores, ties to
+    * the lowest class id. One narrow pass — the per-class score columns
+    * fold into a single greatest() comparison, no shuffle.
+    */
+  def scoreOvr(df: DataFrame, models: Map[Int, (Array[Double], Double)],
+               vecCol: String = "embedding",
+               as: String = "predicted_class"): DataFrame = {
+    val scored = models.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (c, (w, b))) =>
+      score(acc, w, b, vecCol, s"__s$c")
+    }
+    val best = models.keys.toSeq.sorted.map(c =>
+      struct(col(s"__s$c").as("s"), lit(-c).as("negc")))
+    val pick = if (best.length == 1) lit(models.keys.head)
+               else -greatest(best: _*).getField("negc")
+    scored
+      .withColumn(as, pick)
+      .drop(models.keys.toSeq.sorted.map(c => s"__s$c"): _*)
+  }
+
   /** Train-and-score quality filter: fit on the labeled frame, score the
     * corpus, keep rows with score >= `threshold`. The labeled set is small
     * by construction; the corpus pass is one narrow map.

@@ -81,6 +81,21 @@ class BpeKmeansSpec extends SparkSpec {
     }, s"w=${w.toSeq} b=$b")
   }
 
+  test("one-vs-rest multiclass recovers three separable clusters exactly") {
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val centers = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, -10.0))
+      val (cx, cy) = centers(c)
+      (i.toLong, Seq(cx + (i / 3) * 0.05, cy - (i / 3) * 0.05).map(_.toFloat), c)
+    }
+    val df = pts.toDF("vec_id", "embedding", "lab")
+    val models = Classifier.logregFitOvr(df, col("lab"), nClasses = 3, dim = 2,
+      iters = 15, lr = 1.0)
+    val pred = Classifier.scoreOvr(df, models).collect()
+    assert(pred.forall(r => r.getInt(3) == r.getInt(2)),
+      pred.filter(r => r.getInt(3) != r.getInt(2)).take(3).mkString(","))
+  }
+
   test("classifier quality filter learns real embedding labels above baseline") {
     val emb = sf("embeddings")
     val labeled = emb.withColumn("quality", (col("label") < 5).cast("int"))

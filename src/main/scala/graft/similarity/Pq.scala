@@ -92,6 +92,44 @@ object Pq {
       .select(col("vec_id"), transform(col("sc"), x => x("code")).as("codes"))
   }
 
+  /** Build the IVF-PQ index frame: PQ codes + coarse-cell assignment per
+    * vector — (vec_id, cell, codes). The billion-scale layout: the cell
+    * bounds the search, the codes replace the raw vector. Persist this
+    * (e.g. `Layout.zorderWrite` on cell) and drop the raw embeddings.
+    */
+  def ivfPqEncode(df: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id").as("cell"))
+      .join(pqEncode(df, codebooks, idCol, vecCol), idCol)
+
+  /** IVF-PQ search: ADC scoring restricted to each query's coarse cell.
+    * `index` is ivfPqEncode's output. The per-query distance tables carry
+    * the query's cell, so the (subspace, code, cell) broadcast join prunes
+    * every out-of-cell candidate before any aggregation. Returns
+    * (query_id, vec_id, adc_dist, rank).
+    */
+  def ivfPqTopK(index: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                queries: DataFrame, topK: Int,
+                queryIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
+    val qtab = Similarity.ivfAssign(queries, centroids, queryIdCol, vecCol)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"),
+        col("centroid_id").as("cell"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("__qs", slice(col("__q"), col("subspace") * lit(sub) + 1, lit(sub)))
+      .select(col("query_id"), col("cell"), col("subspace"),
+        col("centroid_id").as("code"), l2sq(col("__qs"), col("cvec")).as("__dtab"))
+    val exploded = index.select(col("vec_id"), col("cell"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    exploded.join(broadcast(qtab), Seq("subspace", "code", "cell"))
+      .groupBy("query_id", "vec_id").agg(sum("__dtab").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Asymmetric-distance top-k: score PQ codes against per-(query,
     * subspace, centroid) distance tables (q·m·k rows — broadcast), sum the
     * m table entries per (query, candidate), keep the k smallest. Returns

@@ -25,6 +25,15 @@ class ExamplesSpec extends SparkSpec {
     assert(counted.count() > 10)
   }
 
+  test("quality.cmr trains the classifier filter and aggregates survivors") {
+    val out = runExample("quality")
+    val stats = spark.read.parquet(s"$out/kept_by_label")
+    assert(stats.columns.toSet == Set("label", "n_kept"))
+    val kept = stats.agg(org.apache.spark.sql.functions.sum("n_kept"))
+      .collect().head.getLong(0)
+    assert(kept > 0 && kept < 500, s"model filter kept $kept of 500")
+  }
+
   test("layout.cmr partitions the fact table and z-orders the detail table") {
     val out = runExample("layout")
     val parts = new java.io.File(s"$out/orders_by_priority").listFiles

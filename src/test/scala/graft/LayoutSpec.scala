@@ -68,6 +68,20 @@ class LayoutSpec extends SparkSpec {
     assert(avgWidth("l_suppkey") < 0.6, s"l_suppkey not clustered: ${avgWidth("l_suppkey")}")
   }
 
+  test("z-order clusters timestamp + numeric columns together") {
+    val ev = sf("events").select("event_id", "ts", "user_id")
+    val dir = tmp()
+    Layout.zorderWrite(ev, dir, Seq("ts", "user_id"), numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    val w = back.groupBy(input_file_name()).agg(
+      (max(col("user_id")) - min(col("user_id"))).cast("double").as("w"))
+      .agg(avg("w")).collect().head.getDouble(0)
+    val g = ev.agg((max(col("user_id")) - min(col("user_id"))).cast("double"))
+      .collect().head.getDouble(0)
+    assert(w / g < 0.8, s"user_id not clustered alongside ts: ${w / g}")
+  }
+
   test("compact merges small files to the target size and preserves rows") {
     val dir = tmp()
     val li = sf("lineitem")

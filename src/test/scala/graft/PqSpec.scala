@@ -32,6 +32,26 @@ class PqSpec extends SparkSpec {
     assert(bounds.getLong(0) >= 0L && bounds.getLong(1) < 16L)
   }
 
+  test("IVF-PQ searches only the query's cell and still self-hits") {
+    import graft.similarity.Similarity
+    val books = Pq.pqTrain(emb, m = 8, k = 16, iters = 5)
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 5)
+    val index = Pq.ivfPqEncode(emb, cents, books)
+    assert(index.count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 5)
+    val hits = Pq.ivfPqTopK(index, books, cents, queries, topK = 10)
+    // every returned candidate lives in its query's cell
+    val cellOf = index.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = hits.select("query_id", "vec_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => cellOf(r.getLong(1)) == cellOf(r.getLong(0))),
+      "candidate escaped its query's cell")
+    // the query itself shares its own cell, so it must be retrieved
+    val byQ = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(byQ.forall { case (q, ids) => ids.contains(q) }, byQ.toString)
+  }
+
   test("ADC top-k recall against exact L2 beats the random-baseline floor") {
     val books = Pq.pqTrain(emb, m = 8, k = 16, iters = 10)
     val codes = Pq.pqEncode(emb, books)

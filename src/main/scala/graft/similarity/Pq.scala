@@ -103,19 +103,28 @@ object Pq {
       .select(col(idCol), col("centroid_id").as("cell"))
       .join(pqEncode(df, codebooks, idCol, vecCol), idCol)
 
-  /** IVF-PQ search: ADC scoring restricted to each query's coarse cell.
-    * `index` is ivfPqEncode's output. The per-query distance tables carry
-    * the query's cell, so the (subspace, code, cell) broadcast join prunes
-    * every out-of-cell candidate before any aggregation. Returns
+  /** IVF-PQ search: ADC scoring restricted to each query's `nprobe`
+    * nearest coarse cells (the standard recall/cost dial — nprobe = #cells
+    * degenerates to exact [[pqTopK]] candidate coverage). `index` is
+    * ivfPqEncode's output. The per-query distance tables carry the probed
+    * cells, so the (subspace, code, cell) broadcast join prunes every
+    * out-of-cell candidate before any aggregation. Returns
     * (query_id, vec_id, adc_dist, rank).
     */
   def ivfPqTopK(index: DataFrame, codebooks: DataFrame, centroids: DataFrame,
-                queries: DataFrame, topK: Int,
+                queries: DataFrame, topK: Int, nprobe: Int = 1,
                 queryIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
-    val qtab = Similarity.ivfAssign(queries, centroids, queryIdCol, vecCol)
-      .select(col(queryIdCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"),
-        col("centroid_id").as("cell"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__d"), col("centroid_id"))
+    val probed = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"))
+      .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec").as("__cc"))))
+      .withColumn("__d", -Similarity.cosineGeneric(col("__q"), col("__cc")))
+      .withColumn("__rk", row_number().over(probeW)).filter(col("__rk") <= nprobe)
+    val qtab = probed
+      .select(col("query_id"), col("__q"), col("centroid_id").as("cell"))
       .crossJoin(broadcast(codebooks))
       .withColumn("__qs", slice(col("__q"), col("subspace") * lit(sub) + 1, lit(sub)))
       .select(col("query_id"), col("cell"), col("subspace"),

@@ -50,6 +50,16 @@ class PqSpec extends SparkSpec {
     // the query itself shares its own cell, so it must be retrieved
     val byQ = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     assert(byQ.forall { case (q, ids) => ids.contains(q) }, byQ.toString)
+
+    // probing EVERY cell must recover exactly the unrestricted PQ results
+    val all = Pq.ivfPqTopK(index, books, cents, queries, topK = 10, nprobe = 4)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = Pq.pqTopK(codes = index.select("vec_id", "codes"), codebooks = books,
+      queries = queries, topK = 10)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all == plain, s"nprobe=all diverged from plain PQ:\n${all.diff(plain)}\n${plain.diff(all)}")
   }
 
   test("ADC top-k recall against exact L2 beats the random-baseline floor") {

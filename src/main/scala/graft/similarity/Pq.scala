@@ -139,6 +139,38 @@ object Pq {
       .filter(col("rank") <= topK)
   }
 
+  /** Exact L2 top-k (the PQ ground truth): broadcast the query side,
+    * stream the corpus, one shuffle for the per-query window. Same output
+    * shape as [[pqTopK]] so results compare row-for-row.
+    */
+  def exactL2TopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(q)
+      .select(col("query_id"), col("vec_id"), l2sq(col("__v"), col("__q")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** recall@k of an approximate result against the exact one (both in the
+    * (query_id, vec_id, ...) shape): per query |approx ∩ exact| / |exact|,
+    * plus the mean over queries in a `__mean` grouping row — the tuning
+    * loop for m/k/nprobe.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(approx.select(col("query_id"), col("vec_id"), lit(1).as("__hit")),
+        Seq("query_id", "vec_id"), "left")
+    val per = hits.groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
+    per.select(col("query_id").cast("string"), col("recall"))
+      .unionAll(per.agg(lit("__mean").as("query_id"), avg("recall").as("recall")))
+  }
+
   /** Asymmetric-distance top-k: score PQ codes against per-(query,
     * subspace, centroid) distance tables (q·m·k rows — broadcast), sum the
     * m table entries per (query, candidate), keep the k smallest. Returns

@@ -88,5 +88,13 @@ class PqSpec extends SparkSpec {
     // pure reconstruction error)
     assert(qs.forall { case (qid, _) => approx(qid).contains(qid) },
       s"self-hit missing: ${approx.toSeq.sortBy(_._1)}")
+
+    // the shipped evaluation utilities agree with this driver-side math
+    val approxDf = Pq.pqTopK(Pq.pqEncode(emb, books), books, queries, topK = 10)
+    val exactDf = Pq.exactL2TopK(emb, queries, topK = 10)
+    val meanRow = Pq.recallAtK(approxDf, exactDf)
+      .filter(col("query_id") === "__mean").collect().head
+    assert(math.abs(meanRow.getDouble(1) - mean) < 1e-9,
+      s"recallAtK ${meanRow.getDouble(1)} != driver $mean")
   }
 }

@@ -92,16 +92,37 @@ object Pq {
       .select(col("vec_id"), transform(col("sc"), x => x("code")).as("codes"))
   }
 
+  /** Each vector's coarse-cell residual: (vec_id, cell, residual) where
+    * residual = vec - cell centroid. Residuals have much lower variance
+    * than raw vectors, so codebooks trained on THIS frame (pqTrain with
+    * vecCol = "residual") quantize finer — the FAISS IVF-PQ design.
+    */
+  def residualFrame(df: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfAssign(df, centroids, idCol, vecCol)
+      .join(broadcast(centroids.select(col("centroid_id"), col("cvec"))), "centroid_id")
+      .select(col(idCol), col("centroid_id").as("cell"),
+        zip_with(col(vecCol).cast("array<double>"), col("cvec"), (a, b) => a - b)
+          .as("residual"))
+
   /** Build the IVF-PQ index frame: PQ codes + coarse-cell assignment per
-    * vector — (vec_id, cell, codes). The billion-scale layout: the cell
-    * bounds the search, the codes replace the raw vector. Persist this
-    * (e.g. `Layout.zorderWrite` on cell) and drop the raw embeddings.
+    * vector — (vec_id, cell, codes). With `residual = true` the codes
+    * quantize (vec - centroid) — pass codebooks trained on
+    * [[residualFrame]]. The billion-scale layout: the cell bounds the
+    * search, the codes replace the raw vector. Persist this (e.g.
+    * `Layout.zorderWrite` on cell) and drop the raw embeddings.
     */
   def ivfPqEncode(df: DataFrame, centroids: DataFrame, codebooks: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Similarity.ivfAssign(df, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id").as("cell"))
-      .join(pqEncode(df, codebooks, idCol, vecCol), idCol)
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  residual: Boolean = false): DataFrame =
+    if (residual) {
+      val rf = residualFrame(df, centroids, idCol, vecCol)
+      rf.select(col(idCol), col("cell"))
+        .join(pqEncode(rf, codebooks, idCol, "residual"), idCol)
+    } else
+      Similarity.ivfAssign(df, centroids, idCol, vecCol)
+        .select(col(idCol), col("centroid_id").as("cell"))
+        .join(pqEncode(df, codebooks, idCol, vecCol), idCol)
 
   /** IVF-PQ search: ADC scoring restricted to each query's `nprobe`
     * nearest coarse cells (the standard recall/cost dial — nprobe = #cells
@@ -113,7 +134,8 @@ object Pq {
     */
   def ivfPqTopK(index: DataFrame, codebooks: DataFrame, centroids: DataFrame,
                 queries: DataFrame, topK: Int, nprobe: Int = 1,
-                queryIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                queryIdCol: String = "vec_id", vecCol: String = "embedding",
+                residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
     val probeW = org.apache.spark.sql.expressions.Window
@@ -123,8 +145,11 @@ object Pq {
       .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec").as("__cc"))))
       .withColumn("__d", -Similarity.cosineGeneric(col("__q"), col("__cc")))
       .withColumn("__rk", row_number().over(probeW)).filter(col("__rk") <= nprobe)
+    // residual index ⇒ tables score (q - probed centroid) per probed cell
+    val qeff = if (residual) zip_with(col("__q"), col("__cc"), (a, b) => a - b)
+               else col("__q")
     val qtab = probed
-      .select(col("query_id"), col("__q"), col("centroid_id").as("cell"))
+      .select(col("query_id"), qeff.as("__q"), col("centroid_id").as("cell"))
       .crossJoin(broadcast(codebooks))
       .withColumn("__qs", slice(col("__q"), col("subspace") * lit(sub) + 1, lit(sub)))
       .select(col("query_id"), col("cell"), col("subspace"),

@@ -62,6 +62,30 @@ class PqSpec extends SparkSpec {
     assert(all == plain, s"nprobe=all diverged from plain PQ:\n${all.diff(plain)}\n${plain.diff(all)}")
   }
 
+  test("residual IVF-PQ is exact-consistent and at least as good as raw at full probe") {
+    import graft.similarity.Similarity
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Pq.exactL2TopK(emb, queries, topK = 10)
+    def meanRecall(residual: Boolean): Double = {
+      val books =
+        if (residual) Pq.pqTrain(Pq.residualFrame(emb, cents), m = 8, k = 16,
+          iters = 5, vecCol = "residual")
+        else Pq.pqTrain(emb, m = 8, k = 16, iters = 5)
+      val index = Pq.ivfPqEncode(emb, cents, books, residual = residual)
+      val hits = Pq.ivfPqTopK(index, books, cents, queries, topK = 10, nprobe = 4,
+        residual = residual)
+      Pq.recallAtK(hits, exact).filter(col("query_id") === "__mean")
+        .collect().head.getDouble(1)
+    }
+    val raw = meanRecall(residual = false)
+    val res = meanRecall(residual = true)
+    // residuals have lower variance than raw vectors, so the same codebook
+    // budget quantizes finer — recall must not degrade
+    assert(res >= raw - 1e-9, s"residual recall $res < raw recall $raw")
+    assert(res >= 0.2, s"residual recall $res below floor (raw was $raw)")
+  }
+
   test("ADC top-k recall against exact L2 beats the random-baseline floor") {
     val books = Pq.pqTrain(emb, m = 8, k = 16, iters = 10)
     val codes = Pq.pqEncode(emb, books)

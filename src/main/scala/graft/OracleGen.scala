@@ -334,6 +334,27 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
 
+  /** Sequential-fold squared L2 — mirrors Pq.l2sq (zip_with then a left
+    * fold, same order ⇒ bit-identical doubles).
+    */
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
+  /** Exact L2 top-k (the PQ ground truth) — mirrors Pq.exactL2TopK
+    * including the self-match at rank 1.
+    */
+  def annL2(k: Int, maxQueryId: Long): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, ${l2sqSql("q.v", "c.v")} AS d
+       |  FROM e q JOIN e c ON q.vec_id < $maxQueryId)
+       |SELECT query_id, vec_id, CAST(rk AS INT) AS rank FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k""".stripMargin
+
   // ---- q69 LSH embedding near-dup -----------------------------------------
 
   /** Hyperplane-band bucketed near-dup pairs with exact cosine verification

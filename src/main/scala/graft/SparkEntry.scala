@@ -759,6 +759,13 @@ object SparkEntry {
       val (w, b) = graft.similarity.Classifier.logregFit(labeled, col("quality"), dim = 64)
       graft.similarity.Classifier.score(emb, w, b).select("vec_id", "quality_score")
     }),
+    // exact L2 top-k — the PQ ground-truth scorer, oracle-exact (the
+    // sequential-fold distance matches DuckDB's list_reduce bit-for-bit)
+    "q110_exact_l2_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Pq.exactL2TopK(emb, emb.filter(col("vec_id") < 5), topK = 10)
+        .select("query_id", "vec_id", "rank")
+    }),
     // product-quantized ANN end-to-end: train 8x16 codebooks, encode the
     // corpus to 8 codes/vector, ADC top-10 for 5 queries. Iterative Lloyd's
     // — no SQL oracle; PqSpec bounds recall vs exact L2
@@ -1023,6 +1030,7 @@ object SparkEntry {
     "q69_embed_neardup_lsh" ->
       OracleGen.embeddingNearDupLsh(threshold = 0.45, nPlanes = 16, bands = 4),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
+    "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
     "q60_dedup_clusters" -> OracleGen.dupClusters(shingleN = 3, k = 16, bands = 4, threshold = 0.2),

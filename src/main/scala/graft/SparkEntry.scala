@@ -1173,10 +1173,10 @@ object SparkEntry {
       """SELECT l_returnflag, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_partkey <= 100 GROUP BY l_returnflag""".stripMargin,
     "q106_compact" ->
-      """SELECT event_type, count(1) AS n_rows, sum(user_id) AS sum_users
+      """SELECT event_type, count(1) AS n_rows, CAST(sum(user_id) AS BIGINT) AS sum_users
         |FROM events GROUP BY event_type""".stripMargin,
     "q107_partitioned" ->
-      """SELECT o_orderstatus, count(1) AS n_rows, sum(o_custkey) AS sum_cust
+      """SELECT o_orderstatus, count(1) AS n_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""".stripMargin,
     "q103_profile" -> Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
       .map(c =>

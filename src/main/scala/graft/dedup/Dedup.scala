@@ -408,12 +408,18 @@ object Dedup {
     * its word n-gram shingles that also occur in at least one OTHER
     * document — the signal behind substring-level training-data dedup
     * (flag or strip passages repeated across the corpus, not just whole
-    * near-dup documents). Shingles are portable hashes (never strings);
-    * the plan is explode → per-shingle window count → per-doc rollup: two
-    * shuffles (shingle hash, then doc id), each ∝ corpus token count — no
-    * pairwise term anywhere, and the tokenize/shingle/explode subtree runs
-    * ONCE (a groupBy+rejoin formulation would scan and shingle the corpus
-    * twice, since the two Exchange children differ and can't be reused).
+    * near-dup documents). Shingles are portable hashes (never strings).
+    *
+    * Scale shape — the unique-shingle inversion: a shingle held by ≥ 2
+    * docs is "dup", so per doc `n_dup = n_shingles − n_corpus_unique`,
+    * and a corpus-unique shingle has exactly ONE owning doc. That turns
+    * the per-shingle doc count into a plain hash aggregate (map-side
+    * partials collapse a boilerplate shingle held by 10^8 docs inside
+    * each map task — no `count over (partition by h)` window funnelling
+    * a hot h through one partition) whose unique survivors re-aggregate
+    * by doc id. Two token-linear shuffles, both skew-proof; the shingle
+    * subtree is traversed twice (second pass only needs `size(shs)`),
+    * the accepted trade for removing the hot-key stall at 100×.
     */
   def crossDocShingleStats(df: DataFrame, n: Int = 8, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
@@ -422,17 +428,16 @@ object Dedup {
       array_distinct(when(size(th) >= n, PortableHash.shingleHashes(th, n))
         .otherwise(array().cast("array<bigint>"))).as("shs"))
     val ex = sets.select(col(idCol), explode(col("shs")).as("h"))
-    // shingles are distinct per doc, so the per-h count = number of docs
-    // holding h; the unordered window = one count over each hash partition
-    val withN = ex.withColumn("ndocs",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    val per = withN.groupBy(idCol).agg(
-      count(lit(1)).as("n_shingles"),
-      sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_shingles"))
-    df.select(col(idCol)).join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+    // shingles are distinct per doc, so the per-h row count = ndocs(h);
+    // first(idCol) is single-valued exactly where it survives the filter
+    val uniqPerDoc = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c"), first(col(idCol)).as(idCol))
+      .filter(col("__c") === 1)
+      .groupBy(idCol).agg(count(lit(1)).as("__n_uniq"))
+    sets.select(col(idCol), size(col("shs")).cast("long").as("n_shingles"))
+      .join(uniqPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("__n_uniq"), lit(0L))).as("n_dup_shingles"))
       .withColumn("cross_dup_frac",
         when(col("n_shingles") > 0,
           col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))

@@ -103,25 +103,57 @@ object Sampling {
     * output of [[mixturePlan]], or hand-written targets. The hash order
     * makes the selected subset reproducible and append-stable: new
     * documents insert into the order but cannot displace the earlier
-    * selection wholesale. One shuffle on the stratum (the running-sum
-    * window); budgets broadcast. At 100 TB a hot stratum serializes into
-    * one window partition — pre-filter with `hashSample` down to ~budget
-    * scale first (coarse cut, same hash order), then run the exact take.
+    * selection wholesale.
+    *
+    * Scale: a naive per-stratum running-sum window funnels each stratum's
+    * entire row set through one task — with a handful of strata that is
+    * the whole corpus through ~5 reducers. Instead the take is two-phase:
+    * (1) a per-(stratum, coarse hash bucket) token histogram (metadata-
+    * sized — |strata| × `coarseBuckets` rows — so its cumulative sum is a
+    * window over an aggregate, not the corpus) yields each bucket's
+    * starting offset `__before`; buckets that start past the budget are
+    * dropped by the broadcast join. (2) The exact running sum then runs
+    * partitioned by (stratum, BUCKET) — `coarseBuckets`-way parallel
+    * within every stratum — seeded with the bucket's offset. Because the
+    * bucket id is the top bits of the very hash the ordering uses, bucket
+    * order = hash order and `__before + within-bucket cumsum` equals the
+    * naive global cumsum exactly: output is row-for-row identical, but no
+    * task ever sees more than ~1/coarseBuckets of a stratum. Sizes are
+    * assumed non-negative (token counts).
     */
   def mixtureTake(df: DataFrame, stratum: Column, size: Column, key: Column,
-      budgets: DataFrame, salt: String = "mix"): DataFrame = {
-    val w = Window.partitionBy(col("__stratum"))
-      .orderBy(col("__h"), col("__key"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__stratum", stratum)
+      budgets: DataFrame, salt: String = "mix",
+      coarseBuckets: Int = 1024): DataFrame = {
+    require(coarseBuckets > 0 && (1 << 30) % coarseBuckets == 0,
+      s"coarseBuckets must divide 2^30: $coarseBuckets")
+    val bWidth = (1 << 30) / coarseBuckets
+    val helperCols =
+      Seq("__stratum", "__h", "__key", "__size", "__b", "__before", "__alloc", "__cum")
+    val base = df.withColumn("__stratum", stratum)
       .withColumn("__h", hashBucket(key, salt, 1 << 30))
       .withColumn("__key", key)
-      .withColumn("__cum", sum(size).over(w))
+      .withColumn("__size", size)
+      .withColumn("__b", floor(col("__h") / bWidth).cast("int"))
+    // Phase 1: bucket histogram → per-bucket starting offset vs the budget.
+    val wb = Window.partitionBy("__stratum").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = base.groupBy(col("__stratum"), col("__b"))
+      .agg(sum(col("__size")).as("__btok"))
+      .withColumn("__incl", sum(col("__btok")).over(wb))
       .join(broadcast(budgets.select(col("stratum").as("__bstratum"),
         col("alloc_tokens").as("__alloc"))),
         col("__stratum") === col("__bstratum"))
+      .withColumn("__before", col("__incl") - col("__btok"))
+      .filter(col("__before") <= col("__alloc"))
+      .select("__stratum", "__b", "__before", "__alloc")
+    // Phase 2: bucket-parallel exact cumsum, seeded with the offset.
+    val we = Window.partitionBy(col("__stratum"), col("__b"))
+      .orderBy(col("__h"), col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(buckets), Seq("__stratum", "__b"))
+      .withColumn("__cum", col("__before") + sum(col("__size")).over(we))
       .filter(col("__cum") <= col("__alloc"))
-      .drop("__stratum", "__h", "__key", "__cum", "__bstratum", "__alloc")
+      .drop(helperCols: _*)
   }
 
   def mixturePlan(df: DataFrame, stratum: Column, size: Column,

@@ -117,11 +117,16 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
-    val scored = df.join(c)
-      .withColumn("d", -cosineGeneric(col(vecCol), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("d"), col("centroid_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    // Nearest centroid via groupBy + min_by (not a window): the n×k scored
+    // stream partial-aggregates map-side, so only ~one row per vector
+    // crosses the exchange — at k=1024 cells that is 1024× less shuffle
+    // than sorting the scored stream per vec_id. Ties break to the lowest
+    // centroid_id via the lexicographic struct, matching row_number order.
+    df.join(c)
+      .withColumn("__d", -cosineGeneric(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
@@ -174,14 +179,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
-    def assign(df: DataFrame, id: String, v: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(id).orderBy(col("__cos").desc, col("centroid_id"))
+    // Same map-side-partial argmin as ivfAssign: max cosine = min (-cos,
+    // centroid_id) lexicographically, ties to the lowest centroid_id.
+    def assign(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v)).join(c)
-        .withColumn("__cos", cosine(col(v), col("cvec")))
-        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-        .select(col(id), col(v), col("centroid_id").as("cell"))
-    }
+        .withColumn("__negcos", -cosine(col(v), col("cvec")))
+        .groupBy(col(id))
+        .agg(first(col(v)).as(v),
+          min_by(col("centroid_id"), struct(col("__negcos"), col("centroid_id"))).as("cell"))
+        .select(col(id), col(v), col("cell"))
     val cc = assign(corpus, "neighbor_id", "cv")
     val qq = assign(queries, "query_id", "qv")
     val w = org.apache.spark.sql.expressions.Window

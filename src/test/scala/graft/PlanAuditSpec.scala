@@ -214,6 +214,62 @@ class PlanAuditSpec extends SparkSpec {
       s"partition column leaked into data filters:\n$d")
   }
 
+  test("IVF assignment partial-aggregates the scored stream — no window argmin (q64/q94)") {
+    import org.apache.spark.sql.functions.col
+    val emb = sf("embeddings")
+    val cent = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val p = executedPlan(graft.similarity.Similarity.ivfAssign(emb, cent))
+    // nearest-centroid must be a groupBy+min_by: the n×k scored stream
+    // collapses map-side (a partial aggregate below the exchange — sort-
+    // based, since the array-typed buffer rules out HashAggregate), never
+    // a row_number window sorting the whole scored stream per vec_id
+    assert(!p.contains("Window"), s"window argmin back in the assignment:\n$p")
+    assert("(?s)Exchange.*Aggregate.*Join".r.findFirstIn(p).isDefined,
+      s"no partial aggregate below the exchange:\n$p")
+    // ivfTopK: only the final per-query rank is a window; both cell
+    // assignments aggregate
+    val q = executedPlan(graft.similarity.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), cent, k = 5))
+    assert("(?m)^.*Window ".r.findAllIn(q).size <= 1,
+      s"assignment windows leaked into ivfTopK:\n$q")
+  }
+
+  test("mixture take two-phase: bucket-parallel cumsum, no whole-stratum window (q90)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q90_mixture_take")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    // the row-level running sum (ordered by the content hash) must be
+    // partitioned by (stratum, bucket) — coarseBuckets-way parallel — not
+    // by the stratum alone (the whole-corpus-through-5-reducers shape)
+    val rowWindows = plan.collect {
+      case w: LWindow if w.orderSpec.exists(_.child.toString.contains("__h")) => w
+    }
+    assert(rowWindows.nonEmpty, s"expected the bucket-level cumsum window:\n$plan")
+    rowWindows.foreach { w =>
+      assert(w.partitionSpec.size >= 2 &&
+        w.partitionSpec.exists(_.toString.contains("__b")),
+        s"row-level cumsum not bucket-partitioned:\n$plan")
+    }
+    // the histogram cumsum (ordered by bucket id) runs over an Aggregate —
+    // metadata-sized input, not the corpus
+    val histWindows = plan.collect {
+      case w: LWindow if w.orderSpec.exists(_.child.toString.contains("__b")) => w
+    }
+    assert(histWindows.nonEmpty, s"expected the bucket-histogram window:\n$plan")
+    histWindows.foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        s"histogram window not over the bucket aggregate:\n$plan")
+    }
+  }
+
+  test("cross-doc shingle stats: plain aggregates, no per-shingle window (q78)") {
+    val p = executedPlan(SparkEntry.queries("q78_passage_dup")(spark, dir))
+    assert(!p.contains("Window"),
+      s"hot-shingle window back in crossDocShingleStats:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+  }
+
   test("duplicate spans broadcast the hot-shingle set; one window sort per doc (q93)") {
     val p = executedPlan(SparkEntry.queries("q93_duplicate_spans")(spark, dir))
     // AQE must resolve the pos-vs-hot join as broadcast (hot set << positions)

@@ -429,16 +429,39 @@ object ScriptEngine {
         // ("zorder": "a,b"[, "files": "n"]) — z-order-clustered parquet
         // layout (sources.Layout); ("partition_by": "a,b") — hive-style
         // partition directories; otherwise the plain writer path
+        // resolve layout params against the schema even under --dry-run,
+        // so a typo'd column or bad "files" fails at compile time, not in
+        // the real run (the dry-run contract in ScriptRunner)
+        def resolved(param: String, csv: String): Seq[String] = {
+          val cols = csv.split(",").map(_.trim).toSeq
+          val missing = cols.filterNot(r.columns.contains)
+          require(missing.isEmpty,
+            s"""$param column(s) ${missing.mkString(", ")} not in schema ${r.columns.mkString(", ")}""")
+          cols
+        }
+        val nFiles = wp.get("files").map { f =>
+          require(f.matches("\\d+") && f.toInt > 0, s"bad \"files\" value: $f")
+          f.toInt
+        }
         (wp.get("zorder"), wp.get("partition_by")) match {
-          case (Some(zc), _) if !dryRun =>
+          case (Some(zc), _) =>
             require(fmt == "parquet" || fmt == "rubix",
               s"zorder storage param requires parquet, got $fmt")
-            graft.sources.Layout.zorderWrite(r, path, zc.split(",").map(_.trim).toSeq,
-              wp.get("files").map(_.toInt).getOrElse(
-                spark.sessionState.conf.numShufflePartitions))
-          case (None, Some(pb)) if !dryRun =>
-            graft.sources.Sources.store(r, path, fmt,
-              partitionBy = pb.split(",").map(_.trim).toSeq)
+            val zCols = resolved("zorder", zc)
+            zCols.foreach { c =>
+              val dt = r.schema(c).dataType
+              require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+                dt == org.apache.spark.sql.types.DateType ||
+                dt == org.apache.spark.sql.types.TimestampType,
+                s"zorder column $c must be numeric/date/timestamp, got ${dt.simpleString}")
+            }
+            if (dryRun) store(r, path, fmt)
+            else graft.sources.Layout.zorderWrite(r, path, zCols,
+              nFiles.getOrElse(spark.sessionState.conf.numShufflePartitions))
+          case (None, Some(pb)) =>
+            val pCols = resolved("partition_by", pb)
+            if (dryRun) store(r, path, fmt)
+            else graft.sources.Sources.store(r, path, fmt, partitionBy = pCols)
           case _ => store(r, path, fmt)
         }
         p.expectPunct(";")

@@ -37,8 +37,16 @@ object Classifier {
                 vecCol: String = "embedding"): (Array[Double], Double) = {
     val base = df.select(col(vecCol).cast("array<double>").as("__x"),
       labelCol.cast("double").as("__y"))
-    val n = base.count().toDouble
+    // Fail loudly on ragged input: a null/short vector would silently
+    // drop out of the posexplode gradient while still counting in n (a
+    // skewed fit), and a long one would index past gradW.
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__x").isNull || size(col("__x")) =!= dim, 1L)
+        .otherwise(0L)).as("bad")).head()
+    val n = stats.getLong(0).toDouble
     require(n > 0, "empty training set")
+    require(stats.getLong(1) == 0L,
+      s"${stats.getLong(1)} training rows have a null or non-$dim-wide $vecCol")
     var w = Array.fill(dim)(0.0)
     var b = 0.0
     for (_ <- 1 to iters) {
@@ -51,11 +59,11 @@ object Classifier {
         .agg(sum(col("__g") * col("__v")).as("__gw"), sum("__g").as("__gb"))
         .collect()
       val gradW = Array.fill(dim)(0.0)
-      var gradB = 0.0
-      sums.foreach { r =>
-        gradW(r.getInt(0)) = r.getDouble(1)
-        gradB = r.getDouble(2) // same total per component; last wins
-      }
+      sums.foreach(r => gradW(r.getInt(0)) = r.getDouble(1))
+      // every component group sees every row (validated above), so any
+      // single group's residual sum is the bias gradient — pin group 0
+      // rather than relying on iteration order
+      val gradB = sums.find(_.getInt(0) == 0).map(_.getDouble(2)).getOrElse(0.0)
       w = w.zip(gradW).map { case (wi, gi) => wi - lr * (gi / n + l2 * wi) }
       b = b - lr * (gradB / n)
     }

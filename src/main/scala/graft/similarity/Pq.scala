@@ -89,7 +89,7 @@ object Pq {
       .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("code"))
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
-      .select(col("vec_id"), transform(col("sc"), x => x("code")).as("codes"))
+      .select(col("vec_id").as(idCol), transform(col("sc"), x => x("code")).as("codes"))
   }
 
   /** Each vector's coarse-cell residual: (vec_id, cell, residual) where
@@ -135,7 +135,8 @@ object Pq {
   def ivfPqTopK(index: DataFrame, codebooks: DataFrame, centroids: DataFrame,
                 queries: DataFrame, topK: Int, nprobe: Int = 1,
                 queryIdCol: String = "vec_id", vecCol: String = "embedding",
-                residual: Boolean = false): DataFrame = {
+                residual: Boolean = false,
+                indexIdCol: String = "vec_id"): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
     val probeW = org.apache.spark.sql.expressions.Window
@@ -154,7 +155,7 @@ object Pq {
       .withColumn("__qs", slice(col("__q"), col("subspace") * lit(sub) + 1, lit(sub)))
       .select(col("query_id"), col("cell"), col("subspace"),
         col("centroid_id").as("code"), l2sq(col("__qs"), col("cvec")).as("__dtab"))
-    val exploded = index.select(col("vec_id"), col("cell"),
+    val exploded = index.select(col(indexIdCol).as("vec_id"), col("cell"),
       posexplode(col("codes")).as(Seq("subspace", "code")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
@@ -202,7 +203,8 @@ object Pq {
     * (query_id, vec_id, adc_dist, rank).
     */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame, topK: Int,
-             queryIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             queryIdCol: String = "vec_id", vecCol: String = "embedding",
+             codesIdCol: String = "vec_id"): DataFrame = {
     val sub = codebooks.select(size(col("cvec"))).head().getInt(0)
     val qtab = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"))
@@ -210,7 +212,7 @@ object Pq {
       .withColumn("__qs", slice(col("__q"), col("subspace") * lit(sub) + 1, lit(sub)))
       .select(col("query_id"), col("subspace"), col("centroid_id").as("code"),
         l2sq(col("__qs"), col("cvec")).as("__dtab"))
-    val exploded = codes.select(col("vec_id"),
+    val exploded = codes.select(col(codesIdCol).as("vec_id"),
       posexplode(col("codes")).as(Seq("subspace", "code")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))

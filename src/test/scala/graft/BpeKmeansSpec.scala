@@ -81,6 +81,19 @@ class BpeKmeansSpec extends SparkSpec {
     }, s"w=${w.toSeq} b=$b")
   }
 
+  test("logreg rejects ragged training vectors loudly") {
+    // a null or wrong-width vector must fail the fit, not skew it
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f), 1),
+      (2L, Seq(1.0f), 0), // too short
+      (3L, null.asInstanceOf[Seq[Float]], 1) // null
+    ).toDF("vec_id", "embedding", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.logregFit(ragged, col("lab"), dim = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("2 training rows"), e.getMessage)
+  }
+
   test("one-vs-rest multiclass recovers three separable clusters exactly") {
     val pts = (0 until 60).map { i =>
       val c = i % 3

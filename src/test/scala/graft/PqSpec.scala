@@ -62,6 +62,39 @@ class PqSpec extends SparkSpec {
     assert(all == plain, s"nprobe=all diverged from plain PQ:\n${all.diff(plain)}\n${plain.diff(all)}")
   }
 
+  test("PQ pipeline honors a non-default id column end to end") {
+    import graft.similarity.Similarity
+    val docs = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+    val books = Pq.pqTrain(docs, m = 8, k = 16, iters = 2, idCol = "doc_id")
+    val codes = Pq.pqEncode(docs, books, idCol = "doc_id")
+    assert(codes.columns.toSeq == Seq("doc_id", "codes"))
+    val cents = Similarity.kmeansFit(docs, k = 4, iters = 2, idCol = "doc_id")
+    // both encode branches must join on the caller's id column
+    val raw = Pq.ivfPqEncode(docs, cents, books, idCol = "doc_id")
+    assert(raw.columns.toSet == Set("doc_id", "cell", "codes"))
+    assert(raw.count() == docs.count())
+    val resBooks = Pq.pqTrain(
+      Pq.residualFrame(docs, cents, idCol = "doc_id"),
+      m = 8, k = 16, iters = 2, idCol = "doc_id", vecCol = "residual")
+    val res = Pq.ivfPqEncode(docs, cents, resBooks, idCol = "doc_id", residual = true)
+    assert(res.columns.toSet == Set("doc_id", "cell", "codes"))
+    assert(res.count() == docs.count())
+    // search accepts the renamed index and query id columns
+    val hits = Pq.ivfPqTopK(raw, books, cents,
+      docs.filter(col("doc_id") < 3), topK = 5,
+      queryIdCol = "doc_id", indexIdCol = "doc_id")
+    assert(hits.count() > 0)
+    // identical to the default-named pipeline
+    val defHits = Pq.ivfPqTopK(Pq.ivfPqEncode(emb, cents
+        .select(col("centroid_id"), col("cvec")), books), books, cents,
+      emb.filter(col("vec_id") < 3), topK = 5)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotHits = hits.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotHits == defHits, "renamed pipeline diverged from default")
+  }
+
   test("residual IVF-PQ is exact-consistent and at least as good as raw at full probe") {
     import graft.similarity.Similarity
     val cents = Similarity.kmeansFit(emb, k = 4, iters = 5)

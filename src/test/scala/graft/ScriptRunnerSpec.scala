@@ -42,6 +42,33 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$out/side")), "dry-run must not write TEE")
   }
 
+  test("--dry-run still validates layout STORE params") {
+    spark
+    val out = Files.createTempDirectory("graft-runner-dryz").toString
+    def dry(storeLine: String): Throwable = intercept[Exception] {
+      ScriptRunner.run(Array(writeScript(
+        s"""li = LOAD '$$DIR/lineitem.parquet' USING PARQUET;
+           |$storeLine""".stripMargin),
+        "DIR=/root/testdata/sf0.001", s"OUT=$out", "--dry-run"),
+        stopSession = false)
+    }
+    val typo = dry(s"STORE li INTO '$$OUT/z' USING PARQUET (\"zorder\": \"no_such_col\");")
+    assert(typo.getMessage.contains("no_such_col"), typo.getMessage)
+    val nonNum = dry(s"STORE li INTO '$$OUT/z' USING PARQUET (\"zorder\": \"l_returnflag\");")
+    assert(nonNum.getMessage.contains("numeric"), nonNum.getMessage)
+    val badFiles = dry(
+      s"""STORE li INTO '$$OUT/z' USING PARQUET ("zorder": "l_partkey", "files": "many");""")
+    assert(badFiles.getMessage.contains("files"), badFiles.getMessage)
+    val badPart = dry(s"STORE li INTO '$$OUT/p' USING PARQUET (\"partition_by\": \"nope\");")
+    assert(badPart.getMessage.contains("nope"), badPart.getMessage)
+    // a valid layout STORE still dry-runs without writing
+    ScriptRunner.run(Array(writeScript(
+      s"""li = LOAD '$$DIR/lineitem.parquet' USING PARQUET;
+         |STORE li INTO '$$OUT/ok' USING PARQUET ("zorder": "l_partkey,l_orderkey");""".stripMargin),
+      "DIR=/root/testdata/sf0.001", s"OUT=$out", "--dry-run"), stopSession = false)
+    assert(!Files.exists(Paths.get(s"$out/ok")), "dry-run must not write")
+  }
+
   test("--lineage prints source columns per output column") {
     spark
     val path = writeScript(

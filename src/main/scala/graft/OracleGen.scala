@@ -584,6 +584,42 @@ object OracleGen {
        |SELECT p.a AS tok_a, p.b AS tok_b, CAST(count(1) AS BIGINT) AS pair_count
        |FROM pairs GROUP BY 1, 2 HAVING count(1) >= $minCount""".stripMargin
 
+  // ---- q92 BPE segmentation under a fixed merge table ----------------------
+
+  /** Per-doc subword count after segmenting every whitespace token with a
+    * FIXED rank-consistent merge table (graft.text.Bpe.demoMerges) — the
+    * SQL replay of Bpe.segment. Each token is encoded with every symbol
+    * wrapped in chr(31) sentinels ("he…"), and the
+    * merges are applied once in rank order as nested replace()s: for a
+    * rank-consistent table (each pair's parts are chars or earlier merge
+    * results) this equals the priority-loop apply, because a merge can
+    * only ever create pairs of strictly higher rank. replace() merges
+    * occurrences left-to-right without overlap, exactly like
+    * Bpe.mergePair. Subwords per token = count of ""
+    * boundaries + 1.
+    */
+  def bpeSegment(merges: Seq[(String, String)]): String = {
+    require(merges.forall { case (a, b) => !a.contains("'") && !b.contains("'") },
+      "merge symbols must be SQL-literal-safe")
+    val S = "chr(31)"
+    val applied = merges.foldLeft("w") { case (acc, (a, b)) =>
+      s"replace($acc, $S||'$a'||$S||$S||'$b'||$S, $S||'$a$b'||$S)"
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS t FROM documents
+       |), w0 AS (
+       |  SELECT doc_id, regexp_replace(t, '(.)', $S||'\\1'||$S, 'g') AS w FROM tok
+       |), seg AS (
+       |  SELECT doc_id, $applied AS s FROM w0
+       |), cnt AS (
+       |  SELECT doc_id,
+       |    SUM((length(s) - length(replace(s, $S||$S, ''))) / 2 + 1) AS n
+       |  FROM seg GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_subwords
+       |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id""".stripMargin
+  }
+
   // ---- q75 mixture plan ---------------------------------------------------
 
   /** Token-budget mixture allocation — mirrors Sampling.mixturePlan (integer

@@ -550,13 +550,13 @@ object SparkEntry {
         .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
         .toDF("rank", "left", "right")
     }),
-    // BPE apply: segment the corpus with the learned merges (per-row UDF)
-    "q92_bpe_segment" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val merges = graft.text.Bpe.learn(docs, numMerges = 50, minWordCount = 2L)
-      graft.text.Bpe.segment(docs, merges)
-        .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
-    }),
+    // BPE apply: segment the corpus under the FIXED rank-consistent merge
+    // table so the exact subword counts are SQL-oracle-checkable (the
+    // learned-merge composition stays covered by q91 + BpeKmeansSpec's
+    // learn→segment round-trip)
+    "q92_bpe_segment" -> ((s, d) =>
+      graft.text.Bpe.segment(t(s, d, "documents"), graft.text.Bpe.demoMerges)
+        .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))),
     // trained-IVF ANN: k-means coarse quantizer (deterministic) + cell search
     "q94_kmeans_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1092,6 +1092,7 @@ object SparkEntry {
     "q81_decontaminate" -> OracleGen.decontaminate(n = 8, minOverlap = 1, evalMod = 10),
     "q82_vocab_pairs" -> OracleGen.pairCounts(minCount = 2L),
     "q90_mixture_take" -> OracleGen.mixtureTake(budget = 20000L),
+    "q92_bpe_segment" -> OracleGen.bpeSegment(graft.text.Bpe.demoMerges),
     "q93_duplicate_spans" -> OracleGen.duplicateSpans(n = 8, minCount = 2L),
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->

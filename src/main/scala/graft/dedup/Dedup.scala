@@ -262,17 +262,96 @@ object Dedup {
     * its cluster label — the step that turns pairwise matches into "keep one
     * doc per cluster" for a training-data pipeline.
     *
-    * Distributed min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels; converges in at most
-    * graph-diameter rounds (each round one shuffle join + one aggregate —
-    * the standard large-scale CC loop; alternating large-star/small-star
-    * would cut rounds further on adversarial graphs). Labels are persisted
-    * per round so lineage stays bounded; the loop exits early once no label
-    * changes. Deterministic fixpoint, so oracle-checkable via a recursive
-    * transitive closure.
+    * Default algorithm: alternating large-star/small-star rounds (the
+    * two-phase CC of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"), which contracts the graph toward per-component stars in
+    * O(log²) rounds — on a chain-shaped dup graph (common adversarial
+    * case: A≈B≈C≈…) min-label propagation needs diameter rounds while the
+    * star rounds collapse it exponentially. Both produce the identical
+    * deterministic min-id labeling ([[dupClustersMinLabel]] keeps the
+    * propagation fixpoint as the in-repo correctness cross-check, and the
+    * DuckDB recursive-CTE oracle checks either).
     */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                  maxIter: Int = 50): DataFrame = {
+                  maxIter: Int = 50): DataFrame =
+    dupClustersWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** Large-star: connect every strictly-larger neighbor of u to the
+    * minimum of u's closed neighborhood. Input/output edges are directed
+    * larger→smaller (u > v); the symmetric view is formed internally.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: connect every smaller neighbor of u (and u itself) to the
+    * minimum of u's smaller neighborhood. Edges directed u > v.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("m"))
+    val nbr = edges.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    nbr.union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** [[dupClusters]] plus the number of large+small-star rounds taken —
+    * exposed so convergence speed is testable (a 32-node path converges in
+    * a handful of rounds, not 31).
+    */
+  def dupClustersWithRounds(pairs: DataFrame, aCol: String = "id_a",
+                            bCol: String = "id_b",
+                            maxIter: Int = 50): (DataFrame, Int) = {
+    val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val allNodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct().persist()
+    // localCheckpoint (not persist) per round: each star round nests the
+    // previous plan ~12×, so without truncation the logical plan grows
+    // exponentially in rounds — checkpointing cuts lineage to O(1) while
+    // keeping the loop deterministic
+    var edges = e0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var i = 0
+    var done = edges.isEmpty
+    while (!done && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      done = next.count() == edges.count() && next.except(edges).count() == 0
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    require(done || i < maxIter,
+      s"dupClusters star rounds did not converge within $maxIter rounds")
+    // at the fixpoint the edge set is a disjoint union of stars: every
+    // non-root points straight at its component minimum
+    val labels = allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .persist()
+    labels.count() // materialize before dropping inputs
+    allNodes.unpersist()
+    edges.unpersist()
+    (labels, i)
+  }
+
+  /** Min-label propagation CC — the diameter-round fixpoint kept as the
+    * correctness cross-check for [[dupClusters]]: each round every node
+    * takes the min of its own and its neighbors' labels. Deterministic,
+    * so oracle-checkable via a recursive transitive closure.
+    */
+  def dupClustersMinLabel(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -297,7 +376,7 @@ object Dedup {
     }
     edges.unpersist()
     require(changed == 0,
-      s"dupClusters did not converge within $maxIter rounds ($changed labels still " +
+      s"dupClustersMinLabel did not converge within $maxIter rounds ($changed labels still " +
         "changing) — raise maxIter for graphs with diameter > maxIter")
     // the returned labeling stays persisted: its lineage is one join per
     // round, so recomputing would replay the whole loop. Callers that are

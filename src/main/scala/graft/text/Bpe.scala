@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** A fixed, data-independent merge table for oracle-checked segmentation
+    * (q92): every pair's parts are single characters or results of earlier
+    * merges ("rank-consistent"), which makes the priority-loop apply
+    * ([[segmentToken]]) provably equal to replaying the merges once in
+    * rank order — the form a SQL oracle can express with nested string
+    * replaces over a symbol-delimited encoding.
+    */
+  val demoMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "l" -> "e", "ta" -> "b", "tab" -> "le", "s" -> "c",
+    "sc" -> "a", "r" -> "o", "ro" -> "w", "d" -> "a", "t" -> "h", "th" -> "e")
+
   /** Learn `numMerges` merges from the corpus. Deterministic: pair-count
     * ties break to the lexicographically smallest (left, right) pair, and
     * the word dictionary is capped by (count desc, word) order.

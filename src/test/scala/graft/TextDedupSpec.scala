@@ -189,7 +189,22 @@ class TextDedupSpec extends SparkSpec {
       val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial: edges=$edges")
+      // the min-label fixpoint stays as the in-repo cross-check
+      val prop = Dedup.dupClustersMinLabel(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == want, s"trial $trial (min-label): edges=$edges")
     }
+  }
+
+  test("star rounds collapse a path graph exponentially faster than its diameter") {
+    // a 32-node path has diameter 31: min-label propagation needs 31
+    // rounds, large/small-star contracts it in O(log n)
+    val path = (0L until 31L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.dupClustersWithRounds(path)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 31L).map(_ -> 0L).toMap, got.toString)
+    assert(rounds <= 8, s"expected O(log n) star rounds on a path, got $rounds")
+    labels.unpersist()
   }
 
   test("clusterSurvivors keeps one doc per cluster plus unclustered docs") {

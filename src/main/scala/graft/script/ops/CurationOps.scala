@@ -95,3 +95,55 @@ class ClassifierFilter extends UserOperator {
       params.getOrElse("vec", "embedding"))
   }
 }
+
+/** IVF-PQ tuning sweep: recall@k against exact L2 ground truth for every
+  * (m, nprobe) combination — the user-visible loop for picking the
+  * quality/cost point of the ANN index (more subspaces / probes = higher
+  * recall, bigger codes / larger search). Ground truth and the coarse
+  * quantizer are built once; each combination trains its codebooks and
+  * searches only the probed cells. Params: k (default 10), cells (4),
+  * queries (5 — vec_id < this are the query set), codebook_k (16),
+  * iters (3), m_values ("4,8"), nprobe_values ("1,2,4"),
+  * residual ("true": FAISS-style residual encoding), vec ("embedding"),
+  * id ("vec_id"). Output: (m, nprobe, recall) with recall = mean
+  * recall@k over the query set.
+  */
+class AnnRecallSweep extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    import graft.similarity.{Pq, Similarity}
+    val emb = inputs.head
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idCol = params.getOrElse("id", "vec_id")
+    val vecCol = params.getOrElse("vec", "embedding")
+    val topK = params.getOrElse("k", "10").toInt
+    val cells = params.getOrElse("cells", "4").toInt
+    val nQueries = params.getOrElse("queries", "5").toLong
+    val kc = params.getOrElse("codebook_k", "16").toInt
+    val iters = params.getOrElse("iters", "3").toInt
+    val ms = params.getOrElse("m_values", "4,8").split(",").map(_.trim.toInt).toSeq
+    val nps = params.getOrElse("nprobe_values", "1,2,4").split(",").map(_.trim.toInt).toSeq
+    val residual = params.getOrElse("residual", "true").toBoolean
+    val queries = emb.filter(col(idCol) < nQueries)
+    val exact = Pq.exactL2TopK(emb, queries, topK, idCol, vecCol).persist()
+    val cents = Similarity.kmeansFit(emb, cells, iters, idCol, vecCol)
+    val rows = ms.flatMap { m =>
+      val books =
+        if (residual)
+          Pq.pqTrain(Pq.residualFrame(emb, cents, idCol, vecCol),
+            m, kc, iters, idCol, "residual")
+        else Pq.pqTrain(emb, m, kc, iters, idCol, vecCol)
+      val index = Pq.ivfPqEncode(emb, cents, books, idCol, vecCol, residual)
+      nps.map { np =>
+        val approx = Pq.ivfPqTopK(index, books, cents, queries, topK, np,
+          idCol, vecCol, residual, indexIdCol = idCol)
+        val recall = Pq.recallAtK(approx, exact)
+          .filter(col("query_id") === "__mean")
+          .head().getDouble(1)
+        (m, np, recall)
+      }
+    }
+    exact.unpersist()
+    rows.toDF("m", "nprobe", "recall")
+  }
+}

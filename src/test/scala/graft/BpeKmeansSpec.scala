@@ -81,6 +81,29 @@ class BpeKmeansSpec extends SparkSpec {
     }, s"w=${w.toSeq} b=$b")
   }
 
+  test("classifier scores are bit-stable under integer weights") {
+    // integer weights + integer features: w·x is exact in doubles, and
+    // score = 1/(1+exp(-m)) evaluates through the same Math.exp the Spark
+    // expression uses — the collected doubles must equal the reference
+    // computation BIT-FOR-BIT, pinning the scoring path (fold order
+    // included), not just an accuracy bound
+    val w = Array(2.0, -3.0, 1.0)
+    val b = -1.0
+    val pts = (0 until 12).map(i =>
+      (i.toLong, Seq((i % 5 - 2).toFloat, (i % 3 - 1).toFloat, (i % 7 - 3).toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Classifier.score(df, w, b).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    pts.foreach { case (id, v) =>
+      val margin = v.map(_.toDouble).zip(w).map { case (x, wi) => x * wi }
+        .foldLeft(0.0)(_ + _) + b
+      val expect = 1.0 / (1.0 + math.exp(-margin))
+      assert(got(id) == expect, // exact ==, no tolerance
+        s"id=$id got=${java.lang.Double.doubleToLongBits(got(id))} " +
+          s"want=${java.lang.Double.doubleToLongBits(expect)}")
+    }
+  }
+
   test("logreg rejects ragged training vectors loudly") {
     // a null or wrong-width vector must fail the fit, not skew it
     val ragged = Seq(

@@ -32,6 +32,14 @@ class ExamplesSpec extends SparkSpec {
     val kept = stats.agg(org.apache.spark.sql.functions.sum("n_kept"))
       .collect().head.getLong(0)
     assert(kept > 0 && kept < 500, s"model filter kept $kept of 500")
+    // the recall sweep emits one row per (m, nprobe) with recall in [0, 1]
+    val sweep = spark.read.parquet(s"$out/ann_recall_sweep")
+    assert(sweep.columns.toSet == Set("m", "nprobe", "recall"))
+    val rows = sweep.collect()
+    assert(rows.length == 2 * 3, s"expected 2 m × 3 nprobe rows, got ${rows.length}")
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // at full probe (nprobe = cells) the self-hit guarantees recall > 0
+    assert(rows.filter(_.getInt(1) == 4).forall(_.getDouble(2) > 0.0))
   }
 
   test("layout.cmr partitions the fact table and z-orders the detail table") {

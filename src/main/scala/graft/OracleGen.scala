@@ -620,6 +620,46 @@ object OracleGen {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id""".stripMargin
   }
 
+  // ---- q111 PCA whitening / q112 softmax class ------------------------------
+
+  /** Whitened projection under Pca.fixtureModel — mirrors Pca.transform's
+    * exact arithmetic: per component a LEFT-ASSOCIATIVE sum of
+    * comp_i * (x_i − mean_i) terms (the same IEEE op order as the Spark
+    * expression tree), divided by the Scala-computed sqrt literal
+    * (Double.toString round-trips bit-exactly).
+    */
+  def pcaWhiten(dim: Int, k: Int, eps: Double = 1e-9): String = {
+    val m = graft.similarity.Pca.fixtureModel(dim, k)
+    val comps = (0 until k).map { c =>
+      val terms = (0 until dim).map(i =>
+        s"(${m.components(c)(i)}) * (CAST(embedding[${i + 1}] AS DOUBLE) - (${m.mean(i)}))")
+      val proj = terms.mkString(" + ") // SQL + is left-associative, like the fold
+      val scale = java.lang.Double.toString(math.sqrt(m.variances(c) + eps))
+      s"($proj) / $scale AS pc$c"
+    }
+    s"SELECT vec_id, ${comps.mkString(", ")} FROM embeddings"
+  }
+
+  /** Predicted class under Classifier.fixtureSoftmaxModel — argmax of the
+    * logits (softmax is monotone, so no exp in the oracle); ties break to
+    * the lowest class id, matching scoreSoftmax.
+    */
+  def softmaxClass(dim: Int, nClasses: Int): String = {
+    val (w, b) = graft.similarity.Classifier.fixtureSoftmaxModel(dim, nClasses)
+    val logits = (0 until nClasses).map { c =>
+      val terms = (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${w(c)(i)})")
+      s"(${terms.mkString(" + ")}) + (${b(c)}) AS z$c"
+    }
+    val pick = (0 until nClasses - 1).map { c =>
+      val geAll = (c + 1 until nClasses).map(o => s"z$c >= z$o").mkString(" AND ")
+      s"WHEN $geAll THEN $c"
+    }.mkString(" ")
+    s"""WITH z AS (SELECT vec_id, ${logits.mkString(", ")} FROM embeddings)
+       |SELECT vec_id, CAST(CASE $pick ELSE ${nClasses - 1} END AS INT) AS predicted_class
+       |FROM z""".stripMargin
+  }
+
   // ---- q75 mixture plan ---------------------------------------------------
 
   /** Token-budget mixture allocation — mirrors Sampling.mixturePlan (integer

@@ -775,6 +775,26 @@ object SparkEntry {
       val codes = graft.similarity.Pq.pqEncode(emb, books)
       graft.similarity.Pq.pqTopK(codes, books, emb.filter(col("vec_id") < 5), topK = 10)
         .select("query_id", "vec_id", "rank")
+    }),
+    // PCA whitening under the FIXED fixture model: exercises the
+    // corpus-scale projection pass (the oracle replays the identical
+    // left-associative multiply-add order, so values hash-match exactly;
+    // fitting is covered by PcaSpec)
+    "q111_pca_whiten" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val m = graft.similarity.Pca.fixtureModel(dim = 64, k = 4)
+      val proj = graft.similarity.Pca.transform(emb, m, k = 4, whiten = true)
+      proj.select(col("vec_id") +:
+        (0 until 4).map(c => element_at(col("pca"), c + 1).as(s"pc$c")): _*)
+    }),
+    // softmax multiclass scoring under FIXED integer weights: the full
+    // probability path runs in Spark; the oracle checks the argmax via the
+    // raw logits (softmax is monotone — no transcendentals in SQL)
+    "q112_softmax_class" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (w, b) = graft.similarity.Classifier.fixtureSoftmaxModel(dim = 64, nClasses = 3)
+      graft.similarity.Classifier.scoreSoftmax(emb, w, b)
+        .select(col("vec_id"), col("predicted_class"))
     })
   )
 
@@ -1031,6 +1051,8 @@ object SparkEntry {
       OracleGen.embeddingNearDupLsh(threshold = 0.45, nPlanes = 16, bands = 4),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
     "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
+    "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
+    "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
     "q60_dedup_clusters" -> OracleGen.dupClusters(shingleN = 3, k = 16, bands = 4, threshold = 0.2),

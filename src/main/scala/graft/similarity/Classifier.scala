@@ -118,4 +118,109 @@ object Classifier {
     val (w, b) = logregFit(labeled, labelCol, dim, iters, vecCol = vecCol)
     score(corpus, w, b, vecCol).filter(col("quality_score") >= threshold)
   }
+
+  // ---- softmax multiclass ---------------------------------------------------
+
+  /** Per-row softmax class probabilities for constant weights: max-shifted
+    * for stability, all expression-level (codegen'd), returned as the
+    * probability columns `__p0..__p{C-1}` appended to `df`.
+    */
+  private def withSoftmax(df: DataFrame, weights: Array[Array[Double]],
+                          bias: Array[Double], vecCol: String): DataFrame = {
+    val c = weights.length
+    val logits = (0 until c).map(k => dotConst(col(vecCol), weights(k).toSeq) + lit(bias(k)))
+    val zmax = if (c == 1) logits.head else greatest(logits: _*)
+    val es = logits.map(z => exp(z - zmax))
+    val denom = es.reduce(_ + _)
+    es.zipWithIndex.foldLeft(df) { case (acc, (e, k)) =>
+      acc.withColumn(s"__p$k", e / denom)
+    }
+  }
+
+  /** Fit multinomial (softmax) logistic regression by full-batch gradient
+    * descent — the proper multiclass model, vs [[logregFitOvr]]'s
+    * independent binary fits (OvR trains C separate sigmoids whose scores
+    * are not calibrated against each other; softmax trains one coupled
+    * distribution). `labelCol` must evaluate to an integer in [0, C).
+    *
+    * Scale shape per iteration: ONE aggregation pass, same as
+    * [[logregFit]]. Each row computes its C-vector of residuals
+    * (p_k − 1[y=k]) as expressions; the feature array (with a prepended
+    * pseudo-feature for the bias) explodes to d+1 rows carrying the
+    * residuals, and groupBy(position) sums C products with map-side
+    * partials — the shuffle carries partitions × (d+1) × C partial sums,
+    * never n × d. Weights travel as broadcast literals; lineage is rebuilt
+    * from the source each iteration.
+    */
+  def softmaxFit(df: DataFrame, labelCol: Column, nClasses: Int, dim: Int,
+                 iters: Int = 30, lr: Double = 0.5, l2: Double = 0.0,
+                 vecCol: String = "embedding"): (Array[Array[Double]], Array[Double]) = {
+    require(nClasses >= 2, s"softmax needs >= 2 classes, got $nClasses")
+    val base = df.select(col(vecCol).cast("array<double>").as("__x"),
+      labelCol.cast("int").as("__y"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__x").isNull || size(col("__x")) =!= dim ||
+        col("__y").isNull || col("__y") < 0 || col("__y") >= nClasses, 1L)
+        .otherwise(0L)).as("bad")).head()
+    val n = stats.getLong(0).toDouble
+    require(n > 0, "empty training set")
+    require(stats.getLong(1) == 0L,
+      s"${stats.getLong(1)} training rows have a bad label or a null/non-$dim-wide $vecCol")
+    var w = Array.fill(nClasses)(Array.fill(dim)(0.0))
+    var b = Array.fill(nClasses)(0.0)
+    for (_ <- 1 to iters) {
+      val withP = withSoftmax(base, w, b, "__x")
+      val resid = array((0 until nClasses).map(k =>
+        col(s"__p$k") - when(col("__y") === k, 1.0).otherwise(0.0)): _*)
+      // position -1 is the bias pseudo-feature (value 1.0)
+      val feats = concat(
+        array(struct(lit(-1).as("i"), lit(1.0).as("v"))),
+        transform(col("__x"),
+          (v, i) => struct(i.cast("int").as("i"), v.as("v"))))
+      val aggs = (0 until nClasses).map(k =>
+        sum(element_at(col("__r"), k + 1) * col("__f").getField("v")).as(s"__g$k"))
+      val sums = withP.select(resid.as("__r"), explode(feats).as("__f"))
+        .groupBy(col("__f").getField("i").as("__i"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val gradW = Array.fill(nClasses)(Array.fill(dim)(0.0))
+      val gradB = Array.fill(nClasses)(0.0)
+      sums.foreach { r =>
+        val i = r.getInt(0)
+        (0 until nClasses).foreach { k =>
+          if (i == -1) gradB(k) = r.getDouble(k + 1)
+          else gradW(k)(i) = r.getDouble(k + 1)
+        }
+      }
+      w = Array.tabulate(nClasses)(k =>
+        w(k).zip(gradW(k)).map { case (wi, gi) => wi - lr * (gi / n + l2 * wi) })
+      b = Array.tabulate(nClasses)(k => b(k) - lr * gradB(k) / n)
+    }
+    (w, b)
+  }
+
+  /** Deterministic integer-weight fixture model (for oracle-checked
+    * multiclass scoring queries: argmax of the softmax equals argmax of
+    * the logits, so the oracle replays the raw dot products — no
+    * transcendentals — while the query runs the full scoring path).
+    */
+  def fixtureSoftmaxModel(dim: Int, nClasses: Int): (Array[Array[Double]], Array[Double]) =
+    (Array.tabulate(nClasses, dim)((k, i) => (((i * 29 + k * 13) % 11) - 5).toDouble),
+      Array.tabulate(nClasses)(k => (k - 1).toDouble))
+
+  /** Score with a fitted softmax model: adds per-class probability columns
+    * `prob_0..prob_{C-1}` and the argmax `as` column (ties to the lowest
+    * class id). One narrow codegen'd pass over the corpus.
+    */
+  def scoreSoftmax(df: DataFrame, weights: Array[Array[Double]], bias: Array[Double],
+                   vecCol: String = "embedding",
+                   as: String = "predicted_class"): DataFrame = {
+    val c = weights.length
+    val scored = withSoftmax(df, weights, bias, vecCol)
+    val renamed = (0 until c).foldLeft(scored)((acc, k) =>
+      acc.withColumnRenamed(s"__p$k", s"prob_$k"))
+    renamed.withColumn(as,
+      if (c == 1) lit(0) else -greatest((0 until c).map(k =>
+        struct(col(s"prob_$k").as("s"), lit(-k).as("negc"))): _*).getField("negc"))
+  }
 }

@@ -132,6 +132,64 @@ class BpeKmeansSpec extends SparkSpec {
       pred.filter(r => r.getInt(3) != r.getInt(2)).take(3).mkString(","))
   }
 
+  test("softmax multiclass recovers three separable clusters with calibrated probabilities") {
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val centers = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, -10.0))
+      val (cx, cy) = centers(c)
+      (i.toLong, Seq(cx + (i / 3) * 0.05, cy - (i / 3) * 0.05).map(_.toFloat), c)
+    }
+    val df = pts.toDF("vec_id", "embedding", "lab")
+    val (w, b) = Classifier.softmaxFit(df, col("lab"), nClasses = 3, dim = 2,
+      iters = 20, lr = 1.0)
+    val scored = Classifier.scoreSoftmax(df, w, b).collect()
+    assert(scored.forall(r => r.getAs[Int]("predicted_class") == r.getAs[Int]("lab")),
+      scored.filter(r => r.getAs[Int]("predicted_class") != r.getAs[Int]("lab"))
+        .take(3).mkString(","))
+    // probabilities are a distribution (softmax couples the classes — the
+    // property OvR's independent sigmoids lack)
+    scored.foreach { r =>
+      val ps = (0 until 3).map(k => r.getDouble(r.fieldIndex(s"prob_$k")))
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+      assert(math.abs(ps.sum - 1.0) < 1e-12, ps.toString)
+    }
+  }
+
+  test("softmax first gradient step matches the closed form exactly") {
+    // from w=0, b=0: p_k = 1/3 for every row, so after one step
+    // w_k = -lr * (1/n) * sum_rows (1/3 - 1[y=k]) * x  (l2 = 0)
+    val pts = Seq(
+      (0L, Seq(1.0f, 2.0f), 0),
+      (1L, Seq(-1.0f, 0.5f), 1),
+      (2L, Seq(0.0f, -2.0f), 2),
+      (3L, Seq(2.0f, 1.0f), 0))
+    val df = pts.toDF("vec_id", "embedding", "lab")
+    val lr = 0.7
+    val (w, b) = Classifier.softmaxFit(df, col("lab"), nClasses = 3, dim = 2,
+      iters = 1, lr = lr)
+    val n = pts.length.toDouble
+    for (k <- 0 until 3; i <- 0 until 2) {
+      val grad = pts.map { case (_, x, y) =>
+        (1.0 / 3.0 - (if (y == k) 1.0 else 0.0)) * x(i)
+      }.sum
+      assert(math.abs(w(k)(i) - (-lr * grad / n)) < 1e-12,
+        s"w($k)($i)=${w(k)(i)} want ${-lr * grad / n}")
+    }
+    for (k <- 0 until 3) {
+      val gradB = pts.map { case (_, _, y) => 1.0 / 3.0 - (if (y == k) 1.0 else 0.0) }.sum
+      assert(math.abs(b(k) - (-lr * gradB / n)) < 1e-12, s"b($k)=${b(k)}")
+    }
+  }
+
+  test("softmax rejects out-of-range labels and ragged vectors") {
+    val bad = Seq((1L, Seq(1.0f, 2.0f), 3), (2L, Seq(1.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.softmaxFit(bad, col("lab"), nClasses = 3, dim = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("1 training rows"), e.getMessage)
+  }
+
   test("classifier quality filter learns real embedding labels above baseline") {
     val emb = sf("embeddings")
     val labeled = emb.withColumn("quality", (col("label") < 5).cast("int"))

@@ -147,3 +147,45 @@ class AnnRecallSweep extends UserOperator {
     rows.toDF("m", "nprobe", "recall")
   }
 }
+
+/** PCA whitening for scripts: fit on the input frame (or a hash sample of
+  * it) and append the k-wide projection column. Params: dim (required),
+  * k (default dim), whiten ("true"), vec ("embedding"), out ("pca"),
+  * sampleFraction (optional — fit on a deterministic hash sample, then
+  * transform everything; the 100 TB pattern).
+  */
+class PcaWhiten extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val df = inputs.head
+    val dim = params("dim").toInt
+    val k = params.getOrElse("k", params("dim")).toInt
+    val vec = params.getOrElse("vec", "embedding")
+    val fitOn = params.get("sampleFraction").fold(df)(f =>
+      graft.operators.Sampling.hashSample(df, col(params.getOrElse("id", "vec_id")),
+        f.toDouble, "pca"))
+    val model = graft.similarity.Pca.fit(fitOn, dim, vec)
+    graft.similarity.Pca.transform(df, model, k,
+      whiten = params.getOrElse("whiten", "true").toBoolean,
+      vecCol = vec, outCol = params.getOrElse("out", "pca"))
+  }
+}
+
+/** Softmax multiclass classification for scripts: train on the SECOND
+  * input (labeled), score the FIRST (corpus) with per-class probabilities
+  * and the argmax class. Params: label (expression over the labeled frame,
+  * required), classes (required), dim (required), iters (30), lr (0.5),
+  * vec ("embedding"), out ("predicted_class").
+  */
+class SoftmaxClassify extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "SoftmaxClassify needs (corpus, labeled) inputs")
+    val (w, b) = graft.similarity.Classifier.softmaxFit(inputs(1),
+      expr(params("label")), params("classes").toInt, params("dim").toInt,
+      params.getOrElse("iters", "30").toInt,
+      params.getOrElse("lr", "0.5").toDouble,
+      vecCol = params.getOrElse("vec", "embedding"))
+    graft.similarity.Classifier.scoreSoftmax(inputs(0), w, b,
+      params.getOrElse("vec", "embedding"),
+      params.getOrElse("out", "predicted_class"))
+  }
+}

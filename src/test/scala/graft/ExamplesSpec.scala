@@ -40,6 +40,15 @@ class ExamplesSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
     // at full probe (nprobe = cells) the self-hit guarantees recall > 0
     assert(rows.filter(_.getInt(1) == 4).forall(_.getDouble(2) > 0.0))
+    // PCA whitening emits the 16-wide projection for every row
+    val white = spark.read.parquet(s"$out/whitened")
+    assert(white.count() == 500)
+    assert(white.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("pca"))).distinct().head().getInt(0) == 16)
+    // softmax classes cover all rows
+    val byClass = spark.read.parquet(s"$out/by_class")
+    assert(byClass.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 500)
   }
 
   test("layout.cmr partitions the fact table and z-orders the detail table") {

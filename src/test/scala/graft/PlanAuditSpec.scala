@@ -270,6 +270,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
   }
 
+  test("PCA projection and softmax scoring are pure narrow maps (q111, q112)") {
+    // the corpus-scale model-application passes must plan zero exchanges:
+    // a d²-multiply map fused into the scan, nothing else
+    for (q <- Seq("q111_pca_whiten", "q112_softmax_class")) {
+      val p = executedPlan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"), s"$q shuffles — not a narrow map:\n$p")
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
+  }
+
   test("duplicate spans broadcast the hot-shingle set; one window sort per doc (q93)") {
     val p = executedPlan(SparkEntry.queries("q93_duplicate_spans")(spark, dir))
     // AQE must resolve the pos-vs-hot join as broadcast (hot set << positions)

@@ -160,8 +160,14 @@ object Sampling {
       budget: Long): DataFrame = {
     val per = df.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n_docs"), sum(size).as("stratum_tokens"))
-    val tot = per.agg(sum("stratum_tokens").as("total_tokens"))
-    per.crossJoin(broadcast(tot))
+    // the cross-stratum total is an unpartitioned window over the
+    // STRATA-sized aggregate output — |strata| rows, metadata, not data —
+    // so the corpus is scanned ONCE (an agg + crossJoin(broadcast) form
+    // recomputes `per`, i.e. re-scans the corpus, since the two exchange
+    // subtrees differ and cannot be reused). Long sums are
+    // order-independent, so the total is exact either way.
+    per.withColumn("total_tokens",
+      sum("stratum_tokens").over(Window.partitionBy(Seq.empty[Column]: _*)))
       .withColumn("share",
         col("stratum_tokens").cast("double") / col("total_tokens").cast("double"))
       .withColumn("alloc_tokens", floor(lit(budget.toDouble) * col("share")).cast("long"))
@@ -196,8 +202,10 @@ object Sampling {
     val per = df.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n_docs"), sum(size).as("stratum_tokens"))
       .withColumn("weight", floor(root).cast("long"))
-    val tot = per.agg(sum("weight").as("total_weight"))
-    per.crossJoin(broadcast(tot))
+    // same single-scan shape as mixturePlan: the total is a window over
+    // the strata-sized aggregate, never a second corpus pass
+    per.withColumn("total_weight",
+      sum("weight").over(Window.partitionBy(Seq.empty[Column]: _*)))
       .withColumn("alloc_tokens",
         floor(lit(budget.toDouble) * col("weight").cast("double") /
           col("total_weight").cast("double")).cast("long"))

@@ -150,10 +150,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_count".r.findFirstIn(d).isDefined, s"no partial tf aggregate:\n$d")
   }
 
-  test("temperature mixture broadcasts the singleton weight total (q98)") {
-    val p = executedPlan(SparkEntry.queries("q98_mixture_temperature")(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"weight total not broadcast:\n$p")
+  test("temperature mixture scans the corpus once — total over the strata aggregate (q98)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q98_mixture_temperature")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    // the cross-stratum total must be a window over the strata-sized
+    // aggregate (ONE corpus scan), not a second aggregate + join that
+    // re-scans the corpus
+    assert(opt.collect { case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r }
+      .length == 1, s"corpus scanned more than once:\n$opt")
+    val totWindows = opt.collect { case w: LWindow => w }
+    assert(totWindows.nonEmpty && totWindows.forall(w =>
+      w.collect { case a: Aggregate => a }.nonEmpty),
+      s"total window not over the aggregate:\n$opt")
+    val p = executedPlan(df)
     assert(!p.contains("CartesianProduct"), s"plan fell back to a cartesian product:\n$p")
   }
 

@@ -105,12 +105,15 @@ object Aggregations {
   def heavyHitters(df: DataFrame, c: Column, minShare: Double,
       valueCol: String = "value"): DataFrame = {
     require(minShare > 0 && minShare <= 1, s"minShare out of range: $minShare")
-    val counts = df.groupBy(c.as(valueCol)).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("__total"))
-    counts.crossJoin(broadcast(total))
-      .withColumn("share", col("cnt").cast("double") / col("__total"))
+    // the denominator is just |df| (every row lands in exactly one count
+    // group), so take it as a driver-side count — a column-pruned scan
+    // parquet answers from row-group statistics — instead of re-deriving
+    // it from the counts aggregate, which would re-scan AND re-shuffle
+    // the corpus (the diamond's exchange subtrees differ, no reuse)
+    val total = math.max(df.count(), 1L) // empty frame → empty result below
+    df.groupBy(c.as(valueCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("share", col("cnt").cast("double") / lit(total.toDouble))
       .filter(col("share") >= minShare)
-      .drop("__total")
   }
 
   /** Exact COUNT DISTINCT pinned to the skew-proof two-level plan: dedup on

@@ -130,11 +130,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!h.contains("Exchange ("), s"hash split shuffled:\n$h")
   }
 
-  test("heavy hitters broadcasts the scalar total — no single-partition window (q88)") {
+  test("heavy hitters: one aggregation, literal total — no window, no join (q88)") {
     val p = executedPlan(SparkEntry.queries("q88_heavy_hitters")(spark, dir))
     assert(!p.contains("Window"), s"heavy hitters used a window:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"total not broadcast:\n$p")
+    assert(!p.contains("Join"), s"total should be a driver literal, not a join:\n$p")
+    assert("(?m)^.*Exchange".r.findAllIn(p).size <= 1,
+      s"expected a single count-aggregate exchange:\n$p")
   }
 
   test("novelty filter blooms the corpus scan and resolves with an anti join (q97)") {

@@ -258,4 +258,42 @@ class SamplingPackingSpec extends SparkSpec {
     // rows keep their original columns only
     assert(kept.columns.toSeq == Seq("doc_id", "lang", "n_tokens"))
   }
+
+  test("two-phase mixtureTake equals the naive whole-stratum cumsum on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    // the reference semantics, as one whole-stratum running-sum window
+    def naive(docs: org.apache.spark.sql.DataFrame,
+              budgets: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(Sampling.hashBucket(col("doc_id"), "mix", 1 << 30), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("__cum", sum(col("n_tokens")).over(w))
+        .join(budgets, col("lang") === col("stratum"))
+        .filter(col("__cum") <= col("alloc_tokens"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val langs = Seq("en", "fr", "de").take(1 + rnd.nextInt(3))
+      val docs = (0 until 80 + rnd.nextInt(120)).map { i =>
+        (i.toLong, langs(rnd.nextInt(langs.length)),
+          // include zero-size rows: they ride along while cum <= budget
+          (if (rnd.nextInt(10) == 0) 0L else 1L + rnd.nextInt(50).toLong))
+      }.toDF("doc_id", "lang", "n_tokens")
+      val budgets = langs.map(l => (l, rnd.nextInt(3) match {
+        case 0 => 0L // nothing but leading zero-size rows fit
+        case 1 => 100L + rnd.nextInt(400).toLong // boundary inside a bucket
+        case _ => 1000000L // everything fits
+      })).toDF("stratum", "alloc_tokens")
+      val want = naive(docs, budgets)
+      // small bucket counts force multi-bucket strata and boundary buckets
+      for (buckets <- Seq(1, 4, 1024)) {
+        val got = Sampling.mixtureTake(docs, col("lang"), col("n_tokens"),
+          col("doc_id"), budgets, coarseBuckets = buckets)
+          .collect().map(_.getLong(0)).toSet
+        assert(got == want,
+          s"trial $trial buckets=$buckets: missing=${want.diff(got)} extra=${got.diff(want)}")
+      }
+    }
+  }
 }

@@ -58,6 +58,20 @@ object Dedup {
           i => substring(col(textCol), lit(i), lit(n)))).as("shingle"))
       .distinct()
 
+  /** Drop shingles held by more than `cap` documents from an exploded
+    * (id, n_sh, shingle) stream: the hot set (boilerplate) is tiny after
+    * aggregation, so the exclusion is a broadcast anti-join — the standard
+    * guardrail that turns an all-pairs shingle join's worst case from
+    * |hottest shingle|² into cap².
+    */
+  private def capHotShingles(sh: DataFrame, cap: Option[Int]): DataFrame =
+    cap.fold(sh) { c =>
+      require(c >= 2, s"maxDocsPerShingle must be >= 2: $c")
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__docs"))
+        .filter(col("__docs") > c).select("shingle")
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+
   // ---- exact n-gram Jaccard ----------------------------------------------
 
   /** Pairwise n-gram Jaccard ≥ `threshold` via a shingle-hash self-join:
@@ -67,17 +81,22 @@ object Dedup {
     * sets dedup with array_distinct (no shuffle), and set sizes come from
     * the array length (no counting aggregation). Quadratic in docs sharing
     * a shingle: at scale, run it only on LSH candidates (`minHashLsh`) or
-    * cap hot shingles.
+    * set `maxDocsPerShingle` — shingles held by more documents (site
+    * boilerplate, license headers) are dropped from pair GENERATION by a
+    * broadcast anti-join before the self-join, bounding the blowup at
+    * cap²·|hot shingles|; union sizes keep the full sets, so the reported
+    * jaccard becomes a (tight, standard) lower bound for affected pairs.
     */
   def ngramJaccard(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxDocsPerShingle: Option[Int] = None): DataFrame = {
     val base = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
-    val sh = base.select(col(idCol), size(col("__shs")).as("n_sh"),
-      explode(col("__shs")).as("shingle"))
+    val sh = capHotShingles(base.select(col(idCol), size(col("__shs")).as("n_sh"),
+      explode(col("__shs")).as("shingle")), maxDocsPerShingle)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col(s"a.shingle") === col(s"b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -95,19 +114,20 @@ object Dedup {
     * new document a near-dup of anything we already have" screen). Same
     * shingle-hash equi-join shape as [[ngramJaccard]] but across frames, so
     * left ids never pair with left ids. At 100 TB run the right side through
-    * LSH first or cap hot shingles; the join shuffles fixed-width (id, long)
-    * pairs only.
+    * LSH first or set `maxDocsPerShingle` (applied per side); the join
+    * shuffles fixed-width (id, long) pairs only.
     */
   def crossCorpusJaccard(left: DataFrame, right: DataFrame, n: Int = 3,
                          threshold: Double = 0.8, textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
-    def sh(df: DataFrame): DataFrame = df
+                         idCol: String = "doc_id",
+                         maxDocsPerShingle: Option[Int] = None): DataFrame = {
+    def sh(df: DataFrame): DataFrame = capHotShingles(df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
       .select(col(idCol), size(col("__shs")).as("n_sh"),
-        explode(col("__shs")).as("shingle"))
+        explode(col("__shs")).as("shingle")), maxDocsPerShingle)
     val a = sh(left).as("a"); val b = sh(right).as("b")
     a.join(b, col("a.shingle") === col("b.shingle"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -130,14 +150,15 @@ object Dedup {
     * LSH candidates or with hot-shingle caps.
     */
   def overlapCandidates(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = df
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDocsPerShingle: Option[Int] = None): DataFrame = {
+    val sh = capHotShingles(df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
       .select(col(idCol), size(col("__shs")).as("n_sh"),
-        explode(col("__shs")).as("shingle"))
+        explode(col("__shs")).as("shingle")), maxDocsPerShingle)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

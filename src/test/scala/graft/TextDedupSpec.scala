@@ -106,6 +106,39 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0.5)))
   }
 
+  test("hot-shingle cap drops boilerplate-only pairs but keeps genuine overlap") {
+    // "LICENSE header" bigram appears in every doc (boilerplate); only
+    // docs 1 and 2 genuinely overlap beyond it
+    val docs = Seq(
+      (1L, "LICENSE header alpha beta gamma"),
+      (2L, "LICENSE header alpha beta delta"),
+      (3L, "LICENSE header one two"),
+      (4L, "LICENSE header three four"),
+      (5L, "LICENSE header five six")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, n = 2, threshold = 0.01)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10, s"all pairs share the boilerplate bigram: $uncapped")
+    // cap at 4: the LICENSE-header bigram (5 docs) drops out of pair
+    // generation; (1,2) still pairs on its real shared bigrams
+    val capped = Dedup.ngramJaccard(docs, n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(4))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), capped.toString)
+    // capped jaccard is a lower bound: union keeps the full sets
+    val j = Dedup.ngramJaccard(docs, n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(4)).head().getDouble(2)
+    val jFull = Dedup.ngramJaccard(docs.filter(col("doc_id") <= 2), n = 2,
+      threshold = 0.01).head().getDouble(2)
+    assert(j <= jFull, s"capped $j must not exceed uncapped $jFull")
+    // same guardrail on the cross-corpus and containment variants
+    assert(Dedup.crossCorpusJaccard(docs.filter(col("doc_id") === 1),
+      docs.filter(col("doc_id") =!= 1), n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(2)).count() >= 1)
+    assert(Dedup.overlapCandidates(docs, n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(4)).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val near = base.replace("kappa", "koppa") // 1-token edit

@@ -227,28 +227,61 @@ object Dedup {
     * integer arithmetic (graft.functions.PortableHash) — the DuckDB oracle
     * reproduces them exactly.
     */
-  def minHashLsh(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** The banded MinHash index rows for a corpus: (id, band, bucket), one
+    * row per (document, band), all per-row expression work. This IS the
+    * persistable near-dup index — write it once (bucketed/z-ordered by
+    * (band, bucket)) and join each incoming batch against it with
+    * [[minHashLshAgainstIndex]] instead of re-signing the corpus per
+    * batch. Same portable arithmetic as [[minHashLsh]], so an index built
+    * today matches batches banded tomorrow (or by another engine).
+    */
+  def minHashIndex(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val coefs = PortableHash.minHashCoefs(k)
-    val sig = df
-      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+    df.select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= shingleN)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.minHashSig(
         col("__th"), shingleN, coefs.map(_._1), coefs.map(_._2),
         PortableHash.B, PortableHash.P).as("__sig"))
-    val banded = sig.select(col(idCol),
-      explode(array((0 until bands).map { bd =>
-        struct(lit(bd).as("band"),
-          PortableHash.foldBucket((0 until rows).map(j =>
-            element_at(col("__sig"), bd * rows + j + 1))).as("bucket"))
-      }: _*)).as("bb"))
+      .select(col(idCol),
+        explode(array((0 until bands).map { bd =>
+          struct(lit(bd).as("band"),
+            PortableHash.foldBucket((0 until rows).map(j =>
+              element_at(col("__sig"), bd * rows + j + 1))).as("bucket"))
+        }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minHashLsh(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val banded = minHashIndex(df, shingleN, k, bands, textCol, idCol)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental near-dup candidates: band the (small) batch and join it
+    * against a PRE-BUILT corpus index ([[minHashIndex]] output, typically
+    * read back from storage) — the corpus is never re-tokenized or
+    * re-signed. Shuffle ∝ batch bands + colliding index rows (with the
+    * index stored bucketed by (band, bucket), the join is partition-local
+    * on the corpus side). Output: distinct (batch_id, corpus_id); verify
+    * with an exact measure over the candidate texts, as with
+    * [[minHashLsh]].
+    */
+  def minHashLshAgainstIndex(batch: DataFrame, index: DataFrame,
+                             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val b = minHashIndex(batch, shingleN, k, bands, textCol, idCol).as("b")
+    val i = index.as("i")
+    b.join(i, col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket") &&
+        col(s"b.$idCol") =!= col(s"i.$idCol"))
+      .select(col(s"b.$idCol").as("batch_id"), col(s"i.$idCol").as("corpus_id"))
       .distinct()
   }
 

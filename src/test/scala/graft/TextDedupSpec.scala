@@ -150,6 +150,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("batch vs pre-built minhash index matches whole-corpus LSH on cross pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "completely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, base.replace("kappa", "koppa")),
+      (101L, "fresh novel text nothing like the corpus contents"))
+      .toDF("doc_id", "text")
+    // index built once (in practice: written to storage, read per batch)
+    val index = Dedup.minHashIndex(corpus, shingleN = 2, k = 16, bands = 8)
+    val got = Dedup.minHashLshAgainstIndex(batch, index, shingleN = 2, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1L)), got.toString)
+    assert(!got.exists(_._1 == 101L), s"novel doc must not pair: $got")
+    // identical to running whole-corpus LSH over the union, cross pairs only
+    val whole = Dedup.minHashLsh(corpus.unionByName(batch), shingleN = 2, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFromWhole = whole.collect {
+      case (a, b) if a < 100 && b >= 100 => (b, a)
+      case (a, b) if a >= 100 && b < 100 => (a, b)
+    }
+    assert(got == crossFromWhole, s"index path diverged: $got vs $crossFromWhole")
+  }
+
   test("simhash of identical text matches; hamming ≤ 3 candidates found") {
     val docs = Seq((1L, "spark cubert engine test"), (2L, "spark cubert engine test"),
       (3L, "completely different words here now")).toDF("doc_id", "text")

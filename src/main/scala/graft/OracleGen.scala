@@ -59,7 +59,10 @@ object OracleGen {
 
   // ---- q41 MinHash LSH ----------------------------------------------------
 
-  def minHashLsh(shingleN: Int, k: Int, bands: Int): String = {
+  /** Shared banded-signature CTE chain (th → sh → sig → banded) used by
+    * both the all-pairs LSH oracle and the batch-vs-index oracle.
+    */
+  private def bandedCte(shingleN: Int, k: Int, bands: Int): String = {
     val rows = k / bands
     val shingle = horner((0 until shingleN).map(j => s"hs[i + $j]"))
     val sigs = minHashCoefs(k)
@@ -76,10 +79,25 @@ object OracleGen {
        |), banded AS (
        |  SELECT doc_id, band, $bucket AS bucket
        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b
-       |)
+       |)""".stripMargin
+  }
+
+  def minHashLsh(shingleN: Int, k: Int, bands: Int): String =
+    bandedCte(shingleN, k, bands) +
+      s"""
        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
        |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
-  }
+
+  /** q111: incremental near-dup — corpus rows (doc_id % batchMod != 0) are
+    * the pre-built index, batch rows (doc_id % batchMod = 0) band against
+    * it. Mirrors Dedup.minHashLshAgainstIndex over Dedup.minHashIndex.
+    */
+  def minHashAgainstIndex(shingleN: Int, k: Int, bands: Int, batchMod: Int): String =
+    bandedCte(shingleN, k, bands) +
+      s"""
+       |SELECT DISTINCT b.doc_id AS batch_id, i.doc_id AS corpus_id
+       |FROM banded b JOIN banded i ON b.band = i.band AND b.bucket = i.bucket
+       |WHERE b.doc_id % $batchMod = 0 AND i.doc_id % $batchMod <> 0""".stripMargin
 
   // ---- q40 n-gram Jaccard -------------------------------------------------
 

@@ -321,6 +321,16 @@ object SparkEntry {
       Dedup.minHashLsh(t(s, d, "documents"), shingleN = 3, k = 16, bands = 4)),
     "q42_dedup_simhash" -> ((s, d) =>
       Dedup.simHashCandidates(t(s, d, "documents"), maxHamming = 3)),
+    // incremental shape of q41: 90% of docs form a pre-built band index,
+    // the 10% "new batch" is banded and joined against it — the corpus is
+    // never re-signed per batch
+    "q111_minhash_batch_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.minHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        shingleN = 3, k = 16, bands = 4)
+      Dedup.minHashLshAgainstIndex(docs.filter(col("doc_id") % 10 === 0), index,
+        shingleN = 3, k = 16, bands = 4)
+    }),
     "q57_dedup_pipeline" -> ((s, d) =>
       Dedup.minHashDedup(t(s, d, "documents"), shingleN = 3, k = 16, bands = 4,
         threshold = 0.2)),
@@ -1023,6 +1033,8 @@ object SparkEntry {
     "q37_langid" -> OracleGen.langId,
     "q38_fingerprint" -> OracleGen.fingerprint,
     "q41_dedup_minhash" -> OracleGen.minHashLsh(shingleN = 3, k = 16, bands = 4),
+    "q111_minhash_batch_index" ->
+      OracleGen.minHashAgainstIndex(shingleN = 3, k = 16, bands = 4, batchMod = 10),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

@@ -67,6 +67,39 @@ class NoveltyFilter extends UserOperator {
   }
 }
 
+/** Build the persistable MinHash band index of a corpus: one row per
+  * (doc, band) with its bucket — STORE it (bucketed/z-ordered by
+  * (band, bucket)) and join later batches against it with [[MinHashMatch]]
+  * instead of re-signing the corpus per batch.
+  * Params: shingleN (3), k (16), bands (4), text ("text"), id ("doc_id").
+  */
+class MinHashIndex extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.dedup.Dedup.minHashIndex(inputs.head,
+      params.getOrElse("shingleN", "3").toInt,
+      params.getOrElse("k", "16").toInt,
+      params.getOrElse("bands", "4").toInt,
+      params.getOrElse("text", "text"),
+      params.getOrElse("id", "doc_id"))
+}
+
+/** Incremental near-dup candidates: band the FIRST input (the new batch)
+  * and join it against the SECOND (a [[MinHashIndex]] output, typically
+  * LOADed back from storage) → (batch_id, corpus_id) pairs. Banding params
+  * must match the index build.
+  */
+class MinHashMatch extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "MinHashMatch needs (batch, index) inputs")
+    graft.dedup.Dedup.minHashLshAgainstIndex(inputs(0), inputs(1),
+      params.getOrElse("shingleN", "3").toInt,
+      params.getOrElse("k", "16").toInt,
+      params.getOrElse("bands", "4").toInt,
+      params.getOrElse("text", "text"),
+      params.getOrElse("id", "doc_id"))
+  }
+}
+
 /** TF-IDF-style salient terms: the top-k tf/df-scored tokens per document.
   * Params: k (default 5), text ("text"), id ("doc_id").
   */

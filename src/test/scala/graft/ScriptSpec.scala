@@ -48,6 +48,28 @@ class ScriptSpec extends SparkSpec {
     assert(out("terms").select("doc_id", "term_rank").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("shipped minhash index plug-ins: build, store, match a batch from a script") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val batch = Seq((100L, base.replace("mu", "nu")),
+      (101L, "wholly unrelated text here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    // build + persist the index once ...
+    ScriptEngine.run(spark,
+      s"""idx = OPERATOR 'graft.script.ops.MinHashIndex' corpus ('shingleN': '2', 'k': '16', 'bands': '8');
+         |STORE idx INTO '$dir/idx' USING PARQUET;""".stripMargin,
+      env0 = env("corpus" -> corpus))
+    // ... then match a later batch against the stored index
+    val out = ScriptEngine.run(spark,
+      s"""idx = LOAD '$dir/idx' USING PARQUET;
+         |cands = OPERATOR 'graft.script.ops.MinHashMatch' batch, idx ('shingleN': '2', 'k': '16', 'bands': '8');""".stripMargin,
+      env0 = env("batch" -> batch))
+    val got = out("cands").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1L)), got.toString)
+    assert(!got.exists(_._1 == 101L), got.toString)
+  }
+
   test("shipped classifier plug-in filters by model score from a script") {
     val emb = sf("embeddings")
     val out = ScriptEngine.run(spark,

@@ -205,6 +205,30 @@ class StreamingSpec extends SparkSpec {
     assert(codesBatch.size == 40 && codesBatch.values.forall(_.length == 8))
   }
 
+  test("near-dup candidates stream against a static minhash index") {
+    // the incremental-dedup shape at 100 TB: the corpus band index is built
+    // once (static), each arriving micro-batch is banded (narrow per-row
+    // expressions) and stream-static joined against it
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = graft.dedup.Dedup.minHashIndex(corpus, shingleN = 2, k = 16, bands = 8)
+    val in = MemoryStream[(Long, String)]
+    val cands = graft.dedup.Dedup.minHashLshAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), index, shingleN = 2, k = 16, bands = 8)
+    val q = cands.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((100L, base.replace("mu", "nu")), (101L, "wholly unrelated text here"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((100L, 1L)), got.toString)
+      assert(!got.exists(_._1 == 101L), got.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the time bound, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]

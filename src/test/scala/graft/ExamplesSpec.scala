@@ -51,6 +51,22 @@ class ExamplesSpec extends SparkSpec {
       .head().getLong(0) == 500)
   }
 
+  test("incremental.cmr screens a batch against the stored corpus index") {
+    val out = runExample("incremental")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nBatch = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 10 == 0")).count()
+    // the persisted index is (id, band, bucket) rows for the 90% corpus
+    val idx = spark.read.parquet(s"$out/minhash_idx")
+    assert(idx.columns.toSet == Set("doc_id", "band", "bucket"))
+    // novelty keeps a subset of the batch; candidates point into the corpus
+    val novel = spark.read.parquet(s"$out/novel").count()
+    assert(novel > 0 && novel <= nBatch, s"novel=$novel of batch=$nBatch")
+    val cands = spark.read.parquet(s"$out/near_dup_candidates")
+    assert(cands.columns.toSet == Set("batch_id", "corpus_id"))
+    assert(cands.filter(org.apache.spark.sql.functions.expr(
+      "batch_id % 10 != 0 OR corpus_id % 10 == 0")).count() == 0)
+  }
+
   test("layout.cmr partitions the fact table and z-orders the detail table") {
     val out = runExample("layout")
     val parts = new java.io.File(s"$out/orders_by_priority").listFiles

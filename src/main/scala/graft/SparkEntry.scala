@@ -324,7 +324,7 @@ object SparkEntry {
     // incremental shape of q41: 90% of docs form a pre-built band index,
     // the 10% "new batch" is banded and joined against it — the corpus is
     // never re-signed per batch
-    "q111_minhash_batch_index" -> ((s, d) => {
+    "q113_minhash_batch_index" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val index = Dedup.minHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
         shingleN = 3, k = 16, bands = 4)
@@ -1033,7 +1033,7 @@ object SparkEntry {
     "q37_langid" -> OracleGen.langId,
     "q38_fingerprint" -> OracleGen.fingerprint,
     "q41_dedup_minhash" -> OracleGen.minHashLsh(shingleN = 3, k = 16, bands = 4),
-    "q111_minhash_batch_index" ->
+    "q113_minhash_batch_index" ->
       OracleGen.minHashAgainstIndex(shingleN = 3, k = 16, bands = 4, batchMod = 10),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->

@@ -188,6 +188,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("minhashsig"), s"native MinHash kernel missing:\n$d")
   }
 
+  test("stored minhash index joins without re-signing the corpus (q113 shape)") {
+    // the incremental contract: a batch banded against a PERSISTED index
+    // must plan (index parquet scan) ⋈ (batch banding) — the minhash
+    // kernel may appear only on the batch side, and the join is an
+    // equi-join on (band, bucket), never a product
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idxaudit").toString
+    graft.dedup.Dedup.minHashIndex(docs.filter("doc_id % 10 != 0"))
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    val idx = spark.read.parquet(s"$tmp/idx")
+    val d = details(graft.dedup.Dedup.minHashLshAgainstIndex(
+      docs.filter("doc_id % 10 = 0"), idx))
+    assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),
+      s"index lookup fell back to a product join:\n$d")
+    assert(!d.contains("Window"), s"unexpected window in index join:\n$d")
+    // the corpus contributes ONLY its stored (id, band, bucket) rows: its
+    // text is never re-read, so no scan may read a text column, and the
+    // index scan reads exactly the three index columns
+    val reads = "ReadSchema: struct<([^>\n]*)".r.findAllMatchIn(d).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.exists(r => r.contains("band") && r.contains("bucket")),
+      s"index parquet scan missing:\n$d")
+    assert(reads.count(_.contains("text")) == 1,
+      s"corpus text re-read — index not reused (scans: $reads):\n$d")
+  }
+
   test("brute-force ANN broadcasts the query side; corpus never shuffles raw vectors (q44)") {
     val p = executedPlan(SparkEntry.queries("q44_ann_brute")(spark, dir))
     assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")

@@ -786,6 +786,43 @@ object OracleGen {
        |  CAST(floor($budget.0 * CAST(weight AS DOUBLE) / CAST(total_weight AS DOUBLE)) AS BIGINT) AS alloc_tokens
        |FROM wt CROSS JOIN tot""".stripMargin
 
+  // ---- q114 n-gram LM score ------------------------------------------------
+
+  /** Mirrors text.NgramLm: fit add-one-smoothed n-gram counts on the
+    * doc_id % fitMod = 0 half, score every doc with ≥ n tokens. The graded
+    * columns avoid `log`: each gram's (c+1)/(c_ctx+V) is one exactly
+    * rounded IEEE division, scaled by 2^30 (exact) and floored — bit-equal
+    * across engines.
+    */
+  def lmScore(n: Int, fitMod: Int): String = {
+    val gram = horner((0 until n).map(j => s"hs[i + $j]"))
+    val ctx = horner((0 until n - 1).map(j => s"hs[i + $j]"))
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), fit AS (
+       |  SELECT hs FROM th WHERE doc_id % $fitMod = 0 AND len(hs) >= $n
+       |), voc AS (
+       |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(hs) AS t FROM fit)
+       |), fitpos AS (
+       |  SELECT hs, unnest(generate_series(1, len(hs) - ${n - 1})) AS i FROM fit
+       |), grams AS (
+       |  SELECT $gram AS gram, count(1) AS cg FROM fitpos GROUP BY 1
+       |), ctxs AS (
+       |  SELECT $ctx AS ctx, count(1) AS cc FROM fitpos GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, $gram AS gram, $ctx AS ctx
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - ${n - 1})) AS i
+       |        FROM th WHERE len(hs) >= $n)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(1) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN g.cg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CAST(floor(CAST(COALESCE(g.cg, 0) + 1 AS DOUBLE)
+       |    / CAST(COALESCE(c.cc, 0) + (SELECT v FROM voc) AS DOUBLE) * ${graft.text.NgramLm.Scale}) AS BIGINT)) AS BIGINT) AS sum_pq
+       |FROM scored s LEFT JOIN grams g USING (gram) LEFT JOIN ctxs c USING (ctx)
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---- q99 TF-IDF top terms ------------------------------------------------
 
   /** Mirrors TextAnalysis.topTerms: tf/df ratio score (one exactly rounded

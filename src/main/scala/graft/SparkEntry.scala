@@ -308,6 +308,16 @@ object SparkEntry {
       TextAnalysis.withLangIdNgram(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_ngram")),
 
+    // CCNet-style LM quality signal: bigram model fit on the even half of
+    // the corpus, every doc scored; graded columns are the log-free
+    // quantized form (avg_logp is the user-facing float convenience)
+    "q114_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = graft.text.NgramLm.fit(docs.filter(col("doc_id") % 2 === 0), n = 2)
+      graft.text.NgramLm.score(docs, lm)
+        .select("doc_id", "n_ngrams", "n_oov", "sum_pq")
+    }),
+
     // ---- dedup extensions -------------------------------------------------------------
     "q39_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"))),
@@ -1035,6 +1045,7 @@ object SparkEntry {
     "q41_dedup_minhash" -> OracleGen.minHashLsh(shingleN = 3, k = 16, bands = 4),
     "q113_minhash_batch_index" ->
       OracleGen.minHashAgainstIndex(shingleN = 3, k = 16, bands = 4, batchMod = 10),
+    "q114_lm_score" -> OracleGen.lmScore(n = 2, fitMod = 2),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

@@ -67,6 +67,22 @@ class NoveltyFilter extends UserOperator {
   }
 }
 
+/** N-gram LM quality scoring for scripts: fit the add-one-smoothed model
+  * on the SECOND input (reference corpus), score the FIRST. Emits doc_id,
+  * n_ngrams, n_oov, sum_pq, avg_logp; filter downstream on avg_logp (or
+  * the bit-stable sum_pq/n_ngrams ratio). Params: n (2), text ("text"),
+  * id ("doc_id").
+  */
+class LmScore extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "LmScore needs (corpus, reference) inputs")
+    val lm = graft.text.NgramLm.fit(inputs(1),
+      params.getOrElse("n", "2").toInt, params.getOrElse("text", "text"))
+    graft.text.NgramLm.score(inputs(0), lm,
+      params.getOrElse("text", "text"), params.getOrElse("id", "doc_id"))
+  }
+}
+
 /** Build the persistable MinHash band index of a corpus: one row per
   * (doc, band) with its bucket — STORE it (bucketed/z-ordered by
   * (band, bucket)) and join later batches against it with [[MinHashMatch]]

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** N-gram language-model quality scoring (the CCNet/KenLM-style
+  * "perplexity filter" of LLM data pipelines): fit token n-gram counts on
+  * an in-domain reference corpus, score documents by how probable their
+  * token stream is under the add-one-smoothed model. Complements the
+  * heuristic quality features (TextAnalysis) and the trained classifier
+  * (similarity.Classifier) as the third standard quality signal.
+  *
+  * Scale shape: fitting is two count shuffles over the reference corpus
+  * (grams, contexts) plus one bounded driver scalar (vocabulary size);
+  * scoring explodes each document into (gram, ctx) hash pairs — native
+  * Horner kernels, no string shingles — and resolves counts with two
+  * equi-joins against the model tables, then one per-doc aggregation.
+  * The model is a pair of (hash, count) DataFrames: persist them like any
+  * table and reuse across batches; nothing is ever broadcast-or-bust, so
+  * a 100 TB reference corpus trains the same way a 100 MB one does.
+  *
+  * Portability: token/n-gram hashing is PortableHash (same constants as
+  * the dedup family), and the oracle-checked outputs avoid `log`: each
+  * n-gram probability (c+1)/(c_ctx+V) is one exactly-rounded IEEE
+  * division, scaled by 2^30 (exact) and floored to a long — identical in
+  * DuckDB. `avg_logp` is provided for users but is not oracle-graded.
+  */
+object NgramLm {
+
+  /** Quantization scale for the bit-stable per-gram probability. */
+  val Scale: Long = 1L << 30
+
+  /** Fitted model: gram counts, context ((n-1)-gram) counts, vocab size. */
+  final case class LmModel(grams: DataFrame, ctxs: DataFrame, vocab: Long, n: Int)
+
+  /** Per-position gram and context hashes of a token-hash array column.
+    * Grams are the n-token Horner folds; the context of position i is the
+    * (n-1)-token fold starting at the same i, so contexts are the
+    * (n-1)-gram array truncated to the gram positions.
+    */
+  private def gramCtx(th: Column, n: Int): (Column, Column) = {
+    val grams = PortableHash.shingleHashes(th, n)
+    val ctxs = slice(PortableHash.shingleHashes(th, n - 1), lit(1), size(th) - lit(n - 1))
+    (grams, ctxs)
+  }
+
+  /** Count n-grams and their contexts over a reference corpus. Documents
+    * with fewer than n tokens contribute nothing (matching score()).
+    */
+  def fit(corpus: DataFrame, n: Int = 2, textCol: String = "text"): LmModel = {
+    require(n >= 2, s"need n >= 2 for a conditional model, got $n")
+    val th = corpus
+      .select(PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+    val (grams, ctxs) = gramCtx(col("__th"), n)
+    val gramCounts = th.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val ctxCounts = th.select(explode(ctxs).as("ctx"))
+      .groupBy("ctx").agg(count(lit(1)).as("cnt"))
+    val vocab = th.select(explode(col("__th")).as("t")).distinct().count()
+    LmModel(gramCounts, ctxCounts, vocab, n)
+  }
+
+  /** Score documents under the model. Output per doc (≥ n tokens):
+    *   n_ngrams — scored positions
+    *   n_oov    — positions whose n-gram never occurred in the reference
+    *   sum_pq   — Σ floor(2^30 · (c+1)/(c_ctx+V)): the bit-stable
+    *              quality mass (higher = more in-domain)
+    *   avg_logp — conventional average log-probability (float; for users,
+    *              thresholds, and perplexity = exp(-avg_logp))
+    */
+  def score(docs: DataFrame, lm: LmModel,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val th = docs
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= lm.n)
+    val (grams, ctxs) = gramCtx(col("__th"), lm.n)
+    val pairs = th
+      .select(col(idCol), explode(arrays_zip(grams.as("gram"), ctxs.as("ctx"))).as("__gc"))
+      .select(col(idCol), col("__gc.gram").as("gram"), col("__gc.ctx").as("ctx"))
+    val p = (coalesce(col("__cg"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("__cc"), lit(0L)) + lit(lm.vocab)).cast("double")
+    pairs
+      .join(lm.grams.withColumnRenamed("cnt", "__cg"), Seq("gram"), "left")
+      .join(lm.ctxs.withColumnRenamed("cnt", "__cc"), Seq("ctx"), "left")
+      .withColumn("__p", p)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum((coalesce(col("__cg"), lit(0L)) === 0L).cast("long")).as("n_oov"),
+        sum(floor(col("__p") * Scale).cast("long")).as("sum_pq"),
+        avg(log(col("__p"))).as("avg_logp"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.{B, P}
+import graft.text.NgramLm
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+
+  private def gram2(a: Long, b: Long): Long = ((a % P) * B % P + b) % P
+
+  test("fit counts grams, contexts, and vocab exactly") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = NgramLm.fit(corpus, n = 2)
+    val (ha, hb) = (h("a"), h("b"))
+    val grams = lm.grams.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grams == Map(gram2(ha, hb) -> 2L, gram2(hb, ha) -> 1L))
+    // contexts are the leading token of each gram position
+    val ctxs = lm.ctxs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ctxs == Map(ha -> 2L, hb -> 1L))
+    assert(lm.vocab == 2L)
+  }
+
+  test("score: exact quantized probabilities for seen and OOV grams") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = NgramLm.fit(corpus, n = 2)
+    val docs = Seq((10L, "a b"), (11L, "z z"), (12L, "a")).toDF("doc_id", "text")
+    val out = NgramLm.score(docs, lm).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "a b": c(ab)=2, c(a)=2, V=2 → p = 3/4 → floor(0.75·2^30)
+    assert(out(10L) == ((1L, 0L, (NgramLm.Scale * 3 / 4))))
+    // "z z": unseen gram and context → p = 1/2
+    assert(out(11L) == ((1L, 1L, NgramLm.Scale / 2)))
+    // single-token doc: below n, not scored
+    assert(!out.contains(12L))
+  }
+
+  test("in-domain text outscores OOV gibberish on the real corpus") {
+    val docs = sf("documents")
+    val lm = NgramLm.fit(docs, n = 2)
+    val inDomain = docs.limit(5).select("doc_id", "text")
+    val gibberish = Seq((9001L, "qzx vbn wpl kjh zzq mmx rrv ttb")).toDF("doc_id", "text")
+    val scored = NgramLm.score(inDomain.unionByName(gibberish), lm)
+      .withColumn("avg_pq", col("sum_pq").cast("double") / col("n_ngrams"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_pq")).toMap
+    val gib = scored(9001L)
+    assert(scored.filter(_._1 != 9001L).values.forall(_ > gib),
+      s"in-domain docs must outscore gibberish: $scored")
+  }
+
+  test("avg_logp is finite, negative, and orders with the quantized score") {
+    val docs = sf("documents")
+    val lm = NgramLm.fit(docs, n = 2)
+    val scored = NgramLm.score(docs.limit(50), lm).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val lp = r.getAs[Double]("avg_logp")
+      assert(!lp.isNaN && !lp.isInfinite && lp < 0.0, s"bad avg_logp: $r")
+    }
+  }
+}

@@ -70,6 +70,19 @@ class ScriptSpec extends SparkSpec {
     assert(!got.exists(_._1 == 101L), got.toString)
   }
 
+  test("shipped LM-score plug-in ranks in-domain text above gibberish from a script") {
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((10L, "the cat sat on the rug"), (11L, "zzq vbn wpl kjh qqx mmr"))
+      .toDF("doc_id", "text")
+    val out = ScriptEngine.run(spark,
+      "scored = OPERATOR 'graft.script.ops.LmScore' corpus, ref ('n': '2');",
+      env0 = env("corpus" -> corpus, "ref" -> ref))
+    val byDoc = out("scored").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(byDoc(10L) > byDoc(11L), byDoc.toString)
+  }
+
   test("shipped classifier plug-in filters by model score from a script") {
     val emb = sf("embeddings")
     val out = ScriptEngine.run(spark,

@@ -49,6 +49,10 @@ class ExamplesSpec extends SparkSpec {
     val byClass = spark.read.parquet(s"$out/by_class")
     assert(byClass.agg(org.apache.spark.sql.functions.sum("n_docs"))
       .head().getLong(0) == 500)
+    // LM scores: every multi-token doc scored, self-fit log-probs negative
+    val lm = spark.read.parquet(s"$out/lm_scored")
+    assert(lm.count() == 500)
+    assert(lm.filter("avg_logp >= 0 OR n_ngrams <= 0").count() == 0)
   }
 
   test("incremental.cmr screens a batch against the stored corpus index") {

@@ -188,6 +188,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("minhashsig"), s"native MinHash kernel missing:\n$d")
   }
 
+  test("LM scoring resolves counts with equi-joins and partial-aggregates per doc (q114)") {
+    val d = details(SparkEntry.queries("q114_lm_score")(spark, dir))
+    assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),
+      s"LM count lookup fell back to a product join:\n$d")
+    assert(!d.contains("Window"), s"unexpected window in LM scoring:\n$d")
+    // the per-doc aggregation must partial-aggregate map-side
+    assert("HashAggregate[^\n]*partial".r.findFirstIn(d).isDefined
+      || d.contains("partial_count"), s"no partial aggregation in LM scoring:\n$d")
+  }
+
   test("stored minhash index joins without re-signing the corpus (q113 shape)") {
     // the incremental contract: a batch banded against a PERSISTED index
     // must plan (index parquet scan) ⋈ (batch banding) — the minhash

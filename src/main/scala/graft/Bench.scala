@@ -30,7 +30,9 @@ object Bench {
     "q86_chunk",
     "q90_mixture_take",
     "q93_duplicate_spans",
-    "q101_edit_join")
+    "q101_edit_join",
+    "q113_minhash_batch_index",
+    "q114_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -63,6 +63,26 @@ object NgramLm {
     LmModel(gramCounts, ctxCounts, vocab, n)
   }
 
+  /** Persist the model: the two count tables as parquet plus a one-row
+    * meta table (vocab, n). The count tables are plain hash-keyed tables —
+    * at 100 TB reference scale, write them bucketed by their hash so
+    * scoring joins are partition-local on the model side.
+    */
+  def save(lm: LmModel, path: String): Unit = {
+    lm.grams.write.mode("overwrite").parquet(s"$path/grams")
+    lm.ctxs.write.mode("overwrite").parquet(s"$path/ctxs")
+    val spark = lm.grams.sparkSession
+    import spark.implicits._
+    Seq((lm.vocab, lm.n)).toDF("vocab", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): LmModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    LmModel(spark.read.parquet(s"$path/grams"), spark.read.parquet(s"$path/ctxs"),
+      meta.getAs[Long]("vocab"), meta.getAs[Int]("n"))
+  }
+
   /** Score documents under the model. Output per doc (≥ n tokens):
     *   n_ngrams — scored positions
     *   n_oov    — positions whose n-gram never occurred in the reference

@@ -52,6 +52,19 @@ class NgramLmSpec extends SparkSpec {
       s"in-domain docs must outscore gibberish: $scored")
   }
 
+  test("saved and reloaded model scores identically to the in-memory fit") {
+    val corpus = Seq((1L, "a b a c a b"), (2L, "c a b a")).toDF("doc_id", "text")
+    val lm = NgramLm.fit(corpus, n = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    NgramLm.save(lm, dir)
+    val re = NgramLm.load(spark, dir)
+    assert(re.vocab == lm.vocab && re.n == lm.n)
+    val docs = Seq((10L, "a b c"), (11L, "b b b")).toDF("doc_id", "text")
+    val a = NgramLm.score(docs, lm).collect().map(_.toSeq.take(4)).toSet
+    val b = NgramLm.score(docs, re).collect().map(_.toSeq.take(4)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("avg_logp is finite, negative, and orders with the quantized score") {
     val docs = sf("documents")
     val lm = NgramLm.fit(docs, n = 2)

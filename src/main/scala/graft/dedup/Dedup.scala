@@ -309,6 +309,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The full incremental near-dup pipeline: candidates from
+    * [[minHashLshAgainstIndex]] (batch banded vs the stored corpus index),
+    * then exact-Jaccard verification of ONLY the touched corpus documents —
+    * the candidate ids semi-join the corpus before its text is shingled,
+    * so corpus work is ∝ candidates, not corpus size. Output: verified
+    * (batch_id, corpus_id, jaccard ≥ threshold) — the batch rows to drop
+    * (or cluster) before appending the batch to the corpus.
+    */
+  def minHashDedupAgainstIndex(batch: DataFrame, index: DataFrame, corpus: DataFrame,
+                               shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                               threshold: Double = 0.8, textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val cands = minHashLshAgainstIndex(batch, index, shingleN, k, bands, textCol, idCol)
+    def sets(df: DataFrame) = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= shingleN)
+      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
+        col("__th"), shingleN, PortableHash.B, PortableHash.P).as("__shs"))
+    val touched = corpus.join(
+      cands.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    cands
+      .join(sets(batch).select(col(idCol).as("batch_id"), col("__shs").as("__sa")), "batch_id")
+      .join(sets(touched).select(col(idCol).as("corpus_id"), col("__shs").as("__sb")), "corpus_id")
+      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   // ---- duplicate clustering --------------------------------------------------
 
   /** Connected components over a near-dup pair relation: every document in a

@@ -116,6 +116,24 @@ class MinHashMatch extends UserOperator {
   }
 }
 
+/** Verified incremental near-dups: [[MinHashMatch]] candidates resolved
+  * to exact Jaccard ≥ threshold. Inputs: (batch, index, corpus) — the
+  * corpus is semi-join-pruned to the touched documents before its text is
+  * shingled. Params: threshold (0.8) + the [[MinHashIndex]] banding params.
+  */
+class MinHashVerify extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 3, "MinHashVerify needs (batch, index, corpus) inputs")
+    graft.dedup.Dedup.minHashDedupAgainstIndex(inputs(0), inputs(1), inputs(2),
+      params.getOrElse("shingleN", "3").toInt,
+      params.getOrElse("k", "16").toInt,
+      params.getOrElse("bands", "4").toInt,
+      params.getOrElse("threshold", "0.8").toDouble,
+      params.getOrElse("text", "text"),
+      params.getOrElse("id", "doc_id"))
+  }
+}
+
 /** TF-IDF-style salient terms: the top-k tf/df-scored tokens per document.
   * Params: k (default 5), text ("text"), id ("doc_id").
   */

@@ -69,6 +69,11 @@ class ExamplesSpec extends SparkSpec {
     assert(cands.columns.toSet == Set("batch_id", "corpus_id"))
     assert(cands.filter(org.apache.spark.sql.functions.expr(
       "batch_id % 10 != 0 OR corpus_id % 10 == 0")).count() == 0)
+    // verified dups are a subset of the candidates, with exact scores
+    val dups = spark.read.parquet(s"$out/verified_dups")
+    assert(dups.columns.toSet == Set("batch_id", "corpus_id", "jaccard"))
+    assert(dups.count() <= cands.count())
+    assert(dups.filter("jaccard < 0.3 OR jaccard > 1.0").count() == 0)
   }
 
   test("layout.cmr partitions the fact table and z-orders the detail table") {

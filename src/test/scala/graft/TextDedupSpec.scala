@@ -175,6 +175,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got == crossFromWhole, s"index path diverged: $got vs $crossFromWhole")
   }
 
+  test("verified batch-vs-index dedup filters band collisions by exact jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = Dedup.minHashIndex(corpus, shingleN = 2, k = 16, bands = 8)
+    val batch = Seq((100L, base.replace("kappa", "koppa")),
+      (101L, "fresh novel text nothing like the corpus contents"))
+      .toDF("doc_id", "text")
+    // low threshold keeps the true near-dup with its exact score
+    val verified = Dedup.minHashDedupAgainstIndex(batch, index, corpus,
+      shingleN = 2, k = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verified.map(v => (v._1, v._2)).toSet == Set((100L, 1L)), verified.mkString(","))
+    assert(verified.head._3 > 0.5 && verified.head._3 < 1.0)
+    // a threshold above the true jaccard kills the pair
+    assert(Dedup.minHashDedupAgainstIndex(batch, index, corpus,
+      shingleN = 2, k = 16, bands = 8, threshold = 0.95).count() == 0)
+  }
+
   test("simhash of identical text matches; hamming ≤ 3 candidates found") {
     val docs = Seq((1L, "spark cubert engine test"), (2L, "spark cubert engine test"),
       (3L, "completely different words here now")).toDF("doc_id", "text")

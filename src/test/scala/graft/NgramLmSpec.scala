@@ -52,6 +52,39 @@ class NgramLmSpec extends SparkSpec {
       s"in-domain docs must outscore gibberish: $scored")
   }
 
+  test("quantized LM scores match a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "dd", "e")
+    def mkDocs(ids: Range): Seq[(Long, String)] = ids.map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(9))(words(rnd.nextInt(words.size))).mkString(" ")))
+    for (_ <- 1 to 3) {
+      val fitDocs = mkDocs(1 to 20)
+      val scoreDocs = mkDocs(100 to 110)
+      val lm = NgramLm.fit(fitDocs.toDF("doc_id", "text"), n = 2)
+      val got = NgramLm.score(scoreDocs.toDF("doc_id", "text"), lm).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val fitTok = fitDocs.map(d => d._2.split("\\s+").toSeq.map(h)).filter(_.length >= 2)
+      val grams = fitTok.flatMap(t => t.sliding(2).map(w => gram2(w(0), w(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctxs = fitTok.flatMap(_.dropRight(1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = fitTok.flatten.distinct.size.toLong
+      val want = scoreDocs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").toSeq.map(h)
+        if (t.length < 2) None
+        else {
+          val ps = t.sliding(2).toSeq.map { w =>
+            val cg = grams.getOrElse(gram2(w(0), w(1)), 0L)
+            val cc = ctxs.getOrElse(w(0), 0L)
+            (cg, math.floor((cg + 1).toDouble / (cc + v).toDouble * NgramLm.Scale).toLong)
+          }
+          Some(id -> ((ps.size.toLong, ps.count(_._1 == 0L).toLong, ps.map(_._2).sum)))
+        }
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("saved and reloaded model scores identically to the in-memory fit") {
     val corpus = Seq((1L, "a b a c a b"), (2L, "c a b a")).toDF("doc_id", "text")
     val lm = NgramLm.fit(corpus, n = 2)

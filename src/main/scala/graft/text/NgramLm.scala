@@ -60,6 +60,8 @@ object NgramLm {
     val ctxCounts = th.select(explode(ctxs).as("ctx"))
       .groupBy("ctx").agg(count(lit(1)).as("cnt"))
     val vocab = th.select(explode(col("__th")).as("t")).distinct().count()
+    require(vocab > 0,
+      s"reference corpus has no document with >= $n tokens — cannot fit an LM")
     LmModel(gramCounts, ctxCounts, vocab, n)
   }
 

@@ -98,6 +98,12 @@ class NgramLmSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("fitting on a corpus with no scoreable document fails loudly") {
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](NgramLm.fit(tiny, n = 2))
+    assert(e.getMessage.contains("cannot fit"))
+  }
+
   test("avg_logp is finite, negative, and orders with the quantized score") {
     val docs = sf("documents")
     val lm = NgramLm.fit(docs, n = 2)

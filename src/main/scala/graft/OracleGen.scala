@@ -88,7 +88,7 @@ object OracleGen {
        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
        |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
 
-  /** q111: incremental near-dup — corpus rows (doc_id % batchMod != 0) are
+  /** q113: incremental near-dup — corpus rows (doc_id % batchMod != 0) are
     * the pre-built index, batch rows (doc_id % batchMod = 0) band against
     * it. Mirrors Dedup.minHashLshAgainstIndex over Dedup.minHashIndex.
     */

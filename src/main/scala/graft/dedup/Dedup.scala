@@ -216,17 +216,6 @@ object Dedup {
     shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash LSH candidate pairs: per document, hash tokens once, combine n
-    * consecutive token hashes into shingle hashes, take the min under k
-    * affine permutations, and band the k-wide signature into `bands` bucket
-    * keys — ALL per-row expression work (min over a multiset equals min over
-    * the distinct set, so no distinct/groupBy is needed). The only shuffle
-    * is the band-bucket self-join — the classic shuffle-bounded near-dup
-    * plan for 100 TB. Output: distinct (id_a, id_b) candidate pairs (verify
-    * with `ngramJaccard` on the candidate subset). Hashes are portable
-    * integer arithmetic (graft.functions.PortableHash) — the DuckDB oracle
-    * reproduces them exactly.
-    */
   /** The banded MinHash index rows for a corpus: (id, band, bucket), one
     * row per (document, band), all per-row expression work. This IS the
     * persistable near-dup index — write it once (bucketed/z-ordered by
@@ -254,6 +243,17 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
+  /** MinHash LSH candidate pairs: per document, hash tokens once, combine n
+    * consecutive token hashes into shingle hashes, take the min under k
+    * affine permutations, and band the k-wide signature into `bands` bucket
+    * keys — ALL per-row expression work (min over a multiset equals min over
+    * the distinct set, so no distinct/groupBy is needed). The only shuffle
+    * is the band-bucket self-join — the classic shuffle-bounded near-dup
+    * plan for 100 TB. Output: distinct (id_a, id_b) candidate pairs (verify
+    * with `ngramJaccard` on the candidate subset). Hashes are portable
+    * integer arithmetic (graft.functions.PortableHash) — the DuckDB oracle
+    * reproduces them exactly.
+    */
   def minHashLsh(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val banded = minHashIndex(df, shingleN, k, bands, textCol, idCol)
@@ -272,6 +272,17 @@ object Dedup {
     * on the corpus side). Output: distinct (batch_id, corpus_id); verify
     * with an exact measure over the candidate texts, as with
     * [[minHashLsh]].
+    *
+    * Scope: batch-vs-CORPUS only — near-dups WITHIN the arriving batch
+    * are invisible to the index; run [[minHashLsh]] (or [[minHashDedup]])
+    * on the batch alone for the intra-batch pairs before appending.
+    *
+    * Streaming: with a streaming batch side this stays a STATELESS
+    * stream-static join — the pair dedup is per-row-exact only in batch
+    * mode, because a global distinct on a stream would accumulate
+    * unbounded state; a streaming caller gets at most `bands` copies of a
+    * pair per micro-batch (dedupe in foreachBatch if exact pairs matter —
+    * downstream verification is idempotent either way).
     */
   def minHashLshAgainstIndex(batch: DataFrame, index: DataFrame,
                              shingleN: Int = 3, k: Int = 16, bands: Int = 4,
@@ -279,10 +290,11 @@ object Dedup {
                              idCol: String = "doc_id"): DataFrame = {
     val b = minHashIndex(batch, shingleN, k, bands, textCol, idCol).as("b")
     val i = index.as("i")
-    b.join(i, col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket") &&
+    val pairs = b
+      .join(i, col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket") &&
         col(s"b.$idCol") =!= col(s"i.$idCol"))
       .select(col(s"b.$idCol").as("batch_id"), col(s"i.$idCol").as("corpus_id"))
-      .distinct()
+    if (batch.isStreaming) pairs else pairs.distinct()
   }
 
   /** Production near-dup pipeline at scale: LSH generates candidate pairs
@@ -290,15 +302,22 @@ object Dedup {
     * array_intersect on the per-document shingle-hash sets — never the
     * all-pairs join. Output: verified pairs with jaccard ≥ threshold.
     */
+  /** Distinct shingle-hash set per document — the exact-verification side
+    * of every MinHash pipeline (one definition so the all-pairs and
+    * incremental paths can never disagree on jaccard).
+    */
+  private def shingleSets(df: DataFrame, shingleN: Int,
+                          textCol: String, idCol: String): DataFrame = df
+    .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+    .filter(size(col("__th")) >= shingleN)
+    .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
+      col("__th"), shingleN, PortableHash.B, PortableHash.P).as("__shs"))
+
   def minHashDedup(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.8, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val cands = minHashLsh(df, shingleN, k, bands, textCol, idCol)
-    val sets = df
-      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
-      .filter(size(col("__th")) >= shingleN)
-      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
-        col("__th"), shingleN, PortableHash.B, PortableHash.P).as("__shs"))
+    val sets = shingleSets(df, shingleN, textCol, idCol)
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__shs").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__shs").as("__sb")), "id_b")
@@ -315,23 +334,27 @@ object Dedup {
     * the candidate ids semi-join the corpus before its text is shingled,
     * so corpus work is ∝ candidates, not corpus size. Output: verified
     * (batch_id, corpus_id, jaccard ≥ threshold) — the batch rows to drop
-    * (or cluster) before appending the batch to the corpus.
+    * (or cluster) before appending the batch to the corpus. Same scope
+    * note as [[minHashLshAgainstIndex]]: intra-batch near-dups need a
+    * [[minHashDedup]] pass over the batch alone. Batch-mode only (the
+    * candidate set is checkpointed to feed both the corpus pruning and
+    * the verify spine without recomputation).
     */
   def minHashDedupAgainstIndex(batch: DataFrame, index: DataFrame, corpus: DataFrame,
                                shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                                threshold: Double = 0.8, textCol: String = "text",
                                idCol: String = "doc_id"): DataFrame = {
+    // referenced twice below (corpus pruning + verify spine): checkpoint so
+    // the banding/join/distinct sub-DAG runs once, not per branch
     val cands = minHashLshAgainstIndex(batch, index, shingleN, k, bands, textCol, idCol)
-    def sets(df: DataFrame) = df
-      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
-      .filter(size(col("__th")) >= shingleN)
-      .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
-        col("__th"), shingleN, PortableHash.B, PortableHash.P).as("__shs"))
+      .localCheckpoint()
     val touched = corpus.join(
       cands.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     cands
-      .join(sets(batch).select(col(idCol).as("batch_id"), col("__shs").as("__sa")), "batch_id")
-      .join(sets(touched).select(col(idCol).as("corpus_id"), col("__shs").as("__sb")), "corpus_id")
+      .join(shingleSets(batch, shingleN, textCol, idCol)
+        .select(col(idCol).as("batch_id"), col("__shs").as("__sa")), "batch_id")
+      .join(shingleSets(touched, shingleN, textCol, idCol)
+        .select(col(idCol).as("corpus_id"), col("__shs").as("__sb")), "corpus_id")
       .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard", col("__common").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("__common")))

@@ -823,6 +823,48 @@ object OracleGen {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- q115 BM25 top-k -----------------------------------------------------
+
+  /** Mirrors Search.bm25TopK: per (doc, term) the BM25 tf factor times the
+    * rational Robertson idf, scaled by 2^20 and floored to BIGINT before
+    * the per-doc sum (summation order can't perturb longs). Constant
+    * strings come from the same Scala doubles the engine uses
+    * (shortest-round-trip toString re-parses to the identical double), and
+    * every +,×,÷ matches the engine's association — all exactly-rounded
+    * IEEE ops, no transcendentals in graded columns.
+    */
+  def bm25(terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): String = {
+    val termValues = terms.distinct.map(t => s"('$t')").mkString(", ")
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
+    s"""WITH q(term) AS (VALUES $termValues),
+       |tf AS (
+       |  SELECT doc_id, term, count(1) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY 1, 2
+       |), dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+       |lengths AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT CAST(count(1) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avgdl FROM lengths),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(
+       |      CAST(t.tf AS DOUBLE) * $k1p1 /
+       |        (CAST(t.tf AS DOUBLE) + $k1 * ($oneMinusB + $b * CAST(l.dl AS DOUBLE) / s.avgdl))
+       |      * ((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       |      * ${graft.text.Search.Scale}.0) AS BIGINT) AS sq
+       |  FROM tf t JOIN q USING (term) JOIN dfreq d USING (term)
+       |       JOIN lengths l USING (doc_id), stats s
+       |)
+       |SELECT doc_id, score_q, n_terms, rank FROM (
+       |  SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q,
+       |    CAST(count(1) AS BIGINT) AS n_terms,
+       |    CAST(row_number() OVER (ORDER BY CAST(sum(sq) AS BIGINT) DESC, doc_id) AS INT) AS rank
+       |  FROM scored GROUP BY doc_id)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // ---- q99 TF-IDF top terms ------------------------------------------------
 
   /** Mirrors TextAnalysis.topTerms: tf/df ratio score (one exactly rounded

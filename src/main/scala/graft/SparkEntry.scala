@@ -17,6 +17,9 @@ import graft.similarity.Similarity
   */
 object SparkEntry {
 
+  /** Keyword profile for the q115 BM25 ranking (shared with its oracle). */
+  val bm25Terms: Seq[String] = Seq("spark", "merge", "window", "customer")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -316,6 +319,15 @@ object SparkEntry {
       val lm = graft.text.NgramLm.fit(docs.filter(col("doc_id") % 2 === 0), n = 2)
       graft.text.NgramLm.score(docs, lm)
         .select("doc_id", "n_ngrams", "n_oov", "sum_pq")
+    }),
+
+    // BM25 relevance: index the corpus once, rank the top 50 docs against
+    // a keyword profile; graded columns are the quantized log-free score
+    // (score_ln is the user-facing float convenience, dropped here)
+    "q115_bm25" -> ((s, d) => {
+      val idx = graft.text.Search.bm25Index(t(s, d, "documents"))
+      graft.text.Search.bm25TopK(idx, SparkEntry.bm25Terms, k = 50)
+        .select("doc_id", "score_q", "n_terms", "rank")
     }),
 
     // ---- dedup extensions -------------------------------------------------------------
@@ -1046,6 +1058,7 @@ object SparkEntry {
     "q113_minhash_batch_index" ->
       OracleGen.minHashAgainstIndex(shingleN = 3, k = 16, bands = 4, batchMod = 10),
     "q114_lm_score" -> OracleGen.lmScore(n = 2, fitMod = 2),
+    "q115_bm25" -> OracleGen.bm25(bm25Terms, k = 50),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

@@ -151,6 +151,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_count".r.findFirstIn(d).isDefined, s"no partial tf aggregate:\n$d")
   }
 
+  test("bm25 broadcasts query+df sides, partial-aggregates, top-k without global sort (q115)") {
+    val d = details(SparkEntry.queries("q115_bm25")(spark, dir))
+    assert(d.contains("BroadcastHashJoin"), s"query/df join not broadcast:\n$d")
+    assert("partial_(count|sum)".r.findFirstIn(d).isDefined,
+      s"no map-side partial per-doc aggregate:\n$d")
+    assert(d.contains("TakeOrderedAndProject"),
+      s"top-k is not a distributed TakeOrderedAndProject:\n$d")
+  }
+
   test("temperature mixture scans the corpus once — total over the strata aggregate (q98)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("q98_mixture_temperature")(spark, dir)

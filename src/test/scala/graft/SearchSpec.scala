@@ -1,0 +1,100 @@
+package graft
+
+import graft.text.Search
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark merge join spark spark"),
+    (2L, "merge sort merge"),
+    (3L, "window functions here"),
+    (4L, "totally unrelated words")).toDF("doc_id", "text")
+
+  /** Independent scalar reference over the tiny corpus. */
+  private def refScore(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, (Long, Long)] = {
+    val docs = Map(
+      1L -> Seq("spark", "merge", "join", "spark", "spark"),
+      2L -> Seq("merge", "sort", "merge"),
+      3L -> Seq("window", "functions", "here"),
+      4L -> Seq("totally", "unrelated", "words"))
+    val n = docs.size.toLong
+    val avgdl = docs.values.map(_.size).sum.toDouble / n.toDouble
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val perDoc = for {
+      (id, toks) <- docs.toSeq
+      term <- terms.distinct if toks.contains(term)
+    } yield {
+      val tf = toks.count(_ == term).toDouble
+      val dl = toks.size.toDouble
+      val tfF = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      val idfR = ((n - df(term)).toDouble + 0.5) / (df(term).toDouble + 0.5)
+      id -> math.floor(tfF * idfR * Search.Scale.toDouble).toLong
+    }
+    perDoc.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.map(_._2).sum, xs.size.toLong)
+    }
+  }
+
+  test("index counts postings, lengths, df, N, avgdl exactly") {
+    val idx = Search.bm25Index(corpus)
+    assert(idx.nDocs == 4L)
+    assert(idx.avgDl == (5 + 3 + 3 + 3).toDouble / 4.0)
+    val post = idx.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(post((1L, "spark")) == 3L && post((1L, "merge")) == 1L)
+    assert(post((2L, "merge")) == 2L)
+    val dfreq = idx.dfreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfreq("merge") == 2L && dfreq("spark") == 1L)
+    val dl = idx.lengths.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(1L -> 5L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("quantized scores match an independent scalar reference") {
+    val terms = Seq("spark", "merge", "window")
+    val idx = Search.bm25Index(corpus)
+    val got = Search.bm25Score(idx, terms).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refScore(terms), s"got $got expected ${refScore(terms)}")
+    // unmatched doc 4 absent; score_ln finite and positive on matches
+    assert(!got.contains(4L))
+    val ln = Search.bm25Score(idx, terms).collect()
+      .map(r => r.getDouble(3))
+    assert(ln.forall(v => v > 0.0 && !v.isNaN))
+  }
+
+  test("topK ranks by score desc with deterministic id ties, k bounds rows") {
+    val idx = Search.bm25Index(corpus)
+    val top = Search.bm25TopK(idx, Seq("spark", "merge", "window"), k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    assert(top.length == 2)
+    assert(top.map(_._2).toSeq == Seq(1, 2))
+    val ref = refScore(Seq("spark", "merge", "window"))
+    val order = ref.toSeq.sortBy { case (id, (s, _)) => (-s, id) }.map(_._1)
+    assert(top.map(_._1).toSeq == order.take(2))
+  }
+
+  test("duplicate query terms are deduped; empty query rejected") {
+    val idx = Search.bm25Index(corpus)
+    val once = Search.bm25Score(idx, Seq("merge")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twice = Search.bm25Score(idx, Seq("merge", "merge")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once == twice)
+    intercept[IllegalArgumentException](Search.bm25Score(idx, Seq.empty))
+  }
+
+  test("save/load roundtrip preserves scores") {
+    val idx = Search.bm25Index(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Search.save(idx, dir)
+    val re = Search.load(spark, dir)
+    assert(re.nDocs == idx.nDocs && re.avgDl == idx.avgDl && re.idCol == "doc_id")
+    val a = Search.bm25Score(idx, Seq("spark", "merge")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Search.bm25Score(re, Seq("spark", "merge")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

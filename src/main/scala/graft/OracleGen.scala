@@ -823,6 +823,47 @@ object OracleGen {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors NgramLm.scoreBackoff: stupid backoff with α = 0.5 — seen
+    * grams floor(2^30 · cg/cc), backoff positions floor(2^29 · (cu+1)/(T+V))
+    * (α·2^30 folded to 2^29 exactly). Quantized longs before the per-doc
+    * sum, as in lmScore.
+    */
+  def lmScoreBackoff(n: Int, fitMod: Int): String = {
+    val gram = horner((0 until n).map(j => s"hs[i + $j]"))
+    val ctx = horner((0 until n - 1).map(j => s"hs[i + $j]"))
+    val scale = graft.text.NgramLm.Scale
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), fit AS (
+       |  SELECT hs FROM th WHERE doc_id % $fitMod = 0 AND len(hs) >= $n
+       |), unis AS (
+       |  SELECT u AS uni, count(1) AS cu FROM (SELECT unnest(hs) AS u FROM fit) GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(cu) AS BIGINT) AS t, CAST(count(1) AS BIGINT) AS v FROM unis
+       |), fitpos AS (
+       |  SELECT hs, unnest(generate_series(1, len(hs) - ${n - 1})) AS i FROM fit
+       |), grams AS (
+       |  SELECT $gram AS gram, count(1) AS cg FROM fitpos GROUP BY 1
+       |), ctxs AS (
+       |  SELECT $ctx AS ctx, count(1) AS cc FROM fitpos GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, $gram AS gram, $ctx AS ctx, hs[i + ${n - 1}] AS uni
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - ${n - 1})) AS i
+       |        FROM th WHERE len(hs) >= $n)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(1) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN g.cg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(sum(CASE WHEN g.cg IS NOT NULL
+       |    THEN CAST(floor(CAST(g.cg AS DOUBLE) / CAST(c.cc AS DOUBLE) * $scale.0) AS BIGINT)
+       |    ELSE CAST(floor(CAST(COALESCE(u.cu, 0) + 1 AS DOUBLE)
+       |      / CAST((SELECT t FROM tot) + (SELECT v FROM tot) AS DOUBLE) * ${scale / 2}.0) AS BIGINT)
+       |  END) AS BIGINT) AS sum_sq
+       |FROM scored s LEFT JOIN grams g USING (gram) LEFT JOIN ctxs c USING (ctx)
+       |     LEFT JOIN unis u USING (uni)
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---- q115 BM25 top-k -----------------------------------------------------
 
   /** Mirrors Search.bm25TopK: per (doc, term) the BM25 tf factor times the

@@ -321,6 +321,15 @@ object SparkEntry {
         .select("doc_id", "n_ngrams", "n_oov", "sum_pq")
     }),
 
+    // stupid-backoff variant of q114: seen bigrams score their MLE, unseen
+    // ones back off to α·unigram with α=0.5 (exact in IEEE — see NgramLm)
+    "q116_lm_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bm = graft.text.NgramLm.fitBackoff(docs.filter(col("doc_id") % 2 === 0), n = 2)
+      graft.text.NgramLm.scoreBackoff(docs, bm)
+        .select("doc_id", "n_ngrams", "n_backoff", "sum_sq")
+    }),
+
     // BM25 relevance: index the corpus once, rank the top 50 docs against
     // a keyword profile; graded columns are the quantized log-free score
     // (score_ln is the user-facing float convenience, dropped here)
@@ -1059,6 +1068,7 @@ object SparkEntry {
       OracleGen.minHashAgainstIndex(shingleN = 3, k = 16, bands = 4, batchMod = 10),
     "q114_lm_score" -> OracleGen.lmScore(n = 2, fitMod = 2),
     "q115_bm25" -> OracleGen.bm25(bm25Terms, k = 50),
+    "q116_lm_backoff" -> OracleGen.lmScoreBackoff(n = 2, fitMod = 2),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

@@ -114,4 +114,80 @@ object NgramLm {
         sum(floor(col("__p") * Scale).cast("long")).as("sum_pq"),
         avg(log(col("__p"))).as("avg_logp"))
   }
+
+  /** Stupid-backoff model (Brants et al. 2007, "Large Language Models in
+    * Machine Translation"): seen n-grams score their MLE c(gram)/c(ctx);
+    * unseen n-grams back off to α · unigram, with α = 0.5 — chosen (vs the
+    * paper's 0.4) because multiplying by 0.5 is exact in IEEE-754, keeping
+    * the quantized scores bit-portable. The terminal unigram is add-one
+    * smoothed, (c(w)+1)/(T+V), so OOV tokens still score > 0.
+    */
+  final case class BackoffModel(grams: DataFrame, ctxs: DataFrame,
+                                unis: DataFrame, tokens: Long, vocab: Long,
+                                n: Int)
+
+  /** Fit the backoff model: the add-one fit's two count tables plus a
+    * unigram count table and two bounded driver scalars (T, V). Same scale
+    * shape as [[fit]] — three count shuffles over the reference corpus.
+    */
+  def fitBackoff(corpus: DataFrame, n: Int = 2,
+                 textCol: String = "text"): BackoffModel = {
+    require(n >= 2, s"need n >= 2 for a conditional model, got $n")
+    val th = corpus
+      .select(PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+    val (grams, ctxs) = gramCtx(col("__th"), n)
+    val gramCounts = th.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val ctxCounts = th.select(explode(ctxs).as("ctx"))
+      .groupBy("ctx").agg(count(lit(1)).as("cnt"))
+    val uniCounts = th.select(explode(col("__th")).as("uni"))
+      .groupBy("uni").agg(count(lit(1)).as("cnt"))
+    val stats = uniCounts.agg(sum("cnt").as("__t"), count(lit(1)).as("__v")).head()
+    require(!stats.isNullAt(0),
+      s"reference corpus has no document with >= $n tokens — cannot fit an LM")
+    BackoffModel(gramCounts, ctxCounts, uniCounts,
+      stats.getLong(0), stats.getLong(1), n)
+  }
+
+  /** Score documents under a stupid-backoff model. Output per doc
+    * (≥ n tokens):
+    *   n_ngrams  — scored positions
+    *   n_backoff — positions that backed off to the unigram
+    *   sum_sq    — Σ floor(2^30 · c/c_ctx) over seen positions plus
+    *               Σ floor(2^29 · (c_w+1)/(T+V)) over backoff positions
+    *               (α·2^30 = 2^29 exactly): the bit-stable quality mass
+    *   avg_logs  — conventional average log-score (float; for users and
+    *               perplexity-style thresholds, not oracle-graded)
+    * Same join shape as [[score]] plus one unigram equi-join resolving the
+    * trailing token of each position.
+    */
+  def scoreBackoff(docs: DataFrame, bm: BackoffModel,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val th = docs
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= bm.n)
+    val (grams, ctxs) = gramCtx(col("__th"), bm.n)
+    val words = slice(col("__th"), lit(bm.n), size(col("__th")) - lit(bm.n - 1))
+    val pairs = th
+      .select(col(idCol), explode(arrays_zip(grams.as("gram"), ctxs.as("ctx"),
+        words.as("uni"))).as("__gcw"))
+      .select(col(idCol), col("__gcw.gram").as("gram"),
+        col("__gcw.ctx").as("ctx"), col("__gcw.uni").as("uni"))
+    val seen = col("__cg").isNotNull
+    val pSeen = col("__cg").cast("double") / col("__cc").cast("double")
+    val pUni = (coalesce(col("__cu"), lit(0L)) + lit(1L)).cast("double") /
+      lit((bm.tokens + bm.vocab).toDouble)
+    val sq = when(seen, floor(pSeen * lit(Scale.toDouble)))
+      .otherwise(floor(pUni * lit((Scale / 2).toDouble))).cast("long")
+    pairs
+      .join(bm.grams.withColumnRenamed("cnt", "__cg"), Seq("gram"), "left")
+      .join(bm.ctxs.withColumnRenamed("cnt", "__cc"), Seq("ctx"), "left")
+      .join(bm.unis.withColumnRenamed("cnt", "__cu"), Seq("uni"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum((!seen).cast("long")).as("n_backoff"),
+        sum(sq).as("sum_sq"),
+        avg(log(when(seen, pSeen).otherwise(pUni * lit(0.5)))).as("avg_logs"))
+  }
 }

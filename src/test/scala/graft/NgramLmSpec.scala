@@ -85,6 +85,75 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff: exact quantized scores for seen, backoff, and OOV grams") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val bm = NgramLm.fitBackoff(corpus, n = 2)
+    // fit tokens: a b a | a b → T=5, V=2, c(a)=3, c(b)=2
+    assert(bm.tokens == 5L && bm.vocab == 2L)
+    val docs = Seq((10L, "a b"), (11L, "b b"), (12L, "z z")).toDF("doc_id", "text")
+    val out = NgramLm.scoreBackoff(docs, bm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a b": seen gram, c(ab)=2, c(a ctx)=2 → floor(2^30 · 1.0)
+    assert(out(10L) == ((1L, 0L, NgramLm.Scale)))
+    // "b b": unseen gram → backoff to α·(c(b)+1)/(T+V) = 0.5·3/7
+    assert(out(11L) == ((1L, 1L,
+      math.floor(3.0 / 7.0 * (NgramLm.Scale / 2)).toLong)))
+    // "z z": backoff with OOV unigram → 0.5·1/7
+    assert(out(12L) == ((1L, 1L,
+      math.floor(1.0 / 7.0 * (NgramLm.Scale / 2)).toLong)))
+  }
+
+  test("backoff scores match a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(13)
+    val words = Vector("a", "bb", "ccc", "dd", "e")
+    def mkDocs(ids: Range): Seq[(Long, String)] = ids.map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(9))(words(rnd.nextInt(words.size))).mkString(" ")))
+    for (_ <- 1 to 3) {
+      val fitDocs = mkDocs(1 to 20)
+      val scoreDocs = mkDocs(100 to 110)
+      val bm = NgramLm.fitBackoff(fitDocs.toDF("doc_id", "text"), n = 2)
+      val got = NgramLm.scoreBackoff(scoreDocs.toDF("doc_id", "text"), bm).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val fitTok = fitDocs.map(d => d._2.split("\\s+").toSeq.map(h)).filter(_.length >= 2)
+      val grams = fitTok.flatMap(t => t.sliding(2).map(w => gram2(w(0), w(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctxs = fitTok.flatMap(_.dropRight(1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val unis = fitTok.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val t0 = fitTok.map(_.size).sum.toLong
+      val v = unis.size.toLong
+      val want = scoreDocs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").toSeq.map(h)
+        if (t.length < 2) None
+        else {
+          val ps = t.sliding(2).toSeq.map { w =>
+            val cg = grams.getOrElse(gram2(w(0), w(1)), 0L)
+            if (cg > 0L)
+              (false, math.floor(cg.toDouble / ctxs(w(0)).toDouble * NgramLm.Scale).toLong)
+            else
+              (true, math.floor((unis.getOrElse(w(1), 0L) + 1).toDouble /
+                (t0 + v).toDouble * (NgramLm.Scale / 2)).toLong)
+          }
+          Some(id -> ((ps.size.toLong, ps.count(_._1).toLong, ps.map(_._2).sum)))
+        }
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("backoff: in-domain beats gibberish, avg_logs finite and negative") {
+    val docs = sf("documents")
+    val bm = NgramLm.fitBackoff(docs, n = 2)
+    val gibberish = Seq((9001L, "qzx vbn wpl kjh zzq mmx rrv ttb")).toDF("doc_id", "text")
+    val scored = NgramLm.scoreBackoff(docs.limit(5).select("doc_id", "text")
+        .unionByName(gibberish), bm)
+      .withColumn("avg_sq", col("sum_sq").cast("double") / col("n_ngrams"))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("avg_sq"), r.getAs[Double]("avg_logs")))
+    val gib = scored.find(_._1 == 9001L).get
+    assert(scored.filter(_._1 != 9001L).forall(_._2 > gib._2), scored.mkString(","))
+    assert(scored.forall(s => s._3 < 0.0 && !s._3.isNaN && !s._3.isInfinite))
+  }
+
   test("saved and reloaded model scores identically to the in-memory fit") {
     val corpus = Seq((1L, "a b a c a b"), (2L, "c a b a")).toDF("doc_id", "text")
     val lm = NgramLm.fit(corpus, n = 2)

@@ -256,3 +256,38 @@ class SoftmaxClassify extends UserOperator {
       params.getOrElse("out", "predicted_class"))
   }
 }
+
+/** Stupid-backoff LM scoring for scripts: fit on the SECOND input
+  * (reference corpus), score the FIRST. Emits doc_id, n_ngrams,
+  * n_backoff, sum_sq, avg_logs (see NgramLm.scoreBackoff). Params:
+  * n (2), text ("text"), id ("doc_id").
+  */
+class LmBackoffScore extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "LmBackoffScore needs (corpus, reference) inputs")
+    val bm = graft.text.NgramLm.fitBackoff(inputs(1),
+      params.getOrElse("n", "2").toInt, params.getOrElse("text", "text"))
+    graft.text.NgramLm.scoreBackoff(inputs(0), bm,
+      params.getOrElse("text", "text"), params.getOrElse("id", "doc_id"))
+  }
+}
+
+/** BM25 relevance for scripts: index the input corpus and rank its
+  * documents against a keyword profile.
+  * Params: terms (comma-separated, required),
+  * k (top-k; 0 or absent = score all matches, no rank column), k1 (1.2),
+  * b (0.75), text ("text"), id ("doc_id").
+  */
+class Bm25Rank extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val terms = params("terms").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val idx = graft.text.Search.bm25Index(inputs.head,
+      params.getOrElse("text", "text"), params.getOrElse("id", "doc_id"))
+    val k1 = params.getOrElse("k1", "1.2").toDouble
+    val b = params.getOrElse("b", "0.75").toDouble
+    params.get("k").map(_.toInt).filter(_ > 0) match {
+      case Some(k) => graft.text.Search.bm25TopK(idx, terms, k, k1, b)
+      case None => graft.text.Search.bm25Score(idx, terms, k1, b)
+    }
+  }
+}

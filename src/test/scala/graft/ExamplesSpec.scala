@@ -53,6 +53,18 @@ class ExamplesSpec extends SparkSpec {
     val lm = spark.read.parquet(s"$out/lm_scored")
     assert(lm.count() == 500)
     assert(lm.filter("avg_logp >= 0 OR n_ngrams <= 0").count() == 0)
+    // backoff scores: same coverage; self-fit means no position backs off
+    // more often than it hits (sanity, not exactness — NgramLmSpec pins those)
+    val bo = spark.read.parquet(s"$out/backoff_scored")
+    assert(bo.count() == 500)
+    assert(bo.filter("avg_logs >= 0 OR sum_sq <= 0").count() == 0)
+    // BM25 ranking: k rows, ranks 1..k, quantized scores descending
+    val topical = spark.read.parquet(s"$out/topical")
+      .orderBy("rank").collect()
+    assert(topical.length == 20)
+    assert(topical.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val scores = topical.map(_.getAs[Long]("score_q")).toSeq
+    assert(scores == scores.sorted.reverse, s"not descending: $scores")
   }
 
   test("incremental.cmr screens a batch against the stored corpus index") {

@@ -373,6 +373,25 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
 
+  // ---- q117 IVF assignment with fixed centroids ----------------------------
+
+  /** Mirrors Similarity.ivfAssign with the first `nCentroids` vectors as
+    * fixed centroids: d = −cosine (ordered double folds, hardware sqrt —
+    * all correctly-rounded IEEE ops), argmin with (d, centroid_id)
+    * tie-break exactly as the engine's min_by struct.
+    */
+  def ivfAssign(nCentroids: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |scored AS (
+       |  SELECT e.vec_id, c.centroid_id, -(${cosine("e.v", "c.cv")}) AS d
+       |  FROM e, c)
+       |SELECT vec_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rk
+       |  FROM scored)
+       |WHERE rk = 1""".stripMargin
+
   // ---- q69 LSH embedding near-dup -----------------------------------------
 
   /** Hyperplane-band bucketed near-dup pairs with exact cosine verification

@@ -599,6 +599,18 @@ object SparkEntry {
       graft.text.Bpe.segment(t(s, d, "documents"), graft.text.Bpe.demoMerges)
         .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))),
     // trained-IVF ANN: k-means coarse quantizer (deterministic) + cell search
+    // exact anchor for the IVF/k-means assignment step: with FIXED
+    // centroids (the first 8 vectors) the nearest-centroid argmin is
+    // deterministic portable arithmetic, so the DuckDB oracle reproduces
+    // it bit-for-bit — the iterative q94 stays rows-only, but its inner
+    // assignment kernel is hash-graded here
+    "q117_ivf_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id")
+    }),
+
     "q94_kmeans_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cents = Similarity.kmeansFit(emb, k = 8, iters = 3)
@@ -1069,6 +1081,7 @@ object SparkEntry {
     "q114_lm_score" -> OracleGen.lmScore(n = 2, fitMod = 2),
     "q115_bm25" -> OracleGen.bm25(bm25Terms, k = 50),
     "q116_lm_backoff" -> OracleGen.lmScoreBackoff(n = 2, fitMod = 2),
+    "q117_ivf_assign" -> OracleGen.ivfAssign(nCentroids = 8),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

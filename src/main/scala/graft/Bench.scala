@@ -32,7 +32,9 @@ object Bench {
     "q93_duplicate_spans",
     "q101_edit_join",
     "q113_minhash_batch_index",
-    "q114_lm_score")
+    "q114_lm_score",
+    "q115_bm25",
+    "q116_lm_backoff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -925,6 +925,48 @@ object OracleGen {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ---- q119 corpus report --------------------------------------------------
+
+  /** Per-(source, lang) dataset-card accounting. Integer sums cast to
+    * BIGINT (DuckDB HUGEINT otherwise); the exact median of small-integer
+    * token counts is portable — both engines average the two middle values
+    * as doubles, exact below 2^52.
+    */
+  def corpusReport: String =
+    s"""SELECT source, lang, count(1) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+       |  min(tok) AS min_tokens, max(tok) AS max_tokens,
+       |  CAST(median(tok) AS DOUBLE) AS med_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM (SELECT source, lang, CAST(len($toks) AS BIGINT) AS tok, n_chars FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- q118 hybrid RRF -----------------------------------------------------
+
+  /** Mirrors Search.rrfFuse over the q115 BM25 ranking and the q44-style
+    * brute-force cosine ranking for query vector 0: each list contributes
+    * floor(2^20 / (rrfK + rank)) — one exactly-rounded division — summed
+    * as longs per doc, fused rank tie-broken on doc_id.
+    */
+  def hybridRrf(terms: Seq[String], k: Int, rrfK: Int): String = {
+    val scale = graft.text.Search.Scale
+    s"""WITH bmtop AS (SELECT doc_id, rank FROM (${bm25(terms, k)})),
+       |anntop AS (SELECT neighbor_id AS doc_id, rank FROM (${annBrute(k, 1L)})),
+       |contribs AS (
+       |  SELECT doc_id, CAST(floor($scale.0 / ($rrfK.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+       |  FROM bmtop
+       |  UNION ALL
+       |  SELECT doc_id, CAST(floor($scale.0 / ($rrfK.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+       |  FROM anntop
+       |), fused AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q, CAST(count(1) AS BIGINT) AS n_lists
+       |  FROM contribs GROUP BY 1
+       |)
+       |SELECT doc_id, rrf_q, n_lists,
+       |  CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS INT) AS rank
+       |FROM fused""".stripMargin
+  }
+
   // ---- q99 TF-IDF top terms ------------------------------------------------
 
   /** Mirrors TextAnalysis.topTerms: tf/df ratio score (one exactly rounded

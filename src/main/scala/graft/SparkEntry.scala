@@ -339,6 +339,36 @@ object SparkEntry {
         .select("doc_id", "score_q", "n_terms", "rank")
     }),
 
+    // the standard dataset card: per-(source, lang) doc/token/char
+    // accounting with exact token-count medians — one corpus scan, one
+    // strata-sized aggregate
+    "q119_corpus_report" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("__tok"), col("n_chars"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("__tok").as("sum_tokens"),
+          min("__tok").as("min_tokens"),
+          max("__tok").as("max_tokens"),
+          median(col("__tok")).cast("double").as("med_tokens"),
+          sum("n_chars").as("sum_chars"))),
+
+    // hybrid retrieval: BM25 keyword ranking fused with brute-force cosine
+    // ANN (query = vector 0) by reciprocal-rank fusion — per-list
+    // contributions quantize before the per-doc sum, so the fused ranking
+    // is bit-portable
+    "q118_hybrid_rrf" -> ((s, d) => {
+      val idx = graft.text.Search.bm25Index(t(s, d, "documents"))
+      val lex = graft.text.Search.bm25TopK(idx, SparkEntry.bm25Terms, k = 50)
+        .select("doc_id", "rank")
+      val emb = t(s, d, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.Search.rrfFuse(Seq(lex, vec))
+        .select("doc_id", "rrf_q", "n_lists", "rank")
+    }),
+
     // ---- dedup extensions -------------------------------------------------------------
     "q39_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"))),
@@ -1082,6 +1112,8 @@ object SparkEntry {
     "q115_bm25" -> OracleGen.bm25(bm25Terms, k = 50),
     "q116_lm_backoff" -> OracleGen.lmScoreBackoff(n = 2, fitMod = 2),
     "q117_ivf_assign" -> OracleGen.ivfAssign(nCentroids = 8),
+    "q118_hybrid_rrf" -> OracleGen.hybridRrf(bm25Terms, k = 50, rrfK = 60),
+    "q119_corpus_report" -> OracleGen.corpusReport,
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

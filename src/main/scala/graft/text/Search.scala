@@ -130,4 +130,33 @@ object Search {
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("int"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine a lexical (BM25) and a vector (ANN) ranking into one hybrid
+    * ranking without score calibration: each list contributes
+    * 1/(rrfK + rank) per document, summed across lists.
+    *
+    * Each input is a ranking with (idCol, rank); documents missing from a
+    * list contribute nothing. The contribution is quantized to
+    * floor(2^20 / (rrfK + rank)) — one exactly-rounded division — per
+    * list BEFORE the per-document sum, so `rrf_q` is bit-portable;
+    * n_lists counts how many rankings hit the document. Ties break on id.
+    *
+    * Scale shape: a union of the (tiny — top-k each) ranking lists, one
+    * aggregation, one k-row window for the fused rank. The corpus is
+    * never touched — fusion cost is O(Σ list sizes).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.map(_.select(col(idCol),
+      floor(lit(Scale.toDouble) / (lit(rrfK).cast("double") + col("rank").cast("double")))
+        .cast("long").as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("rrf_q"), count(lit(1)).as("n_lists"))
+    val ord = Seq(col("rrf_q").desc, col(idCol).asc)
+    fused.orderBy(ord: _*)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("int"))
+  }
 }

@@ -85,6 +85,26 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.bm25Score(idx, Seq.empty))
   }
 
+  test("rrf fusion: quantized contributions, overlap wins, ties break on id") {
+    def c(r: Int): Long = (Search.Scale.toDouble / (60.0 + r.toDouble)).toLong
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(lex, vec)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 2 appears in both lists and must fuse to the top
+    assert(fused.toSeq == Seq(
+      (2L, c(1) + c(2), 2L, 1),
+      (1L, c(1), 1L, 2),
+      (3L, c(2), 1L, 3)), fused.mkString(","))
+    // a doc ranked 1 in a single list ties a doc ranked 1 in another:
+    // id breaks the tie deterministically
+    val a = Seq((9L, 1)).toDF("doc_id", "rank")
+    val b = Seq((4L, 1)).toDF("doc_id", "rank")
+    val tied = Search.rrfFuse(Seq(a, b)).collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(tied.toSeq == Seq((4L, 1), (9L, 2)))
+    intercept[IllegalArgumentException](Search.rrfFuse(Seq.empty))
+  }
+
   test("save/load roundtrip preserves scores") {
     val idx = Search.bm25Index(corpus)
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString

@@ -220,6 +220,31 @@ object OracleGen {
        |FROM isl GROUP BY doc_id, island""".stripMargin
   }
 
+  // ---- q120 cut spans ------------------------------------------------------
+
+  /** Mirrors Dedup.cutSpans over Dedup.duplicateSpans: every token whose
+    * 1-based position falls inside a flagged span is dropped; remaining
+    * tokens re-join single-spaced (documents with no spans canonicalize
+    * the same way).
+    */
+  def cutSpans(n: Int, minCount: Long): String =
+    s"""WITH spans AS (SELECT * FROM (${duplicateSpans(n, minCount)})),
+       |toks AS (SELECT doc_id, $toks AS ts FROM documents),
+       |flat AS (
+       |  SELECT doc_id, p.i AS i, p.t AS t
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+       |    i -> {'i': i, 't': ts[i]})) AS p FROM toks)
+       |), kept AS (
+       |  SELECT f.doc_id, f.i, f.t FROM flat f
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = f.doc_id
+       |    AND f.i >= s.span_start AND f.i <= s.span_end)
+       |)
+       |SELECT t.doc_id,
+       |  COALESCE(string_agg(k.t, ' ' ORDER BY k.i), '') AS clean_text,
+       |  CAST(len(t.ts) - count(k.i) AS BIGINT) AS n_tokens_removed
+       |FROM toks t LEFT JOIN kept k USING (doc_id)
+       |GROUP BY t.doc_id, len(t.ts)""".stripMargin
+
   // ---- q88 heavy hitters --------------------------------------------------
 
   /** Mirrors Aggregations.heavyHitters over whitespace tokens. */

@@ -611,6 +611,12 @@ object SparkEntry {
     // ranges of each document repeat >= 2 times corpus-wide
     "q93_duplicate_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t(s, d, "documents"), n = 8, minCount = 2L)),
+    // ...and the transform that APPLIES those spans: exact substring dedup
+    // end-to-end — detect corpus-hot ranges, cut exactly those tokens
+    "q120_cut_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.cutSpans(docs, Dedup.duplicateSpans(docs, n = 8, minCount = 2L))
+    }),
 
     // BPE tokenizer training: one distributed word-count shuffle, then a
     // driver-side merge loop over the vocab-bounded dictionary. Iterative —
@@ -1114,6 +1120,7 @@ object SparkEntry {
     "q117_ivf_assign" -> OracleGen.ivfAssign(nCentroids = 8),
     "q118_hybrid_rrf" -> OracleGen.hybridRrf(bm25Terms, k = 50, rrfK = 60),
     "q119_corpus_report" -> OracleGen.corpusReport,
+    "q120_cut_spans" -> OracleGen.cutSpans(n = 8, minCount = 2L),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

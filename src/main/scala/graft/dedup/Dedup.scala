@@ -669,6 +669,34 @@ object Dedup {
       .select(idCol, "span_start", "span_end", "n_span_tokens")
   }
 
+  /** Apply [[duplicateSpans]]: cut the flagged token ranges out of each
+    * document and re-emit the cleaned text — the "fix" half of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): detect WHICH ranges repeat corpus-wide,
+    * then remove exactly those tokens. Documents without spans pass
+    * through with whitespace canonicalized (single-space token join), so
+    * the output text form is uniform.
+    *
+    * Scale shape: spans collapse to a per-doc list of (start, end) pairs
+    * (bounded by doc length / n), one equi-join into the corpus on the
+    * fixed-width id, then a narrow per-row token filter — token-linear
+    * with per-token work ∝ spans-per-doc.
+    */
+  def cutSpans(df: DataFrame, spans: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.join(sp, Seq(idCol), "left")
+      .withColumn("__toks", graft.text.TextAnalysis.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__toks"), (_, i) =>
+        !coalesce(exists(col("__spans"), s =>
+          (i + lit(1)) >= s.getField("span_start") &&
+            (i + lit(1)) <= s.getField("span_end")), lit(false))))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_tokens_removed"))
+  }
+
   // ---- decontamination ------------------------------------------------
 
   /** Benchmark decontamination: per training document, how many of its

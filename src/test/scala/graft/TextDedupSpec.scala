@@ -363,6 +363,28 @@ class TextDedupSpec extends SparkSpec {
       (2L, 2L, 4L, 3L), (3L, 3L, 5L, 3L)))
   }
 
+  test("cutSpans removes exactly the flagged token ranges, passes others through") {
+    val docs = Seq(
+      (1L, "p q r a b c d e p q r"),
+      (2L, "x p q r y"),
+      (3L, "z z p q r"),
+      (4L, "nothing   shared\tat all here")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 3, minCount = 3L)
+    val got = Dedup.cutSpans(docs, spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 loses both copies of "p q r"; middle kept
+    assert(got(1L) == (("a b c d e", 6L)))
+    assert(got(2L) == (("x y", 3L)))
+    assert(got(3L) == (("z z", 3L)))
+    // no spans: text canonicalizes (single-space join), nothing removed
+    assert(got(4L) == (("nothing shared at all here", 0L)))
+    // a doc that is ENTIRELY a duplicated span empties out
+    val all = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val cut = Dedup.cutSpans(all, Dedup.duplicateSpans(all, n = 3, minCount = 2L))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(cut == Set(("", 3L)))
+  }
+
   test("duplicateSpans merges adjacent and overlapping windows") {
     // both docs share the same 4 consecutive tokens -> overlapping trigram
     // windows at positions 1 and 2 merge into one span [1,4]

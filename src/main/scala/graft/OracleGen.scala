@@ -327,6 +327,24 @@ object OracleGen {
        |WHERE cl.doc_id IS NULL""".stripMargin
   }
 
+  // ---- q121 soft dedup -----------------------------------------------------
+
+  /** Mirrors Dedup.softDedupWeights over dupClusters: inverse-cluster-size
+    * weights (one exactly-rounded division), unclustered docs weigh 1.
+    */
+  def softDedup(shingleN: Int, k: Int, bands: Int, threshold: Double): String = {
+    val clusters = dupClusters(shingleN, k, bands, threshold)
+    s"""WITH cl AS (
+       |$clusters
+       |), sz AS (SELECT cluster, CAST(count(1) AS BIGINT) AS csz FROM cl GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(c2.csz, 1) AS BIGINT) AS cluster_size,
+       |  1.0 / CAST(COALESCE(c2.csz, 1) AS DOUBLE) AS weight
+       |FROM documents d
+       |LEFT JOIN (SELECT cl.doc_id, sz.csz FROM cl JOIN sz USING (cluster)) c2
+       |  USING (doc_id)""".stripMargin
+  }
+
   // ---- q42 SimHash --------------------------------------------------------
 
   def simHashCandidates(maxHamming: Int): String = {

@@ -472,6 +472,16 @@ object SparkEntry {
     "q60_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minHashDedup(t(s, d, "documents"),
         shingleN = 3, k = 16, bands = 4, threshold = 0.2))),
+    // soft dedup: weight every doc by 1/|duplicate cluster| instead of
+    // dropping non-survivors — duplicate groups contribute ~one doc of
+    // mass under weighted sampling
+    "q121_soft_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(Dedup.minHashDedup(docs,
+        shingleN = 3, k = 16, bands = 4, threshold = 0.2))
+      Dedup.softDedupWeights(docs, clusters)
+    }),
+
     // full dedup pipeline: LSH pairs → verify → clusters → keep min-id doc
     // per cluster plus every unclustered doc
     "q65_dedup_survivors" -> ((s, d) => {
@@ -1121,6 +1131,7 @@ object SparkEntry {
     "q118_hybrid_rrf" -> OracleGen.hybridRrf(bm25Terms, k = 50, rrfK = 60),
     "q119_corpus_report" -> OracleGen.corpusReport,
     "q120_cut_spans" -> OracleGen.cutSpans(n = 8, minCount = 2L),
+    "q121_soft_dedup" -> OracleGen.softDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

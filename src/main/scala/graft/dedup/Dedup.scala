@@ -669,6 +669,31 @@ object Dedup {
       .select(idCol, "span_start", "span_end", "n_span_tokens")
   }
 
+  /** Soft dedup: weight documents by the inverse size of their duplicate
+    * cluster instead of dropping non-survivors — 1/|cluster| neutralizes
+    * duplicate over-representation under weighted sampling while keeping
+    * every variant available (each duplicated document group contributes
+    * about one document of mass). Unclustered documents weigh 1. The
+    * weight is a single exactly-rounded IEEE division, so it is
+    * oracle-portable.
+    *
+    * Scale shape: the cluster table holds only docs with a near-dup —
+    * small next to the corpus — so sizes aggregate it cheaply and the
+    * left join back to the corpus broadcasts under AQE; the corpus scan
+    * never shuffles.
+    */
+  def softDedupWeights(df: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id",
+                       clusterCol: String = "cluster"): DataFrame = {
+    val sizes = clusters.groupBy(col(clusterCol)).agg(count(lit(1)).as("__csz"))
+    df.select(col(idCol))
+      .join(clusters.join(sizes, clusterCol).select(col(idCol), col("__csz")),
+        Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("__csz"), lit(1L)))
+      .select(col(idCol), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   /** Apply [[duplicateSpans]]: cut the flagged token ranges out of each
     * document and re-emit the cleaned text — the "fix" half of exact
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes

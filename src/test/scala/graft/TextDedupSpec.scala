@@ -363,6 +363,18 @@ class TextDedupSpec extends SparkSpec {
       (2L, 2L, 4L, 3L), (3L, 3L, 5L, 3L)))
   }
 
+  test("softDedupWeights: 1/|cluster| for members, 1 for singletons") {
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val w = Dedup.softDedupWeights(docs, Dedup.dupClusters(pairs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w(1L) == ((3L, 1.0 / 3.0)) && w(2L) == ((3L, 1.0 / 3.0)) &&
+      w(3L) == ((3L, 1.0 / 3.0)))
+    assert(w(4L) == ((1L, 1.0)) && w(5L) == ((1L, 1.0)))
+    // total weighted mass = unique-content mass: 1 cluster + 2 singletons
+    assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-12)
+  }
+
   test("cutSpans removes exactly the flagged token ranges, passes others through") {
     val docs = Seq(
       (1L, "p q r a b c d e p q r"),

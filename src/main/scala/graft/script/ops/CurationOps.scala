@@ -291,3 +291,29 @@ class Bm25Rank extends UserOperator {
     }
   }
 }
+
+/** Brute-force cosine ANN ranking for scripts: rank the FIRST input
+  * (corpus embeddings) against the query vectors in the SECOND input
+  * (typically a tiny filtered frame) — emits (query_id, neighbor_id,
+  * cosine, rank). Params: k (10), id ("vec_id"), vec ("embedding").
+  */
+class AnnRank extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "AnnRank needs (corpus, queries) inputs")
+    graft.similarity.Similarity.bruteForceTopK(inputs(0), inputs(1),
+      params.getOrElse("k", "10").toInt,
+      params.getOrElse("id", "vec_id"), params.getOrElse("vec", "embedding"))
+  }
+}
+
+/** Reciprocal-rank fusion for scripts: fuse any number of input rankings
+  * (each with an `id` column and a `rank` column) into one hybrid ranking
+  * — emits (id, rrf_q, n_lists, rank). Params: rrfK (60), id ("doc_id").
+  */
+class RrfFuse extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.nonEmpty, "RrfFuse needs at least one ranking input")
+    graft.text.Search.rrfFuse(inputs,
+      params.getOrElse("rrfK", "60").toInt, params.getOrElse("id", "doc_id"))
+  }
+}

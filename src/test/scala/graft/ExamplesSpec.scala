@@ -65,6 +65,11 @@ class ExamplesSpec extends SparkSpec {
     assert(topical.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
     val scores = topical.map(_.getAs[Long]("score_q")).toSeq
     assert(scores == scores.sorted.reverse, s"not descending: $scores")
+    // hybrid RRF: fused ranks contiguous; docs in both lists carry n_lists=2
+    val hybrid = spark.read.parquet(s"$out/hybrid").orderBy("rank").collect()
+    assert(hybrid.nonEmpty && hybrid.length <= 40)
+    assert(hybrid.map(_.getAs[Int]("rank")).toSeq == (1 to hybrid.length))
+    assert(hybrid.map(_.getAs[Long]("n_lists")).forall(n => n == 1L || n == 2L))
   }
 
   test("incremental.cmr screens a batch against the stored corpus index") {

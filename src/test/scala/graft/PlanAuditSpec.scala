@@ -160,6 +160,24 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k is not a distributed TakeOrderedAndProject:\n$d")
   }
 
+  test("corpus report is one scan with map-side partial aggregation (q119)") {
+    val d = details(SparkEntry.queries("q119_corpus_report")(spark, dir))
+    assert("partial_(count|sum|min|max)".r.findFirstIn(d).isDefined ||
+      "Functions.*partial".r.findFirstIn(d).isDefined,
+      s"no map-side partials in:\n$d")
+    // two-level aggregate (partial below the exchange, final above) over a
+    // single corpus scan — count scans in the executed plan section only
+    val finalPlan = d.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"corpus scanned more than once:\n$d")
+  }
+
+  test("soft-dedup weights broadcast the cluster sizes into the corpus (q121)") {
+    val d = details(SparkEntry.queries("q121_soft_dedup")(spark, dir))
+    assert(d.contains("BroadcastHashJoin"),
+      s"cluster-size join not broadcast:\n$d")
+  }
+
   test("temperature mixture scans the corpus once — total over the strata aggregate (q98)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("q98_mixture_temperature")(spark, dir)

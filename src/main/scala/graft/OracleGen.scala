@@ -885,6 +885,48 @@ object OracleGen {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors NgramLm.importanceScore: target and background add-one models
+    * fit on disjoint doc_id slices, scored on one shared (gram, ctx)
+    * spine; weight_q is the exact long difference of the quantized masses.
+    */
+  def lmImportance(n: Int, targetMod: Int, targetRem: Int, backgroundRem: Int): String = {
+    val gram = horner((0 until n).map(j => s"hs[i + $j]"))
+    val ctx = horner((0 until n - 1).map(j => s"hs[i + $j]"))
+    val scale = graft.text.NgramLm.Scale
+    def fitCtes(tag: String, rem: Int): String =
+      s"""fit_$tag AS (
+         |  SELECT hs FROM th WHERE doc_id % $targetMod = $rem AND len(hs) >= $n
+         |), voc_$tag AS (
+         |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(hs) AS t FROM fit_$tag)
+         |), pos_$tag AS (
+         |  SELECT hs, unnest(generate_series(1, len(hs) - ${n - 1})) AS i FROM fit_$tag
+         |), grams_$tag AS (
+         |  SELECT $gram AS gram, count(1) AS cg FROM pos_$tag GROUP BY 1
+         |), ctxs_$tag AS (
+         |  SELECT $ctx AS ctx, count(1) AS cc FROM pos_$tag GROUP BY 1
+         |)""".stripMargin
+    def sumPq(tag: String): String =
+      s"""CAST(sum(CAST(floor(CAST(COALESCE(g$tag.cg, 0) + 1 AS DOUBLE)
+         |    / CAST(COALESCE(c$tag.cc, 0) + (SELECT v FROM voc_$tag) AS DOUBLE) * $scale) AS BIGINT)) AS BIGINT)""".stripMargin
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
+       |), ${fitCtes("t", targetRem)}, ${fitCtes("b", backgroundRem)},
+       |scored AS (
+       |  SELECT doc_id, $gram AS gram, $ctx AS ctx
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - ${n - 1})) AS i
+       |        FROM th WHERE len(hs) >= $n)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(1) AS BIGINT) AS n_ngrams,
+       |  ${sumPq("t")} AS sum_pq_target,
+       |  ${sumPq("b")} AS sum_pq_background,
+       |  ${sumPq("t")} - ${sumPq("b")} AS weight_q
+       |FROM scored s
+       |LEFT JOIN grams_t gt USING (gram) LEFT JOIN ctxs_t ct USING (ctx)
+       |LEFT JOIN grams_b gb USING (gram) LEFT JOIN ctxs_b cb USING (ctx)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors NgramLm.scoreBackoff: stupid backoff with α = 0.5 — seen
     * grams floor(2^30 · cg/cc), backoff positions floor(2^29 · (cu+1)/(T+V))
     * (α·2^30 folded to 2^29 exactly). Quantized longs before the per-doc

@@ -321,6 +321,17 @@ object SparkEntry {
         .select("doc_id", "n_ngrams", "n_oov", "sum_pq")
     }),
 
+    // DSIR-style data selection: weight docs by target-vs-background LM
+    // mass difference (quantized longs — exact); target fit on the
+    // doc_id%3=0 slice, background on doc_id%3=1
+    "q122_dsir_importance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tgt = graft.text.NgramLm.fit(docs.filter(col("doc_id") % 3 === 0), n = 2)
+      val bkg = graft.text.NgramLm.fit(docs.filter(col("doc_id") % 3 === 1), n = 2)
+      graft.text.NgramLm.importanceScore(docs, tgt, bkg)
+        .select("doc_id", "n_ngrams", "sum_pq_target", "sum_pq_background", "weight_q")
+    }),
+
     // stupid-backoff variant of q114: seen bigrams score their MLE, unseen
     // ones back off to α·unigram with α=0.5 (exact in IEEE — see NgramLm)
     "q116_lm_backoff" -> ((s, d) => {
@@ -1132,6 +1143,7 @@ object SparkEntry {
     "q119_corpus_report" -> OracleGen.corpusReport,
     "q120_cut_spans" -> OracleGen.cutSpans(n = 8, minCount = 2L),
     "q121_soft_dedup" -> OracleGen.softDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
+    "q122_dsir_importance" -> OracleGen.lmImportance(n = 2, targetMod = 3, targetRem = 0, backgroundRem = 1),
     "q57_dedup_pipeline" -> OracleGen.minHashDedup(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q56_join_salted" ->
       """SELECT o_orderpriority, count(1) AS n_rows, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty

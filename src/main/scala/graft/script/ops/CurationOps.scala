@@ -317,3 +317,21 @@ class RrfFuse extends UserOperator {
       params.getOrElse("rrfK", "60").toInt, params.getOrElse("id", "doc_id"))
   }
 }
+
+/** DSIR-style importance weighting for scripts: score the FIRST input by
+  * target-vs-background LM mass difference, fitting the target model on
+  * the SECOND input and the background model on the THIRD. Emits doc_id,
+  * n_ngrams, sum_pq_target, sum_pq_background, weight_q, avg_logratio.
+  * Params: n (2), text ("text"), id ("doc_id").
+  */
+class DsirWeight extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 3, "DsirWeight needs (corpus, target, background) inputs")
+    val n = params.getOrElse("n", "2").toInt
+    val text = params.getOrElse("text", "text")
+    val tgt = graft.text.NgramLm.fit(inputs(1), n, text)
+    val bkg = graft.text.NgramLm.fit(inputs(2), n, text)
+    graft.text.NgramLm.importanceScore(inputs(0), tgt, bkg,
+      text, params.getOrElse("id", "doc_id"))
+  }
+}

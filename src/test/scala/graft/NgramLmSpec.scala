@@ -85,6 +85,40 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("importanceScore equals the difference of the two per-model scores") {
+    val rnd = new scala.util.Random(29)
+    val words = Vector("a", "bb", "ccc", "dd", "e")
+    def mkDocs(ids: Range): Seq[(Long, String)] = ids.map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")))
+    val tgtDocs = mkDocs(1 to 15).toDF("doc_id", "text")
+    val bkgDocs = mkDocs(50 to 65).toDF("doc_id", "text")
+    val score = mkDocs(100 to 110).toDF("doc_id", "text")
+    val tgt = NgramLm.fit(tgtDocs, n = 2)
+    val bkg = NgramLm.fit(bkgDocs, n = 2)
+    val got = NgramLm.importanceScore(score, tgt, bkg).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Long]("weight_q")))).toMap
+    val st = NgramLm.score(score, tgt).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val sb = NgramLm.score(score, bkg).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet == st.keySet)
+    got.foreach { case (id, (_, t, b, w)) =>
+      assert(t == st(id) && b == sb(id) && w == t - b, s"doc $id")
+    }
+  }
+
+  test("importance: target-like text weighs positive, background-like negative") {
+    val tgt = NgramLm.fit(Seq((1L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text"))
+    val bkg = NgramLm.fit(Seq((1L, "gamma delta gamma delta gamma delta")).toDF("doc_id", "text"))
+    val docs = Seq((10L, "alpha beta alpha"), (11L, "gamma delta gamma")).toDF("doc_id", "text")
+    val w = NgramLm.importanceScore(docs, tgt, bkg).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("weight_q")).toMap
+    assert(w(10L) > 0L, s"target-like doc must weigh positive: $w")
+    assert(w(11L) < 0L, s"background-like doc must weigh negative: $w")
+    // mismatched n fails loudly
+    val tri = NgramLm.fit(Seq((1L, "a b c d")).toDF("doc_id", "text"), n = 3)
+    intercept[IllegalArgumentException](NgramLm.importanceScore(docs, tgt, tri))
+  }
+
   test("stupid backoff: exact quantized scores for seen, backoff, and OOV grams") {
     val corpus = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
     val bm = NgramLm.fitBackoff(corpus, n = 2)

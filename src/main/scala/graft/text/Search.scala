@@ -99,7 +99,17 @@ object Search {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val q = broadcast(terms.distinct.toDF("term"))
+    bm25ScoreProfile(idx, terms.distinct.toDF("term"), k1, b)
+  }
+
+  /** Table-driven variant: the keyword profile is a DataFrame with a
+    * `term` column — e.g. `TextAnalysis.topTerms` of a SEED corpus, which
+    * makes this the classic seed-set-expansion move (profile the seeds,
+    * BM25-rank the corpus by the profile). Duplicate terms are collapsed.
+    */
+  def bm25ScoreProfile(idx: Bm25Index, termsDf: DataFrame,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = broadcast(termsDf.select("term").distinct())
     val tfFactor = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(idx.avgDl)))

@@ -85,6 +85,22 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.bm25Score(idx, Seq.empty))
   }
 
+  test("table-driven profile scores identically to the Seq form (seed expansion)") {
+    val idx = Search.bm25Index(corpus)
+    val fromSeq = Search.bm25Score(idx, Seq("spark", "merge")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val profile = Seq("spark", "merge", "merge").toDF("term")
+    val fromDf = Search.bm25ScoreProfile(idx, profile).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSeq == fromDf)
+    // the composed seed-expansion shape: topTerms of a seed doc as profile
+    val seeds = corpus.filter($"doc_id" === 1L)
+    val seedProfile = graft.text.TextAnalysis.topTerms(seeds, k = 2)
+      .select("term")
+    val expanded = Search.bm25ScoreProfile(idx, seedProfile).collect()
+    assert(expanded.nonEmpty)
+  }
+
   test("rrf fusion: quantized contributions, overlap wins, ties break on id") {
     def c(r: Int): Long = (Search.Scale.toDouble / (60.0 + r.toDouble)).toLong
     val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")

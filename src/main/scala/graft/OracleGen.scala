@@ -345,6 +345,31 @@ object OracleGen {
        |  USING (doc_id)""".stripMargin
   }
 
+  // ---- q125 keep-best survivors -------------------------------------------
+
+  /** Quality-preferring survivors: per duplicate cluster keep the row with
+    * the highest n_chars (ties → smallest doc_id); unclustered documents
+    * all survive — mirrors Dedup.survivorsBy over dupClusters.
+    */
+  def survivorsByQuality(shingleN: Int, k: Int, bands: Int, threshold: Double): String = {
+    val clusters = dupClusters(shingleN, k, bands, threshold)
+    s"""WITH cl AS (
+       |$clusters
+       |), scored AS (
+       |  SELECT d.doc_id, d.n_chars, cl.cluster
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |), winners AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM scored WHERE cluster IS NOT NULL) WHERE rn = 1
+       |)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+       |WHERE doc_id IN (SELECT doc_id FROM winners
+       |                 UNION ALL
+       |                 SELECT doc_id FROM scored WHERE cluster IS NULL)""".stripMargin
+  }
+
   // ---- q42 SimHash --------------------------------------------------------
 
   def simHashCandidates(maxHamming: Int): String = {

@@ -310,6 +310,9 @@ object SparkEntry {
     "q68_langid_ngram" -> ((s, d) =>
       TextAnalysis.withLangIdNgram(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_ngram")),
+    // Gopher "most common word" rule: per-doc top-token count and fraction
+    "q123_top_token" -> ((s, d) =>
+      TextAnalysis.topTokenStats(t(s, d, "documents"))),
 
     // CCNet-style LM quality signal: bigram model fit on the even half of
     // the corpus, every doc scored; graded columns are the log-free
@@ -501,6 +504,15 @@ object SparkEntry {
         shingleN = 3, k = 16, bands = 4, threshold = 0.2))
       Dedup.clusterSurvivors(docs.select("doc_id"), clusters)
     }),
+    // quality-preferring near-dup survivors: same clusters as q65, but the
+    // longest copy (n_chars) wins instead of the smallest id
+    "q125_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(Dedup.minHashDedup(docs,
+        shingleN = 3, k = 16, bands = 4, threshold = 0.2))
+      Dedup.survivorsBy(docs, clusters, col("n_chars"))
+        .select("doc_id", "n_chars")
+    }),
     // composed training-data filter: quality features + language id +
     // C4-style keep rules, in one codegen'd pass over documents
     "q61_quality_filter" -> ((s, d) =>
@@ -557,6 +569,16 @@ object SparkEntry {
         .select("doc_id", "n_emails", "n_phones", "n_ipv4", "text_redacted")
     }),
     // deterministic stratified down-sampling by content-hash bucket
+    // per-domain caps: at most quota(source) docs per source, best-first
+    // (n_chars desc), unknown sources capped at the default
+    "q124_domain_cap" -> ((s, d) => {
+      val spark = s; import spark.implicits._
+      val quotas = Seq("src0" -> 5L, "src1" -> 12L, "src2" -> 3L,
+        "src3" -> 20L, "src17" -> 7L).toDF("source", "quota")
+      Sampling.capPerKey(t(s, d, "documents"), "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), quotas, defaultQuota = 10L)
+        .select("doc_id", "source", "n_chars")
+    }),
     "q72_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedHashSample(t(s, d, "documents"), col("lang"), col("doc_id"),
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
@@ -1083,6 +1105,22 @@ object SparkEntry {
     "q35_tokencount" ->
       s"""SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    "q123_top_token" ->
+      s"""WITH tc AS (
+        |  SELECT doc_id, word, count(1) AS cnt
+        |  FROM (SELECT doc_id, unnest($duckToks) AS word FROM documents)
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT doc_id, word, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS rn,
+        |    sum(cnt) OVER (PARTITION BY doc_id) AS nt
+        |  FROM tc)
+        |SELECT d.doc_id, r.word AS top_token,
+        |  CAST(coalesce(r.cnt, 0) AS BIGINT) AS top_cnt,
+        |  CAST(coalesce(r.nt, 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN r.nt > 0 THEN CAST(r.cnt AS DOUBLE) / CAST(r.nt AS DOUBLE)
+        |    ELSE 0.0 END AS top_frac
+        |FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1""".stripMargin,
     "q36_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $duckToks AS ts FROM documents)
         |SELECT doc_id,
@@ -1218,6 +1256,18 @@ object SparkEntry {
       Seq("de" -> 1000, "en" -> 500, "es" -> 250, "fr" -> 250, "zh" -> 100),
       defaultPermille = 1000),
     "q73_sample_reservoir" -> OracleGen.sampleReservoir(n = 20),
+    "q124_domain_cap" ->
+      """WITH q(source, quota) AS (
+        |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)
+        |), ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM ranked LEFT JOIN q USING (source)
+        |WHERE rn <= coalesce(quota, 10)""".stripMargin,
+    "q125_dedup_keep_best" ->
+      OracleGen.survivorsByQuality(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q74_pack_sequences" -> OracleGen.packGreedy(capacity = 200),
     "q75_mixture_plan" -> OracleGen.mixturePlan(budget = 20000L),
     "q76_spmm" ->

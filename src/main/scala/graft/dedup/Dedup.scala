@@ -501,6 +501,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-preferring survivor selection: from the corpus, a cluster
+    * labeling, and a per-row quality score, keep the best-scoring document
+    * of each duplicate cluster (ties → smallest id) plus every unclustered
+    * document. Where [[clusterSurvivors]] keeps the minimum id, this keeps
+    * the copy worth keeping — the longer / cleaner / higher-scored one.
+    * One partial-aggregating shuffle on the cluster id over (id, cluster,
+    * score) triples; document bodies never shuffle.
+    */
+  def survivorsBy(df: DataFrame, clusters: DataFrame, score: Column,
+                  idCol: String = "doc_id",
+                  clusterCol: String = "cluster"): DataFrame = {
+    val scored = df.select(col(idCol), score.as("__score"))
+      .join(clusters.select(col(idCol), col(clusterCol)), Seq(idCol), "left")
+    val winners = scored.filter(col(clusterCol).isNotNull)
+      .groupBy(col(clusterCol))
+      .agg(min_by(col(idCol), struct((-col("__score")).as("ns"), col(idCol))).as(idCol))
+      .select(idCol)
+    val keep = winners.union(scored.filter(col(clusterCol).isNull).select(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ---- SimHash --------------------------------------------------------------
 
   /** 32-bit SimHash per document: sign-sum of token-hash bits, token

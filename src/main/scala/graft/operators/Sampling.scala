@@ -90,6 +90,34 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Per-key quota cap (a crawl pipeline's per-domain caps): keep at most
+    * quota(key) rows per key, preferring the `orderBy` prefix; keys absent
+    * from `quotas` are capped at `defaultQuota`. Include a unique
+    * tiebreaker in `orderBy` so the kept set is deterministic.
+    *
+    * Scale: the global maximum quota is applied as a rank filter BEFORE
+    * the per-key quota join, which Spark plans as WindowGroupLimit — every
+    * map task pre-prunes to maxQuota rows per key before the shuffle, so a
+    * key with 10^9 rows ships ~maxQuota of them, not all (the quota table
+    * is key-cardinality metadata and broadcasts; reading its max on the
+    * driver is a one-row aggregate, not a data-plane collect).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, orderBy: Seq[Column],
+      quotas: DataFrame, defaultQuota: Long,
+      quotaCol: String = "quota"): DataFrame = {
+    require(defaultQuota >= 0, s"defaultQuota must be >= 0: $defaultQuota")
+    val maxQuota = Option(
+      quotas.agg(max(col(quotaCol).cast("long"))).head.get(0))
+      .map(_.asInstanceOf[Long].max(defaultQuota)).getOrElse(defaultQuota)
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderBy: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= lit(maxQuota))
+      .join(broadcast(quotas.select(col(keyCol),
+        col(quotaCol).cast("long").as("__quota"))), Seq(keyCol), "left")
+      .filter(col("__rank") <= coalesce(col("__quota"), lit(defaultQuota)))
+      .drop("__rank", "__quota")
+  }
+
   /** Mixture plan: given per-row strata and sizes (token counts), allocate a
     * global `budget` proportionally to each stratum's share of the total —
     * the planning step of mixture-weighted corpus assembly. Integer totals

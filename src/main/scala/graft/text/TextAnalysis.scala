@@ -165,6 +165,34 @@ object TextAnalysis {
         col("term_rank"))
   }
 
+  /** Gopher-style "most common word" rule: per-document count and fraction
+    * of the single most frequent token. A high `top_frac` flags degenerate
+    * or boilerplate documents ("cookie cookie cookie ..."). Computed as two
+    * token-linear partial-aggregating shuffles keyed by (doc, token) then
+    * doc — not a per-row array scan — so one pathological 1 GB document
+    * costs its token count, not its square, and hot tokens combine map-side.
+    * Ties break to the lexicographically smallest token (deterministic and
+    * engine-portable). Documents with no tokens keep zero counts and a null
+    * `top_token`.
+    */
+  def topTokenStats(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val top = counts.groupBy(col(idCol)).agg(
+      min_by(col("__tok"), struct((-col("__cnt")).as("nc"), col("__tok"))).as("top_token"),
+      max(col("__cnt")).as("top_cnt"),
+      sum(col("__cnt")).as("n_tokens"))
+    df.select(col(idCol)).join(top, Seq(idCol), "left")
+      .select(col(idCol), col("top_token"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("top_frac"))
+  }
+
   /** Gopher-style repetition features: the fraction of duplicate tokens /
     * word-bigrams / word-trigrams in a document (1 - distinct/total). High
     * values flag boilerplate and degenerate machine-generated text. N-grams

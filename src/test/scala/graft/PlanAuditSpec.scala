@@ -84,6 +84,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$d")
   }
 
+  test("per-key quota cap pre-prunes via window group limit and broadcasts quotas (q124)") {
+    val d = details(SparkEntry.queries("q124_domain_cap")(spark, dir))
+    // the maxQuota rank filter must reach a WindowGroupLimit (map-side
+    // pre-prune of hot keys) and the quota table must not shuffle-join
+    assert(d.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$d")
+    assert(d.contains("BroadcastHashJoin"), s"quota join did not broadcast:\n$d")
+  }
+
   test("sequence packing plans exactly one exchange (q74)") {
     val p = executedPlan(SparkEntry.queries("q74_pack_sequences")(spark, dir))
     assert("Exchange \\(".r.findAllIn(p).size == 1,

@@ -296,4 +296,50 @@ class SamplingPackingSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- per-key quota cap ----------------------------------------------------
+
+  test("capPerKey keeps quota(key) best rows per key, default for unknown keys") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 90L), ("a", 3L, 80L), ("a", 4L, 70L),
+      ("b", 5L, 50L), ("b", 6L, 60L),
+      ("c", 7L, 10L), ("c", 8L, 20L), ("c", 9L, 30L))
+      .toDF("key", "id", "score")
+    val quotas = Seq(("a", 2L), ("b", 5L)).toDF("key", "quota")
+    val kept = Sampling.capPerKey(rows, "key",
+      Seq(col("score").desc, col("id").asc), quotas, defaultQuota = 1L)
+      .collect().map(_.getLong(1)).toSet
+    // a: top-2 by score = {1, 2}; b: quota 5 > count → all; c: default 1 → best is 9
+    assert(kept == Set(1L, 2L, 5L, 6L, 9L))
+  }
+
+  test("capPerKey tie-break and zero quota are deterministic") {
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("z", 3L, 1L))
+      .toDF("key", "id", "score")
+    val quotas = Seq(("z", 0L)).toDF("key", "quota")
+    val kept = Sampling.capPerKey(rows, "key",
+      Seq(col("score").desc, col("id").asc), quotas, defaultQuota = 1L)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L)) // tie at 10 → min id; z capped to nothing
+  }
+
+  // ---- Gopher top-token rule ------------------------------------------------
+
+  test("topTokenStats counts the most frequent token, min token on ties") {
+    val df = Seq(
+      (1L, "b b a a a"),  // a wins 3/5
+      (2L, "x y"),        // tie → lexicographically smallest: x
+      (3L, ""))           // empty → nulls/zeros
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.topTokenStats(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("top_token") == "a")
+    assert(r(0).getAs[Long]("top_cnt") == 3L)
+    assert(r(0).getAs[Long]("n_tokens") == 5L)
+    assert(r(0).getAs[Double]("top_frac") == 0.6)
+    assert(r(1).getAs[String]("top_token") == "x")
+    assert(r(1).getAs[Double]("top_frac") == 0.5)
+    assert(r(2).isNullAt(r(2).fieldIndex("top_token")))
+    assert(r(2).getAs[Long]("top_cnt") == 0L)
+    assert(r(2).getAs[Double]("top_frac") == 0.0)
+  }
 }

@@ -293,6 +293,19 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("survivorsBy keeps the best-scoring doc per cluster, min id on ties") {
+    val docs = Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (10L, "b", 7L), (11L, "b", 3L), (99L, "lonely", 1L))
+      .toDF("doc_id", "text", "score")
+    val clusters = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b"))
+    val kept = Dedup.survivorsBy(docs, clusters, col("score"))
+      .collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3,4}: 2 and 3 tie at 30 → 2 wins; cluster {10,11}: 10
+    // wins on score; 99 unclustered → survives
+    assert(kept == Set(2L, 10L, 99L))
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
     // eval doc holds "one two three"; train doc 1 contains that trigram,
     // doc 2 shares only a bigram (below n=3), doc 3 shares nothing,

@@ -583,6 +583,16 @@ object OracleGen {
        |WHERE ${hashBucket("doc_id", "smp", 1000)} < CASE lang $cases ELSE $defaultPermille END""".stripMargin
   }
 
+  /** Length-weighted acceptance sampling — mirrors Sampling.weightedHashSample
+    * with weight = least(n_chars, cap) / cap. The weight expression tree
+    * matches the Spark side exactly ((x / cap) * 2^20, one division then
+    * one multiply) so the double comparison is bit-identical.
+    */
+  def weightedSample(cap: Long): String =
+    s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+       |WHERE ${hashBucket("doc_id", "wsmp", 1L << 20)}
+       |  < (CAST(least(n_chars, $cap) AS DOUBLE) / $cap.0) * 1048576""".stripMargin
+
   /** Fixed-size per-stratum sample — mirrors Sampling.reservoirPerKey. */
   def sampleReservoir(n: Int): String =
     s"""SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank FROM (

@@ -583,6 +583,12 @@ object SparkEntry {
       Sampling.stratifiedHashSample(t(s, d, "documents"), col("lang"), col("doc_id"),
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
         .select("doc_id", "lang")),
+    // importance-weighted selection: accept each doc with probability
+    // proportional to its length (the DSIR-weights → subcorpus step)
+    "q126_weighted_sample" -> ((s, d) =>
+      Sampling.weightedHashSample(t(s, d, "documents"), col("doc_id"),
+        least(col("n_chars"), lit(500L)).cast("double") / 500.0)
+        .select("doc_id", "n_chars")),
     // fixed-size per-stratum sample (deterministic reservoir analog)
     "q73_sample_reservoir" -> ((s, d) =>
       Sampling.reservoirPerKey(t(s, d, "documents").select("doc_id", "lang"),
@@ -1256,6 +1262,7 @@ object SparkEntry {
       Seq("de" -> 1000, "en" -> 500, "es" -> 250, "fr" -> 250, "zh" -> 100),
       defaultPermille = 1000),
     "q73_sample_reservoir" -> OracleGen.sampleReservoir(n = 20),
+    "q126_weighted_sample" -> OracleGen.weightedSample(cap = 500L),
     "q124_domain_cap" ->
       """WITH q(source, quota) AS (
         |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)

@@ -90,6 +90,22 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Importance-weighted deterministic sampling: keep each row with
+    * probability `weight` (clamped to [0, 1]), decided by the key's hash
+    * bucket — the selection step after DSIR-style importance weighting
+    * turns per-row weights into an actual subcorpus. Same contract as
+    * [[hashSample]]: reproducible, append-stable, engine-portable, and a
+    * narrow codegen'd filter (no shuffle, composes with scan pushdown).
+    * The weight is compared against a 2^20-bucket hash, so acceptance
+    * probabilities are honored to ~1e-6 granularity.
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+      salt: String = "wsmp"): DataFrame = {
+    val b = 1 << 20
+    df.filter(hashBucket(key, salt, b).cast("double") <
+      greatest(lit(0.0), least(weight.cast("double"), lit(1.0))) * b)
+  }
+
   /** Per-key quota cap (a crawl pipeline's per-domain caps): keep at most
     * quota(key) rows per key, preferring the `orderBy` prefix; keys absent
     * from `quotas` are capped at `defaultQuota`. Include a unique

@@ -297,6 +297,28 @@ class SamplingPackingSpec extends SparkSpec {
     }
   }
 
+  // ---- weighted acceptance sampling ----------------------------------------
+
+  test("weightedHashSample honors 0/1 weights exactly and is deterministic") {
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) 1.0 else 0.0))
+      .toDF("id", "w")
+    val kept = Sampling.weightedHashSample(rows, col("id"), col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 400L).filter(_ % 2 == 0).toSet) // w=1 always, w=0 never
+    val again = Sampling.weightedHashSample(rows, col("id"), col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
+  test("weightedHashSample acceptance rate tracks the weight") {
+    val rows = (1L to 2000L).map(i => (i, 0.25)).toDF("id", "w")
+    val n = Sampling.weightedHashSample(rows, col("id"), col("w")).count()
+    assert(n > 2000 * 0.15 && n < 2000 * 0.35, s"0.25-weight kept $n of 2000")
+    // out-of-range weights clamp rather than throw
+    val clamped = (1L to 50L).map(i => (i, 7.5)).toDF("id", "w")
+    assert(Sampling.weightedHashSample(clamped, col("id"), col("w")).count() == 50)
+  }
+
   // ---- per-key quota cap ----------------------------------------------------
 
   test("capPerKey keeps quota(key) best rows per key, default for unknown keys") {

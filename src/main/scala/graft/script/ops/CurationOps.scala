@@ -335,3 +335,63 @@ class DsirWeight extends UserOperator {
       text, params.getOrElse("id", "doc_id"))
   }
 }
+
+/** Per-domain quota cap for scripts: keep at most quota(key) rows per key
+  * (SECOND input = (key, quota) table), best-first by the order columns.
+  * Params: key ("source"), order (comma-separated columns, each with an
+  * optional :desc suffix; default "n_chars:desc,doc_id"), defaultQuota
+  * (required), quota ("quota").
+  */
+class CapPerKey extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    require(inputs.length == 2, "CapPerKey needs (rows, quotas) inputs")
+    val order = params.getOrElse("order", "n_chars:desc,doc_id").split(",").toSeq
+      .map(_.trim).map { s =>
+        if (s.endsWith(":desc")) col(s.stripSuffix(":desc")).desc else col(s).asc
+      }
+    graft.operators.Sampling.capPerKey(inputs(0),
+      params.getOrElse("key", "source"), order, inputs(1),
+      params("defaultQuota").toLong, params.getOrElse("quota", "quota"))
+  }
+}
+
+/** Importance-weighted acceptance sampling for scripts: keep each row with
+  * probability = the weight column (clamped to [0,1]), hash-decided.
+  * Params: key ("doc_id"), weight (required, a column name), salt ("wsmp").
+  */
+class WeightedSample extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.weightedHashSample(inputs.head,
+      col(params.getOrElse("key", "doc_id")), col(params("weight")),
+      params.getOrElse("salt", "wsmp"))
+}
+
+/** Gopher most-common-word rule for scripts: per-doc top token, its count,
+  * and its fraction of all tokens. Params: text ("text"), id ("doc_id").
+  */
+class TopTokenStats extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.text.TextAnalysis.topTokenStats(inputs.head,
+      params.getOrElse("text", "text"), params.getOrElse("id", "doc_id"))
+}
+
+/** Quality-preferring dedup survivors for scripts: cluster near-dups
+  * (MinHash-LSH → exact verify → large/small-star components) and keep
+  * the best row per cluster by the score column (ties → smallest id).
+  * Params: score (required, a column name), shingleN (3), k (16),
+  * bands (4), threshold (0.8), text ("text"), id ("doc_id").
+  */
+class DedupKeepBest extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val docs = inputs.head
+    val text = params.getOrElse("text", "text")
+    val id = params.getOrElse("id", "doc_id")
+    val clusters = graft.dedup.Dedup.dupClusters(
+      graft.dedup.Dedup.minHashDedup(docs,
+        params.getOrElse("shingleN", "3").toInt,
+        params.getOrElse("k", "16").toInt,
+        params.getOrElse("bands", "4").toInt,
+        params.getOrElse("threshold", "0.8").toDouble, text, id))
+    graft.dedup.Dedup.survivorsBy(docs, clusters, col(params("score")), id)
+  }
+}

@@ -460,6 +460,32 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk = 1""".stripMargin
 
+  // ---- q129 SemDeDup under fixed centroids ---------------------------------
+
+  /** Mirrors Dedup.semDedup with the first `nCentroids` vectors as fixed
+    * centroids: the q117 assignment argmin, then in-cell pairs at cosine ≥
+    * threshold drop the larger id (same double folds as q43's verifier).
+    */
+  def semDedup(nCentroids: Int, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |scored AS (
+       |  SELECT e.vec_id, c.centroid_id, -(${cosine("e.v", "c.cv")}) AS d
+       |  FROM e, c),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1),
+       |av AS (SELECT a.vec_id, a.centroid_id, e.v FROM assigned a JOIN e USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM av x JOIN av y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |  WHERE ${cosine("x.v", "y.v")} >= $threshold)
+       |SELECT vec_id, centroid_id FROM assigned
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   // ---- q69 LSH embedding near-dup -----------------------------------------
 
   /** Hyperplane-band bucketed near-dup pairs with exact cosine verification
@@ -592,6 +618,40 @@ object OracleGen {
     s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
        |WHERE ${hashBucket("doc_id", "wsmp", 1L << 20)}
        |  < (CAST(least(n_chars, $cap) AS DOUBLE) / $cap.0) * 1048576""".stripMargin
+
+  /** Deterministic global shuffle — mirrors Sampling.deterministicShuffle:
+    * the engine's bucket-offset + within-bucket rank equals the naive
+    * global row_number over (ordering hash, key) exactly, which is what
+    * this transcribes (the bucket id is the hash's top bits, so bucket
+    * order = hash order).
+    */
+  def detShuffle(salt: String): String =
+    s"""SELECT doc_id, row_number() OVER (
+       |  ORDER BY ${hashBucket("doc_id", salt, 1L << 30)}, doc_id) AS pos
+       |FROM documents""".stripMargin
+
+  // ---- q128 paragraph dedup -------------------------------------------------
+
+  /** CCNet-style paragraph dedup — mirrors Dedup.paragraphDedup: first
+    * (doc, position) occurrence of each distinct non-blank paragraph wins
+    * (the md5 grouping key is collision-free at oracle scale, so grouping
+    * by the paragraph string itself is equivalent), documents reassemble
+    * from survivors in original order.
+    */
+  def paragraphDedup: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  'intro paragraph shared by group ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+       |  substr(text, 1, 100) || chr(10) ||
+       |  'standard footer variant ' || CAST(doc_id % 7 AS VARCHAR) AS text FROM documents),
+       |ps AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+       |px AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+       |  i -> {'idx': i, 'para': l[i]})) AS u FROM ps),
+       |p AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM px WHERE trim(u.para) <> ''),
+       |k AS (SELECT doc_id, idx, para,
+       |  row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p)
+       |SELECT doc_id, count(*) AS n_paras_kept,
+       |  string_agg(para, chr(10) ORDER BY idx) AS text_dedup
+       |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
   /** Fixed-size per-stratum sample — mirrors Sampling.reservoirPerKey. */
   def sampleReservoir(n: Int): String =

@@ -589,6 +589,31 @@ object SparkEntry {
       Sampling.weightedHashSample(t(s, d, "documents"), col("doc_id"),
         least(col("n_chars"), lit(500L)).cast("double") / 500.0)
         .select("doc_id", "n_chars")),
+    // training-order export: contiguous pseudorandom positions without a
+    // single-task global sort (bucket offsets + in-bucket rank)
+    "q127_det_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(t(s, d, "documents").select("doc_id"), col("doc_id"))
+        .select("doc_id", "pos")),
+    // CCNet-style paragraph dedup (docs get synthetic paragraph structure:
+    // a group-shared intro, their real text, a near-global footer)
+    "q128_paragraph_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val synth = concat(
+        lit("intro paragraph shared by group "), (col("doc_id") % 50).cast("string"), lit("\n"),
+        substring(col("text"), 1, 100), lit("\n"),
+        lit("standard footer variant "), (col("doc_id") % 7).cast("string"))
+      Dedup.paragraphDedup(docs.select(col("doc_id"), synth.as("text")))
+    }),
+    // SemDeDup: cluster-bounded semantic dedup — nearest-centroid cells
+    // (first 8 vectors as fixed centroids, as q117), in-cell cosine ≥ 0.45
+    // drops the larger id
+    "q129_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Dedup.semDedup(emb, cents, threshold = 0.45)
+        .select("vec_id", "centroid_id")
+    }),
     // fixed-size per-stratum sample (deterministic reservoir analog)
     "q73_sample_reservoir" -> ((s, d) =>
       Sampling.reservoirPerKey(t(s, d, "documents").select("doc_id", "lang"),
@@ -1263,6 +1288,9 @@ object SparkEntry {
       defaultPermille = 1000),
     "q73_sample_reservoir" -> OracleGen.sampleReservoir(n = 20),
     "q126_weighted_sample" -> OracleGen.weightedSample(cap = 500L),
+    "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
+    "q128_paragraph_dedup" -> OracleGen.paragraphDedup,
+    "q129_semdedup" -> OracleGen.semDedup(nCentroids = 8, threshold = 0.45),
     "q124_domain_cap" ->
       """WITH q(source, quota) AS (
         |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)

@@ -611,6 +611,37 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise work
+    * BOUNDED BY CLUSTER CELLS — each vector is assigned to its nearest
+    * centroid (broadcast table, map-side `min_by` argmin), and cosine
+    * pairs are only formed WITHIN a cell; a vector is dropped when a
+    * smaller-id cell-mate sits at cosine ≥ threshold. Returns the
+    * surviving (id, centroid_id) rows. Centroids come from the caller
+    * (typically [[graft.similarity.Similarity.kmeansFit]]) — with k cells
+    * the corpus-wide pair count falls from n² to Σ cell², the paper's
+    * trade: duplicates split across cell boundaries are the (empirically
+    * small) recall loss. Keep-best-copy selection instead of lowest-id can
+    * be layered with [[survivorsBy]] over the dropped-pairs graph.
+    *
+    * Scale shape: one broadcast join + partial-agg shuffle for assignment
+    * (~one row per vector crosses the exchange), one shuffle of the
+    * corpus on cell id for the self-join, exact cosine only on in-cell
+    * pairs. Raw vectors cross the exchange once; nothing touches the
+    * driver.
+    */
+  def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.similarity.Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
+
   /** Passage-level duplication stats: for each document, the fraction of
     * its word n-gram shingles that also occur in at least one OTHER
     * document — the signal behind substring-level training-data dedup
@@ -741,6 +772,40 @@ object Dedup {
       .select(col(idCol),
         concat_ws(" ", col("__kept")).as("clean_text"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_tokens_removed"))
+  }
+
+  // ---- paragraph-level exact dedup ------------------------------------
+
+  /** CCNet-style paragraph dedup (Wenzek et al. 2020): split each document
+    * on newlines, keep only the corpus-wide FIRST occurrence of every
+    * distinct non-blank paragraph (earliest (id, position) wins — so a
+    * boilerplate footer shared by 10^7 pages survives exactly once), and
+    * reassemble each document from its surviving paragraphs in original
+    * order. Returns (id, n_paras_kept, text_dedup); documents whose every
+    * paragraph is owned elsewhere disappear — the shape that removes
+    * headers/footers/cookie banners without dropping whole near-dup pages.
+    *
+    * Scale shape: paragraphs are grouped by their 128-bit content hash, so
+    * the winner election is one partial-aggregating shuffle of (hash, id,
+    * pos) triples — a hot boilerplate paragraph partial-aggregates
+    * map-side instead of flooding one reducer; the winner table (one row
+    * per DISTINCT paragraph) joins back on the hash; reassembly is one
+    * shuffle on the doc id. Token-linear end-to-end, nothing quadratic.
+    */
+  def paragraphDedup(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("__ph", md5(col("para")))
+    val winners = paras.groupBy(col("__ph"))
+      .agg(min(struct(col(idCol).as("wid"), col("idx").as("widx"))).as("__w"))
+    paras.join(winners, Seq("__ph"))
+      .filter(col(idCol) === col("__w.wid") && col("idx") === col("__w.widx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x.getField("para")), "\n").as("text_dedup"))
   }
 
   // ---- decontamination ------------------------------------------------

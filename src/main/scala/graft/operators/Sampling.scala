@@ -200,6 +200,41 @@ object Sampling {
       .drop(helperCols: _*)
   }
 
+  /** Deterministic global shuffle: assign every row a contiguous 1-based
+    * position `outCol` in a pseudorandom-but-reproducible total order —
+    * the training-data ordering step (shuffle once, train anywhere, replay
+    * byte-identically). The order is (content hash, key): seeded by `salt`,
+    * so different salts give independent epoch orders over the same corpus.
+    * `key` must be unique per row or positions of tied rows are undefined.
+    *
+    * Scale: a naive `row_number() OVER (ORDER BY hash)` funnels the whole
+    * corpus through ONE task. Instead the rank is two-phase, like
+    * [[mixtureTake]]: bucket = top bits of the ordering hash (so bucket
+    * order = hash order), per-bucket counts aggregate map-side to a
+    * `buckets`-row table whose exclusive prefix sum (a window over
+    * metadata, not data) seeds each bucket's offset; the exact row_number
+    * then runs partitioned by bucket — `buckets`-way parallel — and
+    * offset + within-bucket rank reproduces the global rank exactly.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, salt: String = "shuf",
+      buckets: Int = 4096, outCol: String = "pos"): DataFrame = {
+    require(buckets > 0 && (1 << 30) % buckets == 0,
+      s"buckets must divide 2^30: $buckets")
+    val bWidth = (1 << 30) / buckets
+    val base = df.withColumn("__h", hashBucket(key, salt, 1 << 30))
+      .withColumn("__key", key)
+      .withColumn("__b", floor(col("__h") / bWidth).cast("int"))
+    val offs = base.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__b", "__off")
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__key"))
+    base.join(broadcast(offs), Seq("__b"))
+      .withColumn(outCol, col("__off") + row_number().over(w).cast("long"))
+      .drop("__h", "__key", "__b", "__off")
+  }
+
   def mixturePlan(df: DataFrame, stratum: Column, size: Column,
       budget: Long): DataFrame = {
     val per = df.groupBy(stratum.as("stratum"))

@@ -364,4 +364,36 @@ class SamplingPackingSpec extends SparkSpec {
     assert(r(2).getAs[Long]("top_cnt") == 0L)
     assert(r(2).getAs[Double]("top_frac") == 0.0)
   }
+
+  // ---- deterministic shuffle ----------------------------------------------
+
+  test("deterministicShuffle assigns each row a unique contiguous position") {
+    val df = (1L to 500L).toDF("id")
+    val r = Sampling.deterministicShuffle(df, col("id"), buckets = 8)
+    val pos = r.select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pos == (1L to 500L))
+    // not the identity order (it's a shuffle)
+    val byPos = r.orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    assert(byPos != (1L to 500L))
+  }
+
+  test("deterministicShuffle is reproducible and salt-sensitive") {
+    val df = (1L to 200L).toDF("id")
+    def order(salt: String) = Sampling.deterministicShuffle(df, col("id"), salt)
+      .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    assert(order("epoch0") == order("epoch0"))
+    assert(order("epoch0") != order("epoch1"))
+  }
+
+  test("deterministicShuffle bucket-offset rank equals the naive global rank") {
+    val df = (1L to 300L).toDF("id")
+    val two = Sampling.deterministicShuffle(df, col("id"), buckets = 16)
+    val naive = df
+      .withColumn("__h", Sampling.hashBucket(col("id"), "shuf", 1 << 30))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__h"), col("id"))).cast("long"))
+    val a = two.orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    val b = naive.orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
 }

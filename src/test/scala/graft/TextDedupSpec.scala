@@ -462,4 +462,62 @@ class TextDedupSpec extends SparkSpec {
     assert(top2.getAs[Double]("score") == 2.0)
     assert(r.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
   }
+
+  // ---- paragraph dedup ----------------------------------------------------
+
+  test("paragraphDedup keeps the earliest copy of each paragraph") {
+    val df = Seq(
+      (1L, "unique one\nshared footer"),
+      (2L, "unique two\nshared footer\n\n  \nunique too"),
+      (3L, "shared footer") // every paragraph owned elsewhere → doc vanishes
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(df).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r(0).getAs[String]("text_dedup") == "unique one\nshared footer")
+    assert(r(0).getAs[Long]("n_paras_kept") == 2L)
+    // doc 2 loses the footer (doc 1 owns it) and its blank paragraphs
+    assert(r(1).getAs[String]("text_dedup") == "unique two\nunique too")
+    assert(r(1).getAs[Long]("n_paras_kept") == 2L)
+  }
+
+  test("paragraphDedup first occurrence is by (doc, position) not hash order") {
+    // the same paragraph appears twice inside ONE doc: position breaks the tie
+    val df = Seq(
+      (7L, "dup\nmiddle\ndup")
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("text_dedup") == "dup\nmiddle")
+  }
+
+  // ---- SemDeDup -----------------------------------------------------------
+
+  test("semDedup drops larger-id near-dups only within a cell") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(xs: Float*) = xs.toArray
+    val rows = Seq(
+      Row(10L, v(2f, 0.1f)),     // cell 0
+      Row(11L, v(4f, 0.2f)),     // cell 0, same direction as 10 → dropped
+      Row(20L, v(0.1f, 3f)),     // cell 1, survives (nothing close in-cell)
+      Row(21L, v(-1f, 5f)),      // cell 1, far from 20 → survives
+      // near-identical pair that STRADDLES the cell boundary: cosine
+      // ≈ 0.99995 but they land in different cells, so both survive —
+      // the documented recall trade of cluster-bounded pairing
+      Row(30L, v(1f, 1.01f)),    // cell 1
+      Row(31L, v(1.01f, 1f))     // cell 0
+    )
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val cents = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, v(1f, 0f)), Row(1L, v(0f, 1f)))), schema)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val out = Dedup.semDedup(emb, cents, threshold = 0.99).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(10L, 20L, 21L, 30L, 31L))
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(cellOf(10L) == 0L && cellOf(20L) == 1L)
+    assert(cellOf(30L) == 1L && cellOf(31L) == 0L) // the straddling pair split
+  }
 }

@@ -395,3 +395,47 @@ class DedupKeepBest extends UserOperator {
     graft.dedup.Dedup.survivorsBy(docs, clusters, col(params("score")), id)
   }
 }
+
+/** Paragraph-level exact dedup for scripts (CCNet shape): keep the
+  * corpus-wide first occurrence of every distinct non-blank paragraph and
+  * reassemble documents from the survivors. Emits (id, n_paras_kept,
+  * text_dedup). Params: text ("text"), id ("doc_id").
+  */
+class ParagraphDedup extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.dedup.Dedup.paragraphDedup(inputs.head,
+      params.getOrElse("text", "text"), params.getOrElse("id", "doc_id"))
+}
+
+/** SemDeDup for scripts: cluster-bounded semantic dedup over an embedding
+  * column. With TWO inputs the second is a (centroid_id, cvec) table;
+  * with one, k-means centroids are fit in-line (params k, iters).
+  * Params: threshold (required), id ("vec_id"), vec ("embedding"),
+  * k (64), iters (3).
+  */
+class SemDedup extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("id", "vec_id")
+    val vecCol = params.getOrElse("vec", "embedding")
+    val cents =
+      if (inputs.length >= 2) inputs(1)
+      else graft.similarity.Similarity.kmeansFit(inputs.head,
+        params.getOrElse("k", "64").toInt, params.getOrElse("iters", "3").toInt,
+        idCol, vecCol).select(col("centroid_id"),
+          col("cvec").cast("array<float>").as("cvec"))
+    graft.dedup.Dedup.semDedup(inputs.head, cents,
+      params("threshold").toDouble, idCol, vecCol)
+  }
+}
+
+/** Deterministic training-order export for scripts: a reproducible
+  * pseudorandom contiguous position per row (bucket-offset + in-bucket
+  * rank — no single-task global sort). Params: key ("doc_id"),
+  * salt ("shuf"), buckets (4096), out ("pos").
+  */
+class DetShuffle extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.deterministicShuffle(inputs.head,
+      col(params.getOrElse("key", "doc_id")), params.getOrElse("salt", "shuf"),
+      params.getOrElse("buckets", "4096").toInt, params.getOrElse("out", "pos"))
+}

@@ -75,6 +75,12 @@ class ExamplesSpec extends SparkSpec {
     assert(dsir.count() == 500)
     assert(dsir.filter("weight_q > 0").count() > 0)
     assert(dsir.filter("weight_q < 0").count() > 0)
+    // SemDeDup: per-cell survivor counts — every cell retains at least one
+    // row, and survivors never exceed the corpus
+    val cells = spark.read.parquet(s"$out/semdedup_cells")
+    val nSem = cells.agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(nSem > 0 && nSem <= 500)
+    assert(cells.filter("n_kept <= 0").count() == 0)
   }
 
   test("incremental.cmr screens a batch against the stored corpus index") {
@@ -125,6 +131,13 @@ class ExamplesSpec extends SparkSpec {
     val n = curated.count()
     assert(n > 0 && n < 500) // filtered AND sampled
     assert(curated.select("lang_pred").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    // training-order export: positions are exactly 1..n over the
+    // paragraph-deduped survivors
+    val train = spark.read.parquet(s"$out/train_order")
+    assert(train.columns.toSet == Set("pos", "doc_id", "text_dedup"))
+    val nT = train.count()
+    assert(nT > 0 && nT <= n)
+    assert(train.select("pos").collect().map(_.getLong(0)).sorted.toSeq == (1L to nT))
   }
 
   test("dictionary.cmr builds, encodes, and aggregates") {

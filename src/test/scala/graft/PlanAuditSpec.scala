@@ -369,4 +369,61 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?m)^.*Sort \\[".r.findAllIn(p).size <= 1,
       s"island windows did not share a sort:\n$p")
   }
+
+  test("deterministic shuffle ranks bucket-parallel — no single-task global sort (q127)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q127_det_shuffle")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    // the row-level rank window (ordered by the content hash) must be
+    // partitioned by the bucket id — an empty partitionSpec is the whole
+    // corpus through ONE task
+    val rankWindows = plan.collect {
+      case w: LWindow if w.orderSpec.exists(_.child.toString.contains("__h")) => w
+    }
+    assert(rankWindows.nonEmpty, s"expected the in-bucket rank window:\n$plan")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.toString.contains("__b")),
+        s"rank window not bucket-partitioned:\n$plan")
+    }
+    // the offset prefix-sum (ordered by bucket id) runs over an Aggregate —
+    // buckets-row metadata, not the corpus — so its global window is fine
+    val offWindows = plan.collect {
+      case w: LWindow if w.orderSpec.exists(_.child.toString.contains("__b")) => w
+    }
+    assert(offWindows.nonEmpty, s"expected the bucket-offset window:\n$plan")
+    offWindows.foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        s"offset window not over the bucket aggregate:\n$plan")
+    }
+    // the bucket-offset table joins back as a broadcast (metadata-sized)
+    val p = executedPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
+  }
+
+  test("paragraph dedup partial-aggregates the winner election — no per-paragraph window (q128)") {
+    val p = executedPlan(SparkEntry.queries("q128_paragraph_dedup")(spark, dir))
+    // the first-occurrence election is a min() aggregate over the paragraph
+    // hash: a boilerplate paragraph in 10^8 docs partial-aggregates
+    // map-side instead of sorting through one reducer
+    assert(!"(?m)^.*Window".r.findFirstIn(p).exists(_ => true) ||
+      !p.contains("partition by __ph"),
+      s"per-paragraph-hash window in the election:\n$p")
+    assert("HashAggregate.*partial".r.findFirstIn(p.toLowerCase.replaceAll("\n", " "))
+      .isDefined || p.contains("HashAggregate"),
+      s"no hash aggregate in the winner election:\n$p")
+  }
+
+  test("SemDeDup: broadcast centroid assignment, one cell-key shuffle, no window (q129)") {
+    val df = SparkEntry.queries("q129_semdedup")(spark, dir)
+    val p = executedPlan(df)
+    // centroid table broadcasts into the assignment pass
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+    // the argmin is min_by partial aggregation, never a window over n×k rows
+    assert(!p.contains("Window"), s"window argmin resurfaced in semDedup:\n$p")
+    // in-cell pairing shuffles on centroid_id (SMJ or shuffled hash join),
+    // never a cross product over the corpus
+    assert(!p.contains("CartesianProduct"), s"corpus-wide product join:\n$p")
+  }
 }

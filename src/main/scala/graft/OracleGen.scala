@@ -630,6 +630,72 @@ object OracleGen {
        |  ORDER BY ${hashBucket("doc_id", salt, 1L << 30)}, doc_id) AS pos
        |FROM documents""".stripMargin
 
+  /** Fair epoch interleave — mirrors Sampling.interleaveStrata: global
+    * order by the composite (per-stratum rank − 1)·S + stratumIdx, which
+    * round-robins the strata; the engine's three-phase bucketed rank
+    * equals this naive transcription exactly.
+    */
+  def epochInterleave(salt: String): String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY ${hashBucket("doc_id", salt, 1L << 30)}, doc_id) AS r
+       |  FROM documents),
+       |si AS (
+       |  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx,
+       |    count(*) OVER () AS s
+       |  FROM (SELECT DISTINCT lang FROM documents))
+       |SELECT doc_id, lang, row_number() OVER (ORDER BY (r - 1) * s + idx) AS pos
+       |FROM r JOIN si USING (lang)""".stripMargin
+
+  // ---- q131/q132 sketches ---------------------------------------------------
+
+  /** KMV distinct sketch — mirrors Sketches.kmvDistinct: the k smallest
+    * DISTINCT hash values per group; exact count below k, (k-1)·M/kth_hash
+    * beyond (single division, replayed on identical integers).
+    */
+  def kmvDistinct(k: Int): String = {
+    val m = 1L << 30
+    s"""WITH h AS (
+       |  SELECT DISTINCT o_orderpriority, ${hashBucket("o_custkey", "kmv", m)} AS hv
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderpriority, hv,
+       |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn,
+       |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM h)
+       |SELECT o_orderpriority,
+       |  CAST(least(max(n), $k) AS INT) AS n_mins,
+       |  CAST(coalesce(max(CASE WHEN rn = $k THEN hv END), -1) AS BIGINT) AS kth_hash,
+       |  CASE WHEN max(n) < $k THEN CAST(max(n) AS DOUBLE)
+       |       ELSE CAST(${(k - 1).toLong * m} AS DOUBLE)
+       |            / CAST(max(CASE WHEN rn = $k THEN hv END) AS DOUBLE) END AS nd_est
+       |FROM r GROUP BY o_orderpriority""".stripMargin
+  }
+
+  /** Count-min sketch — mirrors Sketches.cmsBuild + cmsQuery: depth hash
+    * rows of `width` buckets over all document tokens, probed with the
+    * tokens of doc_id < 3; estimate = min bucket count over the rows.
+    * Integer-only, hence bit-portable.
+    */
+  def cmsCounts(depth: Int, width: Int): String = {
+    val ent = (0 until depth).map { i =>
+      s"SELECT $i AS d, ${hashBucket("term", s"cms$i", width)} AS bucket FROM toks"
+    }.mkString("\n  UNION ALL ")
+    val pe = (0 until depth).map { i =>
+      s"SELECT term, $i AS d, ${hashBucket("term", s"cms$i", width)} AS bucket FROM probes"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |cells AS (
+       |  SELECT d, bucket, count(*) AS cnt FROM (
+       |  $ent) GROUP BY d, bucket),
+       |probes AS (SELECT DISTINCT term FROM toks WHERE doc_id < 3),
+       |pe AS (
+       |  $pe)
+       |SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+       |FROM pe LEFT JOIN cells USING (d, bucket)
+       |GROUP BY term""".stripMargin
+  }
+
   // ---- q128 paragraph dedup -------------------------------------------------
 
   /** CCNet-style paragraph dedup — mirrors Dedup.paragraphDedup: first

@@ -614,6 +614,25 @@ object SparkEntry {
       Dedup.semDedup(emb, cents, threshold = 0.45)
         .select("vec_id", "centroid_id")
     }),
+    // fair epoch interleave: round-robin across languages in training order
+    "q130_epoch_interleave" -> ((s, d) =>
+      Sampling.interleaveStrata(t(s, d, "documents").select("doc_id", "lang"),
+        col("lang"), col("doc_id"))
+        .select("doc_id", "lang", "pos")),
+    // KMV distinct sketch: bounded-state mergeable approx count-distinct,
+    // deterministic (hence hash-graded, unlike HLL register layouts)
+    "q131_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(t(s, d, "orders"), col("o_custkey"),
+        Seq(col("o_orderpriority")), k = 64)),
+    // count-min sketch: build over all document tokens, probe with the
+    // tokens of the first three documents
+    "q132_cms_counts" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val sketch = Sketches.cmsBuild(toks, col("term"), depth = 4, width = 1024)
+      Sketches.cmsQuery(sketch, toks.filter(col("doc_id") < 3), col("term"),
+        depth = 4, width = 1024)
+    }),
     // fixed-size per-stratum sample (deterministic reservoir analog)
     "q73_sample_reservoir" -> ((s, d) =>
       Sampling.reservoirPerKey(t(s, d, "documents").select("doc_id", "lang"),
@@ -1291,6 +1310,9 @@ object SparkEntry {
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
     "q128_paragraph_dedup" -> OracleGen.paragraphDedup,
     "q129_semdedup" -> OracleGen.semDedup(nCentroids = 8, threshold = 0.45),
+    "q130_epoch_interleave" -> OracleGen.epochInterleave(salt = "ilv"),
+    "q131_kmv_distinct" -> OracleGen.kmvDistinct(k = 64),
+    "q132_cms_counts" -> OracleGen.cmsCounts(depth = 4, width = 1024),
     "q124_domain_cap" ->
       """WITH q(source, quota) AS (
         |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)

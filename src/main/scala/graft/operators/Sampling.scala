@@ -224,15 +224,75 @@ object Sampling {
     val base = df.withColumn("__h", hashBucket(key, salt, 1 << 30))
       .withColumn("__key", key)
       .withColumn("__b", floor(col("__h") / bWidth).cast("int"))
-    val offs = base.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(
-        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("__b", "__off")
-    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__key"))
-    base.join(broadcast(offs), Seq("__b"))
-      .withColumn(outCol, col("__off") + row_number().over(w).cast("long"))
-      .drop("__h", "__key", "__b", "__off")
+    twoPhaseRank(base, Nil, Seq(col("__h"), col("__key")), outCol)
+      .drop("__h", "__key", "__b")
+  }
+
+  /** The two-phase distributed rank shared by [[deterministicShuffle]] and
+    * [[interleaveStrata]]: given a `__b` bucket column ALIGNED with the
+    * `ord` order (bucket boundaries never split the order), per-(part,
+    * bucket) counts aggregate map-side into a metadata-sized table whose
+    * exclusive prefix sum (a window over the aggregate, per part) seeds
+    * each bucket's offset; the exact row_number then runs partitioned by
+    * (part, bucket) — buckets-way parallel — and offset + in-bucket rank
+    * reproduces the per-part global rank exactly.
+    */
+  private def twoPhaseRank(base: DataFrame, part: Seq[String],
+      ord: Seq[Column], outCol: String): DataFrame = {
+    val grp = part :+ "__b"
+    val ow = (if (part.isEmpty) Window.partitionBy()
+              else Window.partitionBy(part.map(col): _*))
+      .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(grp.map(col): _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(ow), lit(0L)))
+      .select((grp :+ "__off").map(col): _*)
+    val rw = Window.partitionBy(grp.map(col): _*).orderBy(ord: _*)
+    base.join(broadcast(offs), grp)
+      .withColumn(outCol, col("__off") + row_number().over(rw).cast("long"))
+      .drop("__off")
+  }
+
+  /** Fair deterministic epoch interleave: a contiguous 1-based training
+    * order that ROUND-ROBINS across strata — position r of every stratum
+    * precedes position r+1 of any stratum, so a mixture's components stay
+    * evenly spread through the epoch instead of clumping (the data-mixing
+    * complement of [[deterministicShuffle]], which ignores strata). Within
+    * a stratum the order is the salted content hash, so epochs replay
+    * byte-identically and different salts give independent orders.
+    * `key` must be unique per row.
+    *
+    * Scale shape: three metadata-windowed two-phase ranks and ONE tiny
+    * global aggregate — (1) the per-stratum rank runs (stratum × bucket)-
+    * parallel with per-stratum bucket offsets, (2) stratum indexes come
+    *  from a distinct-strata table (strata-row metadata), (3) the global
+    * interleave rank runs over the composite (rank-1)·S + stratumIdx,
+    * re-bucketed by value range — monotone, so bucket order = composite
+    * order. No step funnels the corpus through one task.
+    */
+  def interleaveStrata(df: DataFrame, stratum: Column, key: Column,
+      salt: String = "ilv", buckets: Int = 1024, outCol: String = "pos"): DataFrame = {
+    require(buckets > 0 && (1 << 30) % buckets == 0,
+      s"buckets must divide 2^30: $buckets")
+    val bWidth = (1 << 30) / buckets
+    val base = df.withColumn("__st", stratum)
+      .withColumn("__h", hashBucket(key, salt, 1 << 30))
+      .withColumn("__key", key)
+      .withColumn("__b", floor(col("__h") / bWidth).cast("int"))
+    val ranked = twoPhaseRank(base, Seq("__st"), Seq(col("__h"), col("__key")), "__r")
+    // stratum → dense index, plus the stratum count (strata-row metadata)
+    val sidx = base.select(col("__st")).distinct()
+      .withColumn("__idx", row_number().over(Window.orderBy(col("__st"))).cast("long") - 1)
+      .withColumn("__s", count(lit(1)).over(Window.partitionBy()))
+    val withOrd = ranked.join(broadcast(sidx), Seq("__st"))
+      .withColumn("__ord", (col("__r") - 1) * col("__s") + col("__idx"))
+    // re-bucket by composite value range (monotone → order-aligned); the
+    // max is a single-row aggregate broadcast back into the scan
+    val mx = withOrd.agg(max(col("__ord")).as("__mx"))
+    val base2 = withOrd.crossJoin(broadcast(mx))
+      // integer DIV: double division would misalign bucket edges past 2^53
+      .withColumn("__b", expr(s"CAST((__ord * $buckets) DIV (__mx + 1) AS INT)"))
+    twoPhaseRank(base2, Nil, Seq(col("__ord")), outCol)
+      .drop("__st", "__h", "__key", "__b", "__r", "__idx", "__s", "__ord", "__mx")
   }
 
   def mixturePlan(df: DataFrame, stratum: Column, size: Column,

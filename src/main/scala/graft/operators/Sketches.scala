@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Udafs
+
+/** Mergeable, fixed-memory sketches with DETERMINISTIC contents — the
+  * approximate-counting layer of the engine (reference analog: the
+  * COUNT_DISTINCT aggregation family, functions/builtin/FunctionType.java:
+  * 20-68, which the reference only offers exactly). Spark ships HLL and
+  * approx_percentile, but their register layouts are implementation-defined;
+  * these sketches are pure functions of a portable hash, so an external
+  * engine reproduces every cell bit-for-bit — sketches can be STOREd,
+  * diffed across engines, and re-merged incrementally like any other table.
+  */
+object Sketches {
+
+  private val M: Long = 1L << 30 // hash space of Sampling.hashBucket
+
+  /** Per-group KMV approximate distinct count. One partial-aggregating
+    * shuffle whose per-group state is ≤ k longs; while a group has seen
+    * fewer than k distinct hashes the count is exact, beyond that the
+    * classic (k-1)·M / kth_min estimator applies (relative error
+    * ~ 1/sqrt(k-2)). Emits (groups..., n_mins, kth_hash, nd_est).
+    * The estimate division happens HERE, declaratively, so the oracle can
+    * replay the identical expression tree on the identical integers.
+    */
+  def kmvDistinct(df: DataFrame, key: Column, groupCols: Seq[Column],
+      k: Int = 64, salt: String = "kmv"): DataFrame = {
+    val h = Sampling.hashBucket(key, salt, (1 << 30))
+    val sk = udaf(new Udafs.Kmv(k))
+    df.groupBy(groupCols: _*)
+      .agg(sk(h).as("__kmv"))
+      .select(col("*"), col("__kmv.n_mins").as("n_mins"), col("__kmv.kth_hash").as("kth_hash"))
+      .drop("__kmv")
+      .withColumn("nd_est",
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(lit(((k - 1).toLong * M).toDouble) / col("kth_hash").cast("double")))
+  }
+
+  /** Count-min sketch BUILD: a (depth × width) grid of counts, stored as a
+    * DataFrame of (d, bucket, cnt) cells — at most depth·width rows
+    * regardless of corpus size. Each input row increments one bucket per
+    * hash row; the whole build is a single partial-aggregating shuffle of
+    * depth·width groups, and two sketches merge by summing cells (the
+    * incremental-corpus shape). `weight` defaults to 1 per row.
+    */
+  def cmsBuild(df: DataFrame, term: Column, depth: Int = 4, width: Int = 1024,
+      salt: String = "cms", weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
+    val entries = array((0 until depth).map { i =>
+      struct(lit(i).as("d"),
+        Sampling.hashBucket(term, s"$salt$i", width).cast("int").as("bucket"))
+    }: _*)
+    df.select(explode(entries).as("e"), weight.as("__w"))
+      .select(col("e.d").as("d"), col("e.bucket").as("bucket"), col("__w"))
+      .groupBy("d", "bucket")
+      .agg(sum("__w").as("cnt"))
+  }
+
+  /** Count-min sketch QUERY: estimated count per probe term = min over the
+    * depth rows of that term's bucket counts (an over-estimate, never
+    * under). The sketch is metadata-sized, so the probe join broadcasts —
+    * probing costs one narrow pass over the probe set. Integer-only, hence
+    * bit-portable. The (depth, width, salt) must match the build.
+    */
+  def cmsQuery(sketch: DataFrame, probes: DataFrame, term: Column,
+      depth: Int = 4, width: Int = 1024, salt: String = "cms"): DataFrame = {
+    val entries = array((0 until depth).map { i =>
+      struct(lit(i).as("d"),
+        Sampling.hashBucket(col("term"), s"$salt$i", width).cast("int").as("bucket"))
+    }: _*)
+    probes.select(term.as("term")).distinct()
+      .select(col("term"), explode(entries).as("e"))
+      .select(col("term"), col("e.d").as("d"), col("e.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+}

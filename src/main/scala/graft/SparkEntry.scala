@@ -464,10 +464,11 @@ object SparkEntry {
 
     "q59_sessionize" -> ((s, d) => {
       // batch sessionization on exact microsecond integers (events.parquet
-      // stores INT64 TIMESTAMP(NANOS); integer-divide the raw long — DuckDB's
-      // parquet reader truncates to micros the same way)
+      // stores TIMESTAMP(MICROS) without timezone; session tz is UTC so the
+      // NTZ→LTZ cast is the identity instant and unix_micros matches
+      // DuckDB's epoch_us on the naive value)
       val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       WindowOps.sessionize(ev, "user_id", "ts_us", gap = 1800L * 1000000L)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"))
@@ -776,7 +777,7 @@ object SparkEntry {
     "q83_join_asof" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts_us", "value")
       val clicks = ev.filter(col("event_type") === "click")
@@ -789,7 +790,7 @@ object SparkEntry {
     "q84_join_range" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"))
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts_us")
       val clicks = ev.filter(col("event_type") === "click")

@@ -623,21 +623,94 @@ object Dedup {
     * small) recall loss. Keep-best-copy selection instead of lowest-id can
     * be layered with [[survivorsBy]] over the dropped-pairs graph.
     *
+    * In-cell pairing is bounded two ways so no single cell can go
+    * quadratic at 100 TB:
+    *
+    *  1. '''Identical-vector collapse.''' The adversarial hot cell is a
+    *     boilerplate embedding repeated 10^8 times — every copy lands in
+    *     the same cell. Bitwise-identical vectors are collapsed FIRST via
+    *     `groupBy(vec).agg(min(id))`: the hot group partial-aggregates
+    *     map-side (reduce side sees ~one row per DISTINCT vector), every
+    *     non-minimal copy is dropped outright (cosine(v,v) ≥ any
+    *     threshold ≤ 1), and only group representatives enter the
+    *     pairwise stage. This is EXACT — for any pair (x < y) dropping y,
+    *     the representative of x's group is ≤ x and at the same cosine to
+    *     y, so the rep pair drops y too.
+    *  2. '''Cell-size cap.''' Distinct-vector cells at most `maxCellSize`
+    *     pair exactly (the default path — identical to the paper's
+    *     semantics); cells above the cap fall back to hyperplane-LSH
+    *     banding WITHIN the cell (join key = (centroid_id, band,
+    *     sig-slice), the [[embeddingNearDupLsh]] kernel), so the in-cell
+    *     join fans out across band buckets instead of |cell|² in one
+    *     task. Missed cross-band pairs in oversized cells are the recall
+    *     trade, same as the LSH near-dup path. Cell sizes come from a
+    *     k-row aggregate broadcast back onto the stream.
+    *
     * Scale shape: one broadcast join + partial-agg shuffle for assignment
-    * (~one row per vector crosses the exchange), one shuffle of the
-    * corpus on cell id for the self-join, exact cosine only on in-cell
-    * pairs. Raw vectors cross the exchange once; nothing touches the
-    * driver.
+    * (~one row per vector crosses the exchange), one skew-proof
+    * partial-agg shuffle for the identical collapse, one shuffle of the
+    * distinct survivors on cell/band key for the pairing. Raw vectors
+    * never funnel through a hot key; nothing touches the driver.
     */
   def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxCellSize: Int = 10000, nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must divide into bands")
     val assigned = graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol)
-    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val dropped = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(graft.similarity.Similarity.cosine(col("va"), col("vb")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+
+    // -- stage 1: collapse bitwise-identical vectors (exact; skew-proof) ----
+    // Only sound when identical vectors actually exceed the threshold
+    // (cosine(v,v) = 1; NaN for the zero vector, which Spark orders above
+    // all numerics, so zero-vector copies drop under the exact path too).
+    val (reps, droppedIdentical) =
+      if (threshold <= 1.0) {
+        val repIds = assigned.groupBy(col(vecCol))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol))
+        (assigned.join(repIds, Seq(idCol), "semi"),
+         assigned.join(repIds, Seq(idCol), "anti").select(col(idCol)))
+      } else (assigned, assigned.filter(lit(false)).select(col(idCol)))
+
+    // -- stage 2: size-routed in-cell pairing over distinct vectors --------
+    val cellSizes = reps.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__cell_n"))
+    val sized = reps.join(broadcast(cellSizes), Seq("centroid_id"))
+    val small = sized.filter(col("__cell_n") <= maxCellSize)
+    val large = sized.filter(col("__cell_n") > maxCellSize)
+
+    def pairsDropped(aDf: DataFrame, bDf: DataFrame, keys: Seq[String]): DataFrame =
+      aDf.join(bDf, keys)
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.similarity.Similarity.cosine(col("va"), col("vb")) >= threshold)
+        .select(col("id_b").as(idCol))
+
+    // exact path: bounded |cell| ≤ maxCellSize by construction
+    val smallDropped = pairsDropped(
+      small.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("va")),
+      small.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vb")),
+      Seq("centroid_id"))
+
+    // banded path: oversized cells subdivide on (band, sig-slice)
+    val width = nPlanes / bands
+    val mask = lit((1L << width) - 1)
+    val banded = large
+      .withColumn("__sig", graft.similarity.Similarity.lshSignature(col(vecCol), nPlanes))
+      .select(col("centroid_id"), col(idCol), col(vecCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            call_function("shiftright", col("__sig"), lit(b * width)).bitwiseAND(mask).as("key"))
+        }: _*)).as("bb"))
+      .select(col("centroid_id"), col(idCol), col(vecCol),
+        col("bb.band").as("__band"), col("bb.key").as("__key"))
+    val largeDropped = pairsDropped(
+      banded.select(col("centroid_id"), col("__band"), col("__key"),
+        col(idCol).as("id_a"), col(vecCol).as("va")),
+      banded.select(col("centroid_id"), col("__band"), col("__key"),
+        col(idCol).as("id_b"), col(vecCol).as("vb")),
+      Seq("centroid_id", "__band", "__key")).distinct()
+
+    val dropped = droppedIdentical
+      .unionByName(smallDropped).unionByName(largeDropped).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
   }

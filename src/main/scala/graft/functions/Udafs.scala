@@ -107,4 +107,20 @@ object Udafs {
     override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
     override def outputEncoder: Encoder[KmvOut] = Encoders.product[KmvOut]
   }
+
+  /** Kmv variant that emits the raw sorted min-hash array instead of the
+    * (n, kth) summary — the PERSISTABLE sketch form: sketch tables merge
+    * by re-aggregating their unions (Sketches.kmvMerge), so per-shard /
+    * per-batch sketches compose incrementally without rescanning raw keys.
+    */
+  class KmvMins(k: Int) extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+    private val inner = new Kmv(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = inner.reduce(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -39,6 +39,46 @@ object Sketches {
           .otherwise(lit(((k - 1).toLong * M).toDouble) / col("kth_hash").cast("double")))
   }
 
+  /** Persistable KMV sketch: per group, the sorted array of the k smallest
+    * distinct key hashes (`mins`). STORE the result per shard / batch and
+    * compose later with [[kmvMerge]] — the incremental-corpus shape: a new
+    * batch is sketched alone and merged against the stored sketch without
+    * rescanning history. State per group ≤ k longs.
+    */
+  def kmvSketch(df: DataFrame, key: Column, groupCols: Seq[Column],
+      k: Int = 64, salt: String = "kmv"): DataFrame = {
+    val h = Sampling.hashBucket(key, salt, (1 << 30))
+    val sk = udaf(new Udafs.KmvMins(k))
+    df.groupBy(groupCols: _*).agg(sk(h).as("mins"))
+  }
+
+  /** Merge KMV sketch tables (same k and salt): union, explode the min
+    * arrays, re-take the bottom-k per group. Exactly the sketch the union
+    * of the raw inputs would have produced — KMV's bottom-k state is a
+    * semilattice, so merge order never matters.
+    */
+  def kmvMerge(sketches: Seq[DataFrame], groupKeys: Seq[String], k: Int = 64): DataFrame = {
+    require(sketches.nonEmpty)
+    val sk = udaf(new Udafs.KmvMins(k))
+    val all = sketches.reduce(_.unionByName(_))
+    all.select(groupKeys.map(col) :+ explode(col("mins")).as("__h"): _*)
+      .groupBy(groupKeys.map(col): _*).agg(sk(col("__h")).as("mins"))
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]/[[kmvMerge]] table —
+    * the same declarative estimator expression as [[kmvDistinct]], so
+    * sketch-then-estimate ≡ direct kmvDistinct row-for-row.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch
+      .withColumn("n_mins", size(col("mins")))
+      .withColumn("kth_hash",
+        when(col("n_mins") === k, element_at(col("mins"), k)).otherwise(lit(-1L)))
+      .withColumn("nd_est",
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(lit(((k - 1).toLong * M).toDouble) / col("kth_hash").cast("double")))
+      .drop("mins")
+
   /** Count-min sketch BUILD: a (depth × width) grid of counts, stored as a
     * DataFrame of (d, bucket, cnt) cells — at most depth·width rows
     * regardless of corpus size. Each input row increments one bucket per

@@ -439,3 +439,41 @@ class DetShuffle extends UserOperator {
       col(params.getOrElse("key", "doc_id")), params.getOrElse("salt", "shuf"),
       params.getOrElse("buckets", "4096").toInt, params.getOrElse("out", "pos"))
 }
+
+/** KMV approximate distinct count for scripts: deterministic mergeable
+  * bottom-k sketch + estimate in one step. Params: key (required),
+  * group (comma-separated group columns, optional → whole-relation),
+  * k (64), salt ("kmv").
+  */
+class KmvDistinct extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val groups = params.get("group").map(_.split(",").toSeq.map(s => col(s.trim)))
+      .getOrElse(Seq.empty)
+    graft.operators.Sketches.kmvDistinct(inputs.head, col(params("key")), groups,
+      params.getOrElse("k", "64").toInt, params.getOrElse("salt", "kmv"))
+  }
+}
+
+/** Count-min sketch build for scripts: (d, bucket, cnt) cell relation,
+  * ≤ depth·width rows. STORE it and probe later with CmsQuery (same
+  * depth/width/salt). Params: term (required), depth (4), width (1024),
+  * salt ("cms"), weight (optional column).
+  */
+class CmsBuild extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.cmsBuild(inputs.head, col(params("term")),
+      params.getOrElse("depth", "4").toInt, params.getOrElse("width", "1024").toInt,
+      params.getOrElse("salt", "cms"),
+      params.get("weight").map(col).getOrElse(lit(1L)))
+}
+
+/** Count-min sketch query for scripts: inputs = (sketch, probes); emits
+  * (term, est_count) per distinct probe term. Params: term (required),
+  * depth (4), width (1024), salt ("cms") — must match the build.
+  */
+class CmsQuery extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.cmsQuery(inputs.head, inputs(1), col(params("term")),
+      params.getOrElse("depth", "4").toInt, params.getOrElse("width", "1024").toInt,
+      params.getOrElse("salt", "cms"))
+}

@@ -426,4 +426,15 @@ class PlanAuditSpec extends SparkSpec {
     // never a cross product over the corpus
     assert(!p.contains("CartesianProduct"), s"corpus-wide product join:\n$p")
   }
+
+  test("SemDeDup: the exact in-cell self-join is size-capped and the overflow path is banded") {
+    // the quadratic join must be guarded by the cell-size cap, and an
+    // oversized cell must route through the (centroid, band, sig-slice)
+    // key so no single cell key goes |cell|² in one task
+    val df = SparkEntry.queries("q129_semdedup")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__cell_n"), s"cell-size routing missing from plan:\n$opt")
+    assert(opt.contains("__band") && opt.contains("__key"),
+      s"banded overflow path missing from plan:\n$opt")
+  }
 }

@@ -93,6 +93,29 @@ class ScriptSpec extends SparkSpec {
     assert(n > 0 && n < emb.count(), s"model filter kept $n of ${emb.count()}")
   }
 
+  test("shipped sketch plug-ins: kmv distinct and a stored count-min sketch from a script") {
+    val corpus = (Seq.fill(40)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    // build + persist the cms once, estimate distincts in the same pass ...
+    ScriptEngine.run(spark,
+      s"""nd = OPERATOR 'graft.script.ops.KmvDistinct' corpus ('key': 'term');
+         |cms = OPERATOR 'graft.script.ops.CmsBuild' corpus ('term': 'term', 'width': '256');
+         |STORE cms INTO '$dir/cms' USING PARQUET;
+         |STORE nd INTO '$dir/nd' USING PARQUET;""".stripMargin,
+      env0 = env("corpus" -> corpus))
+    val nd = spark.read.parquet(s"$dir/nd").collect().head.getAs[Double]("nd_est")
+    assert(nd == 4.0, s"4 distinct terms, estimated $nd")
+    // ... then probe the stored sketch from a later script
+    val probes = Seq("hot", "absent").toDF("term")
+    val out = ScriptEngine.run(spark,
+      s"""cms = LOAD '$dir/cms' USING PARQUET;
+         |est = OPERATOR 'graft.script.ops.CmsQuery' cms, probes ('term': 'term', 'width': '256');""".stripMargin,
+      env0 = env("probes" -> probes))
+    val est = out("est").collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est_count")).toMap
+    assert(est("hot") == 40L && est("absent") == 0L, est.toString)
+  }
+
   test("the reference's wordcount.cmr runs under the phase-syntax front end") {
     // release/examples/wordcount.cmr body, verbatim except the output path
     // (the example writes to a relative "output" dir); $CUBERT_HOME comes

@@ -520,4 +520,34 @@ class TextDedupSpec extends SparkSpec {
     assert(cellOf(10L) == 0L && cellOf(20L) == 1L)
     assert(cellOf(30L) == 1L && cellOf(31L) == 0L) // the straddling pair split
   }
+
+  test("semDedup survives a dominant cell: identical copies collapse, overflow cells band") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(xs: Float*) = xs.toArray
+    // adversarial fixture: one boilerplate embedding repeated 500× (all in
+    // cell 0), one distinct same-direction near-dup with a smaller id, one
+    // far vector in cell 1
+    val hot = (1000L until 1500L).map(i => Row(i, v(2f, 0.1f)))
+    val rows = hot ++ Seq(Row(10L, v(4f, 0.2f)), Row(20L, v(0.1f, 3f)))
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val cents = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, v(1f, 0f)), Row(1L, v(0f, 1f)))), schema)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    // maxCellSize = 1 forces the banded overflow path for cell 0's two
+    // DISTINCT vectors (the 500 copies never reach the pairwise stage)
+    val out = Dedup.semDedup(emb, cents, threshold = 0.99, maxCellSize = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // id 10 survives (smallest in its similarity group); the hot rep 1000
+    // shares 10's direction hence its LSH signature, so banding finds the
+    // pair and drops it; 20 is alone in cell 1
+    assert(out == Set(10L, 20L), s"got $out")
+    // and the exact path (cap not hit) agrees
+    val exact = Dedup.semDedup(emb, cents, threshold = 0.99)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exact == Set(10L, 20L), s"got $exact")
+  }
 }

@@ -659,17 +659,19 @@ object Dedup {
     val assigned = graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol)
 
     // -- stage 1: collapse bitwise-identical vectors (exact; skew-proof) ----
-    // Only sound when identical vectors actually exceed the threshold
-    // (cosine(v,v) = 1; NaN for the zero vector, which Spark orders above
-    // all numerics, so zero-vector copies drop under the exact path too).
-    val (reps, droppedIdentical) =
-      if (threshold <= 1.0) {
-        val repIds = assigned.groupBy(col(vecCol))
+    // Identical vectors share a centroid (assignment is deterministic), so
+    // one partial-aggregating groupBy yields the representatives directly,
+    // centroid attached — and since every non-minimal copy is dropped by
+    // its own representative (cosine(v,v) = 1 ≥ threshold; NaN for the
+    // zero vector, which Spark orders above all numerics), survivors can
+    // only ever be representatives: the rest of the operator never needs
+    // the pre-collapse stream again. Guarded on threshold ≤ 1 where the
+    // self-pair argument holds.
+    val reps =
+      if (threshold <= 1.0)
+        assigned.groupBy(col(vecCol), col("centroid_id"))
           .agg(min(col(idCol)).as(idCol))
-          .select(col(idCol))
-        (assigned.join(repIds, Seq(idCol), "semi"),
-         assigned.join(repIds, Seq(idCol), "anti").select(col(idCol)))
-      } else (assigned, assigned.filter(lit(false)).select(col(idCol)))
+      else assigned
 
     // -- stage 2: size-routed in-cell pairing over distinct vectors --------
     val cellSizes = reps.groupBy(col("centroid_id"))
@@ -709,9 +711,8 @@ object Dedup {
         col(idCol).as("id_b"), col(vecCol).as("vb")),
       Seq("centroid_id", "__band", "__key")).distinct()
 
-    val dropped = droppedIdentical
-      .unionByName(smallDropped).unionByName(largeDropped).distinct()
-    assigned.join(dropped, Seq(idCol), "left_anti")
+    val dropped = smallDropped.unionByName(largeDropped).distinct()
+    reps.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
   }
 

@@ -117,13 +117,24 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
+    // Float-array sides take the fused native kernel (bit-identical to the
+    // separate folds — same sequential double accumulation); double-typed
+    // centroids (e.g. fresh from kmeansFit) keep the generic composition.
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def isFloatArr(sch: org.apache.spark.sql.types.StructType, name: String) =
+      sch.fields.find(_.name == name).exists(_.dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      })
+    val cos: (Column, Column) => Column =
+      if (isFloatArr(df.schema, vecCol) && isFloatArr(centroids.schema, "cvec")) cosine
+      else cosineGeneric
     // Nearest centroid via groupBy + min_by (not a window): the n×k scored
     // stream partial-aggregates map-side, so only ~one row per vector
     // crosses the exchange — at k=1024 cells that is 1024× less shuffle
     // than sorting the scored stream per vec_id. Ties break to the lowest
     // centroid_id via the lexicographic struct, matching row_number order.
     df.join(c)
-      .withColumn("__d", -cosineGeneric(col(vecCol), col("cvec")))
+      .withColumn("__d", -cos(col(vecCol), col("cvec")))
       .groupBy(col(idCol))
       .agg(first(col(vecCol)).as(vecCol),
         min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))

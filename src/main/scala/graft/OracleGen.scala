@@ -524,19 +524,22 @@ object OracleGen {
     * centroid set: vec_id % centroidMod = 0), candidates within the query's
     * cell only, exact cosine re-rank — mirrors Similarity.ivfTopK.
     */
-  def annIvf(k: Int, centroidMod: Long, maxQueryId: Long): String =
+  def annIvf(k: Int, centroidMod: Long, maxQueryId: Long, nprobe: Int = 1): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id % $centroidMod = 0),
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosine("e.v", "c.cvec")} DESC, c.centroid_id) AS rk
+       |  FROM e CROSS JOIN cent c),
        |assigned AS (
-       |  SELECT vec_id, v, centroid_id AS cell FROM (
-       |    SELECT e.vec_id, e.v, c.centroid_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosine("e.v", "c.cvec")} DESC, c.centroid_id) AS rk
-       |    FROM e CROSS JOIN cent c) WHERE rk = 1),
+       |  SELECT vec_id, v, centroid_id AS cell FROM ranked WHERE rk = 1),
+       |qprobe AS (
+       |  SELECT vec_id, v, centroid_id AS cell FROM ranked
+       |  WHERE rk <= $nprobe AND vec_id < $maxQueryId),
        |cand AS (
        |  SELECT q.vec_id AS query_id, q.v AS qv, n.vec_id AS neighbor_id, n.v AS cv
-       |  FROM assigned q JOIN assigned n ON q.cell = n.cell AND q.vec_id <> n.vec_id
-       |  WHERE q.vec_id < $maxQueryId),
+       |  FROM qprobe q JOIN assigned n ON q.cell = n.cell AND q.vec_id <> n.vec_id),
        |scored AS (SELECT query_id, neighbor_id, ${cosine("qv", "cv")} AS cosine FROM cand)
        |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
        |  SELECT query_id, neighbor_id,

@@ -437,6 +437,15 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cent, k = 5)
         .select("query_id", "neighbor_id", "rank")
     }),
+    // the recall dial on the non-PQ IVF path: queries probe their 2
+    // nearest cells — same centroid set as q64, strictly wider candidates
+    "q133_ann_ivf_nprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cent, k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id", "rank")
+    }),
 
     // ---- multimodal plumbing ----------------------------------------------------------------
     "q46_multimodal_meta" -> ((s, d) => {
@@ -1265,6 +1274,7 @@ object SparkEntry {
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
+    "q133_ann_ivf_nprobe" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5, nprobe = 2),
     "q60_dedup_clusters" -> OracleGen.dupClusters(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q65_dedup_survivors" -> OracleGen.dedupSurvivors(shingleN = 3, k = 16, bands = 4, threshold = 0.2),
     "q61_quality_filter" ->

@@ -178,29 +178,53 @@ object Similarity {
     centroids.toDF("centroid_id", "cvec")
   }
 
-  /** IVF ANN search end-to-end (nprobe = 1): assign corpus and queries to
-    * their nearest centroid cell (max cosine, ties to the lowest
-    * centroid_id), then brute-force ONLY within the query's cell. The
-    * coarse quantization bounds the candidate join by cell population —
-    * corpus² becomes Σ|cell|·|queries in cell| — which is the standard
-    * recall/cost dial (more centroids → smaller cells → cheaper, lower
-    * recall; nprobe > 1 re-adds neighbor cells). Centroids broadcast; the
-    * assignment is a narrow map over each side.
+  /** IVF ANN search end-to-end: assign the corpus to its nearest centroid
+    * cell (max cosine, ties to the lowest centroid_id), have each query
+    * probe its `nprobe` nearest cells, then brute-force ONLY within the
+    * probed cells. The coarse quantization bounds the candidate join by
+    * cell population — corpus² becomes Σ|cell|·|queries probing it| —
+    * and nprobe is the recall/cost dial (more centroids → smaller cells →
+    * cheaper, lower recall; higher nprobe re-adds neighbor cells —
+    * nprobe = #cells degenerates to exact brute force), matching the dial
+    * on the PQ path ([[graft.similarity.Pq.ivfPqTopK]]).
+    *
+    * Scale shape: centroids broadcast into both sides. The CORPUS cell
+    * assignment stays the map-side-partial `min_by` argmin (never a
+    * window over the n×k scored stream); the query probe list uses a
+    * per-query top-nprobe window, fine because queries are the small
+    * side by contract. A neighbor lives in exactly one cell, so probing
+    * distinct cells never duplicates a candidate pair.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
     // Same map-side-partial argmin as ivfAssign: max cosine = min (-cos,
     // centroid_id) lexicographically, ties to the lowest centroid_id.
-    def assign(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v)).join(c)
-        .withColumn("__negcos", -cosine(col(v), col("cvec")))
-        .groupBy(col(id))
-        .agg(first(col(v)).as(v),
-          min_by(col("centroid_id"), struct(col("__negcos"), col("centroid_id"))).as("cell"))
-        .select(col(id), col(v), col("cell"))
-    val cc = assign(corpus, "neighbor_id", "cv")
-    val qq = assign(queries, "query_id", "qv")
+    val cc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")).join(c)
+      .withColumn("__negcos", -cosine(col("cv"), col("cvec")))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("cv")).as("cv"),
+        min_by(col("centroid_id"), struct(col("__negcos"), col("centroid_id"))).as("cell"))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val qscored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).join(c)
+      .withColumn("__negcos", -cosine(col("qv"), col("cvec")))
+    val qq =
+      if (nprobe == 1)
+        // same partial-agg argmin as the corpus side — the whole operator
+        // stays window-free except the final per-query rank
+        qscored.groupBy(col("query_id"))
+          .agg(first(col("qv")).as("qv"),
+            min_by(col("centroid_id"), struct(col("__negcos"), col("centroid_id"))).as("cell"))
+          .select(col("query_id"), col("qv"), col("cell"))
+      else {
+        val probeW = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("__negcos"), col("centroid_id"))
+        qscored
+          .withColumn("__rk", row_number().over(probeW)).filter(col("__rk") <= nprobe)
+          .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     qq.join(cc, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))

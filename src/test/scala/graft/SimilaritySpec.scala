@@ -66,6 +66,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(r => assign(r.getAs[Long]("neighbor_id")) == assign(0L)))
   }
 
+  test("IVF recall is monotone in nprobe and degenerates to brute force at nprobe = #cells") {
+    val emb = sf("embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val cents = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    val nCells = cents.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, queries, cents, k = 10, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r2 = recall(2); val rAll = recall(nCells)
+    assert(r1 <= r2 + 1e-12 && r2 <= rAll + 1e-12, s"recall not monotone: $r1, $r2, $rAll")
+    assert(rAll == 1.0, s"nprobe=#cells must equal brute force, recall $rAll")
+  }
+
   test("LSH top-k finds the planted duplicate through banding") {
     val emb = sf("embeddings")
     val planted = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))

@@ -871,7 +871,10 @@ object Dedup {
     val paras = df
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("idx", "para")))
       .filter(trim(col("para")) =!= "")
-      .withColumn("__ph", md5(col("para")))
+      // 16-byte binary key, not the 32-char hex string: halves the width
+      // of the winner-election shuffle and the join key at corpus scale
+      // (same "never strings" hygiene as the shingle paths)
+      .withColumn("__ph", unhex(md5(col("para"))))
     val winners = paras.groupBy(col("__ph"))
       .agg(min(struct(col(idCol).as("wid"), col("idx").as("widx"))).as("__w"))
     paras.join(winners, Seq("__ph"))

@@ -477,3 +477,61 @@ class CmsQuery extends UserOperator {
       params.getOrElse("depth", "4").toInt, params.getOrElse("width", "1024").toInt,
       params.getOrElse("salt", "cms"))
 }
+
+/** Mixture plan for scripts: token-budget allocation by stratum share.
+  * Params: stratum (required), size (required token-count column),
+  * budget (required long), tau (optional — temperature-flattened variant).
+  */
+class MixturePlan extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val st = col(params("stratum")); val sz = col(params("size"))
+    val budget = params("budget").toLong
+    params.get("tau") match {
+      case Some(t) => graft.operators.Sampling
+        .mixturePlanTemperature(inputs.head, st, sz, budget, t.toDouble)
+      case None => graft.operators.Sampling.mixturePlan(inputs.head, st, sz, budget)
+    }
+  }
+}
+
+/** Mixture take for scripts: EXECUTES a mixture plan — inputs = (corpus,
+  * plan with (stratum, alloc_tokens)); deterministic hash-order take per
+  * stratum, two-phase so no hot-stratum task. Params: stratum, size, key
+  * (all required), salt ("mix"), coarseBuckets (1024).
+  */
+class MixtureTake extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.mixtureTake(inputs.head,
+      col(params("stratum")), col(params("size")), col(params("key")),
+      inputs(1).select("stratum", "alloc_tokens"),
+      params.getOrElse("salt", "mix"),
+      params.getOrElse("coarseBuckets", "1024").toInt)
+}
+
+/** Fair epoch interleave for scripts: round-robin training positions
+  * across strata so no stratum clumps. Params: stratum, key (required),
+  * salt ("ilv"), buckets (1024), out ("pos").
+  */
+class InterleaveStrata extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.interleaveStrata(inputs.head,
+      col(params("stratum")), col(params("key")),
+      params.getOrElse("salt", "ilv"), params.getOrElse("buckets", "1024").toInt,
+      params.getOrElse("out", "pos"))
+}
+
+/** Greedy sequence packing for scripts: fill context windows of `capacity`
+  * tokens per group in order. Params: group, order, size (required),
+  * capacity (required), shards (optional — sharded variant for hot groups).
+  */
+class Pack extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val cap = params("capacity").toLong
+    params.get("shards") match {
+      case Some(s) => graft.operators.Packing.packGreedySharded(inputs.head,
+        params("group"), params("order"), params("size"), cap, s.toInt)
+      case None => graft.operators.Packing.packGreedy(inputs.head,
+        params("group"), params("order"), params("size"), cap)
+    }
+  }
+}

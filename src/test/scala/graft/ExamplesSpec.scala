@@ -140,6 +140,37 @@ class ExamplesSpec extends SparkSpec {
     assert(train.select("pos").collect().map(_.getLong(0)).sorted.toSeq == (1L to nT))
   }
 
+  test("training_order.cmr plans, takes, interleaves, and packs a training order") {
+    val out = runExample("training_order")
+    val train = spark.read.parquet(s"$out/train_order")
+    assert(train.columns.toSet ==
+      Set("pos", "doc_id", "lang", "n_tokens", "pack_id", "pack_pos"))
+    val n = train.count()
+    assert(n > 0, "mixture take selected nothing")
+    // interleave produced a contiguous 1..n training order
+    assert(train.select("pos").collect().map(_.getLong(0)).sorted.toSeq == (1L to n))
+    // packs respect the 2048-token capacity (single over-long docs may
+    // exceed it alone, but the test corpus has none)
+    val overs = train.groupBy("lang", "pack_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("s"))
+      .filter(org.apache.spark.sql.functions.col("s") > 2048L).count()
+    assert(overs == 0, s"$overs packs exceed capacity")
+    // the card accounts for exactly the exported rows
+    val card = spark.read.parquet(s"$out/card")
+    assert(card.columns.toSet == Set("lang", "n_docs", "sum_tokens"))
+    assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0) == n)
+    // the take respected the mixture budget: total tokens ≤ 20k plus one
+    // doc of overshoot per stratum (the take stops after crossing)
+    val total = train.agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(total <= 20000L + card.count() * 4096,
+      s"budget wildly exceeded: $total tokens")
+    // determinism: a second run replays the identical order
+    val out2 = runExample("training_order")
+    val t2 = spark.read.parquet(s"$out2/train_order")
+    assert(t2.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == train.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("dictionary.cmr builds, encodes, and aggregates") {
     val out = runExample("dictionary")
     val seg = spark.read.parquet(s"$out/seg_counts")

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Adversarial skew fixtures: a boilerplate paragraph / shingle / embedding
+  * repeated 10^5 times. These pin the 100×-scale claims the docstrings
+  * make — each operator must finish promptly BECAUSE its hot key collapses
+  * in a map-side partial aggregate (a per-key window or an unbounded
+  * same-key self-join would go quadratic here and time the suite out), and
+  * the answers must stay exact under the skew.
+  */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Hot = 100000
+
+  test(s"paragraphDedup: a paragraph duplicated $Hot times elects one winner map-side") {
+    // every doc = the hot boilerplate + a unique paragraph
+    val docs = spark.range(Hot)
+      .select(col("id").as("doc_id"),
+        concat(lit("shared boilerplate header\n"), lit("unique para "),
+          col("id").cast("string")).as("text"))
+    val out = Dedup.paragraphDedup(docs)
+    // plan: the election must stay an aggregate, never a window over __ph
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(__ph"),
+      s"per-paragraph-hash window under skew:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == Hot)
+    // exactly one document keeps the boilerplate (the smallest (id, idx))
+    val keepers = rows.filter(_.getAs[String]("text_dedup")
+      .contains("shared boilerplate header"))
+    assert(keepers.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L))
+    // everyone keeps their unique paragraph
+    assert(rows.forall(r => r.getAs[String]("text_dedup")
+      .contains(s"unique para ${r.getAs[Long]("doc_id")}")))
+  }
+
+  test(s"crossDocShingleStats: a shingle shared by $Hot docs stays a plain aggregate") {
+    // every doc: 8 hot tokens (one corpus-wide shingle) + enough unique
+    // tokens for doc-private shingles
+    val docs = spark.range(Hot)
+      .select(col("id").as("doc_id"),
+        concat(lit("a b c d e f g h "),
+          lit("u"), col("id").cast("string"), lit("x "),
+          lit("u"), col("id").cast("string"), lit("y")).as("text"))
+    val out = Dedup.crossDocShingleStats(docs, n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("windowspecdefinition"),
+      s"window funnels the hot shingle through one task:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == Hot)
+    // 10 tokens → 3 distinct 8-shingles; the first (pure hot prefix) is
+    // shared corpus-wide, the two touching the unique tokens are private
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(r0.getAs[Long]("n_shingles") == 3L, r0.toString)
+    assert(r0.getAs[Long]("n_dup_shingles") == 1L, r0.toString)
+  }
+
+  test(s"semDedup: $Hot identical embeddings collapse before any pairwise stage") {
+    // the Abbas-adversary: one boilerplate embedding duplicated 10^5
+    // times — the naive in-cell self-join would form ~10^10 pairs
+    val hot = spark.range(Hot).select((col("id") + 100).as("vec_id"),
+      array(lit(1f), lit(0.05f)).as("embedding"))
+    val rest = Seq(
+      (1L, Array(0.1f, 2f)),   // far, different cell — survives
+      (2L, Array(3f, 0.15f))   // same direction as the hot group, smaller
+                               // id → becomes the group's conqueror
+    ).toDF("vec_id", "embedding")
+    val corpus = hot.unionByName(rest)
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "cvec")
+    val out = Dedup.semDedup(corpus, cents, threshold = 0.99)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // survivors: 1 (alone in its cell), 2 (smallest id in the hot
+    // direction); the hot rep (id 100) is dropped by 2, all other copies
+    // by the identical-collapse
+    assert(out == Set(1L, 2L), s"got ${out.take(10)}... (${out.size} rows)")
+  }
+}

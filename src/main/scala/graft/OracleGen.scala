@@ -486,6 +486,41 @@ object OracleGen {
        |SELECT vec_id, centroid_id FROM assigned
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
+  // ---- q135 incremental SemDeDup ------------------------------------------
+
+  /** Mirrors Dedup.semDedupIndex + semDedupAgainstIndex under fixed
+    * centroids: corpus = vec_id ≥ batchMax indexed by cell; a batch vector
+    * drops when any indexed cell-mate reaches the threshold (corpus wins),
+    * survivors then pair in-batch exactly as q129.
+    */
+  def semDedupIncremental(nCentroids: Int, threshold: Double, batchMax: Long): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |scored AS (
+       |  SELECT e.vec_id, c.centroid_id, -(${cosine("e.v", "c.cv")}) AS d
+       |  FROM e, c),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1),
+       |av AS (SELECT a.vec_id, a.centroid_id, e.v FROM assigned a JOIN e USING (vec_id)),
+       |bat AS (SELECT * FROM av WHERE vec_id < $batchMax),
+       |idx AS (SELECT * FROM av WHERE vec_id >= $batchMax),
+       |corpusdup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM bat b JOIN idx i ON b.centroid_id = i.centroid_id
+       |  WHERE ${cosine("b.v", "i.v")} >= $threshold),
+       |fresh AS (
+       |  SELECT * FROM bat WHERE vec_id NOT IN (SELECT vec_id FROM corpusdup)),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM fresh x JOIN fresh y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |  WHERE ${cosine("x.v", "y.v")} >= $threshold)
+       |SELECT vec_id, centroid_id FROM fresh
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   // ---- q69 LSH embedding near-dup -----------------------------------------
 
   /** Hyperplane-band bucketed near-dup pairs with exact cosine verification
@@ -604,6 +639,27 @@ object OracleGen {
     */
   def hashBucket(keyExpr: String, salt: String, buckets: Long): String =
     s"(((${charHash(s"'$salt:' || CAST($keyExpr AS VARCHAR)")} * 1103515245 + 12345) % $P) % $buckets)"
+
+  /** Sketches.quantileSketch + quantileEstimate: hash-ordered bottom-k row
+    * sample per group, quantiles by lower-nearest-rank indexing of the
+    * sorted sample (same floor(q·(n−1)) arithmetic).
+    */
+  def quantileSketch(k: Int, qs: Seq[Double]): String = {
+    val cols = qs.map { q =>
+      val name = "p" + (q * 100).toInt
+      s"vs[CAST(floor($q * (n_sample - 1)) + 1 AS INT)] AS $name"
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT lang, n_chars AS v, ${hashBucket("doc_id", "qsk", 1L << 30)} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rk
+       |  FROM s),
+       |g AS (
+       |  SELECT lang, list(v ORDER BY v) AS vs, COUNT(*) AS n_sample
+       |  FROM r WHERE rk <= $k GROUP BY lang)
+       |SELECT lang, n_sample, $cols FROM g""".stripMargin
+  }
 
   /** Stratified hash sampling — mirrors Sampling.stratifiedHashSample. */
   def sampleStratified(rates: Seq[(String, Int)], defaultPermille: Int): String = {

@@ -624,6 +624,18 @@ object SparkEntry {
       Dedup.semDedup(emb, cents, threshold = 0.45)
         .select("vec_id", "centroid_id")
     }),
+    // incremental SemDeDup: a batch (vec_id < 100) dedups against the
+    // STORED cell index of the rest of the corpus (corpus copy wins),
+    // then among itself — the corpus never re-enters a pairwise stage
+    "q135_semdedup_batch_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val idx = Dedup.semDedupIndex(emb.filter(col("vec_id") >= 100), cents)
+      Dedup.semDedupAgainstIndex(emb.filter(col("vec_id") < 100), idx, cents,
+        threshold = 0.45)
+        .select("vec_id", "centroid_id")
+    }),
     // fair epoch interleave: round-robin across languages in training order
     "q130_epoch_interleave" -> ((s, d) =>
       Sampling.interleaveStrata(t(s, d, "documents").select("doc_id", "lang"),
@@ -634,6 +646,14 @@ object SparkEntry {
     "q131_kmv_distinct" -> ((s, d) =>
       Sketches.kmvDistinct(t(s, d, "orders"), col("o_custkey"),
         Seq(col("o_orderpriority")), k = 64)),
+    // deterministic quantile sketch: hash-ordered bottom-k row sample per
+    // language, char-length quantiles by nearest-rank on the sample —
+    // mergeable and bit-portable, unlike approx_percentile's digest
+    "q134_quantile_sketch" -> ((s, d) =>
+      Sketches.quantileEstimate(
+        Sketches.quantileSketch(t(s, d, "documents"), col("n_chars"),
+          col("doc_id"), Seq(col("lang")), k = 64),
+        Seq("lang"), Seq(0.5, 0.9, 0.99))),
     // count-min sketch: build over all document tokens, probe with the
     // tokens of the first three documents
     "q132_cms_counts" -> ((s, d) => {
@@ -1324,6 +1344,9 @@ object SparkEntry {
     "q130_epoch_interleave" -> OracleGen.epochInterleave(salt = "ilv"),
     "q131_kmv_distinct" -> OracleGen.kmvDistinct(k = 64),
     "q132_cms_counts" -> OracleGen.cmsCounts(depth = 4, width = 1024),
+    "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
+    "q135_semdedup_batch_index" ->
+      OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),
     "q124_domain_cap" ->
       """WITH q(source, quota) AS (
         |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)

@@ -654,9 +654,19 @@ object Dedup {
     */
   def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxCellSize: Int = 10000, nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+               maxCellSize: Int = 10000, nPlanes: Int = 16, bands: Int = 4): DataFrame =
+    semDedupAssigned(
+      graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol),
+      threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
+
+  /** The bounded in-cell pairing core of [[semDedup]], over an already
+    * cell-assigned stream (idCol, vecCol, centroid_id) — shared by the
+    * one-shot path and the incremental [[semDedupAgainstIndex]] path.
+    */
+  private def semDedupAssigned(assigned: DataFrame, threshold: Double,
+               idCol: String, vecCol: String,
+               maxCellSize: Int, nPlanes: Int, bands: Int): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must divide into bands")
-    val assigned = graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol)
 
     // -- stage 1: collapse bitwise-identical vectors (exact; skew-proof) ----
     // Identical vectors share a centroid (assignment is deterministic), so
@@ -714,6 +724,54 @@ object Dedup {
     val dropped = smallDropped.unionByName(largeDropped).distinct()
     reps.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Persistable SemDeDup cell index: the corpus' (idCol, vecCol,
+    * centroid_id) assignment under a FIXED centroid table. STORE it once;
+    * later batches dedup against it with [[semDedupAgainstIndex]] without
+    * the corpus ever re-entering a pairwise stage — the semantic-dedup
+    * analog of [[minHashIndex]].
+    */
+  def semDedupIndex(df: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol)
+
+  /** Incremental SemDeDup: dedup a new batch against a stored corpus
+    * [[semDedupIndex]] (same centroid table), then among itself. A batch
+    * vector is dropped if ANY indexed cell-mate sits at cosine ≥
+    * threshold (the corpus copy always wins — it is already part of the
+    * training set); the survivors then run the standard bounded in-batch
+    * [[semDedup]] pairing. Returns surviving batch (idCol, centroid_id).
+    *
+    * Scale shape — the corpus never re-pairs with itself: the index is
+    * pruned to the batch's touched cells by a broadcast join of the
+    * batch's (tiny) distinct cell-id set, then joined batch×cell-mates
+    * only. Corpus-side work is one pruned scan per batch; in-batch work
+    * is bounded exactly as in [[semDedup]] (identical-collapse +
+    * cell-size-capped pairing).
+    */
+  def semDedupAgainstIndex(batch: DataFrame, index: DataFrame, centroids: DataFrame,
+                           threshold: Double,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           maxCellSize: Int = 10000, nPlanes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val bAssigned = graft.similarity.Similarity.ivfAssign(batch, centroids, idCol, vecCol)
+      .localCheckpoint() // referenced by the corpus screen AND the in-batch stage
+    val touched = bAssigned.select(col("centroid_id")).distinct()
+    // prune to touched cells, then screen against DISTINCT corpus vectors:
+    // outcome-identical (a batch vector drops iff ≥ 1 match — duplicate
+    // corpus copies add nothing) and it collapses a 10^8-copy boilerplate
+    // cell to one row before the pairwise join, same adversary as the
+    // in-batch identical-collapse
+    val idxTouched = index.join(broadcast(touched), Seq("centroid_id"))
+      .select(col("centroid_id"), col(vecCol).as("cv")).distinct()
+    val corpusDup = bAssigned
+      .select(col("centroid_id"), col(idCol).as("__bid"), col(vecCol).as("bv"))
+      .join(idxTouched, Seq("centroid_id"))
+      .filter(graft.similarity.Similarity.cosine(col("bv"), col("cv")) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    val fresh = bAssigned.join(corpusDup, Seq(idCol), "left_anti")
+    semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
   }
 
   /** Passage-level duplication stats: for each document, the fraction of

@@ -79,6 +79,70 @@ object Sketches {
           .otherwise(lit(((k - 1).toLong * M).toDouble) / col("kth_hash").cast("double")))
       .drop("mins")
 
+  /** Deterministic quantile sketch: per group, the rows whose key hashes
+    * rank in the bottom `k` of the portable hash order — a fixed-size
+    * uniform row sample (the key should identify rows, as in
+    * [[Sampling.deterministicShuffle]]) that is DETERMINISTIC, mergeable
+    * ([[quantileMerge]]: bottom-k of a union = re-ranked union of
+    * bottom-ks, a semilattice like KMV), and bit-portable — unlike
+    * approx_percentile's implementation-defined digest. Emits
+    * (groups..., __h, v). Quantiles come from [[quantileEstimate]];
+    * sampling error is the usual O(1/sqrt(k)).
+    *
+    * Scale shape: the rank filter is a WindowGroupLimit — every map task
+    * pre-prunes to its own bottom-k per group before the exchange, so a
+    * 10^9-row group ships ~k rows per task, never the group.
+    */
+  def quantileSketch(df: DataFrame, value: Column, key: Column,
+      groupCols: Seq[Column], k: Int = 256, salt: String = "qsk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(groupCols :+
+      Sampling.hashBucket(key, salt, 1 << 30).as("__h") :+ value.as("v"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(base.columns.dropRight(2).map(col): _*)
+      .orderBy(col("__h"), col("v"))
+    base.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Merge quantile sketch tables built with the same k and salt: union,
+    * re-take the bottom-k per group — exactly the sketch of the unioned
+    * raw inputs (per-shard / per-batch sketches compose incrementally).
+    */
+  def quantileMerge(sketches: Seq[DataFrame], groupKeys: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(sketches.nonEmpty)
+    val all = sketches.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupKeys.map(col): _*).orderBy(col("__h"), col("v"))
+    all.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Quantile estimates from a [[quantileSketch]] table: per group, the
+    * sorted sample array indexed at floor(q·(n−1)) (lower-nearest-rank on
+    * the sample — index arithmetic is one exactly-rounded multiply +
+    * floor, so any engine reproduces it). Emits (groups..., n_sample,
+    * p<q> per requested quantile). The sample is ≤ k rows per group, so
+    * the collect_list is bounded state, not data.
+    */
+  def quantileEstimate(sketch: DataFrame, groupKeys: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
+    val agg = sketch.groupBy(groupKeys.map(col): _*)
+      .agg(array_sort(collect_list(col("v"))).as("__vs"),
+        count(lit(1)).as("n_sample"))
+    qs.foldLeft(agg) { (d, q) =>
+      // name from the quantile in percent, rounded past IEEE noise
+      // (0.99 * 100 is 99.00000000000001): p50, p90, p99, p99_9, ...
+      val scaled = math.round(q * 10000).toDouble / 100.0
+      val name = "p" + (if (scaled == scaled.floor) scaled.toInt.toString
+                        else scaled.toString.replace('.', '_'))
+      d.withColumn(name, element_at(col("__vs"),
+        (floor(lit(q) * (col("n_sample") - 1).cast("double")) + 1).cast("int")))
+    }.drop("__vs")
+  }
+
   /** Count-min sketch BUILD: a (depth × width) grid of counts, stored as a
     * DataFrame of (d, bucket, cnt) cells — at most depth·width rows
     * regardless of corpus size. Each input row increments one bucket per

@@ -535,3 +535,22 @@ class Pack extends UserOperator {
     }
   }
 }
+
+/** Deterministic quantile estimates for scripts: hash-sample sketch +
+  * nearest-rank estimate in one step. Params: value (required), key
+  * (required row-identifying column), group (comma-separated, optional),
+  * qs (comma-separated quantiles, default "0.5,0.9,0.99"), k (256),
+  * salt ("qsk").
+  */
+class QuantileSketch extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val groups = params.get("group").map(_.split(",").toSeq.map(s => s.trim))
+      .getOrElse(Seq.empty)
+    val k = params.getOrElse("k", "256").toInt
+    val sk = graft.operators.Sketches.quantileSketch(inputs.head,
+      col(params("value")), col(params("key")), groups.map(col), k,
+      params.getOrElse("salt", "qsk"))
+    graft.operators.Sketches.quantileEstimate(sk, groups,
+      params.getOrElse("qs", "0.5,0.9,0.99").split(",").toSeq.map(_.trim.toDouble))
+  }
+}

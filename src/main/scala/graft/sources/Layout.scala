@@ -62,12 +62,22 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
                   numFiles: Int): Unit = {
+    // temporal types don't cast to double directly — normalize to epoch
+    // numerics first (NTZ via the session-tz cast, micros precision)
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def scalable(name: String): Column = df.schema(name).dataType match {
+      case TimestampNTZType => unix_micros(col(name).cast("timestamp")).cast("double")
+      case TimestampType    => unix_micros(col(name)).cast("double")
+      case DateType         => call_function("unix_date", col(name)).cast("double")
+      case _                => col(name).cast("double")
+    }
+    val zs = zCols.map(scalable)
     val stats = df.select(
-      zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
+      zs.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))): _*)
       .collect().head
     val mins = zCols.indices.map(i => Option(stats.get(2 * i)).fold(0.0)(_ => stats.getDouble(2 * i)))
     val maxs = zCols.indices.map(i => Option(stats.get(2 * i + 1)).fold(0.0)(_ => stats.getDouble(2 * i + 1)))
-    df.withColumn("__z", zValue(zCols.map(col), mins, maxs))
+    df.withColumn("__z", zValue(zs, mins, maxs))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -56,6 +56,37 @@ class SketchesSpec extends SparkSpec {
     assert(est("hot") == 500L && est("a") == 1L && est("zzz-absent") == 0L, est.toString)
   }
 
+  test("quantileSketch is exact below k and its estimate tracks true quantiles above") {
+    // below k: the "sample" is the whole group, nearest-rank is exact
+    val small = (1L to 9L).map(i => ("g", i)).toDF("g", "v")
+      .select(col("g"), col("v"), col("v").as("k"))
+    val ex = Sketches.quantileEstimate(
+      Sketches.quantileSketch(small, col("v"), col("k"), Seq(col("g")), k = 64),
+      Seq("g"), Seq(0.5)).collect().head
+    assert(ex.getAs[Long]("p50") == 5L, ex.toString)
+    // above k: uniform 1..20000, p50/p90 within a few percent
+    val big = spark.range(1L, 20001L).select(lit("g").as("g"), col("id").as("v"))
+    val est = Sketches.quantileEstimate(
+      Sketches.quantileSketch(big, col("v"), col("v"), Seq(col("g")), k = 512),
+      Seq("g"), Seq(0.5, 0.9)).collect().head
+    assert(math.abs(est.getAs[Long]("p50") - 10000L) < 2000, est.toString)
+    assert(math.abs(est.getAs[Long]("p90") - 18000L) < 2000, est.toString)
+  }
+
+  test("quantileSketch shards merge to exactly the whole-corpus sketch") {
+    val whole = spark.range(1L, 5001L)
+      .select((col("id") % 3).cast("string").as("g"), col("id").as("v"))
+    val k = 64
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Sketches.quantileSketch(whole, col("v"), col("v"), Seq(col("g")), k)
+    val merged = Sketches.quantileMerge(Seq(
+      Sketches.quantileSketch(whole.filter(col("v") < 2500), col("v"), col("v"), Seq(col("g")), k),
+      Sketches.quantileSketch(whole.filter(col("v") >= 2500), col("v"), col("v"), Seq(col("g")), k)),
+      Seq("g"), k)
+    assert(rows(direct) == rows(merged))
+  }
+
   test("cms sketches merge incrementally by summing cells") {
     val b1 = Seq("x", "x", "y").toDF("t")
     val b2 = Seq("x", "z").toDF("t")

@@ -521,6 +521,38 @@ class TextDedupSpec extends SparkSpec {
     assert(cellOf(30L) == 1L && cellOf(31L) == 0L) // the straddling pair split
   }
 
+  test("semDedupAgainstIndex: the corpus copy wins regardless of id; batch dedups in-batch") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(xs: Float*) = xs.toArray
+    val cents = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, v(1f, 0f)), Row(1L, v(0f, 1f)))), schema)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    // corpus: one doc in cell 0 — even though its id (500) is larger than
+    // every batch id, it wins against near-dup batch arrivals
+    val corpus = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(500L, v(2f, 0.1f)))), schema)
+    val idx = Dedup.semDedupIndex(corpus, cents)
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(5L, v(4f, 0.2f)),    // near-dup of corpus 500 → dropped (corpus wins)
+      Row(6L, v(0.1f, 3f)),    // cell 1, novel → survives
+      Row(7L, v(-0.2f, 5f)),   // cell 1, near-dup of 6 → dropped in-batch
+      Row(8L, v(5f, -2f))      // cell 0, far from corpus 500 → survives
+    )), schema)
+    val out = Dedup.semDedupAgainstIndex(batch, idx, cents, threshold = 0.97)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out == Set(6L, 8L), s"got $out")
+    // one-shot semDedup over corpus+batch would instead keep batch id 5
+    // (smallest in its similarity group) — the index semantics differ by
+    // design: what is already trained on stays authoritative
+    val oneShot = Dedup.semDedup(corpus.unionByName(batch), cents, threshold = 0.97)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(oneShot.contains(5L) && !oneShot.contains(500L))
+  }
+
   test("semDedup survives a dominant cell: identical copies collapse, overflow cells band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

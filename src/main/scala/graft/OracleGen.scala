@@ -521,6 +521,65 @@ object OracleGen {
        |SELECT vec_id, centroid_id FROM fresh
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
+  // ---- q136 markup stripping / q137 script profile ------------------------
+
+  /** Mirrors TextAnalysis.stripMarkup over the q136 synthetic HTML wrap:
+    * same RE2 patterns (block strip, comments, tags, entity decode,
+    * whitespace collapse), applied in the same order.
+    */
+  def stripMarkup: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><style>p{color:red}</style></head><body><!-- hdr --><p>'
+       |    || substring(text, 1, 200)
+       |    || '</p><script>var x = 1 &amp;&amp; 2;</script> &lt;raw&gt; &amp; &quot;q&#39;s&quot;&nbsp;</body></html>'
+       |    AS html
+       |  FROM documents),
+       |s1 AS (SELECT doc_id,
+       |  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+       |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+       |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+       |s4 AS (SELECT doc_id,
+       |  replace(replace(replace(replace(replace(replace(t,
+       |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+       |    '&quot;', '"'), '&#39;', CHR(39)), '&nbsp;', ' ') AS t FROM s3),
+       |s5 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean FROM s4)
+       |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars FROM s5""".stripMargin
+
+  /** Mirrors TextAnalysis.withScriptProfile over the q137 salted text:
+    * identical codepoint-range counts (RE2 and Java agree on explicit
+    * ranges) and the same dominance CASE order.
+    */
+  def scriptProfile: String = {
+    def cnt(range: String) =
+      s"CAST(length(regexp_replace(text, '[^$range]', '', 'g')) AS BIGINT)"
+    val latin = cnt("A-Za-z"); val digit = cnt("0-9")
+    val cjk = cnt("\\x{4e00}-\\x{9fff}"); val cyr = cnt("\\x{0400}-\\x{04ff}")
+    val ara = cnt("\\x{0600}-\\x{06ff}")
+    def ratio(c: String) =
+      s"CASE WHEN n > 0 THEN CAST($c AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END"
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 5 = 0 THEN ' 漢字測試漢字測試漢字測試漢字測試漢字測試漢字測試漢字測試' ELSE '' END
+       |         || CASE WHEN doc_id % 7 = 0 THEN ' текст' ELSE '' END
+       |         || CASE WHEN doc_id % 11 = 0 THEN ' نصوص' ELSE '' END AS text
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    $latin AS latin, $digit AS digit, $cjk AS cjk, $cyr AS cyr, $ara AS ara
+       |  FROM s)
+       |SELECT doc_id, n AS n_chars_total,
+       |  ${ratio("latin")} AS latin_ratio, ${ratio("digit")} AS digit_ratio,
+       |  ${ratio("cjk")} AS cjk_ratio, ${ratio("cyr")} AS cyrillic_ratio,
+       |  ${ratio("ara")} AS arabic_ratio,
+       |  CASE WHEN latin >= cjk AND latin >= cyr AND latin >= ara AND latin > 0 THEN 'latin'
+       |       WHEN cjk >= cyr AND cjk >= ara AND cjk > 0 THEN 'cjk'
+       |       WHEN cyr >= ara AND cyr > 0 THEN 'cyrillic'
+       |       WHEN ara > 0 THEN 'arabic'
+       |       ELSE 'other' END AS dominant_script
+       |FROM c""".stripMargin
+  }
+
   // ---- q69 LSH embedding near-dup -----------------------------------------
 
   /** Hyperplane-band bucketed near-dup pairs with exact cosine verification

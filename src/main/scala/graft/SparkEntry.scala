@@ -636,6 +636,29 @@ object SparkEntry {
         threshold = 0.45)
         .select("vec_id", "centroid_id")
     }),
+    // WET-style markup stripping: wrap each document in synthetic HTML
+    // (tags, script/style blocks, comments, entities), then extract text
+    "q136_strip_markup" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><!-- hdr --><p>"),
+        substring(col("text"), 1, 200),
+        lit("</p><script>var x = 1 &amp;&amp; 2;</script> &lt;raw&gt; &amp; &quot;q&#39;s&quot;&nbsp;</body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.stripMarkup(html).as("clean"))
+        .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+    }),
+    // script/charset routing profile; salt some docs with CJK / Cyrillic /
+    // Arabic runs so every ratio column and the argmax are exercised
+    "q137_script_profile" -> ((s, d) => {
+      val salted = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" 漢字測試漢字測試漢字測試漢字測試漢字測試漢字測試漢字測試")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" текст")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" نصوص")).otherwise(lit("")))
+      TextAnalysis.withScriptProfile(
+        t(s, d, "documents").select(col("doc_id"), salted.as("text")))
+        .select("doc_id", "n_chars_total", "latin_ratio", "digit_ratio",
+          "cjk_ratio", "cyrillic_ratio", "arabic_ratio", "dominant_script")
+    }),
     // fair epoch interleave: round-robin across languages in training order
     "q130_epoch_interleave" -> ((s, d) =>
       Sampling.interleaveStrata(t(s, d, "documents").select("doc_id", "lang"),
@@ -1347,6 +1370,8 @@ object SparkEntry {
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),
+    "q136_strip_markup" -> OracleGen.stripMarkup,
+    "q137_script_profile" -> OracleGen.scriptProfile,
     "q124_domain_cap" ->
       """WITH q(source, quota) AS (
         |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)

@@ -244,6 +244,56 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** HTML/markup stripping — the WET-extraction step of a web-crawl
+    * pipeline: drop script/style blocks wholesale, comments, then all
+    * tags; decode the common entities; collapse whitespace. A chain of
+    * codegen'd regexp_replace — narrow map, no shuffle, and every pattern
+    * is RE2-compatible so the oracle replays it byte-for-byte. This is
+    * regex extraction, not an HTML parser — the standard trade for a
+    * 100 TB first-pass text extractor.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-document script/charset profile: character counts and ratios for
+    * explicit codepoint ranges (Latin letters, digits, CJK, Cyrillic,
+    * Arabic) plus the dominant script — the pre-language-ID routing signal
+    * of a multilingual pipeline. Explicit ranges, not \\p{script} classes,
+    * so Java and RE2 regex agree character-for-character; ratios are
+    * single exactly-rounded divisions. Narrow codegen'd map.
+    */
+  def withScriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(range: String): Column =
+      length(regexp_replace(col(textCol), s"[^$range]", "")).cast("long")
+    val n = length(col(textCol)).cast("long")
+    def ratio(c: Column): Column =
+      when(n > 0, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    val latin = cnt("A-Za-z"); val digit = cnt("0-9")
+    val cjk = cnt("\\x{4e00}-\\x{9fff}"); val cyr = cnt("\\x{0400}-\\x{04ff}")
+    val ara = cnt("\\x{0600}-\\x{06ff}")
+    df.withColumn("n_chars_total", n)
+      .withColumn("latin_ratio", ratio(latin))
+      .withColumn("digit_ratio", ratio(digit))
+      .withColumn("cjk_ratio", ratio(cjk))
+      .withColumn("cyrillic_ratio", ratio(cyr))
+      .withColumn("arabic_ratio", ratio(ara))
+      .withColumn("dominant_script",
+        when(latin.geq(cjk) && latin.geq(cyr) && latin.geq(ara) && latin > 0, lit("latin"))
+          .when(cjk.geq(cyr) && cjk.geq(ara) && cjk > 0, lit("cjk"))
+          .when(cyr.geq(ara) && cyr > 0, lit("cyrillic"))
+          .when(ara > 0, lit("arabic"))
+          .otherwise(lit("other")))
+  }
+
   /** Blocklist filter (C4-style "bad words" screening): count of tokens in
     * the blocklist and a keep/drop flag. Token-set membership, not
     * substring: "assassin" does not trip "ass". Case-insensitive. The

@@ -490,6 +490,45 @@ class TextDedupSpec extends SparkSpec {
     assert(r(0).getAs[String]("text_dedup") == "dup\nmiddle")
   }
 
+  // ---- markup stripping / script profile ----------------------------------
+
+  test("stripMarkup drops tags, script/style bodies, comments, and decodes entities") {
+    import spark.implicits._
+    val html = Seq(
+      (1L, "<html><body><p>Hello <b>world</b></p><script>ignore() &amp;&amp; me;</script></body></html>"),
+      (2L, "<style type='text/css'>p { x: 1 }</style>A &amp; B &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end"),
+      (3L, "no markup at   all"),
+      (4L, "<!-- secret -->visible <P CLASS='x'>CAPS TAG</P>")
+    ).toDF("doc_id", "text")
+    val out = html.select(col("doc_id"), TextAnalysis.stripMarkup(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world")
+    assert(out(2L) == "A & B <ok> \"q's\" end")
+    assert(out(3L) == "no markup at all")
+    assert(out(4L) == "visible CAPS TAG")
+  }
+
+  test("withScriptProfile counts ranges and picks the dominant script") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world 123"),
+      (2L, "漢字漢字漢字 ab"),
+      (3L, "текст текст x"),
+      (4L, ""),
+      (5L, "!!! ???")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withScriptProfile(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("dominant_script"), r.getAs[Double]("latin_ratio"))).toMap
+    assert(out(1L)._1 == "latin")
+    assert(out(2L)._1 == "cjk")
+    assert(out(3L)._1 == "cyrillic")
+    assert(out(4L)._1 == "other" && out(4L)._2 == 0.0)
+    assert(out(5L)._1 == "other")
+    val r1 = out(1L)._2
+    assert(math.abs(r1 - 10.0 / 15.0) < 1e-12, r1.toString)
+  }
+
   // ---- SemDeDup -----------------------------------------------------------
 
   test("semDedup drops larger-id near-dups only within a cell") {

@@ -40,7 +40,11 @@ object Bench {
     "q127_det_shuffle",
     "q128_paragraph_dedup",
     "q129_semdedup",
-    "q131_kmv_distinct")
+    "q131_kmv_distinct",
+    "q134_quantile_sketch",
+    "q135_semdedup_batch_index",
+    "q136_strip_markup",
+    "q137_script_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,11 +73,30 @@ object Bench {
     val bm25Dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     graft.text.Search.save(graft.text.Search.bm25Index(
       spark.read.parquet(s"$sfDir/documents.parquet")), bm25Dir)
+    // q135 likewise: the corpus cell index is a one-time persisted artifact
+    // (the whole point of the incremental path); the timed query screens a
+    // batch against the STORED index
+    import org.apache.spark.sql.functions.col
+    val semDir = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      graft.dedup.Dedup.semDedupIndex(emb.filter(col("vec_id") >= 100), cents)
+        .write.mode("overwrite").parquet(s"$semDir/index")
+      cents.write.mode("overwrite").parquet(s"$semDir/cents")
+    }
     val overrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "q115_bm25" -> ((s, _) =>
         graft.text.Search.bm25TopK(graft.text.Search.load(s, bm25Dir),
           SparkEntry.bm25Terms, k = 50)
-          .select("doc_id", "score_q", "n_terms", "rank")))
+          .select("doc_id", "score_q", "n_terms", "rank")),
+      "q135_semdedup_batch_index" -> ((s, d) =>
+        graft.dedup.Dedup.semDedupAgainstIndex(
+          s.read.parquet(s"$d/embeddings.parquet").filter(col("vec_id") < 100),
+          s.read.parquet(s"$semDir/index"), s.read.parquet(s"$semDir/cents"),
+          threshold = 0.45)
+          .select("vec_id", "centroid_id")))
 
     // best-of-3 per query: later runs reuse compiled codegen classes
     // (JIT/codegen warmup excluded — measured still settling on run 2)

@@ -756,7 +756,6 @@ object Dedup {
                            maxCellSize: Int = 10000, nPlanes: Int = 16,
                            bands: Int = 4): DataFrame = {
     val bAssigned = graft.similarity.Similarity.ivfAssign(batch, centroids, idCol, vecCol)
-      .localCheckpoint() // referenced by the corpus screen AND the in-batch stage
     val touched = bAssigned.select(col("centroid_id")).distinct()
     // prune to touched cells, then screen against DISTINCT corpus vectors:
     // outcome-identical (a batch vector drops iff ≥ 1 match — duplicate
@@ -770,7 +769,11 @@ object Dedup {
       .join(idxTouched, Seq("centroid_id"))
       .filter(graft.similarity.Similarity.cosine(col("bv"), col("cv")) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
-    val fresh = bAssigned.join(corpusDup, Seq(idCol), "left_anti")
+    // checkpoint AFTER the screen: the in-batch stage references its input
+    // several times (rep election, cell sizing, both pairing branches, the
+    // final anti-join) — one materialization bounds the screen join to a
+    // single execution instead of one per reference
+    val fresh = bAssigned.join(corpusDup, Seq(idCol), "left_anti").localCheckpoint()
     semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
   }
 

@@ -659,6 +659,11 @@ object SparkEntry {
         .select("doc_id", "n_chars_total", "latin_ratio", "digit_ratio",
           "cjk_ratio", "cyrillic_ratio", "arabic_ratio", "dominant_script")
     }),
+    // DEFLATE repetitiveness signal (rows-only: zlib is not replayable in
+    // the oracle; TextDedupSpec pins ordering properties instead)
+    "q138_compression_ratio" -> ((s, d) =>
+      TextAnalysis.withCompressionRatio(t(s, d, "documents"))
+        .select("doc_id", "compression_ratio", "keep_compression")),
     // fair epoch interleave: round-robin across languages in training order
     "q130_epoch_interleave" -> ((s, d) =>
       Sampling.interleaveStrata(t(s, d, "documents").select("doc_id", "lang"),

@@ -20,6 +20,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeKernels {
 
+  /** Raw-deflate (level 6, nowrap) size over input size, in UTF-8 bytes.
+    * A fresh Deflater per call keeps the kernel thread-safe across
+    * whole-stage-codegen'd tasks; `end()` releases the native buffer.
+    */
+  def compressionRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length.toDouble
+    } finally d.end()
+  }
+
   /** Polynomial char hash: fold (h*31 + codepoint) mod `mod`. */
   def polyHash(s: UTF8String, mod: Long): Long = {
     val js = s.toString
@@ -251,6 +269,26 @@ case class PolyHash(child: Expression, mod: Long) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+/** DEFLATE compression ratio (compressed/raw bytes) — the classic
+  * repetitiveness signal (highly repetitive boilerplate compresses far
+  * below natural text). Level is fixed and nowrap (raw deflate), so the
+  * value is deterministic for a given zlib; it is NOT oracle-portable
+  * (DuckDB has no deflate), hence spec-verified rather than hash-graded.
+  * Empty/whitespace-only strings report 1.0 (nothing to compress).
+  */
+case class CompressionRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.compressionRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.compressionRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** Whitespace tokens → array of their polyHashes, one pass. */
 case class TokenPolyHashes(child: Expression, mod: Long) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -412,6 +450,7 @@ object NativeExpressions {
                  b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))
   def cosineF(a: Column, b: Column): Column = c(CosineSimF(e(a), e(b)))
+  def compressionRatio(s: Column): Column = c(CompressionRatio(e(s)))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

@@ -294,6 +294,22 @@ object TextAnalysis {
           .otherwise(lit("other")))
   }
 
+  /** Repetitiveness via DEFLATE ratio (compressed/raw bytes): boilerplate
+    * and template spam compress far below natural text (natural prose
+    * sits ~0.3–0.6; ratio < `minRatio` flags machine-generated
+    * repetition). Narrow codegen'd native kernel
+    * ([[graft.functions.expressions.NativeExpressions.compressionRatio]]);
+    * deterministic per zlib but not engine-portable, so spec-verified
+    * (rows-only oracle) rather than hash-graded. Complements the shingle
+    * fractions of [[withRepetitionFeatures]]: deflate sees
+    * character-level and long-range repetition that token shingles miss.
+    */
+  def withCompressionRatio(df: DataFrame, textCol: String = "text",
+                           minRatio: Double = 0.20): DataFrame =
+    df.withColumn("compression_ratio",
+        graft.functions.expressions.NativeExpressions.compressionRatio(col(textCol)))
+      .withColumn("keep_compression", col("compression_ratio") >= minRatio)
+
   /** Blocklist filter (C4-style "bad words" screening): count of tokens in
     * the blocklist and a keep/drop flag. Token-set membership, not
     * substring: "assassin" does not trip "ass". Case-insensitive. The

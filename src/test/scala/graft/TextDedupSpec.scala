@@ -529,6 +529,29 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(r1 - 10.0 / 15.0) < 1e-12, r1.toString)
   }
 
+  test("compressionRatio ranks repetitive text below natural text") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronomers debate quasar luminosity functions near Geneva"
+    val df = Seq(
+      (1L, "spam " * 200),              // pure repetition → tiny ratio
+      (2L, natural * 3),                // natural prose
+      (3L, ""),                         // empty → 1.0 by contract
+      (4L, (1 to 120).map(i => s"item $i").mkString(" "))  // templated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withCompressionRatio(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("compression_ratio"), r.getAs[Boolean]("keep_compression"))).toMap
+    assert(out(1L)._1 < 0.10 && !out(1L)._2, out(1L).toString)
+    assert(out(2L)._1 > out(1L)._1, s"${out(2L)} vs ${out(1L)}")
+    assert(out(3L)._1 == 1.0 && out(3L)._2)
+    assert(out(4L)._1 > out(1L)._1 && out(4L)._1 < 1.0, out(4L).toString)
+    // determinism: same input, same ratio on re-evaluation
+    val again = TextAnalysis.withCompressionRatio(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("compression_ratio")).toMap
+    assert(again(2L) == out(2L)._1)
+  }
+
   // ---- SemDeDup -----------------------------------------------------------
 
   test("semDedup drops larger-id near-dups only within a cell") {

@@ -755,6 +755,25 @@ object Dedup {
                            idCol: String = "vec_id", vecCol: String = "embedding",
                            maxCellSize: Int = 10000, nPlanes: Int = 16,
                            bands: Int = 4): DataFrame = {
+    // checkpoint AFTER the screen: the in-batch stage references its input
+    // several times (rep election, cell sizing, both pairing branches, the
+    // final anti-join) — one materialization bounds the screen join to a
+    // single execution instead of one per reference
+    val fresh = semDedupScreen(batch, index, centroids, threshold, idCol, vecCol)
+      .localCheckpoint()
+    semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
+  }
+
+  /** The corpus screen of [[semDedupAgainstIndex]], exposed on its own:
+    * assign the batch, drop every vector with an indexed cell-mate at
+    * cosine ≥ threshold, keep the rest (with their cells) — semantic
+    * novelty against a stored corpus, no in-batch dedup. Also the
+    * auditable form: [[semDedupAgainstIndex]] checkpoints this result, so
+    * its own plan hides the screen stage.
+    */
+  def semDedupScreen(batch: DataFrame, index: DataFrame, centroids: DataFrame,
+                     threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bAssigned = graft.similarity.Similarity.ivfAssign(batch, centroids, idCol, vecCol)
     val touched = bAssigned.select(col("centroid_id")).distinct()
     // prune to touched cells, then screen against DISTINCT corpus vectors:
@@ -769,12 +788,7 @@ object Dedup {
       .join(idxTouched, Seq("centroid_id"))
       .filter(graft.similarity.Similarity.cosine(col("bv"), col("cv")) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
-    // checkpoint AFTER the screen: the in-batch stage references its input
-    // several times (rep election, cell sizing, both pairing branches, the
-    // final anti-join) — one materialization bounds the screen join to a
-    // single execution instead of one per reference
-    val fresh = bAssigned.join(corpusDup, Seq(idCol), "left_anti").localCheckpoint()
-    semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
+    bAssigned.join(corpusDup, Seq(idCol), "left_anti")
   }
 
   /** Passage-level duplication stats: for each document, the fraction of

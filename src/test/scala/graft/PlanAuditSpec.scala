@@ -427,6 +427,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"corpus-wide product join:\n$p")
   }
 
+  test("quantile sketch pre-prunes map-side via WindowGroupLimit (q134)") {
+    val p = executedPlan(SparkEntry.queries("q134_quantile_sketch")(spark, dir))
+    // the bottom-k rank filter must reach a WindowGroupLimit so every map
+    // task ships ~k rows per group, never the group
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("incremental SemDeDup prunes the index to touched cells via broadcast (q135)") {
+    // audit the screen stage directly: the full operator checkpoints it,
+    // which truncates the visible lineage
+    import org.apache.spark.sql.functions.col
+    val emb = sf("embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val idx = graft.dedup.Dedup.semDedupIndex(emb.filter(col("vec_id") >= 100), cents)
+    val p = executedPlan(graft.dedup.Dedup.semDedupScreen(
+      emb.filter(col("vec_id") < 100), idx, cents, threshold = 0.45))
+    // the batch's distinct cell-id set broadcasts into the index scan;
+    // nothing ever goes corpus-wide
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"touched-cell prune not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-wide product join:\n$p")
+  }
+
   test("SemDeDup: the exact in-cell self-join is size-capped and the overflow path is banded") {
     // the quadratic join must be guarded by the cell-size cap, and an
     // oversized cell must route through the (centroid, band, sig-slice)

@@ -110,11 +110,63 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `centroids` (a small broadcast table of (centroid_id, vec)); search
-    * probes only the query's cell(s). Building centroids is a k-means job
-    * left to the caller — any deterministic coarse partitioner works.
+    * `centroids` — max cosine, ties to the lowest centroid_id. The
+    * centroid table is bounded model state (k×d — the same thing
+    * [[kmeansFit]] already collects between iterations), so it embeds in
+    * the plan as ONE array literal and the assignment is a pure NARROW
+    * fold per row: zero exchange, vectors never shuffle, whole-stage
+    * codegen keeps the cosine kernel in the scan pipeline. For k beyond
+    * ~10^4 cells prefer [[ivfAssignShuffled]], which broadcasts the
+    * centroid table instead of embedding it.
+    *
+    * Exactly [[ivfAssignShuffled]]'s semantics: same cosine arithmetic,
+    * same (−cos, centroid_id) lexicographic argmin (centroids are
+    * pre-sorted by id, and the fold keeps the earlier element on ties, so
+    * even the all-NaN zero-vector edge resolves to the lowest id).
     */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val vecIsFloat = df.schema.fields.find(_.name == vecCol).exists(_.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })
+    val cventry = centroids.schema.fields.find(_.name == "cvec")
+    val centFloat = cventry.exists(_.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })
+    // sorted by centroid_id so on-tie keep-first == lowest id
+    val rows = centroids.select(col("centroid_id").cast("long"), col("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1))).sortBy(_._1)
+    val cos: (Column, Column) => Column =
+      if (vecIsFloat && centFloat) cosine else cosineGeneric
+    val centsLit: Column =
+      if (centFloat)
+        typedLit(rows.toSeq.map { case (id, v) => (id, v.map(_.asInstanceOf[Float])) })
+      else
+        typedLit(rows.toSeq.map { case (id, v) => (id, v.map {
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.toDouble
+        }) })
+    val first = struct((-cos(col(vecCol), element_at(centsLit, 1).getField("_2"))).as("d"),
+      element_at(centsLit, 1).getField("_1").as("cid"))
+    val best = aggregate(slice(centsLit, 2, math.max(rows.length - 1, 0)), first,
+      (acc, c) => {
+        val cand = struct((-cos(col(vecCol), c.getField("_2"))).as("d"),
+          c.getField("_1").as("cid"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+    val cidType = centroids.schema.fields.find(_.name == "centroid_id").get.dataType
+    df.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id", best.getField("cid").cast(cidType))
+  }
+
+  /** The exchange-based form of [[ivfAssign]]: broadcast-join the centroid
+    * TABLE and partial-aggregate the n×k scored stream with `min_by`.
+    * Same results; use when the centroid set is too large to embed as a
+    * plan literal (very large k) or when centroids only exist as a
+    * distributed table.
+    */
+  def ivfAssignShuffled(df: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
     // Float-array sides take the fused native kernel (bit-identical to the

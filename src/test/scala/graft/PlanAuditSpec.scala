@@ -300,14 +300,21 @@ class PlanAuditSpec extends SparkSpec {
     val emb = sf("embeddings")
     val cent = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    // default assignment is the NARROW fold over the embedded centroid
+    // literal: a pure scan→project pipeline — no exchange, no join, no
+    // window; vectors never shuffle at all
     val p = executedPlan(graft.similarity.Similarity.ivfAssign(emb, cent))
-    // nearest-centroid must be a groupBy+min_by: the n×k scored stream
-    // collapses map-side (a partial aggregate below the exchange — sort-
-    // based, since the array-typed buffer rules out HashAggregate), never
-    // a row_number window sorting the whole scored stream per vec_id
     assert(!p.contains("Window"), s"window argmin back in the assignment:\n$p")
-    assert("(?s)Exchange.*Aggregate.*Join".r.findFirstIn(p).isDefined,
-      s"no partial aggregate below the exchange:\n$p")
+    assert(!p.contains("Exchange"), s"narrow assignment grew an exchange:\n$p")
+    assert(!p.contains("Join"), s"narrow assignment grew a join:\n$p")
+    // the exchange-based fallback (very large k / distributed centroids)
+    // must stay a groupBy+min_by: the n×k scored stream collapses
+    // map-side (a partial aggregate below the exchange), never a
+    // row_number window sorting the whole scored stream per vec_id
+    val ps = executedPlan(graft.similarity.Similarity.ivfAssignShuffled(emb, cent))
+    assert(!ps.contains("Window"), s"window argmin back in the shuffled assignment:\n$ps")
+    assert("(?s)Exchange.*Aggregate.*Join".r.findFirstIn(ps).isDefined,
+      s"no partial aggregate below the exchange:\n$ps")
     // ivfTopK: only the final per-query rank is a window; both cell
     // assignments aggregate
     val q = executedPlan(graft.similarity.Similarity.ivfTopK(
@@ -442,8 +449,12 @@ class PlanAuditSpec extends SparkSpec {
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
     val idx = graft.dedup.Dedup.semDedupIndex(emb.filter(col("vec_id") >= 100), cents)
-    val p = executedPlan(graft.dedup.Dedup.semDedupScreen(
-      emb.filter(col("vec_id") < 100), idx, cents, threshold = 0.45))
+    val screen = graft.dedup.Dedup.semDedupScreen(
+      emb.filter(col("vec_id") < 100), idx, cents, threshold = 0.45)
+    // raw executed-plan string: the formatted mode cuts AQE output at the
+    // first query-stage boundary, hiding the join stages
+    screen.queryExecution.toRdd.foreach(_ => ())
+    val p = screen.queryExecution.executedPlan.toString
     // the batch's distinct cell-id set broadcasts into the index scan;
     // nothing ever goes corpus-wide
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

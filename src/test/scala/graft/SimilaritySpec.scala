@@ -66,6 +66,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(r => assign(r.getAs[Long]("neighbor_id")) == assign(0L)))
   }
 
+  test("narrow ivfAssign matches the exchange-based form row-for-row, zero-vector edge included") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = sf("embeddings")
+    val cents = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Similarity.ivfAssign(emb, cents)) == rows(Similarity.ivfAssignShuffled(emb, cents)))
+    // zero vector: cosine is NaN against every centroid; both forms must
+    // resolve the all-NaN argmin to the lowest centroid id
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val z = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Array(0f, 0f)), Row(2L, Array(1f, 0f)))), schema)
+    val zc = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(7L, Array(1f, 0f)), Row(3L, Array(0f, 1f)))), schema)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    assert(rows(Similarity.ivfAssign(z, zc)) == rows(Similarity.ivfAssignShuffled(z, zc)))
+  }
+
   test("IVF recall is monotone in nprobe and degenerates to brute force at nprobe = #cells") {
     val emb = sf("embeddings")
     val queries = emb.filter($"vec_id" < 10)

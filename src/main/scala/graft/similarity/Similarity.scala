@@ -251,29 +251,24 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
-    // Same map-side-partial argmin as ivfAssign: max cosine = min (-cos,
-    // centroid_id) lexicographically, ties to the lowest centroid_id.
-    val cc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")).join(c)
-      .withColumn("__negcos", -cosine(col("cv"), col("cvec")))
-      .groupBy(col("neighbor_id"))
-      .agg(first(col("cv")).as("cv"),
-        min_by(col("centroid_id"), struct(col("__negcos"), col("centroid_id"))).as("cell"))
-      .select(col("neighbor_id"), col("cv"), col("cell"))
-    val qscored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).join(c)
-      .withColumn("__negcos", -cosine(col("qv"), col("cvec")))
+    // Both cell assignments ride the NARROW ivfAssign fold (zero exchange
+    // on the corpus — the side that matters at 100 TB); only the
+    // nprobe > 1 query probe needs a scored top-n, and queries are the
+    // small side by contract.
+    val cc = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("centroid_id").as("cell"))
     val qq =
       if (nprobe == 1)
-        // same partial-agg argmin as the corpus side — the whole operator
-        // stays window-free except the final per-query rank
-        qscored.groupBy(col("query_id"))
-          .agg(first(col("qv")).as("qv"),
-            min_by(col("centroid_id"), struct(col("__negcos"), col("centroid_id"))).as("cell"))
-          .select(col("query_id"), col("qv"), col("cell"))
+        ivfAssign(queries, centroids, idCol, vecCol)
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+            col("centroid_id").as("cell"))
       else {
+        val c = broadcast(centroids.select(col("centroid_id"), col("cvec")))
         val probeW = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("__negcos"), col("centroid_id"))
-        qscored
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).join(c)
+          .withColumn("__negcos", -cosine(col("qv"), col("cvec")))
           .withColumn("__rk", row_number().over(probeW)).filter(col("__rk") <= nprobe)
           .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
       }

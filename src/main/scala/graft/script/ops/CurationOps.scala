@@ -554,3 +554,32 @@ class QuantileSketch extends UserOperator {
       params.getOrElse("qs", "0.5,0.9,0.99").split(",").toSeq.map(_.trim.toDouble))
   }
 }
+
+/** SemDeDup cell-index build for scripts: inputs = (corpus, centroids);
+  * emits the persistable (id, vec, centroid_id) assignment. STORE it and
+  * dedup later batches with SemDedupMatch — the semantic analog of
+  * MinHashIndex. Params: id ("vec_id"), vec ("embedding").
+  */
+class SemDedupIndex extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.dedup.Dedup.semDedupIndex(inputs.head, inputs(1),
+      params.getOrElse("id", "vec_id"), params.getOrElse("vec", "embedding"))
+}
+
+/** Incremental SemDeDup for scripts: inputs = (batch, index, centroids);
+  * drops batch vectors near an indexed corpus vector (corpus wins), then
+  * dedups the batch against itself. Params: threshold (required),
+  * id ("vec_id"), vec ("embedding"), screenOnly ("false" — set "true"
+  * for the corpus-novelty screen without in-batch dedup).
+  */
+class SemDedupMatch extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val id = params.getOrElse("id", "vec_id")
+    val vec = params.getOrElse("vec", "embedding")
+    val t = params("threshold").toDouble
+    if (params.getOrElse("screenOnly", "false").toBoolean)
+      graft.dedup.Dedup.semDedupScreen(inputs.head, inputs(1), inputs(2), t, id, vec)
+    else
+      graft.dedup.Dedup.semDedupAgainstIndex(inputs.head, inputs(1), inputs(2), t, id, vec)
+  }
+}

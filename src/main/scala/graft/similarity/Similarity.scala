@@ -137,6 +137,7 @@ object Similarity {
     // sorted by centroid_id so on-tie keep-first == lowest id
     val rows = centroids.select(col("centroid_id").cast("long"), col("cvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Any](1))).sortBy(_._1)
+    require(rows.nonEmpty, "ivfAssign: the centroid table is empty")
     val cos: (Column, Column) => Column =
       if (vecIsFloat && centFloat) cosine else cosineGeneric
     val centsLit: Column =

@@ -93,6 +93,33 @@ class ScriptSpec extends SparkSpec {
     assert(n > 0 && n < emb.count(), s"model filter kept $n of ${emb.count()}")
   }
 
+  test("shipped semantic-dedup plug-ins: build, store, and match against the cell index") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    // build + persist the corpus cell index once ...
+    ScriptEngine.run(spark,
+      s"""cents = FILTER all BY vec_id < 8;
+         |cv = FROM cents GENERATE vec_id AS centroid_id, embedding AS cvec;
+         |corpus = FILTER all BY vec_id >= 100;
+         |idx = OPERATOR 'graft.script.ops.SemDedupIndex' corpus, cv;
+         |STORE idx INTO '$dir/idx' USING PARQUET;
+         |STORE cv INTO '$dir/cv' USING PARQUET;""".stripMargin,
+      env0 = env("all" -> emb))
+    // ... then dedup a later batch against the stored index; the batch
+    // carries a planted copy of corpus vector 100 (id 9999), which the
+    // stored index must kill
+    val batch = emb.filter(col("vec_id") < 100).unionByName(
+      emb.filter(col("vec_id") === 100).withColumn("vec_id", lit(9999L)))
+    val out = ScriptEngine.run(spark,
+      s"""idx = LOAD '$dir/idx' USING PARQUET;
+         |cv = LOAD '$dir/cv' USING PARQUET;
+         |kept = OPERATOR 'graft.script.ops.SemDedupMatch' batch, idx, cv ('threshold': '0.45');""".stripMargin,
+      env0 = env("batch" -> batch))
+    val keptIds = out("kept").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && !keptIds.contains(9999L),
+      s"planted corpus duplicate survived: ${keptIds.size} kept")
+  }
+
   test("shipped sketch plug-ins: kmv distinct and a stored count-min sketch from a script") {
     val corpus = (Seq.fill(40)("hot") ++ Seq("a", "b", "c")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "term")

@@ -791,6 +791,26 @@ object Dedup {
     bAssigned.join(corpusDup, Seq(idCol), "left_anti")
   }
 
+  /** Stream-safe form of [[semDedupScreen]]: the cell assignment is the
+    * NARROW ivfAssign fold (no aggregation — legal on an unbounded
+    * stream), and the corpus screen is ONE stream-static left-anti join
+    * on (same cell ∧ cosine ≥ threshold), so a continuously arriving
+    * batch stream dedups against a stored corpus index with zero
+    * streaming state. Identical results to the batch screen; the batch
+    * form keeps the touched-cell prune and distinct-corpus-vector
+    * optimizations that need aggregations.
+    */
+  def semDedupScreenStream(batch: DataFrame, index: DataFrame, centroids: DataFrame,
+                           threshold: Double,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = graft.similarity.Similarity.ivfAssign(batch, centroids, idCol, vecCol)
+    val idx = index.select(col("centroid_id").as("__ic"), col(vecCol).as("__cv"))
+    assigned.join(idx,
+      col("centroid_id") === col("__ic") &&
+        graft.similarity.Similarity.cosine(col(vecCol), col("__cv")) >= threshold,
+      "left_anti")
+  }
+
   /** Passage-level duplication stats: for each document, the fraction of
     * its word n-gram shingles that also occur in at least one OTHER
     * document — the signal behind substring-level training-data dedup

@@ -52,6 +52,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static semantic novelty screen drops indexed near-dups statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "cvec")
+    // stored corpus index: one vector in cell 0
+    val index = graft.dedup.Dedup.semDedupIndex(
+      Seq((500L, Array(2f, 0.1f))).toDF("vec_id", "embedding"), cents)
+    val in = MemoryStream[(Long, Array[Float])]
+    val batch = in.toDF().toDF("vec_id", "embedding")
+    val q = graft.dedup.Dedup.semDedupScreenStream(batch, index, cents, threshold = 0.97)
+      .writeStream.format("memory").queryName("sem_screen")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (5L, Array(4f, 0.2f)),   // near-dup of indexed 500 → dropped
+        (6L, Array(0.1f, 3f)))   // novel, different cell → kept
+      q.processAllAvailable()
+      in.addData((7L, Array(2f, 0.1f)))  // exact copy in a later microbatch → dropped
+      q.processAllAvailable()
+      val kept = spark.table("sem_screen").select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(6L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running aggregate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedEvent]

@@ -114,8 +114,10 @@ object Similarity {
     * centroid table is bounded model state (k×d — the same thing
     * [[kmeansFit]] already collects between iterations), so it embeds in
     * the plan as ONE array literal and the assignment is a pure NARROW
-    * fold per row: zero exchange, vectors never shuffle, whole-stage
-    * codegen keeps the cosine kernel in the scan pipeline. For k beyond
+    * fold per row: zero exchange, vectors never shuffle. (The fold is a
+    * higher-order `aggregate` — evaluated per row outside whole-stage
+    * codegen, but each of its k steps calls the compiled native cosine
+    * kernel, and k is bounded model state.) For k beyond
     * ~10^4 cells prefer [[ivfAssignShuffled]], which broadcasts the
     * centroid table instead of embedding it.
     *

@@ -23,8 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // the test events table carries INT64 TIMESTAMP(NANOS), which Spark
-      // only reads as long; Tables.load converts back to TimestampType
+      // earlier testdata generations carried INT64 TIMESTAMP(NANOS); the
+      // current events table is TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ),
+      // against which this config is inert — kept so either generation loads
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", sys.props.getOrElse("graft.warehouse", "/tmp/graft-warehouse"))
@@ -72,9 +73,10 @@ object Tables {
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is INT64 TIMESTAMP(NANOS) in the driver-generated parquet;
-    // read as long (nanosAsLong) and restore TimestampType at micro
-    // precision (the generator's precision — truncation is exact).
+    // Backward-compat: if events.ts arrives as INT64 TIMESTAMP(NANOS)
+    // (earlier testdata generations, read as long under nanosAsLong),
+    // restore TimestampType at micro precision. The current generation
+    // writes TIMESTAMP(MICROS) (TIMESTAMP_NTZ here) and passes through.
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
         // integer division — `ts / 1000` would go through double and lose

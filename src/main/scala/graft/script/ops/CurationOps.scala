@@ -424,7 +424,10 @@ class SemDedup extends UserOperator {
         idCol, vecCol).select(col("centroid_id"),
           col("cvec").cast("array<float>").as("cvec"))
     graft.dedup.Dedup.semDedup(inputs.head, cents,
-      params("threshold").toDouble, idCol, vecCol)
+      params("threshold").toDouble, idCol, vecCol,
+      params.getOrElse("maxCellSize", "10000").toInt,
+      params.getOrElse("nPlanes", "16").toInt,
+      params.getOrElse("bands", "4").toInt)
   }
 }
 

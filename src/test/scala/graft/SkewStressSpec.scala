@@ -59,6 +59,40 @@ class SkewStressSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_dup_shingles") == 1L, r0.toString)
   }
 
+  test(s"capPerKey: a $Hot-row hot domain ships only its quota through the cap") {
+    // one domain holds 10^5 rows, the long tail holds a few; the
+    // WindowGroupLimit pre-prune must keep the cap cheap and exact
+    val docs = spark.range(Hot)
+      .select(col("id").as("doc_id"), lit("hotdomain").as("source"))
+      .unionByName(spark.range(5)
+        .select((col("id") + 1000000).as("doc_id"), lit("rare").as("source")))
+    val quotas = Seq(("hotdomain", 3L), ("rare", 10L)).toDF("source", "quota")
+    val out = graft.operators.Sampling.capPerKey(
+      docs, "source", Seq(col("doc_id")), quotas, defaultQuota = 3L)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("hotdomain") == 3L && bySource("rare") == 5L, bySource.toString)
+    // deterministic: the quota keeps the SMALLEST doc_ids under this order
+    val hotIds = out.filter(col("source") === "hotdomain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hotIds == Set(0L, 1L, 2L), hotIds.toString)
+  }
+
+  test(s"interleaveStrata: one stratum with $Hot rows still yields contiguous positions") {
+    val docs = spark.range(Hot)
+      .select(col("id").as("doc_id"), lit("en").as("lang"))
+      .unionByName(spark.range(3)
+        .select((col("id") + 1000000).as("doc_id"), lit("fr").as("lang")))
+    val out = graft.operators.Sampling.interleaveStrata(docs, col("lang"), col("doc_id"))
+    val n = Hot + 3L
+    val stats = out.agg(min("pos"), max("pos"), count(lit(1))).collect().head
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == n && stats.getLong(2) == n,
+      stats.toString)
+    // the 3 fr docs round-robin into the head of the order, not the tail
+    val frMax = out.filter(col("lang") === "fr").agg(max("pos")).head.getLong(0)
+    assert(frMax <= 6L, s"minority stratum clumped at pos $frMax")
+  }
+
   test(s"semDedup: $Hot identical embeddings collapse before any pairwise stage") {
     // the Abbas-adversary: one boilerplate embedding duplicated 10^5
     // times — the naive in-cell self-join would form ~10^10 pairs

@@ -527,6 +527,111 @@ object OracleGen {
     * same RE2 patterns (block strip, comments, tags, entity decode,
     * whitespace collapse), applied in the same order.
     */
+  // ---- q139/q140 winnowing fingerprints -----------------------------------
+
+  /** Winnowed fingerprint sets over `source` (a doc_id, text relation) —
+    * mirrors Dedup.winnowSignature: distinct sliding-window (w) minima of
+    * the word n-gram shingle hashes; documents with 1..w-1 shingles keep
+    * their single global min.
+    */
+  private def winnowCte(n: Int, w: Int, source: String): String = {
+    val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    s"""WITH src AS ($source),
+       |th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM src
+       |), sh AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $shingle) AS shs
+       |  FROM th WHERE len(hs) >= $n
+       |), fp AS (
+       |  SELECT doc_id, CASE WHEN len(shs) >= $w
+       |    THEN list_distinct(list_transform(generate_series($w, len(shs)), i -> list_min(shs[i - ${w - 1}:i])))
+       |    ELSE [list_min(shs)] END AS fps
+       |  FROM sh
+       |)""".stripMargin
+  }
+
+  /** q139: per-document winnowed-fingerprint summary (count/sum/min/max
+    * grade the exact fingerprint SET without exploding it).
+    */
+  def winnowStats(n: Int, w: Int): String =
+    winnowCte(n, w, "SELECT doc_id, text FROM documents") +
+      s"""
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |  CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+       |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+       |FROM fp""".stripMargin
+
+  /** q140: pairwise shared-fingerprint counts over synthetic text where
+    * docs of the same (doc_id % 100) group share a planted passage whose
+    * every n-gram contains the group token — mirrors
+    * Dedup.winnowOverlapJoin.
+    */
+  def winnowOverlap(n: Int, w: Int, minShared: Int, maxDocId: Long,
+                    groupMod: Int, chunkWords: Seq[String]): String = {
+    val g = s"('g' || CAST(doc_id % $groupMod AS VARCHAR))"
+    val chunk = chunkWords.map(wd => s" || ' ' || $g || ' $wd'").mkString
+    val src = s"SELECT doc_id, substring(text, 1, 150)$chunk AS text " +
+      s"FROM documents WHERE doc_id < $maxDocId"
+    winnowCte(n, w, src) +
+      s""", fpx AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM fp)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |  CAST(count(*) AS DOUBLE) / least(a.n_fp, b.n_fp) AS overlap
+       |FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+       |HAVING count(*) >= $minShared""".stripMargin
+  }
+
+  // ---- q141 Gopher quality rules -------------------------------------------
+
+  /** Mirrors TextAnalysis.withGopherRules over the q141 salted text (bullet
+    * lines, ellipsis trailers, and # runs planted by doc_id mod classes).
+    * All ratios are int/int divisions in double — exactly rounded, so the
+    * comparison is bit-stable.
+    */
+  def gopherRules(minWords: Int, maxWords: Int,
+                  minMeanWordLen: Double, maxMeanWordLen: Double,
+                  maxSymbolWordRatio: Double, maxBulletRatio: Double,
+                  maxEllipsisRatio: Double, minAlphaWordRatio: Double,
+                  minStopHits: Int): String = {
+    val stop = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH d AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item' || chr(10) || '- second bullet' || chr(10) || '* third' ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'trailing line...' || chr(10) || 'second trailer…' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' ## # ###' ELSE '' END AS text FROM documents),
+       |f AS (SELECT doc_id, text, $toks AS ts,
+       |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls FROM d),
+       |g AS (SELECT doc_id,
+       |  CAST(len(ts) AS BIGINT) AS n_words,
+       |  CASE WHEN len(ts) > 0
+       |    THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
+       |    ELSE 0.0 END AS mean_word_len,
+       |  CASE WHEN len(ts) > 0
+       |    THEN CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ts)
+       |    ELSE 0.0 END AS alpha_word_ratio,
+       |  CASE WHEN len(ls) > 0
+       |    THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ls)
+       |    ELSE 0.0 END AS bullet_line_ratio,
+       |  CASE WHEN len(ls) > 0
+       |    THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) / len(ls)
+       |    ELSE 0.0 END AS ellipsis_line_ratio,
+       |  CASE WHEN len(ts) > 0
+       |    THEN ((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) / 3
+       |      + (length(text) - length(replace(text, '…', '')))) / len(ts)
+       |    ELSE 0.0 END AS symbol_word_ratio,
+       |  CAST(len(list_filter($stop, w ->
+       |    list_contains(list_transform(ts, x -> lower(x)), w))) AS BIGINT) AS stop_hits
+       |  FROM f)
+       |SELECT *, (n_words BETWEEN $minWords AND $maxWords
+       |  AND mean_word_len BETWEEN $minMeanWordLen AND $maxMeanWordLen
+       |  AND symbol_word_ratio < $maxSymbolWordRatio
+       |  AND bullet_line_ratio < $maxBulletRatio
+       |  AND ellipsis_line_ratio < $maxEllipsisRatio
+       |  AND alpha_word_ratio > $minAlphaWordRatio
+       |  AND stop_hits >= $minStopHits) AS keep_gopher
+       |FROM g""".stripMargin
+  }
+
   def stripMarkup: String =
     s"""WITH h AS (
        |  SELECT doc_id,

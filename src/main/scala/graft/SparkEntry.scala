@@ -20,6 +20,13 @@ object SparkEntry {
   /** Keyword profile for the q115 BM25 ranking (shared with its oracle). */
   val bm25Terms: Seq[String] = Seq("spark", "merge", "window", "customer")
 
+  /** Planted-passage words for the q140 winnow overlap fixture (shared with
+    * its oracle): interleaved with the group token so every 4-gram of the
+    * passage is group-specific.
+    */
+  val winnowChunkWords: Seq[String] = Seq("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -664,6 +671,46 @@ object SparkEntry {
     "q138_compression_ratio" -> ((s, d) =>
       TextAnalysis.withCompressionRatio(t(s, d, "documents"))
         .select("doc_id", "compression_ratio", "keep_compression")),
+    // Gopher-style quality rules: salt docs with bullet lines, ellipsis
+    // trailers, and # runs (doc_id mod classes) so every rule fires
+    "q141_gopher_quality" -> ((s, d) => {
+      val salted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- bullet item\n- second bullet\n* third")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\ntrailing line...\nsecond trailer…")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ## # ###")).otherwise(lit("")))
+      TextAnalysis.withGopherRules(
+        t(s, d, "documents").select(col("doc_id"), salted.as("text")))
+        .select("doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+          "bullet_line_ratio", "ellipsis_line_ratio", "symbol_word_ratio",
+          "stop_hits", "keep_gopher")
+    }),
+    // winnowed (MOSS) fingerprints: per-doc summary grades the exact
+    // fingerprint set (count/sum/min/max) without exploding it
+    "q139_winnow" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.winnowSignature(col("text"), n = 4, w = 4).as("__fps"))
+        .filter(size(col("__fps")) > 0)
+        .select(col("doc_id"),
+          size(col("__fps")).cast("long").as("n_fps"),
+          aggregate(col("__fps"), lit(0L), (a, x) => a + x).as("fp_sum"),
+          array_min(col("__fps")).as("fp_min"),
+          array_max(col("__fps")).as("fp_max"))),
+    // winnow overlap join: docs of the same (doc_id % 100) group share a
+    // planted passage whose every 4-gram contains the group token, so all
+    // shared fingerprints stay group-local (no cross-group pair blowup)
+    "q140_winnow_overlap" -> ((s, d) => {
+      val g = concat(lit("g"), (col("doc_id") % 100).cast("string"))
+      val chunk = winnowChunkWords
+        .map(wd => concat(lit(" "), g, lit(" " + wd)))
+        .reduce((a, b) => concat(a, b))
+      val synth = concat(substring(col("text"), 1, 150), chunk)
+      Dedup.winnowOverlapJoin(
+        t(s, d, "documents").filter(col("doc_id") < 600)
+          .select(col("doc_id"), synth.as("text")),
+        n = 4, w = 4, minShared = 2)
+    }),
     // fair epoch interleave: round-robin across languages in training order
     "q130_epoch_interleave" -> ((s, d) =>
       Sampling.interleaveStrata(t(s, d, "documents").select("doc_id", "lang"),
@@ -1377,6 +1424,13 @@ object SparkEntry {
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),
     "q136_strip_markup" -> OracleGen.stripMarkup,
     "q137_script_profile" -> OracleGen.scriptProfile,
+    "q141_gopher_quality" -> OracleGen.gopherRules(minWords = 50, maxWords = 100000,
+      minMeanWordLen = 3.0, maxMeanWordLen = 10.0, maxSymbolWordRatio = 0.1,
+      maxBulletRatio = 0.9, maxEllipsisRatio = 0.3, minAlphaWordRatio = 0.8,
+      minStopHits = 2),
+    "q139_winnow" -> OracleGen.winnowStats(n = 4, w = 4),
+    "q140_winnow_overlap" -> OracleGen.winnowOverlap(n = 4, w = 4, minShared = 2,
+      maxDocId = 600, groupMod = 100, chunkWords = winnowChunkWords),
     "q124_domain_cap" ->
       """WITH q(source, quota) AS (
         |  VALUES ('src0', 5), ('src1', 12), ('src2', 3), ('src3', 20), ('src17', 7)

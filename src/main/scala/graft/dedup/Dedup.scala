@@ -139,6 +139,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- winnowing fingerprints ---------------------------------------------
+
+  /** Winnowed fingerprint set of a text column (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    * the MOSS scheme): the distinct minima of every window of `w`
+    * consecutive word-n-gram shingle hashes. Any shared token run of
+    * length >= n + w - 1 between two documents is GUARANTEED to surface as
+    * a shared fingerprint, while only ~2/(w+1) of the shingles are kept —
+    * a principled shrink dial between exact shingle overlap (w = 1) and
+    * sparse sampling, with a locality guarantee MinHash does not give
+    * (MinHash bounds the Jaccard ESTIMATE; winnowing bounds DETECTION of
+    * every sufficiently long shared passage). Narrow, zero-shuffle: one
+    * O(m) native kernel pass per row (monotonic-deque sliding min).
+    */
+  def winnowSignature(text: Column, n: Int = 4, w: Int = 4): Column =
+    graft.functions.expressions.NativeExpressions.winnowHashes(
+      PortableHash.tokenHashes(text), n, w, PortableHash.B, PortableHash.P)
+
+  /** Exploded (id, fingerprint) relation of the winnowed fingerprints —
+    * the store-this shape for a fingerprint index (plagiarism screens,
+    * passage-reuse lookups). Shuffle-free until a consumer aggregates.
+    */
+  def winnowFingerprints(df: DataFrame, n: Int = 4, w: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), winnowSignature(col(textCol), n, w).as("__fps"))
+      .filter(size(col("__fps")) > 0)
+      .select(col(idCol), explode(col("__fps")).as("fp"))
+
+  /** Pairwise shared-fingerprint counts: documents sharing at least
+    * `minShared` winnowed fingerprints, with the overlap coefficient
+    * shared / min(|A|, |B|). The cheap passage-reuse join: candidate pairs
+    * come from a fixed-width (id, long) equi-join on the ~2/(w+1)-density
+    * fingerprint sample instead of the full shingle set, so the shuffle is
+    * w-fold lighter than [[ngramJaccard]]'s at the same n. Corpus-hot
+    * fingerprints (license boilerplate) are droppable from pair generation
+    * via `maxDocsPerFp` (broadcast anti-join), bounding the self-join
+    * blowup exactly as the shingle paths do.
+    */
+  def winnowOverlapJoin(df: DataFrame, n: Int = 4, w: Int = 4, minShared: Int = 2,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDocsPerFp: Option[Int] = None): DataFrame = {
+    val base = df.select(col(idCol), winnowSignature(col(textCol), n, w).as("__fps"))
+      .filter(size(col("__fps")) > 0)
+    val fp = capHotShingles(base.select(col(idCol), size(col("__fps")).as("n_fp"),
+      explode(col("__fps")).as("shingle")), maxDocsPerFp)
+    val a = fp.as("a"); val b = fp.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_fp").as("n_a"), col("b.n_fp").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .withColumn("overlap", col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .select("id_a", "id_b", "shared", "overlap")
+  }
+
   /** Overlap-coefficient (containment) candidates: pairs whose shingle-set
     * overlap |A∩B| / min(|A|, |B|) meets `threshold`. The asymmetric
     * complement of [[ngramJaccard]]: a short document pasted verbatim inside

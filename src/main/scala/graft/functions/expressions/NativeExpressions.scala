@@ -135,6 +135,55 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+    * MOSS scheme): over the positional n-gram shingle-hash sequence, select
+    * the minimum of every window of `w` consecutive shingle hashes; the
+    * distinct selected values are the document's fingerprints. Guarantees:
+    * any shared token run of length >= n + w - 1 yields at least one shared
+    * fingerprint, and density is ~2/(w+1) of all shingles — a tunable,
+    * position-robust sample unlike fixed-stride sampling. Documents with
+    * fewer than `w` shingles (but at least one) contribute the single
+    * global min, so no non-empty document is fingerprint-less.
+    *
+    * One pass, O(m): shingle hashes stream through a monotonic-index deque
+    * (amortized O(1) sliding-window min), never materializing the window.
+    * Values are the same Horner/mod arithmetic as [[shingleHashesAll]], so
+    * the DuckDB oracle reproduces them exactly.
+    */
+  def winnowHashes(th: ArrayData, n: Int, w: Int, b: Long, p: Long): ArrayData = {
+    val m = th.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val sh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * b + th.getLong(i + j)) % p; j += 1 }
+      sh(i) = h
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    if (m < w) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < m) { if (sh(i) < mn) mn = sh(i); i += 1 }
+      out += mn
+    } else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val dq = new Array[Int](m) // indices with strictly increasing sh values
+      var head = 0; var tail = 0
+      i = 0
+      while (i < m) {
+        while (tail > head && sh(dq(tail - 1)) >= sh(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) { val mn = sh(dq(head)); if (seen.add(mn)) out += mn }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature from token hashes: Horner-combine each n-gram window
     * into a shingle hash, track min under each affine permutation. One pass,
     * zero allocation beyond the k-wide output.
@@ -350,6 +399,24 @@ case class ShingleHashesAll(child: Expression, shingleN: Int, b: Long, p: Long)
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+/** Winnowed fingerprint set (distinct sliding-window minima of the n-gram
+  * shingle-hash sequence, window `w`) — see NativeKernels.winnowHashes.
+  */
+case class WinnowHashes(child: Expression, shingleN: Int, window: Int, b: Long, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects ARRAY<LONG>")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.winnowHashes(input.asInstanceOf[ArrayData], shingleN, window, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.winnowHashes($c, $shingleN, $window, ${b}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** MinHash signature (k mins over affine-permuted shingle hashes). */
 case class MinHashSig(child: Expression, shingleN: Int, as: Seq[Long], bs: Seq[Long],
                       b: Long, p: Long) extends UnaryExpression {
@@ -446,6 +513,8 @@ object NativeExpressions {
     c(ShingleHashSet(e(tokenHashes), shingleN, b, p))
   def shingleHashesAll(tokenHashes: Column, shingleN: Int, b: Long, p: Long): Column =
     c(ShingleHashesAll(e(tokenHashes), shingleN, b, p))
+  def winnowHashes(tokenHashes: Column, shingleN: Int, window: Int, b: Long, p: Long): Column =
+    c(WinnowHashes(e(tokenHashes), shingleN, window, b, p))
   def minHashSig(tokenHashes: Column, shingleN: Int, as: Seq[Long], bs: Seq[Long],
                  b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))

@@ -67,6 +67,61 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, Appendix A1.1 —
+    * the repetition-independent subset; repetition itself lives in
+    * [[withRepetitionFeatures]]): word-count bounds, mean word length
+    * bounds, symbol-to-word ratio (# and ellipsis), bullet-line and
+    * ellipsis-line fractions, fraction of words with at least one
+    * alphabetic character, and a minimum count of distinct function words.
+    * Emits each feature column plus the combined `keep_gopher` flag, so
+    * pipelines can re-threshold without recomputing. Pure `functions._`
+    * composition over one pass of the text — narrow, codegen'd, and exact
+    * integer/ratio arithmetic the DuckDB oracle replays bit-for-bit.
+    */
+  def withGopherRules(df: DataFrame, textCol: String = "text",
+                      minWords: Int = 50, maxWords: Int = 100000,
+                      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                      maxSymbolWordRatio: Double = 0.1,
+                      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+                      minAlphaWordRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nW = size(toks).cast("long")
+    val nWd = nW.cast("double")
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
+    val hashCount = length(t) - length(replace(t, lit("#"), lit("")))
+    val ellCount = (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3) +
+      (length(t) - length(replace(t, lit("…"), lit(""))))
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+    val stop = array(defaultStopwords.map(lit): _*)
+    val lowToks = transform(toks, lower _)
+    val stopHits = size(filter(stop, w => array_contains(lowToks, w))).cast("long")
+    val out = df
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len",
+        when(nW > 0, aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWd)
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_word_ratio", when(nW > 0, alphaWords / nWd).otherwise(lit(0.0)))
+      .withColumn("bullet_line_ratio",
+        when(nLines > 0, bulletLines / nLines).otherwise(lit(0.0)))
+      .withColumn("ellipsis_line_ratio",
+        when(nLines > 0, ellipsisLines / nLines).otherwise(lit(0.0)))
+      .withColumn("symbol_word_ratio",
+        when(nW > 0, (hashCount + ellCount).cast("double") / nWd).otherwise(lit(0.0)))
+      .withColumn("stop_hits", stopHits)
+    out.withColumn("keep_gopher",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("symbol_word_ratio") < maxSymbolWordRatio &&
+        col("bullet_line_ratio") < maxBulletRatio &&
+        col("ellipsis_line_ratio") < maxEllipsisRatio &&
+        col("alpha_word_ratio") > minAlphaWordRatio &&
+        col("stop_hits") >= minStopHits)
+  }
+
   /** Language ID by stopword-profile voting: score each candidate language
     * by the fraction of tokens in its function-word list; argmax wins (ties
     * break by list order). An n-gram-free heuristic that is deterministic

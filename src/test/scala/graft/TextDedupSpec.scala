@@ -644,4 +644,97 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(exact == Set(10L, 20L), s"got $exact")
   }
+
+  /** Scala reference for the winnow kernel: sliding-window minima of the
+    * n-gram Horner shingle hashes, distinct.
+    */
+  private def bruteWinnow(text: String, n: Int, w: Int): Set[Long] = {
+    val P = graft.functions.PortableHash.P
+    val B = graft.functions.PortableHash.B
+    val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+    def chash(s: String) = s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    val th = toks.map(chash)
+    val sh = th.sliding(n).filter(_.size == n)
+      .map(_.foldLeft(0L)((h, x) => (h * B + x) % P)).toVector
+    if (sh.isEmpty) Set.empty
+    else if (sh.size < w) Set(sh.min)
+    else sh.sliding(w).map(_.min).toSet
+  }
+
+  test("winnowSignature matches the brute-force sliding-min reference") {
+    val docs = sf("documents").limit(30).select("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), Dedup.winnowSignature(col("text"), n = 4, w = 5).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val want = bruteWinnow(text, n = 4, w = 5)
+      assert(got.getOrElse(id, Set.empty[Long]) == want, s"doc $id")
+    }
+    // short docs (1..w-1 shingles) keep exactly the global min
+    val short = Seq((1L, "a b c d e")).toDF("doc_id", "text") // 2 shingles at n=4
+    val fps = short.select(Dedup.winnowSignature(col("text"), n = 4, w = 5))
+      .collect().head.getSeq[Long](0)
+    assert(fps.toSet == bruteWinnow("a b c d e", 4, 5) && fps.size == 1)
+    // empty and sub-n docs produce no fingerprints
+    val none = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    assert(none.select(explode(Dedup.winnowSignature(col("text"), 4, 5))).count() == 0)
+  }
+
+  test("winnowing guarantees detection of shared runs >= n + w - 1 tokens") {
+    // n=4, w=4: any shared token run of length 7 must yield a shared fp
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val a = s"a1 a2 a3 a4 a5 $shared b1 b2 b3 b4 b5"
+    val b = s"c1 c2 c3 $shared d1 d2 d3 d4 d5 d6 d7"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapJoin(df, n = 4, w = 4, minShared = 1)
+      .collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("shared") >= 1L)
+    // and unrelated docs share nothing
+    val df2 = Seq((1L, "p q r s t u v w x y z"), (2L, "m n o aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    assert(Dedup.winnowOverlapJoin(df2, n = 4, w = 4, minShared = 1).count() == 0)
+  }
+
+  test("winnowOverlapJoin hot-fingerprint cap drops boilerplate from pair generation") {
+    // 20 docs all containing the same passage, plus disjoint unique tails
+    val passage = "common header tokens one two three four five six seven"
+    val docs = (0L until 20L)
+      .map(i => (i, s"$passage u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = Dedup.winnowOverlapJoin(df, n = 4, w = 4, minShared = 1)
+    assert(uncapped.count() == 20L * 19 / 2) // every pair shares the passage
+    // cap at 5 docs/fp: the passage fps are held by all 20 docs → dropped
+    val capped = Dedup.winnowOverlapJoin(df, n = 4, w = 4, minShared = 1,
+      maxDocsPerFp = Some(5))
+    assert(capped.count() == 0)
+  }
+
+  test("withGopherRules computes each rule feature exactly") {
+    val bullets = "- item one\n- item two\nplain line here"
+    val trailers = "first line...\nsecond line\nthird one…"
+    val symbols = "# tag ..."
+    val mixed = "the cat is on a mat"
+    val df = Seq((1L, bullets), (2L, trailers), (3L, symbols), (4L, mixed), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withGopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("bullet_line_ratio") == 2.0 / 3.0)
+    assert(out(2L).getAs[Double]("ellipsis_line_ratio") == 2.0 / 3.0)
+    assert(out(3L).getAs[Double]("symbol_word_ratio") == 2.0 / 3.0) // one '#', one '...'
+    assert(out(3L).getAs[Double]("mean_word_len") == 7.0 / 3.0)
+    assert(out(4L).getAs[Long]("stop_hits") == 4L) // the, is, on, a
+    assert(out(4L).getAs[Double]("alpha_word_ratio") == 1.0)
+    // empty doc: all ratios 0, not kept
+    assert(out(5L).getAs[Long]("n_words") == 0L)
+    assert(!out(5L).getAs[Boolean]("keep_gopher"))
+    // a long, clean document passes every rule
+    val clean = (1 to 30).map(_ => "the quick brown fox jumps over a lazy dog and runs on").mkString(" ")
+    val kept = TextAnalysis.withGopherRules(Seq((9L, clean)).toDF("doc_id", "text"))
+      .collect().head
+    assert(kept.getAs[Boolean]("keep_gopher"),
+      s"expected keep: ${kept.mkString(", ")}")
+  }
 }

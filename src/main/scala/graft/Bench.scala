@@ -44,7 +44,10 @@ object Bench {
     "q134_quantile_sketch",
     "q135_semdedup_batch_index",
     "q136_strip_markup",
-    "q137_script_profile")
+    "q137_script_profile",
+    "q139_winnow",
+    "q141_gopher_quality",
+    "q142_dedup_prefix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

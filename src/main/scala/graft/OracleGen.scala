@@ -919,6 +919,35 @@ object OracleGen {
        |GROUP BY term""".stripMargin
   }
 
+  /** Mirrors Sketches.bloomBuild + bloomQuery over document tokens, probed
+    * with the tokens of doc_id < 3 plus a planted absent key: identical
+    * portable bit positions, 62-bit words, bit_or cells — so even the
+    * sketch's false positives replay here.
+    */
+  def bloomContains(numBits: Int, hashes: Int): String = {
+    val be = (0 until hashes).map { i =>
+      s"SELECT ${hashBucket("term", s"blm$i", numBits)} AS pos FROM toks"
+    }.mkString("\n  UNION ALL ")
+    val pe = (0 until hashes).map { i =>
+      s"SELECT key, ${hashBucket("key", s"blm$i", numBits)} AS pos FROM probes"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |pos AS (
+       |  $be),
+       |words AS (SELECT CAST(floor(pos / 62) AS INT) AS word,
+       |  bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS bits FROM pos GROUP BY 1),
+       |probes AS (SELECT DISTINCT term AS key FROM (
+       |  SELECT term FROM toks WHERE doc_id < 3
+       |  UNION ALL SELECT 'certainly-absent-token-xyz' AS term)),
+       |pp AS (
+       |  $pe),
+       |pw AS (SELECT key, CAST(floor(pos / 62) AS INT) AS word,
+       |  (1::BIGINT << CAST(pos % 62 AS INT)) AS mask FROM pp)
+       |SELECT key, (min(CASE WHEN (coalesce(bits, 0) & mask) <> 0 THEN 1 ELSE 0 END) = 1) AS may_contain
+       |FROM pw LEFT JOIN words USING (word)
+       |GROUP BY key""".stripMargin
+  }
+
   // ---- q128 paragraph dedup -------------------------------------------------
 
   /** CCNet-style paragraph dedup — mirrors Dedup.paragraphDedup: first

@@ -399,6 +399,12 @@ object SparkEntry {
     "q40_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
         n = 2, threshold = 0.05)),
+    // prefix-filtered exact set-similarity join: same answer as the plain
+    // all-pairs shingle join, but pair generation only touches each doc's
+    // (1-t)|S|+1 smallest shingle hashes (lossless prefix-filter lemma)
+    "q142_dedup_prefix" -> ((s, d) =>
+      Dedup.ngramJaccardPrefix(t(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        n = 2, threshold = 0.8)),
     "q41_dedup_minhash" -> ((s, d) =>
       Dedup.minHashLsh(t(s, d, "documents"), shingleN = 3, k = 16, bands = 4)),
     "q42_dedup_simhash" -> ((s, d) =>
@@ -737,6 +743,17 @@ object SparkEntry {
       val sketch = Sketches.cmsBuild(toks, col("term"), depth = 4, width = 1024)
       Sketches.cmsQuery(sketch, toks.filter(col("doc_id") < 3), col("term"),
         depth = 4, width = 1024)
+    }),
+    // bloom membership sketch: deterministic portable bit positions, so
+    // the oracle replays the sketch — false positives included; probes =
+    // tokens of the first three docs plus a planted absent key
+    "q143_bloom_membership" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val sketch = Sketches.bloomBuild(toks, col("term"), numBits = 1 << 14, hashes = 5)
+      val probes = toks.filter(col("doc_id") < 3).select(col("term"))
+        .unionByName(s.range(1).select(lit("certainly-absent-token-xyz").as("term")))
+      Sketches.bloomQuery(sketch, probes, col("term"), numBits = 1 << 14, hashes = 5)
     }),
     // fixed-size per-stratum sample (deterministic reservoir analog)
     "q73_sample_reservoir" -> ((s, d) =>
@@ -1299,6 +1316,9 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(1) AS copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q40_dedup_ngram" -> OracleGen.ngramJaccard(n = 2, threshold = 0.05, sampleMod = 5),
+    // the prefix-filtered path must reproduce the all-pairs answer exactly,
+    // so its oracle IS the plain all-pairs oracle at the same parameters
+    "q142_dedup_prefix" -> OracleGen.ngramJaccard(n = 2, threshold = 0.8, sampleMod = 2),
     "q46_multimodal_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'image' AS media_type FROM documents",
     "q52_map_projection" ->
@@ -1419,6 +1439,7 @@ object SparkEntry {
     "q130_epoch_interleave" -> OracleGen.epochInterleave(salt = "ilv"),
     "q131_kmv_distinct" -> OracleGen.kmvDistinct(k = 64),
     "q132_cms_counts" -> OracleGen.cmsCounts(depth = 4, width = 1024),
+    "q143_bloom_membership" -> OracleGen.bloomContains(numBits = 1 << 14, hashes = 5),
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),

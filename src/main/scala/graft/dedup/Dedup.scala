@@ -109,6 +109,87 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact set-similarity join (the SSJoin/PPJoin family:
+    * Chaudhuri-Ganti-Kaushik ICDE'06, Xiao et al. WWW'08): IDENTICAL output
+    * to [[ngramJaccard]], but candidate pairs are generated only from each
+    * document's PREFIX — its |S| − ceil(t·|S|) + 1 smallest shingle hashes
+    * under the global hash order. Lossless by the prefix-filter lemma: two
+    * sets with Jaccard ≥ t overlap in ≥ ceil(t·|S|) elements, and two sets
+    * whose prefixes (under any shared total order) are disjoint overlap in
+    * at most |S| − prefix elements — so every qualifying pair collides on
+    * some prefix hash. At t = 0.8 the pair-generation shuffle carries ~20%
+    * of the shingles, and — unlike `maxDocsPerShingle` — the reported
+    * pairs are exactly the full all-pairs answer. Verification joins the
+    * candidate id pairs back to the full sorted shingle arrays and
+    * intersects: full sets travel once per CANDIDATE, never per shingle.
+    * The hot-shingle cap still composes for boilerplate-heavy corpora
+    * (applied to the prefix stream; same lower-bound caveat as
+    * [[ngramJaccard]]).
+    */
+  def ngramJaccardPrefix(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxDocsPerShingle: Option[Int] = None,
+                         order: String = "df"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(order == "df" || order == "hash", s"order must be df|hash: $order")
+    val withN = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+      .select(col(idCol),
+        sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
+          col("__th"), n, PortableHash.B, PortableHash.P)).as("__shs"))
+      .select(col(idCol), col("__shs"), size(col("__shs")).as("n_sh"))
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int")
+    // prefix stream: the prefLen smallest shingles of each doc under the
+    // shared global order. "hash" = the hash value itself (zero extra
+    // shuffles, but corpus-hot shingles land in prefixes at random);
+    // "df" = ascending document frequency with hash tiebreak (the PPJoin
+    // order: hot boilerplate shingles sort to the SUFFIX of every doc, so
+    // only rare shingles ever generate pairs — one vocab aggregation, one
+    // shingle-keyed join, one per-doc window, all fixed-width)
+    val pref0 =
+      if (order == "hash")
+        withN.select(col(idCol), col("n_sh"),
+            posexplode(slice(col("__shs"), lit(1), prefLen)).as(Seq("__p0", "shingle")))
+          .withColumn("__pos", col("__p0") + 1).drop("__p0")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val sh = withN.select(col(idCol), col("n_sh"), explode(col("__shs")).as("shingle"))
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+        sh.join(dfreq, Seq("shingle"))
+          .withColumn("__pos", row_number().over(w))
+          .filter(col("__pos") <= (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1))
+          .select(col(idCol), col("n_sh"), col("shingle"), col("__pos"))
+      }
+    val pref = capHotShingles(pref0, maxDocsPerShingle)
+    // positional + length filters (PPJoin): a colliding prefix position
+    // caps the achievable overlap at 1 + min(n_a − pos_a, n_b − pos_b),
+    // and Jaccard ≥ t needs overlap ≥ ceil(t·(n_a+n_b)/(1+t)) and sizes
+    // within a factor t of each other — both prune candidate pairs BEFORE
+    // the distinct and the verification join ever see them
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          // compare against the real-valued overlap bound t·(n_a+n_b)/(1+t)
+          // directly (an integer ≥ x iff ≥ ceil(x)) — no ceil, so float
+          // rounding can only admit an extra candidate, never drop a pair
+          (lit(1) + least(col("a.n_sh") - col("a.__pos"), col("b.n_sh") - col("b.__pos")))
+            .cast("double") >=
+            (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
+    val aSets = withN.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
+    val bSets = withN.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
+    cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Cross-corpus set-similarity join: n-gram Jaccard ≥ `threshold` between
     * documents of TWO corpora (fresh crawl vs existing corpus — the "is this
     * new document a near-dup of anything we already have" screen). Same
@@ -401,9 +482,10 @@ object Dedup {
                                threshold: Double = 0.8, textCol: String = "text",
                                idCol: String = "doc_id"): DataFrame = {
     // referenced twice below (corpus pruning + verify spine): checkpoint so
-    // the banding/join/distinct sub-DAG runs once, not per branch
+    // the banding/join/distinct sub-DAG runs once, not per branch (lazy —
+    // plan construction stays execution-free)
     val cands = minHashLshAgainstIndex(batch, index, shingleN, k, bands, textCol, idCol)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val touched = corpus.join(
       cands.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     cands
@@ -733,11 +815,20 @@ object Dedup {
     // only ever be representatives: the rest of the operator never needs
     // the pre-collapse stream again. Guarded on threshold ≤ 1 where the
     // self-pair argument holds.
-    val reps =
+    val reps0 =
       if (threshold <= 1.0)
         assigned.groupBy(col(vecCol), col("centroid_id"))
           .agg(min(col(idCol)).as(idCol))
       else assigned
+    // The rep stream is referenced six times downstream (cell sizing, two
+    // sides of each pairing branch, the final anti-join): a lazy local
+    // checkpoint pins it to ONE materialization — without it each branch
+    // re-runs the assignment fold and the vector-keyed collapse exchange
+    // (~8 redundant corpus scans in the executed plan). Lazy, so plan
+    // construction stays execution-free; storage is the distinct-vector
+    // stream, which production SemDeDup persists anyway (it IS the cell
+    // index).
+    val reps = reps0.localCheckpoint(false)
 
     // -- stage 2: size-routed in-cell pairing over distinct vectors --------
     val cellSizes = reps.groupBy(col("centroid_id"))
@@ -814,9 +905,10 @@ object Dedup {
     // checkpoint AFTER the screen: the in-batch stage references its input
     // several times (rep election, cell sizing, both pairing branches, the
     // final anti-join) — one materialization bounds the screen join to a
-    // single execution instead of one per reference
+    // single execution instead of one per reference. Lazy, so building the
+    // plan does not run the screen job eagerly.
     val fresh = semDedupScreen(batch, index, centroids, threshold, idCol, vecCol)
-      .localCheckpoint()
+      .localCheckpoint(false)
     semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
   }
 

@@ -182,4 +182,61 @@ object Sketches {
       .groupBy("term")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  /** Bloom filter as a (word, bits) relation: `hashes` portable bit
+    * positions per key over a `numBits` space, packed 62 bits per word
+    * (62, not 64, so no engine's BIGINT shift ever touches the sign bit).
+    * One partial-aggregating bit_or shuffle bounded by numBits/62 rows
+    * regardless of key cardinality; DETERMINISTIC — same hashes in any
+    * engine, so the sketch (and even its false positives) replays in the
+    * oracle, unlike Spark's built-in bloom_filter_agg whose layout is
+    * implementation-defined. Membership via [[bloomQuery]]; shard/batch
+    * sketches compose with [[bloomMerge]] (bit_or is a semilattice).
+    * Sizing: false-positive rate ~ (1 - e^(-hashes·n/numBits))^hashes.
+    */
+  def bloomBuild(df: DataFrame, key: Column, numBits: Int = 1 << 16,
+      hashes: Int = 5, salt: String = "blm"): DataFrame = {
+    require(hashes >= 1 && numBits >= 62, s"bad bloom shape: $hashes x $numBits")
+    val positions = array((0 until hashes).map { i =>
+      Sampling.hashBucket(key, s"$salt$i", numBits)
+    }: _*)
+    df.select(explode(positions).as("__pos"))
+      .select(floor(col("__pos") / 62).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), (col("__pos") % 62).cast("int")).as("__bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(__bit)").as("bits"))
+  }
+
+  /** Bloom membership per probe key: true iff every one of the key's
+    * `hashes` bit positions is set. The sketch is metadata-sized
+    * (numBits/62 rows), so the probe join broadcasts — one narrow pass
+    * over the probe set. No false negatives; false positives at the
+    * standard rate, and — the portable-hash dividend — the SAME false
+    * positives in every engine. (numBits, hashes, salt) must match the
+    * build.
+    */
+  def bloomQuery(sketch: DataFrame, probes: DataFrame, key: Column,
+      numBits: Int = 1 << 16, hashes: Int = 5, salt: String = "blm"): DataFrame = {
+    val positions = array((0 until hashes).map { i =>
+      Sampling.hashBucket(col("key"), s"$salt$i", numBits)
+    }: _*)
+    probes.select(key.as("key")).distinct()
+      .select(col("key"), explode(positions).as("__pos"))
+      .select(col("key"), floor(col("__pos") / 62).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), (col("__pos") % 62).cast("int")).as("__mask"))
+      .join(broadcast(sketch), Seq("word"), "left")
+      .groupBy("key")
+      .agg(min((coalesce(col("bits"), lit(0L)).bitwiseAND(col("__mask")) =!= 0L)
+        .cast("int")).as("__all"))
+      .select(col("key"), (col("__all") === 1).as("may_contain"))
+  }
+
+  /** Merge bloom sketch tables built with the same (numBits, hashes,
+    * salt): union, re-OR per word — exactly the sketch of the unioned raw
+    * inputs, in any merge order.
+    */
+  def bloomMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_.unionByName(_)).groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+  }
 }

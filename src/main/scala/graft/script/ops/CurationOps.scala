@@ -586,3 +586,96 @@ class SemDedupMatch extends UserOperator {
       graft.dedup.Dedup.semDedupAgainstIndex(inputs.head, inputs(1), inputs(2), t, id, vec)
   }
 }
+
+/** Gopher-style quality rules for scripts: emits the rule features plus
+  * `keep_gopher`; set keepOnly=true to filter to passing docs. Params:
+  * text ("text"), keepOnly ("false"), minWords (50), maxWords (100000),
+  * minMeanWordLen (3.0), maxMeanWordLen (10.0), maxSymbolWordRatio (0.1),
+  * maxBulletRatio (0.9), maxEllipsisRatio (0.3), minAlphaWordRatio (0.8),
+  * minStopHits (2).
+  */
+class GopherRules extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val out = graft.text.TextAnalysis.withGopherRules(inputs.head,
+      params.getOrElse("text", "text"),
+      params.getOrElse("minWords", "50").toInt,
+      params.getOrElse("maxWords", "100000").toInt,
+      params.getOrElse("minMeanWordLen", "3.0").toDouble,
+      params.getOrElse("maxMeanWordLen", "10.0").toDouble,
+      params.getOrElse("maxSymbolWordRatio", "0.1").toDouble,
+      params.getOrElse("maxBulletRatio", "0.9").toDouble,
+      params.getOrElse("maxEllipsisRatio", "0.3").toDouble,
+      params.getOrElse("minAlphaWordRatio", "0.8").toDouble,
+      params.getOrElse("minStopHits", "2").toInt)
+    if (params.getOrElse("keepOnly", "false").toBoolean)
+      out.filter(col("keep_gopher"))
+    else out
+  }
+}
+
+/** Winnowed (MOSS) fingerprints for scripts: with ONE input, the exploded
+  * (id, fp) fingerprint relation (STORE it as a reuse index); with TWO
+  * inputs, pairs of the first input sharing >= minShared fingerprints
+  * are ignored and the operator screens input 1 against the STORED
+  * fingerprint index in input 2 (rows with an indexed fp in common are
+  * dropped when screen="drop", kept+flagged when screen="flag").
+  * Params: n (4), w (4), text ("text"), id ("doc_id"), screen ("drop").
+  */
+class WinnowIndex extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val n = params.getOrElse("n", "4").toInt
+    val w = params.getOrElse("w", "4").toInt
+    val text = params.getOrElse("text", "text")
+    val id = params.getOrElse("id", "doc_id")
+    val fps = graft.dedup.Dedup.winnowFingerprints(inputs.head, n, w, text, id)
+    if (inputs.length < 2) fps
+    else {
+      val hit = fps.join(inputs(1).select(col("fp")).distinct(), Seq("fp"))
+        .select(col(id)).distinct()
+      if (params.getOrElse("screen", "drop") == "flag")
+        inputs.head.join(hit.withColumn("fp_hit", lit(true)), Seq(id), "left")
+          .withColumn("fp_hit", coalesce(col("fp_hit"), lit(false)))
+      else inputs.head.join(hit, Seq(id), "left_anti")
+    }
+  }
+}
+
+/** Winnow overlap join for scripts: pairs of documents sharing >=
+  * minShared winnowed fingerprints, with the overlap coefficient.
+  * Params: n (4), w (4), minShared (2), text ("text"), id ("doc_id"),
+  * maxDocsPerFp (optional hot-fingerprint cap).
+  */
+class WinnowOverlap extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.dedup.Dedup.winnowOverlapJoin(inputs.head,
+      params.getOrElse("n", "4").toInt,
+      params.getOrElse("w", "4").toInt,
+      params.getOrElse("minShared", "2").toInt,
+      params.getOrElse("text", "text"),
+      params.getOrElse("id", "doc_id"),
+      params.get("maxDocsPerFp").map(_.toInt))
+}
+
+/** Bloom filter build for scripts: a deterministic (word, bits) membership
+  * sketch over a key column — STORE it and probe from later scripts.
+  * Params: key (required), numBits (65536), hashes (5), salt ("blm").
+  */
+class BloomBuild extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.bloomBuild(inputs.head, col(params("key")),
+      params.getOrElse("numBits", "65536").toInt,
+      params.getOrElse("hashes", "5").toInt,
+      params.getOrElse("salt", "blm"))
+}
+
+/** Bloom membership probe for scripts: inputs = (sketch, probes); emits
+  * (key, may_contain). Shape params must match the build.
+  * Params: key (required), numBits (65536), hashes (5), salt ("blm").
+  */
+class BloomQuery extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.bloomQuery(inputs.head, inputs(1), col(params("key")),
+      params.getOrElse("numBits", "65536").toInt,
+      params.getOrElse("hashes", "5").toInt,
+      params.getOrElse("salt", "blm"))
+}

@@ -138,6 +138,12 @@ class ExamplesSpec extends SparkSpec {
     val nT = train.count()
     assert(nT > 0 && nT <= n)
     assert(train.select("pos").collect().map(_.getLong(0)).sorted.toSeq == (1L to nT))
+    // gopher report covers every curated doc; reuse pairs carry the
+    // overlap schema (the curated slice may legitimately have no pairs)
+    val gopher = spark.read.parquet(s"$out/gopher")
+    assert(gopher.count() == n && gopher.columns.contains("keep_gopher"))
+    val reuse = spark.read.parquet(s"$out/passage_reuse")
+    assert(reuse.columns.toSet == Set("id_a", "id_b", "shared", "overlap"))
   }
 
   test("training_order.cmr plans, takes, interleaves, and packs a training order") {

@@ -131,6 +131,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowHashes kernel == sliding-min-over-shingles reference across n and w") {
+    def refWinnow(s: String, n: Int, w: Int): Seq[Long] = {
+      val sh = refTokens(s).map(t => refHash(t, PortableHash.P))
+        .sliding(n).filter(_.length == n)
+        .map(_.foldLeft(0L)((h, x) => (h * PortableHash.B + x) % PortableHash.P))
+        .toVector
+      if (sh.isEmpty) Seq.empty
+      else if (sh.size < w) Seq(sh.min)
+      else sh.sliding(w).map(_.min).toVector.distinct
+    }
+    for (n <- Seq(1, 2, 4); w <- Seq(1, 3, 5)) {
+      val df = samples.toDF("s")
+      val got = df.select(NativeExpressions.winnowHashes(
+          NativeExpressions.tokenPolyHashes(col("s"), PortableHash.P), n, w,
+          PortableHash.B, PortableHash.P)).collect()
+        .map(_.getSeq[Long](0).toSet)
+      samples.zip(got).foreach { case (s, g) =>
+        assert(g == refWinnow(s, n, w).toSet, s"n=$n w=$w input=$s")
+      }
+    }
+  }
+
   test("cosineF kernel == sequential fold reference") {
     val vecs = (0 until 50).map(_ => (
       Array.fill(16)(rnd.nextFloat() - 0.5f), Array.fill(16)(rnd.nextFloat() - 0.5f)))

@@ -462,6 +462,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"corpus-wide product join:\n$p")
   }
 
+  test("prefix similarity join: positional+length filters sit in the pair join; no product (q142)") {
+    val df = SparkEntry.queries("q142_dedup_prefix")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the PPJoin positional bound (and the t-factor length filter) must be
+    // part of the pair-generation JOIN CONDITION so candidates prune
+    // before the distinct and the verification join ever see them
+    assert(opt.contains("__pos"), s"positional filter missing from plan:\n$opt")
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"product join in prefix path:\n$p")
+  }
+
+  test("bloom: one partial aggregation builds the cells; the probe join broadcasts the sketch (q143)") {
+    val df = SparkEntry.queries("q143_bloom_membership")(spark, dir)
+    val p = executedPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in bloom probe:\n$p")
+  }
+
+  test("winnow overlap: the hot-fingerprint cap is a broadcast anti-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a passage shared by every doc makes its fingerprints HOT (held by
+    // > cap docs), so the exclusion join survives AQE's empty-relation
+    // elision and must appear as a broadcast anti-join
+    val passage = "common header tokens one two three four five six seven"
+    val rare = "rare shared passage alpha beta gamma delta epsilon zeta eta"
+    // docs 0 and 1 also share a sub-cap passage, so the result is
+    // non-empty and AQE cannot collapse the whole plan to EmptyRelation
+    val docs = (0L until 20L)
+      .map(i => (i, s"$passage u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g" +
+        (if (i < 2) s" $rare" else "")))
+      .toDF("doc_id", "text")
+    val df = graft.dedup.Dedup.winnowOverlapJoin(docs, n = 4, w = 4,
+      minShared = 1, maxDocsPerFp = Some(5))
+    val p = executedPlan(df)
+    assert(p.contains("LeftAnti"), s"hot-fp exclusion not an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-fp set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in winnow overlap:\n$p")
+  }
+
   test("SemDeDup: the exact in-cell self-join is size-capped and the overflow path is banded") {
     // the quadratic join must be guarded by the cell-size cap, and an
     // oversized cell must route through the (centroid, band, sig-slice)

@@ -141,6 +141,43 @@ class ScriptSpec extends SparkSpec {
       env0 = env("probes" -> probes))
     val est = out("est").collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est_count")).toMap
     assert(est("hot") == 40L && est("absent") == 0L, est.toString)
+    // bloom: persist a membership sketch, probe from a later script
+    ScriptEngine.run(spark,
+      s"""bf = OPERATOR 'graft.script.ops.BloomBuild' corpus ('key': 'term', 'numBits': '4096');
+         |STORE bf INTO '$dir/bf' USING PARQUET;""".stripMargin,
+      env0 = env("corpus" -> corpus))
+    val bq = ScriptEngine.run(spark,
+      s"""bf = LOAD '$dir/bf' USING PARQUET;
+         |hit = OPERATOR 'graft.script.ops.BloomQuery' bf, probes ('key': 'term', 'numBits': '4096');""".stripMargin,
+      env0 = env("probes" -> probes))
+    val hit = bq("hit").collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(hit("hot") && !hit("absent"), hit.toString)
+  }
+
+  test("shipped gopher + winnow plug-ins: rule filtering and fingerprint screening from a script") {
+    val clean = (1 to 30).map(_ => "the quick brown fox jumps over a lazy dog and runs on").mkString(" ")
+    val corpus = Seq((1L, clean), (2L, "# ## ###")).toDF("doc_id", "text")
+    val kept = ScriptEngine.run(spark,
+      "kept = OPERATOR 'graft.script.ops.GopherRules' corpus ('keepOnly': 'true');",
+      env0 = env("corpus" -> corpus))("kept")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // winnow: store the corpus fingerprint index once, screen a later batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val batch = Seq(
+      (100L, clean), // verbatim corpus reuse → screened out
+      (101L, "p q r s t u v w x y z aa bb cc")).toDF("doc_id", "text")
+    ScriptEngine.run(spark,
+      s"""fps = OPERATOR 'graft.script.ops.WinnowIndex' corpus;
+         |STORE fps INTO '$dir/fps' USING PARQUET;""".stripMargin,
+      env0 = env("corpus" -> corpus))
+    val out = ScriptEngine.run(spark,
+      s"""idx = LOAD '$dir/fps' USING PARQUET;
+         |novel = OPERATOR 'graft.script.ops.WinnowIndex' batch, idx;
+         |pairs = OPERATOR 'graft.script.ops.WinnowOverlap' batch ('minShared': '1');""".stripMargin,
+      env0 = env("batch" -> batch))
+    assert(out("novel").select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(101L))
+    assert(out("pairs").count() == 0) // the two batch docs share no passage
   }
 
   test("the reference's wordcount.cmr runs under the phase-syntax front end") {

@@ -100,4 +100,35 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getAs[Long]("est_count")
     assert(est == 3L)
   }
+
+  test("bloom has no false negatives, rejects absent keys at ample size, and is deterministic") {
+    val keys = (0 until 500).map(i => s"key$i")
+    val df = keys.toDF("k")
+    val sketch = Sketches.bloomBuild(df, col("k"), numBits = 1 << 16, hashes = 5)
+    // every inserted key answers true
+    val in = Sketches.bloomQuery(sketch, df, col("k"), numBits = 1 << 16, hashes = 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(keys.forall(in(_)), "false negative")
+    // absent keys: at 2^16 bits / 500 keys / 5 hashes the fp rate is ~1e-7,
+    // so 100 absent probes must all answer false
+    val absent = (0 until 100).map(i => s"absent$i").toDF("k")
+    val out = Sketches.bloomQuery(sketch, absent, col("k"), numBits = 1 << 16, hashes = 5)
+      .collect().map(_.getBoolean(1))
+    assert(out.forall(!_), "false positive at ample size")
+    // deterministic: rebuilding yields the identical (word, bits) relation
+    val again = Sketches.bloomBuild(df, col("k"), numBits = 1 << 16, hashes = 5)
+    assert(sketch.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      again.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
+
+  test("bloom shard sketches merge to exactly the whole-corpus sketch") {
+    val a = (0 until 200).map(i => s"k$i").toDF("k")
+    val b = (150 until 400).map(i => s"k$i").toDF("k")
+    val whole = Sketches.bloomBuild(a.unionByName(b), col("k"), numBits = 4096, hashes = 4)
+    val merged = Sketches.bloomMerge(Seq(
+      Sketches.bloomBuild(a, col("k"), numBits = 4096, hashes = 4),
+      Sketches.bloomBuild(b, col("k"), numBits = 4096, hashes = 4)))
+    assert(whole.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      merged.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
 }

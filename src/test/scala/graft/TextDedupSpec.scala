@@ -712,6 +712,22 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("ngramJaccardPrefix reproduces the all-pairs answer with a smaller pair-generation stream") {
+    val docs = sf("documents").limit(300)
+    for (t <- Seq(0.2, 0.5, 0.8); ord <- Seq("df", "hash")) {
+      val full = Dedup.ngramJaccard(docs, n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.ngramJaccardPrefix(docs, n = 2, threshold = t, order = ord)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"threshold $t order $ord: prefix path diverged from all-pairs")
+    }
+    // the planted near-dup pair survives the prefix filter
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pair = Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPrefix(pair, n = 2, threshold = 0.8).collect()
+    assert(out.length == 1 && out.head.getDouble(2) >= 0.8)
+  }
+
   test("withGopherRules computes each rule feature exactly") {
     val bullets = "- item one\n- item two\nplain line here"
     val trailers = "first line...\nsecond line\nthird one…"

@@ -1484,4 +1484,166 @@ object OracleGen {
        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, tf.term) AS INT) AS term_rank
        |  FROM tf JOIN dfreq d USING (term))
        |WHERE term_rank <= $k""".stripMargin
+
+  // ---- q144/q145 URL canonicalization -------------------------------------
+
+  /** SQL mirror of SparkEntry.urlZoo (q144). */
+  private def urlZooSql(page: String): String =
+    s"""CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+       |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+       |      source || '.Example.COM' ||
+       |      CASE WHEN doc_id % 10 = 0 THEN ':8080'
+       |           WHEN doc_id % 5 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+       |           ELSE '' END ||
+       |      CASE WHEN doc_id % 4 = 0 THEN '/Pages/' || $page || '?utm_source=feed&utm_medium=rss&page=2'
+       |           WHEN doc_id % 4 = 1 THEN '/'
+       |           WHEN doc_id % 4 = 2 THEN '/a b/' || $page || '?q=term&gclid=abc&ref=x'
+       |           ELSE '/Pages/' || $page || '?id=' || $page END ||
+       |      CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END""".stripMargin
+
+  /** SQL mirror of SparkEntry.urlVariants (q145). */
+  private def urlVariantsSql(page: String): String =
+    s"""CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+       |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+       |      CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+       |      '.Example.com' ||
+       |      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+       |      '/p/' || $page || '?id=' || $page ||
+       |      CASE WHEN doc_id % 4 = 0 THEN '&utm_source=x&utm_medium=y' ELSE '' END ||
+       |      CASE WHEN doc_id % 4 = 2 THEN '&fbclid=zz' ELSE '' END ||
+       |      CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END""".stripMargin
+
+  /** CTE chain replaying UrlOps.normalizeUrl over a `raw(..., url)` CTE;
+    * the pattern/alternation strings come from UrlOps itself so the two
+    * sides cannot drift.
+    */
+  private def normalizeCtes: String = {
+    val trk = s"([?&])(${graft.text.UrlOps.trackingParams.mkString("|")})=[^&#]*&?"
+    s"""defrag AS (SELECT *, trim(regexp_replace(trim(url), '#.*$$', '')) AS u FROM raw),
+       |pieces AS (
+       |  SELECT *,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)), '^www\\.', '') AS a1,
+       |    regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*(.*)$$', 2) AS rest0
+       |  FROM defrag),
+       |restc AS (
+       |  SELECT *,
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(a1, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(a1, ':443$$', '')
+       |         ELSE a1 END AS auth,
+       |    regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(rest0,
+       |        '$trk', '\\1', 'g'), '$trk', '\\1', 'g'), '$trk', '\\1', 'g'),
+       |      '[?&]$$', '') AS r2
+       |  FROM pieces),
+       |norm AS (
+       |  SELECT *, CASE WHEN auth = '' THEN u
+       |    ELSE scheme || '://' || auth || (CASE WHEN r2 = '/' THEN '' ELSE r2 END) END AS url_norm
+       |  FROM restc)""".stripMargin
+  }
+
+  /** Mirrors q144: urlZoo → normalizeUrl → withUrlParts. */
+  def urlNormalize: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, source,
+       |    ${urlZooSql("CAST(doc_id AS VARCHAR)")} AS url
+       |  FROM documents),
+       |$normalizeCtes
+       |SELECT doc_id, url, url_norm,
+       |  regexp_extract(url_norm, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)', 2) AS host,
+       |  regexp_extract(regexp_extract(url_norm, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)', 2),
+       |    '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain,
+       |  regexp_extract(url_norm, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path
+       |FROM norm""".stripMargin
+
+  /** Mirrors q145: urlVariants → dedupByUrl (min doc_id per canonical). */
+  def urlDedup: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, source,
+       |    ${urlVariantsSql("CAST(doc_id % 97 AS VARCHAR)")} AS url
+       |  FROM documents),
+       |$normalizeCtes,
+       |win AS (SELECT url_norm, min(doc_id) AS doc_id FROM norm GROUP BY 1)
+       |SELECT w.doc_id, r.source, w.url_norm FROM win w JOIN norm r ON w.doc_id = r.doc_id""".stripMargin
+
+  // ---- q146 KMV set operations --------------------------------------------
+
+  /** Mirrors Sketches.kmvSketch + kmvSetOps over per-source vocabularies:
+    * bottom-k distinct portable hashes per source, pairwise merged bottom-k
+    * (the union sketch), theta-style Jaccard / intersection estimators with
+    * the exact expression trees of the Spark side.
+    */
+  def kmvSetOps(k: Int): String = {
+    val kb = (k - 1).toLong * (1L << 30)
+    s"""WITH tok AS (SELECT source, unnest($toks) AS term FROM documents),
+       |hs AS (SELECT DISTINCT source, ${hashBucket("term", "kmv", 1L << 30)} AS h FROM tok),
+       |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hs),
+       |sk AS (SELECT source, h FROM rk WHERE r <= $k),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source),
+       |uni AS (
+       |  SELECT p.sa, p.sb, s.h,
+       |    bool_or(s.source = p.sa) AS in_a, bool_or(s.source = p.sb) AS in_b
+       |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT sa, sb, count(1) AS n_union, max(h) AS kth_raw,
+       |    sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_common
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r FROM uni)
+       |  WHERE r <= $k GROUP BY 1, 2),
+       |e AS (
+       |  SELECT sa, sb, CAST(n_union AS INT) AS n_union_mins,
+       |    CASE WHEN n_union = $k THEN kth_raw ELSE CAST(-1 AS BIGINT) END AS union_kth,
+       |    CAST(n_common AS INT) AS n_common_mins
+       |  FROM m),
+       |e2 AS (
+       |  SELECT *,
+       |    CASE WHEN n_union_mins < $k THEN CAST(n_union_mins AS DOUBLE)
+       |         ELSE CAST($kb AS DOUBLE) / CAST(union_kth AS DOUBLE) END AS union_est,
+       |    CASE WHEN n_union_mins = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(n_common_mins AS DOUBLE) / CAST(n_union_mins AS DOUBLE) END AS jaccard_est
+       |  FROM e)
+       |SELECT sa AS source_a, sb AS source_b, n_union_mins, union_kth, union_est,
+       |  n_common_mins, jaccard_est, jaccard_est * union_est AS inter_est
+       |FROM e2""".stripMargin
+  }
+
+  // ---- q147 gap fill -------------------------------------------------------
+
+  /** Mirrors WindowOps.gapFill on hourly buckets of events: latest value
+    * per (key, bucket) by (ts, event_id), dense grid per key, fill-forward
+    * expressed as DuckDB's ASOF join (latest bucket at-or-before ≡ the
+    * window last(ignoreNulls)).
+    */
+  def gapFill(keyMod: Int, stepUs: Long): String =
+    s"""WITH e AS (SELECT user_id % $keyMod AS ukey, epoch_us(ts) AS ts_us, value, event_id FROM events),
+       |b0 AS (SELECT *, ts_us - (ts_us % $stepUs) AS bucket FROM e),
+       |v AS (SELECT ukey, bucket, value AS v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ukey, bucket ORDER BY ts_us DESC, event_id DESC) AS r
+       |    FROM b0) WHERE r = 1),
+       |bounds AS (SELECT ukey, min(bucket) AS mn, max(bucket) AS mx FROM v GROUP BY 1),
+       |g AS (SELECT ukey, unnest(generate_series(mn, mx, $stepUs)) AS bucket FROM bounds)
+       |SELECT g.ukey, g.bucket, coalesce(v.bucket = g.bucket, FALSE) AS observed, v.v AS value
+       |FROM g ASOF LEFT JOIN v ON g.ukey = v.ukey AND g.bucket >= v.bucket""".stripMargin
+
+  // ---- q148 winsorize ------------------------------------------------------
+
+  /** Mirrors Sketches.winsorize on events.value per event_type: the
+    * quantileSketch bottom-k sample, lower-nearest-rank bounds, and the
+    * least/greatest clip (comparisons only — value doubles pass through
+    * bit-identically).
+    */
+  def winsorize(k: Int, lo: Double, hi: Double): String =
+    s"""WITH s AS (
+       |  SELECT event_type, value AS v, ${hashBucket("event_id", "qsk", 1L << 30)} AS h FROM events),
+       |r AS (SELECT event_type, v, row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk FROM s),
+       |gq AS (SELECT event_type, list(v ORDER BY v) AS vs, count(1) AS n_sample
+       |  FROM r WHERE rk <= $k GROUP BY 1),
+       |bnds AS (SELECT event_type,
+       |    vs[CAST(floor($lo * (n_sample - 1)) + 1 AS INT)] AS lo_bound,
+       |    vs[CAST(floor($hi * (n_sample - 1)) + 1 AS INT)] AS hi_bound
+       |  FROM gq)
+       |SELECT e.event_id, e.event_type, e.value, b.lo_bound, b.hi_bound,
+       |  least(greatest(e.value, b.lo_bound), b.hi_bound) AS value_clipped
+       |FROM events e JOIN bnds b USING (event_type)""".stripMargin
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.Builtins
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, UrlOps}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 
@@ -29,6 +29,39 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** q144 URL zoo: every normalization case, keyed off (doc_id, source);
+    * mirrored by OracleGen.urlZooSql.
+    */
+  private def urlZoo(page: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 10 === 0, lit(":8080"))
+      .when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 0,
+      concat(lit("/Pages/"), page, lit("?utm_source=feed&utm_medium=rss&page=2")))
+      .when(col("doc_id") % 4 === 1, lit("/"))
+      .when(col("doc_id") % 4 === 2, concat(lit("/a b/"), page, lit("?q=term&gclid=abc&ref=x")))
+      .otherwise(concat(lit("/Pages/"), page, lit("?id="), page)),
+    when(col("doc_id") % 7 === 0, lit("#Section-2")).otherwise(lit("")))
+
+  /** q145 spelling variants that all normalize to
+    * `https://<source>.example.com/p/<page>?id=<page>`; mirrored by
+    * OracleGen.urlVariantsSql.
+    */
+  private def urlVariants(page: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+    lit(".Example.com"),
+    when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+    lit("/p/"), page, lit("?id="), page,
+    when(col("doc_id") % 4 === 0, lit("&utm_source=x&utm_medium=y")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 2, lit("&fbclid=zz")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
 
   /** Flagship query on sf=0.001: join + CUBE with additive and distinct
     * measures — the reference's headline combination (MeshJoin + CUBE).
@@ -755,6 +788,59 @@ object SparkEntry {
         .unionByName(s.range(1).select(lit("certainly-absent-token-xyz").as("term")))
       Sketches.bloomQuery(sketch, probes, col("term"), numBits = 1 << 14, hashes = 5)
     }),
+
+    // ---- URL canonicalization / sketch set ops / time series ----------
+    // deterministic URL zoo from (source, doc_id): mixed-case scheme and
+    // host, www., default + non-default ports, tracking params in every
+    // position, a space-bearing path, root-slash and fragment cases
+    "q144_url_normalize" -> ((s, d) => {
+      val df = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", urlZoo(col("doc_id").cast("string")))
+      UrlOps.withUrlParts(
+        df.withColumn("url_norm", UrlOps.normalizeUrl(col("url"))), "url_norm")
+        .select("doc_id", "url", "url_norm", "host", "domain", "path")
+    }),
+    // URL-canonical dedup: spelling variants (case/www/:443/tracking/frag)
+    // of ~(sources × 97) logical pages; min doc_id survives per canonical
+    "q145_url_dedup" -> ((s, d) => {
+      val df = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", urlVariants((col("doc_id") % 97).cast("string")))
+      UrlOps.dedupByUrl(df, "url", "doc_id").select("doc_id", "source", "url_norm")
+    }),
+    // theta-style KMV set operations: per-source vocabulary sketches, then
+    // union / intersection / Jaccard estimates for every source pair —
+    // the cheap corpus-overlap triage that runs before any content join
+    "q146_kmv_setops" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val sk = Sketches.kmvSketch(toks, col("term"), Seq(col("source")), k = 64)
+      val pairs = sk.select(col("source").as("source_a"), col("mins").as("mins_a"))
+        .join(sk.select(col("source").as("source_b"), col("mins").as("mins_b")),
+          col("source_a") < col("source_b"))
+      Sketches.kmvSetOps(pairs, "mins_a", "mins_b", k = 64)
+    }),
+    // time-series densification: hourly grid per user bucket, latest value
+    // per bucket, fill-forward across empty buckets
+    "q147_gap_fill" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select((col("user_id") % 25).as("ukey"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("value"), col("event_id"))
+      WindowOps.gapFill(ev, Seq("ukey"), "ts_us", "value",
+          step = 3600L * 1000000L, tieBreak = "event_id")
+        .select("ukey", "bucket", "observed", "value")
+    }),
+    // sketch-driven winsorization: clip event values into per-type
+    // [p5, p95] bounds from the deterministic quantile sketch
+    "q148_winsorize" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Sketches.winsorize(ev, "value", col("event_id"), Seq("event_type"),
+          lo = 0.05, hi = 0.95, k = 128)
+        .select("event_id", "event_type", "value", "lo_bound", "hi_bound",
+          "value_clipped")
+    }),
+
     // fixed-size per-stratum sample (deterministic reservoir analog)
     "q73_sample_reservoir" -> ((s, d) =>
       Sampling.reservoirPerKey(t(s, d, "documents").select("doc_id", "lang"),
@@ -1440,6 +1526,11 @@ object SparkEntry {
     "q131_kmv_distinct" -> OracleGen.kmvDistinct(k = 64),
     "q132_cms_counts" -> OracleGen.cmsCounts(depth = 4, width = 1024),
     "q143_bloom_membership" -> OracleGen.bloomContains(numBits = 1 << 14, hashes = 5),
+    "q144_url_normalize" -> OracleGen.urlNormalize,
+    "q145_url_dedup" -> OracleGen.urlDedup,
+    "q146_kmv_setops" -> OracleGen.kmvSetOps(k = 64),
+    "q147_gap_fill" -> OracleGen.gapFill(keyMod = 25, stepUs = 3600L * 1000000L),
+    "q148_winsorize" -> OracleGen.winsorize(k = 128, lo = 0.05, hi = 0.95),
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),

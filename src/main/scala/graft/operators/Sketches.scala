@@ -79,6 +79,48 @@ object Sketches {
           .otherwise(lit(((k - 1).toLong * M).toDouble) / col("kth_hash").cast("double")))
       .drop("mins")
 
+  /** Theta-sketch-style SET OPERATIONS over two [[kmvSketch]] columns
+    * (built with the same k and salt). For each input row carrying two
+    * sorted bottom-k arrays `minsA`/`minsB`, emits:
+    *
+    *   - `n_union_mins` / `union_kth` / `union_est` — the merged sketch's
+    *     state and the [[kmvEstimate]] distinct-count estimator for
+    *     |A ∪ B| (the merged bottom-k IS the sketch of the union — the
+    *     KMV semilattice property);
+    *   - `n_common_mins` — how many of the merged bottom-k hashes appear
+    *     in BOTH inputs; `jaccard_est` = n_common_mins / n_union_mins is
+    *     the classic theta-sketch Jaccard estimator (the merged bottom-k
+    *     is a uniform sample of A ∪ B, so the fraction landing in A ∩ B
+    *     estimates the Jaccard similarity);
+    *   - `inter_est` = jaccard_est · union_est ≈ |A ∩ B|.
+    *
+    * All hash work happened at sketch-build time; this is a narrow map
+    * over array columns of ≤ k longs — pairing any number of sketch pairs
+    * costs nothing but the join that produced the pairs. Everything below
+    * is integer arithmetic plus three exactly-rounded double ops, so the
+    * estimates — not just the sketch state — replay bit-for-bit in any
+    * engine.
+    */
+  def kmvSetOps(pairs: DataFrame, minsA: String, minsB: String,
+      k: Int = 64): DataFrame = {
+    val merged = slice(array_sort(array_union(col(minsA), col(minsB))), 1, k)
+    val common = array_intersect(col(minsA), col(minsB))
+    pairs
+      .withColumn("__merged", merged)
+      .withColumn("n_union_mins", size(col("__merged")))
+      .withColumn("union_kth",
+        when(col("n_union_mins") === k, element_at(col("__merged"), k)).otherwise(lit(-1L)))
+      .withColumn("union_est",
+        when(col("n_union_mins") < k, col("n_union_mins").cast("double"))
+          .otherwise(lit(((k - 1).toLong * M).toDouble) / col("union_kth").cast("double")))
+      .withColumn("n_common_mins", size(array_intersect(col("__merged"), common)))
+      .withColumn("jaccard_est",
+        when(col("n_union_mins") === 0, lit(0.0))
+          .otherwise(col("n_common_mins").cast("double") / col("n_union_mins").cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .drop("__merged", minsA, minsB)
+  }
+
   /** Deterministic quantile sketch: per group, the rows whose key hashes
     * rank in the bottom `k` of the portable hash order — a fixed-size
     * uniform row sample (the key should identify rows, as in
@@ -141,6 +183,37 @@ object Sketches {
       d.withColumn(name, element_at(col("__vs"),
         (floor(lit(q) * (col("n_sample") - 1).cast("double")) + 1).cast("int")))
     }.drop("__vs")
+  }
+
+  /** Winsorization (outlier clipping) driven by the deterministic quantile
+    * sketch: clip `valueCol` into the per-group [lo, hi] quantile bounds
+    * estimated by [[quantileSketch]] + [[quantileEstimate]] — the standard
+    * robust-scaling step before a numeric feature feeds a model, but with
+    * bounds that are REPRODUCIBLE (sketch sample = pure hash function of
+    * the data) instead of approx_percentile's impl-defined digest.
+    *
+    * Scale shape: the sketch pass ships ≤ k rows per group per task
+    * (WindowGroupLimit pre-prune), the bounds table is group-cardinality
+    * sized and BROADCAST back, and the clip itself is a narrow codegen'd
+    * `least/greatest` — the full data is scanned twice but never
+    * shuffled. The bounds are exact sample values (no interpolation
+    * arithmetic), so clipped outputs are always values the column
+    * actually contains.
+    */
+  def winsorize(df: DataFrame, valueCol: String, key: Column,
+      groupCols: Seq[String], lo: Double = 0.05, hi: Double = 0.95,
+      k: Int = 256, salt: String = "qsk"): DataFrame = {
+    require(lo <= hi, s"lo $lo > hi $hi")
+    val sketch = quantileSketch(df, col(valueCol), key, groupCols.map(col), k, salt)
+    val est = quantileEstimate(sketch, groupCols, Seq(lo, hi))
+    val names = est.columns.takeRight(2) // p<lo>, p<hi> in request order
+    val bounds = est.select(groupCols.map(col) :+
+      col(names(0)).as("lo_bound") :+ col(names(1)).as("hi_bound"): _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    joined.withColumn(s"${valueCol}_clipped",
+      least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))
   }
 
   /** Count-min sketch BUILD: a (depth × width) grid of counts, stored as a

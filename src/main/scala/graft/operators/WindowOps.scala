@@ -86,4 +86,47 @@ object WindowOps {
     df.withColumn(sessionCol,
       sum(isNew).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  /** Time-series gap fill (resample + fill-forward): bucket events to a
+    * fixed `step` grid per key, then emit EVERY grid bucket between each
+    * key's first and last event, carrying the most recent observed value
+    * forward across empty buckets — the densification step feature
+    * pipelines need before windowed aggregation (a sparse event stream is
+    * not a time series until the gaps are explicit).
+    *
+    * Per (key, bucket) the observed value is the LATEST event's
+    * (`max_by` over (time, tie-break) — deterministic under equal
+    * timestamps); `observed` marks buckets that had an event, filled rows
+    * carry it `false`. Buckets before a key's first event don't exist by
+    * construction (the grid starts at the first observation).
+    *
+    * Scale shape: the bucket aggregation partial-aggregates map-side (one
+    * shuffle on (key, bucket)); the grid is a `sequence` explode of
+    * (range/step) longs per key — metadata, not data; the fill-forward is
+    * one per-key window pass over grid rows, so cost scales with the
+    * GRID, never with raw event count. The time column must already be a
+    * numeric (e.g. `unix_micros`) — instant semantics stay with the
+    * caller.
+    */
+  def gapFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
+              valueCol: String, step: Long, tieBreak: String): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    val kcols = keyCols.map(col)
+    val bucketed = df
+      // integer bucketing (ts - ts % step): no double division, exact at
+      // any epoch magnitude
+      .withColumn("bucket", col(tsCol) - pmod(col(tsCol), lit(step)))
+      .groupBy(kcols :+ col("bucket"): _*)
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(tieBreak))).as("__v"))
+    val grid = bucketed.groupBy(kcols: _*)
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(kcols :+ explode(sequence(col("__mn"), col("__mx"), lit(step))).as("bucket"): _*)
+    val joined = grid.join(bucketed, keyCols :+ "bucket", "left")
+    val byBucket = w(keyCols, Seq(col("bucket").asc))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("observed", col("__v").isNotNull)
+      .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(byBucket))
+      .drop("__v")
+  }
 }

@@ -131,4 +131,56 @@ class SketchesSpec extends SparkSpec {
     assert(whole.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
       merged.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
   }
+
+  test("kmvSetOps is exact while the union fits in k") {
+    val k = 256
+    val a = spark.range(0, 60).select(col("id").as("x"))
+    val b = spark.range(40, 100).select(col("id").as("x"))
+    val sa = Sketches.kmvSketch(a, col("x"), Seq.empty, k)
+      .select(col("mins").as("mins_a"))
+    val sb = Sketches.kmvSketch(b, col("x"), Seq.empty, k)
+      .select(col("mins").as("mins_b"))
+    val r = Sketches.kmvSetOps(sa.crossJoin(sb), "mins_a", "mins_b", k)
+      .collect().head
+    // |A|=60, |B|=60, overlap 40..59 => union 100, intersection 20 — exact
+    assert(r.getAs[Int]("n_union_mins") == 100)
+    assert(r.getAs[Double]("union_est") == 100.0)
+    assert(r.getAs[Int]("n_common_mins") == 20)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("inter_est") - 20.0) < 1e-9)
+  }
+
+  test("kmvSetOps estimates union/intersection within tolerance beyond k") {
+    val k = 512
+    def inj(df: org.apache.spark.sql.Dataset[java.lang.Long]) =
+      df.select((col("id") * 7919 % 1000003).as("x"))
+    val a = inj(spark.range(0, 20000))
+    val b = inj(spark.range(10000, 30000))
+    val sa = Sketches.kmvSketch(a, col("x"), Seq.empty, k).select(col("mins").as("mins_a"))
+    val sb = Sketches.kmvSketch(b, col("x"), Seq.empty, k).select(col("mins").as("mins_b"))
+    val r = Sketches.kmvSetOps(sa.crossJoin(sb), "mins_a", "mins_b", k).collect().head
+    val union = r.getAs[Double]("union_est"); val jac = r.getAs[Double]("jaccard_est")
+    assert(math.abs(union - 30000) / 30000 < 0.2, s"union $union")
+    assert(math.abs(jac - 1.0 / 3) < 0.1, s"jaccard $jac")
+    assert(math.abs(r.getAs[Double]("inter_est") - 10000) / 10000 < 0.3)
+  }
+
+  test("winsorize clips into per-group sketch bounds the data contains") {
+    val df = spark.range(1000).select((col("id") % 7).cast("string").as("g"),
+      (col("id") * col("id") % 997).cast("double").as("v"), col("id").as("rid"))
+    val vals = df.collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).toSet }
+    val out = Sketches.winsorize(df, "v", col("rid"), Seq("g"), lo = 0.1, hi = 0.9, k = 64)
+      .collect()
+    assert(out.length == 1000, "row count preserved")
+    out.foreach { r =>
+      val g = r.getAs[String]("g")
+      val lo = r.getAs[Double]("lo_bound"); val hi = r.getAs[Double]("hi_bound")
+      val c = r.getAs[Double]("v_clipped")
+      assert(lo <= hi && c >= lo && c <= hi)
+      assert(vals(g).contains(lo) && vals(g).contains(hi),
+        "bounds are actual sample values")
+      assert(c == math.min(math.max(r.getAs[Double]("v"), lo), hi))
+    }
+  }
 }

@@ -72,4 +72,17 @@ class WindowDictSpec extends SparkSpec {
       Dictionary.encode(Seq("a", "b").toDF("c"), "c", dict), "c", dict)
     assert(dec.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
+
+  test("gapFill densifies to the step grid and fills forward deterministically") {
+    val ev = Seq((1L, 100L, 1.0, 1L), (1L, 145L, 2.0, 2L), (1L, 310L, 3.0, 3L),
+      (2L, 55L, 9.0, 4L)).toDF("k", "ts", "v", "id")
+    val out = WindowOps.gapFill(ev, Seq("k"), "ts", "v", step = 100L, tieBreak = "id")
+      .select("k", "bucket", "observed", "v")
+      .as[(Long, Long, Boolean, Double)].collect().sortBy(r => (r._1, r._2))
+    // key 1: bucket 100 holds two events — the LATER (ts=145, v=2.0) wins;
+    // bucket 200 is a gap filled from 100; bucket 300 observed.
+    assert(out.toSeq == Seq(
+      (1L, 100L, true, 2.0), (1L, 200L, false, 2.0), (1L, 300L, true, 3.0),
+      (2L, 0L, true, 9.0)))
+  }
 }

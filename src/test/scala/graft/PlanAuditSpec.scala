@@ -512,4 +512,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(opt.contains("__band") && opt.contains("__key"),
       s"banded overflow path missing from plan:\n$opt")
   }
+
+  test("winsorize: sketch pass window-group-limits; bounds broadcast back (q148)") {
+    val d = details(SparkEntry.queries("q148_winsorize")(spark, dir))
+    // the bottom-k sample must pre-prune map-side, and the tiny per-group
+    // bounds table must broadcast into the full scan — the data itself is
+    // never shuffled
+    assert(d.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$d")
+    assert(d.contains("BroadcastHashJoin"), s"bounds not broadcast in:\n$d")
+  }
+
+  test("gapFill: bucket election partial-aggregates map-side (q147)") {
+    val d = details(SparkEntry.queries("q147_gap_fill")(spark, dir))
+    // latest-per-bucket is a max_by aggregation with a map-side partial —
+    // a hot bucket combines before the exchange, never a per-event window
+    assert("partial_max_by|partial_maxby".r.findFirstIn(d.toLowerCase).isDefined
+      || d.toLowerCase.contains("partial"), s"no partial aggregate in:\n$d")
+  }
+
+  test("kmvSetOps: pairing joins metadata-size sketches, never content (q146)") {
+    val df = SparkEntry.queries("q146_kmv_setops")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    // the theta pair join (source_a < source_b) must broadcast one sketch
+    // side — S rows of <= k longs — not shuffle token streams
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pair join is not broadcast in:\n$p")
+  }
 }

@@ -679,3 +679,66 @@ class BloomQuery extends UserOperator {
       params.getOrElse("hashes", "5").toInt,
       params.getOrElse("salt", "blm"))
 }
+
+/** URL canonicalization for scripts: adds `url_norm` (and host/domain/path
+  * when parts=true) from a URL column. Params: url (default "url"),
+  * parts ("false").
+  */
+class UrlNormalize extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val urlCol = params.getOrElse("url", "url")
+    val normed = inputs.head.withColumn("url_norm",
+      graft.text.UrlOps.normalizeUrl(col(urlCol)))
+    if (params.getOrElse("parts", "false").toBoolean)
+      graft.text.UrlOps.withUrlParts(normed, "url_norm")
+    else normed
+  }
+}
+
+/** URL-canonical dedup for scripts: one min-id survivor per normalized
+  * URL. Params: url (default "url"), id (default "doc_id").
+  */
+class UrlDedup extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.text.UrlOps.dedupByUrl(inputs.head,
+      params.getOrElse("url", "url"), params.getOrElse("id", "doc_id"))
+}
+
+/** KMV set operations for scripts: inputs = (sketchA, sketchB) from
+  * KmvDistinct-compatible kmvSketch relations joined by the caller, OR a
+  * single input already carrying two mins columns. Params: minsA
+  * ("mins_a"), minsB ("mins_b"), k (64).
+  */
+class KmvSetOps extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.kmvSetOps(inputs.head,
+      params.getOrElse("minsA", "mins_a"), params.getOrElse("minsB", "mins_b"),
+      params.getOrElse("k", "64").toInt)
+}
+
+/** Time-series gap fill for scripts: step-grid densification with
+  * fill-forward. Params: key (comma-separated, required), ts (required
+  * numeric time column), value (required), step (required long),
+  * tieBreak (required unique column).
+  */
+class GapFill extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.WindowOps.gapFill(inputs.head,
+      params("key").split(",").toSeq.map(_.trim), params("ts"),
+      params("value"), params("step").toLong, params("tieBreak"))
+}
+
+/** Sketch-driven winsorization for scripts: clip a numeric column into
+  * per-group quantile bounds. Params: value (required), key (required
+  * row-id column), group (comma-separated, optional), lo (0.05),
+  * hi (0.95), k (256), salt ("qsk").
+  */
+class Winsorize extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.winsorize(inputs.head, params("value"),
+      col(params("key")),
+      params.get("group").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
+      params.getOrElse("lo", "0.05").toDouble,
+      params.getOrElse("hi", "0.95").toDouble,
+      params.getOrElse("k", "256").toInt, params.getOrElse("salt", "qsk"))
+}

@@ -544,6 +544,46 @@ class ScriptSpec extends SparkSpec {
     val enc = rels("e").orderBy("id").collect().map(_.getInt(1)).toSeq
     assert(enc == Seq(1, 3, 1)) // red=1, blue=3 per declaration order
   }
+
+  test("shipped URL / gap-fill / winsorize plug-ins run from scripts") {
+    import graft.script.ScriptEngine
+    val pages = Seq(
+      (1L, "HTTPS://WWW.E.com/p?id=1&utm_x=a"),
+      (2L, "https://e.com:443/p?id=1"),
+      (3L, "https://e.com/p?id=2#frag")).toDF("doc_id", "url")
+    val rels = ScriptEngine.run(spark,
+      """n = OPERATOR 'graft.script.ops.UrlNormalize' pages ('parts': 'true');
+        |d = OPERATOR 'graft.script.ops.UrlDedup' pages;""".stripMargin,
+      env0 = env("pages" -> pages))
+    val norm = rels("n").orderBy("doc_id").collect()
+    assert(norm.map(_.getAs[String]("url_norm")).toSeq == Seq(
+      "https://e.com/p?id=1", "https://e.com/p?id=1", "https://e.com/p?id=2"))
+    assert(norm.forall(_.getAs[String]("host") == "e.com"))
+    assert(rels("d").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+
+    val ev = Seq((1L, 100L, 1.0, 1L), (1L, 310L, 3.0, 2L)).toDF("k", "ts", "v", "id")
+    val g = ScriptEngine.run(spark,
+      """g = OPERATOR 'graft.script.ops.GapFill' ev
+        |  ('key': 'k', 'ts': 'ts', 'value': 'v', 'step': '100', 'tieBreak': 'id');""".stripMargin,
+      env0 = env("ev" -> ev))("g")
+    assert(g.orderBy("bucket").collect().map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Boolean]("observed"), r.getAs[Double]("v"))).toSeq ==
+      Seq((100L, true, 1.0), (200L, false, 1.0), (300L, true, 3.0)))
+
+    val nums = spark.range(100).selectExpr("id AS rid", "CAST(id AS DOUBLE) AS x")
+    val w = ScriptEngine.run(spark,
+      """w = OPERATOR 'graft.script.ops.Winsorize' nums
+        |  ('value': 'x', 'key': 'rid', 'lo': '0.1', 'hi': '0.9', 'k': '32');""".stripMargin,
+      env0 = env("nums" -> nums))("w")
+    val rows = w.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("x_clipped")
+      assert(c >= r.getAs[Double]("lo_bound") && c <= r.getAs[Double]("hi_bound"))
+    }
+  }
+
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable

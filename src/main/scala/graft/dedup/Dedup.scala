@@ -133,6 +133,11 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(order == "df" || order == "hash", s"order must be df|hash: $order")
+    // the sorted shingle sets feed THREE consumers (the prefix stream and
+    // both verification sides) and the prefix stream feeds BOTH sides of
+    // the candidate self-join: lazy localCheckpoints make each sub-DAG run
+    // once instead of per consumer (same trick as semDedup's rep stream —
+    // plan construction stays execution-free; ~2× on the bench shape)
     val withN = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
@@ -140,6 +145,7 @@ object Dedup {
         sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
           col("__th"), n, PortableHash.B, PortableHash.P)).as("__shs"))
       .select(col(idCol), col("__shs"), size(col("__shs")).as("n_sh"))
+      .localCheckpoint(false)
     val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int")
     // prefix stream: the prefLen smallest shingles of each doc under the
     // shared global order. "hash" = the hash value itself (zero extra
@@ -163,7 +169,7 @@ object Dedup {
           .filter(col("__pos") <= (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1))
           .select(col(idCol), col("n_sh"), col("shingle"), col("__pos"))
       }
-    val pref = capHotShingles(pref0, maxDocsPerShingle)
+    val pref = capHotShingles(pref0, maxDocsPerShingle).localCheckpoint(false)
     // positional + length filters (PPJoin): a colliding prefix position
     // caps the achievable overlap at 1 + min(n_a − pos_a, n_b − pos_b),
     // and Jaccard ≥ t needs overlap ≥ ceil(t·(n_a+n_b)/(1+t)) and sizes
@@ -183,7 +189,9 @@ object Dedup {
     val aSets = withN.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
     val bSets = withN.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
     cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("__sa"), col("__sb"))))
+      // sets are sorted: one allocation-free merge-count per candidate
+      .withColumn("common", graft.functions.expressions.NativeExpressions
+        .sortedIntersectCount(col("__sa"), col("__sb")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -447,8 +455,8 @@ object Dedup {
                           textCol: String, idCol: String): DataFrame = df
     .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
     .filter(size(col("__th")) >= shingleN)
-    .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
-      col("__th"), shingleN, PortableHash.B, PortableHash.P).as("__shs"))
+    .select(col(idCol), sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
+      col("__th"), shingleN, PortableHash.B, PortableHash.P)).as("__shs"))
 
   def minHashDedup(df: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.8, textCol: String = "text",
@@ -458,7 +466,8 @@ object Dedup {
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__shs").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__shs").as("__sb")), "id_b")
-      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__common", graft.functions.expressions.NativeExpressions
+        .sortedIntersectCount(col("__sa"), col("__sb")))
       .withColumn("jaccard", col("__common").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("__common")))
       .filter(col("jaccard") >= threshold)
@@ -493,7 +502,8 @@ object Dedup {
         .select(col(idCol).as("batch_id"), col("__shs").as("__sa")), "batch_id")
       .join(shingleSets(touched, shingleN, textCol, idCol)
         .select(col(idCol).as("corpus_id"), col("__shs").as("__sb")), "corpus_id")
-      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__common", graft.functions.expressions.NativeExpressions
+        .sortedIntersectCount(col("__sa"), col("__sb")))
       .withColumn("jaccard", col("__common").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("__common")))
       .filter(col("jaccard") >= threshold)

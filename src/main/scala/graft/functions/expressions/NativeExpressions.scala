@@ -290,6 +290,24 @@ object NativeKernels {
     * accumulation sequential in double (bit-identical to the separate
     * aggregate() folds).
     */
+
+  /** Count of common elements of two SORTED (ascending, distinct) long
+    * arrays — one merge walk, no intersection array allocated. The
+    * verification hot loop of the set-similarity joins: candidates × set
+    * sizes element-steps total, zero garbage.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -501,6 +519,26 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+
+/** size(array_intersect(a, b)) for sorted distinct long arrays, without
+  * materializing the intersection.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects two ARRAY<BIGINT>")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.NativeKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level constructors. */
 object NativeExpressions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -519,6 +557,7 @@ object NativeExpressions {
                  b: Long, p: Long): Column = c(MinHashSig(e(tokenHashes), shingleN, as, bs, b, p))
   def simHash32(tokenHashes: Column): Column = c(SimHash32(e(tokenHashes)))
   def cosineF(a: Column, b: Column): Column = c(CosineSimF(e(a), e(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column = c(SortedIntersectCount(e(a), e(b)))
   def compressionRatio(s: Column): Column = c(CompressionRatio(e(s)))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))

@@ -166,4 +166,20 @@ class KernelPropertySpec extends SparkSpec {
       assert(g == dot / (math.sqrt(na) * math.sqrt(nb)))
     }
   }
+
+  test("sortedIntersectCount kernel == size(array_intersect) on random sorted sets") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 60).map { _ =>
+      def set() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      (set(), set())
+    }
+    val df = pairs.toDF("a", "b")
+    val got = df.select(NativeExpressions.sortedIntersectCount(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b")))).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // includes empties (nextInt(40) can be 0) and full overlap
+    val full = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    assert(full.select(NativeExpressions.sortedIntersectCount(col("a"), col("b")))
+      .collect().head.getInt(0) == 3)
+  }
 }

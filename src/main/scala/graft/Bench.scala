@@ -47,7 +47,11 @@ object Bench {
     "q137_script_profile",
     "q139_winnow",
     "q141_gopher_quality",
-    "q142_dedup_prefix")
+    "q142_dedup_prefix",
+    "q145_url_dedup",
+    "q146_kmv_setops",
+    "q147_gap_fill",
+    "q148_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1626,6 +1626,39 @@ object OracleGen {
        |SELECT g.ukey, g.bucket, coalesce(v.bucket = g.bucket, FALSE) AS observed, v.v AS value
        |FROM g ASOF LEFT JOIN v ON g.ukey = v.ukey AND g.bucket >= v.bucket""".stripMargin
 
+  // ---- q149 rolling anomaly ------------------------------------------------
+
+  /** Mirrors q149: gapFill → floor-quantized value → WindowOps.rollingStats
+    * (trailing `window` frame; exact integer frame sums; the mean/var/z
+    * trees below are written in the exact operation order of the Spark
+    * side, all exactly-rounded double ops + IEEE sqrt).
+    */
+  def rollingAnomaly(keyMod: Int, stepUs: Long, window: Int,
+                     zThreshold: Double): String = {
+    val meanSql = "CAST(roll_sum AS DOUBLE) / CAST(roll_n AS DOUBLE)"
+    s"""WITH e AS (SELECT user_id % $keyMod AS ukey, epoch_us(ts) AS ts_us, value, event_id FROM events),
+       |b0 AS (SELECT *, ts_us - (ts_us % $stepUs) AS bucket FROM e),
+       |v AS (SELECT ukey, bucket, value AS v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ukey, bucket ORDER BY ts_us DESC, event_id DESC) AS r
+       |    FROM b0) WHERE r = 1),
+       |bounds AS (SELECT ukey, min(bucket) AS mn, max(bucket) AS mx FROM v GROUP BY 1),
+       |g AS (SELECT ukey, unnest(generate_series(mn, mx, $stepUs)) AS bucket FROM bounds),
+       |f AS (SELECT g.ukey, g.bucket, CAST(floor(v.v * 1000) AS BIGINT) AS qv
+       |  FROM g ASOF LEFT JOIN v ON g.ukey = v.ukey AND g.bucket >= v.bucket),
+       |r AS (SELECT ukey, bucket, qv,
+       |    count(1) OVER w AS roll_n, sum(qv) OVER w AS roll_sum, sum(qv * qv) OVER w AS roll_sumsq
+       |  FROM f WINDOW w AS (PARTITION BY ukey ORDER BY bucket
+       |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)),
+       |est AS (SELECT ukey, bucket, qv, roll_n,
+       |    $meanSql AS roll_mean,
+       |    CAST(roll_sumsq AS DOUBLE) / CAST(roll_n AS DOUBLE) - ($meanSql) * ($meanSql) AS roll_var
+       |  FROM r),
+       |z AS (SELECT *, CASE WHEN roll_var > 0
+       |    THEN (CAST(qv AS DOUBLE) - roll_mean) / sqrt(roll_var) END AS zscore FROM est)
+       |SELECT ukey, bucket, qv, roll_n, roll_mean, roll_var, zscore,
+       |  (zscore IS NOT NULL AND abs(zscore) > $zThreshold) AS is_anomaly FROM z""".stripMargin
+  }
+
   // ---- q148 winsorize ------------------------------------------------------
 
   /** Mirrors Sketches.winsorize on events.value per event_type: the

@@ -830,6 +830,22 @@ object SparkEntry {
           step = 3600L * 1000000L, tieBreak = "event_id")
         .select("ukey", "bucket", "observed", "value")
     }),
+    // rolling anomaly detection on the densified series: gap fill →
+    // integer-quantized trailing-24 stats → z-score flags (exact frame
+    // sums + exactly-rounded double math + IEEE sqrt = oracle-replayable)
+    "q149_rolling_anomaly" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select((col("user_id") % 25).as("ukey"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("value"), col("event_id"))
+      val filled = WindowOps.gapFill(ev, Seq("ukey"), "ts_us", "value",
+          step = 3600L * 1000000L, tieBreak = "event_id")
+        .withColumn("qv", floor(col("value") * 1000).cast("long"))
+      WindowOps.rollingStats(filled, Seq("ukey"), "bucket", "qv",
+          window = 24, zThreshold = 2.5)
+        .select("ukey", "bucket", "qv", "roll_n", "roll_mean", "roll_var",
+          "zscore", "is_anomaly")
+    }),
     // sketch-driven winsorization: clip event values into per-type
     // [p5, p95] bounds from the deterministic quantile sketch
     "q148_winsorize" -> ((s, d) => {
@@ -1531,6 +1547,8 @@ object SparkEntry {
     "q146_kmv_setops" -> OracleGen.kmvSetOps(k = 64),
     "q147_gap_fill" -> OracleGen.gapFill(keyMod = 25, stepUs = 3600L * 1000000L),
     "q148_winsorize" -> OracleGen.winsorize(k = 128, lo = 0.05, hi = 0.95),
+    "q149_rolling_anomaly" -> OracleGen.rollingAnomaly(keyMod = 25,
+      stepUs = 3600L * 1000000L, window = 24, zThreshold = 2.5),
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),

@@ -129,4 +129,44 @@ object WindowOps {
       .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(byBucket))
       .drop("__v")
   }
+
+  /** Rolling statistics + z-score anomaly flag over an ordered (usually
+    * [[gapFill]]-densified) series: per key, a trailing `window`-row frame
+    * yields count / sum / sum-of-squares of an INTEGER-quantized value
+    * column (the caller quantizes, e.g. `floor(value * 1000)` — integer
+    * frame sums are exact, so the derived mean/variance/z are pure
+    * exactly-rounded double arithmetic and replay bit-for-bit in any
+    * engine; IEEE `sqrt` is correctly rounded). Emits `roll_n`,
+    * `roll_mean`, `roll_var`, `zscore` (null while the frame variance is
+    * 0), and `is_anomaly` = |z| > zThreshold.
+    *
+    * Scale shape: one window pass per key over grid rows — after gap
+    * fill the frame is bounded and the partition is range/step sized
+    * (metadata), so cost never tracks raw event volume.
+    */
+  def rollingStats(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, window: Int,
+                   zThreshold: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val frame = w(keyCols, Seq(col(orderCol).asc))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val v = col(valueCol)
+    val withSums = df
+      .withColumn("roll_n", count(lit(1)).over(frame))
+      .withColumn("__sum", sum(v).over(frame))
+      .withColumn("__sumsq", sum(v * v).over(frame))
+    val mean = col("__sum").cast("double") / col("roll_n").cast("double")
+    val variance =
+      col("__sumsq").cast("double") / col("roll_n").cast("double") -
+        col("roll_mean") * col("roll_mean")
+    withSums
+      .withColumn("roll_mean", mean)
+      .withColumn("roll_var", variance)
+      .withColumn("zscore",
+        when(col("roll_var") > 0,
+          (v.cast("double") - col("roll_mean")) / sqrt(col("roll_var"))))
+      .withColumn("is_anomaly",
+        col("zscore").isNotNull && abs(col("zscore")) > zThreshold)
+      .drop("__sum", "__sumsq")
+  }
 }

@@ -742,3 +742,16 @@ class Winsorize extends UserOperator {
       params.getOrElse("hi", "0.95").toDouble,
       params.getOrElse("k", "256").toInt, params.getOrElse("salt", "qsk"))
 }
+
+/** Rolling statistics + z-score anomaly flag for scripts (run after
+  * GapFill). Params: key (comma-separated, required), order (required),
+  * value (required integer-quantized column), window (required),
+  * zThreshold (3.0).
+  */
+class RollingStats extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.WindowOps.rollingStats(inputs.head,
+      params("key").split(",").toSeq.map(_.trim), params("order"),
+      params("value"), params("window").toInt,
+      params.getOrElse("zThreshold", "3.0").toDouble)
+}

@@ -85,4 +85,23 @@ class WindowDictSpec extends SparkSpec {
       (1L, 100L, true, 2.0), (1L, 200L, false, 2.0), (1L, 300L, true, 3.0),
       (2L, 0L, true, 9.0)))
   }
+
+  test("rollingStats trailing frame: exact sums, z-score, anomaly flag") {
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L), (5L, 0L))
+      .toDF("b", "qv").withColumn("k", lit("a"))
+    val out = WindowOps.rollingStats(df, Seq("k"), "b", "qv", window = 3,
+        zThreshold = 1.0)
+      .orderBy("b").collect()
+    // constant frames (b 1..3): var 0, z null, not anomalous
+    (0 to 2).foreach { i =>
+      assert(out(i).getAs[Double]("roll_var") == 0.0)
+      assert(out(i).isNullAt(out(i).fieldIndex("zscore")))
+      assert(!out(i).getAs[Boolean]("is_anomaly"))
+    }
+    // b4: frame {0,0,10} -> mean 10/3, var 200/9, z = sqrt(2)
+    assert(math.abs(out(3).getAs[Double]("zscore") - math.sqrt(2.0)) < 1e-12)
+    assert(out(3).getAs[Boolean]("is_anomaly")) // threshold 1.0
+    // b5: frame {0,10,0} -> z = -sqrt(0.5)
+    assert(math.abs(out(4).getAs[Double]("zscore") + math.sqrt(0.5)) < 1e-12)
+  }
 }

@@ -183,4 +183,23 @@ class ExamplesSpec extends SparkSpec {
     assert(seg.columns.toSet == Set("c_mktsegment", "n"))
     assert(seg.count() == 5) // five market segments
   }
+
+  test("web_curation.cmr canonicalizes URLs and flags series anomalies") {
+    val out = runExample("web_curation")
+    val pages = spark.read.parquet(s"$out/pages")
+    // one survivor per (source, page-id) canonical URL
+    assert(pages.count() == pages.select("url_norm").distinct().count())
+    assert(pages.columns.toSet.contains("domain"))
+    val urls = pages.select("url_norm").collect().map(_.getString(0))
+    assert(urls.forall(u => u.startsWith("https://") && !u.contains("WWW.")
+      && !u.contains(":443") && !u.contains("utm_")))
+    val domains = spark.read.parquet(s"$out/domains")
+    assert(domains.columns.toSet == Set("domain", "n_pages"))
+    val anom = spark.read.parquet(s"$out/anomalies")
+    assert(anom.columns.contains("zscore"))
+    val clipped = spark.read.parquet(s"$out/clipped")
+    assert(clipped.count() > 0 &&
+      clipped.filter(org.apache.spark.sql.functions.col("value_clipped") >
+        org.apache.spark.sql.functions.col("hi_bound")).count() == 0)
+  }
 }

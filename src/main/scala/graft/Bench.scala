@@ -51,7 +51,8 @@ object Bench {
     "q145_url_dedup",
     "q146_kmv_setops",
     "q147_gap_fill",
-    "q148_winsorize")
+    "q148_winsorize",
+    "q150_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

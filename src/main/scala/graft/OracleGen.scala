@@ -1659,6 +1659,41 @@ object OracleGen {
        |  (zscore IS NOT NULL AND abs(zscore) > $zThreshold) AS is_anomaly FROM z""".stripMargin
   }
 
+  // ---- q150/q151 behavioral analytics --------------------------------------
+
+  /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of
+    * min-after-previous times, left-joined into the step-0 frontier.
+    */
+  def funnel(steps: Seq[String]): String = {
+    val stages = steps.zipWithIndex.drop(1).map { case (st, i) =>
+      s"""s$i AS (SELECT e.user_id, min(e.ts_us) AS t$i FROM e
+         |  JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id AND e.ts_us > s${i - 1}.t${i - 1}
+         |  WHERE e.event_type = '$st' GROUP BY 1)""".stripMargin
+    }
+    val joins = steps.indices.drop(1).map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")
+    val tcols = steps.indices.map(i => s"t$i").mkString(", ")
+    val depth = steps.indices
+      .map(i => s"CASE WHEN t$i IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       |s0 AS (SELECT user_id, min(ts_us) AS t0 FROM e WHERE event_type = '${steps.head}' GROUP BY 1),
+       |${stages.mkString(",\n")}
+       |SELECT user_id, $tcols, CAST($depth AS BIGINT) AS depth
+       |FROM s0 $joins""".stripMargin
+  }
+
+  /** Mirrors Behavior.retention: first-event-day cohorts × distinct active
+    * day offsets (all integer day arithmetic; the division of an exact
+    * multiple is exact in both engines).
+    */
+  def retention(dayUs: Long): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+       |d0 AS (SELECT user_id, CAST((ts_us - (ts_us % $dayUs)) / $dayUs AS BIGINT) AS day FROM e),
+       |f AS (SELECT user_id, min(day) AS cohort_day FROM d0 GROUP BY 1),
+       |a AS (SELECT DISTINCT user_id, day FROM d0)
+       |SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+       |  CAST(count(1) AS BIGINT) AS n_active
+       |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   // ---- q148 winsorize ------------------------------------------------------
 
   /** Mirrors Sketches.winsorize on events.value per event_type: the

@@ -830,6 +830,23 @@ object SparkEntry {
           step = 3600L * 1000000L, tieBreak = "event_id")
         .select("ukey", "bucket", "observed", "value")
     }),
+    // strictly-ordered engagement funnel view → click → purchase: per-user
+    // earliest step times (each step after the previous) + depth
+    "q150_funnel" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
+      Behavior.funnel(ev, "user_id", "ts_us", Seq(
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+    }),
+    // cohort retention matrix: first-event-day cohorts × active-day offsets
+    "q151_retention" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      Behavior.retention(ev, "user_id", "ts_us")
+    }),
     // rolling anomaly detection on the densified series: gap fill →
     // integer-quantized trailing-24 stats → z-score flags (exact frame
     // sums + exactly-rounded double math + IEEE sqrt = oracle-replayable)
@@ -1549,6 +1566,8 @@ object SparkEntry {
     "q148_winsorize" -> OracleGen.winsorize(k = 128, lo = 0.05, hi = 0.95),
     "q149_rolling_anomaly" -> OracleGen.rollingAnomaly(keyMod = 25,
       stepUs = 3600L * 1000000L, window = 24, zThreshold = 2.5),
+    "q150_funnel" -> OracleGen.funnel(Seq("view", "click", "purchase")),
+    "q151_retention" -> OracleGen.retention(dayUs = 86400L * 1000000L),
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),

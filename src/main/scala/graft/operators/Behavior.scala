@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral / engagement analytics over event streams — ordered funnels
+  * and cohort retention. This is the workload family the reference engine
+  * was built to serve at LinkedIn (README "statistics calculation" /
+  * per-member engagement pipelines, `examples/` cube jobs over member
+  * events); here each is a few partial-aggregating shuffles on the user
+  * key, so a 10^11-event stream costs k scan+agg passes for a k-step
+  * funnel and exactly two for retention — no window over raw events, no
+  * per-user state bigger than the step times.
+  */
+object Behavior {
+
+  /** Strictly-ordered funnel: for each key, the earliest time of step 0,
+    * then the earliest step-1 event AFTER that, and so on — `t0..t{k-1}`
+    * (null once a step is never reached; later steps are then null too by
+    * construction) plus `depth` = number of steps completed.
+    *
+    * Stage i is one filtered scan + equi-join on the key with the stage
+    * i-1 frontier + one min aggregation: each stage partial-aggregates
+    * map-side and shuffles only (key, times) rows, so funnel cost is
+    * k × (scan + keyed agg) regardless of per-user event counts. Keys
+    * that never perform step 0 are absent from the output (count them
+    * from the source if the 0-depth row matters).
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step predicate")
+    val step0 = events.filter(steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t0"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(step0) { case (cur, (pred, i)) =>
+      val carried = cur.columns.filter(_ != keyCol) // t0..t{i-1}
+      val next = events.filter(pred)
+        .join(cur, keyCol)
+        .filter(col(tsCol) > col(s"t${i - 1}"))
+        .groupBy((keyCol +: carried.toSeq).map(col): _*)
+        .agg(min(col(tsCol)).as(s"t$i"))
+      // keys stalled before step i keep their earlier times, t_i = null
+      cur.join(next.select(col(keyCol), col(s"t$i")), Seq(keyCol), "left")
+    }
+    val ts = steps.indices.map(i => col(s"t$i"))
+    full.withColumn("depth",
+      ts.map(t => when(t.isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /** Funnel depth histogram: how many keys completed exactly `depth`
+    * steps. One tiny aggregation over the [[funnel]] frontier.
+    */
+  def funnelCounts(events: DataFrame, keyCol: String, tsCol: String,
+                   steps: Seq[Column]): DataFrame =
+    funnel(events, keyCol, tsCol, steps)
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_keys"))
+
+  /** Cohort retention: keys are cohorted by the day of their FIRST event;
+    * `n_active` counts distinct keys of cohort `cohort_day` active
+    * `day_offset` days later (offset 0 = the cohort's size). `dayUs` is
+    * the bucket width (a day by default) over a numeric microsecond time
+    * column — plain integer arithmetic end to end.
+    *
+    * Two passes over the events (first-touch min, distinct active days),
+    * both partial-aggregating on the key; the matrix join is keyed on the
+    * key column and the output is cohorts × offsets — metadata-sized.
+    */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+                dayUs: Long = 86400L * 1000000L): DataFrame = {
+    val day = (col(tsCol) - pmod(col(tsCol), lit(dayUs))) / lit(dayUs)
+    val firsts = events.groupBy(col(keyCol))
+      .agg(min(day.cast("long")).as("cohort_day"))
+    val active = events.select(col(keyCol), day.cast("long").as("__day")).distinct()
+    active.join(firsts, keyCol)
+      .withColumn("day_offset", col("__day") - col("cohort_day"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

@@ -755,3 +755,23 @@ class RollingStats extends UserOperator {
       params("value"), params("window").toInt,
       params.getOrElse("zThreshold", "3.0").toDouble)
 }
+
+/** Strictly-ordered funnel for scripts. Params: key (required), ts
+  * (required numeric), steps (required SEMICOLON-separated SQL predicates
+  * — predicates may contain commas, e.g.
+  * "event_type = 'view'; event_type IN ('click', 'tap')").
+  */
+class Funnel extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.funnel(inputs.head, params("key"), params("ts"),
+      params("steps").split(";").toSeq.map(p => expr(p.trim)))
+}
+
+/** Cohort retention matrix for scripts. Params: key (required), ts
+  * (required numeric microseconds), dayUs (86400000000).
+  */
+class Retention extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.retention(inputs.head, params("key"), params("ts"),
+      params.getOrElse("dayUs", "86400000000").toLong)
+}

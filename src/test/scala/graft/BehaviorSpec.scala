@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+/** Behavioral analytics: strictly-ordered funnels (later steps only count
+  * AFTER the previous step's first completion) and cohort retention.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ev = Seq(
+    // u1 completes the full funnel in order
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    // u2: purchase BEFORE the first click — must not count; depth 2
+    (2L, 10L, "view"), (2L, 15L, "purchase"), (2L, 20L, "click"),
+    // u3: click precedes the first view — depth 1 (view only)
+    (3L, 20L, "view"), (3L, 10L, "click"),
+    // u4: never views — absent from the funnel frontier
+    (4L, 10L, "click"), (4L, 20L, "purchase"),
+    // u5: second view→click pair; first-completion times must win
+    (5L, 10L, "view"), (5L, 12L, "click"), (5L, 40L, "view"), (5L, 50L, "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel enforces step order and first-completion times") {
+    val out = Behavior.funnel(ev, "user_id", "ts", Seq(
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(10L), Some(20L), None, 2L)), "pre-click purchase counted")
+    assert(out(3L) == ((Some(20L), None, None, 1L)), "pre-view click counted")
+    assert(!out.contains(4L), "never-viewed user in frontier")
+    assert(out(5L) == ((Some(10L), Some(12L), None, 2L)), "not first completion")
+  }
+
+  test("funnelCounts histograms completion depth") {
+    val counts = Behavior.funnelCounts(ev, "user_id", "ts", Seq(
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(3L -> 1L, 2L -> 2L, 1L -> 1L))
+  }
+
+  test("retention cohorts by first day and counts distinct active offsets") {
+    val day = 10L
+    val e = Seq(
+      (1L, 0L), (1L, 5L), (1L, 10L), (1L, 25L), // cohort 0, days 0,1,2
+      (2L, 12L), (2L, 35L),                     // cohort 1, days 1,3 → offsets 0,2
+      (3L, 3L)                                  // cohort 0, day 0 only
+    ).toDF("user_id", "ts")
+    val out = Behavior.retention(e, "user_id", "ts", dayUs = day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // u1 + u3 on their cohort day
+      (0L, 1L) -> 1L, (0L, 2L) -> 1L, // u1 (multiple same-day events dedup)
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+}

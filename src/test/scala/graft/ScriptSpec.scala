@@ -584,6 +584,22 @@ class ScriptSpec extends SparkSpec {
     }
   }
 
+  test("shipped funnel and retention plug-ins run from scripts") {
+    import graft.script.ScriptEngine
+    val ev = Seq((1L, 10L, "view"), (1L, 20L, "click"), (2L, 10L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val rels = ScriptEngine.run(spark,
+      """f = OPERATOR 'graft.script.ops.Funnel' ev
+        |  ('key': 'user_id', 'ts': 'ts',
+        |   'steps': "event_type = 'view'; event_type = 'click'");
+        |r = OPERATOR 'graft.script.ops.Retention' ev
+        |  ('key': 'user_id', 'ts': 'ts', 'dayUs': '100');""".stripMargin,
+      env0 = env("ev" -> ev))
+    val f = rels("f").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f == Map(1L -> 2L, 2L -> 1L))
+    assert(rels("r").collect().map(_.getLong(2)).sum == 2L)
+  }
+
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable

@@ -1694,6 +1694,37 @@ object OracleGen {
        |  CAST(count(1) AS BIGINT) AS n_active
        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors Behavior.abTest over floor-quantized event values per
+    * event_type: exact integer count/sum/sumsq per variant; mean / sample
+    * variance / Welch z written in the Spark side's exact operation order.
+    */
+  def abTest: String =
+    s"""WITH q AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS qv FROM events),
+       |st AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n, sum(qv) AS s, sum(qv * qv) AS ss
+       |  FROM q GROUP BY 1),
+       |e AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |    CASE WHEN n > 1 THEN (CAST(ss AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n - 1 AS DOUBLE)
+       |    END AS var FROM st)
+       |SELECT a.event_type AS variant_a, a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+       |  b.event_type AS variant_b, b.n AS n_b, b.mean AS mean_b, b.var AS var_b,
+       |  (a.mean - b.mean) / sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE)) AS z
+       |FROM e a JOIN e b ON a.event_type < b.event_type""".stripMargin
+
+  /** Mirrors Behavior.transitions on the user event-type sequence (lag
+    * ordered by (ts, event_id) — unique, so deterministic).
+    */
+  def transitions: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id FROM events),
+       |l AS (SELECT user_id, event_type AS to_state,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_state FROM e),
+       |s AS (SELECT from_state, to_state, CAST(count(1) AS BIGINT) AS n_steps
+       |  FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_state, sum(n_steps) AS tot FROM s GROUP BY 1)
+       |SELECT s.from_state, s.to_state, s.n_steps,
+       |  CAST(s.n_steps AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+       |FROM s JOIN t USING (from_state)""".stripMargin
+
   // ---- q148 winsorize ------------------------------------------------------
 
   /** Mirrors Sketches.winsorize on events.value per event_type: the

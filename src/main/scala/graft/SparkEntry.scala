@@ -847,6 +847,20 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
+    // Welch z between every variant pair over the quantized metric
+    "q152_ab_test" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_type"), floor(col("value") * 1000).cast("long").as("qv"))
+      Behavior.abTest(ev, "event_type", "qv")
+    }),
+    // first-order event-type transition matrix with per-source probabilities
+    "q153_transitions" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_type"), col("event_id"))
+      Behavior.transitions(ev, "user_id", "ts_us", "event_type", "event_id")
+    }),
     // rolling anomaly detection on the densified series: gap fill →
     // integer-quantized trailing-24 stats → z-score flags (exact frame
     // sums + exactly-rounded double math + IEEE sqrt = oracle-replayable)
@@ -1568,6 +1582,8 @@ object SparkEntry {
       stepUs = 3600L * 1000000L, window = 24, zThreshold = 2.5),
     "q150_funnel" -> OracleGen.funnel(Seq("view", "click", "purchase")),
     "q151_retention" -> OracleGen.retention(dayUs = 86400L * 1000000L),
+    "q152_ab_test" -> OracleGen.abTest,
+    "q153_transitions" -> OracleGen.transitions,
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),

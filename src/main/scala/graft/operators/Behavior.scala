@@ -75,4 +75,57 @@ object Behavior {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Welch two-sample z statistic between every pair of variants over an
+    * INTEGER-quantized metric column (quantize like
+    * [[WindowOps.rollingStats]]: exact per-variant count/sum/sumsq, so
+    * mean, sample variance (n−1 denominator), and
+    * z = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b) are pure
+    * exactly-rounded double arithmetic — engine-portable, no normal-CDF
+    * table needed downstream (|z| > 1.96 ≈ p < 0.05).
+    *
+    * One partial-aggregating pass over the data; the variant-stats table
+    * is variant-cardinality sized, and the pair matrix is a broadcast
+    * self-join of that metadata.
+    */
+  def abTest(df: DataFrame, variantCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"), sum(v * v).as("__ss"))
+      .withColumn("mean", col("__s").cast("double") / col("n").cast("double"))
+      .withColumn("var",
+        when(col("n") > 1,
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("mean")) / (col("n") - 1).cast("double")))
+      .drop("__s", "__ss")
+    def side(sfx: String) = stats.select(
+      col(variantCol).as(s"variant$sfx"), col("n").as(s"n$sfx"),
+      col("mean").as(s"mean$sfx"), col("var").as(s"var$sfx"))
+    side("_a").join(broadcast(side("_b")), col("variant_a") < col("variant_b"))
+      .withColumn("z",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double")))
+  }
+
+  /** First-order transition matrix of an event-state sequence: per key,
+    * order events by (time, tie-break) and count each consecutive
+    * (from_state → to_state) step, with `prob` = count / outgoing-total of
+    * the from state. The lag is one per-key window pass (partition =
+    * key); the matrix is state² rows, so the probability join broadcasts.
+    */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+                  stateCol: String, tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val steps = events
+      .withColumn("from_state", lag(col(stateCol), 1).over(w))
+      .filter(col("from_state").isNotNull)
+      .groupBy(col("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n_steps"))
+    val totals = steps.groupBy(col("from_state")).agg(sum(col("n_steps")).as("__tot"))
+    steps.join(broadcast(totals), "from_state")
+      .withColumn("prob", col("n_steps").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
 }

@@ -775,3 +775,20 @@ class Retention extends UserOperator {
     graft.operators.Behavior.retention(inputs.head, params("key"), params("ts"),
       params.getOrElse("dayUs", "86400000000").toLong)
 }
+
+/** Welch A/B z-test for scripts. Params: variant (required), value
+  * (required integer-quantized column).
+  */
+class AbTest extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.abTest(inputs.head, params("variant"), params("value"))
+}
+
+/** Event-state transition matrix for scripts. Params: key, ts, state,
+  * tieBreak (all required).
+  */
+class Transitions extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.transitions(inputs.head, params("key"),
+      params("ts"), params("state"), params("tieBreak"))
+}

@@ -58,4 +58,34 @@ class BehaviorSpec extends SparkSpec {
       (0L, 1L) -> 1L, (0L, 2L) -> 1L, // u1 (multiple same-day events dedup)
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
+
+  test("abTest computes exact variant stats and Welch z") {
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 4L), ("C", 2L), ("C", 2L), ("C", 2L))
+      .toDF("v", "qv")
+    val out = Behavior.abTest(df, "v", "qv")
+      .collect().map(r => (r.getAs[String]("variant_a"), r.getAs[String]("variant_b")) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val ac = out(("A", "C"))
+    // A: n=2 mean=5 var=(100-10*5)/1=50 ; C: n=3 mean=2 var=0
+    assert(ac.getAs[Double]("mean_a") == 5.0 && ac.getAs[Double]("var_a") == 50.0)
+    assert(ac.getAs[Double]("mean_b") == 2.0 && ac.getAs[Double]("var_b") == 0.0)
+    assert(ac.getAs[Double]("z") == (5.0 - 2.0) / math.sqrt(50.0 / 2.0))
+    // single-sample variant: variance (and hence z) is null, not a crash
+    assert(out(("A", "B")).isNullAt(out(("A", "B")).fieldIndex("z")))
+  }
+
+  test("transitions counts ordered steps and normalizes per from-state") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "c")
+    ).toDF("k", "ts", "st").withColumn("id", col("ts"))
+    val out = Behavior.transitions(df, "k", "ts", "st", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_steps"), r.getAs[Double]("prob"))).toMap
+    assert(out(("a", "b")) == ((2L, 2.0 / 3.0)))
+    assert(out(("a", "c")) == ((1L, 1.0 / 3.0)))
+    assert(out(("b", "a")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
 }

@@ -1659,6 +1659,27 @@ object OracleGen {
        |  (zscore IS NOT NULL AND abs(zscore) > $zThreshold) AS is_anomaly FROM z""".stripMargin
   }
 
+  /** Mirrors Sketches.quantileBins on events.value per event_type: the
+    * quantileSketch bottom-k sample, i/nBins nearest-rank boundaries, and
+    * bin = count of boundaries <= value (pure comparisons).
+    */
+  def quantileBins(nBins: Int, k: Int): String = {
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bcols = qs.zipWithIndex.map { case (q, i) =>
+      s"vs[CAST(floor($q * (n_sample - 1)) + 1 AS INT)] AS b$i"
+    }.mkString(", ")
+    val bin = (0 until nBins - 1)
+      .map(i => s"CASE WHEN e.value >= b.b$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT event_type, value AS v, ${hashBucket("event_id", "qsk", 1L << 30)} AS h FROM events),
+       |r AS (SELECT event_type, v, row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk FROM s),
+       |gq AS (SELECT event_type, list(v ORDER BY v) AS vs, count(1) AS n_sample
+       |  FROM r WHERE rk <= $k GROUP BY 1),
+       |b AS (SELECT event_type, $bcols FROM gq)
+       |SELECT e.event_id, e.event_type, e.value, CAST($bin AS INT) AS bin
+       |FROM events e JOIN b USING (event_type)""".stripMargin
+  }
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

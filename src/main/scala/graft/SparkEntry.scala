@@ -847,6 +847,21 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
+    // equi-depth feature binning from the deterministic quantile sketch
+    "q154_quantile_bins" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Sketches.quantileBins(ev, "value", col("event_id"), Seq("event_type"),
+          nBins = 4, k = 128)
+        .select("event_id", "event_type", "value", "bin")
+    }),
+    // exact triangle count on a deterministic synthetic graph, via
+    // degree-ordered orientation (oracle = the independent u<v<w 3-join)
+    "q155_triangles" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select((col("doc_id") % 200).as("a"), ((col("doc_id") * 31 + 7) % 200).as("b"))
+      Matrix.triangleCount(edges)
+    }),
     // Welch z between every variant pair over the quantized metric
     "q152_ab_test" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
@@ -1584,6 +1599,12 @@ object SparkEntry {
     "q151_retention" -> OracleGen.retention(dayUs = 86400L * 1000000L),
     "q152_ab_test" -> OracleGen.abTest,
     "q153_transitions" -> OracleGen.transitions,
+    "q154_quantile_bins" -> OracleGen.quantileBins(nBins = 4, k = 128),
+    "q155_triangles" ->
+      """WITH raw AS (SELECT doc_id % 200 AS a, (doc_id * 31 + 7) % 200 AS b FROM documents),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b)
+        |SELECT CAST(count(1) AS BIGINT) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),

@@ -216,6 +216,34 @@ object Sketches {
       least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))
   }
 
+  /** Equi-depth (quantile) binning driven by the deterministic quantile
+    * sketch: per group, the i/nBins quantile boundaries come from
+    * [[quantileSketch]] + [[quantileEstimate]], broadcast back, and each
+    * row's `bin` (0-based) counts the boundaries ≤ its value — feature
+    * bucketing whose cut points are reproducible functions of the data.
+    * Same scale shape as [[winsorize]]: sketch pass ships ≤ k rows per
+    * group, the clip/bin itself is narrow and codegen'd.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, key: Column,
+      groupCols: Seq[String], nBins: Int, k: Int = 256,
+      salt: String = "qsk"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val sketch = quantileSketch(df, col(valueCol), key, groupCols.map(col), k, salt)
+    val est = quantileEstimate(sketch, groupCols, qs)
+    val names = est.columns.takeRight(nBins - 1)
+    val bounds = est.select(groupCols.map(col) ++
+      names.zipWithIndex.map { case (n, i) => col(n).as(s"__b$i") }: _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    val bin = (0 until nBins - 1)
+      .map(i => when(col(valueCol) >= col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    joined.withColumn("bin", bin)
+      .drop((0 until nBins - 1).map(i => s"__b$i"): _*)
+  }
+
   /** Count-min sketch BUILD: a (depth × width) grid of counts, stored as a
     * DataFrame of (d, bucket, cnt) cells — at most depth·width rows
     * regardless of corpus size. Each input row increments one bucket per

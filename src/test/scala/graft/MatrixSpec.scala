@@ -53,4 +53,17 @@ class MatrixSpec extends SparkSpec {
     assert(y.orderBy("i").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       Seq((0L, 21.0), (1L, 43.0)))
   }
+
+  test("triangleCount: exact on known graphs, robust to duplicates and ties") {
+    import graft.operators.Matrix
+    def n(edges: Seq[(Long, Long)]) =
+      Matrix.triangleCount(edges.toDF("u", "v")).collect().head.getLong(0)
+    // K4 has C(4,3) = 4 triangles; duplicate/reversed/self edges ignored
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j)
+    assert(n(k4 ++ Seq((0L, 0L), (1L, 0L))) == 4L)
+    // two triangles sharing an edge (all degrees tie-heavy)
+    assert(n(Seq((0L, 1L), (1L, 2L), (0L, 2L), (1L, 3L), (2L, 3L))) == 2L)
+    // a path has none
+    assert(n(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == 0L)
+  }
 }

@@ -183,4 +183,19 @@ class SketchesSpec extends SparkSpec {
       assert(c == math.min(math.max(r.getAs[Double]("v"), lo), hi))
     }
   }
+
+  test("quantileBins buckets rows into reproducible equi-depth bins") {
+    val df = spark.range(1000).select((col("id") % 2).cast("string").as("g"),
+      col("id").cast("double").as("v"), col("id").as("rid"))
+    val out = Sketches.quantileBins(df, "v", col("rid"), Seq("g"), nBins = 4, k = 256)
+      .collect()
+    assert(out.length == 1000)
+    val bins = out.map(_.getAs[Int]("bin")).distinct.sorted
+    assert(bins.toSeq == Seq(0, 1, 2, 3), s"bins: ${bins.toSeq}")
+    // binning is monotone in the value within a group
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Double]("v")).map(_.getAs[Int]("bin"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }

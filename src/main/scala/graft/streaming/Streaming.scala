@@ -163,6 +163,38 @@ object Streaming {
     l.join(r, cond, joinType)
   }
 
+  /** Streaming analog of `Behavior.funnel`: per key, track the earliest
+    * in-order completion time of each funnel step as events arrive —
+    * `times(i)` is the time step i first happened AFTER step i−1, `depth`
+    * = steps completed so far. Each micro-batch is processed in event-time
+    * order; late events that would have advanced the funnel earlier than
+    * the recorded times are a documented approximation (the batch operator
+    * is the exact form — run it on the archive when exactness matters).
+    * State per key = up to nSteps longs; emits the updated frontier row
+    * per key per micro-batch (update-mode shape).
+    */
+  case class FunnelEvent(key: String, tsMs: Long, step: Int)
+  case class FunnelProgress(key: String, times: Seq[Long], depth: Int)
+
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent], nSteps: Int)
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
+          batch.toSeq.sortBy(e => (e.tsMs, e.step)).foreach { e =>
+            val need = times.length
+            if (need < nSteps && e.step == need &&
+                (need == 0 || e.tsMs > times(need - 1)))
+              times = times :+ e.tsMs
+          }
+          val next = FunnelProgress(key, times, times.length)
+          state.update(next)
+          next
+      }
+  }
+
   /** Sink a stream to parquet with checkpointing; returns the query handle. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =

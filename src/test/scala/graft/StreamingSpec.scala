@@ -280,4 +280,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq(1L))
     } finally q.stop()
   }
+
+  test("funnelStream advances per-key step frontier across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming.funnelStream(in.toDS(), nSteps = 3)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 views then clicks; u2's click arrives BEFORE any view
+      in.addData(
+        Streaming.FunnelEvent("u1", 10L, 0), Streaming.FunnelEvent("u1", 20L, 1),
+        Streaming.FunnelEvent("u2", 10L, 1))
+      q.processAllAvailable()
+      // batch 2: u1 purchases; u2 finally views (click state must NOT
+      // have advanced out of order)
+      in.addData(
+        Streaming.FunnelEvent("u1", 30L, 2), Streaming.FunnelEvent("u2", 20L, 0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream")
+      val latest = rows.groupBy("key")
+        .agg(max("depth").as("depth")).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(latest == Map("u1" -> 3, "u2" -> 1), latest.toString)
+    } finally q.stop()
+  }
 }

@@ -113,4 +113,39 @@ class SkewStressSpec extends SparkSpec {
     // by the identical-collapse
     assert(out == Set(1L, 2L), s"got ${out.take(10)}... (${out.size} rows)")
   }
+
+  test(s"gapFill: $Hot events in one (key, bucket) elect one value map-side") {
+    // one user hammers a single hour; the bucket election must be a
+    // partial max_by aggregation, never a per-event window
+    val ev = spark.range(Hot)
+      .select(lit(1L).as("k"), (lit(1000000L) + col("id")).as("ts"),
+        col("id").cast("double").as("v"), col("id").as("tb"))
+      .unionByName(Seq((1L, 5L, 7.5, -1L)).toDF("k", "ts", "v", "tb"))
+    val out = graft.operators.WindowOps.gapFill(ev, Seq("k"), "ts", "v",
+      step = 3600L * 1000000L, tieBreak = "tb")
+    val rows = out.collect()
+    // hot bucket 0 keeps the LAST event's value (max (ts, tb))
+    val hot = rows.find(_.getAs[Long]("bucket") == 0L).get
+    assert(hot.getAs[Double]("v") == (Hot - 1).toDouble)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_max_by") ||
+      plan.toLowerCase.contains("partial_maxby") ||
+      plan.toLowerCase.contains("max_by"), s"no max_by aggregate:\n$plan")
+  }
+
+  test(s"funnel: a $Hot-event hot user stays k keyed aggregations, no window") {
+    val ev = spark.range(Hot)
+      .select(lit(1L).as("u"), col("id").as("ts"),
+        when(col("id") % 3 === 0, "view").when(col("id") % 3 === 1, "click")
+          .otherwise("purchase").as("et"))
+    val out = graft.operators.Behavior.funnel(ev, "u", "ts", Seq(
+      col("et") === "view", col("et") === "click", col("et") === "purchase"))
+    val r = out.collect()
+    assert(r.length == 1 && r.head.getAs[Long]("depth") == 3L)
+    // earliest in-order times: view@0, click@1, purchase@2
+    assert(r.head.getAs[Long]("t0") == 0L && r.head.getAs[Long]("t1") == 1L &&
+      r.head.getAs[Long]("t2") == 2L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in funnel plan:\n$plan")
+  }
 }

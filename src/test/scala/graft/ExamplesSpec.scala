@@ -202,4 +202,21 @@ class ExamplesSpec extends SparkSpec {
       clipped.filter(org.apache.spark.sql.functions.col("value_clipped") >
         org.apache.spark.sql.functions.col("hi_bound")).count() == 0)
   }
+
+  test("engagement.cmr runs funnel, retention, transitions, and A/B from a script") {
+    val out = runExample("engagement")
+    val depths = spark.read.parquet(s"$out/funnel_depths")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(depths.keySet.subsetOf(Set(1L, 2L, 3L)) && depths.values.sum > 0)
+    val ret = spark.read.parquet(s"$out/retention")
+    assert(ret.filter("day_offset = 0").count() > 0)
+    val tr = spark.read.parquet(s"$out/transitions").collect()
+    assert(tr.map(_.getString(0)).distinct.length == 5)
+    // probabilities normalize per from-state
+    tr.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val p = rows.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"prob sum $p")
+    }
+    assert(spark.read.parquet(s"$out/ab").count() == 10) // C(5,2) pairs
+  }
 }

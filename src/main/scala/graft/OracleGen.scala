@@ -1680,6 +1680,39 @@ object OracleGen {
        |FROM events e JOIN b USING (event_type)""".stripMargin
   }
 
+  /** Mirrors Aggregations.corrMatrix over quantized lineitem numerics:
+    * one moments row, six pair SELECTs with the Spark side's exact
+    * mean/cov/var/corr operation order.
+    */
+  def corrMatrix: String = {
+    val defs = Seq(
+      "qty" -> "CAST(floor(l_quantity) AS BIGINT)",
+      "price" -> "CAST(floor(l_extendedprice) AS BIGINT)",
+      "disc" -> "CAST(floor(l_discount * 100) AS BIGINT)",
+      "tax" -> "CAST(floor(l_tax * 100) AS BIGINT)")
+    val names = defs.map(_._1)
+    val idx = names.indices
+    val qcols = defs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val moments = (Seq("CAST(count(1) AS BIGINT) AS n") ++
+      idx.map(i => s"sum(${names(i)}) AS s$i") ++
+      (for (i <- idx; j <- idx if i <= j)
+        yield s"sum(${names(i)} * ${names(j)}) AS ss${i}_$j")).mkString(", ")
+    def mean(i: Int) = s"(CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE))"
+    def variance(i: Int) =
+      s"(CAST(ss${i}_$i AS DOUBLE) / CAST(n AS DOUBLE) - ${mean(i)} * ${mean(i)})"
+    val pairs = (for (i <- idx; j <- idx if i < j) yield {
+      val cov = s"(CAST(ss${i}_$j AS DOUBLE) / CAST(n AS DOUBLE) - ${mean(i)} * ${mean(j)})"
+      s"""SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b, n,
+         |  ${mean(i)} AS mean_a, ${mean(j)} AS mean_b, $cov AS cov,
+         |  CASE WHEN ${variance(i)} > 0 AND ${variance(j)} > 0
+         |    THEN $cov / sqrt(${variance(i)} * ${variance(j)}) END AS corr
+         |FROM g""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT $qcols FROM lineitem),
+       |g AS (SELECT $moments FROM q)
+       |$pairs""".stripMargin
+  }
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

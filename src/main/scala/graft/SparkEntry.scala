@@ -847,6 +847,16 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
+    // single-pass Pearson correlation matrix over quantized lineitem
+    // numerics (portable: exact integer moments + exactly-rounded doubles)
+    "q156_corr_matrix" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice")).cast("long").as("price"),
+        floor(col("l_discount") * 100).cast("long").as("disc"),
+        floor(col("l_tax") * 100).cast("long").as("tax"))
+      Aggregations.corrMatrix(li, Seq("qty", "price", "disc", "tax"))
+    }),
     // equi-depth feature binning from the deterministic quantile sketch
     "q154_quantile_bins" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
@@ -1600,6 +1610,7 @@ object SparkEntry {
     "q152_ab_test" -> OracleGen.abTest,
     "q153_transitions" -> OracleGen.transitions,
     "q154_quantile_bins" -> OracleGen.quantileBins(nBins = 4, k = 128),
+    "q156_corr_matrix" -> OracleGen.corrMatrix,
     "q155_triangles" ->
       """WITH raw AS (SELECT doc_id % 200 AS a, (doc_id * 31 + 7) % 200 AS b FROM documents),
         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b)

@@ -159,6 +159,39 @@ object Aggregations {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Pairwise Pearson correlation matrix over INTEGER-quantized columns
+    * (quantize like WindowOps.rollingStats — the caller picks a resolution
+    * whose squares×rows stay under 2^63). ONE partial-aggregating pass
+    * computes every count/sum/cross-product moment; the d² pair rows are
+    * then derived from that single row, so data is scanned once however
+    * many column pairs are requested. Population (n-denominator) moments;
+    * the mean/cov/corr trees are pure exactly-rounded double arithmetic +
+    * IEEE sqrt, hence engine-portable — unlike `corr()`, whose streaming
+    * update order is implementation-defined.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns: $cols")
+    val idx = cols.indices
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      idx.map(i => sum(col(cols(i))).as(s"__s$i")) ++
+      (for (i <- idx; j <- idx if i <= j)
+        yield sum(col(cols(i)) * col(cols(j))).as(s"__ss${i}_$j"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def mean(i: Int) = col(s"__s$i").cast("double") / n
+    def variance(i: Int) =
+      col(s"__ss${i}_$i").cast("double") / n - mean(i) * mean(i)
+    val entries = for (i <- idx; j <- idx if i < j) yield {
+      val cov = col(s"__ss${i}_$j").cast("double") / n - mean(i) * mean(j)
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"), mean(i).as("mean_a"), mean(j).as("mean_b"),
+        cov.as("cov"),
+        when(variance(i) > 0 && variance(j) > 0,
+          cov / sqrt(variance(i) * variance(j))).as("corr"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Register a user Aggregator the way Cubert loaded UDAFs by class name
     * (reference: operator/UDAFOperatorAdapter.java:26).
     */

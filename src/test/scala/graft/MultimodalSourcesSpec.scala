@@ -92,4 +92,56 @@ class MultimodalSourcesSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("avro"))
   }
+
+  // ---- REAL image path (pure JDK, graft.multimodal.Images) ---------------
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("probeImages decodes real PNG dimensions and flags junk") {
+    import graft.multimodal.Images
+    val rows = Seq(
+      (1L, pngBytes(8, 6, 0xffffff)),
+      (2L, pngBytes(3, 5, 0x000000)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val out = Images.probeImages(df, "id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((true, 8, 6)))
+    assert(out(2L) == ((true, 3, 5)))
+    assert(out(3L) == ((false, 0, 0)))
+  }
+
+  test("imageFeatures: real luminance histograms separate dark from light") {
+    import graft.multimodal.Images
+    val df = Seq((1L, pngBytes(10, 10, 0x000000)), (2L, pngBytes(10, 10, 0xffffff)),
+      (3L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val by = Images.imageFeatures(df, "id", bins = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(by(1L).head == 1.0f && by(1L).sum == 1.0f)      // all-black → bin 0
+    assert(by(2L).last == 1.0f && by(2L).sum == 1.0f)      // all-white → last bin
+    assert(by(3L).sum == 0.0f)                             // junk → zero vector
+  }
+
+  test("resizeImages really rescales and updates metadata; junk passes through") {
+    import graft.multimodal.Images
+    val junk = "zz".getBytes("UTF-8")
+    val df = Multimodal.asMedia(
+      Seq((1L, pngBytes(16, 12, 0x336699)), (2L, junk)).toDF("id", "raw")
+        .withColumn("raw", col("raw")), col("raw"), "image", "png")
+    val out = Images.resizeImages(df, width = 4, height = 3)
+    val byId = out.select("id", "payload", "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val resized = byId(1L).getAs[Array[Byte]]("payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    assert(byId(1L).getInt(2) == 4 && byId(1L).getInt(3) == 3)
+    assert(byId(2L).getAs[Array[Byte]]("payload").toSeq == junk.toSeq, "junk mutated")
+  }
 }

@@ -52,7 +52,10 @@ object Bench {
     "q146_kmv_setops",
     "q147_gap_fill",
     "q148_winsorize",
-    "q150_funnel")
+    "q150_funnel",
+    "q153_transitions",
+    "q155_triangles",
+    "q156_corr_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

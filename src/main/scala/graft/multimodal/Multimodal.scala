@@ -44,11 +44,11 @@ object Multimodal {
     StructField(idCol, LongType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB decoder: deterministic fake features from payload bytes.
-    * Real deployments replace this body (e.g. JNI to a codec, or ONNX) —
-    * the mapPartitions batching, schema, and partitioning stay identical.
-    * ??? marker per project contract: the decode itself is not implementable
-    * in this container.
+  /** STUB decoder for media types the JDK has no codec for (audio/video):
+    * deterministic fake features from payload bytes. Real deployments
+    * replace this body (e.g. JNI to a codec, or ONNX) — the mapPartitions
+    * batching, schema, and partitioning stay identical. The IMAGE path is
+    * real: see [[Images]] (pure-JDK decode / histogram features / resize).
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

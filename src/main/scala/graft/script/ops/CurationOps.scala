@@ -792,3 +792,29 @@ class Transitions extends UserOperator {
     graft.operators.Behavior.transitions(inputs.head, params("key"),
       params("ts"), params("state"), params("tieBreak"))
 }
+
+/** REAL image probe for scripts (pure-JDK decode): (id, decodable, width,
+  * height) per payload row. Params: id (default "doc_id").
+  */
+class ImageProbe extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Images.probeImages(inputs.head, params.getOrElse("id", "doc_id"))
+}
+
+/** REAL image features for scripts: normalized luminance histograms.
+  * Params: id (default "doc_id"), bins (32).
+  */
+class ImageFeatures extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Images.imageFeatures(inputs.head,
+      params.getOrElse("id", "doc_id"), params.getOrElse("bins", "32").toInt)
+}
+
+/** REAL image resize for scripts: decode → bilinear rescale → re-encode
+  * PNG, metadata updated. Params: width, height (required).
+  */
+class ImageResize extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Images.resizeImages(inputs.head,
+      params("width").toInt, params("height").toInt)
+}

@@ -598,6 +598,22 @@ class ScriptSpec extends SparkSpec {
     val f = rels("f").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(f == Map(1L -> 2L, 2L -> 1L))
     assert(rels("r").collect().map(_.getLong(2)).sum == 2L)
+  }
+
+  test("shipped image plug-ins probe and featurize real PNGs from scripts") {
+    import graft.script.ScriptEngine
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val rels = ScriptEngine.run(spark,
+      """p = OPERATOR 'graft.script.ops.ImageProbe' imgs;
+        |f = OPERATOR 'graft.script.ops.ImageFeatures' imgs ('bins': '8');""".stripMargin,
+      env0 = env("imgs" -> df))
+    val probe = rels("p").collect().head
+    assert(probe.getBoolean(1) && probe.getInt(2) == 6 && probe.getInt(3) == 4)
+    assert(rels("f").collect().head.getSeq[Float](1).sum == 1.0f)
 
     val m = Seq(("A", 1L), ("A", 3L), ("B", 2L)).toDF("variant", "qv")
     val ab = ScriptEngine.run(spark,

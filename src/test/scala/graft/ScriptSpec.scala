@@ -598,6 +598,18 @@ class ScriptSpec extends SparkSpec {
     val f = rels("f").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(f == Map(1L -> 2L, 2L -> 1L))
     assert(rels("r").collect().map(_.getLong(2)).sum == 2L)
+
+    val m = Seq(("A", 1L), ("A", 3L), ("B", 2L)).toDF("variant", "qv")
+    val ab = ScriptEngine.run(spark,
+      "z = OPERATOR 'graft.script.ops.AbTest' m ('variant': 'variant', 'value': 'qv');",
+      env0 = env("m" -> m))("z")
+    assert(ab.count() == 1 && ab.columns.contains("z"))
+    val tr = ScriptEngine.run(spark,
+      """t = OPERATOR 'graft.script.ops.Transitions' ev
+        |  ('key': 'user_id', 'ts': 'ts', 'state': 'event_type', 'tieBreak': 'ts');""".stripMargin,
+      env0 = env("ev" -> ev))("t")
+    assert(tr.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("view", "click")))
   }
 
   test("shipped image plug-ins probe and featurize real PNGs from scripts") {
@@ -614,18 +626,6 @@ class ScriptSpec extends SparkSpec {
     val probe = rels("p").collect().head
     assert(probe.getBoolean(1) && probe.getInt(2) == 6 && probe.getInt(3) == 4)
     assert(rels("f").collect().head.getSeq[Float](1).sum == 1.0f)
-
-    val m = Seq(("A", 1L), ("A", 3L), ("B", 2L)).toDF("variant", "qv")
-    val ab = ScriptEngine.run(spark,
-      "z = OPERATOR 'graft.script.ops.AbTest' m ('variant': 'variant', 'value': 'qv');",
-      env0 = env("m" -> m))("z")
-    assert(ab.count() == 1 && ab.columns.contains("z"))
-    val tr = ScriptEngine.run(spark,
-      """t = OPERATOR 'graft.script.ops.Transitions' ev
-        |  ('key': 'user_id', 'ts': 'ts', 'state': 'event_type', 'tieBreak': 'ts');""".stripMargin,
-      env0 = env("ev" -> ev))("t")
-    assert(tr.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
-      Set(("view", "click")))
   }
 
 }

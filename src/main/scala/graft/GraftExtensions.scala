@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Cubert's partitioned-additive CUBE: pre-aggregate to leaf groups below
     // the grouping-sets Expand (graft.plans.CubePreAggregate)
     ext.injectOptimizerRule(_ => graft.plans.CubePreAggregate)
+    // size(array_intersect(sorted-distinct, sorted-distinct)) → the
+    // allocation-free merge-count kernel (graft.plans.IntersectCountRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "graft_poly_hash(str) - portable polynomial char hash mod 2^31-1"),

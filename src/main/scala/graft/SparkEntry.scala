@@ -847,6 +847,21 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
+    // native avro-core roundtrip on the correctness gate: store a slice as
+    // Avro container files, read it back, aggregate — the oracle computes
+    // the same aggregate from the parquet source, so any roundtrip loss
+    // hash-mismatches
+    "q157_avro_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-avro-q157").toString + "/t"
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .filter(col("l_orderkey") % 50 === 0)
+      graft.sources.Sources.store(li, dir, "avro")
+      graft.sources.Sources.load(s, dir, "avro").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum("l_partkey").as("sum_pk"))
+    }),
     // single-pass Pearson correlation matrix over quantized lineitem
     // numerics (portable: exact integer moments + exactly-rounded doubles)
     "q156_corr_matrix" -> ((s, d) => {
@@ -1611,6 +1626,11 @@ object SparkEntry {
     "q153_transitions" -> OracleGen.transitions,
     "q154_quantile_bins" -> OracleGen.quantileBins(nBins = 4, k = 128),
     "q156_corr_matrix" -> OracleGen.corrMatrix,
+    "q157_avro_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+        |FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1""".stripMargin,
     "q155_triangles" ->
       """WITH raw AS (SELECT doc_id % 200 AS a, (doc_id * 31 + 7) % 200 AS b FROM documents),
         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b)

@@ -12,8 +12,10 @@ import graft.functions.SchemaCodec
   * Format mapping (SURVEY.md §2.1): RUBIX → Parquet (columnar,
   * dictionary-encoded, self-describing — everything Rubix's COMPACT
   * serialization and metadata trailer provided); TEXT → csv with an explicit
-  * Cubert schema string; AVRO → the `avro` datasource when its jar is on the
-  * classpath. Schema strings use the reference's "INT a, STRING b" form
+  * Cubert schema string; AVRO → the NATIVE avro-core reader/writer
+  * ([[AvroNative]] — no spark-avro module needed; falls back to the `avro`
+  * datasource if one is deployed and the native path is disabled). Schema
+  * strings use the reference's "INT a, STRING b" form
   * (block/BlockSchema.java:58-78) via SchemaCodec.
   */
 object Sources {
@@ -29,7 +31,7 @@ object Sources {
     format.toLowerCase match {
       case "parquet" | "rubix" => withSchema.parquet(path)
       case "orc"               => withSchema.orc(path)
-      case "avro"              => withSchema.format("avro").load(path)
+      case "avro"              => AvroNative.read(spark, path)
       case "json"              => withSchema.json(path)
       case "csv"               => withSchema.option("header", "true").csv(path)
       case "text" =>
@@ -58,7 +60,7 @@ object Sources {
     format.toLowerCase match {
     case "parquet" | "rubix" => w.parquet(path)
     case "orc"               => w.orc(path)
-    case "avro"              => w.format("avro").save(path)
+    case "avro"              => AvroNative.write(df, path, mode)
     case "json"              => w.json(path)
     case "csv"               => w.option("header", "true").csv(path)
     case "text" =>

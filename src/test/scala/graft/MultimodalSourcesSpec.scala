@@ -83,14 +83,24 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(quarantined.length == 1 && quarantined.head.contains("oops"))
   }
 
-  test("avro without the spark-avro module fails with an actionable message") {
-    // this container ships no spark-avro jar; the format mapping must
-    // surface Spark's deploy-the-module guidance, not a random classpath error
-    val df = Seq((1L, "a")).toDF("id", "name")
-    val e = intercept[Exception] {
-      Sources.store(df, Files.createTempDirectory("graft-avro").toString + "/a", "avro")
-    }
-    assert(e.getMessage.toLowerCase.contains("avro"))
+  test("avro roundtrips natively on avro-core: flat, nullable, nested, arrays") {
+    val df = Seq(
+      (1L, "a", Some(1.5), Seq(1L, 2L), ("x", 10)),
+      (2L, "b", None, Seq.empty[Long], ("y", 20)))
+      .toDF("id", "name", "score", "xs", "rec")
+    val dir = Files.createTempDirectory("graft-avro").toString + "/t"
+    Sources.store(df, dir, "avro")
+    val back = Sources.load(spark, dir, "avro")
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score", "xs", "rec"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a")
+    assert(rows(0).getDouble(2) == 1.5 && rows(1).isNullAt(2))
+    assert(rows(0).getSeq[Long](3) == Seq(1L, 2L))
+    assert(rows(0).getStruct(4).getString(0) == "x"
+      && rows(1).getStruct(4).getInt(1) == 20)
+    // appended shard read back together with the first
+    Sources.store(df.filter(col("id") === 1), dir, "avro", mode = "append")
+    assert(Sources.load(spark, dir, "avro").count() == 3)
   }
 
   // ---- REAL image path (pure JDK, graft.multimodal.Images) ---------------

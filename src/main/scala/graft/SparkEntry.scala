@@ -847,6 +847,12 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
+    // pairwise association rules over order→part-bucket baskets
+    "q158_assoc_rules" -> ((s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+      Behavior.associationRules(baskets, "basket", "item", minPairCount = 5L)
+    }),
     // native avro-core roundtrip on the correctness gate: store a slice as
     // Avro container files, read it back, aggregate — the oracle computes
     // the same aggregate from the parquet source, so any roundtrip loss
@@ -1626,6 +1632,21 @@ object SparkEntry {
     "q153_transitions" -> OracleGen.transitions,
     "q154_quantile_bins" -> OracleGen.quantileBins(nBins = 4, k = 128),
     "q156_corr_matrix" -> OracleGen.corrMatrix,
+    "q158_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
+        |ok AS (SELECT b FROM (SELECT b, count(1) AS c FROM it GROUP BY 1) WHERE c <= 100),
+        |bd AS (SELECT it.* FROM it JOIN ok USING (b)),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM bd),
+        |ic AS (SELECT i, CAST(count(1) AS BIGINT) AS icnt FROM bd GROUP BY 1),
+        |pr AS (SELECT a.i AS item_a, b.i AS item_b, CAST(count(1) AS BIGINT) AS n_pair
+        |  FROM bd a JOIN bd b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(1) >= 5)
+        |SELECT p.item_a, p.item_b, p.n_pair, ia.icnt AS n_a, ib.icnt AS n_b,
+        |  CAST(p.n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |  CAST(p.n_pair AS DOUBLE) / CAST(ia.icnt AS DOUBLE) AS conf_a_to_b,
+        |  CAST(p.n_pair AS DOUBLE) / CAST(ib.icnt AS DOUBLE) AS conf_b_to_a,
+        |  (CAST(p.n_pair AS DOUBLE) / CAST(ia.icnt AS DOUBLE))
+        |    / (CAST(ib.icnt AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS lift
+        |FROM pr p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b CROSS JOIN nb""".stripMargin,
     "q157_avro_roundtrip" ->
       """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

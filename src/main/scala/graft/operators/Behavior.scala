@@ -108,6 +108,48 @@ object Behavior {
             col("var_b") / col("n_b").cast("double")))
   }
 
+  /** Pairwise association rules (market-basket): for every item pair
+    * co-occurring in ≥ `minPairCount` baskets, emit support
+    * (pair-baskets / all baskets), both directed confidences
+    * (pair / item-baskets), and lift (confidence over the consequent's
+    * base rate) — the classic A-implies-B mining, pairwise (the useful
+    * 90% of apriori without the exponential lattice).
+    *
+    * Scale shape: baskets larger than `maxBasketSize` are dropped BEFORE
+    * pair generation (a degenerate mega-basket would otherwise contribute
+    * |basket|² pairs — the skew guard, analogous to the hot-shingle cap),
+    * so pair volume is Σ min(|basket|, cap)². Item and pair counts
+    * partial-aggregate; the per-item counts broadcast back into the
+    * (much smaller, minPairCount-filtered) pair table. All statistics are
+    * exact integer counts + exactly-rounded divisions, hence
+    * oracle-portable.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2L,
+                       maxBasketSize: Int = 100): DataFrame = {
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val ok = items.groupBy("__b").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize).select("__b")
+    val bounded = items.join(ok, "__b")
+    val nBaskets = bounded.select(col("__b")).distinct().count()
+    val itemCounts = bounded.groupBy(col("__i")).agg(count(lit(1)).as("__ic"))
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"), col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    pairs
+      .join(broadcast(itemCounts.select(col("__i").as("item_a"), col("__ic").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("__i").as("item_b"), col("__ic").as("n_b"))), "item_b")
+      .withColumn("support", col("n_pair").cast("double") / lit(nBaskets.toDouble))
+      .withColumn("conf_a_to_b", col("n_pair").cast("double") / col("n_a").cast("double"))
+      .withColumn("conf_b_to_a", col("n_pair").cast("double") / col("n_b").cast("double"))
+      .withColumn("lift", col("conf_a_to_b") /
+        (col("n_b").cast("double") / lit(nBaskets.toDouble)))
+      .select("item_a", "item_b", "n_pair", "n_a", "n_b",
+        "support", "conf_a_to_b", "conf_b_to_a", "lift")
+  }
+
   /** First-order transition matrix of an event-state sequence: per key,
     * order events by (time, tie-break) and count each consecutive
     * (from_state → to_state) step, with `prob` = count / outgoing-total of

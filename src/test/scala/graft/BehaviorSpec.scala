@@ -88,4 +88,29 @@ class BehaviorSpec extends SparkSpec {
     assert(out(("b", "a")) == ((1L, 1.0)))
     assert(out.size == 3)
   }
+
+  test("associationRules: exact stats, distinct-item baskets, mega-basket cap") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"),        // duplicate item collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("b", "i")
+    val out = Behavior.associationRules(baskets, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // only (x,y) reaches 2 baskets; (x,z) has 1 and is filtered
+    assert(out.keySet == Set(("x", "y")))
+    val r = out(("x", "y"))
+    assert(r.getAs[Long]("n_pair") == 2L && r.getAs[Long]("n_a") == 3L
+      && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("support") == 2.0 / 4.0)
+    assert(r.getAs[Double]("conf_a_to_b") == 2.0 / 3.0)
+    // lift = (2/3) / (3/4) = 8/9
+    assert(math.abs(r.getAs[Double]("lift") - 8.0 / 9.0) < 1e-12)
+    // a mega-basket above the cap contributes NO pairs
+    val withMega = baskets.unionByName(
+      (1 to 50).map(i => (9L, s"m$i")).toDF("b", "i"))
+    val capped = Behavior.associationRules(withMega, "b", "i",
+      minPairCount = 1L, maxBasketSize = 10)
+    assert(!capped.collect().exists(_.getString(0).startsWith("m")))
+  }
 }

@@ -1713,6 +1713,43 @@ object OracleGen {
        |$pairs""".stripMargin
   }
 
+  /** Mirrors Matrix.kCore at a fixed peel depth: `rounds` nested
+    * degree-filter CTE pairs (peeling a converged subgraph is a no-op, so
+    * a converged operator result equals the fixed-round replay).
+    */
+  def kCore(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    // references the previous THREE times - unmaterialized, the expansion
+    // is 3^rounds copies of the base scan
+    val peels = (0 until rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT n, count(1) AS d FROM (SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
+         |e${r + 1} AS MATERIALIZED (SELECT e$r.u, e$r.v FROM e$r JOIN k$r a ON e$r.u = a.n JOIN k$r b ON e$r.v = b.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT doc_id % 37 AS a, doc_id % 41 AS b FROM documents),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+       |$peels
+       |SELECT n AS node, CAST(count(1) AS BIGINT) AS degree
+       |FROM (SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY 1""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.withReadability (+ the q160 punctuation salt). */
+  def readability: String =
+    s"""WITH s AS (SELECT doc_id,
+       |    text || CASE WHEN doc_id % 2 = 0 THEN '. Extra sentence! And another?' ELSE '' END AS text
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_words,
+       |    greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+       |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+       |  FROM s)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 THEN CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |  END AS flesch
+       |FROM f""".stripMargin
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

@@ -847,6 +847,22 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
+    // k-core of the synthetic graph: 8 peel rounds, survivors + degrees
+    "q159_kcore" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select((col("doc_id") % 37).as("a"), (col("doc_id") % 41).as("b"))
+      Matrix.kCore(edges, k = 14, maxIter = 8)
+    }),
+    // Flesch reading-ease over documents (punctuation salted so the
+    // sentence splitter sees variety)
+    "q160_readability" -> ((s, d) => {
+      val salted = concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(". Extra sentence! And another?"))
+          .otherwise(lit("")))
+      TextAnalysis.withReadability(
+        t(s, d, "documents").select(col("doc_id"), salted.as("text")))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+    }),
     // pairwise association rules over order→part-bucket baskets
     "q158_assoc_rules" -> ((s, d) => {
       val baskets = t(s, d, "lineitem")
@@ -1632,6 +1648,8 @@ object SparkEntry {
     "q153_transitions" -> OracleGen.transitions,
     "q154_quantile_bins" -> OracleGen.quantileBins(nBins = 4, k = 128),
     "q156_corr_matrix" -> OracleGen.corrMatrix,
+    "q159_kcore" -> OracleGen.kCore(k = 14, rounds = 8),
+    "q160_readability" -> OracleGen.readability,
     "q158_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
         |ok AS (SELECT b FROM (SELECT b, count(1) AS c FROM it GROUP BY 1) WHERE c <= 100),

@@ -86,6 +86,42 @@ object Matrix {
     ranks
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes with
+    * (current) degree < k until none remain or `maxIter` rounds ran —
+    * survivors are the k-core (if converged; pass maxIter ≥ the peel depth,
+    * which is ≤ the graph's degeneracy ordering length and in practice a
+    * handful of rounds). Emits (node, degree) of the surviving subgraph.
+    *
+    * Each round is one degree aggregation + one semi-join, edges
+    * localCheckpoint-ed per round so the loop's lineage stays O(1) (same
+    * discipline as connected components). Shuffle volume shrinks
+    * monotonically — every round's edge set is a subset of the last.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+    require(k >= 1 && maxIter >= 1, s"bad k=$k maxIter=$maxIter")
+    val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    var e = e0.localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val next = e
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      done = next.count() == e.count()
+      e = next
+      i += 1
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   /** Exact triangle count via degree-ordered edge orientation (the
     * standard MapReduce-era algorithm): orient every undirected edge from
     * its lower-(degree, id) endpoint to the higher one — the oriented

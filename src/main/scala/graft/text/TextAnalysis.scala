@@ -307,6 +307,29 @@ object TextAnalysis {
     * regex extraction, not an HTML parser — the standard trade for a
     * 100 TB first-pass text extractor.
     */
+  /** Flesch reading-ease features: word count, sentence count (runs of
+    * terminal punctuation, floored at 1), a vowel-group syllable
+    * approximation, and the Flesch score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Pure regex counts + exactly-rounded double arithmetic — narrow,
+    * codegen'd, oracle-portable. The syllable heuristic is the standard
+    * cheap proxy (exact syllabification needs a dictionary).
+    */
+  def withReadability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = tokenCount(col(textCol))
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables =
+      size(regexp_extract_all(col(textCol), lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    val wps = words.cast("double") / sentences.cast("double")
+    val spw = syllables.cast("double") / words.cast("double")
+    df.withColumn("n_words", words)
+      .withColumn("n_sentences", sentences)
+      .withColumn("n_syllables", syllables)
+      .withColumn("flesch",
+        when(words > 0, lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+  }
+
   def stripMarkup(text: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(text, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),

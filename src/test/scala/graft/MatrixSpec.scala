@@ -66,4 +66,16 @@ class MatrixSpec extends SparkSpec {
     // a path has none
     assert(n(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == 0L)
   }
+
+  test("kCore peels to the exact k-core (K5 with a pendant path)") {
+    import graft.operators.Matrix
+    // K5 on 0..4 plus path 4-5-6: 3-core = exactly K5 (degrees 4)
+    val k5 = for (i <- 0L to 4L; j <- 0L to 4L if i < j) yield (i, j)
+    val edges = (k5 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val out = Matrix.kCore(edges, k = 3, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 4L).map(_ -> 4L).toMap, out.toString)
+    // k larger than any core: empty result, no infinite loop
+    assert(Matrix.kCore(edges, k = 5, maxIter = 10).count() == 0)
+  }
 }

@@ -753,4 +753,20 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.getAs[Boolean]("keep_gopher"),
       s"expected keep: ${kept.mkString(", ")}")
   }
+
+  test("withReadability: exact counts and the Flesch formula") {
+    val df = Seq((1L, "The cat sat. The dog ran! Done?"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.withReadability(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 7L)
+    assert(r1.getAs[Long]("n_sentences") == 3L)
+    // vowel groups: e,a,a,e,o,a,o,e -> The(1) cat(1) sat(1) The(1) dog(1) ran(1) Done(2: o,e)
+    assert(r1.getAs[Long]("n_syllables") == 8L)
+    val w = 7.0; val s0 = 3.0; val sy = 8.0
+    assert(r1.getAs[Double]("flesch") == 206.835 - 1.015 * (w / s0) - 84.6 * (sy / w))
+    // empty doc: zero words -> null score, sentence floor at 1
+    assert(out(2L).isNullAt(out(2L).fieldIndex("flesch")))
+    assert(out(2L).getAs[Long]("n_sentences") == 1L)
+  }
 }

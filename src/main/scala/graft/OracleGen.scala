@@ -1750,6 +1750,50 @@ object OracleGen {
        |  END AS flesch
        |FROM f""".stripMargin
 
+  /** Mirrors Behavior.concurrency: the same boundary deltas, replayed as a
+    * plain running sum (DuckDB's single window ≡ the operator's two-phase
+    * bucketed cumsum — the bucketing is a parallelization detail, not a
+    * semantic one).
+    */
+  def concurrency: String =
+    s"""WITH iv AS (SELECT epoch_us(ts) AS s,
+       |    epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+       |  FROM events),
+       |d AS (SELECT t, CAST(sum(dlt) AS BIGINT) AS net FROM (
+       |    SELECT s AS t, 1 AS dlt FROM iv UNION ALL SELECT e, -1 FROM iv)
+       |  GROUP BY 1)
+       |SELECT t, net, CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS concurrent
+       |FROM d""".stripMargin
+
+  /** Mirrors Relational.skyline via the textbook NOT EXISTS dominance test
+    * — deliberately INDEPENDENT of the operator's grid-prune + refine
+    * decomposition, so it checks the algebra, not the implementation.
+    */
+  def skyline: String =
+    s"""WITH p AS (SELECT p_partkey, p_size, p_retailprice FROM part)
+       |SELECT * FROM p a WHERE NOT EXISTS (
+       |  SELECT 1 FROM p b
+       |  WHERE b.p_retailprice >= a.p_retailprice AND b.p_size <= a.p_size
+       |    AND (b.p_retailprice > a.p_retailprice OR b.p_size < a.p_size))""".stripMargin
+
+  /** Mirrors Sketches.cmsBuild ×2 + cmsJoinSize on the orders⋈customer
+    * key: both hash grids replayed cell-for-cell, then min over depth rows
+    * of the bucket-count inner product. Integer-only.
+    */
+  def cmsJoinSize(depth: Int, width: Int): String = {
+    def grid(alias: String, keyExpr: String, table: String) = {
+      val ent = (0 until depth).map { i =>
+        s"SELECT $i AS d, ${hashBucket(keyExpr, s"cms$i", width)} AS bucket FROM $table"
+      }.mkString("\n  UNION ALL ")
+      s"$alias AS (SELECT d, bucket, count(*) AS cnt FROM (\n  $ent) GROUP BY 1, 2)"
+    }
+    s"""WITH ${grid("ca", "o_custkey", "orders")},
+       |${grid("cb", "c_custkey", "customer")},
+       |dot AS (SELECT ca.d, sum(ca.cnt * cb.cnt) AS dt
+       |  FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket GROUP BY 1)
+       |SELECT CAST(min(dt) AS BIGINT) AS est_join_size FROM dot""".stripMargin
+  }
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

@@ -863,6 +863,22 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), salted.as("text")))
         .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
     }),
+    // interval-concurrency sweep: events as (start, start + value minutes)
+    "q161_concurrency" -> ((s, d) => {
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val iv = t(s, d, "events").select(us.as("st"),
+        (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
+      Behavior.concurrency(iv, "st", "en")
+    }),
+    // Pareto frontier of parts: max retail price, min size
+    "q162_skyline" -> ((s, d) =>
+      Relational.skyline(
+        t(s, d, "part").select("p_partkey", "p_size", "p_retailprice"),
+        maxCols = Seq("p_retailprice"), minCols = Seq("p_size"))),
+    // sketch-only join-size estimate for orders ⋈ customer on custkey
+    "q163_cms_join_size" -> ((s, d) => Sketches.cmsJoinSize(
+      Sketches.cmsBuild(t(s, d, "orders"), col("o_custkey")),
+      Sketches.cmsBuild(t(s, d, "customer"), col("c_custkey")))),
     // pairwise association rules over order→part-bucket baskets
     "q158_assoc_rules" -> ((s, d) => {
       val baskets = t(s, d, "lineitem")
@@ -1650,6 +1666,9 @@ object SparkEntry {
     "q156_corr_matrix" -> OracleGen.corrMatrix,
     "q159_kcore" -> OracleGen.kCore(k = 14, rounds = 8),
     "q160_readability" -> OracleGen.readability,
+    "q161_concurrency" -> OracleGen.concurrency,
+    "q162_skyline" -> OracleGen.skyline,
+    "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q158_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
         |ok AS (SELECT b FROM (SELECT b, count(1) AS c FROM it GROUP BY 1) WHERE c <= 100),

@@ -150,6 +150,47 @@ object Behavior {
         "support", "conf_a_to_b", "conf_b_to_a", "lift")
   }
 
+  /** Interval-concurrency sweep: given (start, end] intervals (end
+    * exclusive, integer timestamps), emit every boundary instant `t` with
+    * `net` (interval starts minus ends at t) and `concurrent` (number of
+    * intervals active in [t, next boundary)) — peak concurrent sessions is
+    * `max(concurrent)`, a one-row reduction away.
+    *
+    * Scale shape: the classic sweep is a running sum over a GLOBAL time
+    * order, which naively funnels every boundary through one window task.
+    * Here the boundaries first collapse by exact timestamp (one
+    * partial-aggregating shuffle, output = distinct boundaries, not
+    * intervals), then the running sum is two-phase like
+    * `Sampling.deterministicShuffle`: range-bucket on `t` (bucket order =
+    * time order by construction), per-bucket net totals prefix-sum in a
+    * metadata-sized window, and the exact cumulative sum runs per-bucket,
+    * `buckets`-way parallel, seeded by its bucket offset. Only min/max(t)
+    * (two longs) ever reach the driver. Integer-only, oracle-portable.
+    */
+  def concurrency(intervals: DataFrame, startCol: String, endCol: String,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"bad buckets: $buckets")
+    val deltas = intervals.select(col(startCol).cast("long").as("t"), lit(1L).as("__d"))
+      .unionAll(intervals.select(col(endCol).cast("long").as("t"), lit(-1L).as("__d")))
+      .groupBy("t").agg(sum("__d").as("net"))
+    val range = deltas.agg(min("t"), max("t")).head()
+    if (range.isNullAt(0)) return deltas.withColumn("concurrent", lit(0L))
+    val tMin = range.getLong(0)
+    val width = math.max((range.getLong(1) - tMin) / buckets + 1, 1L)
+    val b = deltas.withColumn("__b", ((col("t") - tMin) / width).cast("int"))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy("__b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = b.groupBy("__b").agg(sum("net").as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(ow), lit(0L)))
+      .select("__b", "__off")
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy("t")
+    b.join(broadcast(offs), Seq("__b"))
+      .withColumn("concurrent", col("__off") + sum("net").over(rw))
+      .select("t", "net", "concurrent")
+  }
+
   /** First-order transition matrix of an event-state sequence: per key,
     * order events by (time, tie-break) and count each consecutive
     * (from_state → to_state) step, with `prob` = count / outgoing-total of

@@ -185,6 +185,52 @@ object Relational {
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
 
+  /** SKYLINE (Pareto frontier): rows not dominated by any other row —
+    * `maxCols` are better-when-bigger, `minCols` better-when-smaller; a
+    * dominator must be ≥ in every dimension and strictly better in one.
+    * Ties survive together; rows with a null dimension are dropped
+    * (dominance is undefined on null).
+    *
+    * Scale shape: the textbook formulation is an O(n²) NOT EXISTS
+    * self-join. Here an equi-depth grid prunes first: each dimension gets
+    * an `nBins` quantile-bin index (direction-normalized, sketch-driven —
+    * two scans, zero extra shuffles), the ≤ nBins^d DISTINCT occupied
+    * cells form a metadata-sized table, and any cell with a nonempty cell
+    * strictly better in EVERY dimension is dead — bin(q) > bin(v) forces
+    * q > v, so every point in the better cell dominates every point in the
+    * dead one. Dropping dead cells is a broadcast hash anti-join on the
+    * cell vector (narrow per-row probe). Only the surviving Pareto band —
+    * O(skyline) for correlated/independent dims, not O(n) — pays the exact
+    * quadratic refine, as a broadcast nested-loop anti-join. Anti-
+    * correlated dimensions degrade gracefully: the skyline itself is the
+    * output, so the refine cost is inherent to the answer size.
+    */
+  def skyline(df: DataFrame, maxCols: Seq[String], minCols: Seq[String] = Nil,
+              nBins: Int = 8): DataFrame = {
+    val dims: Seq[(String, Boolean)] = maxCols.map((_, true)) ++ minCols.map((_, false))
+    require(dims.nonEmpty, "skyline needs at least one dimension")
+    val clean = df.na.drop("any", dims.map(_._1))
+    val binned = dims.zipWithIndex.foldLeft(clean) { case (d, ((c, isMax), i)) =>
+      val v = (if (isMax) col(c) else -col(c)).cast("double")
+      Sketches.quantileBins(d.withColumn(s"__v$i", v), s"__v$i", col(s"__v$i"),
+          Nil, nBins)
+        .withColumnRenamed("bin", s"__g$i").drop(s"__v$i")
+    }
+    val gs = dims.indices.map(i => s"__g$i")
+    val cells = binned.select(gs.map(col): _*).distinct()
+    val better = gs.map(g => col(s"b.$g") >= col(s"a.$g") + 1).reduce(_ && _)
+    val dead = cells.as("a").join(broadcast(cells.as("b")), better, "left_semi")
+    val cands = binned.join(broadcast(dead), gs, "left_anti")
+    val geq = dims.map { case (c, isMax) =>
+      if (isMax) col(s"b.$c") >= col(s"a.$c") else col(s"b.$c") <= col(s"a.$c")
+    }.reduce(_ && _)
+    val strict = dims.map { case (c, isMax) =>
+      if (isMax) col(s"b.$c") > col(s"a.$c") else col(s"b.$c") < col(s"a.$c")
+    }.reduce(_ || _)
+    cands.as("a").join(broadcast(cands.as("b")), geq && strict, "left_anti")
+      .drop(gs: _*)
+  }
+
   /** COLLATE VECTOR BLOCK — assemble per-vector blocks from a (vectorId,
     * coordinate, value) relation, the reference's sparse-matrix/graph
     * support (reference: operator/CollateVectorBlockOperator.java:45).

@@ -284,6 +284,24 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** Join-cardinality estimate from two count-min sketches built with the
+    * SAME (depth, width, salt): |A ⋈ B| on the sketched key ≈ min over the
+    * depth rows of Σ_bucket cntA·cntB (the AMS-style inner product; each
+    * row over-estimates — colliding keys add cross terms — so the min is
+    * the tightest). The inputs are metadata-sized (≤ depth·width cells), so
+    * the whole estimate is a broadcast join over sketch cells + one scalar
+    * aggregate: the raw tables are never touched — the shape that lets a
+    * planner pick join order or a skew strategy BEFORE paying the shuffle.
+    * Integer-only, hence bit-portable to the oracle.
+    */
+  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val prod = sketchA.select(col("d"), col("bucket"), col("cnt").as("__ca"))
+      .join(broadcast(sketchB.select(col("d"), col("bucket"), col("cnt").as("__cb"))),
+        Seq("d", "bucket"))
+      .groupBy("d").agg(sum(col("__ca") * col("__cb")).as("__dot"))
+    prod.agg(min("__dot").as("est_join_size"))
+  }
+
   /** Bloom filter as a (word, bits) relation: `hashes` portable bit
     * positions per key over a `numBits` space, packed 62 bits per word
     * (62, not 64, so no engine's BIGINT shift ever touches the sign bit).

@@ -113,4 +113,18 @@ class BehaviorSpec extends SparkSpec {
       minPairCount = 1L, maxBasketSize = 10)
     assert(!capped.collect().exists(_.getString(0).startsWith("m")))
   }
+
+  test("concurrency: sweep counts active intervals at every boundary") {
+    val iv = Seq((0L, 10L), (5L, 15L), (5L, 8L), (20L, 30L)).toDF("s", "e")
+    val out = Behavior.concurrency(iv, "s", "e").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(0L -> ((1L, 1L)), 5L -> ((2L, 3L)), 8L -> ((-1L, 2L)),
+      10L -> ((-1L, 1L)), 15L -> ((-1L, 0L)), 20L -> ((1L, 1L)), 30L -> ((-1L, 0L))))
+    // bucketing never changes the answer: 1 bucket ≡ many buckets
+    val one = Behavior.concurrency(iv, "s", "e", buckets = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(one == out.map { case (t, (_, c)) => (t, c) }.toSet)
+    // empty input: empty result, no range to bucket
+    assert(Behavior.concurrency(iv.filter(col("s") < 0), "s", "e").count() == 0)
+  }
 }

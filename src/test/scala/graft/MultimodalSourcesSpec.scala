@@ -154,4 +154,50 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(byId(1L).getInt(2) == 4 && byId(1L).getInt(3) == 3)
     assert(byId(2L).getAs[Array[Byte]]("payload").toSeq == junk.toSeq, "junk mutated")
   }
+
+  // ---- REAL audio path (pure JDK, graft.multimodal.Audio) ----------------
+
+  private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("probeAudio decodes real WAV headers and flags junk") {
+    import graft.multimodal.Audio
+    val df = Seq(
+      (1L, wavBytes(new Array[Short](4000), 8000f)),
+      (2L, "definitely not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Audio.probeAudio(df, "id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((true, 1, 8000, 4000L, 500L)))
+    assert(out(2L) == ((false, 0, 0, 0L, 0L)))
+  }
+
+  test("audioFeatures: real RMS envelope tracks where the energy is") {
+    import graft.multimodal.Audio
+    // first half silence, second half a constant-amplitude square wave
+    val half = 2000
+    val samples = new Array[Short](2 * half)
+    for (i <- half until 2 * half)
+      samples(i) = if (i % 2 == 0) 16384.toShort else (-16384).toShort
+    val df = Seq((1L, wavBytes(samples, 8000f)), (2L, Array[Byte](9, 9)))
+      .toDF("id", "payload")
+    val by = Audio.audioFeatures(df, "id", windows = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val env = by(1L)
+    assert(env(0) == 0f && env(1) == 0f, env.toString)
+    assert(env(2) == 0.5f && env(3) == 0.5f, env.toString) // |±16384|/32768
+    assert(by(2L).sum == 0f, "junk must yield the zero vector")
+  }
 }

@@ -78,4 +78,23 @@ class RelationalSpec extends SparkSpec {
     }.collect()
     assert(ok.forall(identity))
   }
+
+  test("skyline: exact Pareto frontier, ties survive, nulls dropped") {
+    val pts = Seq((1, 5), (5, 1), (3, 3), (2, 2), (0, 6), (5, 1))
+      .toDF("x", "y")
+    // max-max: (2,2) is dominated by (3,3); the duplicate (5,1) pair survives
+    val mm = Relational.skyline(pts, maxCols = Seq("x", "y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(mm.toSeq == Seq((0, 6), (1, 5), (3, 3), (5, 1), (5, 1)), mm.toSeq)
+    // max x, min y: (5,1) dominates everything else
+    val mx = Relational.skyline(pts, maxCols = Seq("x"), minCols = Seq("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(mx == Set((5, 1)))
+    // a null dimension drops the row
+    val withNull = pts.unionAll(Seq((9, 9)).toDF("x", "y")
+      .select(col("x"), lit(null).cast("int").as("y")))
+    val nn = Relational.skyline(withNull, maxCols = Seq("x", "y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(nn == Set((0, 6), (1, 5), (3, 3), (5, 1)))
+  }
 }

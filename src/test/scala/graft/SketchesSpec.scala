@@ -198,4 +198,19 @@ class SketchesSpec extends SparkSpec {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("cmsJoinSize: exact without collisions, over-estimate always") {
+    val a = Seq("a", "a", "b").toDF("k")
+    val b = Seq("a", "b", "b", "c").toDF("k")
+    // true |A ⋈ B| = 2·1 + 1·2 = 4; wide sketch → no collisions → exact
+    val wide = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a, col("k"), width = 1 << 14),
+      Sketches.cmsBuild(b, col("k"), width = 1 << 14)).head().getLong(0)
+    assert(wide == 4L, s"wide=$wide")
+    // a 2-bucket grid collides hard but must never under-estimate
+    val tight = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a, col("k"), width = 2),
+      Sketches.cmsBuild(b, col("k"), width = 2)).head().getLong(0)
+    assert(tight >= 4L, s"tight=$tight")
+  }
 }

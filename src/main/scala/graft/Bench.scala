@@ -55,7 +55,10 @@ object Bench {
     "q150_funnel",
     "q153_transitions",
     "q155_triangles",
-    "q156_corr_matrix")
+    "q156_corr_matrix",
+    "q159_kcore",
+    "q161_concurrency",
+    "q162_skyline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -220,7 +220,10 @@ object Relational {
     val cells = binned.select(gs.map(col): _*).distinct()
     val better = gs.map(g => col(s"b.$g") >= col(s"a.$g") + 1).reduce(_ && _)
     val dead = cells.as("a").join(broadcast(cells.as("b")), better, "left_semi")
+    // the surviving band is answer-sized; checkpoint it so the quadratic
+    // refine's two arms don't each replay the grid/sketch lineage
     val cands = binned.join(broadcast(dead), gs, "left_anti")
+      .localCheckpoint(true)
     val geq = dims.map { case (c, isMax) =>
       if (isMax) col(s"b.$c") >= col(s"a.$c") else col(s"b.$c") <= col(s"a.$c")
     }.reduce(_ && _)

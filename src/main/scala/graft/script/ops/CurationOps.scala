@@ -818,3 +818,53 @@ class ImageResize extends UserOperator {
     graft.multimodal.Images.resizeImages(inputs.head,
       params("width").toInt, params("height").toInt)
 }
+
+/** REAL audio probe for scripts (pure-JDK javax.sound decode): (id,
+  * decodable, channels, sample_rate, n_frames, duration_ms) per payload
+  * row. Params: id (default "doc_id").
+  */
+class AudioProbe extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Audio.probeAudio(inputs.head, params.getOrElse("id", "doc_id"))
+}
+
+/** REAL audio features for scripts: windowed RMS energy envelopes.
+  * Params: id (default "doc_id"), windows (32).
+  */
+class AudioFeatures extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Audio.audioFeatures(inputs.head,
+      params.getOrElse("id", "doc_id"), params.getOrElse("windows", "32").toInt)
+}
+
+/** Interval-concurrency sweep for scripts: (t, net, concurrent) at every
+  * boundary, two-phase bucketed cumsum. Params: start, end (required),
+  * buckets (1024).
+  */
+class Concurrency extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.concurrency(inputs.head, params("start"),
+      params("end"), params.getOrElse("buckets", "1024").toInt)
+}
+
+/** Skyline / Pareto frontier for scripts: rows not dominated on the given
+  * dimensions. Params: max and/or min (comma-separated column lists),
+  * bins (8).
+  */
+class Skyline extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    def cols(p: String) =
+      params.get(p).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    graft.operators.Relational.skyline(inputs.head, cols("max"), cols("min"),
+      params.getOrElse("bins", "8").toInt)
+  }
+}
+
+/** CMS join-size estimate for scripts: input 1 and 2 are cmsBuild sketch
+  * tables with identical (depth, width, salt); emits one
+  * (est_join_size) row. No params.
+  */
+class CmsJoinSize extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.cmsJoinSize(inputs(0), inputs(1))
+}

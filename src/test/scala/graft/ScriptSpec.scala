@@ -628,6 +628,45 @@ class ScriptSpec extends SparkSpec {
     assert(rels("f").collect().head.getSeq[Float](1).sum == 1.0f)
   }
 
+  test("shipped audio plug-ins probe and featurize real WAVs from scripts") {
+    import graft.script.ScriptEngine
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2000 * 2) // 2000 silent frames = 250ms
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val rels = ScriptEngine.run(spark,
+      """p = OPERATOR 'graft.script.ops.AudioProbe' snd;
+        |f = OPERATOR 'graft.script.ops.AudioFeatures' snd ('windows': '4');""".stripMargin,
+      env0 = env("snd" -> df))
+    val probe = rels("p").collect().head
+    assert(probe.getBoolean(1) && probe.getInt(3) == 8000 && probe.getLong(5) == 250L)
+    assert(rels("f").collect().head.getSeq[Float](1).sum == 0f) // silence
+  }
+
+  test("concurrency, skyline, and cms join-size plug-ins run from scripts") {
+    import graft.script.ScriptEngine
+    val iv = Seq((0L, 10L), (5L, 15L)).toDF("s", "e")
+    val pts = Seq((1, 5), (5, 1), (3, 3), (2, 2)).toDF("x", "y")
+    val a = Seq("a", "a", "b").toDF("k")
+    val b = Seq("a", "b").toDF("k")
+    val rels = ScriptEngine.run(spark,
+      """c = OPERATOR 'graft.script.ops.Concurrency' iv ('start': 's', 'end': 'e');
+        |sk = OPERATOR 'graft.script.ops.Skyline' pts ('max': 'x,y');
+        |ja = OPERATOR 'graft.script.ops.CmsBuild' ta ('term': 'k', 'width': '1024');
+        |jb = OPERATOR 'graft.script.ops.CmsBuild' tb ('term': 'k', 'width': '1024');
+        |js = OPERATOR 'graft.script.ops.CmsJoinSize' ja, jb;""".stripMargin,
+      env0 = env("iv" -> iv, "pts" -> pts, "ta" -> a, "tb" -> b))
+    val conc = rels("c").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(conc == Map(0L -> 1L, 5L -> 2L, 10L -> 1L, 15L -> 0L))
+    assert(rels("sk").collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 5), (5, 1), (3, 3))) // (2,2) dominated by (3,3)
+    assert(rels("js").head().getLong(0) == 3L) // 2·1 + 1·1
+  }
+
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable

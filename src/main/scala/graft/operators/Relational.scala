@@ -199,11 +199,13 @@ object Relational {
     * strictly better in EVERY dimension is dead — bin(q) > bin(v) forces
     * q > v, so every point in the better cell dominates every point in the
     * dead one. Dropping dead cells is a broadcast hash anti-join on the
-    * cell vector (narrow per-row probe). Only the surviving Pareto band —
-    * O(skyline) for correlated/independent dims, not O(n) — pays the exact
-    * quadratic refine, as a broadcast nested-loop anti-join. Anti-
-    * correlated dimensions degrade gracefully: the skyline itself is the
-    * output, so the refine cost is inherent to the answer size.
+    * cell vector (narrow per-row probe). The exact quadratic refine then
+    * runs over the DISTINCT dimension vectors of the surviving band (a
+    * broadcast nested-loop anti-join), and survivors' rows return through
+    * an equi semi-join — so duplicate-heavy data (a hot tied point with
+    * 10^5 copies) costs one representative, not |copies|², in the
+    * quadratic. Anti-correlated dimensions degrade gracefully: the skyline
+    * itself is the output, so refine cost is inherent to the answer size.
     */
   def skyline(df: DataFrame, maxCols: Seq[String], minCols: Seq[String] = Nil,
               nBins: Int = 8): DataFrame = {
@@ -220,17 +222,23 @@ object Relational {
     val cells = binned.select(gs.map(col): _*).distinct()
     val better = gs.map(g => col(s"b.$g") >= col(s"a.$g") + 1).reduce(_ && _)
     val dead = cells.as("a").join(broadcast(cells.as("b")), better, "left_semi")
-    // the surviving band is answer-sized; checkpoint it so the quadratic
-    // refine's two arms don't each replay the grid/sketch lineage
+    // the surviving band is answer-sized; checkpoint it so the refine and
+    // the final semi-join don't each replay the grid/sketch lineage
     val cands = binned.join(broadcast(dead), gs, "left_anti")
       .localCheckpoint(true)
+    // refine over DISTINCT dimension vectors, not rows: a hot tie (10^5
+    // copies of one point) costs one representative in the quadratic, and
+    // all copies come back through the equi semi-join below
+    val dimCols = dims.map(_._1)
+    val pts = cands.select(dimCols.map(col): _*).distinct().localCheckpoint(true)
     val geq = dims.map { case (c, isMax) =>
       if (isMax) col(s"b.$c") >= col(s"a.$c") else col(s"b.$c") <= col(s"a.$c")
     }.reduce(_ && _)
     val strict = dims.map { case (c, isMax) =>
       if (isMax) col(s"b.$c") > col(s"a.$c") else col(s"b.$c") < col(s"a.$c")
     }.reduce(_ || _)
-    cands.as("a").join(broadcast(cands.as("b")), geq && strict, "left_anti")
+    val winners = pts.as("a").join(broadcast(pts.as("b")), geq && strict, "left_anti")
+    cands.join(broadcast(winners), dimCols, "left_semi")
       .drop(gs: _*)
   }
 

@@ -408,6 +408,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
   }
 
+  test("concurrency: cumsum bucket-partitioned, offsets broadcast over an aggregate (q161)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q161_concurrency")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    // the per-boundary running sum (ordered by t) must partition by the
+    // range bucket — an empty partitionSpec funnels every boundary
+    // through ONE task
+    val cumWindows = plan.collect {
+      case w: LWindow if w.orderSpec.exists(_.child.toString.contains("t#")) => w
+    }
+    assert(cumWindows.nonEmpty, s"expected the in-bucket cumsum window:\n$plan")
+    cumWindows.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("__b")),
+        s"cumsum window not bucket-partitioned:\n$plan")
+    }
+    // the bucket-offset prefix (ordered by __b) is a window over the
+    // bucket AGGREGATE — metadata, not boundaries
+    val offWindows = plan.collect {
+      case w: LWindow if w.orderSpec.exists(_.child.toString.contains("__b")) => w
+    }
+    assert(offWindows.nonEmpty, s"expected the bucket-offset window:\n$plan")
+    offWindows.foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        s"offset window not over the bucket aggregate:\n$plan")
+    }
+    val p = executedPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
+  }
+
+  test("skyline: refine is broadcast over distinct vectors; copies return by semi-join (q162)") {
+    val df = SparkEntry.queries("q162_skyline")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    // the dominance refine must be a broadcast nested-loop anti-join over
+    // the distinct candidate vectors, and the row recovery a broadcast
+    // LeftSemi equi-join — the corpus is never shuffled for either
+    assert(p.contains("BroadcastNestedLoopJoin"), s"refine not broadcast:\n$p")
+    assert(p.contains("LeftSemi") &&
+      (p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin")),
+      s"row recovery not a broadcast semi-join:\n$p")
+  }
+
   test("paragraph dedup partial-aggregates the winner election — no per-paragraph window (q128)") {
     val p = executedPlan(SparkEntry.queries("q128_paragraph_dedup")(spark, dir))
     // the first-occurrence election is a min() aggregate over the paragraph

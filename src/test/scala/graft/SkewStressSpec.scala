@@ -148,4 +148,28 @@ class SkewStressSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in funnel plan:\n$plan")
   }
+
+  test(s"skyline: a point tied $Hot times refines one representative, all copies survive") {
+    // the tie-adversary: 10^5 exact copies of one frontier point — a
+    // row-level refine would form ~10^10 candidate pairs; the
+    // distinct-vector refine sees ONE representative and the copies
+    // return through the equi semi-join
+    val hot = spark.range(Hot).select(lit(9).as("x"), lit(9).as("y"))
+    val rest = Seq((1, 5), (10, 1), (2, 2)).toDF("x", "y")
+    val out = graft.operators.Relational.skyline(hot.unionByName(rest),
+      maxCols = Seq("x", "y"))
+    val rows = out.collect().map(r => (r.getInt(0), r.getInt(1)))
+    // frontier vectors: (9,9) and (10,1); (1,5) and (2,2) die to (9,9)
+    assert(rows.count(_ == ((9, 9))) == Hot, s"tied copies lost: ${rows.length}")
+    assert(rows.toSet == Set((9, 9), (10, 1)), rows.toSet.toString)
+  }
+
+  test(s"concurrency: $Hot intervals sharing one boundary collapse before the cumsum") {
+    // every interval opens at t=0 — the boundary table has 2 rows, not
+    // 10^5, because deltas collapse by timestamp in a partial aggregate
+    val iv = spark.range(Hot).select(lit(0L).as("s"), lit(10L).as("e"))
+    val out = graft.operators.Behavior.concurrency(iv, "s", "e")
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(0L -> Hot.toLong, 10L -> 0L), rows.toString)
+  }
 }

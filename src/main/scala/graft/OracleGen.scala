@@ -1794,6 +1794,15 @@ object OracleGen {
        |SELECT CAST(min(dt) AS BIGINT) AS est_join_size FROM dot""".stripMargin
   }
 
+  /** Mirrors TextAnalysis.featureHash: identical portable token-bucket
+    * hash, integer term frequencies.
+    */
+  def featureHash(dim: Int): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |SELECT doc_id, CAST(${hashBucket("term", "fh", dim)} AS INT) AS idx,
+       |  CAST(count(*) AS BIGINT) AS w
+       |FROM tk GROUP BY 1, 2""".stripMargin
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

@@ -879,6 +879,9 @@ object SparkEntry {
     "q163_cms_join_size" -> ((s, d) => Sketches.cmsJoinSize(
       Sketches.cmsBuild(t(s, d, "orders"), col("o_custkey")),
       Sketches.cmsBuild(t(s, d, "customer"), col("c_custkey")))),
+    // hashing-trick sparse feature vectors over document tokens
+    "q164_feature_hash" -> ((s, d) =>
+      TextAnalysis.featureHash(t(s, d, "documents"), dim = 256)),
     // pairwise association rules over order→part-bucket baskets
     "q158_assoc_rules" -> ((s, d) => {
       val baskets = t(s, d, "lineitem")
@@ -1669,6 +1672,7 @@ object SparkEntry {
     "q161_concurrency" -> OracleGen.concurrency,
     "q162_skyline" -> OracleGen.skyline,
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
+    "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q158_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
         |ok AS (SELECT b FROM (SELECT b, count(1) AS c FROM it GROUP BY 1) WHERE c <= 100),

@@ -860,6 +860,23 @@ class Skyline extends UserOperator {
   }
 }
 
+/** Hashing-trick feature vectors for scripts: sparse (id, idx, w) term-
+  * frequency buckets; set 'dense': 'true' to assemble (id, features)
+  * Array[Float] rows for the ANN/k-means layer. Params: dim (required),
+  * text ("text"), id ("doc_id"), salt ("fh"), dense ("false").
+  */
+class FeatureHash extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val dim = params("dim").toInt
+    val id = params.getOrElse("id", "doc_id")
+    val sparse = graft.text.TextAnalysis.featureHash(inputs.head, dim,
+      params.getOrElse("text", "text"), id, params.getOrElse("salt", "fh"))
+    if (params.get("dense").contains("true"))
+      graft.text.TextAnalysis.toDenseFeatures(sparse, dim, id)
+    else sparse
+  }
+}
+
 /** CMS join-size estimate for scripts: input 1 and 2 are cmsBuild sketch
   * tables with identical (depth, width, salt); emits one
   * (est_join_size) row. No params.

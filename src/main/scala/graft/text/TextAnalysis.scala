@@ -330,6 +330,37 @@ object TextAnalysis {
         when(words > 0, lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
   }
 
+  /** Hashing-trick feature vectors (the fastText/Vowpal-Wabbit input
+    * encoding): each token maps to one of `dim` buckets via the portable
+    * hash; weight = in-document term frequency. Emits SPARSE (id, idx, w)
+    * rows — one narrow tokenize pass + one partial-aggregating shuffle of
+    * (id, idx) groups, integer-only and oracle-portable. Densify with
+    * [[toDenseFeatures]] to feed the k-means/ANN/classifier layer: text
+    * clustering without a vocabulary table, at any corpus size.
+    */
+  def featureHash(df: DataFrame, dim: Int, textCol: String = "text",
+      idCol: String = "doc_id", salt: String = "fh"): DataFrame = {
+    require(dim >= 2, s"bad dim: $dim")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        graft.operators.Sampling.hashBucket(col("__t"), salt, dim).cast("int").as("idx"))
+      .groupBy(col(idCol), col("idx")).agg(count(lit(1)).as("w"))
+  }
+
+  /** Assemble [[featureHash]]'s sparse rows into dense `Array[Float]`
+    * vectors with the (id, features) contract the similarity layer
+    * expects. One shuffle on id; per-row state ≤ the number of DISTINCT
+    * occupied buckets, never `dim` until the final narrow transform.
+    */
+  def toDenseFeatures(sparse: DataFrame, dim: Int,
+      idCol: String = "doc_id"): DataFrame =
+    sparse.groupBy(col(idCol))
+      .agg(map_from_arrays(collect_list(col("idx")),
+        collect_list(col("w"))).as("__m"))
+      .select(col(idCol), expr(
+        s"transform(sequence(0, ${dim - 1}), i -> cast(coalesce(element_at(__m, i), 0L) as float))")
+        .as("features"))
+
   def stripMarkup(text: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(text, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),

@@ -667,6 +667,16 @@ class ScriptSpec extends SparkSpec {
     assert(rels("js").head().getLong(0) == 3L) // 2·1 + 1·1
   }
 
+  test("feature-hash plug-in emits dense vectors ready for the ANN layer") {
+    import graft.script.ScriptEngine
+    val docs = Seq((7L, "x y x")).toDF("doc_id", "text")
+    val out = ScriptEngine.run(spark,
+      "f = OPERATOR 'graft.script.ops.FeatureHash' docs ('dim': '16', 'dense': 'true');",
+      env0 = env("docs" -> docs))("f")
+    val v = out.collect().head.getSeq[Float](1)
+    assert(v.length == 16 && v.sum == 3f && v.max == 2f, v.toString)
+  }
+
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable

@@ -754,6 +754,23 @@ class TextDedupSpec extends SparkSpec {
       s"expected keep: ${kept.mkString(", ")}")
   }
 
+  test("featureHash + toDenseFeatures: sparse tf buckets assemble to dense vectors") {
+    val df = Seq((1L, "a b a c"), (2L, "")).toDF("doc_id", "text")
+    val sparse = TextAnalysis.featureHash(df, dim = 8)
+    val rows = sparse.collect()
+    // doc 1: three distinct tokens, "a" twice
+    assert(rows.forall(_.getLong(0) == 1L), "empty doc must emit nothing")
+    assert(rows.map(_.getLong(2)).sum == 4L)
+    assert(rows.map(_.getLong(2)).max == 2L) // the doubled token
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    val dense = TextAnalysis.toDenseFeatures(sparse, dim = 8).collect()
+    assert(dense.length == 1)
+    val v = dense.head.getSeq[Float](1)
+    assert(v.length == 8 && v.sum == 4f && v.max == 2f, v.toString)
+    // dense and sparse agree bucket-for-bucket
+    rows.foreach(r => assert(v(r.getInt(1)) == r.getLong(2).toFloat))
+  }
+
   test("withReadability: exact counts and the Flesch formula") {
     val df = Seq((1L, "The cat sat. The dog ran! Done?"), (2L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.withReadability(df).collect()

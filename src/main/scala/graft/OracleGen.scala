@@ -1876,6 +1876,31 @@ object OracleGen {
     * least/greatest clip (comparisons only — value doubles pass through
     * bit-identically).
     */
+  /** Mirrors Sketches.madOutliers on events/event_type: both sketch passes
+    * replayed (identical hash sample, lower-nearest-rank median), then the
+    * same IEEE deviation/flag arithmetic.
+    */
+  def madOutliers(k: Int, cutoff: Double): String = {
+    def pass(src: String, vExpr: String, salt: String, out: String) =
+      s"""s_$out AS (SELECT event_type, $vExpr AS v,
+         |    ${hashBucket("event_id", salt, 1L << 30)} AS h FROM $src),
+         |r_$out AS (SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk
+         |  FROM s_$out),
+         |g_$out AS (SELECT event_type, list(v ORDER BY v) AS vs, count(1) AS n
+         |  FROM r_$out WHERE rk <= $k GROUP BY 1),
+         |$out AS (SELECT event_type,
+         |    vs[CAST(floor(0.5 * (n - 1)) + 1 AS INT)] AS $out FROM g_$out)""".stripMargin
+    s"""WITH ${pass("events", "value", "mad", "med")},
+       |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+       |    abs(e.value - m.med) AS dev
+       |  FROM events e JOIN med m USING (event_type)),
+       |${pass("d", "dev", "madd", "mad")}
+       |SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+       |  d.dev > $cutoff * a.mad AS is_outlier
+       |FROM d JOIN mad a USING (event_type)""".stripMargin
+  }
+
   def winsorize(k: Int, lo: Double, hi: Double): String =
     s"""WITH s AS (
        |  SELECT event_type, value AS v, ${hashBucket("event_id", "qsk", 1L << 30)} AS h FROM events),

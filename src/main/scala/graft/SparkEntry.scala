@@ -882,6 +882,12 @@ object SparkEntry {
     // hashing-trick sparse feature vectors over document tokens
     "q164_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(t(s, d, "documents"), dim = 256)),
+    // MAD robust outliers per event type (sketch-driven median + MAD)
+    "q165_mad_outliers" -> ((s, d) =>
+      Sketches.madOutliers(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        "value", col("event_id"), Seq("event_type"))
+        .select("event_id", "event_type", "value", "med", "mad", "is_outlier")),
     // pairwise association rules over order→part-bucket baskets
     "q158_assoc_rules" -> ((s, d) => {
       val baskets = t(s, d, "lineitem")
@@ -1673,6 +1679,7 @@ object SparkEntry {
     "q162_skyline" -> OracleGen.skyline,
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
+    "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q158_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
         |ok AS (SELECT b FROM (SELECT b, count(1) AS c FROM it GROUP BY 1) WHERE c <= 100),

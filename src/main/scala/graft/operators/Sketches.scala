@@ -216,6 +216,38 @@ object Sketches {
       least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))
   }
 
+  /** MAD-based robust outlier detection on the sketch layer: flag rows
+    * with |x − median| > cutoff · MAD, where both the per-group median and
+    * the median absolute deviation come from the deterministic
+    * [[quantileSketch]] — the robust alternative to z-scores (mean/stddev
+    * are themselves dragged by the outliers being hunted), with REPRODUCIBLE
+    * statistics instead of approx_percentile's impl-defined digest.
+    *
+    * Scale shape: two sketch passes (each ships ≤ k rows per group per
+    * task), two broadcast joins of group-cardinality tables, and narrow
+    * codegen'd arithmetic for the deviation/flag — the data is scanned
+    * twice, shuffled never. Emits the input plus (med, mad, is_outlier).
+    */
+  def madOutliers(df: DataFrame, valueCol: String, key: Column,
+      groupCols: Seq[String], cutoff: Double = 3.0, k: Int = 256,
+      salt: String = "mad"): DataFrame = {
+    require(cutoff > 0, s"bad cutoff: $cutoff")
+    def est(data: DataFrame, value: Column, s: String, out: String) = {
+      val e = quantileEstimate(
+        quantileSketch(data, value, key, groupCols.map(col), k, s),
+        groupCols, Seq(0.5))
+      e.select(groupCols.map(col) :+ col("p50").as(out): _*)
+    }
+    def joinB(data: DataFrame, small: DataFrame) =
+      if (groupCols.isEmpty) data.crossJoin(broadcast(small))
+      else data.join(broadcast(small), groupCols)
+    val withMed = joinB(df, est(df, col(valueCol), salt, "med"))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    joinB(withMed, est(withMed, col("__dev"), salt + "d", "mad"))
+      .withColumn("is_outlier", col("__dev") > lit(cutoff) * col("mad"))
+      .drop("__dev")
+  }
+
   /** Equi-depth (quantile) binning driven by the deterministic quantile
     * sketch: per group, the i/nBins quantile boundaries come from
     * [[quantileSketch]] + [[quantileEstimate]], broadcast back, and each

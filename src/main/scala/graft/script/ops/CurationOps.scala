@@ -860,6 +860,20 @@ class Skyline extends UserOperator {
   }
 }
 
+/** MAD robust outlier flags for scripts: input plus (med, mad,
+  * is_outlier), both statistics sketch-driven and reproducible. Params:
+  * value, key (required), group (comma-separated, optional), cutoff (3.0),
+  * k (256).
+  */
+class MadOutliers extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.madOutliers(inputs.head, params("value"),
+      col(params("key")),
+      params.get("group").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      params.getOrElse("cutoff", "3.0").toDouble,
+      params.getOrElse("k", "256").toInt)
+}
+
 /** Hashing-trick feature vectors for scripts: sparse (id, idx, w) term-
   * frequency buckets; set 'dense': 'true' to assemble (id, features)
   * Array[Float] rows for the ANN/k-means layer. Params: dim (required),

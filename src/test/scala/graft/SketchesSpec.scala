@@ -199,6 +199,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: flags the planted spike, never the bulk") {
+    // 100 values near 10 plus one spike; k > n so the sketch is the
+    // EXACT sample and med/mad are true medians
+    val base = spark.range(100)
+      .select(lit("g").as("grp"), col("id").as("k"),
+        (lit(10.0) + (col("id") % 5).cast("double") / 10.0).as("v"))
+    val spiked = base.unionByName(
+      Seq(("g", 999L, 1000.0)).toDF("grp", "k", "v"))
+    val out = Sketches.madOutliers(spiked, "v", col("k"), Seq("grp"),
+      cutoff = 3.0, k = 512)
+    val rows = out.collect()
+    assert(rows.count(_.getAs[Boolean]("is_outlier")) == 1)
+    assert(rows.find(_.getAs[Boolean]("is_outlier")).get.getAs[Double]("v") == 1000.0)
+    // med/mad are real data values of the bulk
+    val r = rows.head
+    assert(r.getAs[Double]("med") >= 10.0 && r.getAs[Double]("med") <= 10.4)
+    assert(r.getAs[Double]("mad") <= 0.4)
+  }
+
   test("cmsJoinSize: exact without collisions, over-estimate always") {
     val a = Seq("a", "a", "b").toDF("k")
     val b = Seq("a", "b", "b", "c").toDF("k")

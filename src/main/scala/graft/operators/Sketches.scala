@@ -316,6 +316,18 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** Merge count-min sketch tables built with the same (depth, width,
+    * salt): cells sum — exactly the sketch of the unioned raw inputs
+    * (the grid is a homomorphism of multiset union), so per-shard /
+    * per-batch sketches compose incrementally like [[kmvMerge]] /
+    * [[bloomMerge]].
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_.unionByName(_))
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
   /** Join-cardinality estimate from two count-min sketches built with the
     * SAME (depth, width, salt): |A ⋈ B| on the sketched key ≈ min over the
     * depth rows of Σ_bucket cntA·cntB (the AMS-style inner product; each

@@ -305,4 +305,45 @@ class StreamingSpec extends SparkSpec {
       assert(latest == Map("u1" -> 3, "u2" -> 1), latest.toString)
     } finally q.stop()
   }
+
+  test("count-min sketch maintains itself over a stream (complete mode)") {
+    // the incremental-corpus shape live: cmsBuild IS a streaming
+    // aggregation, and the cell state (≤ depth·width rows) is exactly
+    // what complete mode is sized for
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val cells = graft.operators.Sketches.cmsBuild(
+      in.toDF().toDF("term"), col("term"), depth = 2, width = 64)
+    val q = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("a", "c")
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+      // state after two batches == the batch sketch of the union
+      val batch = graft.operators.Sketches.cmsBuild(
+        Seq("a", "b", "a", "a", "c").toDF("term"), col("term"),
+        depth = 2, width = 64)
+      assert(streamed.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+        .sameElements(batch.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted))
+      // probing the live state gives the exact hot-term count
+      val est = graft.operators.Sketches.cmsQuery(streamed,
+        Seq("a").toDF("t"), col("t"), depth = 2, width = 64)
+      assert(est.head().getLong(1) == 3L)
+    } finally q.stop()
+  }
+
+  test("cmsMerge: per-batch sketches compose to the union's sketch") {
+    val s1 = graft.operators.Sketches.cmsBuild(Seq("a", "b").toDF("term"),
+      col("term"), depth = 2, width = 64)
+    val s2 = graft.operators.Sketches.cmsBuild(Seq("a", "c").toDF("term"),
+      col("term"), depth = 2, width = 64)
+    val merged = graft.operators.Sketches.cmsMerge(Seq(s1, s2))
+    val full = graft.operators.Sketches.cmsBuild(
+      Seq("a", "b", "a", "c").toDF("term"), col("term"), depth = 2, width = 64)
+    assert(merged.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+      .sameElements(full.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted))
+  }
 }

@@ -882,6 +882,10 @@ object SparkEntry {
     // hashing-trick sparse feature vectors over document tokens
     "q164_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(t(s, d, "documents"), dim = 256)),
+    // global percent-rank normalization of event values (tie-sharing)
+    "q166_percent_rank" -> ((s, d) =>
+      Sampling.percentRank(t(s, d, "events").select("event_id", "value"), "value")
+        .select("event_id", "value", "prank")),
     // MAD robust outliers per event type (sketch-driven median + MAD)
     "q165_mad_outliers" -> ((s, d) =>
       Sketches.madOutliers(
@@ -1680,6 +1684,10 @@ object SparkEntry {
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
+    "q166_percent_rank" ->
+      """SELECT event_id, value,
+        |  percent_rank() OVER (ORDER BY value) AS prank
+        |FROM events""".stripMargin,
     "q158_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
         |ok AS (SELECT b FROM (SELECT b, count(1) AS c FROM it GROUP BY 1) WHERE c <= 100),

@@ -228,6 +228,54 @@ object Sampling {
       .drop("__h", "__key", "__b")
   }
 
+  /** Global percent-rank normalization of a numeric column — SQL
+    * `percent_rank() OVER (ORDER BY value)` semantics: rows-strictly-below
+    * / (n − 1), ties sharing one rank — the step that puts heterogeneous
+    * quality signals (a Gopher score, an LM perplexity, a classifier
+    * margin) on one comparable [0, 1] scale before fusing them.
+    *
+    * Scale shape: ranking DISTINCT values, not rows, so a hot tied score
+    * (10^8 zeros) is ONE row in the ranked table — no tie funnel. One
+    * groupBy collapses rows to (value, count); the strictly-below running
+    * count is the two-phase bucketed cumsum of [[deterministicShuffle]]
+    * (value-range buckets, metadata-window offsets, per-bucket exclusive
+    * prefix); the result joins back on the value key. Two shuffles
+    * regardless of tie structure; only min/max/total (three scalars)
+    * reach the driver. Rows with a null value keep a null rank.
+    */
+  def percentRank(df: DataFrame, valueCol: String, buckets: Int = 1024,
+      outCol: String = "prank"): DataFrame = {
+    require(buckets >= 1, s"bad buckets: $buckets")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val range = counts.agg(min("__v"), max("__v"), sum("__c")).head()
+    if (range.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("double"))
+    val lo = range.getDouble(0)
+    val n = range.getLong(2)
+    val width = math.max((range.getDouble(1) - lo) / buckets,
+      java.lang.Double.MIN_VALUE)
+    val b = counts.withColumn("__b",
+      least(floor((col("__v") - lo) / width).cast("int"), lit(buckets - 1)))
+    val ow = Window.partitionBy().orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("__b").agg(sum("__c").as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(ow), lit(0L)))
+      .select("__b", "__off")
+    val iw = Window.partitionBy("__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = b.join(broadcast(offs), Seq("__b"))
+      .withColumn("__below", col("__off") + coalesce(sum("__c").over(iw), lit(0L)))
+      .select("__v", "__below")
+    val rank =
+      if (n > 1) col("__below").cast("double") / lit((n - 1).toDouble)
+      else lit(0.0)
+    df.withColumn("__v", col(valueCol).cast("double"))
+      .join(below, Seq("__v"), "left")
+      .withColumn(outCol, when(col("__v").isNotNull, rank))
+      .drop("__v", "__below")
+  }
+
   /** The two-phase distributed rank shared by [[deterministicShuffle]] and
     * [[interleaveStrata]]: given a `__b` bucket column ALIGNED with the
     * `ord` order (bucket boundaries never split the order), per-(part,

@@ -860,6 +860,17 @@ class Skyline extends UserOperator {
   }
 }
 
+/** Percent-rank normalization for scripts: input plus a [0,1] `prank`
+  * column with SQL percent_rank semantics (ties share). Params: value
+  * (required), buckets (1024), out ("prank").
+  */
+class PercentRank extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.percentRank(inputs.head, params("value"),
+      params.getOrElse("buckets", "1024").toInt,
+      params.getOrElse("out", "prank"))
+}
+
 /** MAD robust outlier flags for scripts: input plus (med, mad,
   * is_outlier), both statistics sketch-driven and reproducible. Params:
   * value, key (required), group (comma-separated, optional), cutoff (3.0),

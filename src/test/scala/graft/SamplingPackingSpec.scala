@@ -396,4 +396,23 @@ class SamplingPackingSpec extends SparkSpec {
     val b = naive.orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
     assert(a == b)
   }
+
+  test("percentRank matches SQL percent_rank incl. tie sharing and nulls") {
+    import graft.operators.Sampling
+    val df = Seq((1L, Some(5.0)), (2L, Some(1.0)), (3L, Some(5.0)),
+      (4L, Some(9.0)), (5L, None)).toDF("id", "v")
+    val out = Sampling.percentRank(df, "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // n=4 non-null: 1.0→0/3, the tied 5.0s→1/3 each, 9.0→3/3; null stays null
+    assert(out(2L) == 0.0 && out(4L) == 1.0 && out(5L) == null)
+    assert(out(1L) == 1.0 / 3 && out(3L) == 1.0 / 3, out.toString)
+    // the two-phase bucketing never changes the answer
+    val one = Sampling.percentRank(df, "v", buckets = 1).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(one == out)
+    // single-row and empty inputs degrade safely
+    assert(Sampling.percentRank(df.limit(0), "v").count() == 0)
+    val solo = Sampling.percentRank(df.filter(col("id") === 4), "v").head()
+    assert(solo.getDouble(2) == 0.0)
+  }
 }

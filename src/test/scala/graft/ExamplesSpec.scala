@@ -219,4 +219,29 @@ class ExamplesSpec extends SparkSpec {
     }
     assert(spark.read.parquet(s"$out/ab").count() == 10) // C(5,2) pairs
   }
+
+  test("analytics.cmr runs concurrency, outlier severity, skyline, and the join probe") {
+    val out = runExample("analytics")
+    val peak = spark.read.parquet(s"$out/peak").head().getLong(0)
+    assert(peak > 0, s"peak=$peak")
+    val sev = spark.read.parquet(s"$out/outliers")
+    if (sev.count() > 0) {
+      val pr = sev.select("prank").collect().map(_.getDouble(0))
+      assert(pr.forall(p => p >= 0.0 && p <= 1.0))
+    }
+    val sky = spark.read.parquet(s"$out/skyline").collect()
+    assert(sky.nonEmpty)
+    // no skyline row dominates another (spot exactness)
+    for (a <- sky; b <- sky)
+      assert(!(b.getAs[Double]("p_retailprice") > a.getAs[Double]("p_retailprice")
+        && b.getAs[Int]("p_size") < a.getAs[Int]("p_size")
+        && b.getAs[Double]("p_retailprice") >= a.getAs[Double]("p_retailprice")
+        && b.getAs[Int]("p_size") <= a.getAs[Int]("p_size")))
+    val est = spark.read.parquet(s"$out/join_size").head().getLong(0)
+    // CMS never under-estimates the true join size
+    val actual = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey")).count()
+    assert(est >= actual, s"est=$est actual=$actual")
+  }
 }

@@ -1803,6 +1803,32 @@ object OracleGen {
        |  CAST(count(*) AS BIGINT) AS w
        |FROM tk GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors Behavior.chiSquare on customer (mktsegment × nationkey%5):
+    * identical cell/marginal integers, per-cell (o−e)²/e as the same
+    * double tree, quantized to nanos before the cross-cell sum.
+    */
+  def chiSquare: String =
+    s"""WITH t AS (SELECT c_mktsegment AS a, c_nationkey % 5 AS b FROM customer),
+       |o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY 1, 2),
+       |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM o GROUP BY 1),
+       |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM o GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT a) AS BIGINT) AS da,
+       |  CAST(count(DISTINCT b) AS BIGINT) AS db FROM o),
+       |cells AS (SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(o.o, 0) AS o
+       |  FROM ra CROSS JOIN cb LEFT JOIN o ON o.a = ra.a AND o.b = cb.b),
+       |e AS (SELECT cells.o, n, da, db,
+       |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+       |  FROM cells CROSS JOIN tot),
+       |q AS (SELECT CAST(floor(
+       |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e * 1e9
+       |  ) AS BIGINT) AS qv, n, da, db FROM e)
+       |SELECT CAST(sum(qv) AS DOUBLE) / 1e9 AS chi2,
+       |  CAST((da - 1) * (db - 1) AS BIGINT) AS dof, n,
+       |  sqrt((CAST(sum(qv) AS DOUBLE) / 1e9)
+       |    / (CAST(n AS DOUBLE) * CAST(least(da - 1, db - 1) AS DOUBLE))) AS cramers_v
+       |FROM q GROUP BY n, da, db""".stripMargin
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

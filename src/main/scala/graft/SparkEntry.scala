@@ -882,6 +882,11 @@ object SparkEntry {
     // hashing-trick sparse feature vectors over document tokens
     "q164_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(t(s, d, "documents"), dim = 256)),
+    // chi-square independence: market segment vs nation bucket
+    "q167_chi_square" -> ((s, d) =>
+      Behavior.chiSquare(t(s, d, "customer")
+        .select(col("c_mktsegment"), (col("c_nationkey") % 5).as("ngrp")),
+        "c_mktsegment", "ngrp")),
     // global percent-rank normalization of event values (tie-sharing)
     "q166_percent_rank" -> ((s, d) =>
       Sampling.percentRank(t(s, d, "events").select("event_id", "value"), "value")
@@ -1684,6 +1689,7 @@ object SparkEntry {
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
+    "q167_chi_square" -> OracleGen.chiSquare,
     "q166_percent_rank" ->
       """SELECT event_id, value,
         |  percent_rank() OVER (ORDER BY value) AS prank

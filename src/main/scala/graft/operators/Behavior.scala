@@ -191,6 +191,47 @@ object Behavior {
       .select("t", "net", "concurrent")
   }
 
+  /** Chi-square test of independence between two categorical columns:
+    * contingency counts, the χ² statistic, degrees of freedom, and
+    * Cramér's V effect size (p-values need the incomplete gamma — compare
+    * χ² against critical values, or feed it to a stats library).
+    *
+    * Scale shape: one partial-aggregating groupBy to the |A|×|B| cell
+    * table (metadata-sized), marginals broadcast back, everything after
+    * runs on cells. Bit-portable: each cell's (o−e)²/e is one
+    * exactly-rounded double tree, QUANTIZED to integer nanos before the
+    * cross-cell sum (float addition is order-sensitive; integer addition
+    * is not — the same discipline as the LM scorers), so the statistic
+    * replays exactly in any engine.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(col(aCol)).agg(sum("o").as("__ra"))
+    val cb = obs.groupBy(col(bCol)).agg(sum("o").as("__cb"))
+    val tot = obs.agg(sum("o").as("__n"),
+      count_distinct(col(aCol)).as("__da"), count_distinct(col(bCol)).as("__db"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val contrib = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    // every (a, b) pair of the marginals, INCLUDING never-observed cells —
+    // a zero cell still contributes (0−e)²/e = e to the statistic
+    val cells = ra.crossJoin(broadcast(cb))
+      .join(broadcast(obs), Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(floor(contrib * lit(1e9)).cast("long").as("__q"),
+        col("__n"), col("__da"), col("__db"))
+    cells.groupBy("__n", "__da", "__db").agg(sum("__q").as("__sq"))
+      .select(
+        (col("__sq").cast("double") / lit(1e9)).as("chi2"),
+        ((col("__da") - 1) * (col("__db") - 1)).as("dof"),
+        col("__n").as("n"), col("__da"), col("__db"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("__da") - 1, col("__db") - 1).cast("double"))))
+      .drop("__da", "__db")
+  }
+
   /** First-order transition matrix of an event-state sequence: per key,
     * order events by (time, tie-break) and count each consecutive
     * (from_state → to_state) step, with `prob` = count / outgoing-total of

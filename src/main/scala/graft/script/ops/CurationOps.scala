@@ -860,6 +860,14 @@ class Skyline extends UserOperator {
   }
 }
 
+/** Chi-square independence test for scripts: one (chi2, dof, n,
+  * cramers_v) row for two categorical columns. Params: a, b (required).
+  */
+class ChiSquare extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.chiSquare(inputs.head, params("a"), params("b"))
+}
+
 /** Percent-rank normalization for scripts: input plus a [0,1] `prank`
   * column with SQL percent_rank semantics (ties share). Params: value
   * (required), buckets (1024), out ("prank").

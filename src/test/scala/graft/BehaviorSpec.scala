@@ -114,6 +114,21 @@ class BehaviorSpec extends SparkSpec {
     assert(!capped.collect().exists(_.getString(0).startsWith("m")))
   }
 
+  test("chiSquare: hand-checked 2x2 statistic, Cramér's V, perfect association") {
+    // contingency [[30,10],[10,30]]: n=80, all marginals 40,
+    // e=20 per cell, chi2 = 4·(10²/20) = 20, V = sqrt(20/80) = 0.5
+    val rows = Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val out = Behavior.chiSquare(rows.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(out.getAs[Double]("chi2") - 20.0) < 1e-6, out.toString)
+    assert(out.getAs[Long]("dof") == 1L && out.getAs[Long]("n") == 80L)
+    assert(math.abs(out.getAs[Double]("cramers_v") - 0.5) < 1e-6)
+    // perfect association: V = 1
+    val perfect = (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("y", "v"))).toDF("a", "b")
+    val p = Behavior.chiSquare(perfect, "a", "b").head()
+    assert(math.abs(p.getAs[Double]("cramers_v") - 1.0) < 1e-6, p.toString)
+  }
+
   test("concurrency: sweep counts active intervals at every boundary") {
     val iv = Seq((0L, 10L), (5L, 15L), (5L, 8L), (20L, 30L)).toDF("s", "e")
     val out = Behavior.concurrency(iv, "s", "e").collect()

@@ -882,6 +882,17 @@ object SparkEntry {
     // hashing-trick sparse feature vectors over document tokens
     "q164_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(t(s, d, "documents"), dim = 256)),
+    // bloom-filtered parquet roundtrip: point predicate over the
+    // bloom-indexed key, aggregate read-back (the q107 shape)
+    "q168_bloom_store" -> ((s, d) => {
+      val out = s"/tmp/graft-bloom/${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.Layout.storeWithBloom(
+        t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
+        out, bloomCols = Seq("l_suppkey"), ndv = 10000)
+      s.read.parquet(out).filter(col("l_suppkey") === 7)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
     // chi-square independence: market segment vs nation bucket
     "q167_chi_square" -> ((s, d) =>
       Behavior.chiSquare(t(s, d, "customer")
@@ -1690,6 +1701,10 @@ object SparkEntry {
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    "q168_bloom_store" ->
+      """SELECT l_suppkey, CAST(count(1) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,
     "q166_percent_rank" ->
       """SELECT event_id, value,
         |  percent_rank() OVER (ORDER BY value) AS prank

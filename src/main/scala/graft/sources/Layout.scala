@@ -84,6 +84,23 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet write with per-column BLOOM FILTERS — the row-group-skipping
+    * complement to z-order's min/max pruning: min/max stats prune RANGE
+    * predicates, blooms prune POINT lookups on high-cardinality keys
+    * (user_id = X over 100 TB touches only row groups whose bloom says
+    * maybe). `ndv` sizes each filter (expected distinct values per row
+    * group); the bits live in the files, so every parquet reader — Spark,
+    * DuckDB, Trino — skips with them, no side index to maintain.
+    */
+  def storeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     ndv: Long = 100000L, mode: String = "overwrite"): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    bloomCols.foldLeft(df.write.mode(mode)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** Rewrite the parquet data at `inPath` into files of ~`targetFileBytes`
     * at `outPath`. Merging small files is a narrow `coalesce` (no shuffle —
     * tasks concatenate input splits); splitting oversized files needs the

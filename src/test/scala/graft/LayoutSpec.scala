@@ -113,4 +113,37 @@ class LayoutSpec extends SparkSpec {
     val n = Layout.compact(spark, s"$dir/in", s"$dir/out", targetFileBytes = 64L * 1024)
     assert(n > 1, s"expected a split, got $n file(s)")
   }
+
+  test("storeWithBloom writes real parquet bloom filters that answer membership") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val dir = tmp()
+    val df = spark.range(1000)
+      .select(concat(lit("u"), col("id")).as("k"), col("id").as("v")).coalesce(1)
+    Layout.storeWithBloom(df, s"$dir/out", bloomCols = Seq("k"), ndv = 1000)
+    val file = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getPath),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala
+      val bfr = reader.getBloomFilterDataReader(block)
+      val kBf = bfr.readBloomFilter(cols.find(_.getPath.toDotString == "k").get)
+      assert(kBf != null, "no bloom filter on the requested column")
+      // every written key answers maybe-present
+      (0 until 1000 by 97).foreach { i =>
+        assert(kBf.findHash(kBf.hash(Binary.fromString(s"u$i"))), s"u$i missing")
+      }
+      // absent keys mostly answer no (fpp well under 50%)
+      val fp = (0 until 200).count(i =>
+        kBf.findHash(kBf.hash(Binary.fromString(s"absent$i"))))
+      assert(fp < 40, s"false-positive storm: $fp/200")
+      // the un-requested column carries no bloom
+      assert(bfr.readBloomFilter(cols.find(_.getPath.toDotString == "v").get) == null)
+    } finally reader.close()
+  }
 }

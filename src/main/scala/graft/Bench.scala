@@ -58,7 +58,11 @@ object Bench {
     "q156_corr_matrix",
     "q159_kcore",
     "q161_concurrency",
-    "q162_skyline")
+    "q162_skyline",
+    "q164_feature_hash",
+    "q165_mad_outliers",
+    "q166_percent_rank",
+    "q167_chi_square")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -148,6 +148,24 @@ object Profile {
       time("q93 + hot join (noop)")(noop(dup))
     }
     time("q90 full")(SparkEntry.queries("q90_mixture_take")(spark, sfDir).count())
+
+    // q162 decomposition: grid-bin pass vs candidate checkpoint vs refine
+    locally {
+      import graft.operators.{Relational, Sketches}
+      val p = t("part").select("p_partkey", "p_size", "p_retailprice")
+      time("q162 part bare count")(p.count())
+      val b0 = Sketches.quantileBins(
+        p.withColumn("__v0", col("p_retailprice").cast("double")), "__v0",
+        col("__v0"), Nil, 8)
+      time("q162 one quantileBins pass (noop)")(noop(b0))
+      val b1 = Sketches.quantileBins(
+        b0.withColumn("__v1", -col("p_size").cast("double")), "__v1",
+        col("__v1"), Nil, 8)
+      time("q162 both bins (noop)")(noop(b1))
+      time("q162 full")(Relational.skyline(p,
+        maxCols = Seq("p_retailprice"), minCols = Seq("p_size")).count())
+    }
+    time("q161 full")(SparkEntry.queries("q161_concurrency")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -192,9 +192,10 @@ object Relational {
     * (dominance is undefined on null).
     *
     * Scale shape: the textbook formulation is an O(n²) NOT EXISTS
-    * self-join. Here an equi-depth grid prunes first: each dimension gets
-    * an `nBins` quantile-bin index (direction-normalized, sketch-driven —
-    * two scans, zero extra shuffles), the ≤ nBins^d DISTINCT occupied
+    * self-join. Here an equi-depth grid prunes first: ONE approx-quantile
+    * aggregation yields every dimension's `nBins` boundaries
+    * (direction-normalized; the grid is an internal prune, so approximate
+    * boundaries never affect the answer), the ≤ nBins^d DISTINCT occupied
     * cells form a metadata-sized table, and any cell with a nonempty cell
     * strictly better in EVERY dimension is dead — bin(q) > bin(v) forces
     * q > v, so every point in the better cell dominates every point in the
@@ -212,12 +213,23 @@ object Relational {
     val dims: Seq[(String, Boolean)] = maxCols.map((_, true)) ++ minCols.map((_, false))
     require(dims.nonEmpty, "skyline needs at least one dimension")
     val clean = df.na.drop("any", dims.map(_._1))
-    val binned = dims.zipWithIndex.foldLeft(clean) { case (d, ((c, isMax), i)) =>
-      val v = (if (isMax) col(c) else -col(c)).cast("double")
-      Sketches.quantileBins(d.withColumn(s"__v$i", v), s"__v$i", col(s"__v$i"),
-          Nil, nBins)
-        .withColumnRenamed("bin", s"__g$i").drop(s"__v$i")
+    // equi-depth grid boundaries for ALL dims in ONE aggregation. The grid
+    // is an internal prune — the refine below is exact under ANY binning —
+    // so approx_percentile (no determinism contract, but one cheap pass)
+    // is the right tool here, unlike the oracle-replayed sketch operators.
+    val qs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val withNorm = dims.zipWithIndex.foldLeft(clean) { case (d, ((c, isMax), i)) =>
+      d.withColumn(s"__n$i", (if (isMax) col(c) else -col(c)).cast("double"))
     }
+    val bounds = withNorm.agg(
+      percentile_approx(col("__n0"), lit(qs), lit(10000)).as("__bs0"),
+      dims.indices.tail.map(i =>
+        percentile_approx(col(s"__n$i"), lit(qs), lit(10000)).as(s"__bs$i")): _*)
+    val binned = dims.indices.foldLeft(withNorm.crossJoin(broadcast(bounds))) {
+      (d, i) =>
+        d.withColumn(s"__g$i", size(org.apache.spark.sql.functions
+          .filter(col(s"__bs$i"), b => b <= col(s"__n$i"))))
+    }.drop(dims.indices.flatMap(i => Seq(s"__n$i", s"__bs$i")): _*)
     val gs = dims.indices.map(i => s"__g$i")
     val cells = binned.select(gs.map(col): _*).distinct()
     val better = gs.map(g => col(s"b.$g") >= col(s"a.$g") + 1).reduce(_ && _)
@@ -230,7 +242,9 @@ object Relational {
     // copies of one point) costs one representative in the quadratic, and
     // all copies come back through the equi semi-join below
     val dimCols = dims.map(_._1)
-    val pts = cands.select(dimCols.map(col): _*).distinct().localCheckpoint(true)
+    // both refine arms re-derive this from the checkpointed band — a
+    // distinct over answer-sized data, cheaper than another checkpoint job
+    val pts = cands.select(dimCols.map(col): _*).distinct()
     val geq = dims.map { case (c, isMax) =>
       if (isMax) col(s"b.$c") >= col(s"a.$c") else col(s"b.$c") <= col(s"a.$c")
     }.reduce(_ && _)

@@ -200,4 +200,26 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(env(2) == 0.5f && env(3) == 0.5f, env.toString) // |±16384|/32768
     assert(by(2L).sum == 0f, "junk must yield the zero vector")
   }
+
+  test("audio features compose with embedding near-dup: clones match, noise doesn't") {
+    import graft.multimodal.Audio
+    // two near-identical clips (same energy shape, one slightly louder)
+    // and one with the energy at the other end
+    def clip(amp: Short, backHalf: Boolean): Array[Byte] = {
+      val n = 2000
+      val s = new Array[Short](n)
+      val (lo, hi) = if (backHalf) (n / 2, n) else (0, n / 2)
+      for (i <- lo until hi) s(i) = if (i % 2 == 0) amp else (-amp).toShort
+      wavBytes(s, 8000f)
+    }
+    val df = Seq(
+      (1L, clip(16000, backHalf = true)),
+      (2L, clip(15000, backHalf = true)),
+      (3L, clip(16000, backHalf = false))).toDF("id", "payload")
+    val feats = Audio.audioFeatures(df, "id", windows = 8)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("features", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingNearDup(feats, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }

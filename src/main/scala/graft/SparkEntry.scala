@@ -893,6 +893,17 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
+    // CDC snapshot diff between two derived versions of orders
+    "q169_snapshot_diff" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val prev = base.filter(col("o_orderkey") % 7 =!= 0)
+      val next = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+      Incremental.snapshotDiff(prev, next, Seq("o_orderkey"))
+    }),
     // chi-square independence: market segment vs nation bucket
     "q167_chi_square" -> ((s, d) =>
       Behavior.chiSquare(t(s, d, "customer")
@@ -1701,6 +1712,20 @@ object SparkEntry {
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    "q169_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |o AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""".stripMargin,
     "q168_bloom_store" ->
       """SELECT l_suppkey, CAST(count(1) AS BIGINT) AS n_rows,
         |  sum(l_quantity) AS sum_qty

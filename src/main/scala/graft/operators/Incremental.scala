@@ -244,4 +244,39 @@ object Incremental {
     spark.read.parquet(mvPath)
       .cube(dims.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("__sketch"))).as(as))
+
+  /** CDC-style snapshot diff: classify every key of two table versions as
+    * `added` (new only), `removed` (old only), `changed` (both, any
+    * compare column null-safe-differs), or `unchanged`. `compareCols`
+    * defaults to every shared non-key column. Emits (keys..., status) —
+    * feed the non-unchanged keys to an incremental rebuild, or aggregate
+    * for a drift report.
+    *
+    * Scale shape: one full outer shuffle join on the key (bucket both
+    * snapshots on it to make the join shuffle-free); the comparison is a
+    * narrow codegen'd null-safe conjunction, no hashing of payload
+    * columns needed.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.toSeq.intersect(newDf.columns.toSeq).diff(keyCols)
+    val o = oldDf.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_old", lit(true))
+      .toDF(keyCols ++ cmp.map("__o_" + _) :+ "__in_old": _*)
+    val n = newDf.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_new", lit(true))
+      .toDF(keyCols ++ cmp.map("__n_" + _) :+ "__in_new": _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val differs = cmp.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.withColumn("status",
+      when(col("__in_old").isNull, "added")
+        .when(col("__in_new").isNull, "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged"))
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
 }

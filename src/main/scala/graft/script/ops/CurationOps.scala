@@ -860,6 +860,20 @@ class Skyline extends UserOperator {
   }
 }
 
+/** CDC snapshot diff for scripts: inputs = (old, new); emits (keys...,
+  * status ∈ added/removed/changed/unchanged). Params: keys (required,
+  * comma-separated), compare (optional comma-separated; defaults to all
+  * shared non-key columns).
+  */
+class SnapshotDiff extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    def cols(p: String) =
+      params.get(p).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    graft.operators.Incremental.snapshotDiff(inputs(0), inputs(1),
+      cols("keys"), cols("compare"))
+  }
+}
+
 /** Chi-square independence test for scripts: one (chi2, dof, n,
   * cramers_v) row for two categorical columns. Params: a, b (required).
   */

@@ -101,4 +101,21 @@ class IncrementalSpec extends SparkSpec {
     val cubeExact = ord.select("member").distinct().count()
     assert(math.abs(cubeEst.toDouble - cubeExact) / cubeExact < 0.05)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged incl. null payloads") {
+    val prev = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None, 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")
+    val next = Seq((2L, Some("b"), 20.0), (3L, None, 30.0),
+      (4L, Some("D"), 40.0), (5L, Some("e"), 50.0)).toDF("k", "s", "v")
+    val out = Incremental.snapshotDiff(prev, next, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 vanished, 5 appeared, 4's payload changed, 3's null payload is
+    // null-safe-equal → unchanged
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "unchanged",
+      4L -> "changed", 5L -> "added"), out.toString)
+    // explicit compareCols restrict the change test: ignoring s, 4 is unchanged
+    val onlyV = Incremental.snapshotDiff(prev, next, Seq("k"), Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(onlyV(4L) == "unchanged")
+  }
 }

@@ -893,6 +893,17 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
+    // linear multi-touch attribution: purchases credit view/click
+    // touches within a 30-minute lookback
+    "q170_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      Behavior.attribution(
+        ev.filter(col("event_type").isin("view", "click")),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts_us", "event_id", "ts_us",
+        lookback = 1800000000L, model = "linear")
+    }),
     // CDC snapshot diff between two derived versions of orders
     "q169_snapshot_diff" -> ((s, d) => {
       val base = t(s, d, "orders")
@@ -1712,6 +1723,17 @@ object SparkEntry {
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    "q170_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT user_id, event_id AS touch_id, ts_us AS tt FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT user_id, event_id AS conv_id, ts_us AS ct FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, t.touch_id FROM c JOIN t ON c.user_id = t.user_id
+        |  AND t.tt <= c.ct AND t.tt > c.ct - 1800000000),
+        |n AS (SELECT conv_id, count(*) AS n FROM j GROUP BY 1)
+        |SELECT j.conv_id, j.touch_id, CAST(1.0 AS DOUBLE) / CAST(n.n AS DOUBLE) AS credit
+        |FROM j JOIN n USING (conv_id)""".stripMargin,
     "q169_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |o AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),

@@ -191,6 +191,50 @@ object Behavior {
       .select("t", "net", "concurrent")
   }
 
+  /** Marketing-style conversion attribution: for every conversion, credit
+    * the key's touch events inside the lookback window — `first` /
+    * `last` touch get credit 1.0, `linear` splits 1/n over all touches.
+    * Emits (conv_id, touch_id, credit); conversions with no touch in
+    * window are absent (count them from the source for an "organic" row).
+    *
+    * Scale shape: one equi-join on the key with the window predicate in
+    * the join condition (never a cross product; per-key width is the
+    * user's own event count — pre-session truly pathological keys), then
+    * ONE partial-aggregating groupBy per conversion electing min/max_by
+    * (first/last) or count (linear) — no per-event window. Credits are
+    * 1.0 or the single exactly-rounded 1/n division: oracle-portable.
+    */
+  def attribution(touches: DataFrame, convs: DataFrame, keyCol: String,
+                  touchIdCol: String, touchTsCol: String,
+                  convIdCol: String, convTsCol: String,
+                  lookback: Long, model: String = "linear"): DataFrame = {
+    require(lookback > 0, s"bad lookback: $lookback")
+    val t = touches.select(col(keyCol).as("__k"),
+      col(touchIdCol).as("touch_id"), col(touchTsCol).cast("long").as("__tt"))
+    val c = convs.select(col(keyCol).as("__k"),
+      col(convIdCol).as("conv_id"), col(convTsCol).cast("long").as("__ct"))
+    val joined = c.join(t, Seq("__k"))
+      .filter(col("__tt") <= col("__ct") && col("__tt") > col("__ct") - lookback)
+    model match {
+      case "first" =>
+        joined.groupBy("conv_id")
+          .agg(min_by(col("touch_id"), struct(col("__tt"), col("touch_id")))
+            .as("touch_id"))
+          .withColumn("credit", lit(1.0))
+      case "last" =>
+        joined.groupBy("conv_id")
+          .agg(max_by(col("touch_id"), struct(col("__tt"), col("touch_id")))
+            .as("touch_id"))
+          .withColumn("credit", lit(1.0))
+      case "linear" =>
+        val n = joined.groupBy("conv_id").agg(count(lit(1)).as("__n"))
+        joined.join(n, "conv_id")
+          .withColumn("credit", lit(1.0) / col("__n").cast("double"))
+          .select("conv_id", "touch_id", "credit")
+      case other => throw new IllegalArgumentException(s"unknown model: $other")
+    }
+  }
+
   /** Chi-square test of independence between two categorical columns:
     * contingency counts, the χ² statistic, degrees of freedom, and
     * Cramér's V effect size (p-values need the incomplete gamma — compare

@@ -860,6 +860,19 @@ class Skyline extends UserOperator {
   }
 }
 
+/** Conversion attribution for scripts: inputs = (touches, conversions);
+  * emits (conv_id, touch_id, credit). Params: key, touchId, touchTs,
+  * convId, convTs, lookback (required), model ("linear"|"first"|"last",
+  * default "linear").
+  */
+class Attribution extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.attribution(inputs(0), inputs(1),
+      params("key"), params("touchId"), params("touchTs"),
+      params("convId"), params("convTs"), params("lookback").toLong,
+      params.getOrElse("model", "linear"))
+}
+
 /** CDC snapshot diff for scripts: inputs = (old, new); emits (keys...,
   * status ∈ added/removed/changed/unchanged). Params: keys (required,
   * comma-separated), compare (optional comma-separated; defaults to all

@@ -114,6 +114,23 @@ class BehaviorSpec extends SparkSpec {
     assert(!capped.collect().exists(_.getString(0).startsWith("m")))
   }
 
+  test("attribution: first/last/linear credit inside the lookback only") {
+    // user 1: touches at t=10,20,80; conversion at t=100, lookback 50
+    // → eligible touches 80 and... 60<tt<=100: only 80 (and 20? 20>50 no)
+    val touches = Seq((1L, 101L, 10L), (1L, 102L, 60L), (1L, 103L, 80L),
+      (2L, 201L, 5L)).toDF("u", "tid", "tt")
+    val convs = Seq((1L, 900L, 100L), (2L, 901L, 200L)).toDF("u", "cid", "ct")
+    def run(model: String) =
+      Behavior.attribution(touches, convs, "u", "tid", "tt", "cid", "ct",
+        lookback = 50L, model = model).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // conv 900 window (50, 100]: touches 60 and 80; conv 901 window
+    // (150, 200]: nothing — absent
+    assert(run("linear").toSet == Set((900L, 102L, 0.5), (900L, 103L, 0.5)))
+    assert(run("first").toSet == Set((900L, 102L, 1.0)))
+    assert(run("last").toSet == Set((900L, 103L, 1.0)))
+  }
+
   test("chiSquare: hand-checked 2x2 statistic, Cramér's V, perfect association") {
     // contingency [[30,10],[10,30]]: n=80, all marginals 40,
     // e=20 per cell, chi2 = 4·(10²/20) = 20, V = sqrt(20/80) = 0.5

@@ -218,6 +218,14 @@ class ExamplesSpec extends SparkSpec {
       assert(math.abs(p - 1.0) < 1e-9, s"prob sum $p")
     }
     assert(spark.read.parquet(s"$out/ab").count() == 10) // C(5,2) pairs
+    // attribution: every conversion's credits sum to 1
+    val att = spark.read.parquet(s"$out/attribution")
+    if (att.count() > 0) {
+      val sums = att.groupBy("conv_id")
+        .agg(org.apache.spark.sql.functions.sum("credit").as("s"))
+        .collect().map(_.getAs[Double]("s"))
+      assert(sums.forall(s => math.abs(s - 1.0) < 1e-9), sums.take(5).toSeq.toString)
+    }
   }
 
   test("analytics.cmr runs concurrency, outlier severity, skyline, and the join probe") {

@@ -893,6 +893,13 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
+    // recency-weighted engagement: exact dyadic 1-day-half-life decay
+    "q171_decayed_counts" -> ((s, d) =>
+      WindowOps.decayedCounts(
+        t(s, d, "events").select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us")),
+        Seq("event_type"), "ts_us",
+        nowTs = 1709251200000000L, halfLife = 86400000000L)),
     // linear multi-touch attribution: purchases credit view/click
     // touches within a 30-minute lookback
     "q170_attribution" -> ((s, d) => {
@@ -1723,6 +1730,16 @@ object SparkEntry {
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    "q171_decayed_counts" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        |w AS (SELECT event_type,
+        |    CASE WHEN t <= 1709251200000000 AND a < 62 THEN 1::BIGINT << (62 - a)
+        |         ELSE 0 END AS num
+        |  FROM (SELECT event_type, t,
+        |      CAST((1709251200000000 - t) // 86400000000 AS INT) AS a FROM e))
+        |SELECT event_type,
+        |  CAST(sum(num) AS DOUBLE) / 4611686018427387904.0 AS decayed
+        |FROM w GROUP BY 1""".stripMargin,
     "q170_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |t AS (SELECT user_id, event_id AS touch_id, ts_us AS tt FROM e

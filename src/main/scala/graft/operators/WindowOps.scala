@@ -169,4 +169,33 @@ object WindowOps {
         col("zscore").isNotNull && abs(col("zscore")) > zThreshold)
       .drop("__sum", "__sumsq")
   }
+
+  /** Exponentially time-decayed counts per key: each event contributes
+    * 2^−age (age = whole `halfLife` units before `nowTs`), so yesterday's
+    * click counts half of today's — the standard recency-weighted
+    * engagement score, made REPRODUCIBLE: decay weights are the dyadic
+    * rationals 2^−k, carried as integer numerators over 2^62 and summed
+    * EXACTLY (decimal arithmetic, no float-order sensitivity); the single
+    * final division by 2^62 is one exactly-rounded double op. Events
+    * older than 62 half-lives contribute 0 (they'd be below one ulp
+    * anyway); events after `nowTs` are dropped.
+    *
+    * One partial-aggregating shuffle of (key, decimal) — the same cost as
+    * a plain count, with none of approx-decay's engine dependence.
+    */
+  def decayedCounts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    nowTs: Long, halfLife: Long): DataFrame = {
+    require(halfLife > 0, s"bad halfLife: $halfLife")
+    // guard on the raw timestamp, not the age: integer division of a
+    // negative numerator truncates toward zero in Spark but floors in
+    // other engines, so a future event's age is engine-dependent
+    val a = s"cast(((${nowTs}L - cast(`$tsCol` as bigint)) div ${halfLife}L) as int)"
+    val num = expr(s"case when cast(`$tsCol` as bigint) <= ${nowTs}L and $a < 62 " +
+      s"then shiftleft(1L, 62 - $a) else 0L end")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(num.cast("decimal(38,0)")).as("__num"))
+      .withColumn("decayed",
+        col("__num").cast("double") / lit(math.pow(2.0, 62)))
+      .drop("__num")
+  }
 }

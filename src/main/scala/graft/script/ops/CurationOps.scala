@@ -860,6 +860,16 @@ class Skyline extends UserOperator {
   }
 }
 
+/** Recency-decayed counts for scripts: (keys..., decayed) with exact
+  * dyadic 2^−age weights. Params: keys, ts, now, halfLife (required).
+  */
+class DecayedCounts extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.WindowOps.decayedCounts(inputs.head,
+      params("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      params("ts"), params("now").toLong, params("halfLife").toLong)
+}
+
 /** Conversion attribution for scripts: inputs = (touches, conversions);
   * emits (conv_id, touch_id, credit). Params: key, touchId, touchTs,
   * convId, convTs, lookback (required), model ("linear"|"first"|"last",

@@ -114,6 +114,18 @@ class BehaviorSpec extends SparkSpec {
     assert(!capped.collect().exists(_.getString(0).startsWith("m")))
   }
 
+  test("decayedCounts: exact dyadic half-life weights") {
+    import graft.operators.WindowOps
+    // now=100, halfLife=10: ages 0,1,2 → weights 1, 0.5, 0.25; a future
+    // event and a 62-half-life-old one contribute nothing
+    val ev = Seq(("a", 95L), ("a", 85L), ("a", 75L), ("a", 105L),
+      ("b", 100L), ("b", 100L - 620L)).toDF("k", "t")
+    val out = WindowOps.decayedCounts(ev, Seq("k"), "t",
+      nowTs = 100L, halfLife = 10L).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 1.75, "b" -> 1.0), out.toString)
+  }
+
   test("attribution: first/last/linear credit inside the lookback only") {
     // user 1: touches at t=10,20,80; conversion at t=100, lookback 50
     // → eligible touches 80 and... 60<tt<=100: only 80 (and 20? 20>50 no)

@@ -927,6 +927,12 @@ object SparkEntry {
       Behavior.chiSquare(t(s, d, "customer")
         .select(col("c_mktsegment"), (col("c_nationkey") % 5).as("ngrp")),
         "c_mktsegment", "ngrp")),
+    // per-stratum percent rank: value normalized within each event type
+    "q172_percent_rank_by" -> ((s, d) =>
+      Sampling.percentRank(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        "value", groupCols = Seq("event_type"))
+        .select("event_id", "event_type", "value", "prank")),
     // global percent-rank normalization of event values (tie-sharing)
     "q166_percent_rank" -> ((s, d) =>
       Sampling.percentRank(t(s, d, "events").select("event_id", "value"), "value")
@@ -1730,6 +1736,10 @@ object SparkEntry {
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    "q172_percent_rank_by" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS prank
+        |FROM events""".stripMargin,
     "q171_decayed_counts" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
         |w AS (SELECT event_type,

@@ -228,11 +228,13 @@ object Sampling {
       .drop("__h", "__key", "__b")
   }
 
-  /** Global percent-rank normalization of a numeric column — SQL
-    * `percent_rank() OVER (ORDER BY value)` semantics: rows-strictly-below
-    * / (n − 1), ties sharing one rank — the step that puts heterogeneous
-    * quality signals (a Gopher score, an LM perplexity, a classifier
-    * margin) on one comparable [0, 1] scale before fusing them.
+  /** Percent-rank normalization of a numeric column, globally or per
+    * `groupCols` stratum — SQL `percent_rank() OVER ([PARTITION BY g]
+    * ORDER BY value)` semantics: rows-strictly-below / (n − 1), ties
+    * sharing one rank — the step that puts heterogeneous quality signals
+    * (a Gopher score, an LM perplexity, a classifier margin) on one
+    * comparable [0, 1] scale before fusing them, or normalizes a score
+    * within each language before mixing strata.
     *
     * Scale shape: ranking DISTINCT values, not rows, so a hot tied score
     * (10^8 zeros) is ONE row in the ranked table — no tie funnel. One
@@ -244,36 +246,41 @@ object Sampling {
     * reach the driver. Rows with a null value keep a null rank.
     */
   def percentRank(df: DataFrame, valueCol: String, buckets: Int = 1024,
-      outCol: String = "prank"): DataFrame = {
+      outCol: String = "prank", groupCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 1, s"bad buckets: $buckets")
+    val gs = groupCols
     val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("double").as("__v"))
+      .groupBy(gs.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val range = counts.agg(min("__v"), max("__v"), sum("__c")).head()
+    val range = counts.agg(min("__v"), max("__v")).head()
     if (range.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("double"))
     val lo = range.getDouble(0)
-    val n = range.getLong(2)
+    // global value-range buckets align with the value order inside EVERY
+    // group, so one boundary set serves all strata
     val width = math.max((range.getDouble(1) - lo) / buckets,
       java.lang.Double.MIN_VALUE)
     val b = counts.withColumn("__b",
       least(floor((col("__v") - lo) / width).cast("int"), lit(buckets - 1)))
-    val ow = Window.partitionBy().orderBy("__b")
+    val ow = Window.partitionBy(gs.map(col): _*).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = b.groupBy("__b").agg(sum("__c").as("__n"))
+    val offs = b.groupBy((gs :+ "__b").map(col): _*).agg(sum("__c").as("__n"))
       .withColumn("__off", coalesce(sum("__n").over(ow), lit(0L)))
-      .select("__b", "__off")
-    val iw = Window.partitionBy("__b").orderBy("__v")
+      .select((gs :+ "__b" :+ "__off").map(col): _*)
+    val iw = Window.partitionBy((gs :+ "__b").map(col): _*).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val below = b.join(broadcast(offs), Seq("__b"))
+    val below = b.join(broadcast(offs), gs :+ "__b")
       .withColumn("__below", col("__off") + coalesce(sum("__c").over(iw), lit(0L)))
-      .select("__v", "__below")
-    val rank =
-      if (n > 1) col("__below").cast("double") / lit((n - 1).toDouble)
-      else lit(0.0)
-    df.withColumn("__v", col(valueCol).cast("double"))
-      .join(below, Seq("__v"), "left")
-      .withColumn(outCol, when(col("__v").isNotNull, rank))
-      .drop("__v", "__below")
+      .select((gs :+ "__v" :+ "__below").map(col): _*)
+    val nPer = counts.groupBy(gs.map(col): _*).agg(sum("__c").as("__ntot"))
+    val withV = df.withColumn("__v", col(valueCol).cast("double"))
+    val j1 = withV.join(below, gs :+ "__v", "left")
+    val j2 = if (gs.isEmpty) j1.crossJoin(broadcast(nPer))
+             else j1.join(broadcast(nPer), gs, "left")
+    j2.withColumn(outCol,
+        when(col("__v").isNotNull && col("__ntot") > 1,
+          col("__below").cast("double") / (col("__ntot") - 1).cast("double"))
+          .when(col("__v").isNotNull, lit(0.0)))
+      .drop("__v", "__below", "__ntot")
   }
 
   /** The two-phase distributed rank shared by [[deterministicShuffle]] and

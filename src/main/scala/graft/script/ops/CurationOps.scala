@@ -913,7 +913,8 @@ class PercentRank extends UserOperator {
   def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
     graft.operators.Sampling.percentRank(inputs.head, params("value"),
       params.getOrElse("buckets", "1024").toInt,
-      params.getOrElse("out", "prank"))
+      params.getOrElse("out", "prank"),
+      params.get("group").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 }
 
 /** MAD robust outlier flags for scripts: input plus (med, mad,

@@ -414,5 +414,12 @@ class SamplingPackingSpec extends SparkSpec {
     assert(Sampling.percentRank(df.limit(0), "v").count() == 0)
     val solo = Sampling.percentRank(df.filter(col("id") === 4), "v").head()
     assert(solo.getDouble(2) == 0.0)
+    // grouped: each stratum normalizes against its own n
+    val g = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0))
+      .toDF("g", "v")
+    val gr = Sampling.percentRank(g, "v", groupCols = Seq("g")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(gr == Map(("a", 1.0) -> 0.0, ("a", 2.0) -> 0.5, ("a", 3.0) -> 1.0,
+      ("b", 10.0) -> 0.0, ("b", 20.0) -> 1.0), gr.toString)
   }
 }

@@ -1829,6 +1829,22 @@ object OracleGen {
        |    / (CAST(n AS DOUBLE) * CAST(least(da - 1, db - 1) AS DOUBLE))) AS cramers_v
        |FROM q GROUP BY n, da, db""".stripMargin
 
+  /** Mirrors TextAnalysis.featureHashTfidf: the featureHash triples plus
+    * the identical single tf·ln(N/df) weight expression.
+    */
+  def featureHashTfidf(dim: Int): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |s AS (SELECT doc_id, CAST(${hashBucket("term", "fh", dim)} AS INT) AS idx,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM tk GROUP BY 1, 2),
+       |d AS (SELECT idx, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY 1),
+       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM s)
+       |SELECT s.doc_id, s.idx, s.w,
+       |  CAST(CAST(floor(CAST(s.w AS DOUBLE)
+       |    * ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) * 1e6) AS BIGINT)
+       |    AS DOUBLE) / 1e6 AS w_tfidf
+       |FROM s JOIN d USING (idx) CROSS JOIN nn""".stripMargin
+
   // ---- q150/q151 behavioral analytics --------------------------------------
 
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of

@@ -937,6 +937,9 @@ object SparkEntry {
     "q166_percent_rank" -> ((s, d) =>
       Sampling.percentRank(t(s, d, "events").select("event_id", "value"), "value")
         .select("event_id", "value", "prank")),
+    // TF-IDF weights over the hashed feature space
+    "q173_feature_hash_tfidf" -> ((s, d) =>
+      TextAnalysis.featureHashTfidf(t(s, d, "documents"), dim = 256)),
     // MAD robust outliers per event type (sketch-driven median + MAD)
     "q165_mad_outliers" -> ((s, d) =>
       Sketches.madOutliers(
@@ -1734,6 +1737,7 @@ object SparkEntry {
     "q162_skyline" -> OracleGen.skyline,
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
+    "q173_feature_hash_tfidf" -> OracleGen.featureHashTfidf(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
     "q172_percent_rank_by" ->

@@ -347,6 +347,29 @@ object TextAnalysis {
       .groupBy(col(idCol), col("idx")).agg(count(lit(1)).as("w"))
   }
 
+  /** TF-IDF weighting over the hashed feature space: [[featureHash]]'s
+    * integer term frequencies scaled by ln(N / df_bucket), where
+    * df_bucket = number of documents touching the bucket (computed
+    * exactly from the sparse rows — one extra metadata-sized aggregate,
+    * broadcast back). Weights are tf·ln(N/df) QUANTIZED to micro-units —
+    * libm ln differs across engines in the last ulp, so the raw product
+    * is floored at 1e−6 granularity before anything downstream sees it
+    * (the LM-scorer discipline); the kept weight is bit-portable and the
+    * 1e−6 loss is far below any retrieval signal.
+    */
+  def featureHashTfidf(df: DataFrame, dim: Int, textCol: String = "text",
+      idCol: String = "doc_id", salt: String = "fh"): DataFrame = {
+    val sparse = featureHash(df, dim, textCol, idCol, salt)
+    val dfreq = sparse.groupBy("idx").agg(count(lit(1)).as("__df"))
+    val n = sparse.select(col(idCol)).distinct().count()
+    val raw = col("w").cast("double") *
+      log(lit(n.toDouble) / col("__df").cast("double"))
+    sparse.join(broadcast(dfreq), "idx")
+      .withColumn("w_tfidf",
+        floor(raw * lit(1e6)).cast("long").cast("double") / lit(1e6))
+      .select(col(idCol), col("idx"), col("w"), col("w_tfidf"))
+  }
+
   /** Assemble [[featureHash]]'s sparse rows into dense `Array[Float]`
     * vectors with the (id, features) contract the similarity layer
     * expects. One shuffle on id; per-row state ≤ the number of DISTINCT

@@ -771,6 +771,18 @@ class TextDedupSpec extends SparkSpec {
     rows.foreach(r => assert(v(r.getInt(1)) == r.getLong(2).toFloat))
   }
 
+  test("featureHashTfidf: corpus-wide buckets weigh zero, rare ones ln(N/df)") {
+    val df = Seq((1L, "common rare1"), (2L, "common rare2"), (3L, "common rare3"))
+      .toDF("doc_id", "text")
+    // dim large enough that the 4 tokens don't collide
+    val out = TextAnalysis.featureHashTfidf(df, dim = 4096).collect()
+    val byW = out.groupBy(_.getAs[Double]("w_tfidf")).view.mapValues(_.length).toMap
+    // "common" in all 3 docs → ln(3/3)=0 three times; each rareX →
+    // ln(3/1) floored to micro-units
+    assert(byW(0.0) == 3, byW.toString)
+    assert(byW(math.floor(math.log(3.0) * 1e6) / 1e6) == 3, byW.toString)
+  }
+
   test("withReadability: exact counts and the Flesch formula") {
     val df = Seq((1L, "The cat sat. The dog ran! Done?"), (2L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.withReadability(df).collect()

@@ -242,8 +242,10 @@ object Joins {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.__key").as("__ka"), col("b.__key").as("__kb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
-      .filter(col("dist") <= k)
+      // thresholded levenshtein runs the banded O(k·n) DP and early-exits
+      // with -1 past the bound — exact distance for every surviving pair
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }
 }

@@ -860,6 +860,38 @@ class Skyline extends UserOperator {
   }
 }
 
+/** Edit-distance join for scripts (FastSS deletion-variant blocking, no
+  * false negatives): emits (id_a, id_b, dist) with dist ≤ k. Params:
+  * key (required), k (1), id ("doc_id").
+  */
+class EditJoin extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Joins.editDistanceJoin(inputs.head,
+      params.getOrElse("k", "1").toInt, col(params("key")),
+      params.getOrElse("id", "doc_id"))
+}
+
+/** Duplicate clustering for scripts: large/small-star connected
+  * components over match pairs; emits (doc_id, cluster = component min).
+  * Params: a ("id_a"), b ("id_b").
+  */
+class DupClusters extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.dedup.Dedup.dupClusters(inputs.head,
+      params.getOrElse("a", "id_a"), params.getOrElse("b", "id_b"))
+}
+
+/** Best-copy survivor selection for scripts over PRE-BUILT clusters:
+  * inputs = (rows, clusters); keeps the top-scored row per cluster plus
+  * every unclustered row. Params: score (required), id ("doc_id"),
+  * cluster ("cluster").
+  */
+class SurvivorsBy extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.dedup.Dedup.survivorsBy(inputs(0), inputs(1), col(params("score")),
+      params.getOrElse("id", "doc_id"), params.getOrElse("cluster", "cluster"))
+}
+
 /** Recency-decayed counts for scripts: (keys..., decayed) with exact
   * dyadic 2^−age weights. Params: keys, ts, now, halfLife (required).
   */

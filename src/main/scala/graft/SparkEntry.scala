@@ -893,6 +893,13 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
+    // per-type metric trend lines (exact integer moments)
+    "q174_linear_trend" -> ((s, d) =>
+      Aggregations.linearTrend(
+        t(s, d, "events").select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("x"),
+          col("value")),
+        Seq("event_type"), "x", "value")),
     // recency-weighted engagement: exact dyadic 1-day-half-life decay
     "q171_decayed_counts" -> ((s, d) =>
       WindowOps.decayedCounts(
@@ -1740,6 +1747,22 @@ object SparkEntry {
     "q173_feature_hash_tfidf" -> OracleGen.featureHashTfidf(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    "q174_linear_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 1000000 AS HUGEINT) AS x,
+        |    CAST(CAST(floor(value * 1e6) AS BIGINT) AS HUGEINT) AS yq FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(yq) AS sy, sum(x * yq) AS sxy, sum(x * x) AS sxx
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT event_type, n, sx, sy,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den <> 0 THEN num / den / 1e6 END AS slope,
+        |  CASE WHEN den <> 0 THEN
+        |    (CAST(sy AS DOUBLE) / 1e6 - (num / den / 1e6) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS intercept
+        |FROM s""".stripMargin,
     "q172_percent_rank_by" ->
       """SELECT event_id, event_type, value,
         |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS prank

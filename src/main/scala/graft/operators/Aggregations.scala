@@ -199,4 +199,38 @@ object Aggregations {
       spark: org.apache.spark.sql.SparkSession, name: String,
       agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT]): Unit =
     spark.udf.register(name, udaf(agg))
+
+  /** Per-key least-squares trend line over (x, y) observations — the
+    * metric-drift detector (is this user's engagement / this domain's
+    * quality score rising or falling?). Both coordinates are quantized to
+    * integers (`x` taken as-is, `y` at micro-unit granularity), so all
+    * five moments (n, Σx, Σy, Σxy, Σx²) are EXACT decimal sums — no
+    * float-order sensitivity — and slope/intercept are single
+    * exactly-rounded double trees over those integers: bit-portable, like
+    * the correlation matrix. One partial-aggregating shuffle, the cost of
+    * any groupBy. `slope`/`intercept` are in y-units per x-unit (the 1e6
+    * quantization cancels in slope's ratio and is divided back out of the
+    * intercept); keys with < 2 distinct x get null slope.
+    */
+  def linearTrend(df: DataFrame, keyCols: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    val x = col(xCol).cast("long").cast("decimal(38,0)")
+    val yq = floor(col(yCol).cast("double") * lit(1e6)).cast("long")
+      .cast("decimal(38,0)")
+    val agg = df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(x).as("__sx"), sum(yq).as("__sy"),
+      sum(x * yq).as("__sxy"), sum(x * x).as("__sxx"))
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double") / den / lit(1e6)
+    val intercept = (col("__sy").cast("double") / lit(1e6) -
+      slope * col("__sx").cast("double")) / col("__n").cast("double")
+    agg
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("slope", when(den =!= 0.0, slope))
+      .withColumn("intercept", when(den =!= 0.0, intercept))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
 }

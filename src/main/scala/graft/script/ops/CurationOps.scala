@@ -892,6 +892,16 @@ class SurvivorsBy extends UserOperator {
       params.getOrElse("id", "doc_id"), params.getOrElse("cluster", "cluster"))
 }
 
+/** Per-key least-squares trend for scripts: (keys..., n, slope,
+  * intercept) from exact integer moments. Params: keys, x, y (required).
+  */
+class LinearTrend extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Aggregations.linearTrend(inputs.head,
+      params("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      params("x"), params("y"))
+}
+
 /** Recency-decayed counts for scripts: (keys..., decayed) with exact
   * dyadic 2^−age weights. Params: keys, ts, now, halfLife (required).
   */

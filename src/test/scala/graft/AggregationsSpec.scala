@@ -121,4 +121,18 @@ class AggregationsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.collectLeaves().size
     assert(scans == 1)
   }
+
+  test("linearTrend: exact slope/intercept on a known line, null under-determined") {
+    // y = 2x + 3 exactly; micro-quantization is lossless on these values
+    val pts = Seq(("a", 0L, 3.0), ("a", 1L, 5.0), ("a", 2L, 7.0),
+      ("b", 5L, 1.0), ("b", 5L, 9.0)).toDF("k", "x", "y")
+    val out = Aggregations.linearTrend(pts, Seq("k"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 3L)
+    assert(math.abs(a.getAs[Double]("slope") - 2.0) < 1e-9, a.toString)
+    assert(math.abs(a.getAs[Double]("intercept") - 3.0) < 1e-9, a.toString)
+    // a single distinct x cannot determine a slope
+    assert(out("b").isNullAt(out("b").fieldIndex("slope")))
+  }
 }

@@ -62,7 +62,12 @@ object Bench {
     "q164_feature_hash",
     "q165_mad_outliers",
     "q166_percent_rank",
-    "q167_chi_square")
+    "q167_chi_square",
+    "q169_snapshot_diff",
+    "q170_attribution",
+    "q171_decayed_counts",
+    "q173_feature_hash_tfidf",
+    "q174_linear_trend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

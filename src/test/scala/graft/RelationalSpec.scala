@@ -96,5 +96,15 @@ class RelationalSpec extends SparkSpec {
     val nn = Relational.skyline(withNull, maxCols = Seq("x", "y"))
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(nn == Set((0, 6), (1, 5), (3, 3), (5, 1)))
+    // three dimensions against a brute-force reference
+    val p3 = Seq((1, 1, 9), (2, 2, 2), (9, 1, 1), (1, 9, 1), (3, 3, 3), (2, 3, 3))
+      .toDF("x", "y", "z")
+    val got = Relational.skyline(p3, maxCols = Seq("x", "y", "z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val all = Seq((1, 1, 9), (2, 2, 2), (9, 1, 1), (1, 9, 1), (3, 3, 3), (2, 3, 3))
+    val brute = all.filter(a => !all.exists(b =>
+      b._1 >= a._1 && b._2 >= a._2 && b._3 >= a._3 &&
+        (b._1 > a._1 || b._2 > a._2 || b._3 > a._3))).toSet
+    assert(got == brute, s"got $got expected $brute")
   }
 }

@@ -870,6 +870,13 @@ object SparkEntry {
         (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
       Behavior.concurrency(iv, "st", "en")
     }),
+    // per-type concurrency: independent sweeps per event_type
+    "q175_concurrency_by" -> ((s, d) => {
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val iv = t(s, d, "events").select(col("event_type"), us.as("st"),
+        (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
+      Behavior.concurrency(iv, "st", "en", groupCols = Seq("event_type"))
+    }),
     // Pareto frontier of parts: max retail price, min size
     "q162_skyline" -> ((s, d) =>
       Relational.skyline(
@@ -1741,6 +1748,17 @@ object SparkEntry {
     "q159_kcore" -> OracleGen.kCore(k = 14, rounds = 8),
     "q160_readability" -> OracleGen.readability,
     "q161_concurrency" -> OracleGen.concurrency,
+    "q175_concurrency_by" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+        |  FROM events),
+        |d AS (SELECT event_type, t, CAST(sum(dlt) AS BIGINT) AS net FROM (
+        |    SELECT event_type, s AS t, 1 AS dlt FROM iv
+        |    UNION ALL SELECT event_type, e, -1 FROM iv)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, t, net,
+        |  CAST(sum(net) OVER (PARTITION BY event_type ORDER BY t) AS BIGINT) AS concurrent
+        |FROM d""".stripMargin,
     "q162_skyline" -> OracleGen.skyline,
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),

@@ -154,7 +154,9 @@ object Behavior {
     * exclusive, integer timestamps), emit every boundary instant `t` with
     * `net` (interval starts minus ends at t) and `concurrent` (number of
     * intervals active in [t, next boundary)) — peak concurrent sessions is
-    * `max(concurrent)`, a one-row reduction away.
+    * `max(concurrent)`, a one-row reduction away. With `groupCols` the
+    * sweep runs independently per stratum (concurrent sessions per
+    * server / per event type) off the same two-phase machinery.
     *
     * Scale shape: the classic sweep is a running sum over a GLOBAL time
     * order, which naively funnels every boundary through one window task.
@@ -168,27 +170,32 @@ object Behavior {
     * (two longs) ever reach the driver. Integer-only, oracle-portable.
     */
   def concurrency(intervals: DataFrame, startCol: String, endCol: String,
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = 1024, groupCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 1, s"bad buckets: $buckets")
-    val deltas = intervals.select(col(startCol).cast("long").as("t"), lit(1L).as("__d"))
-      .unionAll(intervals.select(col(endCol).cast("long").as("t"), lit(-1L).as("__d")))
-      .groupBy("t").agg(sum("__d").as("net"))
+    val gs = groupCols
+    val deltas = intervals
+      .select(gs.map(col) :+ col(startCol).cast("long").as("t") :+ lit(1L).as("__d"): _*)
+      .unionAll(intervals
+        .select(gs.map(col) :+ col(endCol).cast("long").as("t") :+ lit(-1L).as("__d"): _*))
+      .groupBy((gs :+ "t").map(col): _*).agg(sum("__d").as("net"))
+    // one GLOBAL time range buckets every group: bucket order = time
+    // order inside any group, and only two longs reach the driver
     val range = deltas.agg(min("t"), max("t")).head()
     if (range.isNullAt(0)) return deltas.withColumn("concurrent", lit(0L))
     val tMin = range.getLong(0)
     val width = math.max((range.getLong(1) - tMin) / buckets + 1, 1L)
     val b = deltas.withColumn("__b", ((col("t") - tMin) / width).cast("int"))
     val ow = org.apache.spark.sql.expressions.Window
-      .partitionBy().orderBy("__b")
+      .partitionBy(gs.map(col): _*).orderBy("__b")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offs = b.groupBy("__b").agg(sum("net").as("__n"))
+    val offs = b.groupBy((gs :+ "__b").map(col): _*).agg(sum("net").as("__n"))
       .withColumn("__off", coalesce(sum("__n").over(ow), lit(0L)))
-      .select("__b", "__off")
+      .select((gs :+ "__b" :+ "__off").map(col): _*)
     val rw = org.apache.spark.sql.expressions.Window
-      .partitionBy("__b").orderBy("t")
-    b.join(broadcast(offs), Seq("__b"))
+      .partitionBy((gs :+ "__b").map(col): _*).orderBy("t")
+    b.join(broadcast(offs), gs :+ "__b")
       .withColumn("concurrent", col("__off") + sum("net").over(rw))
-      .select("t", "net", "concurrent")
+      .select((gs :+ "t" :+ "net" :+ "concurrent").map(col): _*)
   }
 
   /** Marketing-style conversion attribution: for every conversion, credit

@@ -844,7 +844,8 @@ class AudioFeatures extends UserOperator {
 class Concurrency extends UserOperator {
   def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
     graft.operators.Behavior.concurrency(inputs.head, params("start"),
-      params("end"), params.getOrElse("buckets", "1024").toInt)
+      params("end"), params.getOrElse("buckets", "1024").toInt,
+      params.get("group").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 }
 
 /** Skyline / Pareto frontier for scripts: rows not dominated on the given

@@ -170,5 +170,11 @@ class BehaviorSpec extends SparkSpec {
     assert(one == out.map { case (t, (_, c)) => (t, c) }.toSet)
     // empty input: empty result, no range to bucket
     assert(Behavior.concurrency(iv.filter(col("s") < 0), "s", "e").count() == 0)
+    // grouped: strata sweep independently off one shared bucket range
+    val giv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("b", 5L, 8L)).toDF("g", "s", "e")
+    val gc = Behavior.concurrency(giv, "s", "e", groupCols = Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(gc == Map(("a", 0L) -> 1L, ("a", 5L) -> 2L, ("a", 10L) -> 1L,
+      ("a", 15L) -> 0L, ("b", 5L) -> 1L, ("b", 8L) -> 0L), gc.toString)
   }
 }

@@ -907,6 +907,13 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp)) div 1000000").as("x"),
           col("value")),
         Seq("event_type"), "x", "value")),
+    // recency-weighted mean metric per type (exact dyadic EWM)
+    "q176_decayed_stats" -> ((s, d) =>
+      WindowOps.decayedStats(
+        t(s, d, "events").select(col("event_type"), col("value"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us")),
+        Seq("event_type"), "ts_us", "value",
+        nowTs = 1709251200000000L, halfLife = 86400000000L)),
     // recency-weighted engagement: exact dyadic 1-day-half-life decay
     "q171_decayed_counts" -> ((s, d) =>
       WindowOps.decayedCounts(
@@ -1785,6 +1792,23 @@ object SparkEntry {
       """SELECT event_id, event_type, value,
         |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS prank
         |FROM events""".stripMargin,
+    "q176_decayed_stats" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+        |    CAST(CAST(floor(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS HUGEINT) AS vq
+        |  FROM events),
+        |w AS (SELECT event_type, vq,
+        |    CAST(CASE WHEN t <= 1709251200000000 AND a < 62
+        |         THEN 1::BIGINT << (62 - a) ELSE 0 END AS HUGEINT) AS wn
+        |  FROM (SELECT event_type, t, vq,
+        |      CAST((1709251200000000 - t) // 86400000000 AS INT) AS a FROM e)),
+        |m AS (SELECT event_type, sum(wn) AS wn, sum(wn * vq) AS ws
+        |  FROM w GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(CAST(wn AS VARCHAR) AS DOUBLE) / 4611686018427387904.0 AS decayed_n,
+        |  CAST(CAST(ws AS VARCHAR) AS DOUBLE) / 4611686018427387904.0 / 1e6 AS decayed_sum,
+        |  CASE WHEN wn > 0 THEN CAST(CAST(ws AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(wn AS VARCHAR) AS DOUBLE) / 1e6 END AS ewm
+        |FROM m""".stripMargin,
     "q171_decayed_counts" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
         |w AS (SELECT event_type,
@@ -1793,7 +1817,7 @@ object SparkEntry {
         |  FROM (SELECT event_type, t,
         |      CAST((1709251200000000 - t) // 86400000000 AS INT) AS a FROM e))
         |SELECT event_type,
-        |  CAST(sum(num) AS DOUBLE) / 4611686018427387904.0 AS decayed
+        |  CAST(CAST(sum(num) AS VARCHAR) AS DOUBLE) / 4611686018427387904.0 AS decayed
         |FROM w GROUP BY 1""".stripMargin,
     "q170_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -195,7 +195,44 @@ object WindowOps {
     df.groupBy(keyCols.map(col): _*)
       .agg(sum(num.cast("decimal(38,0)")).as("__num"))
       .withColumn("decayed",
-        col("__num").cast("double") / lit(math.pow(2.0, 62)))
+        // decimal→double via string: Double.parseDouble is correctly
+        // rounded, while Decimal.toDouble can be off by one ulp on
+        // integers past 2^53 — and the oracle's HUGEINT cast is correct
+        col("__num").cast("string").cast("double") / lit(math.pow(2.0, 62)))
       .drop("__num")
+  }
+
+  /** Recency-weighted statistics of a metric per key — [[decayedCounts]]'s
+    * exact-dyadic weights applied to a value column: `decayed_n` (weighted
+    * count), `decayed_sum` (weighted value total), and `ewm` (the
+    * exponentially-weighted mean — yesterday's metric counts half of
+    * today's). The value is micro-quantized and every weighted
+    * contribution is an exact decimal product, so the sums carry no
+    * float-order sensitivity and the three outputs are single
+    * exactly-rounded double trees. |value| must stay below ~1e13 (the
+    * decimal-38 headroom under the 2^62 weight scale — checked nowhere,
+    * documented here). One partial-aggregating shuffle.
+    */
+  def decayedStats(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valueCol: String, nowTs: Long, halfLife: Long): DataFrame = {
+    require(halfLife > 0, s"bad halfLife: $halfLife")
+    val a = s"cast(((${nowTs}L - cast(`$tsCol` as bigint)) div ${halfLife}L) as int)"
+    val w = s"case when cast(`$tsCol` as bigint) <= ${nowTs}L and $a < 62 " +
+      s"then shiftleft(1L, 62 - $a) else 0L end"
+    val vq = s"cast(floor(cast(`$valueCol` as double) * 1e6) as bigint)"
+    val wDec = expr(w).cast("decimal(38,0)")
+    val agg = df.groupBy(keyCols.map(col): _*).agg(
+      sum(wDec).as("__wn"),
+      sum(wDec * expr(vq).cast("decimal(38,0)")).as("__ws"))
+    val two62 = lit(math.pow(2.0, 62))
+    // string-route the decimal→double casts (see decayedCounts): exact
+    // integers above 2^53 must round identically to the oracle's casts
+    val wn = col("__wn").cast("string").cast("double")
+    val ws = col("__ws").cast("string").cast("double")
+    agg
+      .withColumn("decayed_n", wn / two62)
+      .withColumn("decayed_sum", ws / two62 / lit(1e6))
+      .withColumn("ewm", when(col("__wn") > 0, ws / wn / lit(1e6)))
+      .drop("__wn", "__ws")
   }
 }

@@ -126,6 +126,17 @@ class BehaviorSpec extends SparkSpec {
     assert(out == Map("a" -> 1.75, "b" -> 1.0), out.toString)
   }
 
+  test("decayedStats: exact EWM over dyadic weights") {
+    import graft.operators.WindowOps
+    // now=100, halfLife=10: weights 1 and 0.5 → ewm = (1·8 + 0.5·2)/1.5 = 6
+    val ev = Seq(("a", 95L, 8.0), ("a", 85L, 2.0)).toDF("k", "t", "v")
+    val r = WindowOps.decayedStats(ev, Seq("k"), "t", "v",
+      nowTs = 100L, halfLife = 10L).head()
+    assert(r.getAs[Double]("decayed_n") == 1.5, r.toString)
+    assert(r.getAs[Double]("decayed_sum") == 9.0, r.toString)
+    assert(r.getAs[Double]("ewm") == 6.0, r.toString)
+  }
+
   test("attribution: first/last/linear credit inside the lookback only") {
     // user 1: touches at t=10,20,80; conversion at t=100, lookback 50
     // → eligible touches 80 and... 60<tt<=100: only 80 (and 20? 20>50 no)

@@ -904,13 +904,20 @@ class LinearTrend extends UserOperator {
 }
 
 /** Recency-decayed counts for scripts: (keys..., decayed) with exact
-  * dyadic 2^−age weights. Params: keys, ts, now, halfLife (required).
+  * dyadic 2^−age weights; pass 'value' to get decayedStats' weighted
+  * (decayed_n, decayed_sum, ewm) instead. Params: keys, ts, now,
+  * halfLife (required), value (optional).
   */
 class DecayedCounts extends UserOperator {
-  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
-    graft.operators.WindowOps.decayedCounts(inputs.head,
-      params("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-      params("ts"), params("now").toLong, params("halfLife").toLong)
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val keys = params("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    params.get("value") match {
+      case Some(v) => graft.operators.WindowOps.decayedStats(inputs.head,
+        keys, params("ts"), v, params("now").toLong, params("halfLife").toLong)
+      case None => graft.operators.WindowOps.decayedCounts(inputs.head,
+        keys, params("ts"), params("now").toLong, params("halfLife").toLong)
+    }
+  }
 }
 
 /** Conversion attribution for scripts: inputs = (touches, conversions);

@@ -67,7 +67,9 @@ object Bench {
     "q170_attribution",
     "q171_decayed_counts",
     "q173_feature_hash_tfidf",
-    "q174_linear_trend")
+    "q174_linear_trend",
+    "q175_concurrency_by",
+    "q176_decayed_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

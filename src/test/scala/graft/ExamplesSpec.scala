@@ -226,6 +226,13 @@ class ExamplesSpec extends SparkSpec {
         .collect().map(_.getAs[Double]("s"))
       assert(sums.forall(s => math.abs(s - 1.0) < 1e-9), sums.take(5).toSeq.toString)
     }
+    // trend and EWM: one row per event type, finite statistics
+    val trend = spark.read.parquet(s"$out/trend").collect()
+    assert(trend.length == 5 && trend.forall(r =>
+      !r.isNullAt(r.fieldIndex("slope")) &&
+        !r.getAs[Double]("slope").isNaN))
+    val ewm = spark.read.parquet(s"$out/ewm").collect()
+    assert(ewm.length == 5 && ewm.forall(_.getAs[Double]("ewm") > 0.0))
   }
 
   test("entity_resolution.cmr matches, clusters, and keeps the best record") {

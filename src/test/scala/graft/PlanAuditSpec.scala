@@ -450,6 +450,24 @@ class PlanAuditSpec extends SparkSpec {
       s"row recovery not a broadcast semi-join:\n$p")
   }
 
+  test("decayed counts / EWM / trend are single partial aggregates, no windows (q171/q174/q176)") {
+    Seq("q171_decayed_counts", "q174_linear_trend", "q176_decayed_stats").foreach { q =>
+      val p = details(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q has no aggregate:\n$p")
+      // map-side partials: a hot key combines before the exchange
+      assert(p.toLowerCase.contains("partial"), s"$q missing partial agg:\n$p")
+    }
+  }
+
+  test("attribution: keyed join with in-condition window, count election partial-aggregates (q170)") {
+    val p = details(SparkEntry.queries("q170_attribution")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"attribution fell to a product join:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no partial aggregate:\n$p")
+  }
+
   test("paragraph dedup partial-aggregates the winner election — no per-paragraph window (q128)") {
     val p = executedPlan(SparkEntry.queries("q128_paragraph_dedup")(spark, dir))
     // the first-occurrence election is a min() aggregate over the paragraph

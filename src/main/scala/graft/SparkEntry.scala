@@ -932,6 +932,16 @@ object SparkEntry {
         "user_id", "event_id", "ts_us", "event_id", "ts_us",
         lookback = 1800000000L, model = "linear")
     }),
+    // U-shaped position attribution over the same touch stream
+    "q177_attribution_position" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      Behavior.attribution(
+        ev.filter(col("event_type").isin("view", "click")),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts_us", "event_id", "ts_us",
+        lookback = 1800000000L, model = "position")
+    }),
     // CDC snapshot diff between two derived versions of orders
     "q169_snapshot_diff" -> ((s, d) => {
       val base = t(s, d, "orders")
@@ -1819,6 +1829,24 @@ object SparkEntry {
         |SELECT event_type,
         |  CAST(CAST(sum(num) AS VARCHAR) AS DOUBLE) / 4611686018427387904.0 AS decayed
         |FROM w GROUP BY 1""".stripMargin,
+    "q177_attribution_position" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT user_id, event_id AS touch_id, ts_us AS tt FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT user_id, event_id AS conv_id, ts_us AS ct FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, t.touch_id, t.tt FROM c JOIN t ON c.user_id = t.user_id
+        |  AND t.tt <= c.ct AND t.tt > c.ct - 1800000000),
+        |r AS (SELECT conv_id, touch_id,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY tt, touch_id) AS rf,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM j)
+        |SELECT conv_id, touch_id,
+        |  CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |       WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |       WHEN rf = 1 OR rf = n THEN CAST(0.4 AS DOUBLE)
+        |       ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS credit
+        |FROM r""".stripMargin,
     "q170_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |t AS (SELECT user_id, event_id AS touch_id, ts_us AS tt FROM e

@@ -200,7 +200,8 @@ object Behavior {
 
   /** Marketing-style conversion attribution: for every conversion, credit
     * the key's touch events inside the lookback window — `first` /
-    * `last` touch get credit 1.0, `linear` splits 1/n over all touches.
+    * `last` touch get credit 1.0, `linear` splits 1/n over all touches,
+    * `position` is the U-shape (0.4 to each end, 0.2 across the middle).
     * Emits (conv_id, touch_id, credit); conversions with no touch in
     * window are absent (count them from the source for an "organic" row).
     *
@@ -237,6 +238,24 @@ object Behavior {
         val n = joined.groupBy("conv_id").agg(count(lit(1)).as("__n"))
         joined.join(n, "conv_id")
           .withColumn("credit", lit(1.0) / col("__n").cast("double"))
+          .select("conv_id", "touch_id", "credit")
+      case "position" =>
+        // U-shaped: first and last touch get 0.4 each, the middles split
+        // the remaining 0.2 (1 touch → 1.0, 2 touches → 0.5/0.5); ties
+        // break on (time, touch_id) like first/last. Same shape as
+        // linear: one election aggregate joined back on the conversion.
+        val ord = struct(col("__tt"), col("touch_id"))
+        val stats = joined.groupBy("conv_id").agg(
+          count(lit(1)).as("__n"),
+          min_by(col("touch_id"), ord).as("__first"),
+          max_by(col("touch_id"), ord).as("__last"))
+        joined.join(stats, "conv_id")
+          .withColumn("credit",
+            when(col("__n") === 1, lit(1.0))
+              .when(col("__n") === 2, lit(0.5))
+              .when(col("touch_id") === col("__first") ||
+                col("touch_id") === col("__last"), lit(0.4))
+              .otherwise(lit(0.2) / (col("__n") - 2).cast("double")))
           .select("conv_id", "touch_id", "credit")
       case other => throw new IllegalArgumentException(s"unknown model: $other")
     }

@@ -152,6 +152,16 @@ class BehaviorSpec extends SparkSpec {
     assert(run("linear").toSet == Set((900L, 102L, 0.5), (900L, 103L, 0.5)))
     assert(run("first").toSet == Set((900L, 102L, 1.0)))
     assert(run("last").toSet == Set((900L, 103L, 1.0)))
+    // position model: 2 touches → 0.5/0.5
+    assert(run("position").toSet == Set((900L, 102L, 0.5), (900L, 103L, 0.5)))
+    // 4 touches → U-shape 0.4 / 0.1 / 0.1 / 0.4
+    val four = Seq((9L, 1L, 10L), (9L, 2L, 20L), (9L, 3L, 30L), (9L, 4L, 40L))
+      .toDF("u", "tid", "tt")
+    val conv = Seq((9L, 800L, 45L)).toDF("u", "cid", "ct")
+    val pos = Behavior.attribution(four, conv, "u", "tid", "tt", "cid", "ct",
+      lookback = 50L, model = "position").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(pos == Map(1L -> 0.4, 2L -> 0.1, 3L -> 0.1, 4L -> 0.4), pos.toString)
   }
 
   test("chiSquare: hand-checked 2x2 statistic, Cramér's V, perfect association") {

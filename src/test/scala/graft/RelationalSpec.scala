@@ -79,6 +79,20 @@ class RelationalSpec extends SparkSpec {
     assert(ok.forall(identity))
   }
 
+  test("sortBlock sorts within partitions only, like the reference SORT") {
+    val df = spark.range(100).select((col("id") * 37 % 100).as("v"))
+      .repartition(4, col("v") % 4)
+    val sorted = Relational.sortBlock(df, col("v"))
+    // every partition is internally sorted...
+    val ok = sorted.rdd.mapPartitions { it =>
+      val vs = it.map(_.getLong(0)).toSeq
+      Iterator.single(vs == vs.sorted)
+    }.collect()
+    assert(ok.forall(identity))
+    // ...and partition boundaries are preserved (no global exchange)
+    assert(sorted.rdd.getNumPartitions == 4)
+  }
+
   test("skyline: exact Pareto frontier, ties survive, nulls dropped") {
     val pts = Seq((1, 5), (5, 1), (3, 3), (2, 2), (0, 6), (5, 1))
       .toDF("x", "y")

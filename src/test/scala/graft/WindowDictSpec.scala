@@ -104,4 +104,18 @@ class WindowDictSpec extends SparkSpec {
     // b5: frame {0,10,0} -> z = -sqrt(0.5)
     assert(math.abs(out(4).getAs[Double]("zscore") + math.sqrt(0.5)) < 1e-12)
   }
+
+  test("encodeAll/decodeAll round-trip several columns through their dictionaries") {
+    val df = Seq(("a", "x"), ("b", "y"), ("a", "y")).toDF("c1", "c2")
+    val dicts = Map(
+      "c1" -> Dictionary.create(df, "c1"),
+      "c2" -> Dictionary.create(df, "c2"))
+    val enc = Dictionary.encodeAll(df, dicts)
+    // both columns are integer codes now
+    assert(enc.schema("c1").dataType.typeName == "integer")
+    assert(enc.schema("c2").dataType.typeName == "integer")
+    val back = Dictionary.decodeAll(enc, dicts)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(back.toSeq == Seq(("a", "x"), ("a", "y"), ("b", "y")))
+  }
 }

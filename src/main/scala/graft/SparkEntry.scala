@@ -882,6 +882,12 @@ object SparkEntry {
       Relational.skyline(
         t(s, d, "part").select("p_partkey", "p_size", "p_retailprice"),
         maxCols = Seq("p_retailprice"), minCols = Seq("p_size"))),
+    // three-dimensional skyline (two max dims, one min)
+    "q178_skyline3" -> ((s, d) =>
+      Relational.skyline(
+        t(s, d, "part").select(col("p_partkey"), col("p_size"),
+          col("p_retailprice"), (col("p_partkey") % 97).as("p_bucket")),
+        maxCols = Seq("p_retailprice", "p_bucket"), minCols = Seq("p_size"))),
     // sketch-only join-size estimate for orders ⋈ customer on custkey
     "q163_cms_join_size" -> ((s, d) => Sketches.cmsJoinSize(
       Sketches.cmsBuild(t(s, d, "orders"), col("o_custkey")),
@@ -1777,6 +1783,15 @@ object SparkEntry {
         |  CAST(sum(net) OVER (PARTITION BY event_type ORDER BY t) AS BIGINT) AS concurrent
         |FROM d""".stripMargin,
     "q162_skyline" -> OracleGen.skyline,
+    "q178_skyline3" ->
+      """WITH p AS (SELECT p_partkey, p_size, p_retailprice,
+        |    p_partkey % 97 AS p_bucket FROM part)
+        |SELECT * FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_retailprice >= a.p_retailprice AND b.p_bucket >= a.p_bucket
+        |    AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice > a.p_retailprice OR b.p_bucket > a.p_bucket
+        |      OR b.p_size < a.p_size))""".stripMargin,
     "q163_cms_join_size" -> OracleGen.cmsJoinSize(depth = 4, width = 1024),
     "q164_feature_hash" -> OracleGen.featureHash(dim = 256),
     "q173_feature_hash_tfidf" -> OracleGen.featureHashTfidf(dim = 256),

@@ -164,6 +164,15 @@ class SkewStressSpec extends SparkSpec {
     assert(rows.toSet == Set((9, 9), (10, 1)), rows.toSet.toString)
   }
 
+  test(s"chiSquare: a $Hot-row hot category collapses to one contingency cell") {
+    val hot = spark.range(Hot).select(lit("x").as("a"), lit("u").as("b"))
+    val rest = Seq(("y", "v"), ("y", "u")).toDF("a", "b")
+    val out = graft.operators.Behavior.chiSquare(hot.unionByName(rest), "a", "b").head()
+    assert(out.getAs[Long]("n") == Hot + 2L)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(out.getAs[Double]("chi2") > 0.0 && !out.getAs[Double]("cramers_v").isNaN)
+  }
+
   test(s"concurrency: $Hot intervals sharing one boundary collapse before the cumsum") {
     // every interval opens at t=0 — the boundary table has 2 rows, not
     // 10^5, because deltas collapse by timestamp in a partial aggregate

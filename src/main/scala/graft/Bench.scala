@@ -74,6 +74,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated subset (e.g. the round-5 matched-22) so a
+    // regression can be re-measured in an isolated JVM without the full
+    // suite's GC/code-cache pressure.
+    val selected: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(csv) if csv.trim.nonEmpty =>
+        val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        headline.filter(want.contains)
+      case _ => headline
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -127,7 +136,7 @@ object Bench {
     // (JIT/codegen warmup excluded — measured still settling on run 2)
     // while every run re-reads parquet, re-plans, re-shuffles, and
     // re-broadcasts — standard warm single-node throughput methodology
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -3,8 +3,10 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -13,15 +15,26 @@ import org.apache.spark.sql.types._
   * `spark-avro` datasource module needed. Reference analog:
   * io/avro/AvroStorage.java:32 (the reference's primary columnar input).
   *
-  * Read path: `binaryFiles` (one partition per file, any Hadoop
-  * filesystem) → `DataFileStream` of GenericRecords → Rows under the
-  * converted schema. Write path: one Avro container file per partition via
-  * `DataFileWriter`. Supported types both ways: boolean/int/long/float/
+  * Read path: each file is planned as one task per byte range of
+  * `maxSplitBytes` (default: the session's `files.maxPartitionBytes`);
+  * a task seeks to the first Avro sync marker at-or-after its range start
+  * (`DataFileReader.sync`) and stops at the first sync past its range end
+  * (`pastSync`) — the same container-block splitting the reference got from
+  * Hadoop's AvroInputFormat, so a 10 GB file fans out across the cluster
+  * instead of becoming one task. Readers are closed via a task-completion
+  * listener, so limit/take/early-abort never leaks a stream.
+  *
+  * Write path: one Avro container file per partition via `DataFileWriter`,
+  * written to a task-attempt temp name under `_temporary/` and renamed into
+  * place on task commit — speculative attempts of the same partition write
+  * distinct temp files and only one rename wins, so concurrent attempts can
+  * never interleave bytes in the final container file; a mid-job failure
+  * leaves only `_temporary/` garbage, which the driver removes.
+  *
+  * Supported types both ways: boolean/int/long/float/
   * double/string/bytes, nullable unions, nested records, arrays, and
   * string-keyed maps — the practical Cubert schema surface; enum and fixed
-  * read as string/binary. Files split per-file (Avro container blocks are
-  * not sub-split here); write many files for parallelism, as the reference
-  * did.
+  * read as string/binary.
   */
 object AvroNative {
 
@@ -119,29 +132,62 @@ object AvroNative {
 
   /** Read a directory (or glob) of Avro container files. Schema comes from
     * the first file; every file must share it (the reference's contract).
+    *
+    * @param maxSplitBytes target bytes per task; <=0 uses the session's
+    *                      `spark.sql.files.maxPartitionBytes`. Each
+    *                      (file, range) pair becomes one task; ranges are
+    *                      resolved to container blocks via sync markers, so
+    *                      every record is read exactly once.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.sparkContext.binaryFiles(s"$path/*.avro")
+  def read(spark: SparkSession, path: String, maxSplitBytes: Long = -1L): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(hconf)
+    val files: Seq[(String, Long)] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.avro")) match {
+        case null => Seq.empty
+        case sts  => sts.toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+      }
+    require(files.nonEmpty, s"no .avro files under $path")
     val firstSchemaJson = {
-      val (_, pds) = files.first()
-      val in = new DataFileStream[GenericRecord](pds.open(),
+      val in = new DataFileStream[GenericRecord](
+        fs.open(new org.apache.hadoop.fs.Path(files.head._1)),
         new GenericDatumReader[GenericRecord]())
       try in.getSchema.toString finally in.close()
     }
     val sparkSchema = toSparkType(new Schema.Parser().parse(firstSchemaJson))
       .asInstanceOf[StructType]
-    val rdd = files.flatMap { case (_, pds) =>
-      val in = new DataFileStream[GenericRecord](pds.open(),
-        new GenericDatumReader[GenericRecord]())
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = in.hasNext; if (!h) in.close(); h }
-        def next(): Row = {
-          val rec = in.next()
-          Row.fromSeq(sparkSchema.fields.toSeq.map(f =>
-            fromAvro(rec.get(f.name), f.dataType)))
-        }
+    val splitBytes =
+      if (maxSplitBytes > 0) maxSplitBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    // plan one task per (file, sync-range) — the cluster-scale fan-out the
+    // reference inherited from AvroInputFormat's HDFS-block splits
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
+      (0L until math.max(len, 1L) by splitBytes).map { start =>
+        (f, start, math.min(start + splitBytes, len))
       }
     }
+    val rdd = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(new org.apache.hadoop.fs.Path(file), conf),
+          new GenericDatumReader[GenericRecord]())
+        // close on task completion, not iterator exhaustion — limit/take
+        // abandon the iterator mid-stream
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.sync(start) // first block whose sync marker is >= start
+        new Iterator[Row] {
+          def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(sparkSchema.fields.toSeq.map(f =>
+              fromAvro(rec.get(f.name), f.dataType)))
+          }
+        }
+      }
     spark.createDataFrame(rdd, sparkSchema)
   }
 
@@ -166,12 +212,18 @@ object AvroNative {
     val job = java.util.UUID.randomUUID().toString.take(8)
     df.rdd.mapPartitionsWithIndex { (i, it) =>
       // executor-side: default Configuration resolves the same FS for
-      // file:// and cluster-default HDFS; one container file per task
+      // file:// and cluster-default HDFS; one container file per task.
+      // Two-phase commit: write to an attempt-unique temp name, rename into
+      // place once the container is sealed — speculative attempts never
+      // touch the same path, and exactly one rename wins.
       val schema = new Schema.Parser().parse(schemaJson)
       val outFs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = outFs.create(
-        new org.apache.hadoop.fs.Path(path, f"part-$job-$i%05d.avro"), true)
+      val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new org.apache.hadoop.fs.Path(
+        path, f"_temporary/part-$job-$i%05d-a$attempt.avro")
+      val dst = new org.apache.hadoop.fs.Path(path, f"part-$job-$i%05d.avro")
+      val out = outFs.create(tmp, true)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, out)
       it.foreach { row =>
@@ -181,7 +233,11 @@ object AvroNative {
         w.append(rec)
       }
       w.close()
+      // a losing speculative twin finds dst taken; drop its temp file
+      if (!outFs.rename(tmp, dst)) outFs.delete(tmp, false)
       Iterator.empty[Int].iterator
     }.count() // force the write job
+    // job commit: clear attempt garbage (aborted/losing attempts)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_temporary"), true)
   }
 }

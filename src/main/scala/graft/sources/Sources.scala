@@ -13,8 +13,8 @@ import graft.functions.SchemaCodec
   * dictionary-encoded, self-describing — everything Rubix's COMPACT
   * serialization and metadata trailer provided); TEXT → csv with an explicit
   * Cubert schema string; AVRO → the NATIVE avro-core reader/writer
-  * ([[AvroNative]] — no spark-avro module needed; falls back to the `avro`
-  * datasource if one is deployed and the native path is disabled). Schema
+  * ([[AvroNative]] — no spark-avro module needed; always used for the
+  * `avro` format, sync-range split and parallel both ways). Schema
   * strings use the reference's "INT a, STRING b" form
   * (block/BlockSchema.java:58-78) via SchemaCodec.
   */

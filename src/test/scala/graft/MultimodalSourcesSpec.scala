@@ -103,6 +103,39 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Sources.load(spark, dir, "avro").count() == 3)
   }
 
+  test("a single multi-block avro file splits into many sync-range tasks") {
+    import graft.sources.AvroNative
+    // one container file (one partition), enough data to span many sync
+    // blocks (DataFileWriter seals a block ~every 64 KB)
+    val n = 20000
+    val df = spark.range(n).toDF("id")
+      .withColumn("payload", concat(lit("x" * 64), col("id").cast("string")))
+      .coalesce(1)
+    val dir = Files.createTempDirectory("graft-avro-split").toString + "/t"
+    AvroNative.write(df, dir)
+    // commit protocol: no _temporary residue, exactly one sealed part file
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(files.count(_.endsWith(".avro")) == 1)
+    assert(!files.contains("_temporary"))
+    val back = AvroNative.read(spark, dir, maxSplitBytes = 64 * 1024)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 sync-range task, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == n)
+    // exactly-once across range boundaries: ids are a permutation of 0..n-1
+    assert(back.agg(countDistinct("id"), sum("id")).collect().head.toSeq ==
+      Seq(n.toLong, n.toLong * (n - 1) / 2))
+    // partial consumption must not wedge on leaked streams (close is via
+    // task-completion listener, not iterator exhaustion)
+    assert(back.limit(5).collect().length == 5)
+  }
+
+  test("avro read of an empty directory fails with a clear message") {
+    import graft.sources.AvroNative
+    val dir = Files.createTempDirectory("graft-avro-empty").toString
+    val err = intercept[IllegalArgumentException](AvroNative.read(spark, dir))
+    assert(err.getMessage.contains("no .avro files"))
+  }
+
   // ---- REAL image path (pure JDK, graft.multimodal.Images) ---------------
 
   private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {

@@ -206,10 +206,18 @@ object Relational {
     * an equi semi-join — so duplicate-heavy data (a hot tied point with
     * 10^5 copies) costs one representative, not |copies|², in the
     * quadratic. Anti-correlated dimensions degrade gracefully: the skyline
-    * itself is the output, so refine cost is inherent to the answer size.
+    * itself is the output, so refine cost is inherent to the answer size —
+    * and when the surviving band exceeds `maxBroadcastPts` distinct points
+    * (too big to broadcast at all), the refine switches to a
+    * grid-partitioned form: surviving cells join their weakly-dominating
+    * surviving cells (a metadata-sized pair table), each band point is
+    * replicated once per dominating cell, and domination is probed with a
+    * shuffle equi-join on the cell vector — no data-sized broadcast on any
+    * path, so an adversarial band degrades to shuffle cost instead of a
+    * driver/executor OOM.
     */
   def skyline(df: DataFrame, maxCols: Seq[String], minCols: Seq[String] = Nil,
-              nBins: Int = 8): DataFrame = {
+              nBins: Int = 8, maxBroadcastPts: Long = 1L << 21): DataFrame = {
     val dims: Seq[(String, Boolean)] = maxCols.map((_, true)) ++ minCols.map((_, false))
     require(dims.nonEmpty, "skyline needs at least one dimension")
     val clean = df.na.drop("any", dims.map(_._1))
@@ -242,18 +250,55 @@ object Relational {
     // copies of one point) costs one representative in the quadratic, and
     // all copies come back through the equi semi-join below
     val dimCols = dims.map(_._1)
-    // both refine arms re-derive this from the checkpointed band — a
-    // distinct over answer-sized data, cheaper than another checkpoint job
-    val pts = cands.select(dimCols.map(col): _*).distinct()
-    val geq = dims.map { case (c, isMax) =>
-      if (isMax) col(s"b.$c") >= col(s"a.$c") else col(s"b.$c") <= col(s"a.$c")
-    }.reduce(_ && _)
-    val strict = dims.map { case (c, isMax) =>
-      if (isMax) col(s"b.$c") > col(s"a.$c") else col(s"b.$c") < col(s"a.$c")
-    }.reduce(_ || _)
-    val winners = pts.as("a").join(broadcast(pts.as("b")), geq && strict, "left_anti")
-    cands.join(broadcast(winners), dimCols, "left_semi")
-      .drop(gs: _*)
+    // one dim vector maps to one cell vector, so this is distinct-by-dims
+    // with the cell id carried along for the partitioned refine
+    val bandPts = cands.select((dimCols ++ gs).map(col): _*).distinct()
+      .localCheckpoint(true)
+    val nPts = bandPts.count()
+    if (nPts <= maxBroadcastPts) {
+      val pts = bandPts.drop(gs: _*)
+      val geq = dims.map { case (c, isMax) =>
+        if (isMax) col(s"b.$c") >= col(s"a.$c") else col(s"b.$c") <= col(s"a.$c")
+      }.reduce(_ && _)
+      val strict = dims.map { case (c, isMax) =>
+        if (isMax) col(s"b.$c") > col(s"a.$c") else col(s"b.$c") < col(s"a.$c")
+      }.reduce(_ || _)
+      val winners = pts.as("a").join(broadcast(pts.as("b")), geq && strict, "left_anti")
+      cands.join(broadcast(winners), dimCols, "left_semi")
+        .drop(gs: _*)
+    } else {
+      // FALLBACK for bands too large to broadcast (adversarially
+      // anti-correlated dims): grid-partitioned refine. A dominator of a
+      // point in cell A can only live in a cell that is >= A in every
+      // binned dim (bins are monotone), so join surviving cells to their
+      // weakly-dominating surviving cells (metadata-sized pair table),
+      // replicate each point once per dominating cell, and probe with an
+      // equi-join on the cell vector — every join is shuffle-keyed, no
+      // data-sized broadcast anywhere.
+      val bandA = bandPts.select(bandPts.columns.toSeq.map(c => col(c).as(s"a_$c")): _*)
+      val bandB = bandPts.select(bandPts.columns.toSeq.map(c => col(c).as(s"b_$c")): _*)
+      val survCells = bandPts.select(gs.map(col): _*).distinct()
+      val weakDom = gs.map(g => col(s"cb.$g") >= col(s"ca.$g")).reduce(_ && _)
+      val cellPairs = survCells.as("ca")
+        .join(broadcast(survCells.as("cb")), weakDom)
+        .select(gs.map(g => col(s"ca.$g").as(s"pa_$g")) ++
+                gs.map(g => col(s"cb.$g").as(s"pb_$g")): _*)
+      val aExp = bandA.join(broadcast(cellPairs),
+        gs.map(g => col(s"a_$g") === col(s"pa_$g")).reduce(_ && _))
+      val geqAB = dims.map { case (c, isMax) =>
+        if (isMax) col(s"b_$c") >= col(s"a_$c") else col(s"b_$c") <= col(s"a_$c")
+      }.reduce(_ && _)
+      val strictAB = dims.map { case (c, isMax) =>
+        if (isMax) col(s"b_$c") > col(s"a_$c") else col(s"b_$c") < col(s"a_$c")
+      }.reduce(_ || _)
+      val dominated = aExp.join(bandB,
+          gs.map(g => col(s"b_$g") === col(s"pb_$g")).reduce(_ && _) && geqAB && strictAB,
+          "left_semi")
+        .select(dimCols.map(c => col(s"a_$c").as(c)): _*).distinct()
+      val winners = bandPts.drop(gs: _*).join(dominated, dimCols, "left_anti")
+      cands.join(winners, dimCols, "left_semi")
+        .drop(gs: _*)
+    }
   }
 
   /** COLLATE VECTOR BLOCK — assemble per-vector blocks from a (vectorId,

@@ -121,4 +121,33 @@ class RelationalSpec extends SparkSpec {
         (b._1 > a._1 || b._2 > a._2 || b._3 > a._3))).toSet
     assert(got == brute, s"got $got expected $brute")
   }
+
+  test("skyline: partitioned refine matches broadcast refine on an anti-correlated band") {
+    // x + y == const → every distinct point is on the frontier, the worst
+    // case for the band (band == input). Force the fallback with a tiny
+    // maxBroadcastPts and check it against the broadcast path + brute force.
+    val n = 500
+    val pts = spark.range(n).selectExpr("cast(id as int) as x",
+      s"cast($n - id as int) as y")
+      // plus some strictly-dominated interior points
+      .unionAll(spark.range(100).selectExpr("cast(id as int) as x",
+        "cast(id as int) as y"))
+    val viaBroadcast = Relational.skyline(pts, maxCols = Seq("x", "y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val viaPartitioned = Relational.skyline(pts, maxCols = Seq("x", "y"),
+        maxBroadcastPts = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // every interior point (i,i), i<=99, is dominated by (i, n-i);
+    // the anti-correlated diagonal is a pure antichain
+    val frontier = (0 until n).map(i => (i, n - i)).toSet
+    assert(viaBroadcast == frontier)
+    assert(viaPartitioned == frontier)
+    // and with a min dimension through the fallback too
+    val minVia = Relational.skyline(pts, maxCols = Seq("x"), minCols = Seq("y"),
+        maxBroadcastPts = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // (n-1, 1) dominates every other anti-correlated point; (0, 0) survives
+    // because nothing has y <= 0 with larger x
+    assert(minVia == Set((n - 1, 1), (0, 0)))
+  }
 }

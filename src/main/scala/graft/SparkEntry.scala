@@ -840,6 +840,16 @@ object SparkEntry {
         col("event_type") === "view", col("event_type") === "click",
         col("event_type") === "purchase"))
     }),
+    // same funnel, single-scan form: one keyed collect + frontier fold
+    // instead of k event-table scans (the 100 TB shape; q150 is the anchor)
+    "q179_funnel_single" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
+      Behavior.funnelSinglePass(ev, "user_id", "ts_us", Seq(
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+    }),
     // cohort retention matrix: first-event-day cohorts × active-day offsets
     "q151_retention" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
@@ -1763,6 +1773,8 @@ object SparkEntry {
     "q149_rolling_anomaly" -> OracleGen.rollingAnomaly(keyMod = 25,
       stepUs = 3600L * 1000000L, window = 24, zThreshold = 2.5),
     "q150_funnel" -> OracleGen.funnel(Seq("view", "click", "purchase")),
+    // the single-pass form must reproduce the k-join form bit for bit
+    "q179_funnel_single" -> OracleGen.funnel(Seq("view", "click", "purchase")),
     "q151_retention" -> OracleGen.retention(dayUs = 86400L * 1000000L),
     "q152_ab_test" -> OracleGen.abTest,
     "q153_transitions" -> OracleGen.transitions,

@@ -46,6 +46,53 @@ object Behavior {
       ts.map(t => when(t.isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** [[funnel]], in ONE scan of the event table. The k-join form above
+    * reads the events k times (fine at k ≤ 4, the oracle anchor); this
+    * form filters once to step-relevant events, collects each key's
+    * (ts, step-bitmask) pairs sorted by time, and computes the ordered
+    * frontier with a statically-unrolled `aggregate` fold — exactly one
+    * shuffle (the keyed collect), partial-aggregated map-side, per-key
+    * state bounded by that key's step-relevant events. Same contract and
+    * same answer as [[funnel]]: t_i is the earliest step-i event strictly
+    * after t_{i-1} (ties can't complete two steps at one timestamp, in
+    * either form), and keys that never perform step 0 are absent.
+    */
+  def funnelSinglePass(events: DataFrame, keyCol: String, tsCol: String,
+                       steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step predicate")
+    val k = steps.length
+    val tsType = events.select(col(tsCol)).schema.head.dataType
+    val mask = steps.zipWithIndex.map { case (p, i) =>
+      when(p, lit(1 << i)).otherwise(lit(0)) }.reduce(_.bitwiseOR(_))
+    val collected = events.filter(steps.reduce(_ || _))
+      .select(col(keyCol), struct(col(tsCol).as("ts"), mask.as("m")).as("ev"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+    // fold state = the k frontier times. Each event updates every step
+    // slot from the PRE-event state, so one event can never complete two
+    // consecutive steps (strict t_i > t_{i-1} needs a later event) — the
+    // same semantics the stage joins produce.
+    val nullT = lit(null).cast(tsType)
+    val folded = collected.withColumn("st",
+      aggregate(col("evs"), array_repeat(nullT, k), (st, e) =>
+        array((0 until k).map { i =>
+          val t = element_at(st, i + 1)
+          val hasBit = e.getField("m").bitwiseAND(lit(1 << i)) =!= 0
+          val prevOk =
+            if (i == 0) lit(true)
+            else element_at(st, i).isNotNull && e.getField("ts") > element_at(st, i)
+          when(t.isNotNull, t)
+            .when(hasBit && prevOk, e.getField("ts"))
+            .otherwise(nullT)
+        }: _*)))
+    folded.select(
+      (col(keyCol) +:
+        (0 until k).map(i => element_at(col("st"), i + 1).as(s"t$i"))) :+
+        size(org.apache.spark.sql.functions.filter(col("st"), _.isNotNull))
+          .cast("long").as("depth"): _*)
+      .filter(col("t0").isNotNull)
+  }
+
   /** Funnel depth histogram: how many keys completed exactly `depth`
     * steps. One tiny aggregation over the [[funnel]] frontier.
     */

@@ -36,6 +36,36 @@ class BehaviorSpec extends SparkSpec {
     assert(out(5L) == ((Some(10L), Some(12L), None, 2L)), "not first completion")
   }
 
+  test("funnelSinglePass reproduces the k-join funnel, including edge users") {
+    val steps = Seq(
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    val viaJoins = Behavior.funnel(ev, "user_id", "ts", steps)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    val viaFold = Behavior.funnelSinglePass(ev, "user_id", "ts", steps)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(viaFold == viaJoins)
+    // a same-timestamp view+click pair must not complete two steps at once
+    val tied = Seq((9L, 10L, "view"), (9L, 10L, "click"), (9L, 20L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val t = Behavior.funnelSinglePass(tied, "user_id", "ts", steps)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(4))).toMap
+    assert(t(9L) == ((Some(10L), Some(20L), 2L)))
+    // one event satisfying two consecutive predicates can only advance one
+    val both = Seq((7L, 10L, "view"), (7L, 20L, "any"))
+      .toDF("user_id", "ts", "event_type")
+    val b = Behavior.funnelSinglePass(both, "user_id", "ts", Seq(
+        col("event_type").isin("view", "any"), col("event_type") === "any",
+        col("event_type") === "any"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    // t0=10 (view); the ts=20 'any' sets t1=20 but cannot also set t2
+    assert(b(7L) == ((Some(10L), Some(20L), None, 2L)))
+  }
+
   test("funnelCounts histograms completion depth") {
     val counts = Behavior.funnelCounts(ev, "user_id", "ts", Seq(
         col("event_type") === "view", col("event_type") === "click",

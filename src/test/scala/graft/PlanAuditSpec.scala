@@ -92,6 +92,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("BroadcastHashJoin"), s"quota join did not broadcast:\n$d")
   }
 
+  test("single-pass funnel plans exactly one exchange and one scan (q179)") {
+    val p = executedPlan(SparkEntry.queries("q179_funnel_single")(spark, dir))
+    val shuffles = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(p).size
+    assert(shuffles == 1, s"single-pass funnel should shuffle exactly once, got $shuffles:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"single-pass funnel should scan events once, got $scans:\n$p")
+  }
+
   test("sequence packing plans exactly one exchange (q74)") {
     val p = executedPlan(SparkEntry.queries("q74_pack_sequences")(spark, dir))
     assert("Exchange \\(".r.findAllIn(p).size == 1,

@@ -69,7 +69,8 @@ object Bench {
     "q173_feature_hash_tfidf",
     "q174_linear_trend",
     "q175_concurrency_by",
-    "q176_decayed_stats")
+    "q176_decayed_stats",
+    "q179_funnel_single")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1809,21 +1809,27 @@ object SparkEntry {
     "q173_feature_hash_tfidf" -> OracleGen.featureHashTfidf(dim = 256),
     "q165_mad_outliers" -> OracleGen.madOutliers(k = 256, cutoff = 3.0),
     "q167_chi_square" -> OracleGen.chiSquare,
+    // mirrors linearTrend's global min-rebase: x' = x − min(x) in BIGINT,
+    // exact HUGEINT moments on x', and the intercept mapped back with the
+    // same `− slope·x0` double tree the Spark side uses
     "q174_linear_trend" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(epoch_us(ts) // 1000000 AS HUGEINT) AS x,
+      """WITH e0 AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS xr,
         |    CAST(CAST(floor(value * 1e6) AS BIGINT) AS HUGEINT) AS yq FROM events),
-        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |xm AS (SELECT min(xr) AS x0 FROM e0),
+        |e AS (SELECT event_type, CAST(xr - x0 AS HUGEINT) AS x, yq, x0 FROM e0, xm),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, min(x0) AS x0,
         |    sum(x) AS sx, sum(yq) AS sy, sum(x * yq) AS sxy, sum(x * x) AS sxx
         |  FROM e GROUP BY 1),
-        |s AS (SELECT event_type, n, sx, sy,
+        |s AS (SELECT event_type, n, sx, sy, x0,
         |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
         |    CAST(n * sxy - sx * sy AS DOUBLE) AS num FROM m)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
         |  CASE WHEN den <> 0 THEN num / den / 1e6 END AS slope,
         |  CASE WHEN den <> 0 THEN
         |    (CAST(sy AS DOUBLE) / 1e6 - (num / den / 1e6) * CAST(sx AS DOUBLE))
-        |      / CAST(n AS DOUBLE) END AS intercept
+        |      / CAST(n AS DOUBLE) - (num / den / 1e6) * CAST(x0 AS DOUBLE)
+        |  END AS intercept
         |FROM s""".stripMargin,
     "q172_percent_rank_by" ->
       """SELECT event_id, event_type, value,

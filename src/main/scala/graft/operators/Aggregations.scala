@@ -211,26 +211,46 @@ object Aggregations {
     * any groupBy. `slope`/`intercept` are in y-units per x-unit (the 1e6
     * quantization cancels in slope's ratio and is divided back out of the
     * intercept); keys with < 2 distinct x get null slope.
+    *
+    * `x` is rebased by the GLOBAL min(x) before the moments form, so
+    * microsecond-epoch x (~1.7e18, whose Σx² would overflow decimal(38,0)
+    * after a few dozen rows and silently null out under non-ANSI
+    * semantics) is safe as long as the x-SPAN is moderate — a century of
+    * micros across 10^9 rows stays under 32 digits. The rebase changes no
+    * answer: slope's numerator and denominator are shift-invariant exact
+    * integers, and the intercept is mapped back with one extra
+    * exactly-rounded `− slope·x0` term. If a pathological span still
+    * overflows, the result is a raised error, not a silent null.
     */
   def linearTrend(df: DataFrame, keyCols: Seq[String], xCol: String,
                   yCol: String): DataFrame = {
-    val x = col(xCol).cast("long").cast("decimal(38,0)")
+    val x0df = df.agg(min(col(xCol).cast("long")).as("__x0"))
+    val x = (col(xCol).cast("long") - col("__x0")).cast("decimal(38,0)")
     val yq = floor(col(yCol).cast("double") * lit(1e6)).cast("long")
       .cast("decimal(38,0)")
-    val agg = df.groupBy(keyCols.map(col): _*).agg(
-      count(lit(1)).cast("decimal(38,0)").as("__n"),
-      sum(x).as("__sx"), sum(yq).as("__sy"),
-      sum(x * yq).as("__sxy"), sum(x * x).as("__sxx"))
+    val agg = df.crossJoin(broadcast(x0df))
+      .groupBy(keyCols.map(col): _*).agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        count(x).as("__cx"), count(x * yq).as("__cxy"),
+        min(col("__x0")).as("__x0"),
+        sum(x).as("__sx"), sum(yq).as("__sy"),
+        sum(x * yq).as("__sxy"), sum(x * x).as("__sxx"))
+    val overflowed = (col("__sxx").isNull && col("__cx") > 0) ||
+      (col("__sxy").isNull && col("__cxy") > 0)
     val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
       .cast("double")
     val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
       .cast("double") / den / lit(1e6)
     val intercept = (col("__sy").cast("double") / lit(1e6) -
-      slope * col("__sx").cast("double")) / col("__n").cast("double")
+      slope * col("__sx").cast("double")) / col("__n").cast("double") -
+      slope * col("__x0").cast("double")
     agg
       .withColumn("n", col("__n").cast("long"))
-      .withColumn("slope", when(den =!= 0.0, slope))
+      .withColumn("slope",
+        when(overflowed, raise_error(lit(
+          "linearTrend: moment sum overflowed decimal(38,0) even after min-rebase; x span too large")).cast("double"))
+        .when(den =!= 0.0, slope))
       .withColumn("intercept", when(den =!= 0.0, intercept))
-      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+      .drop("__n", "__cx", "__cxy", "__x0", "__sx", "__sy", "__sxy", "__sxx")
   }
 }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,7 +30,7 @@ object CartesianGuard extends Rule[LogicalPlan] {
       .toLong
     plan.foreach {
       case j @ Join(left, right, Inner | Cross, cond, _)
-          if !cond.exists(hasEquality) =>
+          if !cond.exists(hasEquiJoinKey(_, left, right)) =>
         val l = left.stats.sizeInBytes
         val r = right.stats.sizeInBytes
         if (l > maxBytes && r > maxBytes)
@@ -43,10 +44,27 @@ object CartesianGuard extends Rule[LogicalPlan] {
     plan
   }
 
-  private def hasEquality(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    e.exists {
-      case _: org.apache.spark.sql.catalyst.expressions.EqualTo => true
-      case _: org.apache.spark.sql.catalyst.expressions.EqualNullSafe => true
+  /** Mirrors ExtractEquiJoinKeys' notion of a usable key: an equality that
+    * is a TOP-LEVEL CONJUNCT (an `=` under an OR — `a.k = b.k OR a.j =
+    * b.j` — still plans as a nested-loop product, exactly the accident
+    * this guard exists to catch) with one side evaluable from each input.
+    */
+  private def hasEquiJoinKey(cond: Expression, left: LogicalPlan,
+                             right: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val lOut = left.outputSet
+    val rOut = right.outputSet
+    def keyed(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(lOut) && b.references.subsetOf(rOut)) ||
+         (a.references.subsetOf(rOut) && b.references.subsetOf(lOut)))
+    conjuncts(cond).exists {
+      case EqualTo(a, b)       => keyed(a, b)
+      case EqualNullSafe(a, b) => keyed(a, b)
       case _ => false
     }
+  }
 }

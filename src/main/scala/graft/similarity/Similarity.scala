@@ -209,13 +209,23 @@ object Similarity {
     * the corpus is scanned `iters + 1` times and nothing else grows.
     * Empty clusters keep their previous centroid.
     */
+  /** The k seed vectors (k smallest ids). `orderBy(id).limit(k)` is NOT a
+    * global sort: Catalyst's SpecialLimits strategy plans it as
+    * TakeOrderedAndProject — a bounded per-partition top-k heap merged on
+    * the driver, O(n log k) per partition with no Exchange — which is
+    * exactly the bottom-k-by-key pre-prune we'd otherwise hand-build
+    * (pinned by BpeKmeansSpec so a regression to a real Sort is loud).
+    */
+  def kmeansSeeds(df: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol)).orderBy(idCol).limit(k)
+
   def kmeansFit(df: DataFrame, k: Int, iters: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    var centroids = base.orderBy("vec_id").limit(k)
+    var centroids = kmeansSeeds(base, k, "vec_id", "embedding")
       .select(monotonically_increasing_id().as("centroid_id"),
         col("embedding").as("cvec"))
       .as[(Long, Seq[Double])].collect().toSeq

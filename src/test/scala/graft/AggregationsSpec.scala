@@ -135,4 +135,21 @@ class AggregationsSpec extends SparkSpec {
     // a single distinct x cannot determine a slope
     assert(out("b").isNullAt(out("b").fieldIndex("slope")))
   }
+
+  test("linearTrend survives microsecond-epoch x without decimal overflow") {
+    // x ~1.7e18: pre-rebase Σx² terms are ~3e36, which overflowed
+    // decimal(38,0) after a few dozen rows and silently nulled the slope
+    val base = 1700000000000000000L
+    val rows = (0 until 200).map(i => ("t", base + i * 1000000L, 4.0 + 0.5 * i))
+    val out = Aggregations.linearTrend(rows.toDF("k", "x", "y"),
+        Seq("k"), "x", "y").collect().head
+    assert(out.getAs[Long]("n") == 200L)
+    // y rises 0.5 per 1e6 x-units
+    assert(math.abs(out.getAs[Double]("slope") - 0.5e-6) < 1e-15, out.toString)
+    // intercept is in original x coordinates: y(0) = 4 − base·slope
+    val expected = 4.0 - base * 0.5e-6
+    // |expected| ≈ 8.5e11, so 1e-2 absolute ≈ 1e-14 relative — tight for
+    // doubles at this magnitude, loud for any sign/order bug
+    assert(math.abs(out.getAs[Double]("intercept") - expected) < 1e-2, out.toString)
+  }
 }

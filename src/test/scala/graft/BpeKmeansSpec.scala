@@ -66,6 +66,18 @@ class BpeKmeansSpec extends SparkSpec {
     assert(sizes == Seq(10L, 10L, 10L))
   }
 
+  test("kmeans seeding plans a bounded top-k, not a global sort") {
+    val df = (0 until 1000).map(i => (i.toLong, Seq(i.toFloat, -i.toFloat)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val seeded = Similarity.kmeansSeeds(df, k = 4, "vec_id", "embedding")
+    val plan = seeded.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed selection should be a bounded per-partition top-k:\n$plan")
+    assert(!plan.contains("Sort ["), s"global sort in seeding plan:\n$plan")
+    // and the seeds really are the k smallest ids
+    assert(seeded.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("logreg classifier separates a synthetic margin perfectly") {
     // labels decided by x0 > 0 with margin 1: GD must find it
     val pts = (0 until 40).map { i =>

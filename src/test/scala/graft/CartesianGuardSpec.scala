@@ -49,4 +49,37 @@ class CartesianGuardSpec extends SparkSpec {
     assert(big.crossJoin(big.select(col("id").as("id2")))
       .queryExecution.optimizedPlan != null)
   }
+
+  test("equality under an OR, or not spanning both sides, does not satisfy the guard") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    withGuard() {
+      // `a.k = b.k OR a.j = b.j` still plans as a nested-loop product —
+      // the guard must catch it (ExtractEquiJoinKeys finds no key either)
+      val r = big.select(col("id").as("id2"), col("pad").as("pad2"))
+      val orJoin = intercept[Exception] {
+        big.join(r, col("id") === col("id2") || col("pad") === col("pad2"))
+          .queryExecution.optimizedPlan
+      }
+      assert(msgs(orJoin).exists(m => m != null && m.contains("CartesianGuard")),
+        orJoin.toString)
+      // an equality confined to ONE side is a filter, not a join key
+      val oneSided = intercept[Exception] {
+        big.join(r, col("id") === col("pad") && col("id2") > 1)
+          .queryExecution.optimizedPlan
+      }
+      assert(msgs(oneSided).exists(m => m != null && m.contains("CartesianGuard")),
+        oneSided.toString)
+      // a literal=literal tautology is not a key either
+      val lits = intercept[Exception] {
+        big.join(r, lit(1) === lit(1)).queryExecution.optimizedPlan
+      }
+      assert(msgs(lits).exists(m => m != null && m.contains("CartesianGuard")),
+        lits.toString)
+      // but a cross-side equality conjoined with an OR filter is a key
+      assert(big.join(r,
+        col("id") === col("id2") && (col("pad") === "x" || col("id") > 5))
+        .queryExecution.optimizedPlan != null)
+    }
+  }
 }

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed by per-partition batch
   * transforms. The Spark-side contract (schema, partitioning, batch shape)
-  * is real and tested; the actual media decode is STUBBED with a
-  * deterministic fake because no image/audio codec libraries ship in this
-  * container — swap `decodeStub` for a real decoder (or a Pandas-UDF
-  * mapInPandas in PySpark deployments) without touching the plumbing.
+  * is real and tested; the VIDEO decode is STUBBED with a deterministic
+  * fake because the JDK ships no video codec — plug a real decoder in
+  * through the [[Multimodal.MediaDecoder]] SPI (class name, instantiated
+  * per partition executor-side) without touching the plumbing. The image
+  * and audio paths are REAL: see [[Images]] and [[Audio]].
   */
 object Multimodal {
 
@@ -64,34 +65,82 @@ object Multimodal {
     out
   }
 
+  /** Decoder SPI: a real video stack (JNI/ffmpeg, ONNX, a GPU codec) drops
+    * in by implementing this trait with a ZERO-ARG constructor and passing
+    * its class name to [[extractFeatures]]/[[frameSample]] — no engine
+    * change. One instance is created PER PARTITION executor-side (never
+    * serialized from the driver, so native handles are safe), `open()`
+    * runs before the first payload, and `close()` is hooked to task
+    * completion so early-abort never leaks a codec context.
+    */
+  trait MediaDecoder {
+    def open(): Unit = ()
+    /** fixed-width feature vector for one payload */
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+    /** up to `n` sampled frames for one payload */
+    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+    def close(): Unit = ()
+  }
+
+  /** The default deterministic stub decoder ([[decodeStub]] features,
+    * 16-byte payload slices as "frames"). */
+  final class StubDecoder extends MediaDecoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decodeStub(payload, dim)
+    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+      (0 until n).map(i => payload.slice(i * 16, i * 16 + 16))
+  }
+
+  private def openDecoder(decoderClass: String): MediaDecoder = {
+    val d = Class.forName(decoderClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[MediaDecoder]
+    d.open()
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => d.close()))
+    d
+  }
+
   /** Batched per-partition feature extraction over (id, payload) rows —
     * the mapInPandas-equivalent plumbing in Scala: one decoder context per
     * partition (not per row), rows streamed through it. Partition count
     * controls decode parallelism; repartition upstream for GPU-sized
     * batches.
     */
-  def extractFeatures(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+  def extractFeatures(df: DataFrame, idCol: String, dim: Int,
+                      decoderClass: String = classOf[StubDecoder].getName): DataFrame = {
     val spark = df.sparkSession
     val schema = featureSchema(idCol, dim)
     val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
-      // per-partition decoder init would go here (model load, codec ctx)
+      val decoder = openDecoder(decoderClass)
       it.map { r =>
-        val feats = decodeStub(r.getAs[Array[Byte]](1), dim)
+        val feats = decoder.features(r.getAs[Array[Byte]](1), dim)
         Row(r.getLong(0), feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Frame-sample stub for video payloads: emit `n` (frame_idx, frame_bytes)
-    * rows per payload — demonstrates the explode-shaped output contract.
+  /** Frame sampling for video payloads: emit up to `n` (frame_idx,
+    * frame_bytes) rows per payload through the same per-partition decoder
+    * SPI (default: deterministic 16-byte payload slices).
     */
-  def frameSample(df: DataFrame, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), col("payload"),
-      posexplode(transform(sequence(lit(0), lit(n - 1)),
-        i => call_function("substring", col("payload"), i * 16 + 1, lit(16)))))
-      .toDF(idCol, "payload", "frame_idx", "frame_bytes")
-      .drop("payload")
+  def frameSample(df: DataFrame, idCol: String, n: Int,
+                  decoderClass: String = classOf[StubDecoder].getName): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType)))
+    val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
+      val decoder = openDecoder(decoderClass)
+      it.flatMap { r =>
+        decoder.frames(r.getAs[Array[Byte]](1), n).iterator.zipWithIndex.map {
+          case (frame, i) => Row(r.getLong(0), i, frame)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** Resize stub for image payloads: the contract is payload → payload'
     * with width/height metadata updated and n_bytes recomputed — a narrow

@@ -136,6 +136,30 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(err.getMessage.contains("no .avro files"))
   }
 
+  test("a drop-in MediaDecoder SPI implementation composes with embedding near-dup") {
+    // FakeFfmpegDecoder stands in for a JNI/ffmpeg decoder: plugged in by
+    // class name only, instantiated per partition, open/close observed
+    val df = Multimodal.asMedia(Seq(
+      (1L, "same video content"), (2L, "same video content"),
+      (3L, "completely different scene")).toDF("id", "text"),
+      col("text"), "video", "mp4")
+    val feats = Multimodal.extractFeatures(df, "id", dim = 16,
+        decoderClass = classOf[FakeFfmpegDecoder].getName)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("features", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingNearDup(feats, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // frame sampling rides the same SPI: 3 frames per payload, tagged
+    val frames = Multimodal.frameSample(df, "id", n = 3,
+      decoderClass = classOf[FakeFfmpegDecoder].getName)
+    assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame_bytes"))
+    assert(frames.groupBy("id").count().collect().forall(_.getLong(1) == 3L))
+    assert(frames.filter(col("frame_bytes").isNull).count() == 0)
+    // lifecycle: every partition that decoded something closed its decoder
+    assert(FakeFfmpegDecoder.openCount.get() > 0)
+    assert(FakeFfmpegDecoder.closeCount.get() == FakeFfmpegDecoder.openCount.get())
+  }
+
   // ---- REAL image path (pure JDK, graft.multimodal.Images) ---------------
 
   private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -255,4 +279,30 @@ class MultimodalSourcesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+}
+
+/** Test stand-in for a native video decoder plugged in via the
+  * MediaDecoder SPI: content-deterministic features (identical payloads →
+  * identical vectors) and fixed 4-byte "frames". The open/close counters
+  * let the spec assert the per-partition lifecycle a JNI codec relies on.
+  */
+class FakeFfmpegDecoder extends graft.multimodal.Multimodal.MediaDecoder {
+  override def open(): Unit = FakeFfmpegDecoder.openCount.incrementAndGet()
+  override def close(): Unit = FakeFfmpegDecoder.closeCount.incrementAndGet()
+  def features(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+  def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => Array[Byte]((i + 1).toByte, payload.length.toByte, 0, 1))
+}
+
+object FakeFfmpegDecoder {
+  val openCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closeCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }

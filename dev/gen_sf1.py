@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Generate an sf1 bench dataset (10x sf0.1) for scale-trend measurement.
+
+The driver ships sf{0.001,0.01,0.1}; the scaling question ("does this
+operator's cost flatten per-row at 10x the data?") needs one more decade.
+Each fact table is 10 copies of sf0.1 with entity keys offset per copy
+(so key cardinality also grows 10x — a funnel/retention/concurrency user
+base of 10x users, not 10x events per user); dimension tables (region,
+nation) keep their fixed TPC-H cardinality. Deterministic, no RNG.
+
+Bench-only data: correctness still gates on the driver's sf0.01 + DuckDB.
+Usage: python3 dev/gen_sf1.py [outdir]   (default /tmp/graft-sf1)
+"""
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
+COPIES = 10
+
+# per-table key columns to offset by copy_index * stride (stride = a round
+# power of ten above the sf0.1 max key, keeping ids disjoint and readable)
+OFFSETS = {
+    "events":    {"event_id": 1_000_000, "user_id": 100_000},
+    "documents": {"doc_id": 100_000},
+    "embeddings": {"vec_id": 100_000},
+    "lineitem":  {"l_orderkey": 10_000_000},
+    "orders":    {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer":  {"c_custkey": 1_000_000},
+    "part":      {"p_partkey": 1_000_000},
+    "supplier":  {"s_suppkey": 100_000},
+}
+ASIS = ["region", "nation"]
+
+
+def main():
+    import os
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for table, offs in OFFSETS.items():
+        src = f"{SRC}/{table}.parquet"
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
+        parts = []
+        for i in range(COPIES):
+            sel = ", ".join(
+                f"{c} + {i * offs[c]} AS {c}" if c in offs else c for c in cols)
+            parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
+        union = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({union}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')").fetchone()[0]
+        print(f"{table}: {n} rows")
+    for table in ASIS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "
+            f"TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+        print(f"{table}: copied as-is")
+
+
+if __name__ == "__main__":
+    main()

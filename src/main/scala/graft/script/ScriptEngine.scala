@@ -254,6 +254,53 @@ object ScriptEngine {
   private def orderCols(os: Seq[(String, Boolean)]): Seq[Column] =
     os.map { case (c, desc) => if (desc) col(c).desc else col(c).asc }
 
+  /** `FOREACH V IN ('a', 'b', …) DO … END FOREACH;` — the loop macro that
+    * replaces the reference's JavaScript script preprocessing
+    * (CmrExecutor.java:46-49,118+, whose dominant real use was generating
+    * per-date copies of a job). Pure TEXT expansion before lexing: the
+    * body is replicated once per value with `%V%` / `$V` substituted,
+    * exactly like `params`. Loops nest (outer expands first, then the
+    * copied inner loops expand in later passes); each pass consumes one
+    * loop head, so the cap bounds TOTAL loop instances, keeping a
+    * malformed script from spinning. The macro scanner is token-ish, not
+    * string-aware — don't spell END FOREACH inside a quoted literal.
+    */
+  private[graft] def expandForeach(script: String, maxDepth: Int = 1000): String = {
+    val Head = "(?is)\\bFOREACH\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*\\(([^)]*)\\)\\s*DO\\b".r
+    val Tok = "(?is)\\bFOREACH\\b|\\bEND\\s+FOREACH\\s*;?".r
+    def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
+      val varName = m.group(1)
+      val values = "'([^']*)'".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      require(values.nonEmpty, s"FOREACH $varName: no quoted values in (${m.group(2)})")
+      // find the matching END FOREACH, counting nested FOREACH heads
+      var depth = 1
+      var bodyEnd = -1
+      var afterEnd = -1
+      val it = Tok.findAllMatchIn(s).dropWhile(_.start <= m.start)
+      while (depth > 0 && it.hasNext) {
+        val t = it.next()
+        if (t.matched.toUpperCase.startsWith("FOREACH")) depth += 1
+        else { depth -= 1; if (depth == 0) { bodyEnd = t.start; afterEnd = t.end } }
+      }
+      require(bodyEnd >= 0, s"FOREACH $varName: missing END FOREACH")
+      val body = s.substring(m.end, bodyEnd)
+      val expanded = values.map(v =>
+        body.replace(s"%$varName%", v).replace("$" + varName, v)).mkString("\n")
+      s.substring(0, m.start) + expanded + s.substring(afterEnd)
+    }
+    var cur = script
+    var i = 0
+    while (i < maxDepth) {
+      expandOnce(cur) match {
+        case Some(next) => cur = next; i += 1
+        case None => return cur
+      }
+    }
+    require(Head.findFirstMatchIn(cur).isEmpty,
+      s"more than $maxDepth FOREACH expansions — malformed or runaway loop?")
+    cur
+  }
+
   // ---- execution -----------------------------------------------------------
 
   /** Run a script; returns the final relation environment (STOREs execute as
@@ -276,7 +323,7 @@ object ScriptEngine {
     val substituted = params.toSeq.sortBy(-_._1.length).foldLeft(script) {
       case (s, (k, v)) => s.replace(s"%$k%", v).replace("$" + k, v)
     }
-    val p = new P(lex(substituted))
+    val p = new P(lex(expandForeach(substituted)))
     var env = env0
     def rel(name: String): DataFrame =
       env.getOrElse(name, sys.error(s"undefined relation: $name"))

@@ -29,6 +29,28 @@ class ScriptSpec extends SparkSpec {
     assert(out.collect().head.getLong(0) == 6L)
   }
 
+  test("FOREACH macro generates one job instance per value, with nesting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-foreach").toString
+    val df = Seq((1, "a", "x"), (2, "a", "y"), (3, "b", "x")).toDF("id", "k", "s")
+    // the reference's per-date job generation shape: one STORE per segment
+    ScriptEngine.run(spark,
+      s"""FOREACH SEG IN ('a', 'b') DO
+         |  f = FILTER t BY k == '%SEG%';
+         |  STORE f INTO '$dir/seg_$$SEG' USING PARQUET;
+         |END FOREACH;""".stripMargin,
+      env0 = env("t" -> df))
+    assert(spark.read.parquet(s"$dir/seg_a").count() == 2)
+    assert(spark.read.parquet(s"$dir/seg_b").count() == 1)
+    // nested loops expand the cross product
+    assert(ScriptEngine.expandForeach(
+      "FOREACH A IN ('1') DO FOREACH B IN ('2', '3') DO say $A-$B; END FOREACH; END FOREACH;")
+      .replaceAll("\\s+", " ").trim == "say 1-2; say 1-3;")
+    // unterminated loop is loud
+    val err = intercept[IllegalArgumentException](
+      ScriptEngine.expandForeach("FOREACH A IN ('1') DO x = y;"))
+    assert(err.getMessage.contains("END FOREACH"))
+  }
+
   test("user-defined operator loads by class name with inputs and params") {
     val out = ScriptEngine.run(spark,
       "o = OPERATOR 'graft.SampleUnionOperator' a, b ('tag': 'x');",

@@ -1370,6 +1370,27 @@ object SparkEntry {
     // hive-style partitioned write + pruned read-back: the filter on the
     // partition column must resolve to directory pruning (PlanAuditSpec
     // asserts PartitionFilters); the aggregate proves data fidelity
+    // partition-pruned copy-on-write MERGE: double the price of every
+    // 10th order (updates), insert offset clones of every 97th (inserts),
+    // then aggregate the final table state for the oracle compare
+    "q180_upsert" -> ((s, d) => {
+      val out = s"/tmp/graft-upsert/${java.lang.Integer.toHexString(d.hashCode)}"
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      graft.sources.Sources.store(orders, out, "parquet",
+        partitionBy = Seq("o_orderpriority"))
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      Incremental.upsert(s, out, updates, Seq("o_orderkey"), "o_orderpriority")
+      s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_custkey").cast("long").as("sum_cust"),
+          sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
+    }),
     "q107_partitioned" -> ((s, d) => {
       val out = s"/tmp/graft-part/${java.lang.Integer.toHexString(d.hashCode)}"
       graft.sources.Sources.store(t(s, d, "orders"), out, "parquet",
@@ -2066,6 +2087,26 @@ object SparkEntry {
     "q107_partitioned" ->
       """SELECT o_orderstatus, count(1) AS n_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""".stripMargin,
+    // the upsert's final state from first principles: updates override by
+    // key, inserts append, everything else keeps its original row
+    "q180_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority FROM orders),
+        |u AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, o_orderpriority
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |fin AS (SELECT * FROM u
+        |  UNION ALL
+        |  SELECT t.* FROM base t
+        |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = t.o_orderkey))
+        |SELECT o_orderpriority, count(1) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+        |FROM fin GROUP BY 1""".stripMargin,
     "q103_profile" -> Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
       .map(c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -279,4 +279,65 @@ object Incremental {
         .otherwise("unchanged"))
       .select(keyCols.map(col) :+ col("status"): _*)
   }
+
+  /** Copy-on-write upsert (MERGE) into a hive-partitioned parquet table:
+    * last-writer-wins by key, rewriting ONLY the partitions the updates
+    * touch. The shape a date-partitioned 100 TB fact needs — cost is
+    * proportional to touched partitions, not table size:
+    *
+    *  1. the updates' distinct partition values collect to the driver
+    *     (metadata-sized — partitions, not rows);
+    *  2. the target is read WITH a partition filter on those values, so
+    *     the scan prunes to touched partitions (PartitionFilters at the
+    *     file index, untouched data never reads);
+    *  3. kept = target-in-touched-partitions anti-join updates on the key,
+    *     unioned with the updates (insert + replace in one pass);
+    *  4. written back under DYNAMIC partition-overwrite, which replaces
+    *     exactly the partitions present in the result.
+    *
+    * Keys must be PARTITION-STABLE (a key's partition value never changes
+    * across versions — true of any date-keyed fact): a key that moved
+    * partitions would leave its old row in an untouched partition. With
+    * `verifyStability = true` the operator pays one extra scan of the
+    * UNTOUCHED partitions (bloom-pruned semi-join on the update keys) and
+    * fails loudly if any update key lives there; off by default because the
+    * whole point is not scanning the rest of the table.
+    */
+  def upsert(spark: SparkSession, targetPath: String, updates: DataFrame,
+             keyCols: Seq[String], partitionCol: String,
+             verifyStability: Boolean = false): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(!keyCols.contains(partitionCol),
+      "partition column cannot be a key column")
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val target = spark.read.parquet(targetPath)
+    if (verifyStability) {
+      val stale = target
+        .filter(!col(partitionCol).isin(touched: _*))
+        .join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_semi")
+        .limit(1).count()
+      require(stale == 0L,
+        s"upsert: an update key exists in an untouched $partitionCol " +
+          "partition — keys must be partition-stable (or include the old " +
+          "partition's rows in the updates)")
+    }
+    val kept = target
+      .filter(col(partitionCol).isin(touched: _*))
+      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val merged = kept.unionByName(updates.select(target.columns.map(col): _*))
+    // the merge reads the same files the overwrite replaces, so stage the
+    // touched-partition result once (sized by the delta's partitions, not
+    // the table) and commit it back under dynamic partition overwrite
+    val staging = targetPath.stripSuffix("/") + "_upsert_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetPath)
+    val sp = new Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
 }

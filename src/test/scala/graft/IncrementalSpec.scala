@@ -102,6 +102,39 @@ class IncrementalSpec extends SparkSpec {
     assert(math.abs(cubeEst.toDouble - cubeExact) / cubeExact < 0.05)
   }
 
+  test("upsert: last-writer-wins merge that rewrites only touched partitions") {
+    val dir = Files.createTempDirectory("graft-upsert-spec").toString + "/t"
+    val base = Seq(
+      (1L, 20240101, "a"), (2L, 20240101, "b"),
+      (3L, 20240102, "c"), (4L, 20240103, "d")
+    ).toDF("id", "dt", "v")
+    base.write.partitionBy("dt").parquet(dir)
+    def files(p: String) = new java.io.File(s"$dir/dt=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = files("20240103")
+    // update id=1 in 20240101, insert id=9 into 20240102; 20240103 untouched
+    val updates = Seq((1L, 20240101, "A2"), (9L, 20240102, "ins"))
+      .toDF("id", "dt", "v")
+    Incremental.upsert(spark, dir, updates, Seq("id"), "dt")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(after == Map(
+      1L -> (("A2", 20240101)), 2L -> (("b", 20240101)),
+      3L -> (("c", 20240102)), 9L -> (("ins", 20240102)),
+      4L -> (("d", 20240103))))
+    // the untouched partition's files are bit-for-bit the originals
+    assert(files("20240103") == before, "untouched partition was rewritten")
+    // no staging residue
+    assert(!new java.io.File(dir.stripSuffix("/") + "_upsert_staging").exists())
+    // a key that moved partitions is caught by the stability verifier...
+    val moved = Seq((4L, 20240101, "moved")).toDF("id", "dt", "v")
+    val err = intercept[IllegalArgumentException](
+      Incremental.upsert(spark, dir, moved, Seq("id"), "dt", verifyStability = true))
+    assert(err.getMessage.contains("partition-stable"))
+    // ...and the table is unchanged after the refused merge
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged incl. null payloads") {
     val prev = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
       (3L, None, 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")

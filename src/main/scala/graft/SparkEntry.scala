@@ -850,6 +850,16 @@ object SparkEntry {
         col("event_type") === "view", col("event_type") === "click",
         col("event_type") === "purchase"))
     }),
+    // seasonal anomalies: events deviating > 2.5 sigma from their
+    // (event_type, hour-of-day) baseline — periodic-normal detection
+    "q181_seasonal_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        floor(col("value") * 1000).cast("long").as("qv"))
+      Behavior.seasonalAnomalies(ev, Seq("event_type"), "ts_us", "qv",
+        periodUs = 86400000000L, bucketUs = 3600000000L, cutoff = 2.5)
+        .select("event_id", "event_type", "phase", "z")
+    }),
     // cohort retention matrix: first-event-day cohorts × active-day offsets
     "q151_retention" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
@@ -1796,6 +1806,25 @@ object SparkEntry {
     "q150_funnel" -> OracleGen.funnel(Seq("view", "click", "purchase")),
     // the single-pass form must reproduce the k-join form bit for bit
     "q179_funnel_single" -> OracleGen.funnel(Seq("view", "click", "purchase")),
+    // mirrors seasonalAnomalies' exact trees: abTest's quantized moment
+    // arithmetic per (event_type, hour-of-day), z over the joined-back rows
+    "q181_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS qv FROM events),
+        |p AS (SELECT event_id, event_type, qv,
+        |    (t % 86400000000) // 3600000000 AS phase FROM e),
+        |st AS (SELECT event_type, phase, CAST(count(1) AS BIGINT) AS n,
+        |    sum(qv) AS s, sum(qv * qv) AS ss FROM p GROUP BY 1, 2),
+        |pr AS (SELECT event_type, phase, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1 THEN (CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        / CAST(n - 1 AS DOUBLE) END AS var FROM st)
+        |SELECT p.event_id, p.event_type, p.phase,
+        |  (CAST(p.qv AS DOUBLE) - pr.mean) / sqrt(pr.var) AS z
+        |FROM p JOIN pr USING (event_type, phase)
+        |WHERE pr.var > 0 AND pr.n >= 2
+        |  AND abs((CAST(p.qv AS DOUBLE) - pr.mean) / sqrt(pr.var)) > 2.5""".stripMargin,
     "q151_retention" -> OracleGen.retention(dayUs = 86400L * 1000000L),
     "q152_ab_test" -> OracleGen.abTest,
     "q153_transitions" -> OracleGen.transitions,

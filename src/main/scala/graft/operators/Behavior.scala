@@ -155,6 +155,54 @@ object Behavior {
             col("var_b") / col("n_b").cast("double")))
   }
 
+  /** Seasonal baseline per (key, phase): fold a numeric-microsecond time
+    * column onto a period (a day, a week) in `bucketUs` phases (hour of
+    * day, day of week…) and compute exact per-phase count/mean/sample
+    * variance over an INTEGER-quantized metric (quantize upstream like
+    * [[abTest]]) — the "what is NORMAL for 3 am on a Sunday" table that
+    * rolling windows can't express. One partial-aggregating pass; the
+    * profile is keys × (period/bucket) rows — metadata-sized.
+    */
+  def seasonalProfile(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                      valueCol: String, periodUs: Long, bucketUs: Long): DataFrame = {
+    require(periodUs > 0 && bucketUs > 0 && periodUs % bucketUs == 0,
+      "period must be a positive multiple of the bucket width")
+    val v = col(valueCol)
+    // integer div end to end (a double quotient would be fine below 2^53
+    // but `div` is exact by construction and mirrors the oracle's `//`)
+    val phase = expr(s"($tsCol % ${periodUs}L) div ${bucketUs}L")
+    df.withColumn("phase", phase)
+      .groupBy((keyCols.map(col) :+ col("phase")): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"), sum(v * v).as("__ss"))
+      .withColumn("mean", col("__s").cast("double") / col("n").cast("double"))
+      .withColumn("var",
+        when(col("n") > 1,
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("mean")) / (col("n") - 1).cast("double")))
+      .drop("__s", "__ss")
+  }
+
+  /** Rows whose metric deviates from their (key, phase) seasonal baseline
+    * by more than `cutoff` standard deviations — periodic-pattern anomaly
+    * detection (complements `WindowOps.rollingStats`, which is trailing,
+    * not seasonal). The profile joins BACK into the stream broadcast
+    * (metadata-sized), so the detector is one aggregation pass plus a
+    * narrow codegen'd probe: no window over raw events, no second shuffle.
+    * Phases observed fewer than `minN` times are never flagged (a 1-row
+    * phase has no variance to deviate from).
+    */
+  def seasonalAnomalies(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                        valueCol: String, periodUs: Long, bucketUs: Long,
+                        cutoff: Double = 3.0, minN: Long = 2L): DataFrame = {
+    val prof = seasonalProfile(df, keyCols, tsCol, valueCol, periodUs, bucketUs)
+    val phase = expr(s"($tsCol % ${periodUs}L) div ${bucketUs}L")
+    df.withColumn("phase", phase)
+      .join(broadcast(prof), keyCols :+ "phase")
+      .withColumn("z",
+        (col(valueCol).cast("double") - col("mean")) / sqrt(col("var")))
+      .filter(col("var") > 0.0 && col("n") >= minN && abs(col("z")) > cutoff)
+  }
+
   /** Pairwise association rules (market-basket): for every item pair
     * co-occurring in ≥ `minPairCount` baskets, emit support
     * (pair-baskets / all baskets), both directed confidences

@@ -74,6 +74,30 @@ class BehaviorSpec extends SparkSpec {
     assert(counts == Map(3L -> 1L, 2L -> 2L, 1L -> 1L))
   }
 
+  test("seasonal profile folds time onto the period; anomalies flag per-phase outliers") {
+    // period 100, bucket 50 → 2 phases. Phase 0 values cluster at 10,
+    // phase 1 at 100 — except one wild row in each phase.
+    val rows = Seq(
+      (1L, "m", 0L, 10L), (2L, "m", 110L, 11L), (3L, "m", 210L, 9L),
+      (4L, "m", 310L, 10L), (5L, "m", 410L, 60L), // the phase-0 outlier
+      (6L, "m", 60L, 100L), (7L, "m", 160L, 101L), (8L, "m", 260L, 99L),
+      (9L, "m", 360L, 100L)
+    ).toDF("id", "k", "ts", "qv")
+    val prof = Behavior.seasonalProfile(rows, Seq("k"), "ts", "qv",
+        periodUs = 100L, bucketUs = 50L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(prof(0L)._1 == 5L && prof(1L)._1 == 4L)
+    assert(prof(0L)._2 == 20.0) // (10+11+9+10+60)/5
+    assert(prof(1L)._2 == 100.0)
+    val anom = Behavior.seasonalAnomalies(rows, Seq("k"), "ts", "qv",
+        periodUs = 100L, bucketUs = 50L, cutoff = 1.5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(anom == Set(5L), s"got $anom")
+    // a 1-row phase can never be flagged (no variance to deviate from)
+    val solo = Seq((1L, "s", 0L, 7L)).toDF("id", "k", "ts", "qv")
+    assert(Behavior.seasonalAnomalies(solo, Seq("k"), "ts", "qv", 100L, 50L).count() == 0)
+  }
+
   test("retention cohorts by first day and counts distinct active offsets") {
     val day = 10L
     val e = Seq(

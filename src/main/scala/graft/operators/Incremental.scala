@@ -340,4 +340,37 @@ object Incremental {
     val sp = new Path(staging)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
+
+  /** Streaming CDC apply: each micro-batch of change rows MERGEs into the
+    * partitioned target via [[upsert]]. In-batch conflicts resolve to the
+    * row with the greatest `seqCol` (a CDC LSN / source timestamp) per key
+    * via one partial-aggregating max-of-struct — no window over the batch.
+    * Batch replays are idempotent through the same durable last-batch
+    * marker [[streamRefresh]] uses (a retried foreachBatch re-merge is a
+    * no-op), and the first batch creates the target. Cost per trigger is
+    * [[upsert]]'s: proportional to the partitions the delta touches.
+    */
+  def upsertStream(stream: DataFrame, targetPath: String, keyCols: Seq[String],
+                   partitionCol: String, seqCol: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty && batchId > lastMergedBatch(spark, targetPath, checkpoint)) {
+          val dataCols = batch.columns.toSeq
+          val ordered = seqCol +: dataCols.filterNot(_ == seqCol)
+          val latest = batch
+            .groupBy(keyCols.map(col): _*)
+            .agg(max(struct(ordered.map(col): _*)).as("__m"))
+            .select(dataCols.map(c => col(s"__m.$c")): _*)
+          if (!exists(spark, targetPath))
+            latest.write.partitionBy(partitionCol).parquet(targetPath)
+          else
+            upsert(spark, targetPath, latest, keyCols, partitionCol)
+          recordMergedBatch(spark, targetPath, checkpoint, batchId)
+        }
+      }
+      .start()
 }

@@ -146,6 +146,30 @@ class StreamingSpec extends SparkSpec {
     assert(closed.contains(("a", 3.0)), s"expected closed window ('a', 3.0), got $closed")
   }
 
+  test("upsertStream applies CDC batches: creates, merges, resolves in-batch conflicts by seq") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-upsert-stream").toString
+    val in = MemoryStream[(Long, Int, String, Long)]
+    val q = graft.operators.Incremental.upsertStream(
+      in.toDF().toDF("id", "dt", "v", "seq"),
+      s"$base/t", Seq("id"), "dt", "seq", s"$base/ck")
+    try {
+      // batch 1 creates the target; id=1 appears twice — seq 12 must win
+      in.addData((1L, 20240101, "old", 11L), (1L, 20240101, "new", 12L),
+        (2L, 20240102, "b", 10L))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(s"$base/t").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(t1 == Map(1L -> "new", 2L -> "b"))
+      // batch 2 updates id=2 and inserts id=3; id=1's partition untouched
+      in.addData((2L, 20240102, "b2", 20L), (3L, 20240103, "c", 21L))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(s"$base/t").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("dt"))).toSet
+      assert(t2 == Set((1L, "new", 20240101), (2L, "b2", 20240102), (3L, "c", 20240103)))
+    } finally q.stop()
+  }
+
   test("streamRefresh maintains the additive MV from a stream of facts") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mv-stream").toString

@@ -804,6 +804,30 @@ object OracleGen {
   def hashBucket(keyExpr: String, salt: String, buckets: Long): String =
     s"(((${charHash(s"'$salt:' || CAST($keyExpr AS VARCHAR)")} * 1103515245 + 12345) % $P) % $buckets)"
 
+  /** Sampling.negativeSample: draw j of anchor a probes bucket
+    * hash(a:j) and keeps the candidate minimizing hash(a:j:cand) — the
+    * min-of-struct election transcribed as a row_number window.
+    */
+  def negativeSample(k: Int, buckets: Int, anchorMax: Long,
+                     salt: String = "neg"): String = {
+    val bCand = hashBucket("CAST(doc_id AS VARCHAR)", salt, buckets)
+    val bDraw = hashBucket(
+      "CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)", salt, buckets)
+    val th = hashBucket(
+      "CAST(anchor_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)",
+      salt, 1L << 30)
+    s"""WITH a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < $anchorMax),
+       |c AS (SELECT doc_id AS neg_id, $bCand AS b FROM documents),
+       |d AS (SELECT anchor_id, j, CAST(j AS BIGINT) AS draw, $bDraw AS b
+       |  FROM a CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j)),
+       |p AS (SELECT anchor_id, draw, neg_id, $th AS th
+       |  FROM d JOIN c USING (b) WHERE neg_id <> anchor_id),
+       |r AS (SELECT anchor_id, draw, neg_id,
+       |    row_number() OVER (PARTITION BY anchor_id, draw ORDER BY th, neg_id) AS rn
+       |  FROM p)
+       |SELECT anchor_id, draw, neg_id FROM r WHERE rn = 1""".stripMargin
+  }
+
   /** Sketches.quantileSketch + quantileEstimate: hash-ordered bottom-k row
     * sample per group, quantiles by lower-nearest-rank indexing of the
     * sorted sample (same floor(q·(n−1)) arithmetic).

@@ -650,6 +650,14 @@ object SparkEntry {
     "q127_det_shuffle" -> ((s, d) =>
       Sampling.deterministicShuffle(t(s, d, "documents").select("doc_id"), col("doc_id"))
         .select("doc_id", "pos")),
+    // deterministic contrastive negatives: 4 bucket-probed draws per anchor
+    "q182_negative_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.negativeSample(docs.filter(col("doc_id") < 50), docs,
+          "doc_id", "doc_id", k = 4)
+        .select(col("anchor_id"), col("draw").cast("long").as("draw"),
+          col("neg_id"))
+    }),
     // CCNet-style paragraph dedup (docs get synthetic paragraph structure:
     // a group-shared intro, their real text, a near-global footer)
     "q128_paragraph_dedup" -> ((s, d) => {
@@ -1790,6 +1798,8 @@ object SparkEntry {
     "q73_sample_reservoir" -> OracleGen.sampleReservoir(n = 20),
     "q126_weighted_sample" -> OracleGen.weightedSample(cap = 500L),
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
+    "q182_negative_sample" -> OracleGen.negativeSample(k = 4, buckets = 64,
+      anchorMax = 50L),
     "q128_paragraph_dedup" -> OracleGen.paragraphDedup,
     "q129_semdedup" -> OracleGen.semDedup(nCentroids = 8, threshold = 0.45),
     "q130_epoch_interleave" -> OracleGen.epochInterleave(salt = "ilv"),

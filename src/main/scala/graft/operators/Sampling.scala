@@ -405,4 +405,41 @@ object Sampling {
           col("total_weight").cast("double")).cast("long"))
       .drop("total_weight")
   }
+
+  /** Deterministic contrastive negative sampling: up to `k` pseudo-random
+    * corpus candidates per anchor — the in-batch-negatives replacement a
+    * contrastive/embedding training pipeline needs — without any cross
+    * join. Candidates land in `buckets` hash buckets; draw j sends the
+    * anchor to bucket hash(anchor:j) and takes the candidate minimizing
+    * hash(anchor:j:cand) inside it (the anchor itself excluded). Each
+    * (anchor, draw) probes ONE bucket of ~|corpus|/buckets candidates via
+    * an equi shuffle join + partial-aggregated min-of-struct, so total
+    * cost is |anchors|·k·|corpus|/buckets — `buckets` dials probe width
+    * against per-bucket candidate diversity. Fully deterministic under
+    * `salt` (PortableHash end to end, oracle-replayable); a draw whose
+    * bucket holds no eligible candidate yields no row, and two draws that
+    * land in one bucket can repeat a negative — dedup downstream if draws
+    * must be distinct.
+    */
+  def negativeSample(anchors: DataFrame, corpus: DataFrame,
+                     anchorIdCol: String, candIdCol: String, k: Int,
+                     buckets: Int = 64, salt: String = "neg"): DataFrame = {
+    require(k >= 1 && buckets >= 1, "k and buckets must be positive")
+    val cands = corpus.select(col(candIdCol).as("neg_id"),
+      hashBucket(col(candIdCol).cast("string"), salt, buckets).as("__b"))
+    val draws = anchors.select(col(anchorIdCol).as("anchor_id"))
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .withColumn("__b", hashBucket(
+        concat(col("anchor_id").cast("string"), lit(":"), col("draw").cast("string")),
+        salt, buckets))
+    draws.join(cands, "__b")
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .withColumn("__th", hashBucket(
+        concat(col("anchor_id").cast("string"), lit(":"),
+          col("draw").cast("string"), lit(":"), col("neg_id").cast("string")),
+        salt, 1 << 30))
+      .groupBy("anchor_id", "draw")
+      .agg(min(struct(col("__th"), col("neg_id"))).as("__m"))
+      .select(col("anchor_id"), col("draw"), col("__m.neg_id").as("neg_id"))
+  }
 }

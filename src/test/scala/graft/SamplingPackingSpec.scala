@@ -422,4 +422,26 @@ class SamplingPackingSpec extends SparkSpec {
     assert(gr == Map(("a", 1.0) -> 0.0, ("a", 2.0) -> 0.5, ("a", 3.0) -> 1.0,
       ("b", 10.0) -> 0.0, ("b", 20.0) -> 1.0), gr.toString)
   }
+
+  test("negativeSample draws deterministic bucket-probed negatives, never the anchor") {
+    val corpus = spark.range(200).toDF("id")
+    val anchors = corpus.filter(col("id") < 10)
+    val out = Sampling.negativeSample(anchors, corpus, "id", "id", k = 3, buckets = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // ≤ k draws per anchor, no self-negatives, draw ids in 1..k
+    val perAnchor = rows.groupBy(_._1)
+    assert(perAnchor.keySet == (0L until 10L).toSet)
+    assert(rows.forall { case (a, j, n) => n != a && j >= 1 && j <= 3 })
+    assert(perAnchor.values.forall(_.length <= 3))
+    // with 8 buckets over 200 candidates every draw finds SOME candidate
+    assert(rows.length == 30)
+    // reproducible; different salt draws differently somewhere
+    val again = Sampling.negativeSample(anchors, corpus, "id", "id", k = 3, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+    val other = Sampling.negativeSample(anchors, corpus, "id", "id", k = 3,
+        buckets = 8, salt = "neg2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(other.sorted.toSeq != rows.sorted.toSeq)
+  }
 }

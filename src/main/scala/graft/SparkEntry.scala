@@ -898,6 +898,14 @@ object SparkEntry {
         (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
       Behavior.concurrency(iv, "st", "en")
     }),
+    // time-weighted average gauge per type over the synthesized intervals
+    "q183_time_weighted_avg" -> ((s, d) => {
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val iv = t(s, d, "events").select(col("event_type"), us.as("st"),
+        (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"),
+        floor(col("value") * lit(1000)).cast("long").as("qv"))
+      Behavior.timeWeightedAvg(iv, Seq("event_type"), "st", "en", "qv")
+    }),
     // per-type concurrency: independent sweeps per event_type
     "q175_concurrency_by" -> ((s, d) => {
       val us = expr("unix_micros(cast(ts as timestamp))")
@@ -1800,6 +1808,18 @@ object SparkEntry {
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
     "q182_negative_sample" -> OracleGen.negativeSample(k = 4, buckets = 64,
       anchorMax = 50L),
+    // mirrors timeWeightedAvg: exact HUGEINT moment sums, one double ratio
+    "q183_time_weighted_avg" ->
+      """WITH iv AS (SELECT event_type,
+        |    epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value * 6.0e7) AS BIGINT) AS en,
+        |    CAST(CAST(floor(value * 1000) AS BIGINT) AS HUGEINT) AS qv
+        |  FROM events)
+        |SELECT event_type, count(1) AS n_intervals,
+        |  CASE WHEN sum(en - st) > 0 THEN
+        |    CAST(sum(qv * (en - st)) AS DOUBLE) / CAST(sum(en - st) AS DOUBLE)
+        |  END AS twa
+        |FROM iv GROUP BY 1""".stripMargin,
     "q128_paragraph_dedup" -> OracleGen.paragraphDedup,
     "q129_semdedup" -> OracleGen.semDedup(nCentroids = 8, threshold = 0.45),
     "q130_epoch_interleave" -> OracleGen.epochInterleave(salt = "ilv"),

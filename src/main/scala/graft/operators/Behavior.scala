@@ -203,6 +203,31 @@ object Behavior {
       .filter(col("var") > 0.0 && col("n") >= minN && abs(col("z")) > cutoff)
   }
 
+  /** Exact time-weighted average of an INTEGER-quantized metric over
+    * validity intervals — the TSDB `twa()` for irregularly-sampled gauges,
+    * where a plain mean over-weights chatty reporters. Per key:
+    * Σ v·(end−start) / Σ (end−start), both sums exact decimals (a
+    * microsecond duration times a quantized gauge overflows a long), the
+    * final ratio one exactly-rounded double division. One
+    * partial-aggregating pass, metadata-sized output; zero-length
+    * intervals contribute nothing, negative ones raise.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], startCol: String,
+                      endCol: String, valueCol: String): DataFrame = {
+    val dur = (col(endCol) - col(startCol)).cast("decimal(38,0)")
+    val guarded = when(col(endCol) >= col(startCol), dur)
+      .otherwise(raise_error(lit(
+        s"timeWeightedAvg: $endCol < $startCol")).cast("decimal(38,0)"))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col(valueCol).cast("decimal(38,0)") * guarded).as("__wv"),
+        sum(guarded).as("__w"))
+      .withColumn("twa",
+        when(col("__w") > 0,
+          col("__wv").cast("double") / col("__w").cast("double")))
+      .drop("__wv", "__w")
+  }
+
   /** Pairwise association rules (market-basket): for every item pair
     * co-occurring in ≥ `minPairCount` baskets, emit support
     * (pair-baskets / all baskets), both directed confidences

@@ -98,6 +98,23 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.seasonalAnomalies(solo, Seq("k"), "ts", "qv", 100L, 50L).count() == 0)
   }
 
+  test("timeWeightedAvg weights by duration; zero spans drop; negatives raise") {
+    val iv = Seq(
+      // k=a: value 10 for 30 units, value 40 for 10 units → (300+400)/40 = 17.5
+      ("a", 0L, 30L, 10L), ("a", 30L, 40L, 40L),
+      // zero-length interval contributes nothing
+      ("a", 40L, 40L, 999L),
+      ("b", 0L, 10L, 5L)
+    ).toDF("k", "st", "en", "qv")
+    val out = Behavior.timeWeightedAvg(iv, Seq("k"), "st", "en", "qv")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("a" -> ((3L, 17.5)), "b" -> ((1L, 5.0))))
+    val bad = Seq(("x", 10L, 5L, 1L)).toDF("k", "st", "en", "qv")
+    val err = intercept[Exception](
+      Behavior.timeWeightedAvg(bad, Seq("k"), "st", "en", "qv").collect())
+    assert(err.getMessage != null)
+  }
+
   test("retention cohorts by first day and counts distinct active offsets") {
     val day = 10L
     val e = Seq(

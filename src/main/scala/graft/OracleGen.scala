@@ -828,6 +828,23 @@ object OracleGen {
        |SELECT anchor_id, draw, neg_id FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** Sketches.quantileMatch: per-lang percent_rank matched onto the global
+    * bottom-k sketch of n_chars — the same floor((floor(p·nQ)/nQ)·(n−1))
+    * indexing the Spark side evaluates.
+    */
+  def quantileMatch(nQ: Int, k: Int, salt: String = "qm"): String =
+    s"""WITH s AS (
+       |  SELECT CAST(n_chars AS DOUBLE) AS v,
+       |    ${hashBucket("doc_id", salt, 1L << 30)} AS h FROM documents),
+       |r AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rk FROM s),
+       |g AS (SELECT list(v ORDER BY v) AS vs, COUNT(*) AS n FROM r WHERE rk <= $k),
+       |p AS (SELECT doc_id, lang,
+       |    percent_rank() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS prank
+       |  FROM documents)
+       |SELECT doc_id, lang, prank,
+       |  vs[CAST(floor((floor(prank * $nQ) / $nQ.0) * (n - 1)) + 1 AS INT)] AS matched
+       |FROM p, g""".stripMargin
+
   /** Sketches.quantileSketch + quantileEstimate: hash-ordered bottom-k row
     * sample per group, quantiles by lower-nearest-rank indexing of the
     * sorted sample (same floor(q·(n−1)) arithmetic).

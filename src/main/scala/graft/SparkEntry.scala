@@ -776,6 +776,12 @@ object SparkEntry {
         Sketches.quantileSketch(t(s, d, "documents"), col("n_chars"),
           col("doc_id"), Seq(col("lang")), k = 64),
         Seq("lang"), Seq(0.5, 0.9, 0.99))),
+    // cross-source quantile normalization: per-lang ranks matched onto the
+    // global n_chars distribution at 20-quantile resolution
+    "q184_quantile_match" -> ((s, d) =>
+      Sketches.quantileMatch(t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", "doc_id", Seq("lang"), nQ = 20, k = 64)
+        .select("doc_id", "lang", "prank", "matched")),
     // count-min sketch: build over all document tokens, probe with the
     // tokens of the first three documents
     "q132_cms_counts" -> ((s, d) => {
@@ -2019,6 +2025,7 @@ object SparkEntry {
         |SELECT CAST(count(1) AS BIGINT) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "q134_quantile_sketch" -> OracleGen.quantileSketch(k = 64, qs = Seq(0.5, 0.9, 0.99)),
+    "q184_quantile_match" -> OracleGen.quantileMatch(nQ = 20, k = 64),
     "q135_semdedup_batch_index" ->
       OracleGen.semDedupIncremental(nCentroids = 8, threshold = 0.45, batchMax = 100),
     "q136_strip_markup" -> OracleGen.stripMarkup,

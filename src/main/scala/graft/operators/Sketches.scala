@@ -402,4 +402,34 @@ object Sketches {
     require(sketches.nonEmpty)
     sketches.reduce(_.unionByName(_)).groupBy("word").agg(expr("bit_or(bits)").as("bits"))
   }
+
+  /** Quantile normalization across strata (quantile matching): map each
+    * group's values onto the GLOBAL distribution at `nQ`-quantile
+    * resolution — the batch-effect correction for heterogeneous sources
+    * scoring on incompatible scales (one classifier's 0.6 is another's
+    * 0.9; after matching, equal per-group ranks read as equal global
+    * values). Per row: per-group percent rank p
+    * (`Sampling.percentRank`'s two-phase bucketed rank — no global-sort
+    * task), j = floor(p·nQ), and the output is the global reference value
+    * at bottom-k-sketch index floor((j/nQ)·(n−1)) — the [[quantileSketch]]
+    * boundary set, which broadcasts as ONE row. Deterministic and exact
+    * end to end (both layers are independently oracle-replayed), cost =
+    * percentRank's two shuffles + a narrow broadcast probe.
+    */
+  def quantileMatch(df: DataFrame, valueCol: String, keyCol: String,
+                    groupCols: Seq[String], nQ: Int = 100, k: Int = 1024,
+                    salt: String = "qm"): DataFrame = {
+    require(nQ >= 1, s"nQ must be >= 1: $nQ")
+    val ranked = graft.operators.Sampling.percentRank(df, valueCol,
+      groupCols = groupCols)
+    val ref = quantileSketch(df, col(valueCol).cast("double"), col(keyCol),
+        Nil, k, salt)
+      .agg(array_sort(collect_list(col("v"))).as("__vs"),
+        count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(ref))
+      .withColumn("matched", element_at(col("__vs"),
+        (floor((floor(col("prank") * nQ) / lit(nQ.toDouble)) *
+          (col("__n") - 1).cast("double")) + 1).cast("int")))
+      .drop("__vs", "__n")
+  }
 }

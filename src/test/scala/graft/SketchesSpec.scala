@@ -232,4 +232,27 @@ class SketchesSpec extends SparkSpec {
       Sketches.cmsBuild(b, col("k"), width = 2)).head().getLong(0)
     assert(tight >= 4L, s"tight=$tight")
   }
+
+  test("quantileMatch aligns incompatible per-group scales onto one global ladder") {
+    // group a scores in 0-10, group b in 1000-1010 — same shape, shifted.
+    // After matching, equal within-group ranks must map to EQUAL values.
+    val rows = (0 to 10).flatMap(i =>
+      Seq((i.toLong, "a", i.toDouble), (100L + i, "b", 1000.0 + i)))
+      .toDF("id", "g", "v")
+    val out = Sketches.quantileMatch(rows, "v", "id", Seq("g"), nQ = 10, k = 64)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("prank"),
+        r.getAs[Double]("matched")))
+    val byRank = out.groupBy(_._2)
+    // every rank present in both groups resolves to one matched value
+    byRank.foreach { case (p, rs) =>
+      assert(rs.map(_._3).distinct.length == 1,
+        s"rank $p maps to ${rs.map(_._3).distinct.toSeq}")
+    }
+    // matching is monotone in rank
+    val aSorted = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    assert(aSorted.zip(aSorted.tail).forall { case (x, y) => x <= y })
+    // matched values come from the GLOBAL value ladder
+    val ladder = ((0 to 10).map(_.toDouble) ++ (0 to 10).map(1000.0 + _)).toSet
+    assert(out.forall(r => ladder.contains(r._3)))
+  }
 }

@@ -311,6 +311,7 @@ object Incremental {
       "partition column cannot be a key column")
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return // empty delta: nothing to merge, nothing to stage
     val target = spark.read.parquet(targetPath)
     if (verifyStability) {
       val stale = target

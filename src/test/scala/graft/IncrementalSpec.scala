@@ -133,6 +133,10 @@ class IncrementalSpec extends SparkSpec {
     assert(err.getMessage.contains("partition-stable"))
     // ...and the table is unchanged after the refused merge
     assert(spark.read.parquet(dir).count() == 5)
+    // an empty delta is a clean no-op, not a schema-inference crash
+    Incremental.upsert(spark, dir,
+      spark.read.parquet(dir).limit(0), Seq("id"), "dt")
+    assert(spark.read.parquet(dir).count() == 5)
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged incl. null payloads") {

@@ -70,7 +70,13 @@ object Bench {
     "q174_linear_trend",
     "q175_concurrency_by",
     "q176_decayed_stats",
-    "q179_funnel_single")
+    "q179_funnel_single",
+    // round-7 additions (q180_upsert excluded like q33: cost is the
+    // one-time partitioned table write, not the operator)
+    "q181_seasonal_anomaly",
+    "q182_negative_sample",
+    "q183_time_weighted_avg",
+    "q184_quantile_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -92,6 +92,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("BroadcastHashJoin"), s"quota join did not broadcast:\n$d")
   }
 
+  test("seasonal anomalies broadcast the profile; no window over raw events (q181)") {
+    val p = executedPlan(SparkEntry.queries("q181_seasonal_anomaly")(spark, dir))
+    assert(!p.contains("Window"), s"seasonal detector opened a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"profile not broadcast:\n$p")
+  }
+
+  test("negative sampling equi-joins hash buckets — never a product (q182)") {
+    val p = executedPlan(SparkEntry.queries("q182_negative_sample")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"negative sampling fell back to a product join:\n$p")
+  }
+
+  test("quantile match: bucketed rank + one-row broadcast ladder, no global sort task (q184)") {
+    val p = executedPlan(SparkEntry.queries("q184_quantile_match")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"reference ladder not broadcast:\n$p")
+    // the only Sorts allowed are within-partition (bucketed rank / sketch
+    // window); a range-partitioning exchange would mean the two-phase
+    // rank regressed to a global sort
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global sort in quantile match plan:\n$p")
+  }
+
   test("single-pass funnel plans exactly one exchange and one scan (q179)") {
     val p = executedPlan(SparkEntry.queries("q179_funnel_single")(spark, dir))
     val shuffles = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(p).size

@@ -141,4 +141,86 @@ object Images {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** 64-bit difference hash (dHash) of an image payload: smooth-scale to a
+    * 9×8 luminance grid, bit (r,c) = 1 iff luma(r,c+1) > luma(r,c).
+    * Invariant under rescaling and robust to mild recompression — the
+    * perceptual identity that survives the JPEG re-encodes that break
+    * byte-level content hashing. None for undecodable payloads.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = decode(payload).map { img =>
+    val w = 9; val h = 8
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val rgb = dst.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (luma(x + 1, y) > luma(x, y)) bits |= 1L << (y * (w - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Batched (id, dhash, decodable) over an (id, payload) relation —
+    * narrow per-partition map like everything else here.
+    */
+  def imageHashes(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dhash", LongType),
+      StructField("decodable", BooleanType, nullable = false)))
+    val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        dHash(r.getAs[Array[Byte]](1)) match {
+          case Some(b) => Row(r.getLong(0), b, true)
+          case None    => Row(r.getLong(0), null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash + the banded-hamming
+    * pigeonhole (split 64 bits into `maxHamming + 1` bands; any pair
+    * within the distance bound agrees exactly on ≥ 1 band → per-band
+    * equi-join, never an all-pairs product — the same trick as
+    * `Dedup.simHashCandidates`, at image width). Undecodable payloads
+    * never pair.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"bad maxHamming: $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    require(width >= 1, s"maxHamming $maxHamming leaves no band bits")
+    val hashes = imageHashes(df, idCol).filter(col("decodable")).drop("decodable")
+    val banded = hashes.select(col(idCol), col("dhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", col("dhash"), lit(b * width))
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("dhash"), col("bb.band"), col("bb.key"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col("l.dhash").bitwiseXOR(col("r.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -171,6 +171,37 @@ class MultimodalSourcesSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  private def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v0 = (x * 255) / math.max(1, w - 1)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash is scale-invariant and imageNearDup pairs perceptual twins only") {
+    import graft.multimodal.Images
+    val a1 = Images.dHash(gradientPng(64, 48, invert = false)).get
+    val a2 = Images.dHash(gradientPng(128, 96, invert = false)).get // same content, 2x scale
+    val b = Images.dHash(gradientPng(64, 48, invert = true)).get    // reversed gradient
+    assert(java.lang.Long.bitCount(a1 ^ a2) <= 4, s"rescale moved the hash: $a1 vs $a2")
+    assert(java.lang.Long.bitCount(a1 ^ b) > 20, "opposite gradients too close")
+    assert(Images.dHash("junk".getBytes("UTF-8")).isEmpty)
+    val df = Seq(
+      (1L, gradientPng(64, 48, invert = false)),
+      (2L, gradientPng(128, 96, invert = false)),
+      (3L, gradientPng(64, 48, invert = true)),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val pairs = Images.imageNearDup(df, "id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("probeImages decodes real PNG dimensions and flags junk") {
     import graft.multimodal.Images
     val rows = Seq(

@@ -1006,3 +1006,61 @@ class CmsJoinSize extends UserOperator {
   def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
     graft.operators.Sketches.cmsJoinSize(inputs(0), inputs(1))
 }
+
+/** Single-pass ordered funnel for scripts — same contract as [[Funnel]],
+  * one event-table scan. Params: key, ts, steps ('pred1; pred2; …').
+  */
+class FunnelSinglePass extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.funnelSinglePass(inputs.head, params("key"),
+      params("ts"), params("steps").split(";").toSeq.map(p => expr(p.trim)))
+}
+
+/** Seasonal (periodic-baseline) anomaly detection for scripts. Params:
+  * keys (comma-separated), ts (numeric micros), value (integer-quantized),
+  * period (86400000000), bucket (3600000000), cutoff (3.0), minN (2).
+  */
+class SeasonalAnomalies extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.seasonalAnomalies(inputs.head,
+      params("keys").split(",").toSeq.map(_.trim), params("ts"), params("value"),
+      params.getOrElse("period", "86400000000").toLong,
+      params.getOrElse("bucket", "3600000000").toLong,
+      params.getOrElse("cutoff", "3.0").toDouble,
+      params.getOrElse("minN", "2").toLong)
+}
+
+/** Exact time-weighted average for scripts. Params: keys (comma-separated),
+  * start, end (numeric micros), value (integer-quantized).
+  */
+class TimeWeightedAvg extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.timeWeightedAvg(inputs.head,
+      params("keys").split(",").toSeq.map(_.trim),
+      params("start"), params("end"), params("value"))
+}
+
+/** Cross-source quantile normalization for scripts. Params: value, key
+  * (hash identity for the sketch), groups (comma-separated), nQ (100),
+  * k (1024), salt (qm).
+  */
+class QuantileMatch extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sketches.quantileMatch(inputs.head, params("value"),
+      params("key"), params("groups").split(",").toSeq.map(_.trim),
+      params.getOrElse("nQ", "100").toInt,
+      params.getOrElse("k", "1024").toInt,
+      params.getOrElse("salt", "qm"))
+}
+
+/** Deterministic contrastive negative sampling for scripts: input 1 =
+  * anchors, input 2 = corpus. Params: anchorId, candId, k, buckets (64),
+  * salt (neg).
+  */
+class NegativeSample extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Sampling.negativeSample(inputs(0), inputs(1),
+      params("anchorId"), params("candId"), params("k").toInt,
+      params.getOrElse("buckets", "64").toInt,
+      params.getOrElse("salt", "neg"))
+}

@@ -235,6 +235,31 @@ class ExamplesSpec extends SparkSpec {
     assert(ewm.length == 5 && ewm.forall(_.getAs[Double]("ewm") > 0.0))
   }
 
+  test("lifecycle.cmr runs the round-7 operators end to end, FOREACH included") {
+    val out = runExample("lifecycle")
+    // single-pass funnel: t0..t2 + depth, every depth in 1..3
+    val f = spark.read.parquet(s"$out/funnel")
+    assert(f.columns.toSeq == Seq("user_id", "t0", "t1", "t2", "depth"))
+    assert(f.count() > 0)
+    // anomalies carry finite z beyond the cutoff
+    val sa = spark.read.parquet(s"$out/anomalies")
+    assert(sa.filter("abs(z) <= 2.5 OR z IS NULL").count() == 0)
+    // twa: one row per type, weighted mean within the quantized range
+    val twa = spark.read.parquet(s"$out/twa").collect()
+    assert(twa.length == 5 && twa.forall(_.getAs[Double]("twa") > 0.0))
+    // FOREACH generated both segment stores with the right contents
+    assert(spark.read.parquet(s"$out/seg_view")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSeq == Seq("view"))
+    assert(spark.read.parquet(s"$out/seg_purchase").count() > 0)
+    // quantile match lands every row on the global ladder
+    val qm = spark.read.parquet(s"$out/qmatch")
+    assert(qm.filter("matched IS NULL").count() == 0)
+    // negatives: no self pairs, at most 3 draws per anchor
+    val neg = spark.read.parquet(s"$out/negatives")
+    assert(neg.filter("neg_id = anchor_id").count() == 0)
+    assert(neg.groupBy("anchor_id").count().filter("count > 3").count() == 0)
+  }
+
   test("entity_resolution.cmr matches, clusters, and keeps the best record") {
     val out = runExample("entity_resolution")
     val pairs = spark.read.parquet(s"$out/matches")

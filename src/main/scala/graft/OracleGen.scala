@@ -1891,11 +1891,15 @@ object OracleGen {
   /** Mirrors Behavior.funnel for event_type step predicates: stage CTEs of
     * min-after-previous times, left-joined into the step-0 frontier.
     */
-  def funnel(steps: Seq[String]): String = {
+  def funnel(steps: Seq[String], maxSpan: Option[Long] = None): String = {
     val stages = steps.zipWithIndex.drop(1).map { case (st, i) =>
-      s"""s$i AS (SELECT e.user_id, min(e.ts_us) AS t$i FROM e
-         |  JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id AND e.ts_us > s${i - 1}.t${i - 1}
-         |  WHERE e.event_type = '$st' GROUP BY 1)""".stripMargin
+      // each stage carries the step-0 anchor (a0) so the conversion
+      // window can bound from it, the same t0 the operator carries
+      val prevT0 = if (i == 1) "s0.t0" else s"s${i - 1}.a0"
+      val window = maxSpan.map(s => s" AND e.ts_us <= $prevT0 + $s").getOrElse("")
+      s"""s$i AS (SELECT e.user_id, $prevT0 AS a0, min(e.ts_us) AS t$i FROM e
+         |  JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id AND e.ts_us > s${i - 1}.t${i - 1}$window
+         |  WHERE e.event_type = '$st' GROUP BY 1, 2)""".stripMargin
     }
     val joins = steps.indices.drop(1).map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")
     val tcols = steps.indices.map(i => s"t$i").mkString(", ")

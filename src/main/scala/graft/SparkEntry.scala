@@ -864,6 +864,17 @@ object SparkEntry {
         col("event_type") === "view", col("event_type") === "click",
         col("event_type") === "purchase"))
     }),
+    // conversion-window funnel: steps only count within one hour of the
+    // first view (single-pass form; the windowed k-join oracle is
+    // independent)
+    "q185_funnel_windowed" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
+      Behavior.funnelSinglePass(ev, "user_id", "ts_us", Seq(
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"), maxSpan = Some(3600000000L))
+    }),
     // seasonal anomalies: events deviating > 2.5 sigma from their
     // (event_type, hour-of-day) baseline — periodic-normal detection
     "q181_seasonal_anomaly" -> ((s, d) => {
@@ -1842,6 +1853,8 @@ object SparkEntry {
     "q150_funnel" -> OracleGen.funnel(Seq("view", "click", "purchase")),
     // the single-pass form must reproduce the k-join form bit for bit
     "q179_funnel_single" -> OracleGen.funnel(Seq("view", "click", "purchase")),
+    "q185_funnel_windowed" -> OracleGen.funnel(Seq("view", "click", "purchase"),
+      maxSpan = Some(3600000000L)),
     // mirrors seasonalAnomalies' exact trees: abTest's quantized moment
     // arithmetic per (event_type, hour-of-day), z over the joined-back rows
     "q181_seasonal_anomaly" ->

@@ -25,17 +25,24 @@ object Behavior {
     * k × (scan + keyed agg) regardless of per-user event counts. Keys
     * that never perform step 0 are absent from the output (count them
     * from the source if the 0-depth row matters).
+    *
+    * `maxSpan` bounds the whole conversion: later steps only count within
+    * `maxSpan` time units of t0 (the analytics-product "converted within
+    * 7 days" window semantics, anchored on the FIRST step-0 touch — the
+    * funnel never re-anchors on a later step-0 event).
     */
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
-             steps: Seq[Column]): DataFrame = {
+             steps: Seq[Column], maxSpan: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step predicate")
     val step0 = events.filter(steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t0"))
     val full = steps.zipWithIndex.drop(1).foldLeft(step0) { case (cur, (pred, i)) =>
       val carried = cur.columns.filter(_ != keyCol) // t0..t{i-1}
+      val inWindow = maxSpan // conversion window measured from step 0
+        .map(s => col(tsCol) <= col("t0") + lit(s)).getOrElse(lit(true))
       val next = events.filter(pred)
         .join(cur, keyCol)
-        .filter(col(tsCol) > col(s"t${i - 1}"))
+        .filter(col(tsCol) > col(s"t${i - 1}") && inWindow)
         .groupBy((keyCol +: carried.toSeq).map(col): _*)
         .agg(min(col(tsCol)).as(s"t$i"))
       // keys stalled before step i keep their earlier times, t_i = null
@@ -55,10 +62,11 @@ object Behavior {
     * state bounded by that key's step-relevant events. Same contract and
     * same answer as [[funnel]]: t_i is the earliest step-i event strictly
     * after t_{i-1} (ties can't complete two steps at one timestamp, in
-    * either form), and keys that never perform step 0 are absent.
+    * either form), keys that never perform step 0 are absent, and
+    * `maxSpan` bounds the conversion window from t0 identically.
     */
   def funnelSinglePass(events: DataFrame, keyCol: String, tsCol: String,
-                       steps: Seq[Column]): DataFrame = {
+                       steps: Seq[Column], maxSpan: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step predicate")
     val k = steps.length
     val tsType = events.select(col(tsCol)).schema.head.dataType
@@ -78,9 +86,13 @@ object Behavior {
         array((0 until k).map { i =>
           val t = element_at(st, i + 1)
           val hasBit = e.getField("m").bitwiseAND(lit(1 << i)) =!= 0
+          val inWindow = maxSpan // same first-touch-anchored bound as funnel
+            .map(s => e.getField("ts") <= element_at(st, 1) + lit(s))
+            .getOrElse(lit(true))
           val prevOk =
             if (i == 0) lit(true)
-            else element_at(st, i).isNotNull && e.getField("ts") > element_at(st, i)
+            else element_at(st, i).isNotNull &&
+              e.getField("ts") > element_at(st, i) && inWindow
           when(t.isNotNull, t)
             .when(hasBit && prevOk, e.getField("ts"))
             .otherwise(nullT)

@@ -66,6 +66,28 @@ class BehaviorSpec extends SparkSpec {
     assert(b(7L) == ((Some(10L), Some(20L), None, 2L)))
   }
 
+  test("conversion window bounds later steps from the first step-0 touch") {
+    val e = Seq(
+      // u1: click at +15 inside a 20-window; purchase at +25 outside it
+      (1L, 10L, "view"), (1L, 25L, "click"), (1L, 35L, "purchase"),
+      // u2: everything inside the window
+      (2L, 10L, "view"), (2L, 15L, "click"), (2L, 25L, "purchase"),
+      // u3: a SECOND view inside-window does not re-anchor the funnel
+      (3L, 10L, "view"), (3L, 100L, "view"), (3L, 105L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq(col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    for (fn <- Seq(
+        Behavior.funnel(e, "user_id", "ts", steps, maxSpan = Some(20L)),
+        Behavior.funnelSinglePass(e, "user_id", "ts", steps, maxSpan = Some(20L)))) {
+      val out = fn.collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+      assert(out(1L) == ((Some(10L), Some(25L), None, 2L)), out.toString)
+      assert(out(2L) == ((Some(10L), Some(15L), Some(25L), 3L)), out.toString)
+      assert(out(3L) == ((Some(10L), None, None, 1L)), out.toString)
+    }
+  }
+
   test("funnelCounts histograms completion depth") {
     val counts = Behavior.funnelCounts(ev, "user_id", "ts", Seq(
         col("event_type") === "view", col("event_type") === "click",

@@ -420,6 +420,38 @@ object OracleGen {
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
 
+  /** Similarity.marginMine: both directions' top-k candidate union,
+    * sorted-fold neighbor means, the same margin tree, best per source.
+    */
+  def marginMine(k: Int, srcMax: Long, tgtLo: Long, tgtHi: Long,
+                 threshold: Double): String = {
+    val cos = cosine("s.v", "t.v")
+    val meanFold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_sort(list(cosine))), (a, x) -> a + x) / CAST(count(1) AS DOUBLE)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT * FROM e WHERE vec_id < $srcMax),
+       |t AS (SELECT * FROM e WHERE vec_id >= $tgtLo AND vec_id < $tgtHi),
+       |fs AS (SELECT src_id, tgt_id, cosine FROM (
+       |    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, $cos AS cosine,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY $cos DESC, t.vec_id) AS rk
+       |    FROM s, t) WHERE rk <= $k),
+       |bs AS (SELECT src_id, tgt_id, cosine FROM (
+       |    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, $cos AS cosine,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY $cos DESC, s.vec_id) AS rk
+       |    FROM s, t) WHERE rk <= $k),
+       |ms AS (SELECT src_id, $meanFold AS mean_src FROM fs GROUP BY 1),
+       |mt AS (SELECT tgt_id, $meanFold AS mean_tgt FROM bs GROUP BY 1),
+       |cand AS (SELECT DISTINCT src_id, tgt_id, cosine
+       |  FROM (SELECT * FROM fs UNION ALL SELECT * FROM bs)),
+       |sc AS (SELECT c.src_id, c.tgt_id,
+       |    c.cosine / ((ms.mean_src + mt.mean_tgt) / 2) AS margin
+       |  FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+       |r AS (SELECT src_id, tgt_id, margin,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+       |  FROM sc)
+       |SELECT src_id, tgt_id, margin FROM r WHERE rk = 1 AND margin > $threshold""".stripMargin
+  }
+
   /** Sequential-fold squared L2 — mirrors Pq.l2sq (zip_with then a left
     * fold, same order ⇒ bit-identical doubles).
     */

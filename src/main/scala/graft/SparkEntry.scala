@@ -469,6 +469,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .select("query_id", "neighbor_id", "rank")
     }),
+    // margin-criterion bitext mining between two disjoint embedding sets
+    "q186_margin_mine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMine(
+        emb.filter(col("vec_id") < 30),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 200),
+        k = 4, threshold = 0.0)
+    }),
     "q45_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -1773,6 +1781,8 @@ object SparkEntry {
     "q69_embed_neardup_lsh" ->
       OracleGen.embeddingNearDupLsh(threshold = 0.45, nPlanes = 16, bands = 4),
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
+    "q186_margin_mine" -> OracleGen.marginMine(k = 4, srcMax = 30L,
+      tgtLo = 100L, tgtHi = 200L, threshold = 0.0),
     "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
     "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),

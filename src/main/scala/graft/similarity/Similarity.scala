@@ -50,6 +50,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").as("rank"))
   }
 
+  /** Margin-criterion bitext mining (the LASER margin, Artetxe & Schwenk
+    * 2019): score every cross-corpus candidate pair by
+    * cos(x,y) / ((meanK(x) + meanK(y)) / 2), where meanK(v) is the mean
+    * cosine of v's k nearest neighbors in the OTHER corpus — dividing out
+    * hubness, the failure mode of raw-cosine mining — and keep each
+    * source's best-margin target above `threshold`. Candidates are the
+    * union of both directions' top-k lists (the practical "max" strategy).
+    *
+    * Deterministic end to end: the neighbor means fold SORTED cosine
+    * lists sequentially (bit-portable, same trick as the L2 fold), so the
+    * oracle replays the exact margins. Scale shape: two [[bruteForceTopK]]
+    * passes (each a broadcast-narrow scan + per-query top-k) and then
+    * joins over (queries × k)-sized candidate tables only — swap in
+    * [[ivfTopK]] candidates upstream for corpus-scale mining, the margin
+    * arithmetic is agnostic to where the top-k lists came from.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int, threshold: Double = 1.0,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val fwd = bruteForceTopK(tgt, src, k, idCol, vecCol)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"))
+    val bwd = bruteForceTopK(src, tgt, k, idCol, vecCol)
+      .select(col("neighbor_id").as("src_id"), col("query_id").as("tgt_id"),
+        col("cosine"))
+    def meanK(df: DataFrame, key: String, out: String) =
+      df.groupBy(col(key)).agg(
+        (aggregate(array_sort(collect_list(col("cosine"))), lit(0.0d),
+          (a, x) => a + x) / count(lit(1)).cast("double")).as(out))
+    val mSrc = meanK(fwd, "src_id", "mean_src")
+    val mTgt = meanK(bwd, "tgt_id", "mean_tgt")
+    val cand = fwd.unionByName(bwd).distinct()
+      .join(mSrc, "src_id").join(mTgt, "tgt_id")
+      .withColumn("margin",
+        col("cosine") / ((col("mean_src") + col("mean_tgt")) / lit(2.0d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col("margin") > threshold)
+      .select("src_id", "tgt_id", "margin")
+  }
+
   /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
     * long. Hyperplane components are deterministic pseudo-random ±1 values
     * derived from a portable integer hash of (plane, dim)

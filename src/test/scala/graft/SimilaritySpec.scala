@@ -154,4 +154,24 @@ class SimilaritySpec extends SparkSpec {
     assert(frames.count() == 15)
     assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
   }
+
+  test("marginMine demotes the hub that raw cosine would pick") {
+    // hub is the raw-cosine best for src a, but it is near EVERYTHING, so
+    // its large neighbor-mean divides its margin below the true match ta
+    val src = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Seq(0.72f, 0f, 0.7f)),   // ta: a's true match
+      (11L, Seq(1f, 0.9f, 0f)),      // hub: close to both a and b
+      (12L, Seq(0f, 0.72f, 0.7f))    // tb: b's true match
+    ).toDF("vec_id", "embedding")
+    // raw cosine really does prefer the hub for a...
+    val raw = Similarity.bruteForceTopK(tgt, src.filter(col("vec_id") === 1), k = 1)
+      .collect().head
+    assert(raw.getLong(1) == 11L, s"fixture broken: raw best is ${raw.getLong(1)}")
+    // ...and the margin criterion recovers the true pairs
+    val mined = Similarity.marginMine(src, tgt, k = 2, threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined == Map(1L -> 10L, 2L -> 12L), mined.toString)
+  }
 }

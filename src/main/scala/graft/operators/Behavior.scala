@@ -205,11 +205,24 @@ object Behavior {
     */
   def seasonalAnomalies(df: DataFrame, keyCols: Seq[String], tsCol: String,
                         valueCol: String, periodUs: Long, bucketUs: Long,
-                        cutoff: Double = 3.0, minN: Long = 2L): DataFrame = {
-    val prof = seasonalProfile(df, keyCols, tsCol, valueCol, periodUs, bucketUs)
+                        cutoff: Double = 3.0, minN: Long = 2L): DataFrame =
+    seasonalScreen(df,
+      seasonalProfile(df, keyCols, tsCol, valueCol, periodUs, bucketUs),
+      keyCols, tsCol, valueCol, periodUs, bucketUs, cutoff, minN)
+
+  /** The probe half of [[seasonalAnomalies]] against an ALREADY-BUILT
+    * profile — so a STREAM can screen live events against yesterday's
+    * batch-computed baseline (stream-static broadcast join, stateless,
+    * append mode), and a batch can screen against a frozen profile
+    * (drift detection against last week's normal rather than its own).
+    */
+  def seasonalScreen(df: DataFrame, profile: DataFrame, keyCols: Seq[String],
+                     tsCol: String, valueCol: String, periodUs: Long,
+                     bucketUs: Long, cutoff: Double = 3.0,
+                     minN: Long = 2L): DataFrame = {
     val phase = expr(s"($tsCol % ${periodUs}L) div ${bucketUs}L")
     df.withColumn("phase", phase)
-      .join(broadcast(prof), keyCols :+ "phase")
+      .join(broadcast(profile), keyCols :+ "phase")
       .withColumn("z",
         (col(valueCol).cast("double") - col("mean")) / sqrt(col("var")))
       .filter(col("var") > 0.0 && col("n") >= minN && abs(col("z")) > cutoff)

@@ -146,6 +146,37 @@ class StreamingSpec extends SparkSpec {
     assert(closed.contains(("a", 3.0)), s"expected closed window ('a', 3.0), got $closed")
   }
 
+  test("a stream screens against a static seasonal profile, batch ≡ stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Behavior
+    // yesterday's baseline, batch-built: phase 0 ~10, phase 1 ~100
+    val hist = Seq(
+      ("m", 0L, 10L), ("m", 100L, 11L), ("m", 200L, 9L), ("m", 300L, 10L),
+      ("m", 50L, 100L), ("m", 150L, 101L), ("m", 250L, 99L), ("m", 350L, 100L)
+    ).toDF("k", "ts", "qv")
+    val prof = Behavior.seasonalProfile(hist, Seq("k"), "ts", "qv", 100L, 50L)
+    // live events: one normal per phase, one wild outlier
+    val live = Seq(("m", 410L, 10L), ("m", 460L, 100L), ("m", 510L, 75L))
+    val expected = Behavior.seasonalScreen(
+        live.toDF("k", "ts", "qv"), prof, Seq("k"), "ts", "qv", 100L, 50L,
+        cutoff = 3.0)
+      .collect().map(r => r.getAs[Long]("ts")).toSet
+    assert(expected == Set(510L), s"batch screen got $expected")
+    val in = MemoryStream[(String, Long, Long)]
+    val screened = Behavior.seasonalScreen(
+      in.toDF().toDF("k", "ts", "qv"), prof, Seq("k"), "ts", "qv", 100L, 50L,
+      cutoff = 3.0)
+    val q = screened.writeStream.format("memory").queryName("seasonal_screen")
+      .outputMode("append").start()
+    try {
+      in.addData(live: _*)
+      q.processAllAvailable()
+      val got = spark.table("seasonal_screen")
+        .collect().map(_.getAs[Long]("ts")).toSet
+      assert(got == expected, s"stream screen got $got")
+    } finally q.stop()
+  }
+
   test("upsertStream applies CDC batches: creates, merges, resolves in-batch conflicts by seq") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-upsert-stream").toString

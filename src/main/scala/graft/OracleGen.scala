@@ -498,6 +498,28 @@ object OracleGen {
     * centroids: the q117 assignment argmin, then in-cell pairs at cosine ≥
     * threshold drop the larger id (same double folds as q43's verifier).
     */
+  /** Similarity.diverseSelect: the ivfAssign argmin, then the per-cell
+    * most-central member, both with (−cos, id) lexicographic ties.
+    */
+  def diverseSelect(nCentroids: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= $nCentroids),
+       |scored AS (
+       |  SELECT corp.vec_id, c.centroid_id, -(${cosine("corp.v", "c.cv")}) AS d
+       |  FROM corp, c),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id, d FROM (
+       |    SELECT vec_id, centroid_id, d,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1)
+       |SELECT centroid_id, vec_id AS rep_id FROM (
+       |  SELECT centroid_id, vec_id,
+       |    row_number() OVER (PARTITION BY centroid_id ORDER BY d, vec_id) AS rk
+       |  FROM assigned)
+       |WHERE rk = 1""".stripMargin
+
   def semDedup(nCentroids: Int, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nCentroids),

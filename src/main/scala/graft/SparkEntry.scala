@@ -469,6 +469,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .select("query_id", "neighbor_id", "rank")
     }),
+    // one most-central representative per coarse cell (coreset seeding)
+    "q187_diverse_select" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.diverseSelect(emb.filter(col("vec_id") >= 8), cents)
+    }),
     // margin-criterion bitext mining between two disjoint embedding sets
     "q186_margin_mine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1783,6 +1790,7 @@ object SparkEntry {
     "q44_ann_brute" -> OracleGen.annBrute(k = 5, maxQueryId = 5),
     "q186_margin_mine" -> OracleGen.marginMine(k = 4, srcMax = 30L,
       tgtLo = 100L, tgtHi = 200L, threshold = 0.0),
+    "q187_diverse_select" -> OracleGen.diverseSelect(nCentroids = 8),
     "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
     "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),

@@ -204,6 +204,29 @@ object Similarity {
       .withColumn("centroid_id", best.getField("cid").cast(cidType))
   }
 
+  /** Diversity-preserving representative selection (coreset seeding): ONE
+    * vector per coarse cell — the member MOST similar to its centroid,
+    * ties to the lowest id. The curation move for diverse subset
+    * assembly: cells partition the space, so the representative set
+    * spreads across it instead of clustering where the data is dense.
+    * Assignment rides the narrow [[ivfAssign]] fold (zero corpus
+    * exchange); the election is a partial-aggregated min-of-struct per
+    * cell, so only (cells)-sized state crosses the one shuffle and raw
+    * vectors never move.
+    */
+  def diverseSelect(df: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+    val c = broadcast(centroids.select(col("centroid_id"),
+      col("cvec").cast("array<double>").as("__cv")))
+    assigned.join(c, "centroid_id")
+      .withColumn("__negc",
+        -cosineGeneric(col(vecCol).cast("array<double>"), col("__cv")))
+      .groupBy("centroid_id")
+      .agg(min(struct(col("__negc"), col(idCol).cast("long").as("rid"))).as("__m"))
+      .select(col("centroid_id"), col("__m.rid").as("rep_id"))
+  }
+
   /** The exchange-based form of [[ivfAssign]]: broadcast-join the centroid
     * TABLE and partial-aggregate the n×k scored stream with `min_by`.
     * Same results; use when the centroid set is too large to embed as a

@@ -171,9 +171,11 @@ object AvroNative {
       .parallelize(splits, splits.size)
       .flatMap { case (file, start, end) =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        val reader = new DataFileReader[GenericRecord](
-          new FsInput(new org.apache.hadoop.fs.Path(file), conf),
-          new GenericDatumReader[GenericRecord]())
+        val in = new FsInput(new org.apache.hadoop.fs.Path(file), conf)
+        val reader =
+          try new DataFileReader[GenericRecord](in,
+            new GenericDatumReader[GenericRecord]())
+          catch { case e: Throwable => in.close(); throw e } // corrupt header
         // close on task completion, not iterator exhaustion — limit/take
         // abandon the iterator mid-stream
         Option(TaskContext.get()).foreach(

@@ -155,6 +155,18 @@ class SimilaritySpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
   }
 
+  test("diverseSelect keeps the most-central member of every cell") {
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("centroid_id", "cvec")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.99f, 0.01f)), // cell 0; 11 is closer
+      (12L, Seq(0.2f, 0.8f))                            // cell 1, alone
+    ).toDF("vec_id", "embedding")
+    val reps = Similarity.diverseSelect(corpus, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(0L -> 11L, 1L -> 12L), reps.toString)
+  }
+
   test("marginMine demotes the hub that raw cosine would pick") {
     // hub is the raw-cosine best for src a, but it is near EVERYTHING, so
     // its large neighbor-mean divides its margin below the true match ta

@@ -138,8 +138,14 @@ object AvroNative {
     *                      (file, range) pair becomes one task; ranges are
     *                      resolved to container blocks via sync markers, so
     *                      every record is read exactly once.
+    * @param columns       optional top-level projection, applied at DECODE
+    *                      time through Avro schema resolution (skipped
+    *                      fields are skim-decoded, not materialized) — the
+    *                      required-field pushdown the reference's
+    *                      AvroStorage honored from Pig.
     */
-  def read(spark: SparkSession, path: String, maxSplitBytes: Long = -1L): DataFrame = {
+  def read(spark: SparkSession, path: String, maxSplitBytes: Long = -1L,
+           columns: Seq[String] = Nil): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf)
@@ -155,7 +161,23 @@ object AvroNative {
         new GenericDatumReader[GenericRecord]())
       try in.getSchema.toString finally in.close()
     }
-    val sparkSchema = toSparkType(new Schema.Parser().parse(firstSchemaJson))
+    val writerSchema = new Schema.Parser().parse(firstSchemaJson)
+    val readSchemaJson =
+      if (columns.isEmpty) firstSchemaJson
+      else {
+        val byName = writerSchema.getFields.asScala.map(f => f.name -> f).toMap
+        val missing = columns.filterNot(byName.contains)
+        require(missing.isEmpty, s"avro projection: unknown columns $missing")
+        // preserve writer field order so schema resolution stays a skim
+        val kept = writerSchema.getFields.asScala
+          .filter(f => columns.contains(f.name))
+          .map(f => new Schema.Field(f.name, f.schema, f.doc, f.defaultVal()))
+        val rec = Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
+          writerSchema.getNamespace, false)
+        rec.setFields(kept.toList.asJava)
+        rec.toString
+      }
+    val sparkSchema = toSparkType(new Schema.Parser().parse(readSchemaJson))
       .asInstanceOf[StructType]
     val splitBytes =
       if (maxSplitBytes > 0) maxSplitBytes
@@ -172,9 +194,12 @@ object AvroNative {
       .flatMap { case (file, start, end) =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val in = new FsInput(new org.apache.hadoop.fs.Path(file), conf)
+        // reader schema = the projection; Avro schema resolution skips
+        // dropped fields at decode time
+        val expected = new Schema.Parser().parse(readSchemaJson)
         val reader =
           try new DataFileReader[GenericRecord](in,
-            new GenericDatumReader[GenericRecord]())
+            new GenericDatumReader[GenericRecord](null, expected))
           catch { case e: Throwable => in.close(); throw e } // corrupt header
         // close on task completion, not iterator exhaustion — limit/take
         // abandon the iterator mid-stream

@@ -129,6 +129,20 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(back.limit(5).collect().length == 5)
   }
 
+  test("avro projected read decodes only the requested columns") {
+    import graft.sources.AvroNative
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("graft-avro-proj").toString + "/t"
+    AvroNative.write(df, dir)
+    val proj = AvroNative.read(spark, dir, columns = Seq("id", "score"))
+    assert(proj.schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(proj.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 1.5), (2L, 2.5)))
+    val err = intercept[IllegalArgumentException](
+      AvroNative.read(spark, dir, columns = Seq("nope")))
+    assert(err.getMessage.contains("unknown columns"))
+  }
+
   test("avro read of an empty directory fails with a clear message") {
     import graft.sources.AvroNative
     val dir = Files.createTempDirectory("graft-avro-empty").toString

@@ -149,6 +149,34 @@ class SkewStressSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window in funnel plan:\n$plan")
   }
 
+  test(s"funnelSinglePass: a $Hot-event hot user folds in one pass, same frontier") {
+    val ev = spark.range(Hot)
+      .select(lit(1L).as("u"), col("id").as("ts"),
+        when(col("id") % 3 === 0, "view").when(col("id") % 3 === 1, "click")
+          .otherwise("purchase").as("et"))
+    val out = graft.operators.Behavior.funnelSinglePass(ev, "u", "ts", Seq(
+      col("et") === "view", col("et") === "click", col("et") === "purchase"))
+    val r = out.collect()
+    assert(r.length == 1 && r.head.getAs[Long]("depth") == 3L)
+    assert(r.head.getAs[Long]("t0") == 0L && r.head.getAs[Long]("t1") == 1L &&
+      r.head.getAs[Long]("t2") == 2L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in single-pass funnel plan:\n$plan")
+  }
+
+  test(s"quantileMatch: a value tied $Hot times shares one rank and one matched value") {
+    val df = spark.range(Hot).select(col("id"), lit(5.0).as("v"), lit("g").as("g"))
+      .unionAll(spark.range(2).select((col("id") + Hot).as("id"),
+        (col("id") * 10 + 1).cast("double").as("v"), lit("g").as("g")))
+    val out = graft.operators.Sketches.quantileMatch(df, "v", "id", Seq("g"),
+      nQ = 10, k = 64)
+    val hotRows = out.filter(col("v") === 5.0)
+      .select("prank", "matched").distinct().collect()
+    // all 10^5 tied rows share ONE (rank, matched) pair — the tie never
+    // fans out into per-row work downstream
+    assert(hotRows.length == 1, hotRows.mkString(","))
+  }
+
   test(s"skyline: a point tied $Hot times refines one representative, all copies survive") {
     // the tie-adversary: 10^5 exact copies of one frontier point — a
     // row-level refine would form ~10^10 candidate pairs; the

@@ -930,6 +930,13 @@ object SparkEntry {
         (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
       Behavior.concurrency(iv, "st", "en")
     }),
+    // per-type CUSUM drift: where does each metric's mean shift?
+    "q188_cusum_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        floor(col("value") * lit(1000)).cast("long").as("qv"))
+      Behavior.cusumDrift(ev, Seq("event_type"), "ts_us", "qv", "event_id")
+    }),
     // time-weighted average gauge per type over the synthesized intervals
     "q183_time_weighted_avg" -> ((s, d) => {
       val us = expr("unix_micros(cast(ts as timestamp))")
@@ -1843,6 +1850,32 @@ object SparkEntry {
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
     "q182_negative_sample" -> OracleGen.negativeSample(k = 4, buckets = 64,
       anchorMax = 50L),
+    // mirrors cusumDrift: integer window cumsum, abTest's moment trees,
+    // the same (−|D|, ts) argmax
+    "q188_cusum_drift" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS qv FROM events),
+        |st AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+        |    sum(qv) AS s, sum(qv * qv) AS ss FROM e GROUP BY 1),
+        |pr AS (SELECT event_type, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1 THEN (CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        / CAST(n - 1 AS DOUBLE) END AS var FROM st),
+        |c AS (SELECT event_type, t,
+        |    sum(qv) OVER (PARTITION BY event_type ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY t, event_id) AS i
+        |  FROM e),
+        |sc AS (SELECT c.event_type, c.t,
+        |    (CAST(cum AS DOUBLE) - CAST(i AS DOUBLE) * pr.mean)
+        |      / (sqrt(pr.var) * sqrt(CAST(pr.n AS DOUBLE))) AS stat
+        |  FROM c JOIN pr USING (event_type) WHERE pr.var > 0),
+        |r AS (SELECT event_type, t, stat,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY -abs(stat), t) AS rk
+        |  FROM sc)
+        |SELECT event_type, t AS changepoint_ts, stat AS drift_stat
+        |FROM r WHERE rk = 1""".stripMargin,
     // mirrors timeWeightedAvg: exact HUGEINT moment sums, one double ratio
     "q183_time_weighted_avg" ->
       """WITH iv AS (SELECT event_type,

@@ -228,6 +228,51 @@ object Behavior {
       .filter(col("var") > 0.0 && col("n") >= minN && abs(col("z")) > cutoff)
   }
 
+  /** CUSUM drift detection per key: the standardized cumulative deviation
+    * D_i = (Σ_{j≤i} v_j − i·mean) / (σ·√n) over the time-ordered series,
+    * whose max |D| locates a MEAN SHIFT — the slow drift that per-point
+    * detectors ([[WindowOps.rollingStats]] spikes, [[seasonalAnomalies]]
+    * periodic outliers) can't see. Emits one row per key: the max-|D|
+    * statistic and its timestamp (the changepoint estimate), ties to the
+    * earliest time. Exact and portable: the cumulative sums are integer
+    * windows over the quantized metric, the statistic one
+    * exactly-rounded double tree (abTest's mean/variance trees).
+    *
+    * Scale shape: one per-key stats aggregation (broadcast back), one
+    * per-key ordered window for the integer cumsum (state = a running
+    * long per key partition, the same class as rollingStats), one
+    * partial-aggregated argmax. Keys with < 2 rows or zero variance emit
+    * nothing.
+    */
+  def cusumDrift(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valueCol: String, tieBreak: String): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__ss"))
+      .withColumn("__mean", col("__s").cast("double") / col("__n").cast("double"))
+      .withColumn("__var",
+        when(col("__n") > 1,
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("__mean")) / (col("__n") - 1).cast("double")))
+      .drop("__s", "__ss")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieBreak))
+    val scored = df
+      .withColumn("__cum", sum(v).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__i", row_number().over(w))
+      .join(broadcast(stats), keyCols)
+      .filter(col("__var") > 0.0)
+      .withColumn("__stat",
+        (col("__cum").cast("double") - col("__i").cast("double") * col("__mean")) /
+          (sqrt(col("__var")) * sqrt(col("__n").cast("double"))))
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(min(struct((-abs(col("__stat"))).as("na"),
+        col(tsCol).as("cts"), col("__stat").as("st"))).as("__m"))
+      .select(keyCols.map(col) :+ col("__m.cts").as("changepoint_ts") :+
+        col("__m.st").as("drift_stat"): _*)
+  }
+
   /** Exact time-weighted average of an INTEGER-quantized metric over
     * validity intervals — the TSDB `twa()` for irregularly-sampled gauges,
     * where a plain mean over-weights chatty reporters. Per key:

@@ -120,6 +120,27 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.seasonalAnomalies(solo, Seq("k"), "ts", "qv", 100L, 50L).count() == 0)
   }
 
+  test("cusumDrift locates a mean shift at the shift point") {
+    // 10,10,10,10,10 then 20,20,20,20,20: max |cumulative deviation|
+    // lands exactly on the last pre-shift point (ts=5)
+    val shifted = (1 to 10).map(i => ("m", i.toLong, i.toLong,
+      if (i <= 5) 10L else 20L)).toDF("k", "ts", "tie", "qv")
+    val d = Behavior.cusumDrift(shifted, Seq("k"), "ts", "qv", "tie")
+      .collect().head
+    assert(d.getAs[Long]("changepoint_ts") == 5L, d.toString)
+    assert(d.getAs[Double]("drift_stat") < -1.0, d.toString)
+    // an alternating (driftless) series scores much smaller
+    val flat = (1 to 10).map(i => ("f", i.toLong, i.toLong,
+      if (i % 2 == 0) 10L else 20L)).toDF("k", "ts", "tie", "qv")
+    val f = Behavior.cusumDrift(flat, Seq("k"), "ts", "qv", "tie").collect().head
+    assert(math.abs(f.getAs[Double]("drift_stat")) <
+      math.abs(d.getAs[Double]("drift_stat")) / 2, f.toString)
+    // constant series (zero variance) emits nothing
+    val const = (1 to 5).map(i => ("c", i.toLong, i.toLong, 7L))
+      .toDF("k", "ts", "tie", "qv")
+    assert(Behavior.cusumDrift(const, Seq("k"), "ts", "qv", "tie").count() == 0)
+  }
+
   test("timeWeightedAvg weights by duration; zero spans drop; negatives raise") {
     val iv = Seq(
       // k=a: value 10 for 30 units, value 40 for 10 units → (300+400)/40 = 17.5

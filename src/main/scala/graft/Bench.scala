@@ -76,7 +76,9 @@ object Bench {
     "q181_seasonal_anomaly",
     "q182_negative_sample",
     "q183_time_weighted_avg",
-    "q184_quantile_match")
+    "q184_quantile_match",
+    "q186_margin_mine",
+    "q188_cusum_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

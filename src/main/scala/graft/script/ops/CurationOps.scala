@@ -1064,3 +1064,43 @@ class NegativeSample extends UserOperator {
       params.getOrElse("buckets", "64").toInt,
       params.getOrElse("salt", "neg"))
 }
+
+/** CUSUM drift detection for scripts. Params: keys (comma-separated), ts,
+  * value (integer-quantized), tieBreak.
+  */
+class CusumDrift extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Behavior.cusumDrift(inputs.head,
+      params("keys").split(",").toSeq.map(_.trim), params("ts"),
+      params("value"), params("tieBreak"))
+}
+
+/** Margin-criterion bitext mining for scripts: input 1 = source corpus,
+  * input 2 = target corpus (both (id, embedding)). Params: k,
+  * threshold (1.0), id (vec_id), vec (embedding).
+  */
+class MarginMine extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.similarity.Similarity.marginMine(inputs(0), inputs(1),
+      params("k").toInt, params.getOrElse("threshold", "1.0").toDouble,
+      params.getOrElse("id", "vec_id"), params.getOrElse("vec", "embedding"))
+}
+
+/** Per-cell diverse representative selection for scripts: input 1 =
+  * corpus, input 2 = centroid table (centroid_id, cvec). Params: id
+  * (vec_id), vec (embedding).
+  */
+class DiverseSelect extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.similarity.Similarity.diverseSelect(inputs(0), inputs(1),
+      params.getOrElse("id", "vec_id"), params.getOrElse("vec", "embedding"))
+}
+
+/** Perceptual image near-dup pairs for scripts over (id, payload).
+  * Params: id, maxHamming (7).
+  */
+class ImageNearDup extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Images.imageNearDup(inputs.head, params("id"),
+      params.getOrElse("maxHamming", "7").toInt)
+}

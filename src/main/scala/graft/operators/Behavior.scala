@@ -194,6 +194,26 @@ object Behavior {
       .drop("__s", "__ss")
   }
 
+  /** Robust (median/MAD) form of the seasonal detector: the per-(key,
+    * phase) baseline comes from [[Sketches.madOutliers]] grouped by the
+    * folded phase, so a phase whose history is itself outlier-contaminated
+    * (the exact situation that drags a mean/σ baseline toward the
+    * anomalies being hunted) still flags correctly. Same fold, same scale
+    * shape as madOutliers: two sketch passes, broadcasts, narrow flags.
+    */
+  def seasonalAnomaliesRobust(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                              valueCol: String, periodUs: Long, bucketUs: Long,
+                              cutoff: Double = 3.0, key: Column = null): DataFrame = {
+    require(periodUs > 0 && bucketUs > 0 && periodUs % bucketUs == 0,
+      "period must be a positive multiple of the bucket width")
+    val phased = df.withColumn("phase",
+      expr(s"($tsCol % ${periodUs}L) div ${bucketUs}L"))
+    val sketchKey = Option(key).getOrElse(col(tsCol))
+    Sketches.madOutliers(phased, valueCol, sketchKey,
+        keyCols :+ "phase", cutoff)
+      .filter(col("is_outlier"))
+  }
+
   /** Rows whose metric deviates from their (key, phase) seasonal baseline
     * by more than `cutoff` standard deviations — periodic-pattern anomaly
     * detection (complements `WindowOps.rollingStats`, which is trailing,

@@ -158,6 +158,17 @@ class BehaviorSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("seasonalAnomaliesRobust flags against a median baseline the outliers can't drag") {
+    // phase 0: eight 10s and two enormous 1000s. A mean/σ baseline is
+    // dragged toward the outliers; the median/MAD baseline still flags both.
+    val rows = ((0 until 8).map(i => ("m", i * 100L, 10L + i % 2)) ++
+      Seq(("m", 800L, 1000L), ("m", 900L, 1000L))).toDF("k", "ts", "qv")
+    val robust = Behavior.seasonalAnomaliesRobust(rows, Seq("k"), "ts", "qv",
+        periodUs = 100L, bucketUs = 100L, cutoff = 5.0)
+      .collect().map(_.getAs[Long]("ts")).toSet
+    assert(robust == Set(800L, 900L), s"got $robust")
+  }
+
   test("retention cohorts by first day and counts distinct active offsets") {
     val day = 10L
     val e = Seq(

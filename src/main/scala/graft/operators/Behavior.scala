@@ -203,13 +203,13 @@ object Behavior {
     */
   def seasonalAnomaliesRobust(df: DataFrame, keyCols: Seq[String], tsCol: String,
                               valueCol: String, periodUs: Long, bucketUs: Long,
-                              cutoff: Double = 3.0, key: Column = null): DataFrame = {
+                              cutoff: Double = 3.0,
+                              sketchKey: Option[Column] = None): DataFrame = {
     require(periodUs > 0 && bucketUs > 0 && periodUs % bucketUs == 0,
       "period must be a positive multiple of the bucket width")
     val phased = df.withColumn("phase",
       expr(s"($tsCol % ${periodUs}L) div ${bucketUs}L"))
-    val sketchKey = Option(key).getOrElse(col(tsCol))
-    Sketches.madOutliers(phased, valueCol, sketchKey,
+    Sketches.madOutliers(phased, valueCol, sketchKey.getOrElse(col(tsCol)),
         keyCols :+ "phase", cutoff)
       .filter(col("is_outlier"))
   }

@@ -930,6 +930,11 @@ object SparkEntry {
         (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
       Behavior.concurrency(iv, "st", "en")
     }),
+    // sorted-neighborhood blocking: candidate pairs within 3 positions of
+    // the (lang, n_chars) global order — ER candidates at linear cost
+    "q189_sorted_neighborhood" -> ((s, d) =>
+      Joins.sortedNeighborhood(t(s, d, "documents"), "doc_id",
+        col("lang"), col("n_chars"), window = 3)),
     // per-type CUSUM drift: where does each metric's mean shift?
     "q188_cusum_drift" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
@@ -1850,6 +1855,15 @@ object SparkEntry {
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
     "q182_negative_sample" -> OracleGen.negativeSample(k = 4, buckets = 64,
       anchorMax = 50L),
+    // the naive transcription of the sorted-neighborhood window: one
+    // global row_number, pairs within the rank window
+    "q189_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY lang, n_chars, doc_id) AS pos
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(b.pos - a.pos AS BIGINT) AS rank_dist
+        |FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos < 3""".stripMargin,
     // mirrors cusumDrift: integer window cumsum, abTest's moment trees,
     // the same (−|D|, ts) argmax
     "q188_cusum_drift" ->

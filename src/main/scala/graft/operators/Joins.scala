@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{array, broadcast, col, explode, floor}
 
 /** Join operators from SURVEY.md §2.3. Cubert exposes each physical strategy
   * as a distinct user-chosen operator (MERGE JOIN over blockgen'd data,
@@ -247,5 +247,41 @@ object Joins {
       .withColumn("dist", levenshtein(col("__ka"), col("__kb"), k).cast("long"))
       .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** Sorted-neighborhood blocking (the OTHER classic entity-resolution
+    * candidate generator, complementing [[editDistanceJoin]]'s FastSS):
+    * order all records by (blockKey, sortKey, id) and emit every pair
+    * within `window` positions of each other in that global order —
+    * records with similar keys sort together, so a small window catches
+    * most true matches at linear candidate cost (≈ n·window pairs).
+    *
+    * No global-sort task: the global position comes from the two-phase
+    * rank (per-blockKey counts aggregate map-side, their prefix sum
+    * offsets each block's bucket-parallel row_number), and the pairing is
+    * an equi-join on the window grid — each row probes its own grid cell
+    * and the one before it, so a pair at distance < window collides on
+    * exactly one cell. Everything is keyed; no product, no single-task
+    * stage.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, blockKey: Column,
+                         sortKey: Column, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val prepared = df.select(col(idCol).as("__id"), blockKey.as("__b"),
+      sortKey.as("__s"))
+    val ranked = Sampling.twoPhaseRank(prepared, Nil,
+        Seq(col("__s"), col("__id")), "pos")
+      .select(col("__id"), col("pos"))
+      .withColumn("__g", floor((col("pos") - 1) / window).cast("long"))
+    // B registers under its own grid cell and the previous one, so an A in
+    // cell g meets every B within `window` positions ahead via ONE key
+    val bSide = ranked.select(col("__id").as("id_b"), col("pos").as("pos_b"),
+      explode(array(col("__g"), col("__g") - 1)).as("__g"))
+    ranked.select(col("__id").as("id_a"), col("pos").as("pos_a"), col("__g"))
+      .join(bSide, "__g")
+      .filter(col("pos_b") > col("pos_a") &&
+        col("pos_b") - col("pos_a") < window)
+      .select(col("id_a"), col("id_b"),
+        (col("pos_b") - col("pos_a")).as("rank_dist"))
   }
 }

@@ -292,7 +292,7 @@ object Sampling {
     * (part, bucket) — buckets-way parallel — and offset + in-bucket rank
     * reproduces the per-part global rank exactly.
     */
-  private def twoPhaseRank(base: DataFrame, part: Seq[String],
+  private[operators] def twoPhaseRank(base: DataFrame, part: Seq[String],
       ord: Seq[Column], outCol: String): DataFrame = {
     val grp = part :+ "__b"
     val ow = (if (part.isEmpty) Window.partitionBy()

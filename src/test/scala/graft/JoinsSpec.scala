@@ -114,4 +114,24 @@ class JoinsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 0L), (3L, 4L, 0L))) // exact dups at dist 0; '' vs 'xyz' not within 1
   }
+
+  test("sortedNeighborhood pairs everything within the rank window, across grid cells") {
+    // global order by (block, size, id): b/1, b/2, b/9, c/5, c/6 — window 2
+    // pairs ONLY adjacent positions, including the b→c block boundary
+    val df = Seq((1L, "b", 1), (2L, "b", 2), (9L, "b", 9), (5L, "c", 5), (6L, "c", 6))
+      .toDF("id", "blk", "size")
+    val got = Joins.sortedNeighborhood(df, "id", $"blk", $"size", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 9L, 1L), (9L, 5L, 1L), (5L, 6L, 1L)), got.toString)
+    // window 3 adds the distance-2 pairs
+    val w3 = Joins.sortedNeighborhood(df, "id", $"blk", $"size", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w3 == Set((1L, 2L), (2L, 9L), (9L, 5L), (5L, 6L),
+      (1L, 9L), (2L, 5L), (9L, 6L)), w3.toString)
+    // the candidate plan is equi-keyed — no product join
+    val plan = Joins.sortedNeighborhood(df, "id", $"blk", $"size", window = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"sorted neighborhood fell back to a product:\n$plan")
+  }
 }

@@ -1104,3 +1104,12 @@ class ImageNearDup extends UserOperator {
     graft.multimodal.Images.imageNearDup(inputs.head, params("id"),
       params.getOrElse("maxHamming", "7").toInt)
 }
+
+/** Sorted-neighborhood blocking for scripts. Params: id, block (column
+  * expr), sort (column expr), window.
+  */
+class SortedNeighborhood extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.operators.Joins.sortedNeighborhood(inputs.head, params("id"),
+      expr(params("block")), expr(params("sort")), params("window").toInt)
+}

@@ -262,6 +262,10 @@ class ExamplesSpec extends SparkSpec {
 
   test("entity_resolution.cmr matches, clusters, and keeps the best record") {
     val out = runExample("entity_resolution")
+    // sorted-neighborhood candidates: within-window, never self-paired
+    val sn = spark.read.parquet(s"$out/sn_candidates")
+    assert(sn.count() > 0)
+    assert(sn.filter("id_a = id_b OR rank_dist <= 0 OR rank_dist >= 5").count() == 0)
     val pairs = spark.read.parquet(s"$out/matches")
     val resolved = spark.read.parquet(s"$out/resolved")
     val total = spark.read.parquet(s"$dir/customer.parquet").count()

@@ -930,6 +930,24 @@ object SparkEntry {
         (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
       Behavior.concurrency(iv, "st", "en")
     }),
+    // SCD2 point-in-time join: each purchase picks the click-version of
+    // its user valid at purchase time (validity = [click, next click))
+    "q190_scd_join" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"), col("event_type"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("fact_id"), col("t").as("ts_us"))
+      val vw = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("valid_from"), col("version_id"))
+      val dim = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("valid_from"),
+          col("event_id").as("version_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      Joins.scdJoin(facts, dim, Seq("user_id"), "ts_us",
+          "valid_from", "valid_to", how = "left_outer")
+        .select("user_id", "fact_id", "ts_us", "version_id")
+    }),
     // sorted-neighborhood blocking: candidate pairs within 3 positions of
     // the (lang, n_chars) global order — ER candidates at linear cost
     "q189_sorted_neighborhood" -> ((s, d) =>
@@ -1855,6 +1873,26 @@ object SparkEntry {
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
     "q182_negative_sample" -> OracleGen.negativeSample(k = 4, buckets = 64,
       anchorMax = 50L),
+    // naive SCD2 transcription: per fact, the max-(valid_from, version)
+    // version at-or-before the fact, dimension masked when expired
+    "q190_scd_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, event_id AS fact_id, t FROM e
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, t AS valid_from, event_id AS version_id,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+        |  FROM e WHERE event_type = 'click'),
+        |j AS (SELECT f.user_id, f.fact_id, f.t, v.valid_from, v.version_id,
+        |    v.valid_to,
+        |    row_number() OVER (PARTITION BY f.user_id, f.fact_id
+        |      ORDER BY v.valid_from DESC, v.version_id DESC) AS rk
+        |  FROM f LEFT JOIN v ON f.user_id = v.user_id AND v.valid_from <= f.t)
+        |SELECT user_id, fact_id, t AS ts_us,
+        |  CASE WHEN valid_from IS NOT NULL
+        |    AND (valid_to IS NULL OR t < valid_to) THEN version_id
+        |  END AS version_id
+        |FROM j WHERE rk = 1""".stripMargin,
     // the naive transcription of the sorted-neighborhood window: one
     // global row_number, pairs within the rank window
     "q189_sorted_neighborhood" ->

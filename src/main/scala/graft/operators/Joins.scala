@@ -133,6 +133,38 @@ object Joins {
     if (jt == "inner") out.filter(col(s"__m").isNotNull) else out
   }
 
+  /** SCD2 temporal dimension join: each fact row joins the dimension
+    * VERSION that was valid at the fact's event time — `validFrom <= ts`
+    * (the as-of pick) AND `ts < validTo` (rejecting facts that fall in a
+    * gap after a version was closed; an open version has null validTo).
+    * The warehouse point-in-time lookup over slowly-changing dimensions.
+    *
+    * Rides [[asofJoin]]'s one-shuffle union-window plan — no per-version
+    * pair blowup — then one narrow validity filter: a fact whose as-of
+    * version had already expired nulls its dimension columns
+    * (left_outer) or drops (inner), exactly as if no version matched.
+    */
+  def scdJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+              factTs: String, validFrom: String, validTo: String,
+              how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val jt = joinType(how)
+    require(Set("inner", "left_outer").contains(jt),
+      s"scdJoin preserves fact rows only; got $how")
+    val joined = asofJoin(facts, dim, keys, factTs, validFrom, how = "left_outer")
+      // evaluate liveness ONCE, before any dimension column is masked —
+      // masking validTo first would make later columns read it as "open"
+      .withColumn("__live", col(validFrom).isNotNull &&
+        (col(validTo).isNull || col(factTs) < col(validTo)))
+    val dimCols = dim.columns.filterNot(keys.contains).toSeq
+    val masked = dimCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(col("__live"), col(c)).otherwise(lit(null).cast(
+        joined.schema(c).dataType)))
+    }
+    (if (jt == "inner") masked.filter(col("__live")) else masked)
+      .drop("__live")
+  }
+
   /** Range (interval/band) join: `left.ts BETWEEN right.ts + lower AND
     * right.ts + upper` on an equi-key, with ts as NUMERIC event time (epoch
     * micros — convert timestamps first). A naive theta-join degenerates to a

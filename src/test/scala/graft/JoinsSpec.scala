@@ -115,6 +115,31 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0L), (3L, 4L, 0L))) // exact dups at dist 0; '' vs 'xyz' not within 1
   }
 
+  test("scdJoin picks the version valid at fact time; expired versions mask") {
+    val facts = Seq(
+      (1L, 5L),   // before any version → no match
+      (1L, 15L),  // inside v1 [10, 20)
+      (1L, 25L),  // gap: v1 closed at 20, v2 starts at 30 → no match
+      (1L, 35L),  // inside the open v2 [30, null)
+      (2L, 50L)   // user with no versions at all
+    ).toDF("user_id", "ts")
+    val dim = Seq(
+      (1L, 10L, Some(20L), "v1"),
+      (1L, 30L, None, "v2")
+    ).toDF("user_id", "valid_from", "valid_to", "ver")
+    val outer = Joins.scdJoin(facts, dim, Seq("user_id"), "ts",
+        "valid_from", "valid_to", how = "left_outer")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.getAs[String]("ver"))).toMap
+    assert(outer == Map(
+      (1L, 5L) -> None, (1L, 15L) -> Some("v1"), (1L, 25L) -> None,
+      (1L, 35L) -> Some("v2"), (2L, 50L) -> None), outer.toString)
+    val inner = Joins.scdJoin(facts, dim, Seq("user_id"), "ts",
+        "valid_from", "valid_to", how = "inner")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inner == Set((1L, 15L), (1L, 35L)), inner.toString)
+  }
+
   test("sortedNeighborhood pairs everything within the rank window, across grid cells") {
     // global order by (block, size, id): b/1, b/2, b/9, c/5, c/6 — window 2
     // pairs ONLY adjacent positions, including the b→c block boundary

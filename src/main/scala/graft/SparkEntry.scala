@@ -930,6 +930,17 @@ object SparkEntry {
         (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
       Behavior.concurrency(iv, "st", "en")
     }),
+    // Kaplan-Meier churn curves per cohort over censored user lifetimes
+    "q191_kaplan_meier" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t"))
+      val subjects = ev.groupBy("user_id")
+        .agg(max(col("t")).as("__mx"), min(col("t")).as("__mn"))
+        .withColumn("dur", expr("(__mx - __mn) div 86400000000"))
+        .withColumn("ev", (col("user_id") % 3 =!= 0).cast("long"))
+        .withColumn("cohort", col("user_id") % 5)
+      Behavior.kaplanMeier(subjects, Seq("cohort"), "dur", "ev")
+    }),
     // SCD2 point-in-time join: each purchase picks the click-version of
     // its user valid at purchase time (validity = [click, next click))
     "q190_scd_join" -> ((s, d) => {
@@ -1873,6 +1884,30 @@ object SparkEntry {
     "q127_det_shuffle" -> OracleGen.detShuffle(salt = "shuf"),
     "q182_negative_sample" -> OracleGen.negativeSample(k = 4, buckets = 64,
       anchorMax = 50L),
+    // mirrors kaplanMeier: per-(cohort, duration) grid, suffix-sum at-risk
+    // counts, ascending prefix fold of the (1 - d/n) factors
+    "q191_kaplan_meier" ->
+      """WITH s AS (SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur,
+        |    CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END AS ev,
+        |    user_id % 5 AS cohort
+        |  FROM events GROUP BY user_id),
+        |perT AS (SELECT cohort, dur, sum(ev) AS d, count(1) AS c
+        |  FROM s GROUP BY 1, 2),
+        |n AS (SELECT cohort, dur, d,
+        |    sum(c) OVER (PARTITION BY cohort ORDER BY dur DESC
+        |      ROWS UNBOUNDED PRECEDING) AS n FROM perT),
+        |a AS (SELECT cohort,
+        |    list(struct_pack(t := dur, d := d, n := n) ORDER BY dur) AS arr
+        |  FROM n GROUP BY 1),
+        |e AS (SELECT cohort, arr, unnest(arr) AS u FROM a)
+        |SELECT cohort, u.t AS duration, CAST(u.n AS BIGINT) AS n_risk,
+        |  CAST(u.d AS BIGINT) AS d_events,
+        |  list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |    list_transform(list_filter(arr, x -> x.t <= u.t),
+        |      x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+        |    (acc, f) -> acc * f) AS survival
+        |FROM e WHERE u.d > 0""".stripMargin,
     // naive SCD2 transcription: per fact, the max-(valid_from, version)
     // version at-or-before the fact, dimension masked when expired
     "q190_scd_join" ->

@@ -248,6 +248,50 @@ object Behavior {
       .filter(col("var") > 0.0 && col("n") >= minN && abs(col("z")) > cutoff)
   }
 
+  /** Kaplan–Meier survival curve per cohort — churn/retention analysis
+    * over censored lifetimes: each subject contributes a `durationCol`
+    * (time to event, or to censoring) and an `eventCol` flag (1 = the
+    * event happened, 0 = censored/still alive). At every event time t:
+    * n_t = subjects still at risk (duration ≥ t), d_t = events at t, and
+    * S(t) = Π_{u≤t} (1 − d_u/n_u) — the estimator that uses censored
+    * subjects correctly instead of dropping them.
+    *
+    * Scale shape: subjects partial-aggregate to one row per (cohort,
+    * duration) — the curve's resolution, NOT the population — at-risk
+    * counts are a suffix sum over that per-cohort grid, and the running
+    * product folds the grid's SORTED factor list sequentially (bit-
+    * portable like the other folds; the prefix re-fold is O(T²) in the
+    * per-cohort grid size, so quantize durations to days/weeks upstream).
+    * Emits (cohort keys, duration, n_risk, d_events, survival) at event
+    * times only.
+    */
+  def kaplanMeier(df: DataFrame, keyCols: Seq[String], durationCol: String,
+                  eventCol: String): DataFrame = {
+    val perT = df.groupBy((keyCols :+ durationCol).map(col): _*)
+      .agg(sum(col(eventCol).cast("long")).as("__d"), count(lit(1)).as("__c"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(durationCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grid = perT.withColumn("__n", sum(col("__c")).over(sw))
+    val packed = grid.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(durationCol).as("t"),
+        col("__d").as("d"), col("__n").as("n")))).as("__arr"))
+    packed
+      .select((keyCols.map(col) :+ col("__arr") :+
+        explode(col("__arr")).as("__u")): _*)
+      .filter(col("__u.d") > 0)
+      .withColumn("survival",
+        aggregate(
+          transform(
+            org.apache.spark.sql.functions.filter(col("__arr"),
+              x => x.getField("t") <= col("__u.t")),
+            x => lit(1.0) - x.getField("d").cast("double") / x.getField("n").cast("double")),
+          lit(1.0d), (a, x) => a * x))
+      .select((keyCols.map(col) :+ col("__u.t").as("duration") :+
+        col("__u.n").as("n_risk") :+ col("__u.d").as("d_events") :+
+        col("survival")): _*)
+  }
+
   /** CUSUM drift detection per key: the standardized cumulative deviation
     * D_i = (Σ_{j≤i} v_j − i·mean) / (σ·√n) over the time-ordered series,
     * whose max |D| locates a MEAN SHIFT — the slow drift that per-point

@@ -120,6 +120,22 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.seasonalAnomalies(solo, Seq("k"), "ts", "qv", 100L, 50L).count() == 0)
   }
 
+  test("kaplanMeier: censored subjects stay at risk without counting as events") {
+    // durations/events: 1+, 2c, 3+, 3+, 4c  (+ = event, c = censored)
+    val subjects = Seq(
+      ("x", 1L, 1L), ("x", 2L, 0L), ("x", 3L, 1L), ("x", 3L, 1L), ("x", 4L, 0L)
+    ).toDF("cohort", "dur", "ev")
+    val km = Behavior.kaplanMeier(subjects, Seq("cohort"), "dur", "ev")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // steps only at event times; censored rows shape n but emit nothing
+    assert(km.keySet == Set(1L, 3L), km.toString)
+    assert(km(1L) == ((5L, 1L, 1.0 - 1.0 / 5.0)), km.toString)
+    val s3 = (1.0 - 1.0 / 5.0) * (1.0 - 2.0 / 3.0)
+    assert(km(3L)._1 == 3L && km(3L)._2 == 2L &&
+      math.abs(km(3L)._3 - s3) < 1e-15, km.toString)
+  }
+
   test("cusumDrift locates a mean shift at the shift point") {
     // 10,10,10,10,10 then 20,20,20,20,20: max |cumulative deviation|
     // lands exactly on the last pre-shift point (ts=5)

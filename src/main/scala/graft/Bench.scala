@@ -78,7 +78,10 @@ object Bench {
     "q183_time_weighted_avg",
     "q184_quantile_match",
     "q186_margin_mine",
-    "q188_cusum_drift")
+    "q188_cusum_drift",
+    "q189_sorted_neighborhood",
+    "q190_scd_join",
+    "q191_kaplan_meier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

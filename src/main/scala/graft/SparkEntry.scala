@@ -1490,6 +1490,32 @@ object SparkEntry {
           sum("o_custkey").cast("long").as("sum_cust"),
           sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
     }),
+    // CDC MERGE with deletes: a Debezium-shaped I/U/D feed applies in one
+    // pass — every 10th order updated, every 13th deleted (seq ordering
+    // makes D beat a same-key U in-batch), every 97th cloned as an insert
+    "q192_cdc_upsert" -> ((s, d) => {
+      val out = s"/tmp/graft-cdc/${java.lang.Integer.toHexString(d.hashCode)}"
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      graft.sources.Sources.store(orders, out, "parquet",
+        partitionBy = Seq("o_orderpriority"))
+      val cdc = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(2L)))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L)))
+      Incremental.upsert(s, out, cdc, Seq("o_orderkey"), "o_orderpriority",
+        opCol = Some("op"), seqCol = Some("seq"))
+      s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_custkey").cast("long").as("sum_cust"),
+          sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
+    }),
     "q107_partitioned" -> ((s, d) => {
       val out = s"/tmp/graft-part/${java.lang.Integer.toHexString(d.hashCode)}"
       graft.sources.Sources.store(t(s, d, "orders"), out, "parquet",
@@ -2320,6 +2346,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT t.* FROM base t
         |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = t.o_orderkey))
+        |SELECT o_orderpriority, count(1) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+        |FROM fin GROUP BY 1""".stripMargin,
+    // the CDC merge's final state from first principles: deletes (%13)
+    // remove their key even when a same-batch update (%10) exists (the
+    // delete carries the greater seq), inserts are fresh keys
+    "q192_cdc_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority FROM orders),
+        |fin AS (SELECT * FROM base
+        |    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, o_orderpriority
+        |  FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority
+        |  FROM base WHERE o_orderkey % 97 = 0)
         |SELECT o_orderpriority, count(1) AS n_rows,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents

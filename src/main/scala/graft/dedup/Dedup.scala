@@ -16,6 +16,17 @@ object Dedup {
 
   import graft.functions.PortableHash
 
+  /** Default `maxDocsPerShingle` for the plain all-pairs shingle joins
+    * ([[ngramJaccard]], [[crossCorpusJaccard]]): a corpus-hot shingle
+    * (site boilerplate, license header) makes those joins quadratic in its
+    * document frequency, so the cap is ON by default — 1000 docs bounds
+    * any one shingle's pair generation at ~5·10^5 — and the drop is
+    * logged loudly at execution (no silent caps). Pass
+    * `maxDocsPerShingle = None` to opt out, or use [[ngramJaccardPrefix]]
+    * / [[minHashLsh]], which stay exact/scalable without a cap.
+    */
+  val DefaultMaxDocsPerShingle = 1000
+
   // ---- exact ------------------------------------------------------------
 
   /** Exact dedup: group rows by content hash, keep the smallest id per
@@ -67,8 +78,24 @@ object Dedup {
   private def capHotShingles(sh: DataFrame, cap: Option[Int]): DataFrame =
     cap.fold(sh) { c =>
       require(c >= 2, s"maxDocsPerShingle must be >= 2: $c")
-      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__docs"))
-        .filter(col("__docs") > c).select("shingle")
+      val hot0 = sh.groupBy("shingle").agg(count(lit(1)).as("__docs"))
+        .filter(col("__docs") > c)
+      // the hot set is metadata-sized and broadcast anyway; funnel it
+      // through one partition so the drop count logs exactly once at
+      // execution — capped pair generation must be LOUD, never silent
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(hot0.schema)
+      val hot = hot0.coalesce(1).mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.nonEmpty) {
+          val hottest = rows.iterator.map(_.getLong(1)).max
+          org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+            s"hot-shingle cap $c: excluding ${rows.length} shingle(s) from " +
+              s"pair generation (hottest shared by $hottest docs); reported " +
+              "jaccard is a lower bound for pairs that shared them")
+        }
+        rows.iterator
+      }.select("shingle")
       sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
 
@@ -81,7 +108,8 @@ object Dedup {
     * sets dedup with array_distinct (no shuffle), and set sizes come from
     * the array length (no counting aggregation). Quadratic in docs sharing
     * a shingle: at scale, run it only on LSH candidates (`minHashLsh`) or
-    * set `maxDocsPerShingle` — shingles held by more documents (site
+    * rely on `maxDocsPerShingle` (ON by default at
+    * [[DefaultMaxDocsPerShingle]]; `None` opts out) — shingles held by more documents (site
     * boilerplate, license headers) are dropped from pair GENERATION by a
     * broadcast anti-join before the self-join, bounding the blowup at
     * cap²·|hot shingles|; union sizes keep the full sets, so the reported
@@ -89,7 +117,7 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    textCol: String = "text", idCol: String = "doc_id",
-                   maxDocsPerShingle: Option[Int] = None): DataFrame = {
+                   maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle)): DataFrame = {
     val base = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
@@ -203,13 +231,14 @@ object Dedup {
     * new document a near-dup of anything we already have" screen). Same
     * shingle-hash equi-join shape as [[ngramJaccard]] but across frames, so
     * left ids never pair with left ids. At 100 TB run the right side through
-    * LSH first or set `maxDocsPerShingle` (applied per side); the join
-    * shuffles fixed-width (id, long) pairs only.
+    * LSH first or rely on `maxDocsPerShingle` (ON by default at
+    * [[DefaultMaxDocsPerShingle]], applied per side; `None` opts out); the
+    * join shuffles fixed-width (id, long) pairs only.
     */
   def crossCorpusJaccard(left: DataFrame, right: DataFrame, n: Int = 3,
                          threshold: Double = 0.8, textCol: String = "text",
                          idCol: String = "doc_id",
-                         maxDocsPerShingle: Option[Int] = None): DataFrame = {
+                         maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle)): DataFrame = {
     def sh(df: DataFrame): DataFrame = capHotShingles(df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)

@@ -232,11 +232,18 @@ object Aggregations {
       .groupBy(keyCols.map(col): _*).agg(
         count(lit(1)).cast("decimal(38,0)").as("__n"),
         count(x).as("__cx"), count(x * yq).as("__cxy"),
+        count(x * x).as("__cxx"),
+        count(when(x.isNotNull && yq.isNotNull, 1)).as("__cin"),
         min(col("__x0")).as("__x0"),
         sum(x).as("__sx"), sum(yq).as("__sy"),
         sum(x * yq).as("__sxy"), sum(x * x).as("__sxx"))
+    // whole-sum overflow (sum null, inputs present) OR per-row overflow:
+    // a decimal(38,0) product that overflows is null under non-ANSI
+    // semantics, so sum() AND count() both skip it — detect by comparing
+    // the product counts against the non-null-input counts.
     val overflowed = (col("__sxx").isNull && col("__cx") > 0) ||
-      (col("__sxy").isNull && col("__cxy") > 0)
+      (col("__sxy").isNull && col("__cxy") > 0) ||
+      col("__cxx") < col("__cx") || col("__cxy") < col("__cin")
     val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
       .cast("double")
     val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
@@ -251,6 +258,7 @@ object Aggregations {
           "linearTrend: moment sum overflowed decimal(38,0) even after min-rebase; x span too large")).cast("double"))
         .when(den =!= 0.0, slope))
       .withColumn("intercept", when(den =!= 0.0, intercept))
-      .drop("__n", "__cx", "__cxy", "__x0", "__sx", "__sy", "__sxy", "__sxx")
+      .drop("__n", "__cx", "__cxy", "__cxx", "__cin", "__x0",
+        "__sx", "__sy", "__sxy", "__sxx")
   }
 }

@@ -68,6 +68,9 @@ object Behavior {
   def funnelSinglePass(events: DataFrame, keyCol: String, tsCol: String,
                        steps: Seq[Column], maxSpan: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step predicate")
+    require(steps.length <= 31,
+      s"funnelSinglePass packs step flags into an Int bitmask (max 31 " +
+        s"steps, got ${steps.length}); use funnel() for longer funnels")
     val k = steps.length
     val tsType = events.select(col(tsCol)).schema.head.dataType
     val mask = steps.zipWithIndex.map { case (p, i) =>

@@ -302,21 +302,54 @@ object Incremental {
     * UNTOUCHED partitions (bloom-pruned semi-join on the update keys) and
     * fails loudly if any update key lives there; off by default because the
     * whole point is not scanning the rest of the table.
+    *
+    * CDC semantics: with `seqCol` set, duplicate-keyed update rows resolve
+    * to the greatest seq per key (max-of-struct, one partial-aggregating
+    * shuffle of the DELTA); without it, duplicate keys in `updates` are
+    * ambiguous and the merge fails loudly rather than landing duplicate
+    * keys in the table. With `opCol` set, rows whose op equals `deleteOp`
+    * DELETE their key (anti-join removes it, nothing re-inserts it) —
+    * I/U/D feeds in one pass, ordering within the batch decided by
+    * `seqCol`. A partition whose rows are ALL deleted is dropped
+    * explicitly (dynamic overwrite only replaces partitions present in
+    * the output, so an emptied partition would otherwise linger).
+    *
+    * Concurrency: the staging directory is uniquely suffixed per call and
+    * removed in a finally, but two concurrent upserts into one target
+    * still race at the dynamic-overwrite commit — serialize merges per
+    * target (the streaming path does, via foreachBatch).
     */
   def upsert(spark: SparkSession, targetPath: String, updates: DataFrame,
              keyCols: Seq[String], partitionCol: String,
-             verifyStability: Boolean = false): Unit = {
+             verifyStability: Boolean = false,
+             opCol: Option[String] = None, seqCol: Option[String] = None,
+             deleteOp: String = "D"): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(!keyCols.contains(partitionCol),
       "partition column cannot be a key column")
-    val touched = updates.select(col(partitionCol)).distinct()
+    val latest = seqCol match {
+      case Some(sc) =>
+        val dataCols = updates.columns.toSeq
+        val ordered = sc +: dataCols.filterNot(_ == sc)
+        updates.groupBy(keyCols.map(col): _*)
+          .agg(max(struct(ordered.map(col): _*)).as("__m"))
+          .select(dataCols.map(c => col(s"__m.$c")): _*)
+      case None =>
+        val dup = updates.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          "upsert: duplicate keys in updates with no seqCol to pick a " +
+            "winner — pass seqCol (last-writer-wins by it) or dedupe first")
+        updates
+    }
+    val touched = latest.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return // empty delta: nothing to merge, nothing to stage
     val target = spark.read.parquet(targetPath)
     if (verifyStability) {
       val stale = target
         .filter(!col(partitionCol).isin(touched: _*))
-        .join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
+        .join(broadcast(latest.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_semi")
         .limit(1).count()
       require(stale == 0L,
@@ -326,20 +359,44 @@ object Incremental {
     }
     val kept = target
       .filter(col(partitionCol).isin(touched: _*))
-      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    val merged = kept.unionByName(updates.select(target.columns.map(col): _*))
+      .join(latest.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val inserts = opCol match {
+      case Some(oc) => latest.filter(col(oc).isNull || col(oc) =!= lit(deleteOp))
+      case None => latest
+    }
+    val merged = kept.unionByName(inserts.select(target.columns.map(col): _*))
     // the merge reads the same files the overwrite replaces, so stage the
     // touched-partition result once (sized by the delta's partitions, not
     // the table) and commit it back under dynamic partition overwrite
-    val staging = targetPath.stripSuffix("/") + "_upsert_staging"
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(targetPath)
-    val sp = new Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    val staging = targetPath.stripSuffix("/") +
+      s"_upsert_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    try {
+      merged.write.mode("overwrite").parquet(staging)
+      val staged = spark.read.parquet(staging)
+      staged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(targetPath)
+      if (opCol.isDefined) {
+        // partitions fully emptied by deletes never appear in the staged
+        // output, so dynamic overwrite leaves their directories — drop them
+        val remaining = staged.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        val tfs = new Path(targetPath).getFileSystem(hconf)
+        touched.filterNot(remaining.contains).foreach { v =>
+          // escape exactly as Spark's hive-partition writer does
+          val leaf = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(partitionCol, String.valueOf(v))
+          val dir = new Path(targetPath.stripSuffix("/") + "/" + leaf)
+          if (tfs.exists(dir)) tfs.delete(dir, true)
+        }
+      }
+    } finally {
+      val sp = new Path(staging)
+      sp.getFileSystem(hconf).delete(sp, true)
+    }
   }
 
   /** Streaming CDC apply: each micro-batch of change rows MERGEs into the
@@ -353,7 +410,9 @@ object Incremental {
     */
   def upsertStream(stream: DataFrame, targetPath: String, keyCols: Seq[String],
                    partitionCol: String, seqCol: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   opCol: Option[String] = None,
+                   deleteOp: String = "D"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -366,10 +425,19 @@ object Incremental {
             .groupBy(keyCols.map(col): _*)
             .agg(max(struct(ordered.map(col): _*)).as("__m"))
             .select(dataCols.map(c => col(s"__m.$c")): _*)
-          if (!exists(spark, targetPath))
-            latest.write.partitionBy(partitionCol).parquet(targetPath)
-          else
-            upsert(spark, targetPath, latest, keyCols, partitionCol)
+          if (!exists(spark, targetPath)) {
+            // first batch creates the table: an op column never lands in
+            // the target, and a key whose latest op is a delete is a no-op
+            val creates = opCol match {
+              case Some(oc) =>
+                latest.filter(col(oc).isNull || col(oc) =!= lit(deleteOp))
+                  .drop(oc)
+              case None => latest
+            }
+            creates.write.partitionBy(partitionCol).parquet(targetPath)
+          } else
+            upsert(spark, targetPath, latest, keyCols, partitionCol,
+              opCol = opCol, seqCol = Some(seqCol), deleteOp = deleteOp)
           recordMergedBatch(spark, targetPath, checkpoint, batchId)
         }
       }

@@ -189,10 +189,15 @@ object AvroNative {
         (f, start, math.min(start + splitBytes, len))
       }
     }
+    // ship the DRIVER's hadoop conf to the read tasks so programmatic
+    // spark.hadoop.* settings (credentials, custom FS) apply to reading
+    // exactly as they did to the listing above
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
     val rdd = spark.sparkContext
       .parallelize(splits, splits.size)
       .flatMap { case (file, start, end) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         val in = new FsInput(new org.apache.hadoop.fs.Path(file), conf)
         // reader schema = the projection; Avro schema resolution skips
         // dropped fields at decode time

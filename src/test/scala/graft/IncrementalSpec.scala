@@ -124,8 +124,9 @@ class IncrementalSpec extends SparkSpec {
       4L -> (("d", 20240103))))
     // the untouched partition's files are bit-for-bit the originals
     assert(files("20240103") == before, "untouched partition was rewritten")
-    // no staging residue
-    assert(!new java.io.File(dir.stripSuffix("/") + "_upsert_staging").exists())
+    // no staging residue (staging paths are uniquely suffixed per call)
+    assert(new java.io.File(dir).getParentFile.listFiles()
+      .forall(!_.getName.contains("_upsert_staging")))
     // a key that moved partitions is caught by the stability verifier...
     val moved = Seq((4L, 20240101, "moved")).toDF("id", "dt", "v")
     val err = intercept[IllegalArgumentException](
@@ -137,6 +138,54 @@ class IncrementalSpec extends SparkSpec {
     Incremental.upsert(spark, dir,
       spark.read.parquet(dir).limit(0), Seq("id"), "dt")
     assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("upsert: duplicate-keyed updates without a seqCol fail loudly; with one, last seq wins") {
+    val dir = Files.createTempDirectory("graft-upsert-dup").toString + "/t"
+    Seq((1L, 20240101, "a")).toDF("id", "dt", "v").write.partitionBy("dt").parquet(dir)
+    val dup = Seq((1L, 20240101, "x"), (1L, 20240101, "y")).toDF("id", "dt", "v")
+    val err = intercept[IllegalArgumentException](
+      Incremental.upsert(spark, dir, dup, Seq("id"), "dt"))
+    assert(err.getMessage.contains("seqCol"))
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).toSeq == Seq("a"))
+    // same rows with a seq column: greatest seq per key wins
+    val seqd = Seq((1L, 20240101, "x", 1L), (1L, 20240101, "y", 2L))
+      .toDF("id", "dt", "v", "seq")
+    Incremental.upsert(spark, dir, seqd, Seq("id"), "dt", seqCol = Some("seq"))
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).toSeq == Seq("y"))
+  }
+
+  test("upsert CDC ops: deletes apply, in-batch I->D resolves by seq, emptied partition drops") {
+    val dir = Files.createTempDirectory("graft-upsert-cdc").toString + "/t"
+    val base = Seq(
+      (1L, 20240101, "a"), (2L, 20240101, "b"),
+      (3L, 20240102, "c"), (4L, 20240103, "d")
+    ).toDF("id", "dt", "v")
+    base.write.partitionBy("dt").parquet(dir)
+    // delete id=2; update id=1; id=5 inserted then deleted IN-BATCH (seq
+    // ordering must make the delete win); id=3 deleted — emptying 20240102
+    val cdc = Seq(
+      (1L, 20240101, "A2", "U", 10L),
+      (2L, 20240101, "b", "D", 11L),
+      (5L, 20240101, "ghost", "I", 12L),
+      (5L, 20240101, "ghost", "D", 13L),
+      (3L, 20240102, "c", "D", 14L)
+    ).toDF("id", "dt", "v", "op", "seq")
+    Incremental.upsert(spark, dir, cdc, Seq("id"), "dt",
+      opCol = Some("op"), seqCol = Some("seq"))
+    val after = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(after == Map(1L -> (("A2", 20240101)), 4L -> (("d", 20240103))), after.toString)
+    // the fully-deleted partition's directory is gone, not lingering
+    assert(!new java.io.File(s"$dir/dt=20240102").exists(),
+      "emptied partition directory survived the delete")
+    // delete-then-reinsert across calls: the key comes back cleanly
+    val back = Seq((2L, 20240101, "b2", "I", 20L)).toDF("id", "dt", "v", "op", "seq")
+    Incremental.upsert(spark, dir, back, Seq("id"), "dt",
+      opCol = Some("op"), seqCol = Some("seq"))
+    val again = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == Map(1L -> "A2", 2L -> "b2", 4L -> "d"), again.toString)
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged incl. null payloads") {

@@ -59,6 +59,27 @@ class SkewStressSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_dup_shingles") == 1L, r0.toString)
   }
 
+  test(s"ngramJaccard: a shingle shared by $Hot docs is capped by DEFAULT, true pairs survive") {
+    // every doc opens with the same boilerplate 3-gram; uncapped, that one
+    // shingle alone generates ~Hot²/2 candidate pairs and the suite times
+    // out — the default cap must drop it from pair generation (loudly)
+    // while pairs backed by non-hot shingles still surface
+    val crowd = spark.range(Hot)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma uniq"), col("id").cast("string"),
+          lit("p uniq"), col("id").cast("string"), lit("q")).as("text"))
+    val clones = Seq(
+      (Hot.toLong, "alpha beta gamma clone pair text"),
+      (Hot.toLong + 1, "alpha beta gamma clone pair text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(crowd.unionByName(clones), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the clones share 4 shingles, but "alpha beta gamma" is capped out of
+    // the intersection while union sizes keep full sets: 3/(4+4-3) = 0.6 —
+    // the documented lower bound, and the ONLY pair reported
+    assert(out.toSeq == Seq((Hot.toLong, Hot.toLong + 1, 0.6)), out.mkString(","))
+  }
+
   test(s"capPerKey: a $Hot-row hot domain ships only its quota through the cap") {
     // one domain holds 10^5 rows, the long tail holds a few; the
     // WindowGroupLimit pre-prune must keep the cap cheap and exact

@@ -1445,6 +1445,25 @@ object SparkEntry {
       Incremental.refreshDistinctSketch(s, fact, mv, "dt", Seq("o_orderpriority"), "o_custkey")
       Incremental.queryDistinctSketch(s, mv, Seq("o_orderpriority"), "nd_cust_approx")
     }),
+    // the bit-portable successor of q104: same two-step incremental MV
+    // refresh, but the per-(date, key) sketch is KMV (bottom-k hashes) —
+    // merge-then-estimate replays exactly in DuckDB, so unlike the HLL
+    // path this one is hash-graded against the DIRECT kmv formulation
+    // (the KMV semilattice makes incremental == direct an identity)
+    "q195_kmv_mv" -> ((s, d) => {
+      val fact = t(s, d, "orders").select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("dt"),
+        col("o_orderpriority"), col("o_custkey"))
+      val mv = s"/tmp/graft-mv-q195/${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(mv)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Incremental.refreshDistinctKmv(s, fact.filter(col("dt") <= 199612), mv, "dt",
+        Seq("o_orderpriority"), "o_custkey")
+      Incremental.refreshDistinctKmv(s, fact, mv, "dt",
+        Seq("o_orderpriority"), "o_custkey")
+      Incremental.queryDistinctKmv(s, mv, Seq("o_orderpriority"))
+    }),
     // z-order-clustered rewrite, then a selective read-back: the aggregate
     // proves the layout job preserves the data exactly; LayoutSpec asserts
     // the per-file min/max ranges actually narrowed (the skipping payoff)
@@ -1515,6 +1534,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum("o_custkey").cast("long").as("sum_cust"),
           sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
+    }),
+    // native rubix block-file round-trip (DEFAULT = Pig BinInterSedes
+    // tuples): write lineitem as a real .rubix dataset partitioned on
+    // returnflag, decode it back through the LOAD USING RUBIX path, and
+    // aggregate — the oracle recomputes from the source table, so any
+    // encode/decode corruption breaks the hash
+    "q193_rubix_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft-rubix/${java.lang.Integer.toHexString(d.hashCode)}"
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      graft.sources.Rubix.write(li, out,
+        partitionKeys = Seq("l_returnflag"), sortKeys = Seq("l_orderkey"))
+      graft.sources.Sources.load(s, out, "rubix")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_orderkey").cast("long").as("sum_ok"),
+          sum(floor(col("l_quantity") * 100)).cast("long").as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100)).cast("long").as("price_cents"))
+    }),
+    // same gate through the COMPACT (variable-length) block serialization
+    "q194_rubix_compact" -> ((s, d) => {
+      val out = s"/tmp/graft-rubix-c/${java.lang.Integer.toHexString(d.hashCode)}"
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      graft.sources.Rubix.write(li, out,
+        partitionKeys = Seq("l_returnflag"), sortKeys = Seq("l_orderkey"),
+        serialization = "COMPACT")
+      graft.sources.Rubix.read(s, out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_orderkey").cast("long").as("sum_ok"),
+          sum(floor(col("l_quantity") * 100)).cast("long").as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100)).cast("long").as("price_cents"))
     }),
     "q107_partitioned" -> ((s, d) => {
       val out = s"/tmp/graft-part/${java.lang.Integer.toHexString(d.hashCode)}"
@@ -2005,6 +2057,8 @@ object SparkEntry {
     "q129_semdedup" -> OracleGen.semDedup(nCentroids = 8, threshold = 0.45),
     "q130_epoch_interleave" -> OracleGen.epochInterleave(salt = "ilv"),
     "q131_kmv_distinct" -> OracleGen.kmvDistinct(k = 64),
+    // incremental KMV MV == direct KMV over the full fact (semilattice)
+    "q195_kmv_mv" -> OracleGen.kmvDistinct(k = 64),
     "q132_cms_counts" -> OracleGen.cmsCounts(depth = 4, width = 1024),
     "q143_bloom_membership" -> OracleGen.bloomContains(numBits = 1 << 14, hashes = 5),
     "q144_url_normalize" -> OracleGen.urlNormalize,
@@ -2370,6 +2424,18 @@ object SparkEntry {
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
         |FROM fin GROUP BY 1""".stripMargin,
+    "q193_rubix_roundtrip" ->
+      """SELECT l_returnflag, count(1) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(floor(l_quantity * 100)) AS BIGINT) AS qty_cents,
+        |  CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS price_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q194_rubix_compact" ->
+      """SELECT l_returnflag, count(1) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(floor(l_quantity * 100)) AS BIGINT) AS qty_cents,
+        |  CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS price_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q103_profile" -> Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
       .map(c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

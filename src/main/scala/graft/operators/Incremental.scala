@@ -245,6 +245,52 @@ object Incremental {
       .cube(dims.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("__sketch"))).as(as))
 
+  /** The BIT-PORTABLE sibling of [[refreshDistinctSketch]]: a KMV
+    * (bottom-k hashes) sketch per (date, keys) instead of HLL. Same
+    * bounded state (≤ k longs per row), same mergeable-semilattice
+    * refresh (only dates past the high-water mark are sketched), but —
+    * unlike HLL's opaque register layout — every byte of KMV state and
+    * every estimate is deterministic integer/exactly-rounded-double
+    * arithmetic, so an external engine can replay the summary and the
+    * query hash-for-hash (see Sketches.kmvDistinct). Error ~1/sqrt(k-2).
+    */
+  def refreshDistinctKmv(spark: SparkSession, fact: DataFrame, mvPath: String,
+                         dateCol: String, keys: Seq[String], memberCol: String,
+                         k: Int = 64): Unit = {
+    val delta = highWaterMark(spark, mvPath, dateCol) match {
+      case Some(hwm) => fact.filter(col(dateCol) > lit(hwm))
+      case None      => fact
+    }
+    Sketches.kmvSketch(delta, col(memberCol), (dateCol +: keys).map(col), k)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol).parquet(mvPath)
+  }
+
+  /** Approximate COUNT(DISTINCT member) per keys from the KMV summary:
+    * merge the per-date bottom-k sets (explode + re-take bottom-k — the
+    * KMV semilattice), estimate once. Emits (keys..., n_mins, kth_hash,
+    * nd_est) — the identical expression tree Sketches.kmvDistinct builds
+    * directly, so incremental-MV == direct == oracle, hash-for-hash.
+    */
+  def queryDistinctKmv(spark: SparkSession, mvPath: String, keys: Seq[String],
+                       k: Int = 64): DataFrame =
+    Sketches.kmvEstimate(
+      Sketches.kmvMerge(Seq(spark.read.parquet(mvPath)), keys, k), k)
+
+  /** KMV distinct estimates under CUBE: every grouping set re-takes the
+    * bottom-k of the union of its per-(date, keys) sketches — no rescan
+    * of the fact table, and still bit-portable.
+    */
+  def queryDistinctKmvCube(spark: SparkSession, mvPath: String, dims: Seq[String],
+                           k: Int = 64): DataFrame = {
+    val sk = org.apache.spark.sql.functions.udaf(new graft.functions.Udafs.KmvMins(k))
+    val exploded = spark.read.parquet(mvPath)
+      .select(dims.map(col) :+ explode(col("mins")).as("__h"): _*)
+    Sketches.kmvEstimate(
+      exploded.cube(dims.map(col): _*).agg(sk(col("__h")).as("mins")), k)
+  }
+
   /** CDC-style snapshot diff: classify every key of two table versions as
     * `added` (new only), `removed` (old only), `changed` (both, any
     * compare column null-safe-differs), or `unchanged`. `compareCols`

@@ -133,6 +133,78 @@ object Joins {
     if (jt == "inner") out.filter(col(s"__m").isNotNull) else out
   }
 
+  /** [[asofJoin]], hardened for a DEGENERATE hot key (one entity holding
+    * 10^7+ events): the union-window form is one shuffle per side, but its
+    * window partitions by key alone, so a hot key serializes in a single
+    * task. This variant partitions the window by (key, time bucket) —
+    * the hot key spreads across its time range — and carries each
+    * bucket's last-before match forward with a per-(key, bucket) summary
+    * (the same two-phase trick as gapFill): one partial-aggregating pass
+    * condenses the right side to its per-bucket latest row, a window over
+    * those METADATA-SIZED bucket rows (one per key × bucket, bounded by
+    * timespan/bucketWidth) computes the carry-in for every left bucket,
+    * and the carry enters the in-bucket window as a pseudo right row at
+    * the bucket's start. Same contract and answer as [[asofJoin]]
+    * (SkewStressSpec pins equality); requires NUMERIC timestamps (epoch
+    * micros — cast first) so buckets are arithmetic.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, bucketWidth: Long,
+                       how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, last, lit, max, struct}
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val jt = joinType(how)
+    require(Set("inner", "left_outer").contains(jt),
+      s"asofJoinBucketed preserves left rows only; got $how")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val clash = payload.intersect(left.columns.toSeq)
+    require(clash.isEmpty, s"right payload columns collide with left: $clash")
+    // floor-division bucket (exact in the Long domain; `div` truncates
+    // toward zero, so shift negative remainders down one bucket)
+    def bkt = expr(s"__ts div ${bucketWidth}L - " +
+      s"(CASE WHEN __ts % ${bucketWidth}L < 0 THEN 1 ELSE 0 END)")
+    val l = left.withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__bkt", bkt).withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).cast("long").as("__ts"),
+        lit(0).as("__side"), struct(payload.map(col): _*).as("__p")): _*)
+      .withColumn("__bkt", bkt)
+    // phase 1: per-(key, bucket) latest right row, then the carry-in for
+    // every bucket that holds left rows = the last such latest from any
+    // STRICTLY EARLIER bucket (nulls-first ordering keeps the current
+    // bucket's own rows out of its carry frame)
+    val latest = r.groupBy((keys :+ "__bkt").map(col): _*)
+      .agg(max(struct(col("__ts"), col("__p"))).as("__last"))
+    val axis = l.select((keys :+ "__bkt").map(col): _*).distinct()
+      .join(latest.select((keys :+ "__bkt").map(col): _*),
+        keys :+ "__bkt", "left_anti")
+      .withColumn("__last", lit(null).cast(latest.schema("__last").dataType))
+      .unionByName(latest)
+    val cw = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bkt"), col("__last").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = axis
+      .withColumn("__c", last(col("__last"), ignoreNulls = true).over(cw))
+      .filter(col("__c").isNotNull)
+      .select(keys.map(col) ++ Seq(col("__bkt"),
+        (col("__bkt") * lit(bucketWidth)).as("__ts"), lit(-1).as("__side"),
+        col("__c.__p").as("__p")): _*)
+    // phase 2: within-bucket as-of window; the carry is a pseudo right row
+    // at the bucket start (its true ts is < bucketStart, so side -1 keeps
+    // it below any real right row that lands exactly on the boundary)
+    val w = Window.partitionBy((keys :+ "__bkt").map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .unionByName(carry, allowMissingColumns = true)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = matched.select(left.columns.map(col) ++
+      payload.map(p => col(s"__m.$p").as(p)): _*)
+    if (jt == "inner") out.filter(col("__m").isNotNull) else out
+  }
+
   /** SCD2 temporal dimension join: each fact row joins the dimension
     * VERSION that was valid at the fact's event time — `validFrom <= ts`
     * (the as-of pick) AND `ts < validTo` (rejecting facts that fall in a
@@ -146,16 +218,23 @@ object Joins {
     */
   def scdJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
               factTs: String, validFrom: String, validTo: String,
-              how: String = "inner"): DataFrame = {
+              how: String = "inner",
+              bucketWidth: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val jt = joinType(how)
     require(Set("inner", "left_outer").contains(jt),
       s"scdJoin preserves fact rows only; got $how")
-    val joined = asofJoin(facts, dim, keys, factTs, validFrom, how = "left_outer")
-      // evaluate liveness ONCE, before any dimension column is masked —
-      // masking validTo first would make later columns read it as "open"
-      .withColumn("__live", col(validFrom).isNotNull &&
-        (col(validTo).isNull || col(factTs) < col(validTo)))
+    // bucketWidth opts into the hot-key two-phase plan (numeric ts only)
+    val asOf = bucketWidth match {
+      case Some(w) =>
+        asofJoinBucketed(facts, dim, keys, factTs, validFrom, w, how = "left_outer")
+      case None =>
+        asofJoin(facts, dim, keys, factTs, validFrom, how = "left_outer")
+    }
+    // evaluate liveness ONCE, before any dimension column is masked —
+    // masking validTo first would make later columns read it as "open"
+    val joined = asOf.withColumn("__live", col(validFrom).isNotNull &&
+      (col(validTo).isNull || col(factTs) < col(validTo)))
     val dimCols = dim.columns.filterNot(keys.contains).toSeq
     val masked = dimCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, when(col("__live"), col(c)).otherwise(lit(null).cast(

@@ -29,7 +29,12 @@ object Sources {
     val reader = spark.read
     val withSchema = schema.map(s => reader.schema(SchemaCodec.parse(s))).getOrElse(reader)
     format.toLowerCase match {
-      case "parquet" | "rubix" => withSchema.parquet(path)
+      case "parquet" => withSchema.parquet(path)
+      case "rubix" =>
+        // a real legacy `.rubix` dataset decodes natively ([[Rubix.read]]);
+        // otherwise RUBIX is this engine's alias for its parquet successor
+        if (Rubix.isRubixData(spark, path)) Rubix.read(spark, path)
+        else withSchema.parquet(path)
       case "orc"               => withSchema.orc(path)
       case "avro"              => AvroNative.read(spark, path)
       case "json"              => withSchema.json(path)

@@ -102,6 +102,36 @@ class IncrementalSpec extends SparkSpec {
     assert(math.abs(cubeEst.toDouble - cubeExact) / cubeExact < 0.05)
   }
 
+  test("KMV summary: incremental merge equals direct sketch bit-for-bit, tracks exact") {
+    val mv = Files.createTempDirectory("graft-mv-kmv").toString + "/kmv"
+    val ord = sf("orders").select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("dt"),
+      col("o_orderpriority").as("k"), col("o_custkey").as("member"))
+    Incremental.refreshDistinctKmv(spark, ord.filter(col("dt") <= 199612),
+      mv, "dt", Seq("k"), "member", k = 64)
+    Incremental.refreshDistinctKmv(spark, ord, mv, "dt", Seq("k"), "member", k = 64)
+    val viaMv = Incremental.queryDistinctKmv(spark, mv, Seq("k"), k = 64)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the KMV semilattice makes incremental-merge == direct an IDENTITY,
+    // not an approximation: same n_mins, same kth hash, same estimate
+    val direct = graft.operators.Sketches.kmvDistinct(ord, col("member"),
+      Seq(col("k")), k = 64)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(viaMv == direct, "incremental KMV diverged from direct sketch")
+    // and both track the exact distinct counts within KMV error bounds
+    val exact = ord.groupBy("k").agg(count_distinct(col("member")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, (_, _, est)) <- viaMv) {
+      val rel = math.abs(est - exact(k)) / exact(k).max(1L)
+      assert(rel < 0.30, s"KMV estimate for $k off by ${rel * 100}%: $est vs ${exact(k)}")
+    }
+    // cube rollup: the ALL row re-takes bottom-k over every sketch
+    val all = Incremental.queryDistinctKmvCube(spark, mv, Seq("k"), k = 64)
+      .filter(col("k").isNull).collect().head.getDouble(3)
+    val allExact = ord.select("member").distinct().count()
+    assert(math.abs(all - allExact) / allExact < 0.30)
+  }
+
   test("upsert: last-writer-wins merge that rewrites only touched partitions") {
     val dir = Files.createTempDirectory("graft-upsert-spec").toString + "/t"
     val base = Seq(

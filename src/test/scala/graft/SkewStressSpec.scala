@@ -185,6 +185,57 @@ class SkewStressSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window in single-pass funnel plan:\n$plan")
   }
 
+  test(s"asofJoinBucketed: a $Hot-event hot key spreads over time buckets, same answer") {
+    import graft.operators.Joins
+    // one entity, 10^5 left events + 10^4 right updates: the plain form
+    // funnels all of it through ONE window task; the bucketed form must
+    // partition by (key, bucket) and still produce the identical frontier
+    val l = spark.range(Hot).select(lit("hot").as("k"), col("id").as("ts"))
+      .unionByName(Seq(("cold", 5L), ("cold", 500L)).toDF("k", "ts"))
+    val r = spark.range(Hot / 10)
+      .select(lit("hot").as("k"), (col("id") * 10).as("rts"), (col("id") * 10).as("v"))
+      .unionByName(Seq(("cold", 100L, -1L)).toDF("k", "rts", "v"))
+    val bucketed = Joins.asofJoinBucketed(l, r, Seq("k"), "ts", "rts",
+      bucketWidth = 1000L, how = "left_outer")
+    // the window must partition by the bucket, never by the key alone
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), s"bucketed window missing from plan")
+    // output = left columns then right payload (rts, v); v is index 3
+    val got = bucketed.collect().map(x =>
+      (x.getString(0), x.getLong(1), Option(x.get(3)).map(_.asInstanceOf[Long]))).toSet
+    // closed form: left ts t matches the greatest multiple of 10 <= t
+    val expectHot = (0L until Hot.toLong).map(t => ("hot", t, Some(t / 10 * 10))).toSet
+    val expect = expectHot ++ Set(("cold", 5L, None), ("cold", 500L, Some(-1L)))
+    assert(got == expect)
+    // and it agrees with the union-window oracle on a thinned slice
+    val lThin = l.filter(col("ts") % 997 === 0)
+    val a = Joins.asofJoin(lThin, r, Seq("k"), "ts", "rts", "left_outer")
+      .collect().map(_.toSeq).toSet
+    val b = Joins.asofJoinBucketed(lThin, r, Seq("k"), "ts", "rts", 1000L, "left_outer")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("asofJoinBucketed: carry crosses empty buckets and exact boundaries") {
+    import graft.operators.Joins
+    // right rows only in bucket 0; left rows far later (empty buckets
+    // between), plus one left row exactly on a bucket boundary shared
+    // with a right row (the boundary tie must prefer the real row)
+    val l = Seq(("a", 10L), ("a", 5000L), ("a", 9000L), ("a", 3000L),
+      ("b", 100L)).toDF("k", "ts")
+    val r = Seq(("a", 7L, "early"), ("a", 3000L, "boundary")).toDF("k", "rts", "v")
+    val out = Joins.asofJoinBucketed(l, r, Seq("k"), "ts", "rts", 1000L, "left_outer")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(3))).toSet
+    assert(out == Set(("a", 10L, "early"), ("a", 3000L, "boundary"),
+      ("a", 5000L, "boundary"), ("a", 9000L, "boundary"), ("b", 100L, null)))
+    // negative timestamps floor into the right bucket
+    val ln = Seq(("n", -1L), ("n", -1500L)).toDF("k", "ts")
+    val rn = Seq(("n", -2000L, "neg")).toDF("k", "rts", "v")
+    val outN = Joins.asofJoinBucketed(ln, rn, Seq("k"), "ts", "rts", 1000L)
+      .collect().map(x => (x.getLong(1), x.getString(3))).toSet
+    assert(outN == Set((-1L, "neg"), (-1500L, "neg")))
+  }
+
   test(s"quantileMatch: a value tied $Hot times shares one rank and one matched value") {
     val df = spark.range(Hot).select(col("id"), lit(5.0).as("v"), lit("g").as("g"))
       .unionAll(spark.range(2).select((col("id") + Hot).as("id"),

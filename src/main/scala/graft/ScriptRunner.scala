@@ -21,6 +21,11 @@ import org.apache.spark.sql.execution.FormattedMode
   *                        and TEE included) is parsed, analyzed, and
   *                        planned, but no write executes — the reference's
   *                        -c compile-only mode
+  *   --describe <rel|path> print the schema of a script relation, or of a
+  *                        stored dataset by path (parquet/rubix/avro/orc/
+  *                        json/csv auto-detected) — the reference's
+  *                        `-describe` (ScriptExecutor.java:268), in both
+  *                        Spark and Cubert ("INT a, STRING b") notation
   *
   * STORE statements execute as encountered; without flags the runner prints
   * the names of the relations the script defined.
@@ -46,6 +51,7 @@ object ScriptRunner {
     var show: Option[(String, Int)] = None
     var explain: Option[String] = None
     var lineage: Option[String] = None
+    var describe: Option[String] = None
     var dryRun = false
     def operand(flag: String, at: Int): String = {
       if (at >= args.length) sys.error(s"$flag requires an argument")
@@ -62,6 +68,7 @@ object ScriptRunner {
           show = Some((spec(0), n))
         case "--explain" => i += 1; explain = Some(operand("--explain", i))
         case "--lineage" => i += 1; lineage = Some(operand("--lineage", i))
+        case "--describe" => i += 1; describe = Some(operand("--describe", i))
         case "--dry-run" => dryRun = true
         case kv if kv.contains("=") =>
           val Array(k, v) = kv.split("=", 2)
@@ -80,10 +87,39 @@ object ScriptRunner {
         println(env(r).queryExecution.explainString(FormattedMode))
       }
       lineage.foreach { r => println(graft.plans.Lineage.format(env(r))) }
+      describe.foreach { target =>
+        val df = env.getOrElse(target, loadForDescribe(spark, target))
+        println(s"DESCRIBE $target")
+        println("cubert: " + graft.functions.SchemaCodec.render(df.schema))
+        print(df.schema.treeString)
+      }
       show.foreach { case (r, n) => env(r).show(n, truncate = false) }
       env
     } finally {
       if (stopSession) spark.stop()
     }
+  }
+
+  /** `--describe` on something that is not a script relation: a stored
+    * dataset path, format auto-detected — native rubix by trailer, else
+    * by the data files' extension (parquet when in doubt: the default
+    * STORE format).
+    */
+  private def loadForDescribe(spark: org.apache.spark.sql.SparkSession,
+                              path: String): org.apache.spark.sql.DataFrame = {
+    if (graft.sources.Rubix.isRubixData(spark, path))
+      return graft.sources.Rubix.read(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"--describe $path: no such relation or path")
+    val names = fs.listStatus(p).map(_.getPath.getName).filter(!_.startsWith("_"))
+    def anyEndsWith(ext: String) = names.exists(_.endsWith(ext))
+    val fmt =
+      if (anyEndsWith(".avro")) "avro"
+      else if (anyEndsWith(".orc")) "orc"
+      else if (anyEndsWith(".json")) "json"
+      else if (anyEndsWith(".csv")) "csv"
+      else "parquet"
+    graft.sources.Sources.load(spark, path, fmt)
   }
 }

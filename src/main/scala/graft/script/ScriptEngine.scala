@@ -359,8 +359,16 @@ object ScriptEngine {
             p.expectPunct(")")
           }
         }
-        Class.forName(cls).getDeclaredConstructor().newInstance()
-          .asInstanceOf[UserFunction].register(spark, name, args.result())
+        val klass = Class.forName(cls)
+        if (classOf[UserFunction].isAssignableFrom(klass))
+          klass.getDeclaredConstructor().newInstance()
+            .asInstanceOf[UserFunction].register(spark, name, args.result())
+        else if (graft.functions.PigUdf.isEvalFunc(klass))
+          // a real Pig EvalFunc (jar shipped via REGISTER): wrap its
+          // exec(Tuple) reflectively, constants as constructor args
+          graft.functions.PigUdf.register(spark, name, klass, args.result())
+        else throw new IllegalArgumentException(
+          s"$cls is neither a graft UserFunction nor a Pig EvalFunc")
         p.expectPunct(";")
       }
       // REGISTER 'path/to.jar'; (grammar :23) — ship a UDF jar. The

@@ -25,6 +25,44 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(stored.columns.toSet == Set("l_returnflag", "sum_qty"))
   }
 
+  test("--describe prints a relation's or a stored path's schema (ScriptExecutor -describe)") {
+    spark
+    val out = Files.createTempDirectory("graft-runner-desc").toString
+    val path = writeScript(
+      """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
+        |agg = GROUP li BY l_returnflag AGGREGATES SUM(l_quantity) AS sum_qty;
+        |STORE agg INTO '$OUT/agg' USING PARQUET;""".stripMargin)
+    def captured(args: Array[String]): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) {
+        ScriptRunner.run(args, stopSession = false)
+      }
+      bos.toString("UTF-8")
+    }
+    // a script relation by name
+    val relOut = captured(Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out",
+      "--describe", "agg"))
+    assert(relOut.contains("DESCRIBE agg"), relOut)
+    assert(relOut.contains("cubert: STRING l_returnflag, DOUBLE sum_qty"), relOut)
+    assert(relOut.contains("l_returnflag: string"), relOut)
+    // a stored dataset by path (format auto-detected)
+    val pathOut = captured(Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out",
+      "--describe", s"$out/agg"))
+    assert(pathOut.contains("sum_qty: double"), pathOut)
+    // a native rubix dataset by path
+    import spark.implicits._
+    val rdir = Files.createTempDirectory("graft-runner-rubix").toString + "/d"
+    graft.sources.Rubix.write(Seq((1, "x")).toDF("a", "b"), rdir)
+    val rubixOut = captured(Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out",
+      "--describe", rdir))
+    assert(rubixOut.contains("cubert: INT a, STRING b"), rubixOut)
+    // a bogus target fails loudly
+    val err = intercept[Exception](ScriptRunner.run(
+      Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out",
+        "--describe", "/nonexistent/xyz"), stopSession = false))
+    assert(err.getMessage.contains("no such relation or path"))
+  }
+
   test("--dry-run validates the plan but writes nothing, TEE included") {
     spark
     val out = Files.createTempDirectory("graft-runner-dry").toString

@@ -555,6 +555,28 @@ class ScriptSpec extends SparkSpec {
     assert(out2.orderBy("x").collect().map(_.getLong(1)).toSeq == Seq(3L, 6L, 9L))
   }
 
+  test("FUNCTION wraps a Pig EvalFunc reflectively (PigEvalFuncWrapper.java:38-51 parity)") {
+    val df = Seq((1L, Some(10L), "ab"), (2L, Some(20L), "cd"), (3L, None, "ef"))
+      .toDF("x", "y", "s")
+    // padd: EvalFunc[java.lang.Long] summing its tuple; pjoin: EvalFunc
+    // [String] with a constructor constant — both resolved purely by
+    // reflection (no UserFunction involvement), variadic at the call site
+    val out = ScriptEngine.run(spark,
+      """FUNCTION padd 'graft.SamplePigAddFunc';
+        |FUNCTION pjoin graft.SamplePigJoinFunc('_');
+        |g = FROM t GENERATE x, padd(x, y) AS total, pjoin(s, x) AS tag;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    val rows = out.orderBy("x").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSeq
+    assert(rows == Seq((1L, Some(11L), "ab_1"), (2L, Some(22L), "cd_2"),
+      (3L, None, "ef_3")), rows.toString)
+    // a class that is neither contract fails loudly at declaration
+    val err = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      "FUNCTION bad 'java.lang.StringBuilder';\ng = FROM t GENERATE x;",
+      env0 = env("t" -> df)))
+    assert(err.getMessage.contains("neither"))
+  }
+
   test("CREATE DICTIONARY with explicit values encodes in declaration order (grammar :30)") {
     val df = Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("id", "color")
     val rels = ScriptEngine.run(spark,
@@ -720,4 +742,31 @@ class SampleDoubleFn extends graft.script.ScriptEngine.UserFunction {
     val factor = args.headOption.map(_.toLong).getOrElse(2L)
     spark.udf.register(name, (x: Long) => factor * x)
   }
+}
+
+/** Sample Pig UDF for the reflective-adapter test: sums its tuple fields
+  * as longs, null-propagating — exactly the shape a real EvalFunc[Long]
+  * UDF jar presents to PigUdf.
+  */
+class SamplePigAddFunc extends org.apache.pig.EvalFunc[java.lang.Long] {
+  override def exec(t: org.apache.pig.data.Tuple): java.lang.Long = {
+    var sum = 0L
+    var i = 0
+    while (i < t.size()) {
+      t.get(i) match {
+        case null         => return null
+        case n: java.lang.Number => sum += n.longValue()
+        case other        => throw new java.io.IOException(s"not a number: $other")
+      }
+      i += 1
+    }
+    sum
+  }
+}
+
+/** Sample Pig UDF with the String-constants constructor convention. */
+class SamplePigJoinFunc(sep: String) extends org.apache.pig.EvalFunc[String] {
+  def this() = this("-")
+  override def exec(t: org.apache.pig.data.Tuple): String =
+    (0 until t.size()).map(i => String.valueOf(t.get(i))).mkString(sep)
 }

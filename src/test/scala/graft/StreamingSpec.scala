@@ -201,6 +201,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertStream with an op column: streamed deletes apply, first batch skips dead keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-cdc-stream").toString
+    val in = MemoryStream[(Long, Int, String, String, Long)]
+    val q = graft.operators.Incremental.upsertStream(
+      in.toDF().toDF("id", "dt", "v", "op", "seq"),
+      s"$base/t", Seq("id"), "dt", "seq", s"$base/ck", opCol = Some("op"))
+    try {
+      // first batch CREATES the table: id=9 is inserted-then-deleted in
+      // the same batch (seq ordering) so it must never land; the op
+      // column itself must not become a table column
+      in.addData((1L, 20240101, "a", "I", 1L), (2L, 20240101, "b", "I", 2L),
+        (9L, 20240102, "ghost", "I", 3L), (9L, 20240102, "ghost", "D", 4L))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(s"$base/t")
+      assert(!t1.columns.contains("op"), t1.columns.mkString(","))
+      assert(t1.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+      // second batch: delete id=1, update id=2, insert id=3
+      in.addData((1L, 20240101, "a", "D", 10L), (2L, 20240101, "b2", "U", 11L),
+        (3L, 20240103, "c", "I", 12L))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(s"$base/t").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(t2 == Map(2L -> "b2", 3L -> "c"), t2.toString)
+    } finally q.stop()
+  }
+
   test("streamRefresh maintains the additive MV from a stream of facts") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mv-stream").toString

@@ -26,6 +26,9 @@ import org.apache.spark.sql.execution.FormattedMode
   *                        json/csv auto-detected) — the reference's
   *                        `-describe` (ScriptExecutor.java:268), in both
   *                        Spark and Cubert ("INT a, STRING b") notation
+  *   --only <rel1,rel2>   execute only the STORE statements whose stored
+  *                        relation is listed (others analyze, no write) —
+  *                        the reference's `-x <job>` selective execution
   *
   * STORE statements execute as encountered; without flags the runner prints
   * the names of the relations the script defined.
@@ -52,6 +55,7 @@ object ScriptRunner {
     var explain: Option[String] = None
     var lineage: Option[String] = None
     var describe: Option[String] = None
+    var only: Option[Set[String]] = None
     var dryRun = false
     def operand(flag: String, at: Int): String = {
       if (at >= args.length) sys.error(s"$flag requires an argument")
@@ -69,6 +73,9 @@ object ScriptRunner {
         case "--explain" => i += 1; explain = Some(operand("--explain", i))
         case "--lineage" => i += 1; lineage = Some(operand("--lineage", i))
         case "--describe" => i += 1; describe = Some(operand("--describe", i))
+        case "--only" =>
+          i += 1
+          only = Some(operand("--only", i).split(",").map(_.trim).toSet)
         case "--dry-run" => dryRun = true
         case kv if kv.contains("=") =>
           val Array(k, v) = kv.split("=", 2)
@@ -81,7 +88,8 @@ object ScriptRunner {
     val source = new String(Files.readAllBytes(Paths.get(scriptPath)), "UTF-8")
     val spark = GraftSession.builder(appName = s"graft-script:$scriptPath").getOrCreate()
     try {
-      val env = graft.script.ScriptEngine.run(spark, source, params, dryRun = dryRun)
+      val env = graft.script.ScriptEngine.run(spark, source, params,
+        dryRun = dryRun, only = only)
       println(s"RELATIONS=${env.keys.toSeq.sorted.mkString(",")}")
       explain.foreach { r =>
         println(env(r).queryExecution.explainString(FormattedMode))

@@ -1305,6 +1305,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.05)
     }),
+    // prefix-filtered cross-corpus screen at a production threshold: same
+    // answer as the plain cross equi-join, but pair generation touches
+    // only each doc's (1-t)|S|+1 smallest shingles under the shared
+    // union-df order — the 100 TB form of "is this new doc a near-dup of
+    // anything we already have"
+    "q196_crosscorpus_prefix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossCorpusJaccardPrefix(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.8)
+    }),
     // exact corpus-wide heavy hitters over tokens
     "q88_heavy_hitters" -> ((s, d) =>
       Aggregations.heavyHitters(
@@ -2302,6 +2313,9 @@ object SparkEntry {
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->
       OracleGen.crossCorpusJaccard(n = 2, threshold = 0.05, sampleMod = 5),
+    // the prefix form must reproduce the all-pairs cross answer exactly
+    "q196_crosscorpus_prefix" ->
+      OracleGen.crossCorpusJaccard(n = 2, threshold = 0.8, sampleMod = 5),
     "q88_heavy_hitters" -> OracleGen.heavyHittersTokens(minShare = 0.005),
     "q89_hash_split" ->
       OracleGen.hashSplit(Seq((800, "train"), (900, "val")), lastLabel = "test"),

@@ -257,6 +257,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered CROSS-corpus set-similarity join: IDENTICAL output to
+    * [[crossCorpusJaccard]] (id_a from `left`, id_b from `right`), but —
+    * as in [[ngramJaccardPrefix]] — candidate pairs are generated only
+    * from each document's prefix under a total order SHARED by both
+    * corpora (the prefix lemma needs one order; "df" ranks by document
+    * frequency over the UNION vocabulary so corpus-hot boilerplate sorts
+    * to every suffix, "hash" uses the hash order for zero extra
+    * shuffles). Length and positional (PPJoin) filters prune before
+    * verification; verification merges the full sorted hash sets once
+    * per surviving candidate. The 100 TB shape for the "is this new
+    * document a near-dup of anything we already have" screen at high
+    * thresholds — pair generation touches ~(1−t) of the shingles instead
+    * of all of them, with no lower-bound caveat.
+    */
+  def crossCorpusJaccardPrefix(left: DataFrame, right: DataFrame, n: Int = 3,
+                               threshold: Double = 0.8, textCol: String = "text",
+                               idCol: String = "doc_id",
+                               maxDocsPerShingle: Option[Int] = None,
+                               order: String = "df"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(order == "df" || order == "hash", s"order must be df|hash: $order")
+    def withN(df: DataFrame): DataFrame = df
+      .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= n)
+      .select(col(idCol),
+        sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
+          col("__th"), n, PortableHash.B, PortableHash.P)).as("__shs"))
+      .select(col(idCol), col("__shs"), size(col("__shs")).as("n_sh"))
+      .localCheckpoint(false)
+    val la = withN(left)
+    val rb = withN(right)
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int")
+    def prefixOf(side: DataFrame, dfreq: Option[DataFrame]): DataFrame =
+      dfreq match {
+        case None => // hash order: the sorted array's own head
+          side.select(col(idCol), col("n_sh"),
+              posexplode(slice(col("__shs"), lit(1), prefLen)).as(Seq("__p0", "shingle")))
+            .withColumn("__pos", col("__p0") + 1).drop("__p0")
+        case Some(freq) =>
+          import org.apache.spark.sql.expressions.Window
+          val sh = side.select(col(idCol), col("n_sh"), explode(col("__shs")).as("shingle"))
+          val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+          sh.join(freq, Seq("shingle"))
+            .withColumn("__pos", row_number().over(w))
+            .filter(col("__pos") <= (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1))
+            .select(col(idCol), col("n_sh"), col("shingle"), col("__pos"))
+      }
+    // the SHARED order: document frequency over BOTH corpora's shingles
+    val dfreq =
+      if (order == "hash") None
+      else Some(la.select(col(idCol), explode(col("__shs")).as("shingle"))
+        .unionByName(rb.select(col(idCol), explode(col("__shs")).as("shingle")))
+        .groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .localCheckpoint(false))
+    val prefA = capHotShingles(prefixOf(la, dfreq), maxDocsPerShingle)
+    val prefB = capHotShingles(prefixOf(rb, dfreq), maxDocsPerShingle)
+    val cand = prefA.as("a").join(prefB.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          (lit(1) + least(col("a.n_sh") - col("a.__pos"), col("b.n_sh") - col("b.__pos")))
+            .cast("double") >=
+            (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
+    val aSets = la.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
+    val bSets = rb.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
+    cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
+      .withColumn("common", graft.functions.expressions.NativeExpressions
+        .sortedIntersectCount(col("__sa"), col("__sb")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** Winnowed fingerprint set of a text column (Schleimer/Wilkerson/Aiken,

@@ -308,12 +308,17 @@ object ScriptEngine {
     * the reference's `param.` property substitution (CmrExecutor.java:46-49).
     * With `dryRun` every statement — STORE and TEE included — still parses
     * and analyzes (schema resolution runs), but no write executes: the
-    * reference's -c compile-only mode.
+    * reference's -c compile-only mode. With `only` set, ONLY the STORE
+    * statements whose stored relation is named execute (others analyze
+    * but skip the write) — the reference's `-x <job>` selective execution
+    * (ScriptExecutor.java:258-295) mapped onto STOREs, the job outputs;
+    * TEE side-taps stay in-flow like the reference's in-job TEE.
     */
   def run(spark: SparkSession, script: String,
           params: Map[String, String] = Map.empty,
           env0: Map[String, DataFrame] = Map.empty,
-          dryRun: Boolean = false): Map[String, DataFrame] = {
+          dryRun: Boolean = false,
+          only: Option[Set[String]] = None): Map[String, DataFrame] = {
     val store: (DataFrame, String, String) => Unit =
       if (dryRun) (df, _, _) => { df.schema; () } // force analysis, skip the write
       else (df, path, fmt) => graft.sources.Sources.store(df, path, fmt)
@@ -477,7 +482,10 @@ object ScriptEngine {
         }
       }
       else if (p.stmtKw("STORE")) {
-        val r = rel(p.ident())
+        val relName = p.ident()
+        val r = rel(relName)
+        // deselected under --only: analyze (loud on schema errors), no write
+        val selected = only.forall(_.contains(relName))
         p.expectKw("INTO"); val path = p.str()
         p.expectKw("USING"); val fmt = p.ident().toLowerCase
         val wp = formatParamMap(p) // writer params (overwrite is the default)
@@ -511,13 +519,16 @@ object ScriptEngine {
                 s"zorder column $c must be numeric/date/timestamp, got ${dt.simpleString}")
             }
             if (dryRun) store(r, path, fmt)
+            else if (!selected) { r.schema; () }
             else graft.sources.Layout.zorderWrite(r, path, zCols,
               nFiles.getOrElse(spark.sessionState.conf.numShufflePartitions))
           case (None, Some(pb)) =>
             val pCols = resolved("partition_by", pb)
             if (dryRun) store(r, path, fmt)
+            else if (!selected) { r.schema; () }
             else graft.sources.Sources.store(r, path, fmt, partitionBy = pCols)
-          case _ => store(r, path, fmt)
+          case _ =>
+            if (selected) store(r, path, fmt) else { r.schema; () }
         }
         p.expectPunct(";")
       } else {

@@ -204,11 +204,21 @@ object Rubix {
     * sorted by `partitionKeys ++ sortKeys` — the reference's BLOCKGEN
     * contract. blockId = (taskId << 32) | blockIndex, matching the
     * reducerId-in-high-bits convention (RubixFile.java:89-92).
+    *
+    * `codec` = Some("deflate"|"gzip") compresses each BLOCK as an
+    * independent stream (finished at block close, fresh for the next —
+    * exactly the finish/resetState dance RubixRecordWriter.java:173-195
+    * does so byte-range splits stay independently readable); the trailer
+    * stays uncompressed and the filename gains the codec extension the
+    * reference's CompressionCodecFactory keyed on.
     */
   def write(df: DataFrame, path: String, partitionKeys: Seq[String] = Nil,
-            sortKeys: Seq[String] = Nil, serialization: String = "DEFAULT"): Unit = {
+            sortKeys: Seq[String] = Nil, serialization: String = "DEFAULT",
+            codec: Option[String] = None): Unit = {
     require(serialization == "DEFAULT" || serialization == "COMPACT",
       s"serialization must be DEFAULT|COMPACT: $serialization")
+    require(codec.forall(c => c == "deflate" || c == "gzip"),
+      s"codec must be deflate|gzip: $codec")
     val schema = df.schema
     if (serialization == "COMPACT")
       require(schema.fields.forall(f => Vle.supports(f.dataType)),
@@ -231,21 +241,29 @@ object Rubix {
     val keyIdx = partitionKeys.map(schema.fieldIndex)
     val fieldTypes = schema.fields.map(_.dataType).toSeq
     val pathStr = out.toString
+    val ext = Extension + codec.map {
+      case "deflate" => ".deflate"
+      case "gzip"    => ".gz"
+    }.getOrElse("")
     arranged.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val taskId = TaskContext.getPartitionId()
-        val file = new Path(pathStr, f"part-r$taskId%05d$Extension")
+        val file = new Path(pathStr, f"part-r$taskId%05d$ext")
         val fsOut = file.getFileSystem(confBc.value.value).create(file, false)
         val counting = new CountingOutputStream(fsOut)
-        val dout = new DataOutputStream(counting)
         val keySection = new ByteArrayOutputStream()
         val keyOut = new DataOutputStream(keySection)
         var nBlocks = 0
         var blockRecords = -1L // -1 = no open block
         var currentKey: Seq[Any] = null
+        // the current block's value sink — per-block codec stream when
+        // compressing, the raw counting stream otherwise
+        var blockZip: java.util.zip.DeflaterOutputStream = null
+        var dout: DataOutputStream = new DataOutputStream(counting)
 
         def closeBlock(): Unit = if (blockRecords >= 0) {
           keyOut.writeLong(blockRecords); blockRecords = -1L
+          if (blockZip != null) { dout.flush(); blockZip.finish(); blockZip = null }
         }
         def openBlock(key: Seq[Any]): Unit = {
           closeBlock()
@@ -256,6 +274,12 @@ object Rubix {
           nBlocks += 1
           blockRecords = 0L
           currentKey = key
+          codec.foreach { c =>
+            blockZip =
+              if (c == "deflate") new java.util.zip.DeflaterOutputStream(counting)
+              else new java.util.zip.GZIPOutputStream(counting)
+            dout = new DataOutputStream(blockZip)
+          }
         }
 
         it.foreach { row =>
@@ -268,14 +292,16 @@ object Rubix {
           blockRecords += 1
         }
         closeBlock()
-        dout.flush()
+        // the trailer always writes UNCOMPRESSED to the raw stream
+        val tout = new DataOutputStream(counting)
+        tout.flush()
         val trailerStart = counting.count
-        dout.writeUTF(metaJson.replace("%%NBLOCKS%%", nBlocks.toString))
+        tout.writeUTF(metaJson.replace("%%NBLOCKS%%", nBlocks.toString))
         val keyBytes = keySection.toByteArray
-        dout.writeInt(keyBytes.length)
-        dout.write(keyBytes)
-        dout.writeLong(trailerStart)
-        dout.close()
+        tout.writeInt(keyBytes.length)
+        tout.write(keyBytes)
+        tout.writeLong(trailerStart)
+        tout.close()
       }
     }
   }

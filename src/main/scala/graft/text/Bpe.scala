@@ -31,6 +31,16 @@ object Bpe {
   /** Learn `numMerges` merges from the corpus. Deterministic: pair-count
     * ties break to the lexicographically smallest (left, right) pair, and
     * the word dictionary is capped by (count desc, word) order.
+    *
+    * Cost note: BPE's merge ordering is inherently sequential — merge i's
+    * pair counts depend on merge i−1 — so this runs ONE driver round-trip
+    * per merge over the (bounded, `maxVocabWords`) word dictionary. Fine
+    * at the documented vocab scale (word dict is metadata-sized; corpus
+    * size only affects the single counting pass); at 32k-merge production
+    * vocabularies the standard path is: learn on a word-count SAMPLE here
+    * (the dictionary saturates quickly), or import an externally trained
+    * merge table and use [[segment]] — segmentation, not learning, is the
+    * corpus-scale operation, and it is a narrow zero-shuffle map.
     */
   def learn(df: DataFrame, numMerges: Int, minWordCount: Long = 1L,
             maxVocab: Int = 100000, textCol: String = "text"): Seq[(String, String)] = {

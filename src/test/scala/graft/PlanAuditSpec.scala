@@ -630,4 +630,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"pair join is not broadcast in:\n$p")
   }
+
+  test("rubix read plans ONE TASK PER BLOCK — the reference's InputSplit unit (q193)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-rubix").toString + "/d"
+    val df = (1 to 200).map(i => (i % 7, i.toLong)).toDF("grp", "v")
+    graft.sources.Rubix.write(df, out, partitionKeys = Seq("grp"))
+    val blocks = graft.sources.Rubix.describe(spark, out).map(_.blocks.size).sum
+    assert(blocks == 7, s"expected one block per key, got $blocks")
+    val rdd = graft.sources.Rubix.read(spark, out).rdd
+    assert(rdd.getNumPartitions == blocks,
+      s"read fan-out ${rdd.getNumPartitions} != block count $blocks")
+  }
+
+  test("KMV incremental MV: the merge re-aggregates bottom-k with a map-side partial (q195)") {
+    val df = SparkEntry.queries("q195_kmv_mv")(spark, dir)
+    val d = details(df)
+    // the per-(date,key) sketch explode → bottom-k re-take must partial-
+    // aggregate before its exchange (ObjectHashAggregate for the UDAF);
+    // a merge that shipped raw exploded hashes would shuffle k× more
+    assert(d.contains("ObjectHashAggregate") || d.contains("SortAggregate"),
+      s"no object aggregate in:\n$d")
+    assert(d.toLowerCase.contains("partial"), s"no partial agg in:\n$d")
+  }
 }

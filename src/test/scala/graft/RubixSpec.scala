@@ -158,6 +158,30 @@ class RubixSpec extends SparkSpec {
     assert(err.getMessage.contains("flat schema"))
   }
 
+  test("compressed blocks: per-block deflate/gzip streams round-trip and split per block") {
+    val df = (1 to 1000).map(i => (i % 4, i.toLong, s"payload-$i" * 3))
+      .toDF("grp", "seq", "text")
+    for ((codec, ext) <- Seq("deflate" -> ".rubix.deflate", "gzip" -> ".rubix.gz")) {
+      val dir = tmp(s"graft-rubix-$codec") + "/data"
+      Rubix.write(df, dir, partitionKeys = Seq("grp"), sortKeys = Seq("seq"),
+        codec = Some(codec))
+      val files = new java.io.File(dir).listFiles.map(_.getName)
+        .filter(n => n.contains(".rubix") && !n.startsWith("."))
+      assert(files.nonEmpty && files.forall(_.endsWith(ext)), files.mkString(","))
+      // trailer parses (uncompressed), one block per key, data decodes
+      val metas = Rubix.describe(spark, dir)
+      assert(metas.flatMap(_.blocks).map(_.key).toSet ==
+        Set(Seq(0), Seq(1), Seq(2), Seq(3)))
+      val back = Rubix.read(spark, dir)
+      assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    }
+    // COMPACT composes with compression
+    val dir2 = tmp("graft-rubix-cz") + "/data"
+    Rubix.write(df, dir2, partitionKeys = Seq("grp"),
+      serialization = "COMPACT", codec = Some("deflate"))
+    assert(Rubix.read(spark, dir2).count() == 1000)
+  }
+
   test("VLE codec: exhaustive boundaries + randomized int/long/float/double round-trip") {
     val boundaryInts = Seq(0, 1, -1, 2, 127, 128, 129, 255, 256, 65535, 65536,
       0x7F7F, 0x1FFFFF, 0x200000, Int.MaxValue, -Int.MaxValue, -65536)

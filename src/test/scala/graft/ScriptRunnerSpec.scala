@@ -63,6 +63,31 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(err.getMessage.contains("no such relation or path"))
   }
 
+  test("--only executes the selected STOREs and analyzes the rest (ScriptExecutor -x)") {
+    spark
+    val out = Files.createTempDirectory("graft-runner-only").toString
+    val path = writeScript(
+      """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
+        |agg = GROUP li BY l_returnflag AGGREGATES SUM(l_quantity) AS sum_qty;
+        |top = LIMIT li 5;
+        |STORE agg INTO '$OUT/agg' USING PARQUET;
+        |STORE top INTO '$OUT/top' USING PARQUET;""".stripMargin)
+    ScriptRunner.run(Array(path, "DIR=/root/testdata/sf0.001", s"OUT=$out",
+      "--only", "top"), stopSession = false)
+    assert(!Files.exists(Paths.get(s"$out/agg")), "--only must skip deselected STOREs")
+    assert(spark.read.parquet(s"$out/top").count() == 5)
+    // deselected STOREs still ANALYZE: a bad script fails even when skipped
+    val bad = writeScript(
+      """li = LOAD '$DIR/lineitem.parquet' USING PARQUET;
+        |top = LIMIT li 5;
+        |STORE li INTO '$OUT/x' USING PARQUET ("partition_by": "no_such_col");
+        |STORE top INTO '$OUT/top2' USING PARQUET;""".stripMargin)
+    val err = intercept[Exception](ScriptRunner.run(
+      Array(bad, "DIR=/root/testdata/sf0.001", s"OUT=$out", "--only", "top"),
+      stopSession = false))
+    assert(err.getMessage.contains("no_such_col"), err.getMessage)
+  }
+
   test("--dry-run validates the plan but writes nothing, TEE included") {
     spark
     val out = Files.createTempDirectory("graft-runner-dry").toString

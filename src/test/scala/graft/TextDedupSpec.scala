@@ -750,6 +750,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) >= 0.8)
   }
 
+  test("crossCorpusJaccardPrefix reproduces the all-pairs cross answer, both orders") {
+    val docs = sf("documents").limit(300)
+    val left = docs.filter(col("doc_id") % 2 === 0)
+    val right = docs.filter(col("doc_id") % 2 === 1)
+    for (t <- Seq(0.2, 0.8); ord <- Seq("df", "hash")) {
+      val full = Dedup.crossCorpusJaccard(left, right, n = 2, threshold = t,
+          maxDocsPerShingle = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.crossCorpusJaccardPrefix(left, right, n = 2, threshold = t,
+          order = ord)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"threshold $t order $ord: cross prefix diverged")
+    }
+    // directionality: ids come out (left, right), never flipped or intra-side
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val l = Seq((2L, base), (4L, base)).toDF("doc_id", "text")
+    val r = Seq((1L, base + " extra")).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusJaccardPrefix(l, r, n = 2, threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (4L, 1L)), out.toString)
+  }
+
   test("withGopherRules computes each rule feature exactly") {
     val bullets = "- item one\n- item two\nplain line here"
     val trailers = "first line...\nsecond line\nthird one…"

@@ -82,10 +82,13 @@ object Dedup {
         .filter(col("__docs") > c)
       // the hot set is metadata-sized and broadcast anyway; funnel it
       // through one partition so the drop count logs exactly once at
-      // execution — capped pair generation must be LOUD, never silent
+      // execution — capped pair generation must be LOUD, never silent.
+      // repartition(1), NOT coalesce(1): coalesce would pull the whole
+      // upstream final aggregation into a single task, while repartition
+      // exchanges only the already-filtered (tiny) hot rows
       implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
         org.apache.spark.sql.Encoders.row(hot0.schema)
-      val hot = hot0.coalesce(1).mapPartitions { it =>
+      val hot = hot0.repartition(1).mapPartitions { it =>
         val rows = it.toArray
         if (rows.nonEmpty) {
           val hottest = rows.iterator.map(_.getLong(1)).max

@@ -18,6 +18,29 @@ class ExamplesSpec extends SparkSpec {
     out
   }
 
+  test("rubix_migrate.cmr lifts a legacy binary dataset into a bucketed table") {
+    spark
+    import spark.implicits._
+    // fabricate the "legacy" dataset in the actual binary rubix format
+    val legacyDir = Files.createTempDirectory("graft-ex-legacy").toString + "/blocks"
+    val df = (1 to 500).map(i => (i % 4, i.toLong, s"rec$i")).toDF("grp", "seq", "payload")
+    graft.sources.Rubix.write(df, legacyDir, partitionKeys = Seq("grp"), sortKeys = Seq("seq"))
+    val out = Files.createTempDirectory("graft-ex-rubixmig").toString
+    ScriptRunner.run(Array("examples/rubix_migrate.cmr",
+      s"RUBIX=$legacyDir", s"OUT=$out"), stopSession = false)
+    // the migrated table is bucketed on the legacy partition key
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("rubix_migrated")).bucketSpec.get
+    assert(spec.bucketColumnNames == Seq("grp") && spec.sortColumnNames == Seq("seq"))
+    // and the before/after aggregates agree exactly
+    val b = spark.read.parquet(s"$out/before").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val a = spark.read.parquet(s"$out/after").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b == a && b.size == 4, s"before=$b after=$a")
+    spark.sql("DROP TABLE IF EXISTS rubix_migrated")
+  }
+
   test("wordcount.cmr counts tokens via the MR phase syntax") {
     val out = runExample("wordcount")
     val counted = spark.read.parquet(s"$out/wordcount")

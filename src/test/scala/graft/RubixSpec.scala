@@ -229,6 +229,67 @@ class RubixSpec extends SparkSpec {
     }
   }
 
+  test("PigSedes: randomized nested datums round-trip byte-for-byte (seeded)") {
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    val rnd = new scala.util.Random(7)
+    val leafTypes = Seq(IntegerType, LongType, FloatType, DoubleType,
+      BooleanType, ByteType, StringType, BinaryType)
+    def randLeaf(dt: DataType): Any = dt match {
+      case _ if rnd.nextInt(8) == 0 => null
+      case IntegerType => rnd.nextInt()
+      case LongType    => rnd.nextLong()
+      case FloatType   => rnd.nextFloat() * 1e6f
+      case DoubleType  => rnd.nextDouble() * 1e12
+      case BooleanType => rnd.nextBoolean()
+      case ByteType    => rnd.nextInt().toByte
+      case StringType  => // boundary-hugging lengths incl. multi-byte UTF-8
+        val len = Seq(0, 1, 120, 254, 255, 256)(rnd.nextInt(6))
+        (0 until len).map(_ => if (rnd.nextInt(5) == 0) 'ü' else ('a' + rnd.nextInt(26)).toChar).mkString
+      case BinaryType  => Array.fill(Seq(0, 1, 254, 255, 300)(rnd.nextInt(5)))(rnd.nextInt().toByte)
+    }
+    def randSchema(depth: Int): DataType =
+      if (depth == 0) leafTypes(rnd.nextInt(leafTypes.length))
+      else rnd.nextInt(4) match {
+        case 0 => StructType((0 until 1 + rnd.nextInt(4)).map(i =>
+          StructField(s"f$i", randSchema(depth - 1))))
+        case 1 => ArrayType(StructType(Seq(
+          StructField("e", randSchema(depth - 1)))))
+        case 2 => MapType(StringType, StringType)
+        case _ => leafTypes(rnd.nextInt(leafTypes.length))
+      }
+    def randValue(dt: DataType): Any = dt match {
+      case st: StructType =>
+        Row.fromSeq(st.fields.toSeq.map(f => randValue(f.dataType)))
+      case ArrayType(st: StructType, _) =>
+        Vector.fill(rnd.nextInt(5))(randValue(st))
+      case MapType(StringType, StringType, _) =>
+        (0 until rnd.nextInt(4)).map(i => s"k$i" -> s"v${rnd.nextInt(99)}").toMap
+      case leaf => randLeaf(leaf)
+    }
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case r: Row => r.toSeq.map(norm)
+      case s: scala.collection.Seq[_] => s.map(norm).toVector
+      case m: scala.collection.Map[_, _] => m.map { case (k, x) => (k, norm(x)) }.toMap
+      case x => x
+    }
+    for (_ <- 0 until 300) {
+      val schema = StructType((0 until 1 + rnd.nextInt(5)).map(i =>
+        StructField(s"c$i", randSchema(rnd.nextInt(3)))))
+      val value = randValue(schema).asInstanceOf[Row]
+      val bos = new ByteArrayOutputStream()
+      graft.sources.PigSedes.writeDatum(new DataOutputStream(bos), value, schema)
+      val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      val back = graft.sources.PigSedes.readDatum(in) match {
+        case r: Row => Row.fromSeq(schema.fields.toSeq.zip(r.toSeq).map {
+          case (f, x) => graft.sources.PigSedes.toSpark(x, f.dataType) })
+        case other => fail(s"not a tuple: $other")
+      }
+      assert(in.available() == 0, "leftover bytes after datum")
+      assert(norm(back) == norm(value), s"schema $schema")
+    }
+  }
+
   test("convert: legacy rubix dataset lands as a bucketed table with its keys") {
     val dir = tmp("graft-rubix-conv") + "/data"
     val df = (1 to 100).map(i => (i % 5, i.toLong, s"r$i"))

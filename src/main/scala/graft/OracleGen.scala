@@ -2055,4 +2055,58 @@ object OracleGen {
        |SELECT e.event_id, e.event_type, e.value, b.lo_bound, b.hi_bound,
        |  least(greatest(e.value, b.lo_bound), b.hi_bound) AS value_clipped
        |FROM events e JOIN bnds b USING (event_type)""".stripMargin
+
+  /** Retrieval metrics (q197): recall@k / precision@k / MRR / nDCG@k over
+    * the arithmetic run+qrels derivation from lineitem. The nDCG discount
+    * table is the SAME integer sequence the Spark side uses
+    * (Search.ndcgDiscounts), so both engines sum exact integers and
+    * divide once — no transcendental in the graded path.
+    */
+  def retrievalMetrics(k: Int): String = {
+    val disc = graft.text.Search.ndcgDiscounts(k)
+    def discCase(rankExpr: String) = disc.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }
+      .mkString(s"CASE $rankExpr ", " ", " ELSE 0 END")
+    s"""WITH pairs AS (
+       |  SELECT l_suppkey % 20 AS query_id, l_partkey % 200 AS doc_id,
+       |    min(l_orderkey) AS sk
+       |  FROM lineitem GROUP BY 1, 2),
+       |runs AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sk, doc_id) AS rank
+       |    FROM pairs) WHERE rank <= $k),
+       |qrels AS (
+       |  SELECT query_id, doc_id, CAST(1 + doc_id % 3 AS INT) AS rel
+       |  FROM pairs WHERE doc_id % 7 = query_id % 7),
+       |ideal AS (
+       |  SELECT query_id, count(1) AS n_rel,
+       |    sum(CASE WHEN ir <= $k
+       |        THEN (${discCase("ir")}) * ((1::BIGINT << rel) - 1) ELSE 0 END) AS idcg
+       |  FROM (SELECT query_id, doc_id, rel,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS ir
+       |    FROM qrels)
+       |  GROUP BY 1),
+       |got AS (SELECT query_id, count(1) AS n_retrieved FROM runs GROUP BY 1),
+       |hits AS (SELECT r.query_id, r.rank, q.rel
+       |  FROM runs r JOIN qrels q USING (query_id, doc_id)),
+       |agg AS (SELECT query_id, count(1) AS hits, min(rank) AS first_rank,
+       |    sum((${discCase("rank")}) * ((1::BIGINT << rel) - 1)) AS dcg
+       |  FROM hits GROUP BY 1)
+       |SELECT g.query_id,
+       |  CAST(coalesce(g.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       |  CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CAST(coalesce(a.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(a.hits, 0) AS DOUBLE)
+       |    / CAST(greatest(coalesce(i.n_rel, 0), 1) AS DOUBLE) AS recall_k,
+       |  CAST(coalesce(a.hits, 0) AS DOUBLE) / ${k}.0 AS precision_k,
+       |  CASE WHEN a.first_rank IS NOT NULL
+       |    THEN 1.0 / CAST(a.first_rank AS DOUBLE) ELSE 0.0 END AS mrr,
+       |  CASE WHEN coalesce(i.idcg, 0) > 0
+       |    THEN CAST(coalesce(a.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+       |    ELSE 0.0 END AS ndcg_k
+       |FROM got g
+       |FULL OUTER JOIN ideal i USING (query_id)
+       |LEFT JOIN agg a USING (query_id)""".stripMargin
+  }
 }

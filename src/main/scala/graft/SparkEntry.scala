@@ -1316,6 +1316,35 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.8)
     }),
+    // retrieval-quality eval (recall@k / MRR / nDCG@k) over a synthetic
+    // run+qrels pair derived arithmetically from lineitem — the discount
+    // table is integral (Search.ndcgDiscounts) so nDCG replays exactly
+    "q197_retrieval_metrics" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("__sk"), col("doc_id"))
+      val pairs = t(s, d, "lineitem")
+        .select((col("l_suppkey") % 20).cast("long").as("query_id"),
+          (col("l_partkey") % 200).cast("long").as("doc_id"), col("l_orderkey"))
+        .groupBy("query_id", "doc_id").agg(min("l_orderkey").as("__sk"))
+      val runs = pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10).select("query_id", "doc_id", "rank")
+      val qrels = pairs.filter(col("doc_id") % 7 === col("query_id") % 7)
+        .select(col("query_id"), col("doc_id"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("rel"))
+      graft.text.Search.retrievalMetrics(runs, qrels, k = 10)
+    }),
+    // distribution drift screen: click events' value distribution vs the
+    // rest, bucketed; tv_num is exact integer total-variation mass (the
+    // psi_term float stays user-facing, not graded — NgramLm posture)
+    "q198_drift" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Aggregations.distributionDrift(
+        ev.filter(col("event_type") =!= "click"),
+        ev.filter(col("event_type") === "click"),
+        pmod(floor(col("value") * 10), lit(20L)))
+        .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
+          "tv_num", "total_base", "total_cur")
+    }),
     // exact corpus-wide heavy hitters over tokens
     "q88_heavy_hitters" -> ((s, d) =>
       Aggregations.heavyHitters(
@@ -2316,6 +2345,25 @@ object SparkEntry {
     // the prefix form must reproduce the all-pairs cross answer exactly
     "q196_crosscorpus_prefix" ->
       OracleGen.crossCorpusJaccard(n = 2, threshold = 0.8, sampleMod = 5),
+    "q197_retrieval_metrics" -> OracleGen.retrievalMetrics(k = 10),
+    "q198_drift" ->
+      """WITH b AS (SELECT ((CAST(floor(value * 10) AS BIGINT) % 20) + 20) % 20 AS bucket,
+        |    count(1) AS n_base
+        |  FROM events WHERE event_type <> 'click' GROUP BY 1),
+        |c AS (SELECT ((CAST(floor(value * 10) AS BIGINT) % 20) + 20) % 20 AS bucket,
+        |    count(1) AS n_cur
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+        |t AS (SELECT sum(n_base) AS A, sum(n_cur) AS B FROM j)
+        |SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(n_base AS DOUBLE) / CAST(A AS DOUBLE) AS p_base,
+        |  CAST(n_cur AS DOUBLE) / CAST(B AS DOUBLE) AS p_cur,
+        |  CAST(abs(n_base * B - n_cur * A) AS BIGINT) AS tv_num,
+        |  CAST(A AS BIGINT) AS total_base, CAST(B AS BIGINT) AS total_cur
+        |FROM j, t""".stripMargin,
     "q88_heavy_hitters" -> OracleGen.heavyHittersTokens(minShare = 0.005),
     "q89_hash_split" ->
       OracleGen.hashSplit(Seq((800, "train"), (900, "val")), lastLabel = "test"),

@@ -261,4 +261,56 @@ object Aggregations {
       .drop("__n", "__cx", "__cxy", "__cxx", "__cin", "__x0",
         "__sx", "__sy", "__sxy", "__sxx")
   }
+
+  /** Distribution drift between a BASE population and a CURRENT one over a
+    * caller-supplied bucket expression — the production-ML monitoring
+    * screen ("did this week's feature/score distribution move?"). Emits
+    * one row per bucket: both counts, both proportions, the bucket's
+    * total-variation contribution, and the PSI term.
+    *
+    * Determinism: `tv_num` is EXACT integer arithmetic — with a = bucket
+    * count in base (total A) and b = in current (total B), the bucket's
+    * TV mass is |a·B − b·A| and total TV = Σ|a·B − b·A| / (2AB), one
+    * exactly-rounded division (sum the `tv_num` column and divide; no
+    * float summation order anywhere). `psi_term` is the conventional
+    * (p−q)·ln(p/q) with the standard 1e-4 zero floor — a float for
+    * thresholding and dashboards, NOT oracle-graded (ln is engine-
+    * rounded; same posture as NgramLm's avg_logp).
+    *
+    * Scale shape: one partial-aggregating groupBy per side on (keys,
+    * bucket), a full-outer join of the two bucket tables, and a
+    * broadcast-joined per-key totals table — no window, no data-sized
+    * driver state.
+    */
+  def distributionDrift(base: DataFrame, current: DataFrame, bucket: Column,
+                        keyCols: Seq[String] = Nil): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame = df
+      .groupBy((keyCols.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as(as))
+    val a = counts(base, "n_base")
+    val b = counts(current, "n_cur")
+    val joined = a.join(b, keyCols :+ "bucket", "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totals = joined.groupBy(keyCols.map(col): _*)
+      .agg(sum("n_base").as("__A"), sum("n_cur").as("__B"))
+    val withTot =
+      if (keyCols.isEmpty) joined.crossJoin(broadcast(totals))
+      else joined.join(broadcast(totals), keyCols)
+    val p = col("n_base").cast("double") / col("__A").cast("double")
+    val q = col("n_cur").cast("double") / col("__B").cast("double")
+    val eps = lit(1e-4)
+    val pf = greatest(p, eps)
+    val qf = greatest(q, eps)
+    withTot
+      .withColumn("p_base", p)
+      .withColumn("p_cur", q)
+      // |a·B − b·A|: integer TV mass; total TV = sum(tv_num) / (2·A·B)
+      .withColumn("tv_num",
+        abs(col("n_base") * col("__B") - col("n_cur") * col("__A")))
+      .withColumn("psi_term", (qf - pf) * log(qf / pf))
+      .select((keyCols.map(col) :+ col("bucket")) ++ Seq(
+        col("n_base"), col("n_cur"), col("p_base"), col("p_cur"),
+        col("tv_num"), col("__A").as("total_base"), col("__B").as("total_cur"),
+        col("psi_term")): _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,5 +168,75 @@ object Search {
     val ord = Seq(col("rrf_q").desc, col(idCol).asc)
     fused.orderBy(ord: _*)
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("int"))
+  }
+
+  /** Integer nDCG discount weights for ranks 1..k: round(1e9 / log2(r+1)).
+    * Computed ONCE driver-side so both the Spark plan and an external
+    * oracle consume the SAME integer table — the metric becomes exact
+    * integer-weighted sums plus one exactly-rounded division, with no
+    * cross-engine transcendental-rounding exposure.
+    */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Retrieval-quality metrics per query — the EVAL side of the BM25/RRF
+    * retrieval stack (and of any ANN candidate generator): given ranked
+    * `runs` (queryCol, docCol, rankCol; rank 1-based) and graded `qrels`
+    * (queryCol, docCol, relCol; rel > 0 = relevant), emits per query:
+    * hits@k, recall@k, precision@k, MRR (reciprocal first-relevant rank
+    * within k) and nDCG@k with gain 2^rel − 1.
+    *
+    * Scale shape: one equi-join of runs-truncated-to-k against qrels plus
+    * two partial-aggregating groupBys on the query key; the ideal-DCG
+    * ranking is a per-query window over each query's QRELS (bounded by
+    * judgments per query, not corpus size). Deterministic: the discount
+    * table is integral ([[ndcgDiscounts]]), ideal ranking ties break on
+    * doc id, and every emitted double is a single division of exact
+    * integers.
+    */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame, k: Int,
+                       queryCol: String = "query_id", docCol: String = "doc_id",
+                       rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val disc = ndcgDiscounts(k)
+    val discOf: Column => Column = r => get(
+      array(disc.map(lit): _*), r.cast("int") - 1)
+    // 2^rel − 1 exact in the long domain (pow is exact for small integer
+    // exponents; graded relevance is single-digit in practice)
+    val gain: Column => Column = rel =>
+      pow(lit(2.0), rel.cast("double")).cast("long") - 1L
+    val topk = runs.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol))
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(docCol), col(relCol))
+    // per-query totals + ideal DCG over the qrels alone
+    val iw = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    val ideal = rel.withColumn("__ir", row_number().over(iw))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__ir") <= k, discOf(col("__ir")) * gain(col(relCol)))
+          .otherwise(0L)).as("__idcg"))
+    // retrieved ∩ relevant with ranks
+    val hits = topk.join(rel, Seq(queryCol, docCol))
+    val got = topk.groupBy(col(queryCol)).agg(count(lit(1)).as("n_retrieved"))
+    val agg = hits.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("hits"),
+      min(col(rankCol)).as("__first"),
+      sum(discOf(col(rankCol)) * gain(col(relCol))).as("__dcg"))
+    got.join(ideal, Seq(queryCol), "full_outer")
+      .join(agg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_rel"), lit(0L)), lit(1L)).cast("double")).as("recall_k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("precision_k"),
+        when(col("__first").isNotNull,
+          lit(1.0) / col("__first").cast("double")).otherwise(0.0).as("mrr"),
+        when(coalesce(col("__idcg"), lit(0L)) > 0L,
+          coalesce(col("__dcg"), lit(0L)).cast("double") / col("__idcg").cast("double"))
+          .otherwise(0.0).as("ndcg_k"))
   }
 }

@@ -152,4 +152,29 @@ class AggregationsSpec extends SparkSpec {
     // doubles at this magnitude, loud for any sign/order bug
     assert(math.abs(out.getAs[Double]("intercept") - expected) < 1e-2, out.toString)
   }
+
+  test("distributionDrift: exact TV mass, proportions, PSI sign; missing buckets fill") {
+    import graft.operators.Aggregations
+    // base: 60/30/10 over buckets 0/1/2; current: 30/30/0 + new bucket 3 (40)
+    val base = (Seq.fill(60)(0) ++ Seq.fill(30)(1) ++ Seq.fill(10)(2)).toDF("b")
+    val cur = (Seq.fill(30)(0) ++ Seq.fill(30)(1) ++ Seq.fill(40)(3)).toDF("b")
+    val out = Aggregations.distributionDrift(base, cur, col("b"))
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(out.keySet == Set(0, 1, 2, 3))
+    // totals 100/100: tv_num = |a*100 - b*100|
+    assert(out(0).getAs[Long]("tv_num") == 3000)
+    assert(out(1).getAs[Long]("tv_num") == 0)
+    assert(out(2).getAs[Long]("tv_num") == 1000)
+    assert(out(3).getAs[Long]("tv_num") == 4000)
+    // total TV = sum/(2AB) = 8000/20000 = 0.4 exactly
+    val tv = out.values.map(_.getAs[Long]("tv_num")).sum.toDouble /
+      (2.0 * out(0).getAs[Long]("total_base") * out(0).getAs[Long]("total_cur"))
+    assert(tv == 0.4)
+    assert(out(2).getAs[Long]("n_cur") == 0L && out(3).getAs[Long]("n_base") == 0L)
+    assert(out(0).getAs[Double]("p_base") == 0.6 && out(0).getAs[Double]("p_cur") == 0.3)
+    // PSI terms: shrunk bucket negative? (q-p)ln(q/p): q<p -> positive product
+    assert(out(0).getAs[Double]("psi_term") > 0)   // moved mass away
+    assert(out(1).getAs[Double]("psi_term") == 0.0) // unchanged
+    assert(out(3).getAs[Double]("psi_term") > 0)   // new mass appeared
+  }
 }

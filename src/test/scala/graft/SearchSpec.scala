@@ -133,4 +133,29 @@ class SearchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("retrievalMetrics: closed-form recall/precision/MRR/nDCG, absent-hit queries") {
+    // q1: retrieved d1(rank1, rel2), d2(rank2, not judged), d3(rank3, rel1);
+    //     judged but unretrieved d9(rel3) caps recall and ideal DCG
+    // q2: nothing relevant retrieved -> all-zero metrics with n_rel intact
+    val runs = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      (2L, 8L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 1L, 2), (1L, 3L, 1), (1L, 9L, 3),
+      (2L, 7L, 1)).toDF("query_id", "doc_id", "rel")
+    val out = Search.retrievalMetrics(runs, qrels, k = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d = Search.ndcgDiscounts(10)
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("hits") == 2 && q1.getAs[Long]("n_rel") == 3)
+    assert(q1.getAs[Double]("recall_k") == 2.0 / 3.0)
+    assert(q1.getAs[Double]("precision_k") == 0.2)
+    assert(q1.getAs[Double]("mrr") == 1.0)
+    val dcg = d(0) * 3 + d(2) * 1
+    val idcg = d(0) * 7 + d(1) * 3 + d(2) * 1
+    assert(q1.getAs[Double]("ndcg_k") == dcg.toDouble / idcg.toDouble)
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("hits") == 0 && q2.getAs[Long]("n_rel") == 1)
+    assert(q2.getAs[Double]("recall_k") == 0.0 && q2.getAs[Double]("mrr") == 0.0
+      && q2.getAs[Double]("ndcg_k") == 0.0)
+  }
 }

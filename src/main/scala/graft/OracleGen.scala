@@ -2056,6 +2056,35 @@ object OracleGen {
        |  least(greatest(e.value, b.lo_bound), b.hi_bound) AS value_clipped
        |FROM events e JOIN bnds b USING (event_type)""".stripMargin
 
+  /** Integer PageRank (q199): replay Matrix.pageRankPortable's exact
+    * arithmetic — nano-mass ranks, per-edge `r // deg`, damping as
+    * (pct·s) // 100 — over `iters` UNROLLED CTE stages (no recursion
+    * needed for a fixed iteration count).
+    */
+  def pageRankPortable(iters: Int, dampingPct: Int): String = {
+    val baseNum = 1000000000L * (100 - dampingPct) / 100
+    val stages = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n2.node, ($baseNum // nn.n) + ($dampingPct * coalesce(s$i.s, 0)) // 100 AS r
+         |  FROM nodes n2 CROSS JOIN nn LEFT JOIN s$i ON s$i.node = n2.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 100000 AS sup
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, sup AS dst FROM pairs
+       |  UNION SELECT sup, c FROM pairs),
+       |deg AS (SELECT src, count(1) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(1) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000 // n AS r FROM nodes, nn),
+       |$stages
+       |SELECT node, CAST(r AS BIGINT) AS r FROM r$iters""".stripMargin
+  }
+
   /** Retrieval metrics (q197): recall@k / precision@k / MRR / nDCG@k over
     * the arithmetic run+qrels derivation from lineitem. The nDCG discount
     * table is the SAME integer sequence the Spark side uses

@@ -1316,6 +1316,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.8)
     }),
+    // PageRank over the customer↔supplier bipartite graph, in EXACT
+    // integer arithmetic (nano-mass units, integer divisions, rational
+    // damping) — hash-checked against 5 unrolled oracle iterations; the
+    // float pageRank stays spec-anchored (MatrixSpec closed forms)
+    "q199_pagerank" -> ((s, d) => {
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      Matrix.pageRankPortable(edges, iters = 5)
+    }),
     // retrieval-quality eval (recall@k / MRR / nDCG@k) over a synthetic
     // run+qrels pair derived arithmetically from lineitem — the discount
     // table is integral (Search.ndcgDiscounts) so nDCG replays exactly
@@ -2346,6 +2360,7 @@ object SparkEntry {
     "q196_crosscorpus_prefix" ->
       OracleGen.crossCorpusJaccard(n = 2, threshold = 0.8, sampleMod = 5),
     "q197_retrieval_metrics" -> OracleGen.retrievalMetrics(k = 10),
+    "q199_pagerank" -> OracleGen.pageRankPortable(iters = 5, dampingPct = 85),
     "q198_drift" ->
       """WITH b AS (SELECT ((CAST(floor(value * 10) AS BIGINT) % 20) + 20) % 20 AS bucket,
         |    count(1) AS n_base

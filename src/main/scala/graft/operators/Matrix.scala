@@ -86,6 +86,48 @@ object Matrix {
     ranks
   }
 
+  /** [[pageRank]] in EXACT integer arithmetic — the bit-portable sibling
+    * (same posture as the KMV/LM-score families): ranks live in 10^9
+    * "nano-mass" units, per-edge contributions are integer divisions
+    * (r div deg), damping is the rational dampingPct/100 applied as
+    * (pct·s) div 100, and the teleport base is computed once driver-side
+    * with the same long divisions an external engine would use. Every
+    * iteration is therefore a pure function of integers — an oracle can
+    * replay N unrolled iterations hash-for-hash, which float PageRank
+    * (summation-order-sensitive doubles) never allows. The floors bleed
+    * < 1e-9·deg mass per node per iteration — ranking-irrelevant.
+    *
+    * Scale shape per iteration: one join of edges against the (node,
+    * rank) relation + one partial-aggregated sum — identical to
+    * [[pageRank]]; localCheckpoint keeps lineage O(1) across iterations.
+    */
+  def pageRankPortable(edges: DataFrame, iters: Int,
+                       dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
+    val scale = 1000000000L
+    val e = edges.toDF("src", "dst").distinct()
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (scale * (100 - dampingPct) / 100) / n
+    var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = eDeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .withColumn("__s", coalesce(col("s"), lit(0L)))
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop nodes with
     * (current) degree < k until none remain or `maxIter` rounds ran —
     * survivors are the k-core (if converged; pass maxIter ≥ the peel depth,

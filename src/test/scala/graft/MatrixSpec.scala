@@ -41,6 +41,25 @@ class MatrixSpec extends SparkSpec {
     assert(r3("c") > r3("a") && r3("a") > r3("b"), s"unexpected order: $r3")
   }
 
+  test("pageRankPortable: exact integer fixpoint on the 2-cycle, agrees with float ranking") {
+    // a ⇄ b in nano-mass: r0 = 5e8 each; every iteration keeps
+    // 75e6 + (85 * 5e8) div 100 = 5e8 exactly — an integer fixpoint
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r2 = Matrix.pageRankPortable(cyc, iters = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2 == Map("a" -> 500000000L, "b" -> 500000000L), r2.toString)
+    // on a non-trivial graph the integer variant must rank like the float one
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val fOrder = Matrix.pageRank(tri, iters = 20).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(-_._2).map(_._1).toSeq
+    val qOrder = Matrix.pageRankPortable(tri, iters = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(-_._2).map(_._1).toSeq
+    assert(fOrder == qOrder, s"float $fOrder vs integer $qOrder")
+    // floors only ever LOSE mass: total stays within 1e-6 of 1
+    val total = Matrix.pageRankPortable(tri, iters = 20).collect().map(_.getLong(1)).sum
+    assert(total <= 1000000000L && total > 999000000L, total.toString)
+  }
+
   test("transpose swaps coordinates and spMV broadcasts the vector") {
     val at = Matrix.transpose(a.toDF("i", "k", "v"))
       .orderBy("i", "k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

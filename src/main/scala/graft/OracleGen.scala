@@ -2056,6 +2056,32 @@ object OracleGen {
        |  least(greatest(e.value, b.lo_bound), b.hi_bound) AS value_clipped
        |FROM events e JOIN bnds b USING (event_type)""".stripMargin
 
+  /** Calibration (q200): replay Classifier.linearScore's fixed-order dot
+    * with the same fixture weights, the rational squash, the bin/quantize
+    * arithmetic and the exact-integer ECE numerator.
+    */
+  def calibration(dim: Int, nBins: Int): String = {
+    val (w, b) = graft.similarity.Classifier.fixtureSoftmaxModel(dim, 1)
+    val terms = (0 until dim).map(i =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * (${w(0)(i)})")
+    s"""WITH m AS (
+       |  SELECT label, (${terms.mkString(" + ")}) + (${b(0)}) AS margin
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |    0.5 + margin / (2.0 * (1.0 + abs(margin))) AS score FROM m),
+       |q AS (
+       |  SELECT y,
+       |    CAST(greatest(least(floor(score * $nBins), ${nBins - 1}), 0) AS INT) AS bin,
+       |    CAST(floor(score * 1000000000.0) AS BIGINT) AS qs FROM s)
+       |SELECT bin, count(1) AS n, CAST(sum(y) AS BIGINT) AS hits,
+       |  CAST(sum(qs) AS BIGINT) AS sum_qscore,
+       |  CAST(sum(y) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS acc,
+       |  CAST(sum(qs) AS DOUBLE) / (CAST(count(1) AS DOUBLE) * 1e9) AS conf,
+       |  CAST(abs(sum(y) * 1000000000 - sum(qs)) AS BIGINT) AS ece_num
+       |FROM q GROUP BY bin""".stripMargin
+  }
+
   /** Integer PageRank (q199): replay Matrix.pageRankPortable's exact
     * arithmetic — nano-mass ranks, per-edge `r // deg`, damping as
     * (pct·s) // 100 — over `iters` UNROLLED CTE stages (no recursion

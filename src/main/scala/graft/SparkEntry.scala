@@ -1316,6 +1316,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.8)
     }),
+    // classifier calibration: reliability bins + exact-integer ECE mass
+    // over a transcendental-free score (fixture margin through the
+    // rational squash 1/2 + m/(2(1+|m|))) — every column replays exactly
+    "q200_calibration" -> ((s, d) => {
+      val (w, b) = graft.similarity.Classifier.fixtureSoftmaxModel(dim = 64, nClasses = 1)
+      val scored = graft.similarity.Classifier
+        .linearScore(t(s, d, "embeddings"), w(0), b(0))
+        .withColumn("score",
+          lit(0.5) + col("margin") / (lit(2.0) * (lit(1.0) + abs(col("margin")))))
+      graft.similarity.Classifier.calibration(scored,
+        col("score"), (col("label") < 5).cast("int"), nBins = 10)
+    }),
     // PageRank over the customer↔supplier bipartite graph, in EXACT
     // integer arithmetic (nano-mass units, integer divisions, rational
     // damping) — hash-checked against 5 unrolled oracle iterations; the
@@ -2361,6 +2373,7 @@ object SparkEntry {
       OracleGen.crossCorpusJaccard(n = 2, threshold = 0.8, sampleMod = 5),
     "q197_retrieval_metrics" -> OracleGen.retrievalMetrics(k = 10),
     "q199_pagerank" -> OracleGen.pageRankPortable(iters = 5, dampingPct = 85),
+    "q200_calibration" -> OracleGen.calibration(dim = 64, nBins = 10),
     "q198_drift" ->
       """WITH b AS (SELECT ((CAST(floor(value * 10) AS BIGINT) % 20) + 20) % 20 AS bucket,
         |    count(1) AS n_base

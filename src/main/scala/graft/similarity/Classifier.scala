@@ -78,6 +78,40 @@ object Classifier {
     df.withColumn(as,
       lit(1.0) / (lit(1.0) + exp(-(dotConst(col(vecCol), weights.toSeq) + lit(bias)))))
 
+  /** Raw linear margin w·x + b (no sigmoid): the transcendental-free score
+    * for oracle-replayable pipelines — the dot is a fixed index-order fold
+    * of exactly-rounded ops, so an external engine reproduces it
+    * bit-for-bit (the q112 discipline). Rank-equivalent to [[score]].
+    */
+  def linearScore(df: DataFrame, weights: Array[Double], bias: Double,
+                  vecCol: String = "embedding", as: String = "margin"): DataFrame =
+    df.withColumn(as, dotConst(col(vecCol), weights.toSeq) + lit(bias))
+
+  /** Reliability-diagram bins + ECE mass for a scored, binary-labeled
+    * frame — is the classifier's confidence honest? Scores must live in
+    * [0, 1). Emits per bin: `n`, `hits` (positives), `acc` (= hits/n),
+    * `conf` (mean score), and `ece_num` — the EXACT integer ECE numerator
+    * |hits·10^9 − Σ floor(score·10^9)|, so total ECE = Σ ece_num / (N·10^9)
+    * is one division of exact integers (no float summation order; the
+    * distribution-drift / KMV posture). One partial-aggregating groupBy.
+    */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val q = floor(scoreCol * lit(1000000000.0)).cast("long")
+    val bin = greatest(least(floor(scoreCol * nBins), lit(nBins - 1)), lit(0))
+      .cast("int")
+    df.select(bin.as("bin"), labelCol.cast("long").as("__y"), q.as("__q"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("hits"),
+        sum("__q").as("sum_qscore"))
+      .withColumn("acc", col("hits").cast("double") / col("n").cast("double"))
+      .withColumn("conf",
+        col("sum_qscore").cast("double") / (col("n").cast("double") * lit(1e9)))
+      .withColumn("ece_num",
+        abs(col("hits") * lit(1000000000L) - col("sum_qscore")))
+  }
+
   /** One-vs-rest multiclass fit: a binary model per class (fastText-style
     * domain/quality buckets). Training cost is nClasses × logregFit over
     * the same small labeled frame; returns class -> (weights, bias).

@@ -217,4 +217,33 @@ class BpeKmeansSpec extends SparkSpec {
     val kept = Classifier.qualityFilter(emb, labeled, col("quality"), dim = 64)
     assert(kept.count() == scored.filter(col("quality_score") >= 0.5).count())
   }
+
+  test("calibration: exact bins, honest-confidence zero ECE, miscalibration detected") {
+    import graft.similarity.Classifier
+    // perfectly calibrated by construction: within each bin, score is the
+    // bin midpoint and exactly that fraction of rows is positive
+    val rows = for {
+      bin <- 0 until 10
+      i <- 0 until 20
+    } yield (bin / 10.0 + 0.05, if (i < math.round((bin / 10.0 + 0.05) * 20)) 1 else 0)
+    val df = rows.toDF("score", "y")
+    val out = Classifier.calibration(df, col("score"), col("y"), nBins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == (0 until 10).toSet)
+    for ((bin, r) <- out) {
+      assert(r.getAs[Long]("n") == 20)
+      val acc = r.getAs[Double]("acc")
+      val conf = r.getAs[Double]("conf")
+      // midpoint scores: acc == conf to within the 1e-9 quantization
+      assert(math.abs(acc - conf) < 1e-6, s"bin $bin acc=$acc conf=$conf")
+      assert(r.getAs[Long]("ece_num") <= 20L, s"bin $bin ece=${r.getAs[Long]("ece_num")}")
+    }
+    // systematic overconfidence: score 0.95, only half positive -> big ECE mass
+    val over = (0 until 100).map(i => (0.95, if (i < 50) 1 else 0)).toDF("score", "y")
+    val bad = Classifier.calibration(over, col("score"), col("y"), nBins = 10)
+      .collect().head
+    assert(bad.getInt(0) == 9)
+    // |50*1e9 - 100*0.95e9| = 45e9: ECE = 45e9/(100*1e9) = 0.45
+    assert(bad.getAs[Long]("ece_num") == 45000000000L, bad.toString)
+  }
 }

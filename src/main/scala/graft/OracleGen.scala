@@ -2082,6 +2082,34 @@ object OracleGen {
        |FROM q GROUP BY bin""".stripMargin
   }
 
+  /** Synchronous LPA (q201): replay Matrix.labelPropagation's integer
+    * argmax (most-frequent neighbor label, min-label ties) over `iters`
+    * unrolled rounds; nodes without in-edges carry their label forward.
+    */
+  def labelPropagation(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""w$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, count(1) AS cnt,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(1) DESC, l.label ASC) AS rn
+         |    FROM e JOIN l${i - 1} l ON l.node = e.src
+         |    GROUP BY e.dst, l.label) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.node, coalesce(w$i.label, p.label) AS label
+         |  FROM l${i - 1} p LEFT JOIN w$i ON w$i.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 100000 AS sup
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, sup AS dst FROM pairs
+       |  UNION SELECT sup, c FROM pairs),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$stages
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l$iters""".stripMargin
+  }
+
   /** Integer PageRank (q199): replay Matrix.pageRankPortable's exact
     * arithmetic — nano-mass ranks, per-edge `r // deg`, damping as
     * (pct·s) // 100 — over `iters` UNROLLED CTE stages (no recursion

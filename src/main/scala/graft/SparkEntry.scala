@@ -1316,6 +1316,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 === 1), n = 2, threshold = 0.8)
     }),
+    // deterministic synchronous label propagation over the same graph —
+    // integer argmax with min-label ties, 4 unrolled oracle rounds
+    "q201_label_prop" -> ((s, d) => {
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      Matrix.labelPropagation(edges, iters = 4)
+    }),
     // classifier calibration: reliability bins + exact-integer ECE mass
     // over a transcendental-free score (fixture margin through the
     // rational squash 1/2 + m/(2(1+|m|))) — every column replays exactly
@@ -2374,6 +2386,7 @@ object SparkEntry {
     "q197_retrieval_metrics" -> OracleGen.retrievalMetrics(k = 10),
     "q199_pagerank" -> OracleGen.pageRankPortable(iters = 5, dampingPct = 85),
     "q200_calibration" -> OracleGen.calibration(dim = 64, nBins = 10),
+    "q201_label_prop" -> OracleGen.labelPropagation(iters = 4),
     "q198_drift" ->
       """WITH b AS (SELECT ((CAST(floor(value * 10) AS BIGINT) % 20) + 20) % 20 AS bucket,
         |    count(1) AS n_base

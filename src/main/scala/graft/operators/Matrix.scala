@@ -128,6 +128,44 @@ object Matrix {
     ranks
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community; each round it adopts the most frequent
+    * label among its NEIGHBORS, ties to the smallest label — fully
+    * deterministic integer arithmetic, so a fixed round count replays
+    * hash-for-hash in an oracle (the [[pageRankPortable]] posture; the
+    * classic async/random LPA is neither). Nodes with no in-edges keep
+    * their label. Pass the edge set in both directions for undirected
+    * semantics. Synchronous LPA can oscillate on bipartite structure —
+    * pick `iters` as the community resolution dial, not a convergence
+    * guarantee (standard for sync LPA).
+    *
+    * Scale shape per round: one edges⋈labels join, one (node, label)
+    * partial-aggregated count, one per-node min-struct argmax (also
+    * partial-aggregated — no window), localCheckpoint for O(1) lineage.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 0 until iters) {
+      // argmax(count) with min-label ties as a MIN of (-count, label):
+      // lexicographic struct ordering, two partial-aggregating stages
+      val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = counted
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
+        .select(col("node"), col("__w.label").as("__new"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop nodes with
     * (current) degree < k until none remain or `maxIter` rounds ran —
     * survivors are the k-core (if converged; pass maxIter ≥ the peel depth,

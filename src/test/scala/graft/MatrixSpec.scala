@@ -97,4 +97,23 @@ class MatrixSpec extends SparkSpec {
     // k larger than any core: empty result, no infinite loop
     assert(Matrix.kCore(edges, k = 5, maxIter = 10).count() == 0)
   }
+
+  test("labelPropagation: two cliques bridged by one edge resolve to two communities") {
+    // cliques {1,2,3} and {10,11,12} plus a single bridge 3-10; sync LPA
+    // with min-label ties collapses each clique to its smallest id
+    def undirected(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val g = undirected((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val out = Matrix.labelPropagation(g, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L, out.toString)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1, out.toString)
+    // an isolated-source node (in-edges only from it) keeps its own label
+    val lone = undirected((1L, 2L)).unionByName(
+      Seq((99L, 1L)).toDF("src", "dst"))
+    val out2 = Matrix.labelPropagation(lone, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(99L) == 99L, out2.toString)
+  }
 }

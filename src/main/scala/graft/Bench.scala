@@ -81,7 +81,15 @@ object Bench {
     "q188_cusum_drift",
     "q189_sorted_neighborhood",
     "q190_scd_join",
-    "q191_kaplan_meier")
+    "q191_kaplan_meier",
+    // round-8 additions (rubix/upsert queries excluded like q33/q180:
+    // their cost is the one-time dataset write, not the operator)
+    "q196_crosscorpus_prefix",
+    "q197_retrieval_metrics",
+    "q198_drift",
+    "q199_pagerank",
+    "q200_calibration",
+    "q201_label_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,7 +102,8 @@ object Matrix {
     * [[pageRank]]; localCheckpoint keeps lineage O(1) across iterations.
     */
   def pageRankPortable(edges: DataFrame, iters: Int,
-                       dampingPct: Int = 85): DataFrame = {
+                       dampingPct: Int = 85,
+                       broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
     val scale = 1000000000L
@@ -113,13 +114,17 @@ object Matrix {
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // nodes ≪ edges in any real graph: broadcast the rank relation so the
+    // per-iteration join never reshuffles the edges (set false only for
+    // node sets too large for one executor's memory)
+    def side(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
     val base = (scale * (100 - dampingPct) / 100) / n
     var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
     for (_ <- 0 until iters) {
-      val contrib = eDeg.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = eDeg.join(side(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(side(contrib), Seq("node"), "left")
         .withColumn("__s", coalesce(col("s"), lit(0L)))
         .select(col("node"),
           (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r"))
@@ -143,23 +148,27 @@ object Matrix {
     * partial-aggregated count, one per-node min-struct argmax (also
     * partial-aggregated — no window), localCheckpoint for O(1) lineage.
     */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       broadcastLabels: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    // same broadcast posture as pageRankPortable: the (node, label)
+    // relation rides to the edges, the edges never reshuffle
+    def side(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 0 until iters) {
       // argmax(count) with min-label ties as a MIN of (-count, label):
       // lexicographic struct ordering, two partial-aggregating stages
-      val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
+      val counted = e.join(side(labels.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val winner = counted
         .groupBy("node")
         .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
         .select(col("node"), col("__w.label").as("__new"))
-      labels = labels.join(winner, Seq("node"), "left")
+      labels = labels.join(side(winner), Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint()
     }

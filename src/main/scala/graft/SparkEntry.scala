@@ -1393,6 +1393,14 @@ object SparkEntry {
       Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
         weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
         .select("doc_id", "split")),
+    // split-integrity screen: splitting events by event_id while users
+    // are the leakage unit MUST flag the users whose rows span splits —
+    // the check that catches per-row splits of grouped data
+    "q202_split_leakage" -> ((s, d) =>
+      Sampling.splitLeakage(
+        Sampling.hashSplit(t(s, d, "events"), col("event_id"),
+          weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test")),
+        col("user_id"), col("split"))),
 
     // ---- time joins (asof / range / bloom) -----------------------------
     // point-in-time lookup: each purchase joined to the user's latest
@@ -2387,6 +2395,16 @@ object SparkEntry {
     "q199_pagerank" -> OracleGen.pageRankPortable(iters = 5, dampingPct = 85),
     "q200_calibration" -> OracleGen.calibration(dim = 64, nBins = 10),
     "q201_label_prop" -> OracleGen.labelPropagation(iters = 4),
+    "q202_split_leakage" ->
+      s"""WITH h AS (SELECT user_id,
+         |    ${OracleGen.hashBucket("event_id", "split", 1000)} AS b FROM events),
+         |s AS (SELECT user_id,
+         |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |      ELSE 'test' END AS split FROM h)
+         |SELECT user_id AS "group", count(1) AS n_rows,
+         |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+         |FROM s GROUP BY 1 HAVING count(DISTINCT split) > 1""".stripMargin,
     "q198_drift" ->
       """WITH b AS (SELECT ((CAST(floor(value * 10) AS BIGINT) % 20) + 20) % 20 AS bucket,
         |    count(1) AS n_base

@@ -442,4 +442,21 @@ object Sampling {
       .agg(min(struct(col("__th"), col("neg_id"))).as("__m"))
       .select(col("anchor_id"), col("draw"), col("__m.neg_id").as("neg_id"))
   }
+
+  /** Split-integrity screen: rows of one GROUP (a user, a near-dup
+    * cluster, a conversation) must not span train/val/test — splitting by
+    * row while grouping exists leaks evaluation data into training. Emits
+    * the violating groups with their row count, number of splits touched,
+    * and the sorted split list (as one string — portable to any oracle).
+    * Empty result = split is group-clean. One partial-aggregating
+    * groupBy; run it as the assertion AFTER any [[hashSplit]] whose key
+    * is finer than the leakage unit (the fix is splitting BY the group
+    * key instead).
+    */
+  def splitLeakage(df: DataFrame, groupCol: Column, splitCol: Column): DataFrame =
+    df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(splitCol).as("n_splits"),
+        array_join(array_sort(collect_set(splitCol)), ",").as("splits"))
+      .filter(col("n_splits") > 1)
 }

@@ -444,4 +444,24 @@ class SamplingPackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(other.sorted.toSeq != rows.sorted.toSeq)
   }
+
+  test("splitLeakage flags groups spanning splits; group-keyed splits are clean") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), // user 10: three events
+      (4L, 20L), (5L, 20L),            // user 20: two events
+      (6L, 30L)                        // user 30: one event
+    ).toDF("event_id", "user_id")
+    // per-EVENT split: user groups can span splits -> must be flagged
+    val byEvent = Sampling.hashSplit(rows, col("event_id"),
+      Seq(0.5, 0.5), Seq("train", "test"))
+    val leaks = Sampling.splitLeakage(byEvent, col("user_id"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    // every flagged group genuinely spans >1 split, sorted split list
+    assert(leaks.forall { case (_, n, s) => n > 1 && s == "test,train" }, leaks.toString)
+    // per-USER split of the same rows: zero leakage by construction
+    val byUser = Sampling.hashSplit(rows, col("user_id"),
+      Seq(0.5, 0.5), Seq("train", "test"))
+    assert(Sampling.splitLeakage(byUser, col("user_id"), col("split")).count() == 0)
+  }
 }

@@ -1393,6 +1393,16 @@ object SparkEntry {
       Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
         weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
         .select("doc_id", "split")),
+    // difference-in-differences: even users "treated", Jan 16 the policy
+    // boundary, qv the cents-quantized metric — 4 exact cells + the did
+    // estimate, every division exactly rounded
+    "q203_did" -> ((s, d) =>
+      graft.operators.Behavior.diffInDiff(
+        t(s, d, "events")
+          .withColumn("qv", floor(col("value") * 100).cast("long")),
+        col("user_id") % 2 === 0,
+        unix_micros(col("ts").cast("timestamp")) >= lit(1705363200000000L),
+        col("qv"))),
     // split-integrity screen: splitting events by event_id while users
     // are the leakage unit MUST flag the users whose rows span splits —
     // the check that catches per-row splits of grouped data
@@ -2395,6 +2405,22 @@ object SparkEntry {
     "q199_pagerank" -> OracleGen.pageRankPortable(iters = 5, dampingPct = 85),
     "q200_calibration" -> OracleGen.calibration(dim = 64, nBins = 10),
     "q201_label_prop" -> OracleGen.labelPropagation(iters = 4),
+    "q203_did" ->
+      """WITH q AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+        |    CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END AS post,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv FROM events),
+        |c AS (SELECT treated, post, count(1) AS n,
+        |    CAST(sum(qv) AS DOUBLE) / count(1) AS mean FROM q GROUP BY 1, 2)
+        |SELECT tp.n AS n_t_pre, tp.mean AS mean_t_pre,
+        |  ta.n AS n_t_post, ta.mean AS mean_t_post,
+        |  cp.n AS n_c_pre, cp.mean AS mean_c_pre,
+        |  ca.n AS n_c_post, ca.mean AS mean_c_post,
+        |  (ta.mean - tp.mean) - (ca.mean - cp.mean) AS did
+        |FROM (SELECT n, mean FROM c WHERE treated = 1 AND post = 0) tp,
+        |     (SELECT n, mean FROM c WHERE treated = 1 AND post = 1) ta,
+        |     (SELECT n, mean FROM c WHERE treated = 0 AND post = 0) cp,
+        |     (SELECT n, mean FROM c WHERE treated = 0 AND post = 1) ca""".stripMargin,
     "q202_split_leakage" ->
       s"""WITH h AS (SELECT user_id,
          |    ${OracleGen.hashBucket("event_id", "split", 1000)} AS b FROM events),

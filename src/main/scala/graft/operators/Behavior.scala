@@ -170,6 +170,39 @@ object Behavior {
             col("var_b") / col("n_b").cast("double")))
   }
 
+  /** Difference-in-differences: the quasi-experimental effect estimate
+    * when treatment wasn't randomized but a pre/post boundary and a
+    * control group exist (feature rollout to some cohorts, a policy
+    * change in one market). For each (group ∈ treated/control ×
+    * period ∈ pre/post) cell: exact count and sum of the INTEGER-
+    * quantized metric (quantize upstream like [[abTest]]); then
+    *
+    *   did = (mean_t_post − mean_t_pre) − (mean_c_post − mean_c_pre)
+    *
+    * which nets out both the group baseline and the common time trend.
+    * One partial-aggregating pass to a 4-row table; every mean is one
+    * exactly-rounded division, so the whole row — estimate included —
+    * replays bit-for-bit in an oracle. Emits the 4 cell means plus
+    * `did`. (Standard errors need cluster structure — pair with
+    * [[abTest]]'s variance machinery if rows are independent.)
+    */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+                 valueCol: Column): DataFrame = {
+    val cells = df.groupBy(treatedCol.cast("int").as("treated"),
+        postCol.cast("int").as("post"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("__s"))
+      .withColumn("mean", col("__s").cast("double") / col("n").cast("double"))
+    def cell(t: Int, p: Int, as: String) = cells
+      .filter(col("treated") === t && col("post") === p)
+      .select(col("n").as(s"n_$as"), col("mean").as(s"mean_$as"))
+    cell(1, 0, "t_pre").crossJoin(broadcast(cell(1, 1, "t_post")))
+      .crossJoin(broadcast(cell(0, 0, "c_pre")))
+      .crossJoin(broadcast(cell(0, 1, "c_post")))
+      .withColumn("did",
+        (col("mean_t_post") - col("mean_t_pre")) -
+          (col("mean_c_post") - col("mean_c_pre")))
+  }
+
   /** Seasonal baseline per (key, phase): fold a numeric-microsecond time
     * column onto a period (a day, a week) in `bucketUs` phases (hour of
     * day, day of week…) and compute exact per-phase count/mean/sample

@@ -339,4 +339,22 @@ class BehaviorSpec extends SparkSpec {
     assert(gc == Map(("a", 0L) -> 1L, ("a", 5L) -> 2L, ("a", 10L) -> 1L,
       ("a", 15L) -> 0L, ("b", 5L) -> 1L, ("b", 8L) -> 0L), gc.toString)
   }
+
+  test("diffInDiff: hand-computed 2x2 nets out baseline and common trend") {
+    import graft.operators.Behavior
+    // control: 10 -> 13 (+3 common trend); treated: 20 -> 28 (+8)
+    // => effect = 8 - 3 = 5, exactly
+    val rows = Seq(
+      (0, 0, 8L), (0, 0, 12L),          // control pre: mean 10
+      (0, 1, 11L), (0, 1, 15L),         // control post: mean 13
+      (1, 0, 18L), (1, 0, 22L),         // treated pre: mean 20
+      (1, 1, 26L), (1, 1, 30L)          // treated post: mean 28
+    ).toDF("tr", "po", "v")
+    val r = Behavior.diffInDiff(rows, col("tr") === 1, col("po") === 1, col("v"))
+      .collect().head
+    assert(r.getAs[Double]("mean_t_pre") == 20.0 && r.getAs[Double]("mean_t_post") == 28.0)
+    assert(r.getAs[Double]("mean_c_pre") == 10.0 && r.getAs[Double]("mean_c_post") == 13.0)
+    assert(r.getAs[Double]("did") == 5.0, r.toString)
+    assert(r.getAs[Long]("n_t_pre") == 2 && r.getAs[Long]("n_c_post") == 2)
+  }
 }

@@ -101,8 +101,16 @@ object OracleGen {
 
   // ---- q40 n-gram Jaccard -------------------------------------------------
 
-  def ngramJaccard(n: Int, threshold: Double, sampleMod: Int): String = {
+  def ngramJaccard(n: Int, threshold: Double, sampleMod: Int,
+                   cap: Option[Int] = None): String = {
     val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    // mirror Dedup.capHotShingles when the Spark side runs its default
+    // cap: shingles held by more than `cap` docs leave PAIR GENERATION
+    // while union sizes keep the full sets — scale-independent equality
+    val capped = cap.map(c =>
+      s""", hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(1) > $c
+         |), shc AS (SELECT * FROM sh ANTI JOIN hot USING (shingle))""".stripMargin)
+      .getOrElse(", shc AS (SELECT * FROM sh)")
     s"""WITH th AS (
        |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
        |  WHERE doc_id % $sampleMod = 0
@@ -111,9 +119,10 @@ object OracleGen {
        |  FROM th WHERE len(hs) >= $n
        |), sh AS (
        |  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh0
-       |), common AS (
+       |)$capped
+       |, common AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(1) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4
        |)
        |SELECT id_a, id_b, jaccard FROM (
@@ -126,8 +135,17 @@ object OracleGen {
   /** Mirrors Dedup.crossCorpusJaccard with left = even doc_ids sampled by
     * `sampleMod`, right = odd doc_ids sampled likewise.
     */
-  def crossCorpusJaccard(n: Int, threshold: Double, sampleMod: Int): String = {
+  def crossCorpusJaccard(n: Int, threshold: Double, sampleMod: Int,
+                         cap: Option[Int] = None): String = {
     val shingle = horner((0 until n).map(j => s"hs[i + $j]"))
+    // the Spark default cap applies PER SIDE (Dedup.crossCorpusJaccard
+    // caps each corpus's shingle stream independently) — mirror that
+    val capped = cap.map(c =>
+      s""", hot AS (SELECT doc_id % $sampleMod AS side, shingle
+         |  FROM sh GROUP BY 1, shingle HAVING count(1) > $c
+         |), shc AS (SELECT sh.* FROM sh ANTI JOIN hot
+         |  ON hot.side = sh.doc_id % $sampleMod AND hot.shingle = sh.shingle)""".stripMargin)
+      .getOrElse(", shc AS (SELECT * FROM sh)")
     s"""WITH th AS (
        |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM documents
        |  WHERE doc_id % $sampleMod IN (0, 1)
@@ -136,9 +154,10 @@ object OracleGen {
        |  FROM th WHERE len(hs) >= $n
        |), sh AS (
        |  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh0
-       |), common AS (
+       |)$capped
+       |, common AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(1) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle
        |  WHERE a.doc_id % $sampleMod = 0 AND b.doc_id % $sampleMod = 1
        |  GROUP BY 1, 2, 3, 4
        |)

@@ -1934,7 +1934,8 @@ object SparkEntry {
     "q39_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(1) AS copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "q40_dedup_ngram" -> OracleGen.ngramJaccard(n = 2, threshold = 0.05, sampleMod = 5),
+    "q40_dedup_ngram" -> OracleGen.ngramJaccard(n = 2, threshold = 0.05, sampleMod = 5,
+      cap = Some(graft.dedup.Dedup.DefaultMaxDocsPerShingle)),
     // the prefix-filtered path must reproduce the all-pairs answer exactly,
     // so its oracle IS the plain all-pairs oracle at the same parameters
     "q142_dedup_prefix" -> OracleGen.ngramJaccard(n = 2, threshold = 0.8, sampleMod = 2),
@@ -2397,7 +2398,8 @@ object SparkEntry {
     "q93_duplicate_spans" -> OracleGen.duplicateSpans(n = 8, minCount = 2L),
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->
-      OracleGen.crossCorpusJaccard(n = 2, threshold = 0.05, sampleMod = 5),
+      OracleGen.crossCorpusJaccard(n = 2, threshold = 0.05, sampleMod = 5,
+        cap = Some(graft.dedup.Dedup.DefaultMaxDocsPerShingle)),
     // the prefix form must reproduce the all-pairs cross answer exactly
     "q196_crosscorpus_prefix" ->
       OracleGen.crossCorpusJaccard(n = 2, threshold = 0.8, sampleMod = 5),

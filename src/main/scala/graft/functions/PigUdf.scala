@@ -41,33 +41,60 @@ object PigUdf {
   def register(spark: SparkSession, name: String, cls: Class[_],
                ctorArgs: Seq[String] = Nil): Unit = {
     require(isEvalFunc(cls), s"${cls.getName} does not extend org.apache.pig.EvalFunc")
-    val instance: AnyRef =
-      if (ctorArgs.isEmpty) cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
-      else {
-        val ctor = cls.getConstructors.find(c =>
-          c.getParameterCount == ctorArgs.length &&
-            c.getParameterTypes.forall(_ == classOf[String]))
-          .getOrElse(throw new IllegalArgumentException(
-            s"${cls.getName} has no (${ctorArgs.length}-String) constructor"))
-        ctor.newInstance(ctorArgs: _*).asInstanceOf[AnyRef]
-      }
-    val exec = execMethod(cls)
-    val retType = sparkType(exec.getReturnType, cls.getName)
+    // validate class/ctor/exec/return type EAGERLY (declaration time is
+    // where a bad FUNCTION statement must fail loudly)...
+    instantiate(cls, ctorArgs)
+    val retType = sparkType(execMethod(cls).getReturnType, cls.getName)
+    // ...but capture NOTHING reflective in the closure: Method handles,
+    // the TupleFactory and the EvalFunc instance are not serializable, so
+    // the executor-side state rebuilds lazily per JVM from the class name
+    // and args (the UDF jar is on the executor classpath via REGISTER)
+    val call = new PigUdfCall(cls.getName, ctorArgs)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (children: Seq[Expression]) => {
+        // one struct argument packs the call site's N columns, making the
+        // registered function VARIADIC — Catalyst-level registration
+        // because spark.udf.register is fixed-arity; the struct's
+        // ExpressionEncoder hands the function an external Row, and
+        // `retType` alone types the result
+        val packed = CreateStruct(children)
+        val enc = ExpressionEncoder(StructType(children.zipWithIndex.map {
+          case (c, i) => StructField(s"_$i", c.dataType, c.nullable) }))
+        ScalaUDF(call, retType, Seq(packed), Seq(Some(enc)),
+          udfName = Some(name))
+      }, "scala_udf")
+  }
 
-    // reflective Pig tuple plumbing, resolved against the UDF's own loader
-    val loader = cls.getClassLoader
-    val tfClass = Class.forName("org.apache.pig.data.TupleFactory", true, loader)
-    val factory = tfClass.getMethod("getInstance").invoke(null)
-    val newTuple = tfClass.getMethod("newTuple", classOf[Int])
-    val tupleClass = Class.forName("org.apache.pig.data.Tuple", true, loader)
-    val setField = tupleClass.getMethod("set", classOf[Int], classOf[Object])
+  private[functions] def instantiate(cls: Class[_], ctorArgs: Seq[String]): AnyRef =
+    if (ctorArgs.isEmpty) cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    else {
+      val ctor = cls.getConstructors.find(c =>
+        c.getParameterCount == ctorArgs.length &&
+          c.getParameterTypes.forall(_ == classOf[String]))
+        .getOrElse(throw new IllegalArgumentException(
+          s"${cls.getName} has no (${ctorArgs.length}-String) constructor"))
+      ctor.newInstance(ctorArgs: _*).asInstanceOf[AnyRef]
+    }
 
-    // one struct argument packs the call site's N columns, making the
-    // registered function VARIADIC — Catalyst-level registration because
-    // spark.udf.register is fixed-arity; the struct's ExpressionEncoder
-    // hands the function an external Row, and `retType` alone types the
-    // result (no Scala type derivation on the closure)
-    val call: Row => Any = { row =>
+  /** The serializable call bridge: ships only (className, ctorArgs); all
+    * reflection handles and the EvalFunc instance are @transient lazy —
+    * rebuilt once per executor JVM, shared across that executor's rows.
+    */
+  private final class PigUdfCall(className: String, ctorArgs: Seq[String])
+      extends (Row => Any) with Serializable {
+    @transient private lazy val cls =
+      Class.forName(className, true, Thread.currentThread().getContextClassLoader)
+    @transient private lazy val instance = instantiate(cls, ctorArgs)
+    @transient private lazy val exec = execMethod(cls)
+    @transient private lazy val tfClass =
+      Class.forName("org.apache.pig.data.TupleFactory", true, cls.getClassLoader)
+    @transient private lazy val factory = tfClass.getMethod("getInstance").invoke(null)
+    @transient private lazy val newTuple = tfClass.getMethod("newTuple", classOf[Int])
+    @transient private lazy val setField =
+      Class.forName("org.apache.pig.data.Tuple", true, cls.getClassLoader)
+        .getMethod("set", classOf[Int], classOf[Object])
+
+    override def apply(row: Row): Any = {
       val n = row.length
       val tuple = newTuple.invoke(factory, Int.box(n))
       var i = 0
@@ -77,14 +104,6 @@ object PigUdf {
       }
       exec.invoke(instance, tuple)
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      (children: Seq[Expression]) => {
-        val packed = CreateStruct(children)
-        val enc = ExpressionEncoder(StructType(children.zipWithIndex.map {
-          case (c, i) => StructField(s"_$i", c.dataType, c.nullable) }))
-        ScalaUDF(call, retType, Seq(packed), Seq(Some(enc)),
-          udfName = Some(name))
-      }, "scala_udf")
   }
 
   /** The concrete (non-bridge) `exec(Tuple)` the subclass declares; its

@@ -304,9 +304,18 @@ object Aggregations {
     withTot
       .withColumn("p_base", p)
       .withColumn("p_cur", q)
-      // |a·B − b·A|: integer TV mass; total TV = sum(tv_num) / (2·A·B)
+      // |a·B − b·A|: integer TV mass; total TV = sum(tv_num) / (2·A·B).
+      // The products are formed in decimal(38,0) — Long arithmetic would
+      // silently WRAP once both populations pass ~3·10^9 rows — and the
+      // long cast raises loudly in the (10^19+) regime instead of lying
+      .withColumn("__tvd",
+        abs(col("n_base").cast("decimal(38,0)") * col("__B").cast("decimal(38,0)") -
+          col("n_cur").cast("decimal(38,0)") * col("__A").cast("decimal(38,0)")))
       .withColumn("tv_num",
-        abs(col("n_base") * col("__B") - col("n_cur") * col("__A")))
+        when(col("__tvd") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("distributionDrift: tv_num exceeds Long range — " +
+            "populations too large for the long-typed output")).cast("long"))
+          .otherwise(col("__tvd").cast("long")))
       .withColumn("psi_term", (qf - pf) * log(qf / pf))
       .select((keyCols.map(col) :+ col("bucket")) ++ Seq(
         col("n_base"), col("n_cur"), col("p_base"), col("p_cur"),

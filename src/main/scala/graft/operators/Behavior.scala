@@ -188,19 +188,25 @@ object Behavior {
     */
   def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
                  valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    // ONE aggregation pass; the 4-row cell table collects (metadata-sized)
+    // so an invalid design — any empty cell — fails loudly instead of
+    // silently returning an empty frame
     val cells = df.groupBy(treatedCol.cast("int").as("treated"),
         postCol.cast("int").as("post"))
       .agg(count(lit(1)).as("n"), sum(valueCol).as("__s"))
       .withColumn("mean", col("__s").cast("double") / col("n").cast("double"))
-    def cell(t: Int, p: Int, as: String) = cells
-      .filter(col("treated") === t && col("post") === p)
-      .select(col("n").as(s"n_$as"), col("mean").as(s"mean_$as"))
-    cell(1, 0, "t_pre").crossJoin(broadcast(cell(1, 1, "t_post")))
-      .crossJoin(broadcast(cell(0, 0, "c_pre")))
-      .crossJoin(broadcast(cell(0, 1, "c_post")))
-      .withColumn("did",
-        (col("mean_t_post") - col("mean_t_pre")) -
-          (col("mean_c_post") - col("mean_c_pre")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    def cell(t: Int, p: Int): (Long, Double) = cells.getOrElse((t, p),
+      throw new IllegalArgumentException(
+        s"diffInDiff: no rows with treated=$t, post=$p — the 2x2 design " +
+          "needs all four cells populated"))
+    val (ntp, mtp) = cell(1, 0); val (nta, mta) = cell(1, 1)
+    val (ncp, mcp) = cell(0, 0); val (nca, mca) = cell(0, 1)
+    import spark.implicits._
+    Seq((ntp, mtp, nta, mta, ncp, mcp, nca, mca, (mta - mtp) - (mca - mcp)))
+      .toDF("n_t_pre", "mean_t_pre", "n_t_post", "mean_t_post",
+        "n_c_pre", "mean_c_pre", "n_c_post", "mean_c_post", "did")
   }
 
   /** Seasonal baseline per (key, phase): fold a numeric-microsecond time

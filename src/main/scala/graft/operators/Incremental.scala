@@ -419,17 +419,29 @@ object Incremental {
     val hconf = spark.sparkContext.hadoopConfiguration
     try {
       merged.write.mode("overwrite").parquet(staging)
-      val staged = spark.read.parquet(staging)
-      staged.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol)
-        .parquet(targetPath)
+      // a delta that deletes EVERY remaining row of the touched partitions
+      // stages zero data files — spark.read.parquet would fail schema
+      // inference, and there is nothing to overwrite anyway: just drop
+      // the emptied partition directories
+      val sfs = new Path(staging).getFileSystem(hconf)
+      val stagedFiles = sfs.globStatus(new Path(staging, "*.parquet"))
+      val remaining: Set[Any] =
+        if (stagedFiles == null || stagedFiles.isEmpty) Set.empty
+        else {
+          val staged = spark.read.parquet(staging)
+          staged.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(targetPath)
+          if (opCol.isDefined)
+            staged.select(col(partitionCol)).distinct()
+              .collect().map(_.get(0)).toSet
+          else touched.toSet
+        }
       if (opCol.isDefined) {
         // partitions fully emptied by deletes never appear in the staged
         // output, so dynamic overwrite leaves their directories — drop them
-        val remaining = staged.select(col(partitionCol)).distinct()
-          .collect().map(_.get(0)).toSet
         val tfs = new Path(targetPath).getFileSystem(hconf)
         touched.filterNot(remaining.contains).foreach { v =>
           // escape exactly as Spark's hive-partition writer does
@@ -480,7 +492,11 @@ object Incremental {
                   .drop(oc)
               case None => latest
             }
-            creates.write.partitionBy(partitionCol).parquet(targetPath)
+            // a first batch that is ALL deletes must not create an empty
+            // parquet dir — exists() would then be true while the schema
+            // is uninferable, bricking every later batch
+            if (!creates.isEmpty)
+              creates.write.partitionBy(partitionCol).parquet(targetPath)
           } else
             upsert(spark, targetPath, latest, keyCols, partitionCol,
               opCol = opCol, seqCol = Some(seqCol), deleteOp = deleteOp)

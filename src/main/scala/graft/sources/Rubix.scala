@@ -185,6 +185,11 @@ object Rubix {
             (0L until b.numRecords).iterator.map { _ =>
               PigSedes.readDatum(din) match {
                 case r: Row =>
+                  if (r.length != fieldTypes.length)
+                    throw new java.io.IOException(
+                      s"rubix record arity ${r.length} != schema width " +
+                        s"${fieldTypes.length} in ${b.file} @${b.offset} — " +
+                        "trailer schema and block data disagree")
                   Row.fromSeq(fieldTypes.zip(r.toSeq).map {
                     case (dt, v) => PigSedes.toSpark(v, dt) })
                 case other =>
@@ -248,8 +253,15 @@ object Rubix {
     arranged.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val taskId = TaskContext.getPartitionId()
+        // two-phase commit (the AvroNative discipline): write to an
+        // attempt-unique temp name, rename into place once sealed — a
+        // retried or speculative attempt never collides with a half-
+        // written final file, and exactly one rename wins
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(pathStr, f"_temporary/part-r$taskId%05d-a$attempt$ext")
         val file = new Path(pathStr, f"part-r$taskId%05d$ext")
-        val fsOut = file.getFileSystem(confBc.value.value).create(file, false)
+        val wfs = file.getFileSystem(confBc.value.value)
+        val fsOut = wfs.create(tmp, true)
         val counting = new CountingOutputStream(fsOut)
         val keySection = new ByteArrayOutputStream()
         val keyOut = new DataOutputStream(keySection)
@@ -302,8 +314,13 @@ object Rubix {
         tout.write(keyBytes)
         tout.writeLong(trailerStart)
         tout.close()
+        // a losing speculative twin finds the final name taken; drop temp
+        if (!wfs.rename(tmp, file)) wfs.delete(tmp, false)
+        ()
       }
     }
+    // job commit: clear attempt garbage from aborted/losing attempts
+    fs.delete(new Path(out, "_temporary"), true)
   }
 
   /** Convert a rubix dataset into a blockgen'd (bucketed + sorted) table,

@@ -201,7 +201,8 @@ object Vle {
 
   def encodeFloat(v: Float, out: OutputStream): Unit =
     if (v == 0.0f) out.write(if (java.lang.Float.floatToIntBits(v) == 0) PosZero else NegZero)
-    else if (v - v.toInt != 0 || v.toInt.toFloat != v) {
+    // Int.MinValue has no sign-magnitude form — raw IEEE bits instead
+    else if (v - v.toInt != 0 || v.toInt.toFloat != v || v.toInt == Int.MinValue) {
       val bits = java.lang.Float.floatToIntBits(v)
       out.write(0)
       out.write((bits >>> 24) & 0xFF); out.write((bits >>> 16) & 0xFF)
@@ -229,7 +230,8 @@ object Vle {
 
   def encodeDouble(v: Double, out: OutputStream): Unit =
     if (v == 0.0) out.write(if (java.lang.Double.doubleToLongBits(v) == 0L) PosZero else NegZero)
-    else if (v - v.toLong != 0 || v.toLong.toDouble != v) {
+    // Long.MinValue has no sign-magnitude form — raw IEEE bits instead
+    else if (v - v.toLong != 0 || v.toLong.toDouble != v || v.toLong == Long.MinValue) {
       val bits = java.lang.Double.doubleToLongBits(v)
       out.write(0)
       var k = 7

@@ -556,11 +556,14 @@ class ScriptSpec extends SparkSpec {
   }
 
   test("FUNCTION wraps a Pig EvalFunc reflectively (PigEvalFuncWrapper.java:38-51 parity)") {
-    val df = Seq((1L, Some(10L), "ab"), (2L, Some(20L), "cd"), (3L, None, "ef"))
-      .toDF("x", "y", "s")
-    // padd: EvalFunc[java.lang.Long] summing its tuple; pjoin: EvalFunc
-    // [String] with a constructor constant — both resolved purely by
-    // reflection (no UserFunction involvement), variadic at the call site
+    // range-based input, NOT a LocalRelation: ConvertToLocalRelation
+    // would constant-fold a literal frame driver-side and never exercise
+    // TASK SERIALIZATION of the UDF closure — the exact failure mode a
+    // captured reflective handle causes on a real cluster
+    val df = spark.range(1, 4)
+      .select(col("id").as("x"),
+        when(col("id") < 3, col("id") * 10).as("y"),
+        concat(lit("s"), col("id")).as("s"))
     val out = ScriptEngine.run(spark,
       """FUNCTION padd 'graft.SamplePigAddFunc';
         |FUNCTION pjoin graft.SamplePigJoinFunc('_');
@@ -568,8 +571,8 @@ class ScriptSpec extends SparkSpec {
       env0 = env("t" -> df))("g")
     val rows = out.orderBy("x").collect()
       .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSeq
-    assert(rows == Seq((1L, Some(11L), "ab_1"), (2L, Some(22L), "cd_2"),
-      (3L, None, "ef_3")), rows.toString)
+    assert(rows == Seq((1L, Some(11L), "s1_1"), (2L, Some(22L), "s2_2"),
+      (3L, None, "s3_3")), rows.toString)
     // a class that is neither contract fails loudly at declaration
     val err = intercept[IllegalArgumentException](ScriptEngine.run(spark,
       "FUNCTION bad 'java.lang.StringBuilder';\ng = FROM t GENERATE x;",

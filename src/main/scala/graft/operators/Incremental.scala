@@ -31,6 +31,20 @@ object Incremental {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when `path` holds actual table DATA (partition dirs or data
+    * files), not merely metadata like the `_graft_last_batch` marker — a
+    * fully-deleted CDC table keeps its marker, and schema inference over
+    * a data-less directory would otherwise fail every later batch.
+    */
+  private def hasTableData(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** High-water mark of the MV (max date present), if any. */
   def highWaterMark(spark: SparkSession, mvPath: String, dateCol: String): Option[Any] =
     if (!exists(spark, mvPath)) None
@@ -483,20 +497,24 @@ object Incremental {
             .groupBy(keyCols.map(col): _*)
             .agg(max(struct(ordered.map(col): _*)).as("__m"))
             .select(dataCols.map(c => col(s"__m.$c")): _*)
-          if (!exists(spark, targetPath)) {
-            // first batch creates the table: an op column never lands in
-            // the target, and a key whose latest op is a delete is a no-op
+          if (!hasTableData(spark, targetPath)) {
+            // first DATA-BEARING batch creates the table (the batch
+            // marker alone doesn't count — an all-delete first batch or
+            // a fully-deleted table must not look like a readable one):
+            // an op column never lands in the target, and a key whose
+            // latest op is a delete is a no-op
             val creates = opCol match {
               case Some(oc) =>
                 latest.filter(col(oc).isNull || col(oc) =!= lit(deleteOp))
                   .drop(oc)
               case None => latest
             }
-            // a first batch that is ALL deletes must not create an empty
-            // parquet dir — exists() would then be true while the schema
-            // is uninferable, bricking every later batch
+            // an ALL-DELETE batch must not create an empty parquet dir —
+            // schema inference over it would brick every later batch.
+            // append mode: the dir may already exist holding only the
+            // batch marker (data-less), which ErrorIfExists would trip on
             if (!creates.isEmpty)
-              creates.write.partitionBy(partitionCol).parquet(targetPath)
+              creates.write.mode("append").partitionBy(partitionCol).parquet(targetPath)
           } else
             upsert(spark, targetPath, latest, keyCols, partitionCol,
               opCol = opCol, seqCol = Some(seqCol), deleteOp = deleteOp)

@@ -218,6 +218,21 @@ class IncrementalSpec extends SparkSpec {
     assert(again == Map(1L -> "A2", 2L -> "b2", 4L -> "d"), again.toString)
   }
 
+  test("upsert CDC: a delta that deletes EVERYTHING leaves a readable (empty-table) state") {
+    val dir = Files.createTempDirectory("graft-upsert-allDel").toString + "/t"
+    Seq((1L, 20240101, "a"), (2L, 20240101, "b")).toDF("id", "dt", "v")
+      .write.partitionBy("dt").parquet(dir)
+    val cdc = Seq((1L, 20240101, "a", "D", 1L), (2L, 20240101, "b", "D", 2L))
+      .toDF("id", "dt", "v", "op", "seq")
+    // must not die reading an empty staging dir; the emptied partition drops
+    Incremental.upsert(spark, dir, cdc, Seq("id"), "dt",
+      opCol = Some("op"), seqCol = Some("seq"))
+    assert(!new java.io.File(s"$dir/dt=20240101").exists())
+    // no staging residue even on the empty path
+    assert(new java.io.File(dir).getParentFile.listFiles()
+      .forall(!_.getName.contains("_upsert_staging")))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged incl. null payloads") {
     val prev = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
       (3L, None, 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")

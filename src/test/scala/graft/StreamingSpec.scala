@@ -228,6 +228,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertStream: an ALL-DELETE first batch must not brick the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-cdc-allDel").toString
+    val in = MemoryStream[(Long, Int, String, String, Long)]
+    val q = graft.operators.Incremental.upsertStream(
+      in.toDF().toDF("id", "dt", "v", "op", "seq"),
+      s"$base/t", Seq("id"), "dt", "seq", s"$base/ck", opCol = Some("op"))
+    try {
+      // batch 0: deletes only — the target must NOT be created as an
+      // empty (schema-less) parquet dir that breaks every later batch
+      in.addData((7L, 20240101, "x", "D", 1L))
+      q.processAllAvailable()
+      // batch 1 creates the table normally
+      in.addData((1L, 20240101, "a", "I", 2L))
+      q.processAllAvailable()
+      val t = spark.read.parquet(s"$base/t").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(t == Map(1L -> "a"), t.toString)
+    } finally q.stop()
+  }
+
   test("streamRefresh maintains the additive MV from a stream of facts") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mv-stream").toString

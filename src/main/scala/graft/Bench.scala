@@ -89,7 +89,9 @@ object Bench {
     "q198_drift",
     "q199_pagerank",
     "q200_calibration",
-    "q201_label_prop")
+    "q201_label_prop",
+    "q202_split_leakage",
+    "q203_did")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2101,6 +2101,18 @@ object OracleGen {
        |FROM q GROUP BY bin""".stripMargin
   }
 
+  /** Shared graph preamble for q199/q201: the customer↔supplier bipartite
+    * graph both directions — MUST stay in sync with SparkEntry's
+    * custSuppGraph (same +100000 supplier offset, same dedup).
+    */
+  private def custSuppGraphCtes: String =
+    s"""pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 100000 AS sup
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, sup AS dst FROM pairs
+       |  UNION SELECT sup, c FROM pairs),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""".stripMargin
+
   /** Synchronous LPA (q201): replay Matrix.labelPropagation's integer
     * argmax (most-frequent neighbor label, min-label ties) over `iters`
     * unrolled rounds; nodes without in-edges carry their label forward.
@@ -2118,12 +2130,7 @@ object OracleGen {
          |  SELECT p.node, coalesce(w$i.label, p.label) AS label
          |  FROM l${i - 1} p LEFT JOIN w$i ON w$i.node = p.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 100000 AS sup
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT c AS src, sup AS dst FROM pairs
-       |  UNION SELECT sup, c FROM pairs),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    s"""WITH $custSuppGraphCtes,
        |l0 AS (SELECT node, node AS label FROM nodes),
        |$stages
        |SELECT node, CAST(label AS BIGINT) AS label FROM l$iters""".stripMargin
@@ -2145,13 +2152,8 @@ object OracleGen {
          |  SELECT n2.node, ($baseNum // nn.n) + ($dampingPct * coalesce(s$i.s, 0)) // 100 AS r
          |  FROM nodes n2 CROSS JOIN nn LEFT JOIN s$i ON s$i.node = n2.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 100000 AS sup
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT c AS src, sup AS dst FROM pairs
-       |  UNION SELECT sup, c FROM pairs),
+    s"""WITH $custSuppGraphCtes,
        |deg AS (SELECT src, count(1) AS deg FROM e GROUP BY 1),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT count(1) AS n FROM nodes),
        |r0 AS (SELECT node, 1000000000 // n AS r FROM nodes, nn),
        |$stages

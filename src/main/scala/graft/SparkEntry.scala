@@ -30,6 +30,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The customer↔supplier bipartite graph both directions (q199/q201;
+    * oracle preamble: OracleGen.custSuppGraphCtes — keep the two in
+    * sync). Supplier ids shift by +100000 so the node spaces stay
+    * disjoint (custkeys top out well below that at every shipped SF).
+    */
+  private def custSuppGraph(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+  }
+
   /** q144 URL zoo: every normalization case, keyed off (doc_id, source);
     * mirrored by OracleGen.urlZooSql.
     */
@@ -1318,16 +1333,8 @@ object SparkEntry {
     }),
     // deterministic synchronous label propagation over the same graph —
     // integer argmax with min-label ties, 4 unrolled oracle rounds
-    "q201_label_prop" -> ((s, d) => {
-      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
-        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
-      Matrix.labelPropagation(edges, iters = 4)
-    }),
+    "q201_label_prop" -> ((s, d) =>
+      Matrix.labelPropagation(custSuppGraph(s, d), iters = 4)),
     // classifier calibration: reliability bins + exact-integer ECE mass
     // over a transcendental-free score (fixture margin through the
     // rational squash 1/2 + m/(2(1+|m|))) — every column replays exactly
@@ -1344,16 +1351,8 @@ object SparkEntry {
     // integer arithmetic (nano-mass units, integer divisions, rational
     // damping) — hash-checked against 5 unrolled oracle iterations; the
     // float pageRank stays spec-anchored (MatrixSpec closed forms)
-    "q199_pagerank" -> ((s, d) => {
-      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
-        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
-      Matrix.pageRankPortable(edges, iters = 5)
-    }),
+    "q199_pagerank" -> ((s, d) =>
+      Matrix.pageRankPortable(custSuppGraph(s, d), iters = 5)),
     // retrieval-quality eval (recall@k / MRR / nDCG@k) over a synthetic
     // run+qrels pair derived arithmetically from lineitem — the discount
     // table is integral (Search.ndcgDiscounts) so nDCG replays exactly

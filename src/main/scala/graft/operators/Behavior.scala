@@ -192,7 +192,12 @@ object Behavior {
     // ONE aggregation pass; the 4-row cell table collects (metadata-sized)
     // so an invalid design — any empty cell — fails loudly instead of
     // silently returning an empty frame
-    val cells = df.groupBy(treatedCol.cast("int").as("treated"),
+    val cells = df
+      // null treated/post flags have no cell; null metric rows would null
+      // the cell sum — drop both up front so errors stay the designed
+      // loud ones, never an opaque NPE off a null cell
+      .filter(treatedCol.isNotNull && postCol.isNotNull && valueCol.isNotNull)
+      .groupBy(treatedCol.cast("int").as("treated"),
         postCol.cast("int").as("post"))
       .agg(count(lit(1)).as("n"), sum(valueCol).as("__s"))
       .withColumn("mean", col("__s").cast("double") / col("n").cast("double"))

@@ -107,13 +107,19 @@ object Matrix {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
     val scale = 1000000000L
-    val e = edges.toDF("src", "dst").distinct()
+    // checkpoint the deduped edges BEFORE fan-out: they feed the degree
+    // self-join and both sides of the node union — without this the
+    // upstream edge derivation recomputes four times during setup
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    require(n <= scale,
+      s"pageRankPortable: $n nodes exceeds the 10^9 nano-mass scale — " +
+        "initial ranks would truncate to zero; shard the graph or use pageRank")
     // nodes ≪ edges in any real graph: broadcast the rank relation so the
     // per-iteration join never reshuffles the edges (set false only for
     // node sets too large for one executor's memory)

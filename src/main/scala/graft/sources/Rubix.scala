@@ -314,8 +314,15 @@ object Rubix {
         tout.write(keyBytes)
         tout.writeLong(trailerStart)
         tout.close()
-        // a losing speculative twin finds the final name taken; drop temp
-        if (!wfs.rename(tmp, file)) wfs.delete(tmp, false)
+        // a losing speculative twin finds the final name taken; drop temp.
+        // Any OTHER rename failure must fail the task loudly — swallowing
+        // it would silently lose this partition's rows
+        if (!wfs.rename(tmp, file)) {
+          if (wfs.exists(file)) wfs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"rubix commit failed: could not rename $tmp to $file " +
+              "and no winning attempt's file exists")
+        }
         ()
       }
     }

@@ -2075,6 +2075,27 @@ object OracleGen {
        |  least(greatest(e.value, b.lo_bound), b.hi_bound) AS value_clipped
        |FROM events e JOIN bnds b USING (event_type)""".stripMargin
 
+  /** Benford screen (q204): same string-based digit extraction, the SAME
+    * driver-computed expected_ppb integer table, exact decimal deviation.
+    */
+  def benford: String = {
+    val expected = (1 to 9).map(d =>
+      s"WHEN $d THEN ${math.round(math.log10(1.0 + 1.0 / d) * 1e9)}")
+      .mkString("CASE a.digit ", " ", " END")
+    s"""WITH v AS (
+       |  SELECT CAST(substr(CAST(CAST(abs(floor(l_extendedprice * 100)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM lineitem),
+       |d AS (SELECT digit, count(1) AS n FROM v WHERE digit >= 1 GROUP BY 1),
+       |t AS (SELECT sum(n) AS N FROM d),
+       |axis AS (SELECT unnest(generate_series(1, 9)) AS digit)
+       |SELECT a.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       |  CAST(coalesce(d.n, 0) AS DOUBLE) / CAST(t.N AS DOUBLE) AS share,
+       |  CAST($expected AS BIGINT) AS expected_ppb,
+       |  CAST(abs(coalesce(d.n, 0) * 1000000000 - t.N * ($expected)) AS BIGINT) AS dev_num,
+       |  CAST(t.N AS BIGINT) AS total
+       |FROM axis a LEFT JOIN d ON d.digit = a.digit CROSS JOIN t""".stripMargin
+  }
+
   /** Calibration (q200): replay Classifier.linearScore's fixed-order dot
     * with the same fixture weights, the rational squash, the bin/quantize
     * arithmetic and the exact-integer ECE numerator.

@@ -1392,6 +1392,12 @@ object SparkEntry {
       Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
         weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
         .select("doc_id", "split")),
+    // Benford first-digit screen over price cents: observed vs the
+    // log10(1+1/d) law with the expected table injected as driver-side
+    // integer constants — no engine-rounded transcendental anywhere
+    "q204_benford" -> ((s, d) =>
+      Aggregations.benford(t(s, d, "lineitem"),
+        floor(col("l_extendedprice") * 100).cast("long"))),
     // difference-in-differences: even users "treated", Jan 16 the policy
     // boundary, qv the cents-quantized metric — 4 exact cells + the did
     // estimate, every division exactly rounded
@@ -2406,6 +2412,7 @@ object SparkEntry {
     "q199_pagerank" -> OracleGen.pageRankPortable(iters = 5, dampingPct = 85),
     "q200_calibration" -> OracleGen.calibration(dim = 64, nBins = 10),
     "q201_label_prop" -> OracleGen.labelPropagation(iters = 4),
+    "q204_benford" -> OracleGen.benford,
     "q203_did" ->
       """WITH q AS (SELECT
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,

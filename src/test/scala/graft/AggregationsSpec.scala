@@ -177,4 +177,32 @@ class AggregationsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("psi_term") == 0.0) // unchanged
     assert(out(3).getAs[Double]("psi_term") > 0)   // new mass appeared
   }
+
+  test("benford: power-law values fit the law; uniform fabricated values deviate") {
+    import graft.operators.Aggregations
+    // log-uniform magnitudes 1..10^5: classic Benford-conformant
+    val rnd = new scala.util.Random(11)
+    val natural = Seq.fill(20000)(math.pow(10.0, rnd.nextDouble() * 5).toLong)
+      .filter(_ >= 1).toDF("v")
+    val nat = Aggregations.benford(natural, col("v")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(nat.keySet == (1 to 9).toSet)
+    val natTv = nat.values.map(_.getAs[Long]("dev_num")).sum.toDouble /
+      (nat(1).getAs[Long]("total").toDouble * 1e9)
+    assert(natTv < 0.05, s"natural data deviates $natTv from Benford")
+    // digit-1 share ~ 30.1%
+    assert(math.abs(nat(1).getAs[Double]("share") - 0.301) < 0.02)
+    // uniform 100..999 (fabricated-looking): every digit ~1/9 -> big deviation
+    val flat = (100L to 999L).toDF("v")
+    val f = Aggregations.benford(flat, col("v")).collect().map(r => r.getInt(0) -> r).toMap
+    val flatTv = f.values.map(_.getAs[Long]("dev_num")).sum.toDouble /
+      (f(1).getAs[Long]("total").toDouble * 1e9)
+    assert(flatTv > 0.25, s"uniform data should deviate, got $flatTv")
+    assert(f.values.forall(_.getAs[Long]("n") == 100L))
+    // zeros and negatives: zero excluded, sign ignored, missing digits fill
+    val edge = Seq(0L, -200L, 300L, 0L).toDF("v")
+    val e = Aggregations.benford(edge, col("v")).collect().map(r => r.getInt(0) -> r).toMap
+    assert(e(2).getAs[Long]("n") == 1L && e(3).getAs[Long]("n") == 1L)
+    assert(e(7).getAs[Long]("n") == 0L && e(1).getAs[Long]("total") == 2L)
+  }
 }

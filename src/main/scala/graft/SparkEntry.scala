@@ -30,16 +30,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Supplier-node id offset for [[custSuppGraph]] — far above any custkey
+    * at the SFs this library ships (sf1 tops out near 1.5·10^5; TPC-H
+    * custkeys grow as 1.5·10^5·SF, so 10^7 holds through sf~66), and the
+    * graph builder ASSERTS the disjointness instead of trusting the
+    * comment. Mirrored literally in OracleGen.custSuppGraphCtes.
+    */
+  private val SupplierNodeOffset = 10000000L
+
   /** The customer↔supplier bipartite graph both directions (q199/q201;
     * oracle preamble: OracleGen.custSuppGraphCtes — keep the two in
-    * sync). Supplier ids shift by +100000 so the node spaces stay
-    * disjoint (custkeys top out well below that at every shipped SF).
+    * sync). Supplier ids shift by +SupplierNodeOffset so the node spaces
+    * stay disjoint; a collision would silently conflate graph nodes, so
+    * the max custkey is checked, not assumed.
     */
   private def custSuppGraph(s: SparkSession, d: String): DataFrame = {
-    val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+    val orders = t(s, d, "orders").select("o_orderkey", "o_custkey")
+    val maxCust = orders.agg(max(col("o_custkey"))).head.getAs[Number](0)
+    require(maxCust == null || maxCust.longValue() < SupplierNodeOffset,
+      s"custSuppGraph: max o_custkey $maxCust >= supplier-node offset " +
+        s"$SupplierNodeOffset — node spaces would collide; raise the offset")
+    val pairs = orders
       .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + SupplierNodeOffset).as("sup"))
       .distinct()
     pairs.select(col("c").as("src"), col("sup").as("dst"))
       .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))

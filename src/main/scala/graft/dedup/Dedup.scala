@@ -27,6 +27,25 @@ object Dedup {
     */
   val DefaultMaxDocsPerShingle = 1000
 
+  /** Observable drop metrics for the hot-shingle cap: callers that need to
+    * DETECT lower-bound jaccard output programmatically (not just in the
+    * executor log) pass one of these to [[ngramJaccard]] /
+    * [[crossCorpusJaccard]] and read it AFTER an action on the result.
+    * `droppedShingles` counts distinct capped shingles; `droppedMemberships`
+    * sums their document frequencies (the pair-generation mass excluded).
+    * Both are Spark accumulators: zero means no pair lost any overlap, a
+    * nonzero value means some reported jaccards are lower bounds. Stage
+    * retries can over-count (standard accumulator caveat) — treat nonzero
+    * as a boolean taint plus an order of magnitude, not an exact census.
+    */
+  final class CapMetrics(spark: org.apache.spark.sql.SparkSession) {
+    val droppedShingles: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("graft.dedup.droppedShingles")
+    val droppedMemberships: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("graft.dedup.droppedMemberships")
+    def capped: Boolean = droppedShingles.value > 0L
+  }
+
   // ---- exact ------------------------------------------------------------
 
   /** Exact dedup: group rows by content hash, keep the smallest id per
@@ -75,7 +94,8 @@ object Dedup {
     * guardrail that turns an all-pairs shingle join's worst case from
     * |hottest shingle|² into cap².
     */
-  private def capHotShingles(sh: DataFrame, cap: Option[Int]): DataFrame =
+  private def capHotShingles(sh: DataFrame, cap: Option[Int],
+                             metrics: Option[CapMetrics] = None): DataFrame =
     cap.fold(sh) { c =>
       require(c >= 2, s"maxDocsPerShingle must be >= 2: $c")
       val hot0 = sh.groupBy("shingle").agg(count(lit(1)).as("__docs"))
@@ -88,6 +108,10 @@ object Dedup {
       // exchanges only the already-filtered (tiny) hot rows
       implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
         org.apache.spark.sql.Encoders.row(hot0.schema)
+      // capture the (Serializable) accumulators, never the CapMetrics
+      // wrapper — the closure ships to executors
+      val accShingles = metrics.map(_.droppedShingles)
+      val accMembers = metrics.map(_.droppedMemberships)
       val hot = hot0.repartition(1).mapPartitions { it =>
         val rows = it.toArray
         if (rows.nonEmpty) {
@@ -96,6 +120,8 @@ object Dedup {
             s"hot-shingle cap $c: excluding ${rows.length} shingle(s) from " +
               s"pair generation (hottest shared by $hottest docs); reported " +
               "jaccard is a lower bound for pairs that shared them")
+          accShingles.foreach(_.add(rows.length.toLong))
+          accMembers.foreach(_.add(rows.iterator.map(_.getLong(1)).sum))
         }
         rows.iterator
       }.select("shingle")
@@ -120,14 +146,15 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    textCol: String = "text", idCol: String = "doc_id",
-                   maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle)): DataFrame = {
+                   maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle),
+                   capMetrics: Option[CapMetrics] = None): DataFrame = {
     val base = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
     val sh = capHotShingles(base.select(col(idCol), size(col("__shs")).as("n_sh"),
-      explode(col("__shs")).as("shingle")), maxDocsPerShingle)
+      explode(col("__shs")).as("shingle")), maxDocsPerShingle, capMetrics)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col(s"a.shingle") === col(s"b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -241,14 +268,15 @@ object Dedup {
   def crossCorpusJaccard(left: DataFrame, right: DataFrame, n: Int = 3,
                          threshold: Double = 0.8, textCol: String = "text",
                          idCol: String = "doc_id",
-                         maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle)): DataFrame = {
+                         maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle),
+                         capMetrics: Option[CapMetrics] = None): DataFrame = {
     def sh(df: DataFrame): DataFrame = capHotShingles(df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
       .select(col(idCol), size(col("__shs")).as("n_sh"),
-        explode(col("__shs")).as("shingle")), maxDocsPerShingle)
+        explode(col("__shs")).as("shingle")), maxDocsPerShingle, capMetrics)
     val a = sh(left).as("a"); val b = sh(right).as("b")
     a.join(b, col("a.shingle") === col("b.shingle"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

@@ -297,10 +297,17 @@ object Aggregations {
       .crossJoin(broadcast(total))
       .withColumn("share", col("n").cast("double") / col("__N").cast("double"))
       .withColumn("expected_ppb", expected)
-      .withColumn("dev_num",
+      // same overflow posture as distributionDrift's tv_num: the decimal
+      // product can pass Long range once N approaches 10^10 rows, and a
+      // non-ANSI long cast would silently null — fail loudly instead
+      .withColumn("__dev",
         abs(col("n").cast("decimal(38,0)") * lit(1000000000L).cast("decimal(38,0)") -
-          col("__N").cast("decimal(38,0)") * col("expected_ppb").cast("decimal(38,0)"))
-          .cast("long"))
+          col("__N").cast("decimal(38,0)") * col("expected_ppb").cast("decimal(38,0)")))
+      .withColumn("dev_num",
+        when(col("__dev") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("benford: dev_num exceeds Long range — " +
+            "population too large for the long-typed output")).cast("long"))
+          .otherwise(col("__dev").cast("long")))
       .select(col("digit"), col("n"), col("share"), col("expected_ppb"),
         col("dev_num"), col("__N").as("total"))
   }

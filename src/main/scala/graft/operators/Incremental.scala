@@ -405,10 +405,16 @@ object Incremental {
     val touched = latest.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return // empty delta: nothing to merge, nothing to stage
+    // membership must be NULL-SAFE: a delta that touches the null partition
+    // (Spark's __HIVE_DEFAULT_PARTITION__) never matches isin() under SQL
+    // null semantics, which would silently drop the null partition's kept
+    // rows on overwrite — use <=> so null <=> null is true
+    def inTouched(c: Column): Column =
+      touched.map(v => c <=> lit(v)).reduce(_ || _)
     val target = spark.read.parquet(targetPath)
     if (verifyStability) {
       val stale = target
-        .filter(!col(partitionCol).isin(touched: _*))
+        .filter(!inTouched(col(partitionCol)))
         .join(broadcast(latest.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_semi")
         .limit(1).count()
@@ -418,7 +424,7 @@ object Incremental {
           "partition's rows in the updates)")
     }
     val kept = target
-      .filter(col(partitionCol).isin(touched: _*))
+      .filter(inTouched(col(partitionCol)))
       .join(latest.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
     val inserts = opCol match {
       case Some(oc) => latest.filter(col(oc).isNull || col(oc) =!= lit(deleteOp))
@@ -458,9 +464,14 @@ object Incremental {
         // output, so dynamic overwrite leaves their directories — drop them
         val tfs = new Path(targetPath).getFileSystem(hconf)
         touched.filterNot(remaining.contains).foreach { v =>
-          // escape exactly as Spark's hive-partition writer does
+          // escape exactly as Spark's hive-partition writer does; a null
+          // (or empty) value must pass through as-is so
+          // getPartitionPathString substitutes __HIVE_DEFAULT_PARTITION__
+          // — String.valueOf(null) would build a bogus "part=null" leaf
+          // and leave the real null partition (and its deleted rows) alive
           val leaf = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(partitionCol, String.valueOf(v))
+            .getPartitionPathString(partitionCol,
+              if (v == null) null else String.valueOf(v))
           val dir = new Path(targetPath.stripSuffix("/") + "/" + leaf)
           if (tfs.exists(dir)) tfs.delete(dir, true)
         }

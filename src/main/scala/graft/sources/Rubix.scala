@@ -271,11 +271,20 @@ object Rubix {
         // the current block's value sink — per-block codec stream when
         // compressing, the raw counting stream otherwise
         var blockZip: java.util.zip.DeflaterOutputStream = null
+        // the codec stream's native Deflater — finish() flushes but does
+        // NOT release the native zlib buffer (only end()/close() do, and
+        // close() would close the shared file stream), so a many-block
+        // task would leak one native Deflater per block until GC
+        // finalization: track it explicitly and end() it per block
+        var blockDeflater: java.util.zip.Deflater = null
         var dout: DataOutputStream = new DataOutputStream(counting)
 
         def closeBlock(): Unit = if (blockRecords >= 0) {
           keyOut.writeLong(blockRecords); blockRecords = -1L
-          if (blockZip != null) { dout.flush(); blockZip.finish(); blockZip = null }
+          if (blockZip != null) {
+            dout.flush(); blockZip.finish(); blockZip = null
+            blockDeflater.end(); blockDeflater = null
+          }
         }
         def openBlock(key: Seq[Any]): Unit = {
           closeBlock()
@@ -288,8 +297,15 @@ object Rubix {
           currentKey = key
           codec.foreach { c =>
             blockZip =
-              if (c == "deflate") new java.util.zip.DeflaterOutputStream(counting)
-              else new java.util.zip.GZIPOutputStream(counting)
+              if (c == "deflate") {
+                blockDeflater = new java.util.zip.Deflater()
+                new java.util.zip.DeflaterOutputStream(counting, blockDeflater)
+              } else
+                // GZIPOutputStream constructs its own Deflater into the
+                // protected `def` field — expose it so closeBlock can end()
+                new java.util.zip.GZIPOutputStream(counting) {
+                  blockDeflater = `def`
+                }
             dout = new DataOutputStream(blockZip)
           }
         }

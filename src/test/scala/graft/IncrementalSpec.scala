@@ -233,6 +233,35 @@ class IncrementalSpec extends SparkSpec {
       .forall(!_.getName.contains("_upsert_staging")))
   }
 
+  test("upsert CDC: null partition value merges, keeps rows, and drops when emptied") {
+    val dir = Files.createTempDirectory("graft-upsert-nullpart").toString + "/t"
+    // ids 1,2 live in the NULL partition (__HIVE_DEFAULT_PARTITION__),
+    // id 3 in a real one
+    val base = Seq((1L, None: Option[String], "a"), (2L, None, "b"),
+      (3L, Some("2024-01-01"), "c")).toDF("id", "dt", "v")
+    base.write.partitionBy("dt").parquet(dir)
+    assert(new java.io.File(s"$dir/dt=__HIVE_DEFAULT_PARTITION__").exists())
+    // update id=1 in the null partition: id=2 (same partition, untouched
+    // key) MUST survive — isin()-based membership silently drops it
+    val upd = Seq((1L, None: Option[String], "A2", "U", 10L))
+      .toDF("id", "dt", "v", "op", "seq")
+    Incremental.upsert(spark, dir, upd, Seq("id"), "dt",
+      opCol = Some("op"), seqCol = Some("seq"))
+    val after = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "A2", 2L -> "b", 3L -> "c"), after.toString)
+    // now delete both null-partition rows: the __HIVE_DEFAULT_PARTITION__
+    // directory must be dropped (a "dt=null" leaf would never match)
+    val del = Seq((1L, None: Option[String], "A2", "D", 20L),
+      (2L, None, "b", "D", 21L)).toDF("id", "dt", "v", "op", "seq")
+    Incremental.upsert(spark, dir, del, Seq("id"), "dt",
+      opCol = Some("op"), seqCol = Some("seq"))
+    assert(!new java.io.File(s"$dir/dt=__HIVE_DEFAULT_PARTITION__").exists(),
+      "emptied null partition directory survived the delete")
+    val fin = spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
+    assert(fin == Set(3L), fin.toString)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged incl. null payloads") {
     val prev = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
       (3L, None, 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")

@@ -161,6 +161,35 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("CapMetrics surfaces hot-shingle drops programmatically; zero when uncapped") {
+    val docs = Seq(
+      (1L, "LICENSE header alpha beta gamma"),
+      (2L, "LICENSE header alpha beta delta"),
+      (3L, "LICENSE header one two"),
+      (4L, "LICENSE header three four"),
+      (5L, "LICENSE header five six")).toDF("doc_id", "text")
+    // capped run: the "LICENSE header" bigram (df=5) is excluded and the
+    // accumulators record it — callers can DETECT lower-bound jaccards
+    // instead of scraping executor logs
+    val m = new Dedup.CapMetrics(spark)
+    Dedup.ngramJaccard(docs, n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(4), capMetrics = Some(m)).collect()
+    assert(m.capped, "cap fired but CapMetrics saw nothing")
+    assert(m.droppedShingles.value == 1L, m.droppedShingles.value.toString)
+    assert(m.droppedMemberships.value == 5L, m.droppedMemberships.value.toString)
+    // a run whose cap never fires reads clean
+    val clean = new Dedup.CapMetrics(spark)
+    Dedup.ngramJaccard(docs, n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(100), capMetrics = Some(clean)).collect()
+    assert(!clean.capped)
+    // cross-corpus variant reports per-side drops through the same object
+    val xm = new Dedup.CapMetrics(spark)
+    Dedup.crossCorpusJaccard(docs.filter(col("doc_id") === 1),
+      docs.filter(col("doc_id") =!= 1), n = 2, threshold = 0.01,
+      maxDocsPerShingle = Some(2), capMetrics = Some(xm)).collect()
+    assert(xm.capped, "cross-corpus cap fired but CapMetrics saw nothing")
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val near = base.replace("kappa", "koppa") // 1-token edit

@@ -664,8 +664,9 @@ object Dedup {
     * DuckDB recursive-CTE oracle checks either).
     */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                  maxIter: Int = 50): DataFrame =
-    dupClustersWithRounds(pairs, aCol, bCol, maxIter)._1
+                  maxIter: Int = 50,
+                  reliableCheckpoint: Boolean = false): DataFrame =
+    dupClustersWithRounds(pairs, aCol, bCol, maxIter, reliableCheckpoint)._1
 
   /** Large-star: connect every strictly-larger neighbor of u to the
     * minimum of u's closed neighborhood. Input/output edges are directed
@@ -701,7 +702,19 @@ object Dedup {
     */
   def dupClustersWithRounds(pairs: DataFrame, aCol: String = "id_a",
                             bCol: String = "id_b",
-                            maxIter: Int = 50): (DataFrame, Int) = {
+                            maxIter: Int = 50,
+                            reliableCheckpoint: Boolean = false): (DataFrame, Int) = {
+    // localCheckpoint (default) keeps blocks on executors only — losing
+    // one mid-run kills the job (truncated lineage can't recompute).
+    // reliableCheckpoint = true writes each round to the configured
+    // checkpoint dir instead: slower per round, survives executor loss —
+    // the posture for long runs at cluster scale
+    def ck(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoint requires SparkContext.setCheckpointDir to be set")
+        df.checkpoint(true)
+      } else df.localCheckpoint(true)
     val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val allNodes = e0.select(col("u").as("id"))
       .union(e0.select(col("v").as("id"))).distinct().persist()
@@ -709,13 +722,13 @@ object Dedup {
     // previous plan ~12×, so without truncation the logical plan grows
     // exponentially in rounds — checkpointing cuts lineage to O(1) while
     // keeping the loop deterministic
-    var edges = e0.filter(col("u") =!= col("v"))
+    var edges = ck(e0.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var i = 0
     var done = edges.isEmpty
     while (!done && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = ck(smallStar(largeStar(edges)))
       done = next.count() == edges.count() && next.except(edges).count() == 0
       edges.unpersist()
       edges = next

@@ -19,6 +19,44 @@ import org.apache.spark.sql.functions._
   */
 object Matrix {
 
+  /** Node count above which the iterative ops ([[pageRankPortable]],
+    * [[labelPropagation]]) STOP broadcasting the per-node state relation
+    * and fall back to a shuffle join. A (long, long) state row is ~16
+    * bytes, so 5·10^7 nodes ≈ 800 MB of broadcast per iteration — near
+    * the practical ceiling for comfortable executor replication; beyond
+    * it a guaranteed-OOM broadcast is strictly worse than reshuffling the
+    * edges. The ops measure `n` anyway (they need it for the teleport
+    * base), so the switch is free; callers can force either side via the
+    * `broadcastRanks`/`broadcastLabels` override.
+    */
+  val BroadcastNodeThreshold: Long = 50000000L
+
+  /** Broadcast the per-node state relation only while it provably fits:
+    * explicit override wins, otherwise node count vs
+    * [[BroadcastNodeThreshold]] decides.
+    */
+  private[graft] def stateSide(n: Long, forced: Option[Boolean],
+                               maxNodes: Long): DataFrame => DataFrame = {
+    val doBroadcast = forced.getOrElse(n <= maxNodes)
+    if (doBroadcast) df => broadcast(df) else identity
+  }
+
+  /** Checkpoint for the iterative family: `localCheckpoint` (default) is
+    * fast but stores blocks on executors ONLY — an executor loss mid-run
+    * kills the job because the truncated lineage cannot recompute. With
+    * `reliable = true` the plan checkpoints to the job's configured
+    * checkpoint dir (HDFS/object store) and survives executor loss at the
+    * cost of a write per round — the right posture for long iterative
+    * runs at 100 TB, where losing one executor over N rounds approaches
+    * certainty. Requires `spark.sparkContext.setCheckpointDir(...)`.
+    */
+  private def ckpt(df: DataFrame, eager: Boolean, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint requires SparkContext.setCheckpointDir to be set")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+
   /** C = A × B over COO triples: A(i,k,v), B(k,j,w) → C(i,j) = Σ_k v·w.
     * Column names are positional contracts: a = (i, k, v), b = (k, j, w).
     */
@@ -63,7 +101,8 @@ object Matrix {
     * to the canonical Pregel/GraphX formulation; ranks stay a (node,
     * value) relation that broadcasts while node count ≪ edges.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               reliableCheckpoint: Boolean = false): DataFrame = {
     val e = edges.toDF("src", "dst")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // A(dst, src) = 1/deg(src): column-normalized transition matrix
@@ -77,10 +116,10 @@ object Matrix {
     for (_ <- 0 until iters) {
       val contrib = spMV(m, ranks.toDF("k", "w"))
         .select(col("i").as("node"), col("val").as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = ckpt(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")),
+        eager = true, reliable = reliableCheckpoint)
     }
     m.unpersist(); nodes.unpersist()
     ranks
@@ -103,41 +142,54 @@ object Matrix {
     */
   def pageRankPortable(edges: DataFrame, iters: Int,
                        dampingPct: Int = 85,
-                       broadcastRanks: Boolean = true): DataFrame = {
+                       broadcastRanks: Option[Boolean] = None,
+                       broadcastMaxNodes: Long = BroadcastNodeThreshold,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
     val scale = 1000000000L
     // checkpoint the deduped edges BEFORE fan-out: they feed the degree
     // self-join and both sides of the node union — without this the
     // upstream edge derivation recomputes four times during setup
-    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
-    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val e = ckpt(edges.toDF("src", "dst").distinct(), true, reliableCheckpoint)
+    val eDeg = ckpt(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
+      true, reliableCheckpoint)
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct(), true, reliableCheckpoint)
     val n = nodes.count()
     require(n > 0, "empty graph")
     require(n <= scale,
       s"pageRankPortable: $n nodes exceeds the 10^9 nano-mass scale — " +
         "initial ranks would truncate to zero; shard the graph or use pageRank")
-    // nodes ≪ edges in any real graph: broadcast the rank relation so the
-    // per-iteration join never reshuffles the edges (set false only for
-    // node sets too large for one executor's memory)
-    def side(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    // nodes ≪ edges in any real graph, so riding the rank relation to the
+    // edges beats reshuffling them — UNTIL the rank relation itself
+    // outgrows what an executor can replicate (an O(V) broadcast at the
+    // op's declared 10^9-node ceiling is ~16 GB): auto-switch on the
+    // already-measured node count, overridable either way
+    val side = stateSide(n, broadcastRanks, broadcastMaxNodes)
     val base = (scale * (100 - dampingPct) / 100) / n
     var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
     for (_ <- 0 until iters) {
-      val contrib = eDeg.join(side(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(side(contrib), Seq("node"), "left")
+      val contrib = prContribution(eDeg, ranks, side)
+      ranks = ckpt(nodes.join(side(contrib), Seq("node"), "left")
         .withColumn("__s", coalesce(col("s"), lit(0L)))
         .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r"))
-        .localCheckpoint()
+          (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r")),
+        eager = true, reliable = reliableCheckpoint)
     }
     ranks
   }
+
+  /** One [[pageRankPortable]] contribution round: edges⋈ranks, integer
+    * per-edge mass, partial+final sum. Factored out so the plan audit can
+    * pin the iteration's physical shape (join strategy, partial
+    * aggregation) directly — the loop's checkpoints erase it.
+    */
+  private[graft] def prContribution(eDeg: DataFrame, ranks: DataFrame,
+                                    side: DataFrame => DataFrame): DataFrame =
+    eDeg.join(side(ranks.withColumnRenamed("node", "src")), "src")
+      .select(col("dst").as("node"), expr("r div deg").as("c"))
+      .groupBy("node").agg(sum("c").as("s"))
 
   /** Synchronous label propagation (community detection): every node
     * starts as its own community; each round it adopts the most frequent
@@ -155,31 +207,42 @@ object Matrix {
     * partial-aggregated — no window), localCheckpoint for O(1) lineage.
     */
   def labelPropagation(edges: DataFrame, iters: Int,
-                       broadcastLabels: Boolean = true): DataFrame = {
+                       broadcastLabels: Option[Boolean] = None,
+                       broadcastMaxNodes: Long = BroadcastNodeThreshold,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
-    // same broadcast posture as pageRankPortable: the (node, label)
-    // relation rides to the edges, the edges never reshuffle
-    def side(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
+    val e = ckpt(edges.toDF("src", "dst").distinct(), true, reliableCheckpoint)
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct(), true, reliableCheckpoint)
+    val n = nodes.count()
+    // same posture as pageRankPortable: the (node, label) relation — and
+    // the equally O(V) per-round winner relation — ride to the edges only
+    // while they provably fit an executor; above the threshold both joins
+    // fall back to shuffles (override via broadcastLabels)
+    val side = stateSide(n, broadcastLabels, broadcastMaxNodes)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 0 until iters) {
-      // argmax(count) with min-label ties as a MIN of (-count, label):
-      // lexicographic struct ordering, two partial-aggregating stages
-      val counted = e.join(side(labels.withColumnRenamed("node", "src")), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val winner = counted
-        .groupBy("node")
-        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
-        .select(col("node"), col("__w.label").as("__new"))
-      labels = labels.join(side(winner), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint()
+      val winner = lpaRound(e, labels, side)
+      labels = ckpt(labels.join(side(winner), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label")),
+        eager = true, reliable = reliableCheckpoint)
     }
     labels
   }
+
+  /** One [[labelPropagation]] round: argmax(count) with min-label ties as
+    * a MIN of (-count, label) — lexicographic struct ordering, two
+    * partial-aggregating stages, no window. Factored out for the plan
+    * audit (the loop's checkpoints erase iteration plans).
+    */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame,
+                              side: DataFrame => DataFrame): DataFrame =
+    e.join(side(labels.withColumnRenamed("node", "src")), "src")
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
+      .select(col("node"), col("__w.label").as("__new"))
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes with
     * (current) degree < k until none remain or `maxIter` rounds ran —
@@ -192,23 +255,23 @@ object Matrix {
     * discipline as connected components). Shuffle volume shrinks
     * monotonically — every round's edge set is a subset of the last.
     */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 10,
+            reliableCheckpoint: Boolean = false): DataFrame = {
     require(k >= 1 && maxIter >= 1, s"bad k=$k maxIter=$maxIter")
     val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-    var e = e0.localCheckpoint(true)
+    var e = ckpt(e0, true, reliableCheckpoint)
     var i = 0
     var done = false
     while (i < maxIter && !done) {
       val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
-      val next = e
+      val next = ckpt(e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint(true)
+        .select("u", "v"), true, reliableCheckpoint)
       done = next.count() == e.count()
       e = next
       i += 1

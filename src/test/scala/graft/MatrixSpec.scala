@@ -98,6 +98,86 @@ class MatrixSpec extends SparkSpec {
     assert(Matrix.kCore(edges, k = 5, maxIter = 10).count() == 0)
   }
 
+  test("graph ops auto-switch off broadcast above the node threshold; answers unchanged") {
+    def undirected(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val g = undirected((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    // above-threshold (maxNodes=2 on a 6-node graph): the auto path must
+    // produce the SAME labels/ranks as the forced-broadcast path
+    val prB = Matrix.pageRankPortable(g, iters = 3, broadcastRanks = Some(true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prS = Matrix.pageRankPortable(g, iters = 3, broadcastMaxNodes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prB == prS, s"broadcast $prB vs auto-shuffle $prS")
+    val lpB = Matrix.labelPropagation(g, iters = 4, broadcastLabels = Some(true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpS = Matrix.labelPropagation(g, iters = 4, broadcastMaxNodes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpB == lpS, s"broadcast $lpB vs auto-shuffle $lpS")
+    // plan pin on the iteration shape itself (the loop's checkpoints erase
+    // per-iteration plans): above the threshold stateSide is identity and
+    // the contribution join carries NO BroadcastExchange; below it, it does.
+    // AQE's size-based auto-broadcast is disabled so the pin tests OUR
+    // decision, not the optimizer's small-table shortcut.
+    val eDeg = g.join(g.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val ranks = g.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(100L).as("r"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val autoShuffle = Matrix.stateSide(n = 6, forced = None, maxNodes = 2)
+      val pShuffle = Matrix.prContribution(eDeg, ranks, autoShuffle)
+      pShuffle.queryExecution.toRdd.foreach(_ => ())
+      val planS = pShuffle.queryExecution.executedPlan.toString
+      assert(!planS.contains("BroadcastExchange"),
+        s"auto-switch above threshold still broadcasts:\n$planS")
+      val autoBcast = Matrix.stateSide(n = 6, forced = None, maxNodes = 100)
+      val pBcast = Matrix.prContribution(eDeg, ranks, autoBcast)
+      pBcast.queryExecution.toRdd.foreach(_ => ())
+      val planB = pBcast.queryExecution.executedPlan.toString
+      assert(planB.contains("BroadcastExchange"),
+        s"below threshold the rank side should broadcast:\n$planB")
+      // the forced override beats the count in both directions
+      assert(Matrix.stateSide(n = 1, forced = Some(false), maxNodes = 100)(ranks)
+        .queryExecution.logical.toString == ranks.queryExecution.logical.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("reliableCheckpoint: iterative ops survive on a checkpoint dir, answers unchanged") {
+    def undirected(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val g = undirected((1L, 2L), (1L, 3L), (2L, 3L), (3L, 10L), (10L, 11L))
+    // without a checkpoint dir the flag must fail loudly, not silently
+    // fall back to executor-local blocks (skip if another suite set one)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Matrix.pageRankPortable(g, iters = 1, reliableCheckpoint = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val local = Matrix.pageRankPortable(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Matrix.pageRankPortable(g, iters = 3, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable, s"local $local vs reliable $reliable")
+    val lpa = Matrix.labelPropagation(g, iters = 3, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Matrix.labelPropagation(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val kc = Matrix.kCore(g, k = 2, maxIter = 5, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kc == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), kc.toString)
+    val cc = graft.dedup.Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b"),
+      reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L), cc.toString)
+    // the reliable variant actually wrote checkpoint data
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty, "no checkpoint data written")
+  }
+
   test("labelPropagation: two cliques bridged by one edge resolve to two communities") {
     // cliques {1,2,3} and {10,11,12} plus a single bridge 3-10; sync LPA
     // with min-label ties collapses each clique to its smallest id

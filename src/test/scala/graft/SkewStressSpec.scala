@@ -273,6 +273,58 @@ class SkewStressSpec extends SparkSpec {
     assert(out.getAs[Double]("chi2") > 0.0 && !out.getAs[Double]("cramers_v").isNaN)
   }
 
+  test(s"pageRankPortable: a $Hot-in-degree hub node partial-aggregates map-side, exactly") {
+    // a power-law graph at 100 TB guarantees a hub; here every one of the
+    // 10^5 source nodes points at node 0. The per-iteration groupBy(dst)
+    // must collapse the hub's contributions in a map-side partial sum —
+    // a per-edge window or unpartialed agg would funnel 10^5 rows into
+    // one reducer row-by-row.
+    val edges = spark.range(1, Hot + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    // integer replay: n = 100001 nodes, r0 = 1e9 div n = 9999, teleport
+    // base = (15e7) div n = 1499; after one iteration the hub holds
+    // base + (85 · 10^5·9999) div 100 and every source holds base
+    val out = graft.operators.Matrix.pageRankPortable(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedHub = 1499L + (85L * (Hot.toLong * 9999L)) / 100L
+    assert(out(0L) == expectedHub, s"hub rank ${out(0L)} != $expectedHub")
+    assert(out(1L) == 1499L && out(Hot.toLong) == 1499L, out(1L).toString)
+    assert(out.size == Hot + 1)
+    // plan pin: the contribution aggregate is partial+final (the exchange
+    // sees one row per (reducer, node), never the raw 10^5 hub rows)
+    val eDeg = edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val ranks = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(9999L).as("r"))
+    val contrib = graft.operators.Matrix.prContribution(eDeg, ranks, identity)
+    contrib.queryExecution.toRdd.foreach(_ => ())
+    val plan = contrib.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"hub contribution aggregate is not partial before the exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("windowspecdefinition"),
+      s"window crept into the contribution round:\n$plan")
+  }
+
+  test(s"labelPropagation: a $Hot-in-degree hub resolves its label in partial aggregates") {
+    val edges = spark.range(1, Hot + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    // one sync round: the hub adopts the minimum source label (all
+    // neighbor labels tie at count 1 → min-label wins); sources have no
+    // in-edges and keep their own labels
+    val out = graft.operators.Matrix.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1L, s"hub label ${out(0L)} != 1")
+    assert((1 to 5).forall(i => out(i.toLong) == i.toLong), out.take(5).toString)
+    // plan pin on the round: both stages (per-(node,label) count and the
+    // per-node argmax) partial-aggregate before their exchanges
+    val labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val round = graft.operators.Matrix.lpaRound(edges, labels, identity)
+    round.queryExecution.toRdd.foreach(_ => ())
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") && plan.contains("partial_min"),
+      s"LPA round stages are not partial-aggregated:\n$plan")
+  }
+
   test(s"concurrency: $Hot intervals sharing one boundary collapse before the cumsum") {
     // every interval opens at t=0 — the boundary table has 2 rows, not
     // 10^5, because deltas collapse by timestamp in a partial aggregate

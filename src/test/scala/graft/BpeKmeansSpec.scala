@@ -19,6 +19,36 @@ class BpeKmeansSpec extends SparkSpec {
     assert(all == Seq(("a", "b")))
   }
 
+  test("batched bpe learn is bit-identical to sequential, in fewer dictionary rounds") {
+    // deterministic pseudo-random corpora (fixed-seed LCG — Math.random is
+    // banned for replay): heavy tie and shared-symbol pressure from a tiny
+    // alphabet, exactly the regime where unsafe batching would diverge
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val alphabets = Seq("ab", "abc", "abcd", "abcde")
+    for ((alpha, idx) <- alphabets.zipWithIndex) {
+      val rnd = lcg(42L + idx)
+      val words = (0 until 40).map { _ =>
+        val len = 2 + math.floorMod(rnd.next(), 7).toInt
+        val w = (0 until len).map(_ =>
+          alpha(math.floorMod(rnd.next(), alpha.length).toInt)).mkString
+        val c = 1L + math.floorMod(rnd.next(), 20)
+        (w, c)
+      }.groupBy(_._1).map { case (w, ws) => (w, ws.map(_._2).sum) }.toSeq.sorted
+      val (seq1, rounds1) = Bpe.learnFromCountsWithRounds(words, numMerges = 30, maxBatch = 1)
+      val (batch, roundsB) = Bpe.learnFromCountsWithRounds(words, numMerges = 30)
+      assert(batch == seq1,
+        s"alphabet '$alpha': batched $batch != sequential $seq1")
+      assert(roundsB <= rounds1, s"batching took MORE rounds: $roundsB > $rounds1")
+    }
+    // the textbook corpus batches (ug and un share no symbols and un's
+    // count clears the created-pair bound) and still matches sequential
+    val hug = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+    val (m, r) = Bpe.learnFromCountsWithRounds(hug, numMerges = 3)
+    assert(m == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    assert(r <= 3, s"expected a batching win on the textbook corpus, got $r rounds")
+  }
+
   test("bpe segmentation applies merges lowest-rank-first") {
     val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
     val rank = merges.zipWithIndex.toMap

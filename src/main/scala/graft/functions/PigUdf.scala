@@ -19,10 +19,16 @@ import org.apache.spark.sql.types._
   * `EvalFunc.getReturnType` information PigEvalFuncWrapper.java:95-99
   * used when no outputSchema was given).
   *
-  * Declared limits (scalar `exec` only, as the judge of compatibility):
-  * supported return types are String/Integer/Long/Float/Double/Boolean/
-  * byte[]; the algebraic/Accumulator interfaces and outputSchema-driven
-  * tuple/bag returns are not wrapped (use a native UDAF / UserOperator).
+  * Coverage: scalar `exec` wraps as a variadic scalar UDF; the
+  * `Algebraic` interface wraps as a partial-aggregating Spark UDAF
+  * ([[registerAlgebraic]]: Initial→reduce, Intermed→merge — the combiner
+  * stage the reference ran via CubertCombiner.java — Final→finish); the
+  * `Accumulator` interface wraps as a whole-group UDAF
+  * ([[registerAccumulator]]; no combiner exists in that contract).
+  * Declared limits: supported return types are String/Integer/Long/
+  * Float/Double/Boolean/byte[]; outputSchema-driven tuple/bag RETURNS
+  * are not wrapped (use a native UDAF / UserOperator), and algebraic
+  * partial tuples must carry Java-serializable scalar fields.
   *
   * The UDF registers VARIADIC: `name(a, b, …)` packs its arguments into
   * the Pig tuple positionally — done at the Catalyst level (a ScalaUDF
@@ -34,6 +40,31 @@ object PigUdf {
     Iterator.iterate[Class[_]](cls)(_.getSuperclass)
       .takeWhile(_ != null)
       .exists(_.getName == "org.apache.pig.EvalFunc")
+
+  /** Does `cls` (or an ancestor) implement the named interface? Pure name
+    * matching — no compile-time Pig dependency, same posture as
+    * [[isEvalFunc]].
+    */
+  private def implementsIface(cls: Class[_], name: String): Boolean = {
+    def ifaceMatches(i: Class[_]): Boolean =
+      i.getName == name || i.getInterfaces.exists(ifaceMatches)
+    Iterator.iterate[Class[_]](cls)(_.getSuperclass)
+      .takeWhile(_ != null)
+      .exists(_.getInterfaces.exists(ifaceMatches))
+  }
+
+  /** `org.apache.pig.Algebraic` — the combiner-aware UDAF contract the
+    * reference honored through its CubertCombiner (the getInitial/
+    * getIntermed/getFinal stage classes).
+    */
+  def isAlgebraic(cls: Class[_]): Boolean =
+    implementsIface(cls, "org.apache.pig.Algebraic")
+
+  /** `org.apache.pig.Accumulator` — Pig's streaming reduce-side UDAF
+    * contract (no combiner; the whole group streams through accumulate).
+    */
+  def isAccumulator(cls: Class[_]): Boolean =
+    implementsIface(cls, "org.apache.pig.Accumulator")
 
   /** Instantiate `cls` (with the declaration's constant String args, the
     * Pig UDF constructor convention) and register its exec under `name`.
@@ -64,6 +95,82 @@ object PigUdf {
           udfName = Some(name))
       }, "scala_udf")
   }
+
+  /** Register a Pig `Algebraic` UDF as a genuine partial-aggregating Spark
+    * UDAF: getInitial maps onto the Aggregator's per-row `reduce` step,
+    * getIntermed onto partial-state `merge` (exactly the stage the
+    * reference's combiner ran — functions/PigEvalFuncWrapper.java's
+    * algebraic path + CubertCombiner.java), getFinal onto `finish`. This
+    * is legal for ANY conforming Algebraic: Pig's contract requires
+    * Initial/Intermed/Final to compose correctly under arbitrary
+    * partitionings of the input bag (combiners run 0..n times), which is
+    * precisely the Aggregator laws.
+    *
+    * The partial state is the Tuple returned by Initial/Intermed, carried
+    * between stages as its Java-serialized field array (rebuilt through
+    * TupleFactory on the other side) — so partial tuples must hold
+    * serializable scalar fields, which every practical algebraic partial
+    * (sums, counts, min/max, (sum, count) pairs) does. The final value
+    * types follow the scalar wrapper's supported set.
+    *
+    * Registered variadic at the Catalyst level, like the scalar wrapper:
+    * the input encoder is built per call site from the children.
+    */
+  def registerAlgebraic(spark: SparkSession, name: String, cls: Class[_],
+                        ctorArgs: Seq[String] = Nil): Unit = {
+    require(isAlgebraic(cls), s"${cls.getName} does not implement org.apache.pig.Algebraic")
+    // declaration-time validation: instantiate the top class, resolve the
+    // three stage classes, and type the result from Final's exec
+    val top = instantiate(cls, ctorArgs)
+    def stage(getter: String): Class[_] = {
+      val m = cls.getMethod(getter)
+      val stageName = m.invoke(top).asInstanceOf[String]
+      val sc = Class.forName(stageName, true, cls.getClassLoader)
+      require(isEvalFunc(sc), s"${cls.getName}.$getter() = $stageName is not an EvalFunc")
+      sc
+    }
+    stage("getInitial"); stage("getIntermed")
+    val finalCls = stage("getFinal")
+    val outType = sparkType(execMethod(finalCls).getReturnType, finalCls.getName)
+    val agg = new PigAlgebraicAggregator(cls.getName, ctorArgs, outType)
+    registerAggregator(spark, name, agg)
+  }
+
+  /** Register a Pig `Accumulator` UDF. No combiner exists in this contract
+    * (that is WHY Pig UDFs implement it instead of Algebraic), so the
+    * partial state is the buffered group rows themselves — the same
+    * full-group bag Pig streams reduce-side — and the single accumulate/
+    * getValue pass runs at finish. Use an Algebraic UDF when partial
+    * aggregation matters; this path exists for migration fidelity.
+    */
+  def registerAccumulator(spark: SparkSession, name: String, cls: Class[_],
+                          ctorArgs: Seq[String] = Nil): Unit = {
+    require(isAccumulator(cls), s"${cls.getName} does not implement org.apache.pig.Accumulator")
+    instantiate(cls, ctorArgs) // declaration-time validation
+    val getValue = cls.getMethods.find(m =>
+      m.getName == "getValue" && m.getParameterCount == 0 &&
+        m.getReturnType != classOf[Object])
+      .orElse(cls.getMethods.find(m => m.getName == "getValue" && m.getParameterCount == 0))
+      .getOrElse(throw new IllegalArgumentException(s"${cls.getName} has no getValue()"))
+    val outType = sparkType(getValue.getReturnType, cls.getName)
+    val agg = new PigAccumulatorAggregator(cls.getName, ctorArgs, outType)
+    registerAggregator(spark, name, agg)
+  }
+
+  /** Catalyst-level variadic registration shared by both UDAF wrappers. */
+  private def registerAggregator(
+      spark: SparkSession, name: String,
+      agg: org.apache.spark.sql.expressions.Aggregator[Row, Array[Byte], Any]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (children: Seq[Expression]) => {
+        val inEnc = ExpressionEncoder(StructType(children.zipWithIndex.map {
+          case (c, i) => StructField(s"_$i", c.dataType, c.nullable) }))
+        val bufEnc = ExpressionEncoder[Array[Byte]]()
+        org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+          children, agg, inEnc, bufEnc, nullable = true, isDeterministic = true,
+          mutableAggBufferOffset = 0, inputAggBufferOffset = 0,
+          aggregatorName = Some(name)).toAggregateExpression()
+      }, "scala_udf")
 
   private[functions] def instantiate(cls: Class[_], ctorArgs: Seq[String]): AnyRef =
     if (ctorArgs.isEmpty) cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
@@ -104,6 +211,192 @@ object PigUdf {
       }
       exec.invoke(instance, tuple)
     }
+  }
+
+  /** Boxed-scalar output encoder for the UDAF wrappers, from the validated
+    * Spark type of the Pig side's return.
+    */
+  private def outEncoder(dt: DataType): ExpressionEncoder[Any] = {
+    import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders._
+    (dt match {
+      case StringType  => ExpressionEncoder(StringEncoder)
+      case IntegerType => ExpressionEncoder(BoxedIntEncoder)
+      case LongType    => ExpressionEncoder(BoxedLongEncoder)
+      case FloatType   => ExpressionEncoder(BoxedFloatEncoder)
+      case DoubleType  => ExpressionEncoder(BoxedDoubleEncoder)
+      case BooleanType => ExpressionEncoder(BoxedBooleanEncoder)
+      case BinaryType  => ExpressionEncoder(BinaryEncoder)
+      case other => throw new IllegalArgumentException(s"unsupported UDAF type $other")
+    }).asInstanceOf[ExpressionEncoder[Any]]
+  }
+
+  /** Executor-side reflective state shared by both UDAF wrappers — like
+    * [[PigUdfCall]], rebuilt lazily once per JVM from class names only.
+    */
+  private final class PigBagBridge(className: String) extends Serializable {
+    @transient lazy val cls: Class[_] =
+      Class.forName(className, true, Thread.currentThread().getContextClassLoader)
+    @transient private lazy val tfClass =
+      Class.forName("org.apache.pig.data.TupleFactory", true, cls.getClassLoader)
+    @transient private lazy val factory = tfClass.getMethod("getInstance").invoke(null)
+    @transient private lazy val newTupleM = tfClass.getMethod("newTuple", classOf[Int])
+    @transient private lazy val tupleClass =
+      Class.forName("org.apache.pig.data.Tuple", true, cls.getClassLoader)
+    @transient private lazy val tupleSet =
+      tupleClass.getMethod("set", classOf[Int], classOf[Object])
+    @transient private lazy val tupleGet = tupleClass.getMethod("get", classOf[Int])
+    @transient private lazy val tupleSize = tupleClass.getMethod("size")
+    @transient private lazy val bfClass =
+      Class.forName("org.apache.pig.data.BagFactory", true, cls.getClassLoader)
+    @transient private lazy val bagFactory = bfClass.getMethod("getInstance").invoke(null)
+    @transient private lazy val newBagM = bfClass.getMethod("newDefaultBag")
+    @transient private lazy val bagAdd =
+      Class.forName("org.apache.pig.data.DataBag", true, cls.getClassLoader)
+        .getMethod("add", tupleClass)
+
+    def newTuple(n: Int): AnyRef = newTupleM.invoke(factory, Int.box(n))
+
+    def tupleOf(vals: Array[AnyRef]): AnyRef = {
+      val t = newTuple(vals.length)
+      var i = 0
+      while (i < vals.length) { tupleSet.invoke(t, Int.box(i), vals(i)); i += 1 }
+      t
+    }
+
+    def fieldsOf(tuple: AnyRef): Array[AnyRef] = {
+      val n = tupleSize.invoke(tuple).asInstanceOf[java.lang.Integer].intValue()
+      Array.tabulate[AnyRef](n)(i => tupleGet.invoke(tuple, Int.box(i)))
+    }
+
+    def rowFields(row: Row): Array[AnyRef] =
+      Array.tabulate[AnyRef](row.length)(i => row.get(i).asInstanceOf[AnyRef])
+
+    /** Pig's aggregate calling convention: a 1-field outer tuple holding a
+      * DataBag of the inner tuples.
+      */
+    def bagTuple(inners: Seq[AnyRef]): AnyRef = {
+      val bag = newBagM.invoke(bagFactory)
+      inners.foreach(t => bagAdd.invoke(bag, t))
+      val outer = newTuple(1)
+      tupleSet.invoke(outer, Int.box(0), bag)
+      outer
+    }
+
+    def ser(vals: Array[AnyRef]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(vals); oos.close()
+      bos.toByteArray
+    }
+
+    def deser(bytes: Array[Byte]): Array[AnyRef] = {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes)) {
+        override def resolveClass(d: java.io.ObjectStreamClass): Class[_] =
+          Class.forName(d.getName, false, cls.getClassLoader)
+      }
+      try ois.readObject().asInstanceOf[Array[AnyRef]] finally ois.close()
+    }
+  }
+
+  /** Spark Aggregator over a Pig Algebraic UDF: reduce = Initial (+ fold
+    * into the running partial via Intermed), merge = Intermed, finish =
+    * Final. Partial state travels as the Java-serialized field array of
+    * the stage tuple.
+    */
+  private final class PigAlgebraicAggregator(className: String, ctorArgs: Seq[String],
+                                             outType: DataType)
+      extends org.apache.spark.sql.expressions.Aggregator[Row, Array[Byte], Any] {
+    private val bridge = new PigBagBridge(className)
+    @transient private lazy val top = instantiate(bridge.cls, ctorArgs)
+    private def stageInstance(getter: String): (AnyRef, Method) = {
+      val stageName = bridge.cls.getMethod(getter).invoke(top).asInstanceOf[String]
+      val sc = Class.forName(stageName, true, bridge.cls.getClassLoader)
+      // Pig instantiates stage classes with the UDF's ctor args when such
+      // a constructor exists, else no-arg (the overwhelmingly common case)
+      val inst =
+        try instantiate(sc, ctorArgs)
+        catch { case _: IllegalArgumentException | _: NoSuchMethodException =>
+          instantiate(sc, Nil) }
+      (inst, execMethod(sc))
+    }
+    @transient private lazy val (initialInst, initialExec) = stageInstance("getInitial")
+    @transient private lazy val (intermedInst, intermedExec) = stageInstance("getIntermed")
+    @transient private lazy val (finalInst, finalExec) = stageInstance("getFinal")
+
+    override def zero: Array[Byte] = Array.emptyByteArray
+
+    override def reduce(buf: Array[Byte], row: Row): Array[Byte] = {
+      val init = initialExec.invoke(initialInst,
+        bridge.bagTuple(Seq(bridge.tupleOf(bridge.rowFields(row)))))
+      if (buf.isEmpty) bridge.ser(bridge.fieldsOf(init))
+      else {
+        val merged = intermedExec.invoke(intermedInst,
+          bridge.bagTuple(Seq(bridge.tupleOf(bridge.deser(buf)), init)))
+        bridge.ser(bridge.fieldsOf(merged))
+      }
+    }
+
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      if (b1.isEmpty) b2
+      else if (b2.isEmpty) b1
+      else {
+        val merged = intermedExec.invoke(intermedInst, bridge.bagTuple(Seq(
+          bridge.tupleOf(bridge.deser(b1)), bridge.tupleOf(bridge.deser(b2)))))
+        bridge.ser(bridge.fieldsOf(merged))
+      }
+
+    override def finish(buf: Array[Byte]): Any = {
+      val partials =
+        if (buf.isEmpty) Nil // empty input: Final sees an empty bag (Pig semantics)
+        else Seq(bridge.tupleOf(bridge.deser(buf)))
+      finalExec.invoke(finalInst, bridge.bagTuple(partials))
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      ExpressionEncoder[Array[Byte]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Any] = outEncoder(outType)
+  }
+
+  /** Spark Aggregator over a Pig Accumulator UDF: the buffer is the
+    * group's row-value arrays (the same full bag Pig streams reduce-side —
+    * no combiner exists in this contract), and accumulate/getValue run at
+    * finish.
+    */
+  private final class PigAccumulatorAggregator(className: String, ctorArgs: Seq[String],
+                                               outType: DataType)
+      extends org.apache.spark.sql.expressions.Aggregator[Row, Array[Byte], Any] {
+    private val bridge = new PigBagBridge(className)
+    @transient private lazy val accumulateM = bridge.cls.getMethods
+      .find(m => m.getName == "accumulate" && m.getParameterCount == 1).get
+    @transient private lazy val getValueM = bridge.cls.getMethods
+      .filter(m => m.getName == "getValue" && m.getParameterCount == 0)
+      .sortBy(_.getReturnType == classOf[Object]).head
+    @transient private lazy val cleanupM = bridge.cls.getMethod("cleanup")
+
+    private def serRows(rows: Seq[Array[AnyRef]]): Array[Byte] =
+      bridge.ser(rows.toArray.asInstanceOf[Array[AnyRef]])
+    private def deserRows(buf: Array[Byte]): Seq[Array[AnyRef]] =
+      if (buf.isEmpty) Nil
+      else bridge.deser(buf).toSeq.asInstanceOf[Seq[Array[AnyRef]]]
+
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(buf: Array[Byte], row: Row): Array[Byte] =
+      serRows(deserRows(buf) :+ bridge.rowFields(row))
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      if (b1.isEmpty) b2 else if (b2.isEmpty) b1
+      else serRows(deserRows(b1) ++ deserRows(b2))
+    override def finish(buf: Array[Byte]): Any = {
+      val acc = instantiate(bridge.cls, ctorArgs) // fresh per group
+      accumulateM.invoke(acc,
+        bridge.bagTuple(deserRows(buf).map(bridge.tupleOf)))
+      val v = getValueM.invoke(acc)
+      cleanupM.invoke(acc)
+      v
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      ExpressionEncoder[Array[Byte]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Any] = outEncoder(outType)
   }
 
   /** The concrete (non-bridge) `exec(Tuple)` the subclass declares; its

@@ -42,7 +42,11 @@ object Aggregations {
     // count(lit(1)), not count(c): an all-NULL argument still marks the
     // group as present
     case "COUNT_TO_ONE"   => when(count(lit(1)) > 0, lit(1L)).otherwise(lit(0L))
-    case other => throw new IllegalArgumentException(s"unknown aggregation: $other")
+    // anything else resolves against the session function registry — this
+    // is how USER_DEFINED_AGGREGATIONs and FUNCTION-declared Pig
+    // Algebraic/Accumulator UDAFs participate in GROUP/CUBE statements;
+    // an unknown name still fails loudly, at analysis instead of parse
+    case other => call_function(other.toLowerCase(java.util.Locale.ROOT), c)
   }
 
   /** Exact percentile (Spark `percentile` is exact; the reference computed

@@ -368,9 +368,15 @@ object ScriptEngine {
         if (classOf[UserFunction].isAssignableFrom(klass))
           klass.getDeclaredConstructor().newInstance()
             .asInstanceOf[UserFunction].register(spark, name, args.result())
+        // a real Pig UDF (jar shipped via REGISTER), wrapped reflectively
+        // with constants as constructor args — most specific contract
+        // first: Algebraic registers as a partial-aggregating UDAF,
+        // Accumulator as a whole-group UDAF, plain EvalFunc as a scalar
+        else if (graft.functions.PigUdf.isAlgebraic(klass))
+          graft.functions.PigUdf.registerAlgebraic(spark, name, klass, args.result())
+        else if (graft.functions.PigUdf.isAccumulator(klass))
+          graft.functions.PigUdf.registerAccumulator(spark, name, klass, args.result())
         else if (graft.functions.PigUdf.isEvalFunc(klass))
-          // a real Pig EvalFunc (jar shipped via REGISTER): wrap its
-          // exec(Tuple) reflectively, constants as constructor args
           graft.functions.PigUdf.register(spark, name, klass, args.result())
         else throw new IllegalArgumentException(
           s"$cls is neither a graft UserFunction nor a Pig EvalFunc")

@@ -580,6 +580,44 @@ class ScriptSpec extends SparkSpec {
     assert(err.getMessage.contains("neither"))
   }
 
+  test("FUNCTION wraps Pig Algebraic/Accumulator UDAFs; algebraic partial-aggregates") {
+    // range-derived (NOT LocalRelation) so task serialization of the
+    // reflective aggregator is exercised, and v=5 is null to pin
+    // null-skipping through Initial/Intermed/Final
+    val df = spark.range(1, 7)
+      .select((col("id") % 2).as("k"),
+        when(col("id") =!= 5, col("id")).as("v"))
+    val out = ScriptEngine.run(spark,
+      """FUNCTION psum 'graft.SamplePigSumAlgebraic';
+        |FUNCTION pmax 'graft.SamplePigMaxAccumulator';
+        |g = GROUP t BY k AGGREGATES psum(v) AS s, pmax(v) AS m;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    // k=0: v ∈ {2,4,6} → sum 12 max 6; k=1: v ∈ {1,3,null} → sum 4 max 3
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0L, 12L, 6L), (1L, 4L, 3L)), rows.toString)
+    // the algebraic path MUST partially aggregate — getIntermed is the
+    // combiner stage the reference ran (CubertCombiner parity), and the
+    // plan shows it as a partial aggregate before the exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_psum"),
+      s"algebraic UDAF did not partial-aggregate:\n$plan")
+    // GROUP BY ALL and empty input: Final over an empty bag yields null
+    // (Pig SUM semantics), not a crash
+    val empty = ScriptEngine.run(spark,
+      """FUNCTION psum 'graft.SamplePigSumAlgebraic';
+        |g = GROUP t BY ALL AGGREGATES psum(v) AS s;""".stripMargin,
+      env0 = env("t" -> df.filter(col("k") < 0)))("g")
+    assert(empty.collect().head.isNullAt(0))
+    // in a bare GENERATE the registered aggregate behaves as Spark's
+    // global aggregate (select(max(v)) semantics) — one row, whole input
+    val whole = ScriptEngine.run(spark,
+      """FUNCTION pmax 'graft.SamplePigMaxAccumulator';
+        |g = FROM t GENERATE pmax(v) AS m;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    assert(whole.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
   test("CREATE DICTIONARY with explicit values encodes in declaration order (grammar :30)") {
     val df = Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("id", "color")
     val rels = ScriptEngine.run(spark,
@@ -772,4 +810,82 @@ class SamplePigJoinFunc(sep: String) extends org.apache.pig.EvalFunc[String] {
   def this() = this("-")
   override def exec(t: org.apache.pig.data.Tuple): String =
     (0 until t.size()).map(i => String.valueOf(t.get(i))).mkString(sep)
+}
+
+/** Test mirror of Pig's algebraic LongSum shape: getInitial/getIntermed/
+  * getFinal stage classes over bags, null-skipping, null on empty —
+  * exactly what a combiner-aware Pig UDAF jar presents.
+  */
+class SamplePigSumAlgebraic extends org.apache.pig.EvalFunc[java.lang.Long]
+    with org.apache.pig.Algebraic {
+  override def exec(t: org.apache.pig.data.Tuple): java.lang.Long =
+    PigAlgebraicStages.sumBag(t)
+  override def getInitial: String = classOf[SamplePigSumInitial].getName
+  override def getIntermed: String = classOf[SamplePigSumIntermed].getName
+  override def getFinal: String = classOf[SamplePigSumFinal].getName
+}
+
+object PigAlgebraicStages {
+  /** Sum field 0 of every tuple in the bag at field 0; null if none non-null. */
+  def sumBag(t: org.apache.pig.data.Tuple): java.lang.Long = {
+    val bag = t.get(0).asInstanceOf[org.apache.pig.data.DataBag]
+    var sum = 0L
+    var any = false
+    val it = bag.iterator()
+    while (it.hasNext) {
+      it.next().get(0) match {
+        case null => ()
+        case n: java.lang.Number => sum += n.longValue(); any = true
+        case other => throw new java.io.IOException(s"not a number: $other")
+      }
+    }
+    if (any) java.lang.Long.valueOf(sum) else null
+  }
+}
+
+class SamplePigSumInitial extends org.apache.pig.EvalFunc[org.apache.pig.data.Tuple] {
+  override def exec(t: org.apache.pig.data.Tuple): org.apache.pig.data.Tuple = {
+    // the bag holds exactly one inner tuple: this input row's args
+    val inner = t.get(0).asInstanceOf[org.apache.pig.data.DataBag].iterator().next()
+    val out = org.apache.pig.data.TupleFactory.getInstance.newTuple(1)
+    out.set(0, inner.get(0))
+    out
+  }
+}
+
+class SamplePigSumIntermed extends org.apache.pig.EvalFunc[org.apache.pig.data.Tuple] {
+  override def exec(t: org.apache.pig.data.Tuple): org.apache.pig.data.Tuple = {
+    val out = org.apache.pig.data.TupleFactory.getInstance.newTuple(1)
+    out.set(0, PigAlgebraicStages.sumBag(t))
+    out
+  }
+}
+
+class SamplePigSumFinal extends org.apache.pig.EvalFunc[java.lang.Long] {
+  override def exec(t: org.apache.pig.data.Tuple): java.lang.Long =
+    PigAlgebraicStages.sumBag(t)
+}
+
+/** Test mirror of a Pig Accumulator UDAF (max over longs): the whole-group
+  * bag streams through accumulate, getValue reads out, cleanup resets.
+  */
+class SamplePigMaxAccumulator extends org.apache.pig.EvalFunc[java.lang.Long]
+    with org.apache.pig.Accumulator[java.lang.Long] {
+  private var best: java.lang.Long = null
+  override def exec(t: org.apache.pig.data.Tuple): java.lang.Long = {
+    cleanup(); accumulate(t); val v = getValue; cleanup(); v
+  }
+  override def accumulate(t: org.apache.pig.data.Tuple): Unit = {
+    val it = t.get(0).asInstanceOf[org.apache.pig.data.DataBag].iterator()
+    while (it.hasNext) {
+      it.next().get(0) match {
+        case null => ()
+        case n: java.lang.Number =>
+          if (best == null || n.longValue() > best) best = n.longValue()
+        case other => throw new java.io.IOException(s"not a number: $other")
+      }
+    }
+  }
+  override def getValue: java.lang.Long = best
+  override def cleanup(): Unit = best = null
 }

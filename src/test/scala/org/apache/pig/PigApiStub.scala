@@ -12,6 +12,26 @@ package org.apache.pig {
     @throws[java.io.IOException]
     def exec(input: Tuple): T
   }
+
+  /** Combiner-aware UDAF contract: each getter names an EvalFunc class;
+    * Initial runs per input tuple, Intermed over bags of partials
+    * (0..n times), Final over the last partials.
+    */
+  trait Algebraic {
+    def getInitial: String
+    def getIntermed: String
+    def getFinal: String
+  }
+
+  /** Streaming reduce-side UDAF contract (no combiner): the group's bag
+    * streams through accumulate (possibly in chunks), then getValue.
+    */
+  trait Accumulator[T] {
+    @throws[java.io.IOException]
+    def accumulate(b: Tuple): Unit
+    def getValue: T
+    def cleanup(): Unit
+  }
 }
 
 package org.apache.pig.data {
@@ -35,5 +55,27 @@ package org.apache.pig.data {
   object TupleFactory {
     private val instance = new TupleFactory
     def getInstance: TupleFactory = instance
+  }
+
+  trait DataBag {
+    def add(t: Tuple): Unit
+    def iterator(): java.util.Iterator[Tuple]
+    def size(): Long
+  }
+
+  private[data] class ListBag extends DataBag {
+    private val ts = new java.util.ArrayList[Tuple]()
+    def add(t: Tuple): Unit = ts.add(t)
+    def iterator(): java.util.Iterator[Tuple] = ts.iterator()
+    def size(): Long = ts.size().toLong
+  }
+
+  class BagFactory {
+    def newDefaultBag(): DataBag = new ListBag
+  }
+
+  object BagFactory {
+    private val instance = new BagFactory
+    def getInstance: BagFactory = instance
   }
 }

@@ -29,6 +29,13 @@ import org.apache.spark.sql.execution.FormattedMode
   *   --only <rel1,rel2>   execute only the STORE statements whose stored
   *                        relation is listed (others analyze, no write) —
   *                        the reference's `-x <job>` selective execution
+  *   --serial-stores      disable concurrent STORE execution (by default
+  *                        up to 5 independent STOREs run at once over the
+  *                        shared session, the reference's ExecutorService
+  *                        parallelism — plan/physical/ExecutorService
+  *                        .java:41; writes join the "graft_stores"
+  *                        scheduler pool, so spark.scheduler.mode=FAIR
+  *                        shares executors fairly between them)
   *
   * STORE statements execute as encountered; without flags the runner prints
   * the names of the relations the script defined.
@@ -57,6 +64,7 @@ object ScriptRunner {
     var describe: Option[String] = None
     var only: Option[Set[String]] = None
     var dryRun = false
+    var maxConcurrentStores = 5
     def operand(flag: String, at: Int): String = {
       if (at >= args.length) sys.error(s"$flag requires an argument")
       args(at)
@@ -77,6 +85,7 @@ object ScriptRunner {
           i += 1
           only = Some(operand("--only", i).split(",").map(_.trim).toSet)
         case "--dry-run" => dryRun = true
+        case "--serial-stores" => maxConcurrentStores = 1
         case kv if kv.contains("=") =>
           val Array(k, v) = kv.split("=", 2)
           params += (k -> v)
@@ -89,7 +98,7 @@ object ScriptRunner {
     val spark = GraftSession.builder(appName = s"graft-script:$scriptPath").getOrCreate()
     try {
       val env = graft.script.ScriptEngine.run(spark, source, params,
-        dryRun = dryRun, only = only)
+        dryRun = dryRun, only = only, maxConcurrentStores = maxConcurrentStores)
       println(s"RELATIONS=${env.keys.toSeq.sorted.mkString(",")}")
       explain.foreach { r =>
         println(env(r).queryExecution.explainString(FormattedMode))

@@ -318,10 +318,63 @@ object ScriptEngine {
           params: Map[String, String] = Map.empty,
           env0: Map[String, DataFrame] = Map.empty,
           dryRun: Boolean = false,
-          only: Option[Set[String]] = None): Map[String, DataFrame] = {
+          only: Option[Set[String]] = None,
+          maxConcurrentStores: Int = 5): Map[String, DataFrame] = {
+    require(maxConcurrentStores >= 1,
+      s"maxConcurrentStores must be >= 1: $maxConcurrentStores")
     val store: (DataFrame, String, String) => Unit =
       if (dryRun) (df, _, _) => { df.schema; () } // force analysis, skip the write
       else (df, path, fmt) => graft.sources.Sources.store(df, path, fmt)
+
+    // ---- concurrent STORE execution (reference parity: the physical plan
+    // ran up to 5 independent jobs at once — plan/physical/
+    // ExecutorService.java:41). Consecutive STOREs are independent jobs by
+    // construction (they read already-defined relations and write disjoint
+    // outputs), so each submits on a bounded pool and the shared session's
+    // scheduler interleaves their stages; any OTHER statement — a LOAD
+    // that might read a path still being written, an ONCOMPLETION fs task,
+    // a relation definition — drains pending writes first, as does a STORE
+    // to a path a pending write targets. Each write thread joins the
+    // "graft_stores" scheduler pool: under spark.scheduler.mode=FAIR the
+    // concurrent writes share the cluster fairly instead of convoying
+    // (FIFO also runs them concurrently, just prioritized by submission).
+    val storeThreads = new java.util.concurrent.atomic.AtomicInteger(0)
+    lazy val storePool = java.util.concurrent.Executors.newFixedThreadPool(
+      maxConcurrentStores,
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-store-${storeThreads.incrementAndGet()}")
+        t.setDaemon(true); t
+      })
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, java.util.concurrent.Future[_])]
+    def drainStores(): Unit = if (pending.nonEmpty) {
+      val waiting = pending.toSeq
+      pending.clear()
+      var failure: Throwable = null
+      waiting.foreach { case (relName, path, f) =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (failure == null) failure = new RuntimeException(
+              s"STORE $relName INTO '$path' failed", e.getCause)
+        }
+      }
+      if (failure != null) throw failure
+    }
+    def submitStore(relName: String, path: String)(body: => Unit): Unit =
+      if (dryRun || maxConcurrentStores == 1) body
+      else {
+        if (pending.exists { case (_, p0, _) =>
+          p0 == path || p0.startsWith(path + "/") || path.startsWith(p0 + "/") })
+          drainStores()
+        pending += ((relName, path, storePool.submit(new Runnable {
+          override def run(): Unit = {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_stores")
+            spark.sparkContext.setJobDescription(s"STORE $relName INTO $path")
+            body
+          }
+        })))
+      }
     // both our %name% and the reference's $NAME property substitution
     // (CmrExecutor.java:46-49); longest names first so $DIR2 is never
     // clobbered by a $DIR replacement
@@ -473,6 +526,7 @@ object ScriptEngine {
       else if (p.stmtKw("ONCOMPLETION")) {
         // ONCOMPLETION { RM 'p'; MV 'a' 'b'; MKDIR 'p'; DUMP rel; }
         // (reference: plan/physical/CompletionTasks.java:28, grammar :195-201)
+        drainStores() // completion tasks see every finished write
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         p.expectPunct("{")
@@ -526,26 +580,40 @@ object ScriptEngine {
             }
             if (dryRun) store(r, path, fmt)
             else if (!selected) { r.schema; () }
-            else graft.sources.Layout.zorderWrite(r, path, zCols,
-              nFiles.getOrElse(spark.sessionState.conf.numShufflePartitions))
+            else submitStore(relName, path)(graft.sources.Layout.zorderWrite(r,
+              path, zCols,
+              nFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)))
           case (None, Some(pb)) =>
             val pCols = resolved("partition_by", pb)
             if (dryRun) store(r, path, fmt)
             else if (!selected) { r.schema; () }
-            else graft.sources.Sources.store(r, path, fmt, partitionBy = pCols)
+            else submitStore(relName, path)(
+              graft.sources.Sources.store(r, path, fmt, partitionBy = pCols))
           case _ =>
-            if (selected) store(r, path, fmt) else { r.schema; () }
+            if (selected) submitStore(relName, path)(store(r, path, fmt))
+            else { r.schema; () }
         }
         p.expectPunct(";")
       } else {
         val name = p.ident()
         p.expectPunct("=")
+        // a relation definition may LOAD a path a pending STORE is still
+        // writing — e.g. STORE a INTO 'p'; b = LOAD 'p' ...
+        drainStores()
         val df = parseOperator(spark, p, rel, store)
         env = env.updated(name, df)
         p.expectPunct(";")
       }
     }
-    while (p.peek.isDefined) statement(p)
+    try {
+      while (p.peek.isDefined) statement(p)
+      drainStores()
+    } finally {
+      // a statement failure mid-script must still await in-flight writes
+      // (but never mask the original exception with a store failure)
+      try drainStores() catch { case _: Throwable => () }
+      if (storeThreads.get() > 0) storePool.shutdown()
+    }
     env
   }
 

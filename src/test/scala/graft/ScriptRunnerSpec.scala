@@ -156,4 +156,83 @@ class ScriptRunnerSpec extends SparkSpec {
       ScriptRunner.run(Array(path, "--show", "li:abc"), stopSession = false))
     assert(e2.getMessage.contains("must be an integer"))
   }
+
+  test("independent STOREs run concurrently; --serial-stores and reads drain") {
+    spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-parstore").toString
+    Seq((1L, 2L)).toDF("x", "y").repartition(1).write.parquet(s"$dir/in")
+    // each STORE's write runs a UDF that sleeps and records its (start,
+    // end) interval under a marker — interval OVERLAP is the direct,
+    // host-noise-free witness of concurrent execution
+    val script = writeScript(
+      """FUNCTION slowa graft.SlowMarkFn('a', '1500');
+        |FUNCTION slowb graft.SlowMarkFn('b', '1500');
+        |t = LOAD '$D/in' USING PARQUET;
+        |sa = FROM t GENERATE slowa(x) AS v;
+        |sb = FROM t GENERATE slowb(y) AS v;
+        |STORE sa INTO '$D/outa' USING PARQUET;
+        |STORE sb INTO '$D/outb' USING PARQUET;""".stripMargin)
+    def overlap(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._2 && b._1 < a._2
+    StoreTimeline.intervals.clear()
+    ScriptRunner.run(Array(script, s"D=$dir"), stopSession = false)
+    val (ia, ib) = (StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b"))
+    assert(ia != null && ib != null, StoreTimeline.intervals.toString)
+    assert(overlap(ia, ib),
+      s"parallel STOREs did not overlap: a=$ia b=$ib")
+    assert(spark.read.parquet(s"$dir/outa").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$dir/outb").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // --serial-stores pins the old one-at-a-time behavior (no overlap)
+    StoreTimeline.intervals.clear()
+    val script2 = writeScript(
+      """FUNCTION slowa graft.SlowMarkFn('a', '400');
+        |FUNCTION slowb graft.SlowMarkFn('b', '400');
+        |t = LOAD '$D/in' USING PARQUET;
+        |sa = FROM t GENERATE slowa(x) AS v;
+        |sb = FROM t GENERATE slowb(y) AS v;
+        |STORE sa INTO '$D/outa2' USING PARQUET;
+        |STORE sb INTO '$D/outb2' USING PARQUET;""".stripMargin)
+    ScriptRunner.run(Array(script2, s"D=$dir", "--serial-stores"), stopSession = false)
+    assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
+      s"--serial-stores still overlapped: ${StoreTimeline.intervals}")
+    // a LOAD of a just-stored path drains the pending write first, so the
+    // read sees complete data — the independence barrier
+    val script3 = writeScript(
+      """t = LOAD '$D/in' USING PARQUET;
+        |STORE t INTO '$D/staged' USING PARQUET;
+        |r = LOAD '$D/staged' USING PARQUET;
+        |g = GROUP r BY ALL AGGREGATES COUNT(1) AS n;
+        |STORE g INTO '$D/final' USING PARQUET;""".stripMargin)
+    ScriptRunner.run(Array(script3, s"D=$dir"), stopSession = false)
+    assert(spark.read.parquet(s"$dir/final").collect().head.getLong(0) == 1L)
+  }
+}
+
+/** Records per-marker (start, end) nano intervals from inside UDF
+  * execution — the concurrency witness for the parallel-STORE test
+  * (local mode: executor threads share this JVM).
+  */
+object StoreTimeline {
+  val intervals = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  def mark(marker: String, s: Long, e: Long): Unit =
+    intervals.merge(marker, (s, e),
+      (p, q) => (math.min(p._1, q._1), math.max(p._2, q._2)))
+}
+
+/** UserFunction whose UDF sleeps `ms` per row and records its execution
+  * interval under `marker`.
+  */
+class SlowMarkFn extends graft.script.ScriptEngine.UserFunction {
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               args: Seq[String]): Unit = {
+    val marker = args.head
+    val ms = args(1).toLong
+    spark.udf.register(name, (x: Long) => {
+      val s = System.nanoTime()
+      Thread.sleep(ms)
+      StoreTimeline.mark(marker, s, System.nanoTime())
+      x
+    })
+  }
 }

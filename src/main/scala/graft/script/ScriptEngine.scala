@@ -301,6 +301,129 @@ object ScriptEngine {
     cur
   }
 
+  /** Preprocessor IF/ELSE blocks — with [[expandForeach]] and [[expandDates]]
+    * this covers the real uses of the reference's JavaScript script
+    * templating (app/CmrExecutor.java:46-49 ran scripts through a JS
+    * engine; production scripts used it for date loops, computed dates,
+    * and conditional jobs — the three now expressible without JS):
+    *
+    * {{{
+    * IF ('$ENV' == 'prod') DO
+    *   STORE big INTO '/prod/out' USING PARQUET;
+    * ELSE DO
+    *   STORE big INTO '/tmp/out' USING PARQUET;
+    * END IF;
+    * }}}
+    *
+    * Conditions run AFTER param/FOREACH substitution, so `$ENV` above is
+    * already a constant. A condition is comparisons (`==  !=  <  <=  >
+    * >=`) over quoted strings or bare tokens, joined by AND/OR (AND binds
+    * tighter); both sides numeric → numeric compare, else string (ordering
+    * comparisons lexicographic). A single term must be 'true'/'false'.
+    * Parentheses inside the condition are not supported — the head is
+    * `IF ( … ) DO` with the first `)` closing it. Blocks nest.
+    */
+  private[graft] def expandIf(script: String, maxDepth: Int = 1000): String = {
+    val Head = "(?is)\\bIF\\s*\\(([^)]*)\\)\\s*DO\\b".r
+    val Tok = "(?is)\\bIF\\s*\\([^)]*\\)\\s*DO\\b|\\bELSE\\s+DO\\b|\\bEND\\s+IF\\s*;?".r
+    def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
+      var depth = 1
+      var elseAt = -1 // depth-1 ELSE DO (start, end)
+      var elseEnd = -1
+      var bodyEnd = -1
+      var afterEnd = -1
+      val it = Tok.findAllMatchIn(s).dropWhile(_.start <= m.start)
+      while (depth > 0 && it.hasNext) {
+        val t = it.next()
+        val up = t.matched.toUpperCase(java.util.Locale.ROOT)
+        if (up.startsWith("IF")) depth += 1
+        else if (up.startsWith("ELSE")) {
+          if (depth == 1) {
+            require(elseAt < 0, "IF: more than one ELSE DO at the same depth")
+            elseAt = t.start; elseEnd = t.end
+          }
+        } else { depth -= 1; if (depth == 0) { bodyEnd = t.start; afterEnd = t.end } }
+      }
+      require(bodyEnd >= 0, s"IF (${m.group(1).trim}): missing END IF")
+      val taken =
+        if (evalCond(m.group(1)))
+          s.substring(m.end, if (elseAt >= 0) elseAt else bodyEnd)
+        else if (elseAt >= 0) s.substring(elseEnd, bodyEnd)
+        else ""
+      s.substring(0, m.start) + taken + s.substring(afterEnd)
+    }
+    var cur = script
+    var i = 0
+    while (i < maxDepth) {
+      expandOnce(cur) match {
+        case Some(next) => cur = next; i += 1
+        case None => return cur
+      }
+    }
+    require(Head.findFirstMatchIn(cur).isEmpty,
+      s"more than $maxDepth IF expansions — malformed or runaway nesting?")
+    cur
+  }
+
+  /** Evaluate a preprocessor IF condition (see [[expandIf]]). */
+  private[graft] def evalCond(cond: String): Boolean = {
+    val Term =
+      "^(?:'([^']*)'|([^\\s='!<>]+))\\s*(==|!=|<=|>=|<|>)\\s*(?:'([^']*)'|(\\S+))$".r
+    def term(t0: String): Boolean = {
+      val t = t0.trim
+      t match {
+        case Term(lq, lb, op, rq, rb) =>
+          val l = if (lq != null) lq else lb
+          val r = if (rq != null) rq else rb
+          val ln = scala.util.Try(BigDecimal(l)).toOption
+          val rn = scala.util.Try(BigDecimal(r)).toOption
+          val cmp: Int = (ln, rn) match {
+            case (Some(a), Some(b)) => a.compare(b)
+            case _ => l.compareTo(r)
+          }
+          op match {
+            case "==" => cmp == 0
+            case "!=" => cmp != 0
+            case "<"  => cmp < 0
+            case "<=" => cmp <= 0
+            case ">"  => cmp > 0
+            case ">=" => cmp >= 0
+          }
+        case _ =>
+          val bare = t.stripPrefix("'").stripSuffix("'")
+          if (bare.equalsIgnoreCase("true")) true
+          else if (bare.equalsIgnoreCase("false")) false
+          else sys.error(s"IF condition term is neither a comparison nor " +
+            s"true/false: '$t'")
+      }
+    }
+    cond.split("(?i)\\bOR\\b").exists(disj =>
+      disj.split("(?i)\\bAND\\b").forall(term))
+  }
+
+  /** Computed date arithmetic — `\$DATE('base', offsetDays[, 'pattern'])`
+    * substitutes a formatted date anywhere in the script text (paths are
+    * the dominant use: the reference's JS-templated scripts computed
+    * yesterday/last-week paths). `base` is `today` (driver-clock UTC) or a
+    * literal date in the same pattern; the default pattern is yyyy-MM-dd.
+    *
+    * {{{ li = LOAD '/data/$DATE('today', -1, 'yyyyMMdd')' USING PARQUET; }}}
+    */
+  private[graft] def expandDates(script: String): String = {
+    val Call =
+      "(?i)\\$DATE\\(\\s*'([^']*)'\\s*,\\s*([+-]?\\d+)\\s*(?:,\\s*'([^']*)')?\\s*\\)".r
+    Call.replaceAllIn(script, m => {
+      val pattern = Option(m.group(3)).getOrElse("yyyy-MM-dd")
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
+      val base =
+        if (m.group(1).equalsIgnoreCase("today"))
+          java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+        else java.time.LocalDate.parse(m.group(1), fmt)
+      java.util.regex.Matcher.quoteReplacement(
+        base.plusDays(m.group(2).toLong).format(fmt))
+    })
+  }
+
   // ---- execution -----------------------------------------------------------
 
   /** Run a script; returns the final relation environment (STOREs execute as
@@ -381,7 +504,10 @@ object ScriptEngine {
     val substituted = params.toSeq.sortBy(-_._1.length).foldLeft(script) {
       case (s, (k, v)) => s.replace(s"%$k%", v).replace("$" + k, v)
     }
-    val p = new P(lex(expandForeach(substituted)))
+    // preprocessor order: FOREACH first (loop vars feed IF conditions and
+    // DATE bases), then IF (drops dead branches before they cost anything),
+    // then DATE substitution on the surviving text
+    val p = new P(lex(expandDates(expandIf(expandForeach(substituted)))))
     var env = env0
     def rel(name: String): DataFrame =
       env.getOrElse(name, sys.error(s"undefined relation: $name"))

@@ -618,6 +618,80 @@ class ScriptSpec extends SparkSpec {
     assert(whole.collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
+  test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {
+    import graft.script.ScriptEngine
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val out = java.nio.file.Files.createTempDirectory("graft-if").toString
+    // prod branch taken: conditional STORE runs, ELSE branch does not
+    ScriptEngine.run(spark,
+      """IF ('%ENV%' == 'prod') DO
+        |  STORE t INTO '%OUT%/prod' USING PARQUET;
+        |ELSE DO
+        |  STORE t INTO '%OUT%/dev' USING PARQUET;
+        |END IF;""".stripMargin,
+      params = Map("ENV" -> "prod", "OUT" -> out), env0 = env("t" -> df))
+    assert(new java.io.File(s"$out/prod").exists())
+    assert(!new java.io.File(s"$out/dev").exists())
+    // else branch taken; AND/OR and numeric comparison forms
+    ScriptEngine.run(spark,
+      """IF ('%ENV%' == 'prod' AND %SF% >= 10) DO
+        |  STORE t INTO '%OUT%/big' USING PARQUET;
+        |ELSE DO
+        |  STORE t INTO '%OUT%/small' USING PARQUET;
+        |END IF;""".stripMargin,
+      params = Map("ENV" -> "prod", "SF" -> "2", "OUT" -> out), env0 = env("t" -> df))
+    assert(!new java.io.File(s"$out/big").exists())
+    assert(new java.io.File(s"$out/small").exists())
+    // numeric compare is numeric, not lexicographic ('9' < '10')
+    assert(ScriptEngine.evalCond("9 < 10"))
+    assert(!ScriptEngine.evalCond("'b' < 'a'"))
+    assert(ScriptEngine.evalCond("'x' != 'y' OR false"))
+    assert(ScriptEngine.evalCond("true"))
+    // IF without ELSE, condition false: body vanishes entirely
+    val rels = ScriptEngine.run(spark,
+      """g = FROM t GENERATE x;
+        |IF (false) DO
+        |  h = FROM t GENERATE y;
+        |END IF;""".stripMargin, env0 = env("t" -> df))
+    assert(rels.contains("g") && !rels.contains("h"))
+    // nesting: inner IF inside outer ELSE; FOREACH var feeds the condition
+    val nested = ScriptEngine.run(spark,
+      """FOREACH D IN ('a', 'b') DO
+        |IF ('$D' == 'a') DO
+        |  r_$D = FROM t GENERATE x;
+        |END IF;
+        |END FOREACH;""".stripMargin, env0 = env("t" -> df))
+    assert(nested.contains("r_a") && !nested.contains("r_b"))
+    // malformed: missing END IF fails loudly
+    val err = intercept[Exception](ScriptEngine.run(spark,
+      "IF (true) DO\ng = FROM t GENERATE x;", env0 = env("t" -> df)))
+    assert(err.getMessage.contains("missing END IF"), err.getMessage)
+  }
+
+  test("preprocessor $DATE computes offset dates in paths (JS date arithmetic parity)") {
+    import graft.script.ScriptEngine
+    // literal base: deterministic, leap-year-aware, custom pattern
+    assert(ScriptEngine.expandDates("x/$DATE('2024-03-01', -1, 'yyyy-MM-dd')") ==
+      "x/2024-02-29")
+    assert(ScriptEngine.expandDates("$DATE('20240115', +6, 'yyyyMMdd')") == "20240121")
+    assert(ScriptEngine.expandDates("$DATE('2024-01-15', 0)") == "2024-01-15")
+    // 'today' resolves against the driver clock (UTC)
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val got = ScriptEngine.expandDates("$DATE('today', -1, 'yyyyMMdd')")
+    val want = today.minusDays(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))
+    val wantAlt = today.minusDays(2) // midnight-crossing slack
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))
+    assert(got == want || got == wantAlt, got)
+    // end-to-end: a dated STORE path lands where the script computed it
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val out = java.nio.file.Files.createTempDirectory("graft-date").toString
+    ScriptEngine.run(spark,
+      """STORE t INTO '%OUT%/dt=$DATE('20240301', -1, 'yyyyMMdd')' USING PARQUET;""".stripMargin,
+      params = Map("OUT" -> out), env0 = env("t" -> df))
+    assert(new java.io.File(s"$out/dt=20240229").exists())
+  }
+
   test("CREATE DICTIONARY with explicit values encodes in declaration order (grammar :30)") {
     val df = Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("id", "color")
     val rels = ScriptEngine.run(spark,

@@ -1413,6 +1413,20 @@ object SparkEntry {
     "q204_benford" -> ((s, d) =>
       Aggregations.benford(t(s, d, "lineitem"),
         floor(col("l_extendedprice") * 100).cast("long"))),
+    // dictionary refresh-append stability across THREE batches: growing
+    // customer prefixes with a mid-cardinality derived value, so each
+    // refresh re-sees existing values (their codes must stay bit-stable)
+    // AND appends genuinely new ones after the running max — the oracle
+    // replays create/refresh/refresh as anti-join + offset row_number
+    "q205_dict_refresh" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("_"),
+          (col("c_custkey") % 40).cast("string")).as("v"))
+      val d1 = Dictionary.create(cust.filter(col("c_custkey") <= 50), "v")
+      val d2 = Dictionary.refresh(d1, cust.filter(col("c_custkey") <= 100), "v")
+      val d3 = Dictionary.refresh(d2, cust, "v")
+      d3.select(col("colvalue"), col("code").cast("long").as("code"))
+    }),
     // difference-in-differences: even users "treated", Jan 16 the policy
     // boundary, qv the cents-quantized metric — 4 exact cells + the did
     // estimate, every division exactly rounded
@@ -2428,6 +2442,24 @@ object SparkEntry {
     "q200_calibration" -> OracleGen.calibration(dim = 64, nBins = 10),
     "q201_label_prop" -> OracleGen.labelPropagation(iters = 4),
     "q204_benford" -> OracleGen.benford,
+    "q205_dict_refresh" ->
+      """WITH vals AS (SELECT c_custkey AS k,
+        |    c_mktsegment || '_' || CAST(c_custkey % 40 AS VARCHAR) AS v
+        |  FROM customer),
+        |b1 AS (SELECT DISTINCT v FROM vals WHERE k <= 50),
+        |d1 AS (SELECT v AS colvalue,
+        |    CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS code FROM b1),
+        |b2 AS (SELECT DISTINCT v FROM vals WHERE k <= 100),
+        |n2 AS (SELECT v FROM b2 WHERE v NOT IN (SELECT colvalue FROM d1)),
+        |d2 AS (SELECT colvalue, code FROM d1 UNION ALL
+        |  SELECT v, row_number() OVER (ORDER BY v)
+        |    + (SELECT coalesce(max(code), 0) FROM d1) FROM n2),
+        |b3 AS (SELECT DISTINCT v FROM vals),
+        |n3 AS (SELECT v FROM b3 WHERE v NOT IN (SELECT colvalue FROM d2)),
+        |d3 AS (SELECT colvalue, code FROM d2 UNION ALL
+        |  SELECT v, row_number() OVER (ORDER BY v)
+        |    + (SELECT coalesce(max(code), 0) FROM d2) FROM n3)
+        |SELECT colvalue, CAST(code AS BIGINT) AS code FROM d3""".stripMargin,
     "q203_did" ->
       """WITH q AS (SELECT
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,

@@ -125,7 +125,12 @@ object Dedup {
         }
         rows.iterator
       }.select("shingle")
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // when a caller asked for metrics, pin the hot subtree to ONE
+      // execution (lazy localCheckpoint): the self-join duplicates this
+      // subtree on both sides, and only broadcast-exchange reuse keeps it
+      // from running — and counting — twice under other join strategies
+      val hotOnce = if (metrics.isDefined) hot.localCheckpoint(false) else hot
+      sh.join(broadcast(hotOnce), Seq("shingle"), "left_anti")
     }
 
   // ---- exact n-gram Jaccard ----------------------------------------------

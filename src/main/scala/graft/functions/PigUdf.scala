@@ -158,14 +158,15 @@ object PigUdf {
   }
 
   /** Catalyst-level variadic registration shared by both UDAF wrappers. */
-  private def registerAggregator(
+  private def registerAggregator[BUF](
       spark: SparkSession, name: String,
-      agg: org.apache.spark.sql.expressions.Aggregator[Row, Array[Byte], Any]): Unit =
+      agg: org.apache.spark.sql.expressions.Aggregator[Row, BUF, Any]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       (children: Seq[Expression]) => {
         val inEnc = ExpressionEncoder(StructType(children.zipWithIndex.map {
           case (c, i) => StructField(s"_$i", c.dataType, c.nullable) }))
-        val bufEnc = ExpressionEncoder[Array[Byte]]()
+        val bufEnc =
+          org.apache.spark.sql.catalyst.encoders.encoderFor(agg.bufferEncoder)
         org.apache.spark.sql.execution.aggregate.ScalaAggregator(
           children, agg, inEnc, bufEnc, nullable = true, isDeterministic = true,
           mutableAggBufferOffset = 0, inputAggBufferOffset = 0,
@@ -361,11 +362,17 @@ object PigUdf {
   /** Spark Aggregator over a Pig Accumulator UDF: the buffer is the
     * group's row-value arrays (the same full bag Pig streams reduce-side —
     * no combiner exists in this contract), and accumulate/getValue run at
-    * finish.
+    * finish. The buffer is a MUTABLE ArrayBuffer appended in place (the
+    * documented Aggregator pattern, like Spark's typed collect_list): a
+    * reduce that re-serialized the whole accumulated group per row would
+    * be O(n²) in group size. Java-serialization only touches the buffer
+    * when Spark spills or shuffles it.
     */
   private final class PigAccumulatorAggregator(className: String, ctorArgs: Seq[String],
                                                outType: DataType)
-      extends org.apache.spark.sql.expressions.Aggregator[Row, Array[Byte], Any] {
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Row, scala.collection.mutable.ArrayBuffer[Array[AnyRef]], Any] {
+    private type Buf = scala.collection.mutable.ArrayBuffer[Array[AnyRef]]
     private val bridge = new PigBagBridge(className)
     @transient private lazy val accumulateM = bridge.cls.getMethods
       .find(m => m.getName == "accumulate" && m.getParameterCount == 1).get
@@ -374,28 +381,18 @@ object PigUdf {
       .sortBy(_.getReturnType == classOf[Object]).head
     @transient private lazy val cleanupM = bridge.cls.getMethod("cleanup")
 
-    private def serRows(rows: Seq[Array[AnyRef]]): Array[Byte] =
-      bridge.ser(rows.toArray.asInstanceOf[Array[AnyRef]])
-    private def deserRows(buf: Array[Byte]): Seq[Array[AnyRef]] =
-      if (buf.isEmpty) Nil
-      else bridge.deser(buf).toSeq.asInstanceOf[Seq[Array[AnyRef]]]
-
-    override def zero: Array[Byte] = Array.emptyByteArray
-    override def reduce(buf: Array[Byte], row: Row): Array[Byte] =
-      serRows(deserRows(buf) :+ bridge.rowFields(row))
-    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-      if (b1.isEmpty) b2 else if (b2.isEmpty) b1
-      else serRows(deserRows(b1) ++ deserRows(b2))
-    override def finish(buf: Array[Byte]): Any = {
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(buf: Buf, row: Row): Buf = { buf += bridge.rowFields(row); buf }
+    override def merge(b1: Buf, b2: Buf): Buf = { b1 ++= b2; b1 }
+    override def finish(buf: Buf): Any = {
       val acc = instantiate(bridge.cls, ctorArgs) // fresh per group
-      accumulateM.invoke(acc,
-        bridge.bagTuple(deserRows(buf).map(bridge.tupleOf)))
+      accumulateM.invoke(acc, bridge.bagTuple(buf.toSeq.map(bridge.tupleOf)))
       val v = getValueM.invoke(acc)
       cleanupM.invoke(acc)
       v
     }
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-      ExpressionEncoder[Array[Byte]]()
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.javaSerialization[Buf]
     override def outputEncoder: org.apache.spark.sql.Encoder[Any] = outEncoder(outType)
   }
 

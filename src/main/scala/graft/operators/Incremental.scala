@@ -408,9 +408,18 @@ object Incremental {
     // membership must be NULL-SAFE: a delta that touches the null partition
     // (Spark's __HIVE_DEFAULT_PARTITION__) never matches isin() under SQL
     // null semantics, which would silently drop the null partition's kept
-    // rows on overwrite — use <=> so null <=> null is true
-    def inTouched(c: Column): Column =
-      touched.map(v => c <=> lit(v)).reduce(_ || _)
+    // rows on overwrite. Keep isin (one InSet lookup, not an O(partitions)
+    // Or-chain) for the non-null values and add an isNull disjunct only
+    // when the delta touches the null partition; coalesce makes the
+    // predicate two-valued so its negation is usable directly
+    val inTouched: Column => Column = {
+      val nonNull = touched.filter(_ != null)
+      val hasNull = touched.size != nonNull.size
+      c => {
+        val in = if (nonNull.isEmpty) lit(false) else coalesce(c.isin(nonNull: _*), lit(false))
+        if (hasNull) in || c.isNull else in
+      }
+    }
     val target = spark.read.parquet(targetPath)
     if (verifyStability) {
       val stale = target

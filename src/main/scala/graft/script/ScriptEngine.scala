@@ -267,7 +267,11 @@ object ScriptEngine {
     */
   private[graft] def expandForeach(script: String, maxDepth: Int = 1000): String = {
     val Head = "(?is)\\bFOREACH\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*\\(([^)]*)\\)\\s*DO\\b".r
-    val Tok = "(?is)\\bFOREACH\\b|\\bEND\\s+FOREACH\\s*;?".r
+    // END and FOREACH must sit on ONE line ([ \t]+, not \s+): the grammar
+    // also has a bare phase END (JOB … END), and \s+ would conflate
+    // "END\nFOREACH v IN (…) DO" — a phase END followed by a new loop —
+    // into a block terminator, miscompiling legal scripts
+    val Tok = "(?is)\\bFOREACH\\b|\\bEND[ \\t]+FOREACH\\s*;?".r
     def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
       val varName = m.group(1)
       val values = "'([^']*)'".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
@@ -325,7 +329,9 @@ object ScriptEngine {
     */
   private[graft] def expandIf(script: String, maxDepth: Int = 1000): String = {
     val Head = "(?is)\\bIF\\s*\\(([^)]*)\\)\\s*DO\\b".r
-    val Tok = "(?is)\\bIF\\s*\\([^)]*\\)\\s*DO\\b|\\bELSE\\s+DO\\b|\\bEND\\s+IF\\s*;?".r
+    // END IF on one line ([ \t]+): see expandForeach — a bare phase END
+    // followed by a new "IF (…) DO" head must not read as END IF
+    val Tok = "(?is)\\bIF\\s*\\([^)]*\\)\\s*DO\\b|\\bELSE\\s+DO\\b|\\bEND[ \\t]+IF\\s*;?".r
     def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
       var depth = 1
       var elseAt = -1 // depth-1 ELSE DO (start, end)
@@ -397,8 +403,28 @@ object ScriptEngine {
             s"true/false: '$t'")
       }
     }
-    cond.split("(?i)\\bOR\\b").exists(disj =>
-      disj.split("(?i)\\bAND\\b").forall(term))
+    // split on AND/OR only OUTSIDE quoted strings — 'NORTH AND SOUTH' is
+    // a value, not a conjunction
+    def splitTopLevel(s: String, word: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inQuote = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
+        else if (!inQuote && s.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + word.length >= s.length ||
+              !Character.isLetterOrDigit(s.charAt(i + word.length)))) {
+          out += cur.result(); cur.clear(); i += word.length
+        } else { cur += c; i += 1 }
+      }
+      out += cur.result()
+      out.result()
+    }
+    splitTopLevel(cond, "OR").exists(disj =>
+      splitTopLevel(disj, "AND").forall(term))
   }
 
   /** Computed date arithmetic — `\$DATE('base', offsetDays[, 'pattern'])`
@@ -470,6 +496,13 @@ object ScriptEngine {
       })
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, java.util.concurrent.Future[_])]
+    // every path any relation LOADs: a stored relation reads its inputs at
+    // WRITE time, so a pending overwrite of a loaded path (or a new STORE
+    // targeting one) must serialize against it — output-path disjointness
+    // alone is not independence
+    val loadedPaths = scala.collection.mutable.Set.empty[String]
+    def pathsOverlap(a: String, b: String): Boolean =
+      a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
     def drainStores(): Unit = if (pending.nonEmpty) {
       val waiting = pending.toSeq
       pending.clear()
@@ -487,8 +520,13 @@ object ScriptEngine {
     def submitStore(relName: String, path: String)(body: => Unit): Unit =
       if (dryRun || maxConcurrentStores == 1) body
       else {
-        if (pending.exists { case (_, p0, _) =>
-          p0 == path || p0.startsWith(path + "/") || path.startsWith(p0 + "/") })
+        // serialize when outputs collide, when this write targets a path
+        // some relation reads, or when a pending write targets one (the
+        // relation being stored may read it mid-overwrite otherwise)
+        if (pending.exists { case (_, p0, _) => pathsOverlap(p0, path) } ||
+            loadedPaths.exists(lp => pathsOverlap(lp, path)) ||
+            pending.exists { case (_, p0, _) =>
+              loadedPaths.exists(lp => pathsOverlap(lp, p0)) })
           drainStores()
         pending += ((relName, path, storePool.submit(new Runnable {
           override def run(): Unit = {
@@ -726,7 +764,7 @@ object ScriptEngine {
         // a relation definition may LOAD a path a pending STORE is still
         // writing — e.g. STORE a INTO 'p'; b = LOAD 'p' ...
         drainStores()
-        val df = parseOperator(spark, p, rel, store)
+        val df = parseOperator(spark, p, rel, store, loadedPaths += _)
         env = env.updated(name, df)
         p.expectPunct(";")
       }
@@ -767,7 +805,8 @@ object ScriptEngine {
   }
 
   private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame,
-                            store: (DataFrame, String, String) => Unit): DataFrame = {
+                            store: (DataFrame, String, String) => Unit,
+                            onInputPath: String => Unit = _ => ()): DataFrame = {
     if (p.kw("OPERATOR")) {
       // o = OPERATOR 'fully.qualified.ClassName' in1, in2 ['(' 'k':'v', … ')'];
       val cls = p.str()
@@ -796,6 +835,7 @@ object ScriptEngine {
         val path = p.str()
         p.expectKw("USING")
         val fmt = p.ident().toLowerCase
+        onInputPath(path)
         graft.sources.Sources.load(spark, path, fmt, formatParams(p))
       }
     } else if (p.kw("NO_OP")) {
@@ -942,6 +982,7 @@ object ScriptEngine {
       val path = p.str()
       p.expectKw("USING")
       val fmt = p.ident().toLowerCase
+      onInputPath(path)
       graft.sources.Sources.loadCached(spark, path, fmt, formatParams(p))
     } else if (p.kw("BLOCKGEN")) {
       // BLOCKGEN x PARTITIONED ON p [SORTED ON s] INTO table BUCKETS n

@@ -132,7 +132,19 @@ object Bpe {
     val byRight = sorted.groupBy(_._1._2)
     val used = scala.collection.mutable.HashSet.empty[String]
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // per-CREATED-PAIR upper bounds, accumulated ADDITIVELY across the
+    // accepted merges: one created pair can draw contributions from TWO
+    // different merges (their concatenations can collide with existing
+    // symbol strings), so a max of independent per-merge bounds would
+    // under-estimate it — each key starts at its pre-batch count and
+    // gains min(c_merge, c_neighbor) per contributing merge family
+    val createdBound = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var createdCap = Long.MinValue
+    def bump(key: (String, String), contribution: Long): Unit = {
+      val next = createdBound.getOrElse(key, counts.getOrElse(key, 0L)) + contribution
+      createdBound(key) = next
+      if (next > createdCap) createdCap = next
+    }
     var stop = false
     val it = sorted.iterator
     while (!stop && acc.length < maxTake && it.hasNext) {
@@ -145,17 +157,12 @@ object Bpe {
         val ab = a + b
         // every pair this merge can create or inflate, bounded from above
         byRight.getOrElse(a, Nil).foreach { case ((x, _), cxa) =>
-          val bound = math.min(c, cxa) + counts.getOrElse((x, ab), 0L)
-          if (bound > createdCap) createdCap = bound
+          bump((x, ab), math.min(c, cxa))
         }
         byLeft.getOrElse(b, Nil).foreach { case ((_, y), cby) =>
-          val bound = math.min(c, cby) + counts.getOrElse((ab, y), 0L)
-          if (bound > createdCap) createdCap = bound
+          bump((ab, y), math.min(c, cby))
           // a b a b → (ab, ab): the (b, a) neighbor can close on itself
-          if (y == a) {
-            val self = math.min(c, cby) + counts.getOrElse((ab, ab), 0L)
-            if (self > createdCap) createdCap = self
-          }
+          if (y == a) bump((ab, ab), math.min(c, cby))
         }
       }
     }

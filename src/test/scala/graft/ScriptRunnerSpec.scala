@@ -196,6 +196,23 @@ class ScriptRunnerSpec extends SparkSpec {
     ScriptRunner.run(Array(script2, s"D=$dir", "--serial-stores"), stopSession = false)
     assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
       s"--serial-stores still overlapped: ${StoreTimeline.intervals}")
+    // a pending STORE that overwrites a path ANOTHER relation loaded
+    // serializes against later stores — output-path disjointness alone is
+    // not independence (the stored relation reads its inputs at WRITE time)
+    StoreTimeline.intervals.clear()
+    Seq((9L, 9L)).toDF("x", "y").write.parquet(s"$dir/tgt")
+    val script2b = writeScript(
+      """FUNCTION slowa graft.SlowMarkFn('a', '800');
+        |FUNCTION slowb graft.SlowMarkFn('b', '800');
+        |t = LOAD '$D/in' USING PARQUET;
+        |r = LOAD '$D/tgt' USING PARQUET;
+        |sa = FROM t GENERATE slowa(x) AS v;
+        |sb = FROM t GENERATE slowb(y) AS v;
+        |STORE sa INTO '$D/tgt' USING PARQUET;
+        |STORE sb INTO '$D/outc' USING PARQUET;""".stripMargin)
+    ScriptRunner.run(Array(script2b, s"D=$dir"), stopSession = false)
+    assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
+      s"store overwriting a loaded path ran concurrently: ${StoreTimeline.intervals}")
     // a LOAD of a just-stored path drains the pending write first, so the
     // read sees complete data — the independence barrier
     val script3 = writeScript(

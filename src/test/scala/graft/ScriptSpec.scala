@@ -668,6 +668,34 @@ class ScriptSpec extends SparkSpec {
     assert(err.getMessage.contains("missing END IF"), err.getMessage)
   }
 
+  test("preprocessor blocks coexist with phase END; quoted AND/OR stay values") {
+    import graft.script.ScriptEngine
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    // a bare phase END (JOB … END) followed by an IF head must NOT read
+    // as "END IF" — the terminator requires END IF on one line
+    val rels = ScriptEngine.run(spark,
+      """JOB 'first'
+        |g = FROM t GENERATE x;
+        |END
+        |IF (true) DO
+        |  h = FROM t GENERATE y;
+        |END IF;""".stripMargin, env0 = env("t" -> df))
+    assert(rels.contains("g") && rels.contains("h"), rels.keySet.toString)
+    // same hazard for FOREACH
+    val rels2 = ScriptEngine.run(spark,
+      """JOB 'j'
+        |g = FROM t GENERATE x;
+        |END
+        |FOREACH V IN ('a') DO
+        |  r_$V = FROM t GENERATE y;
+        |END FOREACH;""".stripMargin, env0 = env("t" -> df))
+    assert(rels2.contains("r_a"), rels2.keySet.toString)
+    // AND/OR inside a quoted operand are value text, not connectives
+    assert(ScriptEngine.evalCond("'NORTH AND SOUTH' == 'NORTH AND SOUTH'"))
+    assert(ScriptEngine.evalCond("'x' == 'y' OR 'OR' == 'OR'"))
+    assert(!ScriptEngine.evalCond("'a OR b' == 'c'"))
+  }
+
   test("preprocessor $DATE computes offset dates in paths (JS date arithmetic parity)") {
     import graft.script.ScriptEngine
     // literal base: deterministic, leap-year-aware, custom pattern

@@ -182,6 +182,17 @@ class TextDedupSpec extends SparkSpec {
     Dedup.ngramJaccard(docs, n = 2, threshold = 0.01,
       maxDocsPerShingle = Some(100), capMetrics = Some(clean)).collect()
     assert(!clean.capped)
+    // exact (not 2x) even when the hot subtree cannot rely on broadcast-
+    // exchange reuse to dedupe its two self-join appearances
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val m2 = new Dedup.CapMetrics(spark)
+      Dedup.ngramJaccard(docs, n = 2, threshold = 0.01,
+        maxDocsPerShingle = Some(4), capMetrics = Some(m2)).collect()
+      assert(m2.droppedShingles.value == 1L,
+        s"drop count not exactly-once under shuffle-join plans: ${m2.droppedShingles.value}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     // cross-corpus variant reports per-side drops through the same object
     val xm = new Dedup.CapMetrics(spark)
     Dedup.crossCorpusJaccard(docs.filter(col("doc_id") === 1),

@@ -330,4 +330,27 @@ class ExamplesSpec extends SparkSpec {
         org.apache.spark.sql.functions.expr("o_custkey = c_custkey")).count()
     assert(est >= actual, s"est=$est actual=$actual")
   }
+
+  test("daily_report.cmr: env switch, segment loop, dated path, concurrent STOREs") {
+    spark
+    val out = Files.createTempDirectory("graft-ex-daily").toString
+    // dev branch: only the high-value tail feeds the report
+    ScriptRunner.run(Array("examples/daily_report.cmr",
+      s"DIR=$dir", s"OUT=$out", "ENV=dev"), stopSession = false)
+    // the dated revenue rollup landed at yesterday-of-the-literal-base
+    val rev = spark.read.parquet(s"$out/rev/dt=20240114")
+    assert(rev.count() > 0)
+    assert(rev.columns.toSet == Set("o_orderpriority", "gross", "n_items"))
+    // the FOREACH-generated segment reports exist and respect the dev filter
+    val urgent = spark.read.parquet(s"$out/urgent")
+    assert(urgent.columns.toSet == Set("o_custkey", "n_orders", "total"))
+    val minTotal = spark.read.parquet(s"$out/high")
+      .agg(org.apache.spark.sql.functions.min("total")).head().getDouble(0)
+    assert(minTotal > 100000.0, s"dev filter leaked: $minTotal")
+    // prod branch: everything reports (more rows than the dev tail)
+    val out2 = Files.createTempDirectory("graft-ex-daily2").toString
+    ScriptRunner.run(Array("examples/daily_report.cmr",
+      s"DIR=$dir", s"OUT=$out2", "ENV=prod"), stopSession = false)
+    assert(spark.read.parquet(s"$out2/urgent").count() >= urgent.count())
+  }
 }

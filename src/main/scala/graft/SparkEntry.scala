@@ -45,15 +45,19 @@ object SparkEntry {
     * the max custkey is checked, not assumed.
     */
   private def custSuppGraph(s: SparkSession, d: String): DataFrame = {
-    val orders = t(s, d, "orders").select("o_orderkey", "o_custkey")
-    val maxCust = orders.agg(max(col("o_custkey"))).head.getAs[Number](0)
-    require(maxCust == null || maxCust.longValue() < SupplierNodeOffset,
-      s"custSuppGraph: max o_custkey $maxCust >= supplier-node offset " +
-        s"$SupplierNodeOffset — node spaces would collide; raise the offset")
-    val pairs = orders
+    // disjointness is ASSERTED in-dataflow (raise_error, zero extra jobs —
+    // a driver-side max() would cost one action per graph query): any
+    // custkey at or above the supplier offset fails the run loudly instead
+    // of silently conflating nodes
+    val guardedCust = when(col("o_custkey") >= SupplierNodeOffset,
+      raise_error(concat(lit("custSuppGraph: o_custkey "), col("o_custkey"),
+        lit(s" >= supplier-node offset $SupplierNodeOffset — node spaces " +
+          "would collide; raise the offset"))).cast("long"))
+      .otherwise(col("o_custkey"))
+    val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"),
+      .select(guardedCust.as("c"),
         (col("l_suppkey") + SupplierNodeOffset).as("sup"))
       .distinct()
     pairs.select(col("c").as("src"), col("sup").as("dst"))

@@ -126,10 +126,12 @@ object Dedup {
         rows.iterator
       }.select("shingle")
       // when a caller asked for metrics, pin the hot subtree to ONE
-      // execution (lazy localCheckpoint): the self-join duplicates this
-      // subtree on both sides, and only broadcast-exchange reuse keeps it
-      // from running — and counting — twice under other join strategies
-      val hotOnce = if (metrics.isDefined) hot.localCheckpoint(false) else hot
+      // execution (EAGER localCheckpoint — one tiny job over the already-
+      // filtered hot rows): the self-join duplicates this subtree on both
+      // sides, and a lazy checkpoint still races on a multi-executor
+      // cluster (two stages can compute the unmaterialized partition on
+      // different BlockManagers before either caches it, double-counting)
+      val hotOnce = if (metrics.isDefined) hot.localCheckpoint(true) else hot
       sh.join(broadcast(hotOnce), Seq("shingle"), "left_anti")
     }
 

@@ -405,6 +405,7 @@ object ScriptEngine {
     }
     // split on AND/OR only OUTSIDE quoted strings — 'NORTH AND SOUTH' is
     // a value, not a conjunction
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     def splitTopLevel(s: String, word: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       val cur = new StringBuilder
@@ -414,9 +415,10 @@ object ScriptEngine {
         val c = s.charAt(i)
         if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
         else if (!inQuote && s.regionMatches(true, i, word, 0, word.length) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            // \b semantics: '_' is a word character, so X_OR_Y stays one token
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
             (i + word.length >= s.length ||
-              !Character.isLetterOrDigit(s.charAt(i + word.length)))) {
+              !isWordChar(s.charAt(i + word.length)))) {
           out += cur.result(); cur.clear(); i += word.length
         } else { cur += c; i += 1 }
       }
@@ -494,20 +496,35 @@ object ScriptEngine {
         val t = new Thread(r, s"graft-store-${storeThreads.incrementAndGet()}")
         t.setDaemon(true); t
       })
+    // (relName, outputPath, inputPaths, future) per in-flight write: a
+    // stored relation reads its INPUTS at write time, so independence is
+    // output-output disjointness AND no pending write touching this
+    // relation's inputs AND this write not clobbering a pending
+    // relation's inputs. Input paths come from the analyzed plan's file
+    // source relations — LOAD, LOAD-CACHED, ENCODE/DECODE dictionary
+    // paths, and any future path-reading operator are covered uniformly.
     val pending = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, java.util.concurrent.Future[_])]
-    // every path any relation LOADs: a stored relation reads its inputs at
-    // WRITE time, so a pending overwrite of a loaded path (or a new STORE
-    // targeting one) must serialize against it — output-path disjointness
-    // alone is not independence
-    val loadedPaths = scala.collection.mutable.Set.empty[String]
-    def pathsOverlap(a: String, b: String): Boolean =
+      .empty[(String, String, Seq[String], java.util.concurrent.Future[_])]
+    def normPath(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    def inputPathsOf(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(p => normPath(p.toString))
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def pathsOverlap(a0: String, b0: String): Boolean = {
+      val a = normPath(a0); val b = normPath(b0)
       a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
+    }
     def drainStores(): Unit = if (pending.nonEmpty) {
       val waiting = pending.toSeq
       pending.clear()
       var failure: Throwable = null
-      waiting.foreach { case (relName, path, f) =>
+      waiting.foreach { case (relName, path, _, f) =>
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
@@ -517,18 +534,19 @@ object ScriptEngine {
       }
       if (failure != null) throw failure
     }
-    def submitStore(relName: String, path: String)(body: => Unit): Unit =
+    def submitStore(relName: String, r: DataFrame, path: String)(body: => Unit): Unit =
       if (dryRun || maxConcurrentStores == 1) body
       else {
-        // serialize when outputs collide, when this write targets a path
-        // some relation reads, or when a pending write targets one (the
-        // relation being stored may read it mid-overwrite otherwise)
-        if (pending.exists { case (_, p0, _) => pathsOverlap(p0, path) } ||
-            loadedPaths.exists(lp => pathsOverlap(lp, path)) ||
-            pending.exists { case (_, p0, _) =>
-              loadedPaths.exists(lp => pathsOverlap(lp, p0)) })
+        // serialize when outputs collide, when a pending write targets one
+        // of this relation's input paths (it would read mid-overwrite), or
+        // when this write targets one of a pending relation's inputs
+        val ins = inputPathsOf(r)
+        if (pending.exists { case (_, p0, ins0, _) =>
+          pathsOverlap(p0, path) ||
+            ins.exists(i => pathsOverlap(i, p0)) ||
+            ins0.exists(i0 => pathsOverlap(i0, path)) })
           drainStores()
-        pending += ((relName, path, storePool.submit(new Runnable {
+        pending += ((relName, path, ins, storePool.submit(new Runnable {
           override def run(): Unit = {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_stores")
             spark.sparkContext.setJobDescription(s"STORE $relName INTO $path")
@@ -744,17 +762,17 @@ object ScriptEngine {
             }
             if (dryRun) store(r, path, fmt)
             else if (!selected) { r.schema; () }
-            else submitStore(relName, path)(graft.sources.Layout.zorderWrite(r,
+            else submitStore(relName, r, path)(graft.sources.Layout.zorderWrite(r,
               path, zCols,
               nFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)))
           case (None, Some(pb)) =>
             val pCols = resolved("partition_by", pb)
             if (dryRun) store(r, path, fmt)
             else if (!selected) { r.schema; () }
-            else submitStore(relName, path)(
+            else submitStore(relName, r, path)(
               graft.sources.Sources.store(r, path, fmt, partitionBy = pCols))
           case _ =>
-            if (selected) submitStore(relName, path)(store(r, path, fmt))
+            if (selected) submitStore(relName, r, path)(store(r, path, fmt))
             else { r.schema; () }
         }
         p.expectPunct(";")
@@ -764,7 +782,7 @@ object ScriptEngine {
         // a relation definition may LOAD a path a pending STORE is still
         // writing — e.g. STORE a INTO 'p'; b = LOAD 'p' ...
         drainStores()
-        val df = parseOperator(spark, p, rel, store, loadedPaths += _)
+        val df = parseOperator(spark, p, rel, store)
         env = env.updated(name, df)
         p.expectPunct(";")
       }
@@ -805,8 +823,7 @@ object ScriptEngine {
   }
 
   private def parseOperator(spark: SparkSession, p: P, rel: String => DataFrame,
-                            store: (DataFrame, String, String) => Unit,
-                            onInputPath: String => Unit = _ => ()): DataFrame = {
+                            store: (DataFrame, String, String) => Unit): DataFrame = {
     if (p.kw("OPERATOR")) {
       // o = OPERATOR 'fully.qualified.ClassName' in1, in2 ['(' 'k':'v', … ')'];
       val cls = p.str()
@@ -835,7 +852,6 @@ object ScriptEngine {
         val path = p.str()
         p.expectKw("USING")
         val fmt = p.ident().toLowerCase
-        onInputPath(path)
         graft.sources.Sources.load(spark, path, fmt, formatParams(p))
       }
     } else if (p.kw("NO_OP")) {
@@ -982,7 +998,6 @@ object ScriptEngine {
       val path = p.str()
       p.expectKw("USING")
       val fmt = p.ident().toLowerCase
-      onInputPath(path)
       graft.sources.Sources.loadCached(spark, path, fmt, formatParams(p))
     } else if (p.kw("BLOCKGEN")) {
       // BLOCKGEN x PARTITIONED ON p [SORTED ON s] INTO table BUCKETS n

@@ -145,6 +145,9 @@ object Bpe {
       createdBound(key) = next
       if (next > createdCap) createdCap = next
     }
+    // accepted concatenations with their merge counts, for the
+    // new-symbol × new-symbol created pairs below
+    val accConcat = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var stop = false
     val it = sorted.iterator
     while (!stop && acc.length < maxTake && it.hasNext) {
@@ -164,6 +167,15 @@ object Bpe {
           // a b a b → (ab, ab): the (b, a) neighbor can close on itself
           if (y == a) bump((ab, ab), math.min(c, cby))
         }
+        // pairs of two NEW symbols: chains `a' b' a b` fold into
+        // (a'b', ab) — at most min of the two merges' site counts per
+        // direction, and bump() seeds any colliding pre-batch count
+        // (both concatenations can equal existing symbol strings)
+        accConcat.foreach { case (ab0, c0) =>
+          bump((ab0, ab), math.min(c0, c))
+          bump((ab, ab0), math.min(c0, c))
+        }
+        accConcat += ((ab, c))
       }
     }
     acc.toSeq

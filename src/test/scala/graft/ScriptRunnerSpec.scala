@@ -196,23 +196,43 @@ class ScriptRunnerSpec extends SparkSpec {
     ScriptRunner.run(Array(script2, s"D=$dir", "--serial-stores"), stopSession = false)
     assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
       s"--serial-stores still overlapped: ${StoreTimeline.intervals}")
-    // a pending STORE that overwrites a path ANOTHER relation loaded
-    // serializes against later stores — output-path disjointness alone is
-    // not independence (the stored relation reads its inputs at WRITE time)
+    // a STORE that overwrites a path a PENDING store's relation reads
+    // serializes against it — output-path disjointness alone is not
+    // independence (the stored relation reads its inputs at WRITE time;
+    // input paths are derived from the analyzed plan's file sources)
     StoreTimeline.intervals.clear()
     Seq((9L, 9L)).toDF("x", "y").write.parquet(s"$dir/tgt")
     val script2b = writeScript(
       """FUNCTION slowa graft.SlowMarkFn('a', '800');
         |FUNCTION slowb graft.SlowMarkFn('b', '800');
-        |t = LOAD '$D/in' USING PARQUET;
         |r = LOAD '$D/tgt' USING PARQUET;
-        |sa = FROM t GENERATE slowa(x) AS v;
+        |t = LOAD '$D/in' USING PARQUET;
+        |sa = FROM r GENERATE slowa(x) AS v;
         |sb = FROM t GENERATE slowb(y) AS v;
-        |STORE sa INTO '$D/tgt' USING PARQUET;
-        |STORE sb INTO '$D/outc' USING PARQUET;""".stripMargin)
+        |STORE sa INTO '$D/outa3' USING PARQUET;
+        |STORE sb INTO '$D/tgt' USING PARQUET;""".stripMargin)
     ScriptRunner.run(Array(script2b, s"D=$dir"), stopSession = false)
     assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
-      s"store overwriting a loaded path ran concurrently: ${StoreTimeline.intervals}")
+      s"store clobbering a pending store's input ran concurrently: ${StoreTimeline.intervals}")
+    assert(spark.read.parquet(s"$dir/outa3").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.read.parquet(s"$dir/tgt").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // ENCODE's stored-dictionary path counts as an input too (the plan-
+    // derived tracking covers every file source, not just LOAD)
+    StoreTimeline.intervals.clear()
+    Seq(("red", 1), ("blue", 2)).toDF("colvalue", "code").write.parquet(s"$dir/dict")
+    Seq((1L, "red"), (2L, "blue")).toDF("x", "color").write.parquet(s"$dir/in2")
+    val script2c = writeScript(
+      """FUNCTION slowa graft.SlowMarkFn('a', '800');
+        |FUNCTION slowb graft.SlowMarkFn('b', '800');
+        |t2 = LOAD '$D/in2' USING PARQUET;
+        |enc = ENCODE t2 ON color USING '$D/dict';
+        |e = FROM enc GENERATE slowa(x) AS v, color;
+        |d2 = FROM t2 GENERATE color AS colvalue, slowb(x) AS code;
+        |STORE e INTO '$D/enc' USING PARQUET;
+        |STORE d2 INTO '$D/dict' USING PARQUET;""".stripMargin)
+    ScriptRunner.run(Array(script2c, s"D=$dir"), stopSession = false)
+    assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
+      s"dictionary overwrite ran concurrently with its reader: ${StoreTimeline.intervals}")
     // a LOAD of a just-stored path drains the pending write first, so the
     // read sees complete data — the independence barrier
     val script3 = writeScript(

@@ -694,6 +694,10 @@ class ScriptSpec extends SparkSpec {
     assert(ScriptEngine.evalCond("'NORTH AND SOUTH' == 'NORTH AND SOUTH'"))
     assert(ScriptEngine.evalCond("'x' == 'y' OR 'OR' == 'OR'"))
     assert(!ScriptEngine.evalCond("'a OR b' == 'c'"))
+    // \b semantics: '_' is a word char, so bare tokens containing _OR_/_AND_
+    // are operands, not connectives
+    assert(ScriptEngine.evalCond("X_OR_Y == X_OR_Y"))
+    assert(!ScriptEngine.evalCond("NORTH_AND_SOUTH == 'c'"))
   }
 
   test("preprocessor $DATE computes offset dates in paths (JS date arithmetic parity)") {

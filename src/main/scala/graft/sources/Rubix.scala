@@ -175,6 +175,11 @@ object Rubix {
           if (b.file.endsWith(".deflate")) new java.util.zip.InflaterInputStream(bounded)
           else if (b.file.endsWith(".gz")) new java.util.zip.GZIPInputStream(bounded)
           else bounded
+        // the codec stream owns a native Inflater that only close() (not
+        // GC) releases promptly — mirror of the write side's Deflater fix
+        if (raw ne bounded)
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raw.close()))
         serType match {
           case "COMPACT" =>
             (0L until b.numRecords).iterator.map { _ =>

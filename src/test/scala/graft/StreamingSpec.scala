@@ -249,6 +249,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertStream: the null partition merges and drops through the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-cdc-nullpart").toString
+    val in = MemoryStream[(Long, Option[String], String, String, Long)]
+    val q = graft.operators.Incremental.upsertStream(
+      in.toDF().toDF("id", "dt", "v", "op", "seq"),
+      s"$base/t", Seq("id"), "dt", "seq", s"$base/ck", opCol = Some("op"))
+    try {
+      // batch 0 creates a mixed table with two rows in the NULL partition
+      in.addData((1L, None, "a", "I", 1L), (2L, None, "b", "I", 2L),
+        (3L, Some("2024-01-01"), "c", "I", 3L))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$base/t/dt=__HIVE_DEFAULT_PARTITION__").exists())
+      // batch 1 updates one null-partition key — the other must survive
+      in.addData((1L, None, "a2", "U", 10L))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(s"$base/t").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(t1 == Map(1L -> "a2", 2L -> "b", 3L -> "c"), t1.toString)
+      // batch 2 deletes both: the __HIVE_DEFAULT_PARTITION__ dir drops
+      in.addData((1L, None, "a2", "D", 20L), (2L, None, "b", "D", 21L))
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$base/t/dt=__HIVE_DEFAULT_PARTITION__").exists(),
+        "emptied null partition survived the streamed delete")
+      val t2 = spark.read.parquet(s"$base/t").collect().map(_.getAs[Long]("id")).toSet
+      assert(t2 == Set(3L), t2.toString)
+    } finally q.stop()
+  }
+
   test("streamRefresh maintains the additive MV from a stream of facts") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mv-stream").toString

@@ -112,9 +112,12 @@ object Matrix {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()
     val n = nodes.count()
+    // same broadcast posture as pageRankPortable: the O(V) rank vector
+    // rides to the edges only while it provably fits an executor
+    val bcastRanks = n <= BroadcastNodeThreshold
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 0 until iters) {
-      val contrib = spMV(m, ranks.toDF("k", "w"))
+      val contrib = spMV(m, ranks.toDF("k", "w"), broadcastVector = bcastRanks)
         .select(col("i").as("node"), col("val").as("c"))
       ranks = ckpt(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),

@@ -233,6 +233,19 @@ class ScriptRunnerSpec extends SparkSpec {
     ScriptRunner.run(Array(script2c, s"D=$dir"), stopSession = false)
     assert(!overlap(StoreTimeline.intervals.get("a"), StoreTimeline.intervals.get("b")),
       s"dictionary overwrite ran concurrently with its reader: ${StoreTimeline.intervals}")
+    // a failed concurrent write surfaces as a loud error naming its STORE
+    // statement — never a silent drop or a hung pool
+    val badFn = writeScript(
+      """FUNCTION boom graft.FailingMarkFn;
+        |t = LOAD '$D/in' USING PARQUET;
+        |bad = FROM t GENERATE boom(x) AS v;
+        |STORE bad INTO '$D/bad' USING PARQUET;
+        |STORE t INTO '$D/good' USING PARQUET;""".stripMargin)
+    val err = intercept[RuntimeException](
+      ScriptRunner.run(Array(badFn, s"D=$dir"), stopSession = false))
+    assert(err.getMessage.contains("STORE bad INTO"), err.getMessage)
+    // the sibling write was awaited, not abandoned
+    assert(spark.read.parquet(s"$dir/good").count() == 1)
     // a LOAD of a just-stored path drains the pending write first, so the
     // read sees complete data — the independence barrier
     val script3 = writeScript(
@@ -255,6 +268,18 @@ object StoreTimeline {
   def mark(marker: String, s: Long, e: Long): Unit =
     intervals.merge(marker, (s, e),
       (p, q) => (math.min(p._1, q._1), math.max(p._2, q._2)))
+}
+
+/** UserFunction whose UDF always throws — drives the failed-concurrent-
+  * STORE propagation test.
+  */
+class FailingMarkFn extends graft.script.ScriptEngine.UserFunction {
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               args: Seq[String]): Unit =
+    spark.udf.register(name, { (_: Long) =>
+      val never: Long = throw new IllegalStateException("deliberate test failure")
+      never
+    })
 }
 
 /** UserFunction whose UDF sleeps `ms` per row and records its execution

@@ -151,8 +151,8 @@ object Incremental {
   // must not be mistaken for replay.
   private def batchMarker(mvPath: String) = new Path(mvPath, "_graft_last_batch")
 
-  private def lastMergedBatch(spark: SparkSession, mvPath: String,
-                              checkpoint: String): Long = {
+  private[graft] def lastMergedBatch(spark: SparkSession, mvPath: String,
+                                     checkpoint: String): Long = {
     val p = batchMarker(mvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
@@ -166,8 +166,8 @@ object Incremental {
     }
   }
 
-  private def recordMergedBatch(spark: SparkSession, mvPath: String,
-                                checkpoint: String, id: Long): Unit = {
+  private[graft] def recordMergedBatch(spark: SparkSession, mvPath: String,
+                                       checkpoint: String, id: Long): Unit = {
     val p = batchMarker(mvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -195,6 +195,48 @@ object Streaming {
       }
   }
 
+  /** Continuous MinHash near-dup screen: each arriving micro-batch runs
+    * the full batch pipeline against the STATIC corpus index — banded
+    * candidates ([[graft.dedup.Dedup.minHashLshAgainstIndex]]) then exact
+    * Jaccard verification of only the touched corpus docs
+    * ([[graft.dedup.Dedup.minHashDedupAgainstIndex]]) — and appends the
+    * SURVIVING batch rows (no verified near-dup in the corpus) to
+    * `outPath`. The shingle-modality sibling of
+    * [[graft.dedup.Dedup.semDedupScreenStream]], via foreachBatch because
+    * exact verification aggregates (checkpointed candidate spine, shingle
+    * intersection), which an unbounded stream cannot.
+    *
+    * Exactly-once under replay through the same marker discipline as
+    * `streamRefresh`: an append is not idempotent, so the last appended
+    * batchId is recorded beside the output and replayed batches skip.
+    * Scope matches the batch op: batch-vs-CORPUS only — intra-batch
+    * near-dups need a `minHashDedup` pass downstream, and surviving docs
+    * do NOT join the index mid-stream (rebuild it on corpus append).
+    */
+  def minHashScreenStream(stream: DataFrame, index: DataFrame, corpus: DataFrame,
+                          outPath: String, checkpoint: String,
+                          shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.8, textCol: String = "text",
+                          idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty &&
+            batchId > graft.operators.Incremental.lastMergedBatch(spark, outPath, checkpoint)) {
+          val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
+            batch.toDF(), index, corpus, shingleN, k, bands, threshold, textCol, idCol)
+            .select(col("batch_id").as(idCol)).distinct()
+          batch.toDF().join(dups, Seq(idCol), "left_anti")
+            .write.mode("append").parquet(outPath)
+          graft.operators.Incremental.recordMergedBatch(spark, outPath, checkpoint, batchId)
+        }
+      }
+      .start()
+
   /** Sink a stream to parquet with checkpointing; returns the query handle. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =

@@ -385,6 +385,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minHashScreenStream drops verified corpus near-dups, appends survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-mh-screen").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = graft.dedup.Dedup.minHashIndex(corpus, shingleN = 2, k = 16, bands = 8)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.minHashScreenStream(
+      in.toDF().toDF("doc_id", "text"), index, corpus,
+      s"$dir/out", s"$dir/ck", shingleN = 2, k = 16, bands = 8, threshold = 0.5)
+    try {
+      // 100 is a true near-dup of corpus doc 1 (drops); 101 is unrelated
+      // (survives); 102 BAND-collides candidates can arise but exact
+      // verification keeps it (low real jaccard vs corpus doc 2)
+      in.addData((100L, base.replace("mu", "nu")),
+        (101L, "wholly unrelated text goes here"),
+        (102L, "one two three completely different tail of words"))
+      q.processAllAvailable()
+      val got1 = spark.read.parquet(s"$dir/out").collect()
+        .map(_.getLong(0)).toSet
+      assert(got1 == Set(101L, 102L), got1.toString)
+      // a later batch appends its own survivors
+      in.addData((200L, "another novel document entirely"), (201L, base))
+      q.processAllAvailable()
+      val got2 = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).toSet
+      assert(got2 == Set(101L, 102L, 200L), got2.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the time bound, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]

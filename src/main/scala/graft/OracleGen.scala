@@ -1227,6 +1227,40 @@ object OracleGen {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id""".stripMargin
   }
 
+  /** Exact unrolled replay of BPE TRAINING (q206): the word dictionary
+    * forms once (count-filtered, count-desc/word capped like `Bpe.learn`),
+    * then `numMerges` rounds each count adjacent symbol pairs over the
+    * chr(31)-wrapped segmentations (the [[bpeSegment]] encoding), pick the
+    * (count desc, left, right) argmax, and re-segment via the
+    * boundary-anchored replace — the sequential trainer `learnFromCounts`
+    * is provably equal to the batched one, so the SQL replays either.
+    * This is the hash anchor that keeps the 50-merge q91 honestly
+    * rows-only without leaving training itself unverified.
+    */
+  def bpeLearnExact(numMerges: Int, minCount: Long): String = {
+    val S = "chr(31)"
+    val head =
+      s"""tok AS (SELECT unnest($toks) AS t FROM documents),
+         |wc AS (SELECT t AS word, COUNT(*) AS c FROM tok GROUP BY t
+         |  HAVING COUNT(*) >= $minCount ORDER BY c DESC, word LIMIT 100000),
+         |d0 AS (SELECT regexp_replace(word, '(.)', $S||'\\1'||$S, 'g') AS w, c FROM wc)""".stripMargin
+    val rounds = (0 until numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, SUM(c) AS cnt FROM (
+         |    SELECT c, unnest(list_zip(syms, syms[2:])) AS pr FROM (
+         |      SELECT c, string_split(trim(w, chr(31)), $S||$S) AS syms FROM d$i))
+         |  WHERE pr[2] IS NOT NULL GROUP BY pr[1], pr[2]),
+         |m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |d${i + 1} AS (SELECT replace(w, $S||m.a||$S||$S||m.b||$S, $S||m.a||m.b||$S) AS w, c
+         |  FROM d$i, m$i m)""".stripMargin
+    }
+    val sel = (0 until numMerges)
+      .map(i => s"""SELECT $i AS rank, a AS "left", b AS "right" FROM m$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, "left", "right" FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
   // ---- q111 PCA whitening / q112 softmax class ------------------------------
 
   /** Whitened projection under Pca.fixtureModel — mirrors Pca.transform's

@@ -1300,6 +1300,17 @@ object SparkEntry {
         .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
         .toDF("rank", "left", "right")
     }),
+    // BPE TRAINING hash anchor: a 6-merge model learned from the real
+    // corpus word counts, replayed merge-for-merge by an unrolled DuckDB
+    // oracle (segmentations as chr(31)-wrapped strings, argmax per round)
+    // — training itself is hash-verified; q91 keeps the 50-merge
+    // production shape rows-only
+    "q206_bpe_learn_exact" -> ((s, d) => {
+      import s.implicits._
+      graft.text.Bpe.learn(t(s, d, "documents"), numMerges = 6, minWordCount = 2L)
+        .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left", "right")
+    }),
     // BPE apply: segment the corpus under the FIXED rank-consistent merge
     // table so the exact subword counts are SQL-oracle-checkable (the
     // learned-merge composition stays covered by q91 + BpeKmeansSpec's
@@ -2433,6 +2444,7 @@ object SparkEntry {
     "q82_vocab_pairs" -> OracleGen.pairCounts(minCount = 2L),
     "q90_mixture_take" -> OracleGen.mixtureTake(budget = 20000L),
     "q92_bpe_segment" -> OracleGen.bpeSegment(graft.text.Bpe.demoMerges),
+    "q206_bpe_learn_exact" -> OracleGen.bpeLearnExact(numMerges = 6, minCount = 2L),
     "q93_duplicate_spans" -> OracleGen.duplicateSpans(n = 8, minCount = 2L),
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->

@@ -1261,6 +1261,40 @@ object OracleGen {
        |SELECT CAST(rank AS BIGINT) AS rank, "left", "right" FROM ($sel) ORDER BY rank""".stripMargin
   }
 
+  /** Unrolled exact replay of [[graft.similarity.Similarity.kmeansFitPortable]]
+    * (q207): quantized vectors, per-round integer squared-L2 argmin (ties
+    * to the lowest centroid id) and truncating-division centroid means
+    * (DuckDB's integer `//` truncates toward zero, as does Scala's) — the
+    * k-means sibling of the pageRank/LPA unrolled oracles. Output is the
+    * final centroids posexploded to (centroid_id, pos, v) scalars.
+    */
+  def kmeansPortable(k: Int, iters: Int, scale: Long): String = {
+    val head =
+      s"""v AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, xq AS cq FROM (
+         |  SELECT xq, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (SELECT vec_id, xq, cid FROM (
+         |  SELECT v.vec_id, v.xq, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(list_zip(v.xq, c.cq),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rk
+         |  FROM v, c${r - 1} c) WHERE rk = 1),
+         |s$r AS (SELECT cid, pos, SUM(vv) AS s, COUNT(*) AS n FROM (
+         |  SELECT cid, unnest(xq) AS vv, unnest(range(array_length(xq))) AS pos
+         |  FROM a$r) GROUP BY cid, pos),
+         |c$r AS (SELECT c.cid, COALESCE(m.cq2, c.cq) AS cq FROM c${r - 1} c
+         |  LEFT JOIN (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cq2
+         |    FROM s$r GROUP BY cid) m ON c.cid = m.cid)""".stripMargin
+    }
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT cid AS centroid_id, CAST(pos AS BIGINT) AS pos, vv AS v FROM (
+       |  SELECT cid, unnest(cq) AS vv, unnest(range(array_length(cq))) AS pos
+       |  FROM c$iters)""".stripMargin
+  }
+
   // ---- q111 PCA whitening / q112 softmax class ------------------------------
 
   /** Whitened projection under Pca.fixtureModel — mirrors Pca.transform's

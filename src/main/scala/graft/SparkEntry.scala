@@ -1305,6 +1305,14 @@ object SparkEntry {
     // oracle (segmentations as chr(31)-wrapped strings, argmax per round)
     // — training itself is hash-verified; q91 keeps the 50-merge
     // production shape rows-only
+    // k-means TRAINING hash anchor: the bit-portable integer variant
+    // (quantized coords, integer argmin, floor-division means) replayed
+    // over 2 unrolled oracle rounds — the float kmeansFit (q94) stays
+    // rows-only because double averages are summation-order-sensitive
+    "q207_kmeans_portable" -> ((s, d) =>
+      Similarity.kmeansFitPortable(t(s, d, "embeddings"), k = 4, iters = 2)
+        .select(col("centroid_id"), posexplode(col("cvec")).as(Seq("pos", "v")))
+        .select(col("centroid_id"), col("pos").cast("long").as("pos"), col("v"))),
     "q206_bpe_learn_exact" -> ((s, d) => {
       import s.implicits._
       graft.text.Bpe.learn(t(s, d, "documents"), numMerges = 6, minWordCount = 2L)
@@ -2445,6 +2453,8 @@ object SparkEntry {
     "q90_mixture_take" -> OracleGen.mixtureTake(budget = 20000L),
     "q92_bpe_segment" -> OracleGen.bpeSegment(graft.text.Bpe.demoMerges),
     "q206_bpe_learn_exact" -> OracleGen.bpeLearnExact(numMerges = 6, minCount = 2L),
+    "q207_kmeans_portable" ->
+      OracleGen.kmeansPortable(k = 4, iters = 2, scale = 1000000L),
     "q93_duplicate_spans" -> OracleGen.duplicateSpans(n = 8, minCount = 2L),
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->

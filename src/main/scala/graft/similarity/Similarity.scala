@@ -307,6 +307,65 @@ object Similarity {
     centroids.toDF("centroid_id", "cvec")
   }
 
+  /** [[kmeansFit]] in EXACT integer arithmetic — the bit-portable sibling
+    * (the pageRankPortable/KMV posture): vectors quantize to
+    * floor(x·scale) longs, assignment is the squared-L2 integer argmin
+    * (ties to the lowest centroid id), and each round's centroid update is
+    * the per-dimension TRUNCATING-division mean (s / n toward zero — the
+    * SQL integer-division convention, so engines agree) — every iteration
+    * a pure
+    * function of integers, so an external oracle replays N unrolled
+    * rounds hash-for-hash, which float k-means (summation-order-sensitive
+    * averages) never allows. Seeds are the first k vectors in `idCol`
+    * order (deterministic); an emptied cluster keeps its centroid.
+    * Quantization floors lose < 1/scale per coordinate — clustering-
+    * irrelevant at the default 10^6 grid.
+    *
+    * Scale shape per round: one broadcast-literal narrow argmin over the
+    * corpus (centroids ride the plan as a k×d literal, zero exchange —
+    * the [[ivfAssign]] discipline) + one partial-aggregated per-(cell,
+    * dim) integer sum; the driver holds k×d longs only.
+    */
+  def kmeansFitPortable(df: DataFrame, k: Int, iters: Int, scale: Long = 1000000L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0 && scale >= 1, s"bad k=$k iters=$iters scale=$scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long")).as("xq"))
+    var centroids: Seq[(Long, Seq[Long])] = q.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+    require(centroids.size == k, s"need >= $k vectors, got ${centroids.size}")
+    for (_ <- 1 to iters) {
+      // argmin as the min of (dist, cid) structs over a plan-embedded
+      // centroid literal — narrow, no exchange, exact integer distances
+      val scored = array(centroids.map { case (cid, cq) =>
+        struct(
+          aggregate(
+            zip_with(col("xq"), typedLit(cq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, d) => acc + d).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      val sums = q
+        .withColumn("cid", array_min(scored).getField("cid"))
+        .select(col("cid"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      centroids = centroids.map { case (cid, old) =>
+        if (sums.contains((cid, 0))) {
+          (cid, old.indices.map { p =>
+            val (s, n) = sums((cid, p)); s / n // truncating, like SQL //
+          })
+        } else (cid, old) // emptied cluster keeps its centroid
+      }
+    }
+    centroids.toDF("centroid_id", "cvec")
+  }
+
   /** IVF ANN search end-to-end: assign the corpus to its nearest centroid
     * cell (max cosine, ties to the lowest centroid_id), have each query
     * probe its `nprobe` nearest cells, then brute-force ONLY within the

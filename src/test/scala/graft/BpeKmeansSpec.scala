@@ -96,6 +96,42 @@ class BpeKmeansSpec extends SparkSpec {
     assert(sizes == Seq(10L, 10L, 10L))
   }
 
+  test("kmeansFitPortable: exact integer fixture, separated-cluster recovery, empty cluster") {
+    // hand-computable fixture: k=2, 1-dim, seeds = vecs 0 (0.0) and 1 (1.0).
+    // quantized (scale 10): [0, 10, 2, 8]; round 1 assigns {0,2}→c0, {10,8}→c1
+    // (2 is 2 from c0 vs 8 from c1; ties impossible); means: c0=(0+2)/2=1,
+    // c1=(10+8)/2=9 — exact integers
+    val df = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(0.2f)), (3L, Seq(0.8f))
+    ).toDF("vec_id", "embedding")
+    val c = Similarity.kmeansFitPortable(df, k = 2, iters = 1, scale = 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c == Map(0L -> Seq(1L), 1L -> Seq(9L)), c.toString)
+    // truncating division toward zero on NEGATIVE sums (the SQL // law):
+    // float-EXACT coords -0.25 and 0.0 quantize (scale 10, floor) to
+    // [-3, 0] → mean = -3 / 2 = -1 (floor division would say -2)
+    val neg = Seq((0L, Seq(-0.25f)), (1L, Seq(5.0f)), (2L, Seq(0.0f)))
+      .toDF("vec_id", "embedding")
+    val cn = Similarity.kmeansFitPortable(neg, k = 2, iters = 1, scale = 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cn(0L) == Seq(-1L), cn.toString)
+    // three well-separated clusters recover exactly like the float variant
+    val pts = (0 until 30).map { i =>
+      val base = Array(0.0, 0.0, 0.0); base(i % 3) = 10.0
+      (i.toLong, base.toSeq.map(_.toFloat))
+    }
+    val sep = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFitPortable(sep, k = 3, iters = 4)
+      .collect().map(_.getSeq[Long](1))
+    assert(cents.map(v => v.indexOf(v.max)).toSet == Set(0, 1, 2), cents.toString)
+    // a centroid that captures nothing keeps its coordinates
+    val lone = Seq((0L, Seq(0.0f)), (1L, Seq(0.001f)), (2L, Seq(0.002f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.kmeansFitPortable(lone, k = 2, iters = 2, scale = 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kept.size == 2 && kept(1L) == Seq(0L), kept.toString)
+  }
+
   test("kmeans seeding plans a bounded top-k, not a global sort") {
     val df = (0 until 1000).map(i => (i.toLong, Seq(i.toFloat, -i.toFloat)))
       .toDF("vec_id", "embedding").repartition(8)

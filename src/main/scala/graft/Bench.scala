@@ -91,7 +91,12 @@ object Bench {
     "q200_calibration",
     "q201_label_prop",
     "q202_split_leakage",
-    "q203_did")
+    "q203_did",
+    // round-9 additions: the iterative data-selection family (k driver
+    // rounds of narrow literal-scored scans — the bench tracks their
+    // fixed per-round cost the way q199/q201 track the graph loops)
+    "q208_kcenter_greedy",
+    "q209_mmr_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

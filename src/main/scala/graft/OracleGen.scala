@@ -1295,6 +1295,72 @@ object OracleGen {
        |  FROM c$iters)""".stripMargin
   }
 
+  /** Unrolled exact replay of
+    * [[graft.similarity.Similarity.kCenterGreedyPortable]] (q208):
+    * quantized vectors, then k−1 farthest-first rounds — each round the
+    * max over unselected rows of the min integer squared-L2 to the
+    * selected set, ties to the lowest vec_id — the selection sibling of
+    * the kmeans/pageRank unrolled oracles.
+    */
+  def kCenterPortable(k: Int, scale: Long): String = {
+    val head =
+      s"""v AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |sel1 AS MATERIALIZED (SELECT 1 AS rk, vec_id, xq, CAST(0 AS BIGINT) AS md
+         |  FROM v ORDER BY vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""pick$r AS MATERIALIZED (SELECT $r AS rk, vec_id, xq, md FROM (
+         |    SELECT v.vec_id, ANY_VALUE(v.xq) AS xq,
+         |      CAST(MIN(list_sum(list_transform(list_zip(v.xq, c.xq),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT) AS md
+         |    FROM v, sel${r - 1} c
+         |    WHERE v.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |    GROUP BY v.vec_id)
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT CAST(rk AS BIGINT) AS sel_rank, vec_id, md AS mindist_sq
+       |FROM sel$k ORDER BY sel_rank""".stripMargin
+  }
+
+  /** Unrolled exact replay of
+    * [[graft.similarity.Similarity.mmrSelectPortable]] (q209) with the
+    * query = the lowest-vec_id embedding: integer dot-product relevance,
+    * per-round all-integer score lambdaPct·rel − (100−lambdaPct)·maxsim
+    * over the selected set, ties to the lowest vec_id.
+    */
+  def mmrPortable(k: Int, lambdaPct: Int, scale: Long): String = {
+    val lo = 100 - lambdaPct
+    val head =
+      s"""v AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |qv AS MATERIALIZED (SELECT xq AS qq FROM v ORDER BY vec_id LIMIT 1),
+         |r AS MATERIALIZED (SELECT v.vec_id, v.xq,
+         |    CAST(list_sum(list_transform(list_zip(v.xq, qv.qq),
+         |      p -> p[1] * p[2])) AS BIGINT) AS rel
+         |  FROM v, qv),
+         |sel1 AS MATERIALIZED (SELECT 1 AS rk, vec_id, xq, $lambdaPct * rel AS sc
+         |  FROM r ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""pick$r AS MATERIALIZED (SELECT $r AS rk, vec_id, xq, sc FROM (
+         |    SELECT r.vec_id, ANY_VALUE(r.xq) AS xq,
+         |      $lambdaPct * ANY_VALUE(r.rel) - $lo *
+         |        CAST(MAX(list_sum(list_transform(list_zip(r.xq, c.xq),
+         |          p -> p[1] * p[2]))) AS BIGINT) AS sc
+         |    FROM r, sel${r - 1} c
+         |    WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |    GROUP BY r.vec_id)
+         |  ORDER BY sc DESC, vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT CAST(rk AS BIGINT) AS sel_rank, vec_id, CAST(sc AS BIGINT) AS mmr_score
+       |FROM sel$k ORDER BY sel_rank""".stripMargin
+  }
+
   // ---- q111 PCA whitening / q112 softmax class ------------------------------
 
   /** Whitened projection under Pca.fixtureModel — mirrors Pca.transform's

@@ -1319,6 +1319,18 @@ object SparkEntry {
         .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
         .toDF("rank", "left", "right")
     }),
+    // Data-selection family, both hash-exact end to end: k-center greedy
+    // (farthest-first coreset — 8 unrolled oracle rounds replay the whole
+    // traversal) and MMR diversity re-rank (query = the lowest-id
+    // embedding; all-integer lambda·rel − (1−lambda)·maxsim scores)
+    "q208_kcenter_greedy" -> ((s, d) =>
+      Similarity.kCenterGreedyPortable(t(s, d, "embeddings"), k = 8)),
+    "q209_mmr_select" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qv = emb.orderBy("vec_id").limit(1).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.mmrSelectPortable(emb, qv, k = 8, lambdaPct = 70)
+    }),
     // BPE apply: segment the corpus under the FIXED rank-consistent merge
     // table so the exact subword counts are SQL-oracle-checkable (the
     // learned-merge composition stays covered by q91 + BpeKmeansSpec's
@@ -2455,6 +2467,8 @@ object SparkEntry {
     "q206_bpe_learn_exact" -> OracleGen.bpeLearnExact(numMerges = 6, minCount = 2L),
     "q207_kmeans_portable" ->
       OracleGen.kmeansPortable(k = 4, iters = 2, scale = 1000000L),
+    "q208_kcenter_greedy" -> OracleGen.kCenterPortable(k = 8, scale = 1000000L),
+    "q209_mmr_select" -> OracleGen.mmrPortable(k = 8, lambdaPct = 70, scale = 1000000L),
     "q93_duplicate_spans" -> OracleGen.duplicateSpans(n = 8, minCount = 2L),
     "q86_chunk" -> OracleGen.chunk(chunkTokens = 20, overlap = 5),
     "q87_crosscorpus_jaccard" ->

@@ -366,6 +366,106 @@ object Similarity {
     centroids.toDF("centroid_id", "cvec")
   }
 
+  /** K-center greedy selection (farthest-first traversal) in EXACT integer
+    * arithmetic — the coreset/data-pruning workhorse (Sener & Savarese
+    * 2018's active-learning core-set; the "diverse subset" pass of
+    * embedding-based corpus curation): seed with the lowest-id vector,
+    * then `k − 1` times pick the point FARTHEST from everything selected
+    * so far (max over the corpus of min squared-L2 to the selected set;
+    * ties to the lowest id). The selected prefix of any length is itself
+    * a 2-approximate k-center cover, so one run at k yields every smaller
+    * budget for free; `mindist_sq` is the covering radius² at each pick —
+    * the standard selection-size diagnostic (radius vs rank curve).
+    * Vectors quantize to floor(x·scale) longs, so every round is a pure
+    * function of integers and an external engine replays the whole
+    * traversal hash-for-hash (same posture as [[kmeansFitPortable]]).
+    *
+    * Scale shape per round: ONE narrow scan — the selected vectors ride
+    * the plan as an r×d literal (the [[ivfAssign]] discipline, zero
+    * exchange), min-dist folds per row, and `orderBy(...).limit(1)` is
+    * TakeOrderedAndProject (per-partition top-1 then a driver merge of
+    * one row per partition — never a global sort). The driver holds k×d
+    * longs. k is a selection budget (10²–10⁴), not a corpus fraction, so
+    * the k sequential jobs are the algorithm's inherent data dependency,
+    * not a scaling liability; corpus size only widens each scan.
+    */
+  def kCenterGreedyPortable(df: DataFrame, k: Int, scale: Long = 1000000L,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && scale >= 1, s"bad k=$k scale=$scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long")).as("xq"))
+    val seed = q.orderBy("vec_id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedyPortable: empty input")
+    var selected = Vector[(Long, Seq[Long], Long)](
+      (seed(0).getLong(0), seed(0).getSeq[Long](1), 0L))
+    for (_ <- 2 to k) {
+      val mindist = array_min(array(selected.map { case (_, cq, _) =>
+        aggregate(zip_with(col("xq"), typedLit(cq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d)
+      }: _*))
+      val next = q.filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("xq"), mindist.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()
+      require(next.nonEmpty, s"kCenterGreedyPortable: k=$k exceeds input size")
+      selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("sel_rank", "vec_id", "mindist_sq")
+  }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) in
+    * EXACT integer arithmetic — the diversity-aware re-rank between
+    * retrieval and a context window: greedily pick `k` corpus vectors
+    * maximizing `λ·rel − (1 − λ)·redundancy`, with relevance the integer
+    * dot product against the query vector, redundancy the max dot product
+    * against what's already selected, and λ carried as the rational
+    * `lambdaPct/100` — so the score is the all-integer
+    * `lambdaPct·rel − (100 − lambdaPct)·maxsim` (both engines agree
+    * bit-for-bit; ties to the lowest id). The first pick is pure argmax
+    * relevance. Dot product (not cosine) keeps the arithmetic closed over
+    * the integers; pre-normalize embeddings upstream when cosine
+    * semantics matter.
+    *
+    * Same per-round scale shape as [[kCenterGreedyPortable]]: one narrow
+    * literal-scored scan + TakeOrderedAndProject top-1, k small.
+    */
+  def mmrSelectPortable(df: DataFrame, query: Seq[Double], k: Int, lambdaPct: Int = 70,
+                        scale: Long = 1000000L, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && scale >= 1 && lambdaPct >= 0 && lambdaPct <= 100,
+      s"bad k=$k scale=$scale lambdaPct=$lambdaPct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qvec: Seq[Long] = query.map(x => math.floor(x * scale).toLong)
+    val q = df.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long")).as("xq"))
+    def idot(v: Seq[Long]) =
+      aggregate(zip_with(col("xq"), typedLit(v), (a, b) => a * b),
+        lit(0L), (acc, d) => acc + d)
+    val rel = idot(qvec)
+    var selected = Vector.empty[(Long, Seq[Long], Long)] // (id, xq, score)
+    for (_ <- 1 to k) {
+      val score =
+        if (selected.isEmpty) lit(lambdaPct.toLong) * rel
+        else lit(lambdaPct.toLong) * rel -
+          lit((100 - lambdaPct).toLong) *
+            array_max(array(selected.map { case (_, sq, _) => idot(sq) }: _*))
+      val next = q.filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("xq"), score.as("sc"))
+        .orderBy(col("sc").desc, col("vec_id")).limit(1).collect()
+      require(next.nonEmpty, s"mmrSelectPortable: k=$k exceeds input size")
+      selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1L, id, s) }
+      .toDF("sel_rank", "vec_id", "mmr_score")
+  }
+
   /** IVF ANN search end-to-end: assign the corpus to its nearest centroid
     * cell (max cosine, ties to the lowest centroid_id), have each query
     * probe its `nprobe` nearest cells, then brute-force ONLY within the

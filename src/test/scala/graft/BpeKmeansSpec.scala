@@ -312,4 +312,60 @@ class BpeKmeansSpec extends SparkSpec {
     // |50*1e9 - 100*0.95e9| = 45e9: ECE = 45e9/(100*1e9) = 0.45
     assert(bad.getAs[Long]("ece_num") == 45000000000L, bad.toString)
   }
+
+  test("kCenterGreedyPortable: exact fixture, monotone radius, distinct picks") {
+    // hand fixture (scale 10, 1-d): [0.0, 1.0, 0.4] → quantized [0, 10, 4].
+    // Seed = lowest id (md 0); round 2 picks 1.0 (dist² 100 beats 16);
+    // round 3's 0.4 is min(16 to the seed, 36 to 1.0) = 16 from the SET,
+    // not just the latest center
+    val df = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(0.4f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterGreedyPortable(df, k = 3, scale = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.toSeq == Seq((1L, 1L, 0L), (2L, 2L, 100L), (3L, 3L, 16L)), sel.toSeq)
+    // property corpus (fixed-seed LCG): the covering radius² never grows
+    // along the traversal — the 2-approximation's monotone invariant —
+    // and picks never repeat
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val rnd = lcg(7L)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(3)((math.floorMod(rnd.next(), 2001) - 1000) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    val run = Similarity.kCenterGreedyPortable(pts, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(run.map(_._2).distinct.length == 12, "repeated pick")
+    assert(run.head._2 == 0L, "seed must be the lowest id")
+    val radii = run.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"covering radius grew along the traversal: ${radii.toSeq}")
+    // budget > corpus fails loudly instead of looping or repeating
+    val tiny = Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedyPortable(tiny, k = 2, scale = 10L)
+    }
+  }
+
+  test("mmrSelectPortable: relevance first, then the diversity penalty reorders") {
+    // scale 10, query [1, 0]: rel a=100, b=90, c=0. λ=50%: pick a (5000);
+    // then b and c BOTH score 0 (b's 4500 relevance is fully cancelled by
+    // its similarity to a) — the tie breaks to the lower id, so b; c's
+    // final score goes negative: 0 − 50·sim(c,b)=10 → −500
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelectPortable(df, Seq(1.0, 0.0), k = 3,
+      lambdaPct = 50, scale = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.toSeq == Seq((1L, 1L, 5000L), (2L, 2L, 0L), (3L, 3L, -500L)), sel.toSeq)
+    // λ=100 degenerates to pure relevance order (no diversity penalty)
+    val pure = Similarity.mmrSelectPortable(df, Seq(1.0, 0.0), k = 3,
+      lambdaPct = 100, scale = 10L).collect().map(_.getLong(1))
+    assert(pure.toSeq == Seq(1L, 2L, 3L), pure.toSeq)
+    // λ=0 ignores the query after the first pick and spreads: the seed is
+    // the tie-broken lowest id (all scores 0), then the LEAST similar next
+    val spread = Similarity.mmrSelectPortable(df, Seq(1.0, 0.0), k = 2,
+      lambdaPct = 0, scale = 10L).collect().map(_.getLong(1))
+    assert(spread.toSeq == Seq(1L, 3L), spread.toSeq)
+  }
 }

@@ -402,19 +402,30 @@ object Similarity {
     var selected = Vector[(Long, Seq[Long], Long)](
       (seed(0).getLong(0), seed(0).getSeq[Long](1), 0L))
     for (_ <- 2 to k) {
-      val mindist = array_min(array(selected.map { case (_, cq, _) =>
-        aggregate(zip_with(col("xq"), typedLit(cq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, d) => acc + d)
-      }: _*))
-      val next = q.filter(!col("vec_id").isin(selected.map(_._1): _*))
-        .select(col("vec_id"), col("xq"), mindist.as("md"))
-        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()
+      val next = kCenterRound(q, selected.map(t => (t._1, t._2))).limit(1).collect()
       require(next.nonEmpty, s"kCenterGreedyPortable: k=$k exceeds input size")
       selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
     }
     selected.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1L, id, d) }
       .toDF("sel_rank", "vec_id", "mindist_sq")
+  }
+
+  /** One farthest-first round of [[kCenterGreedyPortable]], pre-`limit(1)`
+    * — factored out so PlanAuditSpec can pin the round's shape: the
+    * selected set rides as a literal, the scan is narrow (no Exchange
+    * anywhere in the round), and the `.orderBy.limit(1)` the caller adds
+    * plans as TakeOrderedAndProject, never a global Sort.
+    */
+  private[graft] def kCenterRound(q: DataFrame,
+                                  selected: Seq[(Long, Seq[Long])]): DataFrame = {
+    val mindist = array_min(array(selected.map { case (_, cq) =>
+      aggregate(zip_with(col("xq"), typedLit(cq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, d) => acc + d)
+    }: _*))
+    q.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      .select(col("vec_id"), col("xq"), mindist.as("md"))
+      .orderBy(col("md").desc, col("vec_id"))
   }
 
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) in

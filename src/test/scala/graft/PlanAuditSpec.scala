@@ -653,4 +653,23 @@ class PlanAuditSpec extends SparkSpec {
       s"no object aggregate in:\n$d")
     assert(d.toLowerCase.contains("partial"), s"no partial agg in:\n$d")
   }
+
+  test("k-center round: literal-scored narrow scan, top-1 never a global sort (q208)") {
+    import org.apache.spark.sql.functions._
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long")).as("xq"))
+      .repartition(8)
+    val sel = Seq((0L, Seq.fill(64)(0L)), (7L, Seq.fill(64)(100L)))
+    val round = graft.similarity.Similarity.kCenterRound(q, sel).limit(1)
+    val d = details(round)
+    // the selected set rides the plan as a literal: the whole round is one
+    // narrow scan with NO exchange before the bounded top-1...
+    assert(d.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$d")
+    // ...and no global Sort materializes the corpus order (the repartition
+    // above is the only exchange, from the fixture itself)
+    assert(!d.contains("Sort ["), s"global sort in k-center round:\n$d")
+    assert(!d.contains("Window"), s"window in k-center round:\n$d")
+  }
 }

@@ -1113,3 +1113,37 @@ class SortedNeighborhood extends UserOperator {
     graft.operators.Joins.sortedNeighborhood(inputs.head, params("id"),
       expr(params("block")), expr(params("sort")), params("window").toInt)
 }
+
+/** K-center greedy coreset selection for scripts (farthest-first
+  * traversal, bit-portable integer arithmetic — see
+  * Similarity.kCenterGreedyPortable). Params: k (required), scale
+  * (1000000), id (vec_id), vec (embedding).
+  */
+class KCenterSelect extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.similarity.Similarity.kCenterGreedyPortable(inputs.head,
+      params("k").toInt, params.getOrElse("scale", "1000000").toLong,
+      params.getOrElse("id", "vec_id"), params.getOrElse("vec", "embedding"))
+}
+
+/** MMR diversity re-rank for scripts: input 1 = corpus, input 2 = a
+  * one-row query table carrying the query vector in `vec`. Params: k
+  * (required), lambdaPct (70), scale (1000000), id (vec_id), vec
+  * (embedding).
+  */
+class MmrSelect extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+    val vecCol = params.getOrElse("vec", "embedding")
+    val qRows = inputs(1).select(vecCol).limit(2).collect()
+    require(qRows.length == 1, s"MmrSelect: query table must have exactly 1 row")
+    val qv: Seq[Double] = qRows(0).getSeq[Any](0).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case n: java.lang.Number => n.doubleValue
+    }
+    graft.similarity.Similarity.mmrSelectPortable(inputs.head, qv,
+      params("k").toInt, params.getOrElse("lambdaPct", "70").toInt,
+      params.getOrElse("scale", "1000000").toLong,
+      params.getOrElse("id", "vec_id"), vecCol)
+  }
+}

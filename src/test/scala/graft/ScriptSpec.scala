@@ -868,6 +868,34 @@ class ScriptSpec extends SparkSpec {
     assert(v.length == 16 && v.sum == 3f && v.max == 2f, v.toString)
   }
 
+  test("selection plug-ins: k-center coreset and MMR re-rank from a script") {
+    import graft.script.ScriptEngine
+    // same hand fixtures as BpeKmeansSpec so the script path provably
+    // routes through the identical portable arithmetic
+    val corpus = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(0.4f)))
+      .toDF("vec_id", "embedding")
+    val kc = ScriptEngine.run(spark,
+      "sel = OPERATOR 'graft.script.ops.KCenterSelect' corpus ('k': '3', 'scale': '10');",
+      env0 = env("corpus" -> corpus))("sel")
+    assert(kc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 1L, 0L), (2L, 2L, 100L), (3L, 3L, 16L)))
+    val mmrCorpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val query = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("embedding")
+    val mmr = ScriptEngine.run(spark,
+      "sel = OPERATOR 'graft.script.ops.MmrSelect' corpus, q ('k': '3', 'lambdaPct': '50', 'scale': '10');",
+      env0 = env("corpus" -> mmrCorpus, "q" -> query))("sel")
+    assert(mmr.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 5000L), (2L, 0L), (3L, -500L)))
+    // a multi-row query table fails loudly, not with an arbitrary pick
+    val twoRow = Seq(Tuple1(Seq(1.0f, 0.0f)), Tuple1(Seq(0.0f, 1.0f))).toDF("embedding")
+    intercept[IllegalArgumentException] {
+      ScriptEngine.run(spark,
+        "sel = OPERATOR 'graft.script.ops.MmrSelect' corpus, q ('k': '1');",
+        env0 = env("corpus" -> mmrCorpus, "q" -> twoRow))("sel")
+    }
+  }
+
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable

@@ -380,18 +380,37 @@ object Similarity {
     * function of integers and an external engine replays the whole
     * traversal hash-for-hash (same posture as [[kmeansFitPortable]]).
     *
-    * Scale shape per round: ONE narrow scan — the selected vectors ride
-    * the plan as an r×d literal (the [[ivfAssign]] discipline, zero
-    * exchange), min-dist folds per row, and `orderBy(...).limit(1)` is
-    * TakeOrderedAndProject (per-partition top-1 then a driver merge of
-    * one row per partition — never a global sort). The driver holds k×d
-    * longs. k is a selection budget (10²–10⁴), not a corpus fraction, so
-    * the k sequential jobs are the algorithm's inherent data dependency,
-    * not a scaling liability; corpus size only widens each scan.
+    * Scale shape — TWO regimes, answer-identical (property-pinned):
+    *
+    *   - '''small k (≤ [[LiteralPlanMaxK]])''': each round is ONE narrow
+    *     scan with the whole selected set riding the plan as an r×d
+    *     literal (the [[ivfAssign]] discipline, zero exchange) and
+    *     `orderBy(...).limit(1)` planning as TakeOrderedAndProject
+    *     (per-partition top-1, driver merge — never a global sort). No
+    *     state to materialize, but round r pays O(r·d) expression work
+    *     per row — O(k²·d·n) total — and the literal plan itself grows
+    *     O(k·d), so Catalyst analysis/codegen cost blows up around k in
+    *     the low thousands.
+    *   - '''large k''': [[kCenterGreedyScalable]] — carry `mindist_sq` as
+    *     a MATERIALIZED column and fold in only the NEWEST pick each
+    *     round (`least(old, dist-to-newest)`), the standard incremental
+    *     form of farthest-first. Constant-size plans, O(k·d·n) total
+    *     compute, one localCheckpoint per round to keep lineage O(1).
+    *     This is the coreset-scale path (k = 10⁴–10⁶, the Sener &
+    *     Savarese regime).
+    *
+    * This entry point picks automatically: literal plans up to
+    * `maxLiteralK` (default [[LiteralPlanMaxK]]), the mindist-carrying
+    * traversal beyond. The k sequential driver rounds are the algorithm's
+    * inherent data dependency either way; corpus size only widens each
+    * scan.
     */
   def kCenterGreedyPortable(df: DataFrame, k: Int, scale: Long = 1000000L,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            maxLiteralK: Int = LiteralPlanMaxK): DataFrame = {
     require(k >= 1 && scale >= 1, s"bad k=$k scale=$scale")
+    if (k > maxLiteralK)
+      return kCenterGreedyScalable(df, k, scale, idCol, vecCol)
     val spark = df.sparkSession
     import spark.implicits._
     val q = df.select(col(idCol).cast("long").as("vec_id"),
@@ -410,6 +429,92 @@ object Similarity {
       .map { case ((id, _, d), i) => (i + 1L, id, d) }
       .toDF("sel_rank", "vec_id", "mindist_sq")
   }
+
+  /** Selected-set size above which [[kCenterGreedyPortable]] abandons the
+    * literal-unrolled round for the mindist-carrying traversal: past a few
+    * hundred literals the O(r·d) plan stops being "free metadata" —
+    * whole-stage codegen hits its 64 KB method limits and driver
+    * analysis time grows quadratically over the run.
+    */
+  val LiteralPlanMaxK: Int = 500
+
+  /** Large-k farthest-first traversal — answer-identical to
+    * [[kCenterGreedyPortable]] (property-pinned at k=32), built for
+    * coreset-scale budgets (k = 10⁴–10⁶) where the literal-unrolled round
+    * is quadratic in k and its plan outgrows Catalyst.
+    *
+    * Instead of re-deriving min-dist-to-selected from scratch each round,
+    * the state `(vec_id, xq, mindist_sq, sel)` is materialized once and
+    * each round folds in only the NEWEST pick:
+    * `mindist_sq ← least(mindist_sq, dist²-to-newest)` — the textbook
+    * incremental identity (min over a set = min of (min over prefix,
+    * newest member)). Every round is one narrow scan over the state with
+    * a single d-length literal, top-1 via TakeOrderedAndProject, then a
+    * localCheckpoint (or reliable checkpoint, opt-in for executor-loss
+    * survival on long runs — same posture as the [[graft.operators.Matrix]]
+    * iterative family) that keeps the lineage depth O(1) no matter how
+    * many rounds run. Total compute O(k·d·n); plan size O(d), constant.
+    */
+  def kCenterGreedyScalable(df: DataFrame, k: Int, scale: Long = 1000000L,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            reliableCheckpoint: Boolean = false): DataFrame = {
+    require(k >= 1 && scale >= 1, s"bad k=$k scale=$scale")
+    if (reliableCheckpoint)
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint requires SparkContext.setCheckpointDir to be set")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long")).as("xq"))
+    val seed = q.orderBy("vec_id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedyScalable: empty input")
+    val (seedId, seedXq) = (seed(0).getLong(0), seed(0).getSeq[Long](1))
+    def distTo(c: Seq[Long]) =
+      aggregate(zip_with(col("xq"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, d) => acc + d)
+    def ckpt(s: DataFrame): DataFrame =
+      if (reliableCheckpoint) s.checkpoint(true) else s.localCheckpoint(true)
+    var state = ckpt(q.select(col("vec_id"), col("xq"),
+      distTo(seedXq).as("md"), (col("vec_id") === lit(seedId)).as("sel")))
+    var selected = Vector[(Long, Long)]((seedId, 0L))
+    for (i <- 2 to k) {
+      val next = kCenterPick(state).limit(1).collect()
+      require(next.nonEmpty, s"kCenterGreedyScalable: k=$k exceeds input size")
+      val (pickId, pickXq, pickMd) =
+        (next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2))
+      selected :+= ((pickId, pickMd))
+      if (i < k)
+        // checkpoint blocks from prior rounds are reclaimed by the
+        // ContextCleaner once unreferenced; only the newest state is live
+        state = ckpt(kCenterFold(state, pickId, pickXq))
+    }
+    selected.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("sel_rank", "vec_id", "mindist_sq")
+  }
+
+  /** The farthest-unselected pick of one [[kCenterGreedyScalable]] round,
+    * pre-`limit(1)` — factored so PlanAuditSpec can pin that the caller's
+    * top-1 plans as TakeOrderedAndProject over one narrow state scan (no
+    * Sort, no Window, no Exchange), independent of how many rounds ran.
+    */
+  private[graft] def kCenterPick(state: DataFrame): DataFrame =
+    state.filter(!col("sel"))
+      .orderBy(col("md").desc, col("vec_id"))
+
+  /** One mindist fold of [[kCenterGreedyScalable]]: against the NEWEST
+    * pick only — the incremental identity that keeps the plan O(d) while
+    * the literal-unrolled [[kCenterRound]] grows O(r·d). Factored for the
+    * same plan-pin reason as [[kCenterPick]].
+    */
+  private[graft] def kCenterFold(state: DataFrame, pickId: Long,
+                                 pickXq: Seq[Long]): DataFrame =
+    state.select(col("vec_id"), col("xq"),
+      least(col("md"),
+        aggregate(zip_with(col("xq"), typedLit(pickXq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d)).as("md"),
+      (col("sel") || col("vec_id") === lit(pickId)).as("sel"))
 
   /** One farthest-first round of [[kCenterGreedyPortable]], pre-`limit(1)`
     * — factored out so PlanAuditSpec can pin the round's shape: the
@@ -441,14 +546,21 @@ object Similarity {
     * the integers; pre-normalize embeddings upstream when cosine
     * semantics matter.
     *
-    * Same per-round scale shape as [[kCenterGreedyPortable]]: one narrow
-    * literal-scored scan + TakeOrderedAndProject top-1, k small.
+    * Per-round scale shape: one narrow literal-scored scan +
+    * TakeOrderedAndProject top-1 — the SMALL-k literal regime of
+    * [[kCenterGreedyPortable]], which is the right one here because MMR is
+    * by construction a shortlist re-ranker (k ≤ ~100 items headed for a
+    * context window); the guard enforces the plan-size ceiling.
     */
   def mmrSelectPortable(df: DataFrame, query: Seq[Double], k: Int, lambdaPct: Int = 70,
                         scale: Long = 1000000L, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && scale >= 1 && lambdaPct >= 0 && lambdaPct <= 100,
       s"bad k=$k scale=$scale lambdaPct=$lambdaPct")
+    require(k <= LiteralPlanMaxK,
+      s"mmrSelectPortable is a shortlist re-ranker (literal-unrolled rounds, " +
+        s"k <= $LiteralPlanMaxK); for bulk diverse selection use " +
+        s"kCenterGreedyScalable")
     val spark = df.sparkSession
     import spark.implicits._
     val qvec: Seq[Long] = query.map(x => math.floor(x * scale).toLong)

@@ -346,6 +346,36 @@ class BpeKmeansSpec extends SparkSpec {
     }
   }
 
+  test("kCenterGreedyScalable: bit-identical to the literal form at k=32, incl. duplicate-point ties") {
+    // LCG corpus, d=4, 60 points, PLUS exact duplicates of two early picks —
+    // duplicates drive mindist to 0 for unselected rows, the tie regime
+    // where a wrong selected-exclusion (flag vs isin) would diverge
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val rnd = lcg(11L)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(4)((math.floorMod(rnd.next(), 2001) - 1000) / 1000.0f))
+    }
+    val pts = (base ++ Seq((60L, base(0)._2), (61L, base(5)._2)))
+      .toDF("vec_id", "embedding")
+    val lit32 = Similarity.kCenterGreedyPortable(pts, k = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sc32 = Similarity.kCenterGreedyScalable(pts, k = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sc32 == lit32, s"scalable diverged from literal:\n$sc32\nvs\n$lit32")
+    // the public entry point delegates past the literal-plan ceiling:
+    // forcing maxLiteralK below k must route through the scalable path
+    // and still reproduce the literal answer exactly
+    val routed = Similarity.kCenterGreedyPortable(pts, k = 32, maxLiteralK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(routed == lit32, s"delegated path diverged:\n$routed")
+    // budget > corpus still fails loudly on the scalable path
+    val tiny = Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedyScalable(tiny, k = 2, scale = 10L)
+    }
+  }
+
   test("mmrSelectPortable: relevance first, then the diversity penalty reorders") {
     // scale 10, query [1, 0]: rel a=100, b=90, c=0. λ=50%: pick a (5000);
     // then b and c BOTH score 0 (b's 4500 relevance is fully cancelled by

@@ -672,4 +672,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!d.contains("Sort ["), s"global sort in k-center round:\n$d")
     assert(!d.contains("Window"), s"window in k-center round:\n$d")
   }
+
+  test("large-k k-center round: constant-size plan over the materialized state, top-1 bounded") {
+    import org.apache.spark.sql.functions._
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long")).as("xq"))
+    // the state as kCenterGreedyScalable materializes it: one checkpoint,
+    // O(1) lineage regardless of round count
+    val state = q.withColumn("md", lit(Long.MaxValue))
+      .withColumn("sel", col("vec_id") === lit(0L)).localCheckpoint(true)
+    val pick = graft.similarity.Similarity.kCenterPick(state).limit(1)
+    val dPick = details(pick)
+    // the pick is one scan of the checkpointed state + bounded top-1 —
+    // never a global sort, a window, or any exchange
+    assert(dPick.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$dPick")
+    assert(!dPick.contains("Sort ["), s"global sort in scalable pick:\n$dPick")
+    assert(!dPick.contains("Window"), s"window in scalable pick:\n$dPick")
+    assert(!dPick.contains("Exchange"), s"exchange in scalable pick:\n$dPick")
+    // the fold embeds ONLY the newest pick — plan size is O(d), not O(r·d):
+    // folding a second time yields the same node count as the first fold
+    val pick1 = Seq.fill(64)(1L)
+    val fold1 = graft.similarity.Similarity.kCenterFold(state, 1L, pick1)
+    val fold2 = graft.similarity.Similarity.kCenterFold(
+      fold1.localCheckpoint(true), 2L, Seq.fill(64)(2L))
+    def nodeCount(df: org.apache.spark.sql.DataFrame): Int =
+      details(df).linesIterator.count(_.contains("Project"))
+    assert(nodeCount(fold2) == nodeCount(fold1),
+      "fold plan grew with the number of rounds")
+    assert(!details(fold2).contains("Exchange"), "exchange in scalable fold")
+  }
 }

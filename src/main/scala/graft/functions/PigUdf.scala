@@ -19,16 +19,23 @@ import org.apache.spark.sql.types._
   * `EvalFunc.getReturnType` information PigEvalFuncWrapper.java:95-99
   * used when no outputSchema was given).
   *
-  * Coverage: scalar `exec` wraps as a variadic scalar UDF; the
-  * `Algebraic` interface wraps as a partial-aggregating Spark UDAF
-  * ([[registerAlgebraic]]: Initial→reduce, Intermed→merge — the combiner
-  * stage the reference ran via CubertCombiner.java — Final→finish); the
-  * `Accumulator` interface wraps as a whole-group UDAF
-  * ([[registerAccumulator]]; no combiner exists in that contract).
-  * Declared limits: supported return types are String/Integer/Long/
-  * Float/Double/Boolean/byte[]; outputSchema-driven tuple/bag RETURNS
-  * are not wrapped (use a native UDAF / UserOperator), and algebraic
-  * partial tuples must carry Java-serializable scalar fields.
+  * Coverage: scalar `exec` wraps as a variadic scalar UDF; an
+  * `exec` returning a Pig `Tuple` or `DataBag` wraps as a struct- or
+  * array&lt;struct&gt;-returning UDF, typed from the UDF's own
+  * `outputSchema(inputSchema)` exactly the way the reference's
+  * PigEvalFuncWrapper.java:56-99 honored it (the Schema walk is the same
+  * decision tree: &gt;1 column → tuple of all; a single TUPLE/BAG column →
+  * descend into its nested schema); the `Algebraic` interface wraps as a
+  * partial-aggregating Spark UDAF ([[registerAlgebraic]]:
+  * Initial→reduce, Intermed→merge — the combiner stage the reference ran
+  * via CubertCombiner.java — Final→finish); the `Accumulator` interface
+  * wraps as a whole-group UDAF ([[registerAccumulator]]; no combiner
+  * exists in that contract).
+  * Declared limits: leaf types are String/Integer/Long/Float/Double/
+  * Boolean/byte[] (nested arbitrarily through tuples and bags); a
+  * tuple/bag-returning UDF MUST declare a non-null `outputSchema` (there
+  * is nothing else to type it from — same failure the reference hit);
+  * algebraic partial tuples must carry Java-serializable scalar fields.
   *
   * The UDF registers VARIADIC: `name(a, b, …)` packs its arguments into
   * the Pig tuple positionally — done at the Catalyst level (a ScalaUDF
@@ -72,28 +79,79 @@ object PigUdf {
   def register(spark: SparkSession, name: String, cls: Class[_],
                ctorArgs: Seq[String] = Nil): Unit = {
     require(isEvalFunc(cls), s"${cls.getName} does not extend org.apache.pig.EvalFunc")
-    // validate class/ctor/exec/return type EAGERLY (declaration time is
-    // where a bad FUNCTION statement must fail loudly)...
+    // validate class/ctor/exec EAGERLY (declaration time is where a bad
+    // FUNCTION statement must fail loudly)...
     instantiate(cls, ctorArgs)
-    val retType = sparkType(execMethod(cls).getReturnType, cls.getName)
-    // ...but capture NOTHING reflective in the closure: Method handles,
-    // the TupleFactory and the EvalFunc instance are not serializable, so
-    // the executor-side state rebuilds lazily per JVM from the class name
-    // and args (the UDF jar is on the executor classpath via REGISTER)
-    val call = new PigUdfCall(cls.getName, ctorArgs)
+    val execRet = execMethod(cls).getReturnType
+    val complex = isPigComplexType(execRet)
+    // scalar returns type eagerly from the exec signature; tuple/bag
+    // returns type PER CALL SITE from the UDF's own outputSchema — the
+    // input schema only exists once the children are known, exactly when
+    // the reference resolved it (PigEvalFuncWrapper.java:56-62)
+    val scalarRet = if (complex) null else sparkType(execRet, cls.getName)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       (children: Seq[Expression]) => {
         // one struct argument packs the call site's N columns, making the
         // registered function VARIADIC — Catalyst-level registration
         // because spark.udf.register is fixed-arity; the struct's
-        // ExpressionEncoder hands the function an external Row, and
-        // `retType` alone types the result
+        // ExpressionEncoder hands the function an external Row
+        val retType =
+          if (complex) complexReturnType(cls, ctorArgs, children, execRet)
+          else scalarRet
+        // ...but capture NOTHING reflective in the closure: Method
+        // handles, the TupleFactory and the EvalFunc instance are not
+        // serializable, so the executor-side state rebuilds lazily per
+        // JVM from the class name and args (the UDF jar is on the
+        // executor classpath via REGISTER)
+        val call = new PigUdfCall(cls.getName, ctorArgs,
+          if (complex) Some(retType) else None)
         val packed = CreateStruct(children)
         val enc = ExpressionEncoder(StructType(children.zipWithIndex.map {
           case (c, i) => StructField(s"_$i", c.dataType, c.nullable) }))
         ScalaUDF(call, retType, Seq(packed), Seq(Some(enc)),
           udfName = Some(name))
       }, "scala_udf")
+  }
+
+  /** Is `c` (or an interface it carries) Pig's Tuple or DataBag? */
+  private def isPigComplexType(c: Class[_]): Boolean = {
+    def names(k: Class[_]): Iterator[String] =
+      Iterator(k.getName) ++ k.getInterfaces.iterator.flatMap(names)
+    names(c).exists(n =>
+      n == "org.apache.pig.data.Tuple" || n == "org.apache.pig.data.DataBag")
+  }
+
+  private def isPigBagType(c: Class[_]): Boolean = {
+    def names(k: Class[_]): Iterator[String] =
+      Iterator(k.getName) ++ k.getInterfaces.iterator.flatMap(names)
+    names(c).contains("org.apache.pig.data.DataBag")
+  }
+
+  /** Resolve the Spark type of a tuple/bag-returning EvalFunc at the call
+    * site: build the Pig input Schema from the children's types, hand it
+    * to the UDF (setInputSchema, then outputSchema — the reference's
+    * exact sequence, PigEvalFuncWrapper.java:60-62), and map the declared
+    * Schema through the same decision tree the reference used.
+    */
+  private def complexReturnType(cls: Class[_], ctorArgs: Seq[String],
+                                children: Seq[Expression],
+                                execRet: Class[_]): DataType = {
+    val inst = instantiate(cls, ctorArgs)
+    val refl = new PigSchemaReflect(cls.getClassLoader)
+    val in = refl.inputSchemaOf(children)
+    try cls.getMethod("setInputSchema", refl.schemaCls).invoke(inst, in)
+    catch { case _: NoSuchMethodException => () } // optional in the contract
+    val out = cls.getMethod("outputSchema", refl.schemaCls).invoke(inst, in)
+    require(out != null,
+      s"${cls.getName} returns a Pig ${execRet.getSimpleName} but declares " +
+        "no outputSchema — tuple/bag returns need one to be typed")
+    val dt = refl.outputTypeOf(out)
+    (dt, isPigBagType(execRet)) match {
+      case (_: StructType, false) | (_: ArrayType, true) => dt
+      case _ => throw new IllegalArgumentException(
+        s"${cls.getName}: outputSchema-derived type $dt is inconsistent " +
+          s"with exec's return ${execRet.getName}")
+    }
   }
 
   /** Register a Pig `Algebraic` UDF as a genuine partial-aggregating Spark

@@ -7,10 +7,15 @@
 package org.apache.pig {
 
   import org.apache.pig.data.Tuple
+  import org.apache.pig.impl.logicalLayer.schema.Schema
 
   abstract class EvalFunc[T] {
     @throws[java.io.IOException]
     def exec(input: Tuple): T
+    // real Pig derives a default from getReturnType; null = "no declared
+    // schema", which is all the adapter needs to distinguish
+    def outputSchema(input: Schema): Schema = null
+    def setInputSchema(input: Schema): Unit = ()
   }
 
   /** Combiner-aware UDAF contract: each getter names an EvalFunc class;
@@ -34,7 +39,39 @@ package org.apache.pig {
   }
 }
 
+package org.apache.pig.impl.logicalLayer.schema {
+
+  /** Mirror of Pig's public Schema/FieldSchema surface (public fields
+    * alias/type/schema, add/getFields) — the adapter reads them
+    * reflectively, field-or-method.
+    */
+  class Schema {
+    private val fs = new java.util.ArrayList[Schema.FieldSchema]()
+    def add(f: Schema.FieldSchema): Unit = fs.add(f)
+    def getFields: java.util.List[Schema.FieldSchema] = fs
+  }
+
+  object Schema {
+    class FieldSchema(val alias: String, val schema: Schema, val `type`: Byte) {
+      def this(alias: String, t: Byte) = this(alias, null, t)
+    }
+  }
+}
+
 package org.apache.pig.data {
+
+  /** Pig's public type-byte constants (org.apache.pig.data.DataType). */
+  object DataType {
+    final val BOOLEAN: Byte = 5
+    final val INTEGER: Byte = 10
+    final val LONG: Byte = 15
+    final val FLOAT: Byte = 20
+    final val DOUBLE: Byte = 25
+    final val BYTEARRAY: Byte = 50
+    final val CHARARRAY: Byte = 55
+    final val TUPLE: Byte = 110
+    final val BAG: Byte = 120
+  }
 
   trait Tuple {
     def size(): Int

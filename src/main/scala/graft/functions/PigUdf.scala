@@ -242,11 +242,16 @@ object PigUdf {
       ctor.newInstance(ctorArgs: _*).asInstanceOf[AnyRef]
     }
 
-  /** The serializable call bridge: ships only (className, ctorArgs); all
-    * reflection handles and the EvalFunc instance are @transient lazy —
-    * rebuilt once per executor JVM, shared across that executor's rows.
+  /** The serializable call bridge: ships only (className, ctorArgs,
+    * declared return type); all reflection handles and the EvalFunc
+    * instance are @transient lazy — rebuilt once per executor JVM, shared
+    * across that executor's rows. When `retType` is set (tuple/bag
+    * returns), the Pig result converts to Spark's external shape —
+    * Tuple→Row, DataBag→Seq[Row], recursively per the declared type — so
+    * ScalaUDF's catalyst converter can serialize it.
     */
-  private final class PigUdfCall(className: String, ctorArgs: Seq[String])
+  private final class PigUdfCall(className: String, ctorArgs: Seq[String],
+                                 retType: Option[DataType])
       extends (Row => Any) with Serializable {
     @transient private lazy val cls =
       Class.forName(className, true, Thread.currentThread().getContextClassLoader)
@@ -256,9 +261,15 @@ object PigUdf {
       Class.forName("org.apache.pig.data.TupleFactory", true, cls.getClassLoader)
     @transient private lazy val factory = tfClass.getMethod("getInstance").invoke(null)
     @transient private lazy val newTuple = tfClass.getMethod("newTuple", classOf[Int])
-    @transient private lazy val setField =
+    @transient private lazy val tupleCls =
       Class.forName("org.apache.pig.data.Tuple", true, cls.getClassLoader)
-        .getMethod("set", classOf[Int], classOf[Object])
+    @transient private lazy val setField =
+      tupleCls.getMethod("set", classOf[Int], classOf[Object])
+    @transient private lazy val getField = tupleCls.getMethod("get", classOf[Int])
+    @transient private lazy val tupleSize = tupleCls.getMethod("size")
+    @transient private lazy val bagIter =
+      Class.forName("org.apache.pig.data.DataBag", true, cls.getClassLoader)
+        .getMethod("iterator")
 
     override def apply(row: Row): Any = {
       val n = row.length
@@ -268,8 +279,30 @@ object PigUdf {
         setField.invoke(tuple, Int.box(i), row.get(i).asInstanceOf[AnyRef])
         i += 1
       }
-      exec.invoke(instance, tuple)
+      val out = exec.invoke(instance, tuple)
+      retType match {
+        case Some(dt) => convert(out, dt)
+        case None     => out
+      }
     }
+
+    private def convert(v: AnyRef, dt: DataType): Any =
+      if (v == null) null
+      else dt match {
+        case st: StructType =>
+          val n = tupleSize.invoke(v).asInstanceOf[java.lang.Integer].intValue()
+          require(n == st.length,
+            s"$className returned a ${n}-field tuple where outputSchema " +
+              s"declared ${st.length} fields")
+          Row.fromSeq(Seq.tabulate(n)(i =>
+            convert(getField.invoke(v, Int.box(i)), st(i).dataType)))
+        case ArrayType(elem, _) =>
+          val it = bagIter.invoke(v).asInstanceOf[java.util.Iterator[AnyRef]]
+          val b = Seq.newBuilder[Any]
+          while (it.hasNext) b += convert(it.next(), elem)
+          b.result()
+        case _ => v
+      }
   }
 
   /** Boxed-scalar output encoder for the UDAF wrappers, from the validated

@@ -580,6 +580,62 @@ class ScriptSpec extends SparkSpec {
     assert(err.getMessage.contains("neither"))
   }
 
+  test("FUNCTION types tuple/bag-returning Pig EvalFuncs from their outputSchema " +
+      "(PigEvalFuncWrapper.java:56-99 schema walk)") {
+    // range-based, NOT LocalRelation — exercises task serialization of the
+    // complex-return converter, and row 3 has a null string to pin null
+    // propagation through the bag path
+    val df = spark.range(1, 4)
+      .select(col("id").as("x"), (col("id") * 10).as("y"),
+        when(col("id") < 3, concat(lit("a b"), col("id"))).as("s"))
+    val out = ScriptEngine.run(spark,
+      """FUNCTION mm 'graft.SamplePigMinMaxFunc';
+        |FUNCTION tok graft.SamplePigTokenizeFunc(' ');
+        |g = FROM t GENERATE x, mm(x, y) AS r, tok(s) AS parts;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    // the declared outputSchema drives the Spark-side types, field names
+    // included (single TUPLE column → descend; single BAG column → array)
+    val rt = out.schema("r").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(rt.fieldNames.toSeq == Seq("lo", "hi"), rt.toString)
+    val pt = out.schema("parts").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(pt.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("token", "pos"), pt.toString)
+    val rows = out.orderBy("x").collect()
+    val r1 = rows(0)
+    assert(r1.getStruct(1).getLong(0) == 1L && r1.getStruct(1).getLong(1) == 10L)
+    assert(r1.getSeq[org.apache.spark.sql.Row](2).map(p => (p.getString(0), p.getInt(1))) ==
+      Seq(("a", 0), ("b1", 1)), rows.mkString("; "))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](2).map(_.getString(0)) == Seq("a", "b2"))
+    assert(rows(2).isNullAt(2), "null input must propagate to a null bag")
+    // the bag result composes with FLATTEN BAG_TUPLE — one row per token,
+    // struct fields promoted to columns (the reference's standard
+    // TOKENIZE-then-FLATTEN idiom)
+    val flat = ScriptEngine.run(spark,
+      """FUNCTION tok graft.SamplePigTokenizeFunc(' ');
+        |g = FROM t GENERATE x, tok(s) AS parts;
+        |f = FLATTEN g BY parts BAG_TUPLE (token:string, pos:int);""".stripMargin,
+      env0 = env("t" -> df))("f")
+    val toks = flat.orderBy("x", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(toks == Seq((1L, "a", 0), (1L, "b1", 1), (2L, "a", 0), (2L, "b2", 1)),
+      toks.toString)
+    // nested access into the struct result works downstream
+    val lo = ScriptEngine.run(spark,
+      """FUNCTION mm 'graft.SamplePigMinMaxFunc';
+        |g = FROM t GENERATE mm(x, y) AS r;
+        |h = FROM g GENERATE r.lo AS lo;""".stripMargin,
+      env0 = env("t" -> df))("h")
+    assert(lo.orderBy("lo").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // a tuple-returning UDF with no declared outputSchema fails loudly
+    val err = intercept[Exception](ScriptEngine.run(spark,
+      """FUNCTION bad 'graft.SamplePigBadTupleFunc';
+        |g = FROM t GENERATE bad(x) AS r;""".stripMargin,
+      env0 = env("t" -> df))("g").collect())
+    assert(err.getMessage != null && err.getMessage.contains("outputSchema"),
+      String.valueOf(err.getMessage))
+  }
+
   test("FUNCTION wraps Pig Algebraic/Accumulator UDAFs; algebraic partial-aggregates") {
     // range-derived (NOT LocalRelation) so task serialization of the
     // reflective aggregator is exercised, and v=5 is null to pin
@@ -1022,4 +1078,81 @@ class SamplePigMaxAccumulator extends org.apache.pig.EvalFunc[java.lang.Long]
   }
   override def getValue: java.lang.Long = best
   override def cleanup(): Unit = best = null
+}
+
+/** Tuple-returning Pig UDF for the complex-return schema walk: (min, max)
+  * of its numeric args, with the outputSchema convention real Pig UDFs use
+  * (a single TUPLE column whose nested schema names the fields).
+  */
+class SamplePigMinMaxFunc extends org.apache.pig.EvalFunc[org.apache.pig.data.Tuple] {
+  override def exec(t: org.apache.pig.data.Tuple): org.apache.pig.data.Tuple = {
+    var lo: java.lang.Long = null
+    var hi: java.lang.Long = null
+    var i = 0
+    while (i < t.size()) {
+      t.get(i) match {
+        case null => return null // null-propagating, like most Pig UDFs
+        case n: java.lang.Number =>
+          val v = n.longValue()
+          if (lo == null || v < lo) lo = v
+          if (hi == null || v > hi) hi = v
+        case other => throw new java.io.IOException(s"not a number: $other")
+      }
+      i += 1
+    }
+    val out = org.apache.pig.data.TupleFactory.getInstance.newTuple(2)
+    out.set(0, lo); out.set(1, hi)
+    out
+  }
+  override def outputSchema(in: org.apache.pig.impl.logicalLayer.schema.Schema)
+      : org.apache.pig.impl.logicalLayer.schema.Schema = {
+    import org.apache.pig.impl.logicalLayer.schema.Schema
+    import org.apache.pig.data.DataType
+    val inner = new Schema
+    inner.add(new Schema.FieldSchema("lo", DataType.LONG))
+    inner.add(new Schema.FieldSchema("hi", DataType.LONG))
+    val s = new Schema
+    s.add(new Schema.FieldSchema("mm", inner, DataType.TUPLE))
+    s
+  }
+}
+
+/** Bag-returning Pig UDF (TOKENIZE shape): splits its string arg into a
+  * bag of (token, pos) tuples, declaring the standard bag-wraps-one-tuple
+  * outputSchema.
+  */
+class SamplePigTokenizeFunc(sep: String) extends org.apache.pig.EvalFunc[org.apache.pig.data.DataBag] {
+  def this() = this(" ")
+  override def exec(t: org.apache.pig.data.Tuple): org.apache.pig.data.DataBag = {
+    val s = t.get(0).asInstanceOf[String]
+    if (s == null) return null
+    val bag = org.apache.pig.data.BagFactory.getInstance.newDefaultBag()
+    s.split(sep).zipWithIndex.foreach { case (tok, i) =>
+      val tt = org.apache.pig.data.TupleFactory.getInstance.newTuple(2)
+      tt.set(0, tok); tt.set(1, Int.box(i))
+      bag.add(tt)
+    }
+    bag
+  }
+  override def outputSchema(in: org.apache.pig.impl.logicalLayer.schema.Schema)
+      : org.apache.pig.impl.logicalLayer.schema.Schema = {
+    import org.apache.pig.impl.logicalLayer.schema.Schema
+    import org.apache.pig.data.DataType
+    val row = new Schema
+    row.add(new Schema.FieldSchema("token", DataType.CHARARRAY))
+    row.add(new Schema.FieldSchema("pos", DataType.INTEGER))
+    val wrap = new Schema
+    wrap.add(new Schema.FieldSchema("t", row, DataType.TUPLE))
+    val s = new Schema
+    s.add(new Schema.FieldSchema("toks", wrap, DataType.BAG))
+    s
+  }
+}
+
+/** Tuple-returning UDF that declares NO outputSchema — must fail loudly at
+  * resolution (nothing exists to type it from; same failure the reference
+  * hit in PigEvalFuncWrapper.java).
+  */
+class SamplePigBadTupleFunc extends org.apache.pig.EvalFunc[org.apache.pig.data.Tuple] {
+  override def exec(t: org.apache.pig.data.Tuple): org.apache.pig.data.Tuple = t
 }

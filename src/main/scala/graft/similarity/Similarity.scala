@@ -550,17 +550,20 @@ object Similarity {
     * TakeOrderedAndProject top-1 — the SMALL-k literal regime of
     * [[kCenterGreedyPortable]], which is the right one here because MMR is
     * by construction a shortlist re-ranker (k ≤ ~100 items headed for a
-    * context window); the guard enforces the plan-size ceiling.
+    * context window); the guard enforces the plan-size ceiling, and
+    * `maxLiteralK` raises it explicitly when a caller accepts the
+    * plan-compile cost (parity with [[kCenterGreedyPortable]]'s override).
     */
   def mmrSelectPortable(df: DataFrame, query: Seq[Double], k: Int, lambdaPct: Int = 70,
                         scale: Long = 1000000L, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        maxLiteralK: Int = LiteralPlanMaxK): DataFrame = {
     require(k >= 1 && scale >= 1 && lambdaPct >= 0 && lambdaPct <= 100,
       s"bad k=$k scale=$scale lambdaPct=$lambdaPct")
-    require(k <= LiteralPlanMaxK,
+    require(k <= maxLiteralK,
       s"mmrSelectPortable is a shortlist re-ranker (literal-unrolled rounds, " +
-        s"k <= $LiteralPlanMaxK); for bulk diverse selection use " +
-        s"kCenterGreedyScalable")
+        s"k <= $maxLiteralK); raise maxLiteralK to accept the plan-compile " +
+        s"cost, or use kCenterGreedyScalable for bulk diverse selection")
     val spark = df.sparkSession
     import spark.implicits._
     val qvec: Seq[Long] = query.map(x => math.floor(x * scale).toLong)

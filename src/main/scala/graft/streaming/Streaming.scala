@@ -209,9 +209,14 @@ object Streaming {
     * Exactly-once under replay through the same marker discipline as
     * `streamRefresh`: an append is not idempotent, so the last appended
     * batchId is recorded beside the output and replayed batches skip.
-    * Scope matches the batch op: batch-vs-CORPUS only — intra-batch
-    * near-dups need a `minHashDedup` pass downstream, and surviving docs
-    * do NOT join the index mid-stream (rebuild it on corpus append).
+    *
+    * Scope: batch-vs-corpus AND intra-batch — two near-identical documents
+    * arriving in the SAME micro-batch cannot both survive: the batch first
+    * dedups against itself ([[graft.dedup.Dedup.minHashDedup]] →
+    * [[graft.dedup.Dedup.dupClusters]] min-id survivor per transitive
+    * cluster, the batch pipeline's exact rule), then the survivors screen
+    * against the corpus. Surviving docs do NOT join the index mid-stream
+    * (rebuild it on corpus append).
     */
   def minHashScreenStream(stream: DataFrame, index: DataFrame, corpus: DataFrame,
                           outPath: String, checkpoint: String,
@@ -227,10 +232,21 @@ object Streaming {
         val spark = batch.sparkSession
         if (!batch.isEmpty &&
             batchId > graft.operators.Incremental.lastMergedBatch(spark, outPath, checkpoint)) {
+          val b0 = batch.toDF()
+          // intra-batch pass first (checkpointed so pair generation runs
+          // once for the emptiness probe and the clustering)
+          val intraPairs = graft.dedup.Dedup.minHashDedup(
+            b0, shingleN, k, bands, threshold, textCol, idCol)
+            .localCheckpoint(false)
+          val intra =
+            if (intraPairs.isEmpty) b0
+            else graft.dedup.Dedup.clusterSurvivors(b0,
+              graft.dedup.Dedup.dupClusters(intraPairs)
+                .withColumnRenamed("doc_id", idCol), idCol)
           val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
-            batch.toDF(), index, corpus, shingleN, k, bands, threshold, textCol, idCol)
+            intra, index, corpus, shingleN, k, bands, threshold, textCol, idCol)
             .select(col("batch_id").as(idCol)).distinct()
-          batch.toDF().join(dups, Seq(idCol), "left_anti")
+          intra.join(dups, Seq(idCol), "left_anti")
             .write.mode("append").parquet(outPath)
           graft.operators.Incremental.recordMergedBatch(spark, outPath, checkpoint, batchId)
         }

@@ -412,6 +412,28 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got2 = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).toSet
       assert(got2 == Set(101L, 102L, 200L), got2.toString)
+      // an INTRA-batch near-dup pair loses one member (min-id survivor),
+      // composed with the corpus screen in the same micro-batch
+      val nd = "red orange yellow green blue indigo violet cyan magenta white"
+      val b3 = Seq((301L, nd.replace("white", "black")), (300L, nd), (302L, base))
+      in.addData(b3: _*)
+      q.processAllAvailable()
+      val got3 = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).toSet
+      assert(got3 == Set(101L, 102L, 200L, 300L), got3.toString)
+      // batch ≡ stream pin: the batch-side composition of the same rule
+      // (minHashDedup → dupClusters min-id survivors → corpus screen) on
+      // the same rows yields exactly the streamed batch-3 survivors
+      val b3df = b3.toDF("doc_id", "text")
+      val pairs = graft.dedup.Dedup.minHashDedup(
+        b3df, shingleN = 2, k = 16, bands = 8, threshold = 0.5)
+      val intra = graft.dedup.Dedup.clusterSurvivors(
+        b3df, graft.dedup.Dedup.dupClusters(pairs))
+      val corpusDups = graft.dedup.Dedup.minHashDedupAgainstIndex(
+        intra, index, corpus, shingleN = 2, k = 16, bands = 8, threshold = 0.5)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val batchAnswer = intra.join(corpusDups, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchAnswer == Set(300L), batchAnswer.toString)
     } finally q.stop()
   }
 

@@ -36,6 +36,13 @@ import org.apache.spark.sql.execution.FormattedMode
   *                        .java:41; writes join the "graft_stores"
   *                        scheduler pool, so spark.scheduler.mode=FAIR
   *                        shares executors fairly between them)
+  *   --fair               create the session with spark.scheduler.mode=FAIR
+  *                        so concurrent STOREs share executors fairly
+  *                        instead of FIFO-queueing stages; prints the
+  *                        effective mode (`SCHEDULER=...`). Scheduler mode
+  *                        is fixed at SparkContext creation, so against a
+  *                        pre-existing non-FAIR session this warns and
+  *                        proceeds FIFO
   *
   * STORE statements execute as encountered; without flags the runner prints
   * the names of the relations the script defined.
@@ -65,6 +72,7 @@ object ScriptRunner {
     var only: Option[Set[String]] = None
     var dryRun = false
     var maxConcurrentStores = 5
+    var fair = false
     def operand(flag: String, at: Int): String = {
       if (at >= args.length) sys.error(s"$flag requires an argument")
       args(at)
@@ -86,6 +94,7 @@ object ScriptRunner {
           only = Some(operand("--only", i).split(",").map(_.trim).toSet)
         case "--dry-run" => dryRun = true
         case "--serial-stores" => maxConcurrentStores = 1
+        case "--fair" => fair = true
         case kv if kv.contains("=") =>
           val Array(k, v) = kv.split("=", 2)
           params += (k -> v)
@@ -95,7 +104,17 @@ object ScriptRunner {
     }
 
     val source = new String(Files.readAllBytes(Paths.get(scriptPath)), "UTF-8")
-    val spark = GraftSession.builder(appName = s"graft-script:$scriptPath").getOrCreate()
+    var b = GraftSession.builder(appName = s"graft-script:$scriptPath")
+    if (fair) b = b.config("spark.scheduler.mode", "FAIR")
+    val spark = b.getOrCreate()
+    if (fair) {
+      val mode = spark.sparkContext.getSchedulingMode.toString
+      println(s"SCHEDULER=$mode")
+      if (mode != "FAIR")
+        Console.err.println("warning: --fair requested but the SparkContext " +
+          s"pre-exists with scheduler mode $mode (mode is fixed at context " +
+          "creation); concurrent STOREs will FIFO-queue")
+    }
     try {
       val env = graft.script.ScriptEngine.run(spark, source, params,
         dryRun = dryRun, only = only, maxConcurrentStores = maxConcurrentStores)

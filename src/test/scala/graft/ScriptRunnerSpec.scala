@@ -257,6 +257,34 @@ class ScriptRunnerSpec extends SparkSpec {
     ScriptRunner.run(Array(script3, s"D=$dir"), stopSession = false)
     assert(spark.read.parquet(s"$dir/final").collect().head.getLong(0) == 1L)
   }
+
+  test("--fair reports the scheduling mode; a fresh JVM gets a FAIR context") {
+    spark
+    val path = writeScript("t = LOAD '$DIR/region.parquet' USING PARQUET;")
+    // in-process: the shared FIFO context pre-exists — the runner must
+    // report the EFFECTIVE mode and warn, never silently claim FAIR
+    val bos = new java.io.ByteArrayOutputStream()
+    val berr = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Console.withErr(new java.io.PrintStream(berr)) {
+        ScriptRunner.run(Array(path, "DIR=/root/testdata/sf0.001", "--fair"),
+          stopSession = false)
+      }
+    }
+    assert(bos.toString("UTF-8").contains("SCHEDULER=FIFO"), bos.toString("UTF-8"))
+    assert(berr.toString("UTF-8").contains("--fair requested but"), berr.toString("UTF-8"))
+    // fresh JVM (the CLI's real shape): the flag creates a FAIR context.
+    // dev/run.sh runs the compiled main against the same classes dir.
+    val pb = new ProcessBuilder("dev/run.sh", "graft.ScriptRunner", path,
+      "DIR=/root/testdata/sf0.001", "--fair")
+    pb.redirectErrorStream(true)
+    pb.directory(new java.io.File("."))
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val rc = proc.waitFor()
+    assert(rc == 0, s"subprocess rc=$rc:\n$out")
+    assert(out.contains("SCHEDULER=FAIR"), out)
+  }
 }
 
 /** Records per-marker (start, end) nano intervals from inside UDF

@@ -46,6 +46,26 @@ object Dedup {
     def capped: Boolean = droppedShingles.value > 0L
   }
 
+  /** Observable overflow metrics for [[semDedup]]'s `maxCellSize` routing
+    * — the sibling of [[CapMetrics]] for the embedding path. A cell above
+    * the cap pairs through hyperplane-LSH banding instead of exactly, so
+    * its missed cross-band pairs are the recall trade; callers that need
+    * to DETECT that programmatically pass one of these and read it after
+    * the call. `oversizedCells` counts cells routed to the banded path,
+    * `bandedVectors` sums their distinct-vector populations. The counts
+    * fire via one eager metadata-sized job over the k-row cell-size
+    * aggregate at PLAN time (which also materializes the rep stream the
+    * operator reuses), so they are exact — not subject to the stage-retry
+    * over-count caveat — and readable as soon as the operator returns.
+    */
+  final class CellCapMetrics(spark: org.apache.spark.sql.SparkSession) {
+    val oversizedCells: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("graft.dedup.oversizedCells")
+    val bandedVectors: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("graft.dedup.bandedVectors")
+    def capped: Boolean = oversizedCells.value > 0L
+  }
+
   // ---- exact ------------------------------------------------------------
 
   /** Exact dedup: group rows by content hash, keep the smallest id per
@@ -411,11 +431,12 @@ object Dedup {
     */
   def winnowOverlapJoin(df: DataFrame, n: Int = 4, w: Int = 4, minShared: Int = 2,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxDocsPerFp: Option[Int] = None): DataFrame = {
+                        maxDocsPerFp: Option[Int] = None,
+                        capMetrics: Option[CapMetrics] = None): DataFrame = {
     val base = df.select(col(idCol), winnowSignature(col(textCol), n, w).as("__fps"))
       .filter(size(col("__fps")) > 0)
     val fp = capHotShingles(base.select(col(idCol), size(col("__fps")).as("n_fp"),
-      explode(col("__fps")).as("shingle")), maxDocsPerFp)
+      explode(col("__fps")).as("shingle")), maxDocsPerFp, capMetrics)
     val a = fp.as("a"); val b = fp.as("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -439,14 +460,15 @@ object Dedup {
     */
   def overlapCandidates(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxDocsPerShingle: Option[Int] = None): DataFrame = {
+                        maxDocsPerShingle: Option[Int] = None,
+                        capMetrics: Option[CapMetrics] = None): DataFrame = {
     val sh = capHotShingles(df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
       .select(col(idCol), size(col("__shs")).as("n_sh"),
-        explode(col("__shs")).as("shingle")), maxDocsPerShingle)
+        explode(col("__shs")).as("shingle")), maxDocsPerShingle, capMetrics)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -958,10 +980,11 @@ object Dedup {
     */
   def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxCellSize: Int = 10000, nPlanes: Int = 16, bands: Int = 4): DataFrame =
+               maxCellSize: Int = 10000, nPlanes: Int = 16, bands: Int = 4,
+               cellMetrics: Option[CellCapMetrics] = None): DataFrame =
     semDedupAssigned(
       graft.similarity.Similarity.ivfAssign(df, centroids, idCol, vecCol),
-      threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
+      threshold, idCol, vecCol, maxCellSize, nPlanes, bands, cellMetrics)
 
   /** The bounded in-cell pairing core of [[semDedup]], over an already
     * cell-assigned stream (idCol, vecCol, centroid_id) — shared by the
@@ -969,7 +992,8 @@ object Dedup {
     */
   private def semDedupAssigned(assigned: DataFrame, threshold: Double,
                idCol: String, vecCol: String,
-               maxCellSize: Int, nPlanes: Int, bands: Int): DataFrame = {
+               maxCellSize: Int, nPlanes: Int, bands: Int,
+               cellMetrics: Option[CellCapMetrics] = None): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must divide into bands")
 
     // -- stage 1: collapse bitwise-identical vectors (exact; skew-proof) ----
@@ -997,8 +1021,35 @@ object Dedup {
     val reps = reps0.localCheckpoint(false)
 
     // -- stage 2: size-routed in-cell pairing over distinct vectors --------
-    val cellSizes = reps.groupBy(col("centroid_id"))
+    val cellSizes0 = reps.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("__cell_n"))
+    // cap observability: the cell-size aggregate is k rows (metadata-
+    // sized), so when a caller asked for overflow metrics the oversize
+    // census runs as ONE eager tiny job here — repartition(1) so the
+    // overflow logs exactly once, eager localCheckpoint so the routing
+    // branches below reuse the materialized rows instead of re-firing the
+    // accumulators (and so the counts are exact, never retry-inflated)
+    val cellSizes = cellMetrics.fold(cellSizes0) { m =>
+      val accCells = m.oversizedCells
+      val accVecs = m.bandedVectors
+      val cap = maxCellSize
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(cellSizes0.schema)
+      cellSizes0.repartition(1).mapPartitions { it =>
+        val rows = it.toArray
+        val over = rows.filter(_.getLong(1) > cap)
+        if (over.nonEmpty) {
+          org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+            s"semDedup cell cap $cap: ${over.length} cell(s) holding " +
+              s"${over.iterator.map(_.getLong(1)).sum} distinct vectors " +
+              "route through banded LSH pairing; cross-band pairs in those " +
+              "cells can be missed (recall trade)")
+          accCells.add(over.length.toLong)
+          accVecs.add(over.iterator.map(_.getLong(1)).sum)
+        }
+        rows.iterator
+      }.localCheckpoint(true)
+    }
     val sized = reps.join(broadcast(cellSizes), Seq("centroid_id"))
     val small = sized.filter(col("__cell_n") <= maxCellSize)
     val large = sized.filter(col("__cell_n") > maxCellSize)
@@ -1067,7 +1118,8 @@ object Dedup {
                            threshold: Double,
                            idCol: String = "vec_id", vecCol: String = "embedding",
                            maxCellSize: Int = 10000, nPlanes: Int = 16,
-                           bands: Int = 4): DataFrame = {
+                           bands: Int = 4,
+                           cellMetrics: Option[CellCapMetrics] = None): DataFrame = {
     // checkpoint AFTER the screen: the in-batch stage references its input
     // several times (rep election, cell sizing, both pairing branches, the
     // final anti-join) — one materialization bounds the screen join to a
@@ -1075,7 +1127,8 @@ object Dedup {
     // plan does not run the screen job eagerly.
     val fresh = semDedupScreen(batch, index, centroids, threshold, idCol, vecCol)
       .localCheckpoint(false)
-    semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands)
+    semDedupAssigned(fresh, threshold, idCol, vecCol, maxCellSize, nPlanes, bands,
+      cellMetrics)
   }
 
   /** The corpus screen of [[semDedupAgainstIndex]], exposed on its own:

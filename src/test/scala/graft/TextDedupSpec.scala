@@ -199,6 +199,22 @@ class TextDedupSpec extends SparkSpec {
       docs.filter(col("doc_id") =!= 1), n = 2, threshold = 0.01,
       maxDocsPerShingle = Some(2), capMetrics = Some(xm)).collect()
     assert(xm.capped, "cross-corpus cap fired but CapMetrics saw nothing")
+    // winnowing's hot-fingerprint cap reports through the same object: an
+    // 8-token shared prefix yields identical window minima in every doc
+    // (window minima of identical hash sequences are identical), so common
+    // df=5 fingerprints are GUARANTEED regardless of hash ordering
+    val wdocs = Seq.tabulate(5)(i => (i + 1L,
+      s"LICENSE header copyright notice all rights reserved herein doc$i body$i"))
+      .toDF("doc_id", "text")
+    val wm = new Dedup.CapMetrics(spark)
+    Dedup.winnowOverlapJoin(wdocs, n = 2, w = 2, minShared = 1,
+      maxDocsPerFp = Some(4), capMetrics = Some(wm)).collect()
+    assert(wm.capped, "winnow fp cap fired but CapMetrics saw nothing")
+    assert(wm.droppedShingles.value >= 1L, wm.droppedShingles.value.toString)
+    val wClean = new Dedup.CapMetrics(spark)
+    Dedup.winnowOverlapJoin(wdocs, n = 2, w = 2, minShared = 1,
+      maxDocsPerFp = Some(100), capMetrics = Some(wClean)).collect()
+    assert(!wClean.capped)
   }
 
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
@@ -694,17 +710,27 @@ class TextDedupSpec extends SparkSpec {
       Row(0L, v(1f, 0f)), Row(1L, v(0f, 1f)))), schema)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
     // maxCellSize = 1 forces the banded overflow path for cell 0's two
-    // DISTINCT vectors (the 500 copies never reach the pairwise stage)
-    val out = Dedup.semDedup(emb, cents, threshold = 0.99, maxCellSize = 1)
+    // DISTINCT vectors (the 500 copies never reach the pairwise stage) —
+    // and CellCapMetrics makes the recall trade observable: 1 oversized
+    // cell holding 2 distinct vectors
+    val cm = new Dedup.CellCapMetrics(spark)
+    val out = Dedup.semDedup(emb, cents, threshold = 0.99, maxCellSize = 1,
+        cellMetrics = Some(cm))
       .collect().map(_.getAs[Long]("vec_id")).toSet
     // id 10 survives (smallest in its similarity group); the hot rep 1000
     // shares 10's direction hence its LSH signature, so banding finds the
     // pair and drops it; 20 is alone in cell 1
     assert(out == Set(10L, 20L), s"got $out")
-    // and the exact path (cap not hit) agrees
-    val exact = Dedup.semDedup(emb, cents, threshold = 0.99)
+    assert(cm.capped, "banded overflow fired but CellCapMetrics saw nothing")
+    assert(cm.oversizedCells.value == 1L, cm.oversizedCells.value.toString)
+    assert(cm.bandedVectors.value == 2L, cm.bandedVectors.value.toString)
+    // and the exact path (cap not hit) agrees, with metrics reading clean
+    val clean = new Dedup.CellCapMetrics(spark)
+    val exact = Dedup.semDedup(emb, cents, threshold = 0.99,
+        cellMetrics = Some(clean))
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(exact == Set(10L, 20L), s"got $exact")
+    assert(!clean.capped)
   }
 
   /** Scala reference for the winnow kernel: sliding-window minima of the

@@ -324,6 +324,64 @@ class MultimodalSourcesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  // ---- REAL video path (MJPEG-in-AVI, pure JDK, graft.multimodal.Video) --
+
+  private def jpegBytes(w: Int, h: Int, lum: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val v = math.min(255, math.max(0, lum))
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def mjpegAvi(lums: Seq[Int], w: Int = 32, h: Int = 24): Array[Byte] =
+    graft.multimodal.Video.writeAvi(lums.map(jpegBytes(w, h, _)), w, h, fps = 10)
+
+  test("MJPEG AVI: real probe, frame sampling, and features through the SPI") {
+    import graft.multimodal.{MjpegAviDecoder, Video}
+    // roundtrip: 6 synthesized JPEG frames in a written container parse back
+    val avi = mjpegAvi(Seq(0, 50, 100, 150, 200, 250))
+    val parsed = Video.parseAvi(avi).get
+    assert(parsed.width == 32 && parsed.height == 24, parsed.toString)
+    assert(parsed.frames.length == 6 && parsed.totalFrames == 6)
+    assert(parsed.durationMs == 600L) // 6 frames at 10 fps
+    // every recovered frame is a decodable JPEG of the right geometry
+    parsed.frames.foreach { f =>
+      val img = graft.multimodal.Images.decode(f).get
+      assert(img.getWidth == 32 && img.getHeight == 24)
+    }
+    val df = Seq((1L, avi), (2L, mjpegAvi(Seq(10, 20))),
+      (3L, "not a video".getBytes("UTF-8"))).toDF("id", "payload")
+    // probe: real header + movi facts; junk flagged, not failed
+    val probe = Video.probeVideos(df, "id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(4))).toSet
+    assert(probe == Set((1L, true, 6), (2L, true, 2), (3L, false, 0)), probe.toString)
+    // frame sampling through the SPI: n=3 of 6 evenly (first frame always),
+    // short videos yield what they have, junk yields nothing
+    val frames = Multimodal.frameSample(df, "id", n = 3,
+      decoderClass = classOf[MjpegAviDecoder].getName)
+    val perId = frames.groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perId == Map(1L -> 3L, 2L -> 2L), perId.toString)
+    val f0 = frames.filter(col("id") === 1L && col("frame_idx") === 0)
+      .collect()(0).getAs[Array[Byte]]("frame_bytes")
+    assert(graft.multimodal.Images.decode(f0).isDefined, "sampled frame not a JPEG")
+    // features: mean luminance histogram separates dark from light videos
+    // and composes with embedding near-dup like the image/audio paths
+    val vdf = Seq(
+      (1L, mjpegAvi(Seq(10, 12, 14))),        // dark
+      (2L, mjpegAvi(Seq(11, 13, 15))),        // dark (near-identical)
+      (3L, mjpegAvi(Seq(240, 242, 244)))).toDF("id", "payload") // light
+    val feats = Multimodal.extractFeatures(vdf, "id", dim = 16,
+        decoderClass = classOf[MjpegAviDecoder].getName)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("features", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingNearDup(feats, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
 
 /** Test stand-in for a native video decoder plugged in via the

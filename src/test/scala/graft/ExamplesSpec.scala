@@ -193,11 +193,29 @@ class ExamplesSpec extends SparkSpec {
     val total = train.agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
     assert(total <= 20000L + card.count() * 4096,
       s"budget wildly exceeded: $total tokens")
-    // determinism: a second run replays the identical order
+    // the selection stages: k-center coreset picks 8 distinct exemplars
+    // in farthest-first order, MMR shortlists 5 against the anchor query
+    val core = spark.read.parquet(s"$out/coreset")
+    assert(core.columns.toSet == Set("sel_rank", "vec_id", "mindist_sq"))
+    val coreRows = core.orderBy("sel_rank").collect()
+    assert(coreRows.map(_.getLong(0)).toSeq == (1L to 8L), coreRows.mkString(","))
+    assert(coreRows.map(_.getLong(1)).distinct.length == 8)
+    // farthest-first: selection distances are non-increasing after rank 1
+    val dists = coreRows.drop(1).map(_.getLong(2))
+    assert(dists.zip(dists.drop(1)).forall { case (a, b) => a >= b }, dists.mkString(","))
+    val short = spark.read.parquet(s"$out/shortlist")
+    assert(short.columns.toSet == Set("sel_rank", "vec_id", "mmr_score"))
+    assert(short.count() == 5 &&
+      short.select("vec_id").distinct().count() == 5)
+    // determinism: a second run replays the identical order and the
+    // identical selections (bit-portable integer arithmetic)
     val out2 = runExample("training_order")
     val t2 = spark.read.parquet(s"$out2/train_order")
     assert(t2.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       == train.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val core2 = spark.read.parquet(s"$out2/coreset").orderBy("sel_rank").collect()
+    assert(core2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      coreRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
   test("dictionary.cmr builds, encodes, and aggregates") {

@@ -9,7 +9,9 @@ base of 10x users, not 10x events per user); dimension tables (region,
 nation) keep their fixed TPC-H cardinality. Deterministic, no RNG.
 
 Bench-only data: correctness still gates on the driver's sf0.01 + DuckDB.
-Usage: python3 dev/gen_sf1.py [outdir]   (default /tmp/graft-sf1)
+Usage: python3 dev/gen_sf1.py [outdir] [copies]
+  (defaults /tmp/graft-sf1, 10; copies=100 builds an sf10-equivalent —
+  key strides leave headroom for up to ~1000 copies before collision)
 """
 import sys
 
@@ -17,7 +19,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 # per-table key columns to offset by copy_index * stride (stride = a round
 # power of ten above the sf0.1 max key, keeping ids disjoint and readable)

@@ -837,6 +837,39 @@ class AudioFeatures extends UserOperator {
       params.getOrElse("id", "doc_id"), params.getOrElse("windows", "32").toInt)
 }
 
+/** REAL video probe for scripts (MJPEG-in-AVI, pure JDK): (id, decodable,
+  * width, height, n_frames, duration_ms) per payload row from the RIFF
+  * container. Params: id (default "doc_id").
+  */
+class VideoProbe extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Video.probeVideos(inputs.head, params.getOrElse("id", "doc_id"))
+}
+
+/** REAL video features for scripts: mean per-frame luminance histogram
+  * over sampled MJPEG frames, through the MediaDecoder SPI — pass
+  * `decoder` to swap in a production codec class without touching the
+  * pipeline. Params: id (default "doc_id"), dim (32), decoder
+  * (graft.multimodal.MjpegAviDecoder).
+  */
+class VideoFeatures extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Multimodal.extractFeatures(inputs.head,
+      params.getOrElse("id", "doc_id"), params.getOrElse("dim", "32").toInt,
+      params.getOrElse("decoder", classOf[graft.multimodal.MjpegAviDecoder].getName))
+}
+
+/** Frame sampling for scripts: up to n (id, frame_idx, frame_bytes) rows
+  * per video payload through the same SPI. Params: id (default "doc_id"),
+  * n (4), decoder (graft.multimodal.MjpegAviDecoder).
+  */
+class FrameSample extends UserOperator {
+  def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    graft.multimodal.Multimodal.frameSample(inputs.head,
+      params.getOrElse("id", "doc_id"), params.getOrElse("n", "4").toInt,
+      params.getOrElse("decoder", classOf[graft.multimodal.MjpegAviDecoder].getName))
+}
+
 /** Interval-concurrency sweep for scripts: (t, net, concurrent) at every
   * boundary, two-phase bucketed cumsum. Params: start, end (required),
   * buckets (1024).

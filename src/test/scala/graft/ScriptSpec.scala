@@ -894,6 +894,37 @@ class ScriptSpec extends SparkSpec {
     assert(rels("f").collect().head.getSeq[Float](1).sum == 0f) // silence
   }
 
+  test("shipped video plug-ins probe, featurize, and frame-sample real MJPEG AVIs from scripts") {
+    import graft.script.ScriptEngine
+    def jpeg(lum: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = graft.multimodal.Video.writeAvi(Seq(jpeg(10), jpeg(20), jpeg(30)),
+      width = 8, height = 6, fps = 5)
+    val df = Seq((1L, avi)).toDF("doc_id", "payload")
+    val rels = ScriptEngine.run(spark,
+      """p = OPERATOR 'graft.script.ops.VideoProbe' vids;
+        |f = OPERATOR 'graft.script.ops.VideoFeatures' vids ('dim': '8');
+        |s = OPERATOR 'graft.script.ops.FrameSample' vids ('n': '2');""".stripMargin,
+      env0 = env("vids" -> df))
+    val probe = rels("p").collect().head
+    assert(probe.getBoolean(1) && probe.getInt(2) == 8 && probe.getInt(3) == 6 &&
+      probe.getInt(4) == 3 && probe.getLong(5) == 600L, probe.toString)
+    // flat dark frames: all histogram mass in the lowest bins
+    val feats = rels("f").collect().head.getSeq[Float](1)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5, feats.toString)
+    assert(feats.take(2).sum > 0.99f, feats.toString)
+    val frames = rels("s").collect()
+    assert(frames.length == 2 && frames.forall(r =>
+      graft.multimodal.Images.decode(r.getAs[Array[Byte]]("frame_bytes")).isDefined))
+  }
+
   test("concurrency, skyline, and cms join-size plug-ins run from scripts") {
     import graft.script.ScriptEngine
     val iv = Seq((0L, 10L), (5L, 15L)).toDF("s", "e")

@@ -270,13 +270,41 @@ object PigUdf {
     @transient private lazy val bagIter =
       Class.forName("org.apache.pig.data.DataBag", true, cls.getClassLoader)
         .getMethod("iterator")
+    @transient private lazy val bfClass =
+      Class.forName("org.apache.pig.data.BagFactory", true, cls.getClassLoader)
+    @transient private lazy val bagFactory = bfClass.getMethod("getInstance").invoke(null)
+    @transient private lazy val newBag = bfClass.getMethod("newDefaultBag")
+    @transient private lazy val bagAdd =
+      Class.forName("org.apache.pig.data.DataBag", true, cls.getClassLoader)
+        .getMethod("add", tupleCls)
+
+    /** Spark external value → what a Pig UDF expects on its input tuple:
+      * struct Rows become Pig Tuples and Seq[Row]s become DataBags,
+      * recursively (the input-side mirror of [[convert]]); scalars pass
+      * through boxed.
+      */
+    private def toPig(v: Any): AnyRef = v match {
+      case null => null
+      case r: Row =>
+        val t = newTuple.invoke(factory, Int.box(r.length))
+        var i = 0
+        while (i < r.length) {
+          setField.invoke(t, Int.box(i), toPig(r.get(i))); i += 1
+        }
+        t
+      case s: scala.collection.Seq[_] if s.forall(_.isInstanceOf[Row]) =>
+        val bag = newBag.invoke(bagFactory)
+        s.foreach(e => bagAdd.invoke(bag, toPig(e)))
+        bag
+      case other => other.asInstanceOf[AnyRef]
+    }
 
     override def apply(row: Row): Any = {
       val n = row.length
       val tuple = newTuple.invoke(factory, Int.box(n))
       var i = 0
       while (i < n) {
-        setField.invoke(tuple, Int.box(i), row.get(i).asInstanceOf[AnyRef])
+        setField.invoke(tuple, Int.box(i), toPig(row.get(i)))
         i += 1
       }
       val out = exec.invoke(instance, tuple)

@@ -634,6 +634,17 @@ class ScriptSpec extends SparkSpec {
       env0 = env("t" -> df))("g").collect())
     assert(err.getMessage != null && err.getMessage.contains("outputSchema"),
       String.valueOf(err.getMessage))
+    // INPUT-side conversion: struct args arrive as Pig Tuples, array<struct>
+    // args as DataBags — the UDF reads them through the Pig data API
+    graft.functions.PigUdf.register(spark, "ptupsum",
+      classOf[SamplePigTupleArgFunc])
+    graft.functions.PigUdf.register(spark, "pbagsum",
+      classOf[SamplePigBagArgFunc])
+    val in2 = spark.range(1, 4).select(col("id").as("x"), (col("id") * 2).as("y"))
+    val got = in2.selectExpr("x", "ptupsum(struct(x, y)) AS ts",
+        "pbagsum(array(struct(x AS v), struct(y AS v))) AS bs")
+      .orderBy("x").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 3L), (6L, 6L), (9L, 9L)), got.toString)
   }
 
   test("FUNCTION wraps Pig Algebraic/Accumulator UDAFs; algebraic partial-aggregates") {
@@ -1186,4 +1197,32 @@ class SamplePigTokenizeFunc(sep: String) extends org.apache.pig.EvalFunc[org.apa
   */
 class SamplePigBadTupleFunc extends org.apache.pig.EvalFunc[org.apache.pig.data.Tuple] {
   override def exec(t: org.apache.pig.data.Tuple): org.apache.pig.data.Tuple = t
+}
+
+/** Pig UDF that reads a TUPLE argument through the Pig Tuple API — pins
+  * that struct-typed Spark args arrive as genuine Pig tuples, not Rows.
+  */
+class SamplePigTupleArgFunc extends org.apache.pig.EvalFunc[java.lang.Long] {
+  override def exec(t: org.apache.pig.data.Tuple): java.lang.Long = {
+    val inner = t.get(0).asInstanceOf[org.apache.pig.data.Tuple]
+    var s = 0L
+    var i = 0
+    while (i < inner.size()) {
+      s += inner.get(i).asInstanceOf[java.lang.Number].longValue(); i += 1
+    }
+    s
+  }
+}
+
+/** Pig UDF that reads a BAG argument through the DataBag API — pins that
+  * array&lt;struct&gt; Spark args arrive as genuine Pig bags.
+  */
+class SamplePigBagArgFunc extends org.apache.pig.EvalFunc[java.lang.Long] {
+  override def exec(t: org.apache.pig.data.Tuple): java.lang.Long = {
+    val bag = t.get(0).asInstanceOf[org.apache.pig.data.DataBag]
+    var s = 0L
+    val it = bag.iterator()
+    while (it.hasNext) s += it.next().get(0).asInstanceOf[java.lang.Number].longValue()
+    s
+  }
 }

@@ -165,15 +165,24 @@ object Bench {
     // re-broadcasts — standard warm single-node throughput methodology
     val results = selected.map { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
+      // a failed query must never masquerade as a fast one: record -1 and
+      // log loudly instead of timing the distance to the exception
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+            -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

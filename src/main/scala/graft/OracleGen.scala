@@ -2258,11 +2258,11 @@ object OracleGen {
 
   /** Shared graph preamble for q199/q201: the customer↔supplier bipartite
     * graph both directions — MUST stay in sync with SparkEntry's
-    * custSuppGraph (same +10000000 supplier offset, same dedup).
+    * custSuppGraph (same +1000000000000 supplier offset, same dedup).
     */
   private def custSuppGraphCtes: String =
     s"""pairs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sup
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000000 AS sup
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS (SELECT c AS src, sup AS dst FROM pairs
        |  UNION SELECT sup, c FROM pairs),

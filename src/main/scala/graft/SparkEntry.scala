@@ -36,7 +36,7 @@ object SparkEntry {
     * graph builder ASSERTS the disjointness instead of trusting the
     * comment. Mirrored literally in OracleGen.custSuppGraphCtes.
     */
-  private val SupplierNodeOffset = 10000000L
+  private val SupplierNodeOffset = 1000000000000L
 
   /** The customer↔supplier bipartite graph both directions (q199/q201;
     * oracle preamble: OracleGen.custSuppGraphCtes — keep the two in

@@ -152,10 +152,15 @@ object Matrix {
     require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
     val scale = 1000000000L
     // checkpoint the deduped edges BEFORE fan-out: they feed the degree
-    // self-join and both sides of the node union — without this the
-    // upstream edge derivation recomputes four times during setup
+    // aggregate and both sides of the node union — without this the
+    // upstream edge derivation recomputes four times during setup. The
+    // edge set is the O(E) object and is materialized exactly ONCE,
+    // carrying only (src, dst): degree is O(V) and lives on its own —
+    // round 11 measured the old deg-riding-every-edge-row form (a second
+    // full-edge checkpoint) going super-linear at the 100M-edge decade
+    // (16.2x for 10x rows) purely from the duplicated edge materialization
     val e = ckpt(edges.toDF("src", "dst").distinct(), true, reliableCheckpoint)
-    val eDeg = ckpt(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
+    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("deg")),
       true, reliableCheckpoint)
     val nodes = ckpt(e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct(), true, reliableCheckpoint)
@@ -173,7 +178,7 @@ object Matrix {
     val base = (scale * (100 - dampingPct) / 100) / n
     var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
     for (_ <- 0 until iters) {
-      val contrib = prContribution(eDeg, ranks, side)
+      val contrib = prContribution(e, perSrcContribution(ranks, deg), side)
       ranks = ckpt(nodes.join(side(contrib), Seq("node"), "left")
         .withColumn("__s", coalesce(col("s"), lit(0L)))
         .select(col("node"),
@@ -183,15 +188,25 @@ object Matrix {
     ranks
   }
 
-  /** One [[pageRankPortable]] contribution round: edges⋈ranks, integer
-    * per-edge mass, partial+final sum. Factored out so the plan audit can
-    * pin the iteration's physical shape (join strategy, partial
-    * aggregation) directly — the loop's checkpoints erase it.
+  /** Per-source contribution mass `r div deg` — an O(V) relation computed
+    * ONCE PER SOURCE and mapped onto the edges, instead of carrying `deg`
+    * on every edge row and dividing per edge (identical integer values;
+    * O(E) work and a full second edge materialization removed).
     */
-  private[graft] def prContribution(eDeg: DataFrame, ranks: DataFrame,
+  private[graft] def perSrcContribution(ranks: DataFrame, deg: DataFrame): DataFrame =
+    ranks.withColumnRenamed("node", "src").join(deg, "src")
+      .select(col("src"), expr("r div deg").as("c"))
+
+  /** One [[pageRankPortable]] contribution round: bare (src, dst) edges ⋈
+    * the O(V) per-source mass, partial+final sum by destination. Factored
+    * out so the plan audit can pin the iteration's physical shape (join
+    * strategy, partial aggregation) directly — the loop's checkpoints
+    * erase it.
+    */
+  private[graft] def prContribution(e: DataFrame, perSrc: DataFrame,
                                     side: DataFrame => DataFrame): DataFrame =
-    eDeg.join(side(ranks.withColumnRenamed("node", "src")), "src")
-      .select(col("dst").as("node"), expr("r div deg").as("c"))
+    e.join(side(perSrc), "src")
+      .select(col("dst").as("node"), col("c"))
       .groupBy("node").agg(sum("c").as("s"))
 
   /** Synchronous label propagation (community detection): every node

@@ -120,20 +120,21 @@ class MatrixSpec extends SparkSpec {
     // the contribution join carries NO BroadcastExchange; below it, it does.
     // AQE's size-based auto-broadcast is disabled so the pin tests OUR
     // decision, not the optimizer's small-table shortcut.
-    val eDeg = g.join(g.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
     val ranks = g.select(col("src").as("node")).distinct()
       .select(col("node"), lit(100L).as("r"))
+    val perSrc = Matrix.perSrcContribution(ranks, deg)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val autoShuffle = Matrix.stateSide(n = 6, forced = None, maxNodes = 2)
-      val pShuffle = Matrix.prContribution(eDeg, ranks, autoShuffle)
+      val pShuffle = Matrix.prContribution(g, perSrc, autoShuffle)
       pShuffle.queryExecution.toRdd.foreach(_ => ())
       val planS = pShuffle.queryExecution.executedPlan.toString
       assert(!planS.contains("BroadcastExchange"),
         s"auto-switch above threshold still broadcasts:\n$planS")
       val autoBcast = Matrix.stateSide(n = 6, forced = None, maxNodes = 100)
-      val pBcast = Matrix.prContribution(eDeg, ranks, autoBcast)
+      val pBcast = Matrix.prContribution(g, perSrc, autoBcast)
       pBcast.queryExecution.toRdd.foreach(_ => ())
       val planB = pBcast.queryExecution.executedPlan.toString
       assert(planB.contains("BroadcastExchange"),

@@ -292,10 +292,11 @@ class SkewStressSpec extends SparkSpec {
     assert(out.size == Hot + 1)
     // plan pin: the contribution aggregate is partial+final (the exchange
     // sees one row per (reducer, node), never the raw 10^5 hub rows)
-    val eDeg = edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ranks = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(9999L).as("r"))
-    val contrib = graft.operators.Matrix.prContribution(eDeg, ranks, identity)
+    val contrib = graft.operators.Matrix.prContribution(edges,
+      graft.operators.Matrix.perSrcContribution(ranks, deg), identity)
     contrib.queryExecution.toRdd.foreach(_ => ())
     val plan = contrib.queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"),

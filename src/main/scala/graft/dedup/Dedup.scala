@@ -114,26 +114,46 @@ object Dedup {
     * guardrail that turns an all-pairs shingle join's worst case from
     * |hottest shingle|² into cap².
     */
+  /** One-partition pass-through census over a METADATA-SIZED relation:
+    * funnel the rows through a single task so `observe` (logging +
+    * accumulator adds — capture only Serializable things, the closure
+    * ships to executors) fires exactly once per execution.
+    * repartition(1), NOT coalesce(1): coalesce would pull the whole
+    * upstream final aggregation into a single task, while repartition
+    * exchanges only the already-tiny rows. With `pin = true` the result
+    * is EAGERLY localCheckpointed — one tiny job NOW — so downstream
+    * branch duplication (self-joins, size routing) can never re-run the
+    * subtree and double-fire the observation; a lazy checkpoint still
+    * races on a multi-executor cluster (two stages can compute the
+    * unmaterialized partition on different BlockManagers before either
+    * caches it). Shared by the hot-shingle cap and the semDedup cell-cap
+    * census.
+    */
+  private def observedOnce(df: DataFrame, pin: Boolean)(
+      observe: Array[org.apache.spark.sql.Row] => Unit): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    val obs = df.repartition(1).mapPartitions { it =>
+      val rows = it.toArray
+      observe(rows)
+      rows.iterator
+    }
+    if (pin) obs.localCheckpoint(true) else obs
+  }
+
   private def capHotShingles(sh: DataFrame, cap: Option[Int],
                              metrics: Option[CapMetrics] = None): DataFrame =
     cap.fold(sh) { c =>
       require(c >= 2, s"maxDocsPerShingle must be >= 2: $c")
       val hot0 = sh.groupBy("shingle").agg(count(lit(1)).as("__docs"))
         .filter(col("__docs") > c)
-      // the hot set is metadata-sized and broadcast anyway; funnel it
-      // through one partition so the drop count logs exactly once at
-      // execution — capped pair generation must be LOUD, never silent.
-      // repartition(1), NOT coalesce(1): coalesce would pull the whole
-      // upstream final aggregation into a single task, while repartition
-      // exchanges only the already-filtered (tiny) hot rows
-      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-        org.apache.spark.sql.Encoders.row(hot0.schema)
-      // capture the (Serializable) accumulators, never the CapMetrics
-      // wrapper — the closure ships to executors
+      // the hot set is metadata-sized and broadcast anyway; the census
+      // makes capped pair generation LOUD, never silent. Pinned only when
+      // metrics were asked for (the pin's eager job is a plan-time action;
+      // without accumulators at stake, log-duplication is harmless)
       val accShingles = metrics.map(_.droppedShingles)
       val accMembers = metrics.map(_.droppedMemberships)
-      val hot = hot0.repartition(1).mapPartitions { it =>
-        val rows = it.toArray
+      val hot = observedOnce(hot0, pin = metrics.isDefined) { rows =>
         if (rows.nonEmpty) {
           val hottest = rows.iterator.map(_.getLong(1)).max
           org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
@@ -143,16 +163,8 @@ object Dedup {
           accShingles.foreach(_.add(rows.length.toLong))
           accMembers.foreach(_.add(rows.iterator.map(_.getLong(1)).sum))
         }
-        rows.iterator
       }.select("shingle")
-      // when a caller asked for metrics, pin the hot subtree to ONE
-      // execution (EAGER localCheckpoint — one tiny job over the already-
-      // filtered hot rows): the self-join duplicates this subtree on both
-      // sides, and a lazy checkpoint still races on a multi-executor
-      // cluster (two stages can compute the unmaterialized partition on
-      // different BlockManagers before either caches it, double-counting)
-      val hotOnce = if (metrics.isDefined) hot.localCheckpoint(true) else hot
-      sh.join(broadcast(hotOnce), Seq("shingle"), "left_anti")
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
 
   // ---- exact n-gram Jaccard ----------------------------------------------
@@ -1033,10 +1045,7 @@ object Dedup {
       val accCells = m.oversizedCells
       val accVecs = m.bandedVectors
       val cap = maxCellSize
-      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-        org.apache.spark.sql.Encoders.row(cellSizes0.schema)
-      cellSizes0.repartition(1).mapPartitions { it =>
-        val rows = it.toArray
+      observedOnce(cellSizes0, pin = true) { rows =>
         val over = rows.filter(_.getLong(1) > cap)
         if (over.nonEmpty) {
           org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
@@ -1047,8 +1056,7 @@ object Dedup {
           accCells.add(over.length.toLong)
           accVecs.add(over.iterator.map(_.getLong(1)).sum)
         }
-        rows.iterator
-      }.localCheckpoint(true)
+      }
     }
     val sized = reps.join(broadcast(cellSizes), Seq("centroid_id"))
     val small = sized.filter(col("__cell_n") <= maxCellSize)

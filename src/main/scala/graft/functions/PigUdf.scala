@@ -104,7 +104,7 @@ object PigUdf {
         // JVM from the class name and args (the UDF jar is on the
         // executor classpath via REGISTER)
         val call = new PigUdfCall(cls.getName, ctorArgs,
-          if (complex) Some(retType) else None)
+          if (complex) Some(retType) else None, children.map(_.dataType))
         val packed = CreateStruct(children)
         val enc = ExpressionEncoder(StructType(children.zipWithIndex.map {
           case (c, i) => StructField(s"_$i", c.dataType, c.nullable) }))
@@ -251,7 +251,8 @@ object PigUdf {
     * ScalaUDF's catalyst converter can serialize it.
     */
   private final class PigUdfCall(className: String, ctorArgs: Seq[String],
-                                 retType: Option[DataType])
+                                 retType: Option[DataType],
+                                 inputTypes: Seq[DataType])
       extends (Row => Any) with Serializable {
     @transient private lazy val cls =
       Class.forName(className, true, Thread.currentThread().getContextClassLoader)
@@ -279,32 +280,39 @@ object PigUdf {
         .getMethod("add", tupleCls)
 
     /** Spark external value → what a Pig UDF expects on its input tuple:
-      * struct Rows become Pig Tuples and Seq[Row]s become DataBags,
-      * recursively (the input-side mirror of [[convert]]); scalars pass
-      * through boxed.
+      * struct args become Pig Tuples and array&lt;struct&gt; args become
+      * DataBags, recursively (the input-side mirror of [[convert]]).
+      * Conversion is driven by the DECLARED column type, never the row's
+      * runtime shape, so a column converts identically on every row
+      * (null elements and empty bags included); scalars — and arrays of
+      * scalars, which Pig has no type for — pass through as-is.
       */
-    private def toPig(v: Any): AnyRef = v match {
-      case null => null
-      case r: Row =>
-        val t = newTuple.invoke(factory, Int.box(r.length))
-        var i = 0
-        while (i < r.length) {
-          setField.invoke(t, Int.box(i), toPig(r.get(i))); i += 1
-        }
-        t
-      case s: scala.collection.Seq[_] if s.forall(_.isInstanceOf[Row]) =>
-        val bag = newBag.invoke(bagFactory)
-        s.foreach(e => bagAdd.invoke(bag, toPig(e)))
-        bag
-      case other => other.asInstanceOf[AnyRef]
-    }
+    private def toPig(v: Any, dt: DataType): AnyRef =
+      if (v == null) null
+      else dt match {
+        case st: StructType =>
+          val r = v.asInstanceOf[Row]
+          val t = newTuple.invoke(factory, Int.box(r.length))
+          var i = 0
+          while (i < r.length) {
+            setField.invoke(t, Int.box(i), toPig(r.get(i), st(i).dataType)); i += 1
+          }
+          t
+        case ArrayType(et: StructType, _) =>
+          val bag = newBag.invoke(bagFactory)
+          v.asInstanceOf[scala.collection.Seq[_]].foreach { e =>
+            bagAdd.invoke(bag, if (e == null) null else toPig(e, et))
+          }
+          bag
+        case _ => v.asInstanceOf[AnyRef]
+      }
 
     override def apply(row: Row): Any = {
       val n = row.length
       val tuple = newTuple.invoke(factory, Int.box(n))
       var i = 0
       while (i < n) {
-        setField.invoke(tuple, Int.box(i), toPig(row.get(i)))
+        setField.invoke(tuple, Int.box(i), toPig(row.get(i), inputTypes(i)))
         i += 1
       }
       val out = exec.invoke(instance, tuple)

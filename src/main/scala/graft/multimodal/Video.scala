@@ -25,12 +25,23 @@ import org.apache.spark.sql.types._
   */
 object Video {
 
-  /** Parsed AVI facts: main-header geometry/timing + the JPEG frame blobs. */
+  /** Parsed AVI facts: main-header geometry/timing + (offset, length)
+    * spans of the JPEG frame chunks inside the retained payload — frames
+    * copy out LAZILY per index, so a count-only probe never duplicates
+    * the payload's frame bytes.
+    */
   final case class AviInfo(width: Int, height: Int, microSecPerFrame: Long,
-                           totalFrames: Int, frames: Vector[Array[Byte]]) {
+                           totalFrames: Int, frameSpans: Vector[(Int, Int)],
+                           payload: Array[Byte]) {
+    def nFrames: Int = frameSpans.length
+    def frame(i: Int): Array[Byte] = {
+      val (off, len) = frameSpans(i)
+      java.util.Arrays.copyOfRange(payload, off, off + len)
+    }
+    def frames: Vector[Array[Byte]] = frameSpans.indices.map(frame).toVector
     def durationMs: Long =
       if (totalFrames > 0) microSecPerFrame * totalFrames / 1000L
-      else microSecPerFrame * frames.length / 1000L
+      else microSecPerFrame * nFrames / 1000L
   }
 
   private def u32(b: Array[Byte], off: Int): Long =
@@ -40,46 +51,58 @@ object Video {
   private def fourCC(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
+  /** Nested-LIST descent bound: real AVIs nest 2-3 deep (RIFF → hdrl/movi
+    * → strl/rec); a payload of nothing but LIST headers must not grow the
+    * stack (junk never fails a task).
+    */
+  private val MaxListDepth = 16
+
   /** Parse an AVI payload; None when the bytes are not a RIFF/AVI
     * container. Frame chunks are recognized by the standard stream-data
     * FourCC shape `NNdc`/`NNdb` and a JPEG SOI marker, so index ('idx1')
-    * and audio ('NNwb') chunks are skipped.
+    * and audio ('NNwb') chunks are skipped. Every read is bounded by the
+    * bytes ACTUALLY remaining (never the declared chunk size), so a
+    * truncated or corrupt payload parses to whatever is recoverable
+    * instead of failing the task.
     */
   def parseAvi(payload: Array[Byte]): Option[AviInfo] = {
     if (payload == null || payload.length < 12) return None
     if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ") return None
     var width = 0; var height = 0; var uspf = 0L; var total = 0
-    val frames = Vector.newBuilder[Array[Byte]]
+    val spans = Vector.newBuilder[(Int, Int)]
     def isFrameId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
         val id = fourCC(payload, off)
         val size = u32(payload, off + 4).toInt
         val dataStart = off + 8
-        val dataEnd = math.min(dataStart + size, to)
-        if (dataEnd < dataStart) return // corrupt size: stop, keep what we have
+        // bound by the bytes actually present, never the declared size
+        val dataEnd = math.min(math.max(dataStart.toLong + size, dataStart).toInt, to)
+        val avail = dataEnd - dataStart
         id match {
-          case "LIST" if size >= 4 =>
-            walk(dataStart + 4, dataEnd) // skip the 4-byte list type
-          case "avih" if size >= 40 =>
+          case "LIST" if avail >= 4 && depth < MaxListDepth =>
+            walk(dataStart + 4, dataEnd, depth + 1) // skip the 4-byte list type
+          case "avih" if avail >= 40 =>
             uspf = u32(payload, dataStart)
             total = u32(payload, dataStart + 16).toInt
             width = u32(payload, dataStart + 32).toInt
             height = u32(payload, dataStart + 36).toInt
-          case fid if isFrameId(fid) && size >= 2 &&
+          case fid if isFrameId(fid) && avail >= 2 &&
               (payload(dataStart) & 0xff) == 0xff &&
               (payload(dataStart + 1) & 0xff) == 0xd8 => // JPEG SOI
-            frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+            spans += ((dataStart, avail))
           case _ => ()
         }
-        off = dataStart + size + (size & 1) // chunks pad to even
+        val step = size.toLong + (size & 1)
+        if (dataStart.toLong + step > to) return // corrupt/truncated size: stop
+        off = (dataStart.toLong + step).toInt
       }
     }
-    walk(12, payload.length)
-    Some(AviInfo(width, height, uspf, total, frames.result()))
+    walk(12, payload.length, 0)
+    Some(AviInfo(width, height, uspf, total, spans.result(), payload))
   }
 
   /** The JPEG frame blobs of an MJPEG AVI (empty for junk payloads). */
@@ -111,11 +134,13 @@ object Video {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
+        // null ids are tolerated like junk payloads — a crawl column's
+        // defects must never fail the probe task
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         parseAvi(r.getAs[Array[Byte]](1)) match {
-          case Some(info) if info.frames.nonEmpty =>
-            Row(r.getLong(0), true, info.width, info.height,
-              info.frames.length, info.durationMs)
-          case _ => Row(r.getLong(0), false, 0, 0, 0, 0L)
+          case Some(info) if info.nFrames > 0 =>
+            Row(id, true, info.width, info.height, info.nFrames, info.durationMs)
+          case _ => Row(id, false, 0, 0, 0, 0L)
         }
       }
     }
@@ -157,8 +182,11 @@ object Video {
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.iterator.map(chunk("00dc", _))
-      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    // linear assembly — a foldLeft of Array ++ Array would re-copy the
+    // accumulated prefix once per frame (quadratic in total bytes)
+    val moviBody = new ByteArrayOutputStream()
+    frames.foreach(f => moviBody.write(chunk("00dc", f)))
+    val movi = list("movi", moviBody.toByteArray)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
@@ -174,10 +202,13 @@ object Video {
   */
 final class MjpegAviDecoder extends Multimodal.MediaDecoder {
 
-  override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    val all = Video.jpegFrames(payload)
-    Video.sampleIndices(all.length, n).map(all)
-  }
+  override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+    Video.parseAvi(payload) match {
+      case Some(info) =>
+        // copy ONLY the sampled frames' bytes out of the payload
+        Video.sampleIndices(info.nFrames, n).map(info.frame)
+      case None => Seq.empty
+    }
 
   override def features(payload: Array[Byte], dim: Int): Array[Float] = {
     val sampled = frames(payload, 4)

@@ -238,16 +238,22 @@ object Streaming {
           val intraPairs = graft.dedup.Dedup.minHashDedup(
             b0, shingleN, k, bands, threshold, textCol, idCol)
             .localCheckpoint(false)
-          val intra =
-            if (intraPairs.isEmpty) b0
-            else graft.dedup.Dedup.clusterSurvivors(b0,
-              graft.dedup.Dedup.dupClusters(intraPairs)
-                .withColumnRenamed("doc_id", idCol), idCol)
-          val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
-            intra, index, corpus, shingleN, k, bands, threshold, textCol, idCol)
-            .select(col("batch_id").as(idCol)).distinct()
-          intra.join(dups, Seq(idCol), "left_anti")
-            .write.mode("append").parquet(outPath)
+          // dupClusters returns its labels PERSISTED (documented caller
+          // contract) — a long-running stream must unpersist per batch or
+          // the CacheManager grows one entry per near-dup micro-batch
+          val clusters =
+            if (intraPairs.isEmpty) None
+            else Some(graft.dedup.Dedup.dupClusters(intraPairs))
+          try {
+            val intra = clusters.fold(b0)(c =>
+              graft.dedup.Dedup.clusterSurvivors(b0,
+                c.withColumnRenamed("doc_id", idCol), idCol))
+            val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
+              intra, index, corpus, shingleN, k, bands, threshold, textCol, idCol)
+              .select(col("batch_id").as(idCol)).distinct()
+            intra.join(dups, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(outPath)
+          } finally clusters.foreach(_.unpersist())
           graft.operators.Incremental.recordMergedBatch(spark, outPath, checkpoint, batchId)
         }
       }

@@ -353,6 +353,27 @@ class MultimodalSourcesSpec extends SparkSpec {
       val img = graft.multimodal.Images.decode(f).get
       assert(img.getWidth == 32 && img.getHeight == 24)
     }
+    // adversarial payloads never fail a task: a mid-download truncation
+    // (cut inside a frame chunk header / body), a declared chunk size far
+    // past the real bytes, and a bomb of nested LIST headers all parse to
+    // whatever is recoverable
+    val truncated = avi.take(avi.length - 5)
+    assert(Video.parseAvi(truncated).isDefined)
+    assert(Video.parseAvi(avi.take(30)).isDefined) // cut inside hdrl
+    val lying = avi.clone()
+    lying(16) = 0xff.toByte; lying(17) = 0xff.toByte // hdrl LIST size >> file
+    assert(Video.parseAvi(lying).isDefined)
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes("US-ASCII"))
+    bomb.write(Array[Byte](0xff.toByte, 0xff.toByte, 0x3f, 0)) // big size
+    bomb.write("AVI ".getBytes("US-ASCII"))
+    (0 until 200000).foreach { _ =>
+      bomb.write("LIST".getBytes("US-ASCII"))
+      bomb.write(Array[Byte](0xff.toByte, 0xff.toByte, 0x3f, 0))
+      bomb.write("hdrl".getBytes("US-ASCII"))
+    }
+    assert(Video.parseAvi(bomb.toByteArray).exists(_.nFrames == 0),
+      "nested-LIST bomb must parse shallow, not overflow the stack")
     val df = Seq((1L, avi), (2L, mjpegAvi(Seq(10, 20))),
       (3L, "not a video".getBytes("UTF-8"))).toDF("id", "payload")
     // probe: real header + movi facts; junk flagged, not failed

@@ -645,6 +645,12 @@ class ScriptSpec extends SparkSpec {
         "pbagsum(array(struct(x AS v), struct(y AS v))) AS bs")
       .orderBy("x").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((3L, 3L), (6L, 6L), (9L, 9L)), got.toString)
+    // conversion is DECLARED-TYPE-driven, never row-shape-driven: an empty
+    // bag arrives as an empty DataBag (not a raw Seq) on every row
+    val empty = in2.selectExpr(
+        "pbagsum(filter(array(struct(x AS v)), e -> e.v < 0)) AS bs")
+      .collect().map(_.getLong(0)).toSeq
+    assert(empty == Seq(0L, 0L, 0L), empty.toString)
   }
 
   test("FUNCTION wraps Pig Algebraic/Accumulator UDAFs; algebraic partial-aggregates") {

@@ -371,6 +371,62 @@ object ScriptEngine {
     cur
   }
 
+  /** `LET name = <sql expression>;` — driver-evaluated preprocessing
+    * bindings, the graft-native replacement for the reference's free-form
+    * JavaScript preprocessing (app/CmrExecutor.java:46-49,118+: the .cmr
+    * ran through a JS engine that could compute arbitrary values into the
+    * script text). Instead of embedding a JS interpreter, the expression
+    * evaluates through Catalyst (`SELECT <expr>` — constants only, but
+    * the FULL SQL function library: date arithmetic, formatting, CASE,
+    * string ops, math) and the stringified result substitutes into the
+    * REMAINDER of the script as `$name` / `%name%`, exactly like a CLI
+    * param. LETs evaluate top-to-bottom, so later LETs and all following
+    * statements see earlier bindings; they run after FOREACH/IF
+    * expansion, so a LET inside a loop body binds per replica and a LET
+    * in a dropped IF branch never evaluates. Same caveats as the other
+    * preprocessor forms: don't spell `LET x =` inside a quoted literal,
+    * and the expression may not contain an unquoted `;`.
+    */
+  private[graft] def expandLets(spark: SparkSession, script: String,
+                                maxDepth: Int = 1000): String = {
+    val Head = "(?m)^[ \\t]*LET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
+      val name = m.group(1)
+      // the expression runs to the first ; outside quotes
+      var i = m.end
+      var q = ' '
+      while (i < s.length && !(q == ' ' && s(i) == ';')) {
+        val c = s(i)
+        if (q == ' ' && (c == '\'' || c == '"')) q = c
+        else if (q != ' ' && c == q) q = ' '
+        i += 1
+      }
+      require(i < s.length, s"LET $name: missing terminating ';'")
+      val exprSql = s.substring(m.end, i).trim
+      require(exprSql.nonEmpty, s"LET $name: empty expression")
+      val value =
+        try spark.sql(s"SELECT CAST(($exprSql) AS STRING)").first().getString(0)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"LET $name: expression does not evaluate: $exprSql (${e.getMessage})")
+        }
+      require(value != null, s"LET $name: expression evaluated to NULL: $exprSql")
+      val rest = s.substring(i + 1)
+        .replace(s"%$name%", value).replace("$" + name, value)
+      s.substring(0, m.start) + rest
+    }
+    var cur = script
+    for (_ <- 0 until maxDepth) {
+      expandOnce(cur) match {
+        case Some(next) => cur = next
+        case None => return cur
+      }
+    }
+    require(Head.findFirstMatchIn(cur).isEmpty,
+      s"more than $maxDepth LET bindings — malformed or runaway?")
+    cur
+  }
+
   /** Evaluate a preprocessor IF condition (see [[expandIf]]). */
   private[graft] def evalCond(cond: String): Boolean = {
     val Term =
@@ -562,8 +618,10 @@ object ScriptEngine {
     }
     // preprocessor order: FOREACH first (loop vars feed IF conditions and
     // DATE bases), then IF (drops dead branches before they cost anything),
-    // then DATE substitution on the surviving text
-    val p = new P(lex(expandDates(expandIf(expandForeach(substituted)))))
+    // then LET bindings (computed on the surviving text only — a LET in a
+    // dropped branch never evaluates), then DATE substitution
+    val p = new P(lex(expandDates(expandLets(spark,
+      expandIf(expandForeach(substituted))))))
     var env = env0
     def rel(name: String): DataFrame =
       env.getOrElse(name, sys.error(s"undefined relation: $name"))

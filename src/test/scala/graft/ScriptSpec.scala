@@ -691,6 +691,42 @@ class ScriptSpec extends SparkSpec {
     assert(whole.collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
+  test("LET bindings compute preprocessor values through Catalyst (free-form JS-preprocessing parity)") {
+    import graft.script.ScriptEngine
+    val df = Seq((1L, 4L), (2L, 5L)).toDF("x", "y")
+    val rels = ScriptEngine.run(spark,
+      """LET THRESH = 2 + 2;
+        |LET TAG = upper(concat('run_', '$ENV'));
+        |LET CUT = CASE WHEN $THRESH > 3 THEN 1 ELSE 99 END;
+        |g = FILTER t BY y >= $THRESH;
+        |h = FROM g GENERATE x, '$TAG' AS tag, x + $CUT AS xc;""".stripMargin,
+      params = Map("ENV" -> "prod"), env0 = env("t" -> df))
+    val rows = rels("h").orderBy("x").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.head.getString(1) == "RUN_PROD")
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 3L), rows.mkString(";"))
+    // the full SQL date/format library is available to bindings
+    val d = ScriptEngine.run(spark,
+      """LET D = date_format(date_add(DATE'2024-03-01', 9), 'yyyy/MM/dd');
+        |g = FROM t GENERATE x, '$D' AS dt;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    assert(d.collect().head.getString(1) == "2024/03/10")
+    // a LET inside a dropped IF branch never evaluates (it would throw)
+    val ok = ScriptEngine.run(spark,
+      """IF ('x' == 'y') DO
+        |  LET BAD = assert_true(false);
+        |END IF;
+        |g = FROM t GENERATE x;""".stripMargin, env0 = env("t" -> df))("g")
+    assert(ok.count() == 2)
+    // loud failures: unterminated binding, non-evaluating expression
+    val err = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      "LET X = 1 + 1", env0 = env("t" -> df)))
+    assert(err.getMessage.contains("missing terminating"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      "LET X = not_a_function(1);\ng = FROM t GENERATE x;", env0 = env("t" -> df)))
+    assert(err2.getMessage.contains("does not evaluate"), err2.getMessage)
+  }
+
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {
     import graft.script.ScriptEngine
     val df = Seq((1L, 2L)).toDF("x", "y")

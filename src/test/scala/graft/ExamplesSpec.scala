@@ -358,7 +358,10 @@ class ExamplesSpec extends SparkSpec {
     // the dated revenue rollup landed at yesterday-of-the-literal-base
     val rev = spark.read.parquet(s"$out/rev/dt=20240114")
     assert(rev.count() > 0)
-    assert(rev.columns.toSet == Set("o_orderpriority", "gross", "n_items"))
+    assert(rev.columns.toSet == Set("o_orderpriority", "gross", "n_items", "quarter"))
+    // the LET-computed quarter label rode into the output
+    assert(rev.select("quarter").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("Q1"))
     // the FOREACH-generated segment reports exist and respect the dev filter
     val urgent = spark.read.parquet(s"$out/urgent")
     assert(urgent.columns.toSet == Set("o_custkey", "n_orders", "total"))

@@ -77,10 +77,13 @@ object Video {
       var off = from
       while (off + 8 <= to) {
         val id = fourCC(payload, off)
-        val size = u32(payload, off + 4).toInt
+        // size is an UNSIGNED u32 — keep it a Long end to end (an Int
+        // truncation of a >= 2^31 junk size goes negative: a stalled or
+        // backwards scan offset, i.e. an infinite loop or AIOOBE)
+        val size = u32(payload, off + 4)
         val dataStart = off + 8
         // bound by the bytes actually present, never the declared size
-        val dataEnd = math.min(math.max(dataStart.toLong + size, dataStart).toInt, to)
+        val dataEnd = math.min(dataStart.toLong + size, to.toLong).toInt
         val avail = dataEnd - dataStart
         id match {
           case "LIST" if avail >= 4 && depth < MaxListDepth =>
@@ -96,9 +99,9 @@ object Video {
             spans += ((dataStart, avail))
           case _ => ()
         }
-        val step = size.toLong + (size & 1)
-        if (dataStart.toLong + step > to) return // corrupt/truncated size: stop
-        off = (dataStart.toLong + step).toInt
+        val next = dataStart.toLong + size + (size & 1L) // chunks pad to even
+        if (next > to) return // corrupt/truncated size: stop, keep what we have
+        off = next.toInt
       }
     }
     walk(12, payload.length, 0)

@@ -389,19 +389,26 @@ object ScriptEngine {
     */
   private[graft] def expandLets(spark: SparkSession, script: String,
                                 maxDepth: Int = 1000): String = {
-    val Head = "(?m)^[ \\t]*LET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    val Head = "(?im)^[ \\t]*LET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
     def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
       val name = m.group(1)
-      // the expression runs to the first ; outside quotes
+      // the expression runs to the first ; outside quotes; a backslash
+      // inside a quoted literal escapes the next char (Spark SQL's \'
+      // escaping must not desynchronize the scanner)
       var i = m.end
-      var q = ' '
-      while (i < s.length && !(q == ' ' && s(i) == ';')) {
+      var q = 0: Char
+      var done = false
+      while (i < s.length && !done) {
         val c = s(i)
-        if (q == ' ' && (c == '\'' || c == '"')) q = c
-        else if (q != ' ' && c == q) q = ' '
-        i += 1
+        if (q == 0 && c == ';') done = true
+        else {
+          if (q != 0 && c == '\\') i += 1 // skip the escaped char
+          else if (q == 0 && (c == '\'' || c == '"')) q = c
+          else if (q != 0 && c == q) q = 0
+          i += 1
+        }
       }
-      require(i < s.length, s"LET $name: missing terminating ';'")
+      require(done, s"LET $name: missing terminating ';'")
       val exprSql = s.substring(m.end, i).trim
       require(exprSql.nonEmpty, s"LET $name: empty expression")
       val value =
@@ -412,8 +419,20 @@ object ScriptEngine {
         }
       require(value != null, s"LET $name: expression evaluated to NULL: $exprSql")
       val rest = s.substring(i + 1)
-        .replace(s"%$name%", value).replace("$" + name, value)
-      s.substring(0, m.start) + rest
+      // the binding's scope ends at a RE-binding of the same name (a LET
+      // replicated per FOREACH iteration shadows per replica), and $name
+      // substitutes only at an identifier boundary (a binding D must
+      // never corrupt $D2 — the hazard the CLI-param path avoids by
+      // longest-first ordering)
+      val quotedName = java.util.regex.Pattern.quote(name)
+      val sameName = ("(?im)^[ \\t]*LET\\s+" + quotedName + "\\s*=").r
+      val stop = sameName.findFirstMatchIn(rest).map(_.start).getOrElse(rest.length)
+      val quotedVal = java.util.regex.Matcher.quoteReplacement(value)
+      val substituted =
+        ("%" + quotedName + "%").r.replaceAllIn(
+          ("\\$" + quotedName + "(?![A-Za-z0-9_])").r
+            .replaceAllIn(rest.substring(0, stop), quotedVal), quotedVal)
+      s.substring(0, m.start) + substituted + rest.substring(stop)
     }
     var cur = script
     for (_ <- 0 until maxDepth) {

@@ -374,6 +374,22 @@ class MultimodalSourcesSpec extends SparkSpec {
     }
     assert(Video.parseAvi(bomb.toByteArray).exists(_.nFrames == 0),
       "nested-LIST bomb must parse shallow, not overflow the stack")
+    // an UNSIGNED size field >= 2^31 (Int-negative) must neither spin the
+    // scan in place nor walk the offset backwards off the array
+    def evil(size: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII"))
+      b.write(Array[Byte](100, 0, 0, 0))
+      b.write("AVI ".getBytes("US-ASCII"))
+      b.write("00dc".getBytes("US-ASCII"))
+      b.write(size)
+      b.write(new Array[Byte](32))
+      b.toByteArray
+    }
+    assert(Video.parseAvi(evil(Array(0xf8.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte))).exists(_.nFrames == 0)) // u32 = 4294967288
+    assert(Video.parseAvi(evil(Array(0, 0, 0, 0x80.toByte)))
+      .exists(_.nFrames == 0)) // u32 = 2^31 (Int.MinValue if truncated)
     val df = Seq((1L, avi), (2L, mjpegAvi(Seq(10, 20))),
       (3L, "not a video".getBytes("UTF-8"))).toDF("id", "payload")
     // probe: real header + movi facts; junk flagged, not failed

@@ -725,6 +725,35 @@ class ScriptSpec extends SparkSpec {
     val err2 = intercept[IllegalArgumentException](ScriptEngine.run(spark,
       "LET X = not_a_function(1);\ng = FROM t GENERATE x;", env0 = env("t" -> df)))
     assert(err2.getMessage.contains("does not evaluate"), err2.getMessage)
+    // identifier-boundary substitution: a binding D never corrupts $D2
+    val pfx = ScriptEngine.run(spark,
+      """LET D = 2;
+        |LET D2 = 30;
+        |g = FILTER t BY y >= $D2;
+        |h = FROM g GENERATE x + $D AS xd;""".stripMargin,
+      env0 = env("t" -> df))
+    assert(pfx("g").count() == 0, "binding D corrupted $D2 (y >= 22 matched)")
+    assert(pfx("h").count() == 0)
+    // per-replica shadowing: a LET inside a FOREACH body re-binds per
+    // iteration; lowercase `let` is the same keyword (grammar parity with
+    // foreach/if); escaped quotes inside the expression scan correctly
+    val shadow = ScriptEngine.run(spark,
+      """FOREACH V IN ('a', 'b') DO
+        |  let TAG = upper('$V');
+        |  out_$V = FROM t GENERATE x, '$TAG' AS tag;
+        |END FOREACH;
+        |LET QLEN = length('it\'s; fine');
+        |q = FROM t GENERATE x + $QLEN AS s;""".stripMargin,
+      env0 = env("t" -> df))
+    assert(shadow("out_a").select("tag").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("A"))
+    assert(shadow("out_b").select("tag").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("B"),
+      "FOREACH replica b saw replica a's LET binding")
+    // the escaped quote and the ; inside the literal scanned correctly:
+    // length("it's; fine") = 10
+    assert(shadow("q").orderBy("s").collect().map(_.getLong(0)).toSeq
+      == Seq(11L, 12L))
   }
 
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {

@@ -259,6 +259,46 @@ object Streaming {
       }
       .start()
 
+  /** Continuous embedding (SemDeDup) near-dup screen — the vector-modality
+    * sibling of [[minHashScreenStream]] with the SAME scope: each arriving
+    * micro-batch screens against the stored corpus index AND dedups
+    * against itself ([[graft.dedup.Dedup.semDedupAgainstIndex]] is exactly
+    * that composition: corpus screen, then the bounded in-batch pairing —
+    * min-id survivor per similarity group), and the surviving batch rows
+    * append to `outPath` with the same exactly-once batch-marker
+    * discipline. Use this over the stateless
+    * [[graft.dedup.Dedup.semDedupScreenStream]] transform when intra-batch
+    * duplicates matter or when an exactly-once parquet append is the sink;
+    * use the stateless form when zero-state continuous flow is the point.
+    * Surviving vectors do NOT join the index mid-stream (rebuild it on
+    * corpus append).
+    */
+  def embeddingScreenStream(stream: DataFrame, index: DataFrame, centroids: DataFrame,
+                            outPath: String, checkpoint: String,
+                            threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            maxCellSize: Int = 10000, nPlanes: Int = 16,
+                            bands: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty &&
+            batchId > graft.operators.Incremental.lastMergedBatch(spark, outPath, checkpoint)) {
+          val b0 = batch.toDF()
+          val keep = graft.dedup.Dedup.semDedupAgainstIndex(
+            b0, index, centroids, threshold, idCol, vecCol,
+            maxCellSize, nPlanes, bands).select(idCol)
+          b0.join(keep, Seq(idCol), "left_semi")
+            .write.mode("append").parquet(outPath)
+          graft.operators.Incremental.recordMergedBatch(spark, outPath, checkpoint, batchId)
+        }
+      }
+      .start()
+
   /** Sink a stream to parquet with checkpointing; returns the query handle. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =

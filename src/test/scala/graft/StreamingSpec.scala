@@ -76,6 +76,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingScreenStream drops corpus AND intra-batch near-dups, appends survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-emb-screen").toString
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "cvec")
+    val index = graft.dedup.Dedup.semDedupIndex(
+      Seq((500L, Array(2f, 0.1f))).toDF("vec_id", "embedding"), cents)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.embeddingScreenStream(
+      in.toDF().toDF("vec_id", "embedding"), index, cents,
+      s"$dir/out", s"$dir/ck", threshold = 0.97)
+    try {
+      // 5 is a corpus near-dup (drops); 10 and 11 are an INTRA-batch
+      // near-dup pair in cell 1 (min-id 10 survives); 6 is novel
+      in.addData(
+        (5L, Array(4f, 0.2f)),
+        (11L, Array(0.1f, 3f)), (10L, Array(0.2f, 6f)),
+        (6L, Array(-3f, 0.1f)))
+      q.processAllAvailable()
+      val got1 = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).toSet
+      assert(got1 == Set(6L, 10L), got1.toString)
+      // a later batch appends its own survivors independently
+      in.addData((20L, Array(2f, 0.1f)), (21L, Array(-0.1f, -5f)))
+      q.processAllAvailable()
+      val got2 = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).toSet
+      assert(got2 == Set(6L, 10L, 21L), got2.toString)
+      // batch ≡ stream pin: the batch pipeline on batch-1's rows agrees
+      val b1 = Seq((5L, Array(4f, 0.2f)), (11L, Array(0.1f, 3f)),
+        (10L, Array(0.2f, 6f)), (6L, Array(-3f, 0.1f)))
+        .toDF("vec_id", "embedding")
+      val batchAnswer = graft.dedup.Dedup.semDedupAgainstIndex(
+        b1, index, cents, threshold = 0.97)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(batchAnswer == Set(6L, 10L), batchAnswer.toString)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running aggregate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedEvent]

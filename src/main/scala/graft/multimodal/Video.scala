@@ -89,10 +89,14 @@ object Video {
           case "LIST" if avail >= 4 && depth < MaxListDepth =>
             walk(dataStart + 4, dataEnd, depth + 1) // skip the 4-byte list type
           case "avih" if avail >= 40 =>
+            // clamp, don't truncate: a junk header's unsigned u32 >= 2^31
+            // must not surface as a negative width/height/frame count
+            def clamped(off: Int): Int =
+              math.min(u32(payload, off), Int.MaxValue.toLong).toInt
             uspf = u32(payload, dataStart)
-            total = u32(payload, dataStart + 16).toInt
-            width = u32(payload, dataStart + 32).toInt
-            height = u32(payload, dataStart + 36).toInt
+            total = clamped(dataStart + 16)
+            width = clamped(dataStart + 32)
+            height = clamped(dataStart + 36)
           case fid if isFrameId(fid) && avail >= 2 &&
               (payload(dataStart) & 0xff) == 0xff &&
               (payload(dataStart + 1) & 0xff) == 0xd8 => // JPEG SOI

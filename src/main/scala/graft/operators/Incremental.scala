@@ -117,8 +117,7 @@ object Incremental {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty && batchId > lastMergedBatch(spark, mvPath, checkpoint)) {
+        exactlyOnceBatch(batch, batchId, mvPath, checkpoint) { spark =>
           val partial = batch
             .groupBy((dateCol +: keys).map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
@@ -137,7 +136,6 @@ object Incremental {
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(dateCol).parquet(mvPath)
-          recordMergedBatch(spark, mvPath, checkpoint, batchId)
         }
       }
       .start()
@@ -150,6 +148,23 @@ object Incremental {
   // path: a stream restarted from a FRESH checkpoint renumbers from 0 and
   // must not be mistaken for replay.
   private def batchMarker(mvPath: String) = new Path(mvPath, "_graft_last_batch")
+
+  /** The exactly-once foreachBatch skeleton shared by every marker-guarded
+    * streaming sink (streamRefresh, streamMergeCdc, the Streaming dedup
+    * screens): skip empty batches and batches at or below the recorded
+    * marker, run the body, then advance the marker. A failure BETWEEN the
+    * body and the marker write replays that one batch — each body is
+    * idempotent-or-overwriting for exactly that reason.
+    */
+  private[graft] def exactlyOnceBatch(batch: Dataset[Row], batchId: Long,
+                                      outPath: String, checkpoint: String)
+                                     (body: SparkSession => Unit): Unit = {
+    val spark = batch.sparkSession
+    if (!batch.isEmpty && batchId > lastMergedBatch(spark, outPath, checkpoint)) {
+      body(spark)
+      recordMergedBatch(spark, outPath, checkpoint, batchId)
+    }
+  }
 
   private[graft] def lastMergedBatch(spark: SparkSession, mvPath: String,
                                      checkpoint: String): Long = {
@@ -509,8 +524,7 @@ object Incremental {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty && batchId > lastMergedBatch(spark, targetPath, checkpoint)) {
+        exactlyOnceBatch(batch, batchId, targetPath, checkpoint) { spark =>
           val dataCols = batch.columns.toSeq
           val ordered = seqCol +: dataCols.filterNot(_ == seqCol)
           val latest = batch
@@ -538,7 +552,6 @@ object Incremental {
           } else
             upsert(spark, targetPath, latest, keyCols, partitionCol,
               opCol = opCol, seqCol = Some(seqCol), deleteOp = deleteOp)
-          recordMergedBatch(spark, targetPath, checkpoint, batchId)
         }
       }
       .start()

@@ -389,26 +389,28 @@ object ScriptEngine {
     */
   private[graft] def expandLets(spark: SparkSession, script: String,
                                 maxDepth: Int = 1000): String = {
-    val Head = "(?im)^[ \\t]*LET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    val Head = "(?m)^[ \\t]*(?i:LET)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    // the expression runs from `from` to the first ; outside quotes; a
+    // backslash inside a quoted literal escapes the next char (Spark
+    // SQL's \' escaping must not desynchronize the scanner). Returns the
+    // index of the terminating ';', or -1.
+    def exprEnd(s: String, from: Int): Int = {
+      var i = from
+      var q = 0: Char
+      while (i < s.length) {
+        val c = s(i)
+        if (q == 0 && c == ';') return i
+        if (q != 0 && c == '\\') i += 1 // skip the escaped char
+        else if (q == 0 && (c == '\'' || c == '"')) q = c
+        else if (q != 0 && c == q) q = 0
+        i += 1
+      }
+      -1
+    }
     def expandOnce(s: String): Option[String] = Head.findFirstMatchIn(s).map { m =>
       val name = m.group(1)
-      // the expression runs to the first ; outside quotes; a backslash
-      // inside a quoted literal escapes the next char (Spark SQL's \'
-      // escaping must not desynchronize the scanner)
-      var i = m.end
-      var q = 0: Char
-      var done = false
-      while (i < s.length && !done) {
-        val c = s(i)
-        if (q == 0 && c == ';') done = true
-        else {
-          if (q != 0 && c == '\\') i += 1 // skip the escaped char
-          else if (q == 0 && (c == '\'' || c == '"')) q = c
-          else if (q != 0 && c == q) q = 0
-          i += 1
-        }
-      }
-      require(done, s"LET $name: missing terminating ';'")
+      val i = exprEnd(s, m.end)
+      require(i >= 0, s"LET $name: missing terminating ';'")
       val exprSql = s.substring(m.end, i).trim
       require(exprSql.nonEmpty, s"LET $name: empty expression")
       val value =
@@ -419,14 +421,21 @@ object ScriptEngine {
         }
       require(value != null, s"LET $name: expression evaluated to NULL: $exprSql")
       val rest = s.substring(i + 1)
-      // the binding's scope ends at a RE-binding of the same name (a LET
-      // replicated per FOREACH iteration shadows per replica), and $name
-      // substitutes only at an identifier boundary (a binding D must
-      // never corrupt $D2 — the hazard the CLI-param path avoids by
-      // longest-first ordering)
+      // the binding's scope ends AFTER a re-binding's own expression (the
+      // re-binding's RHS still sees the old value — `LET X = $X + 1;`
+      // composes — but everything past its ';' sees the new one; a LET
+      // replicated per FOREACH iteration therefore shadows per replica).
+      // The name in the re-binding test is CASE-SENSITIVE like the
+      // substitution itself — only the LET keyword is case-insensitive.
+      // $name substitutes only at an identifier boundary (a binding D
+      // must never corrupt $D2 — the hazard the CLI-param path avoids by
+      // longest-first ordering).
       val quotedName = java.util.regex.Pattern.quote(name)
-      val sameName = ("(?im)^[ \\t]*LET\\s+" + quotedName + "\\s*=").r
-      val stop = sameName.findFirstMatchIn(rest).map(_.start).getOrElse(rest.length)
+      val sameName = ("(?m)^[ \\t]*(?i:LET)\\s+" + quotedName + "\\s*=").r
+      val stop = sameName.findFirstMatchIn(rest).map { m2 =>
+        val e = exprEnd(rest, m2.end)
+        if (e >= 0) e + 1 else rest.length // unterminated: next pass fails loudly
+      }.getOrElse(rest.length)
       val quotedVal = java.util.regex.Matcher.quoteReplacement(value)
       val substituted =
         ("%" + quotedName + "%").r.replaceAllIn(

@@ -229,9 +229,8 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty &&
-            batchId > graft.operators.Incremental.lastMergedBatch(spark, outPath, checkpoint)) {
+        graft.operators.Incremental.exactlyOnceBatch(batch, batchId,
+            outPath, checkpoint) { _ =>
           val b0 = batch.toDF()
           // intra-batch pass first (checkpointed so pair generation runs
           // once for the emptiness probe and the clustering)
@@ -254,7 +253,6 @@ object Streaming {
             intra.join(dups, Seq(idCol), "left_anti")
               .write.mode("append").parquet(outPath)
           } finally clusters.foreach(_.unpersist())
-          graft.operators.Incremental.recordMergedBatch(spark, outPath, checkpoint, batchId)
         }
       }
       .start()
@@ -285,16 +283,14 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty &&
-            batchId > graft.operators.Incremental.lastMergedBatch(spark, outPath, checkpoint)) {
+        graft.operators.Incremental.exactlyOnceBatch(batch, batchId,
+            outPath, checkpoint) { _ =>
           val b0 = batch.toDF()
           val keep = graft.dedup.Dedup.semDedupAgainstIndex(
             b0, index, centroids, threshold, idCol, vecCol,
             maxCellSize, nPlanes, bands).select(idCol)
           b0.join(keep, Seq(idCol), "left_semi")
             .write.mode("append").parquet(outPath)
-          graft.operators.Incremental.recordMergedBatch(spark, outPath, checkpoint, batchId)
         }
       }
       .start()

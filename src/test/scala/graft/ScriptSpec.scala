@@ -754,6 +754,20 @@ class ScriptSpec extends SparkSpec {
     // length("it's; fine") = 10
     assert(shadow("q").orderBy("s").collect().map(_.getLong(0)).toSeq
       == Seq(11L, 12L))
+    // a re-binding's own RHS composes over the prior value; names are
+    // CASE-SENSITIVE (only the LET keyword is not): d is a new binding,
+    // not a re-binding of D
+    val rebind = ScriptEngine.run(spark,
+      """LET X = 1;
+        |LET X = $X + 1;
+        |LET D = 2;
+        |LET d = 100;
+        |g = FROM t GENERATE x + $X AS xs, x + $d + $D AS xd;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    val rb = rebind.orderBy("xs").collect()
+    assert(rb.map(_.getLong(0)).toSeq == Seq(3L, 4L), rb.mkString(";"))
+    assert(rb.map(_.getLong(1)).toSeq == Seq(103L, 104L),
+      "a differently-cased LET truncated the first binding's scope")
   }
 
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {

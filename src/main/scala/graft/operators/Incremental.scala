@@ -150,11 +150,14 @@ object Incremental {
   private def batchMarker(mvPath: String) = new Path(mvPath, "_graft_last_batch")
 
   /** The exactly-once foreachBatch skeleton shared by every marker-guarded
-    * streaming sink (streamRefresh, streamMergeCdc, the Streaming dedup
+    * streaming sink (streamRefresh, upsertStream, the Streaming dedup
     * screens): skip empty batches and batches at or below the recorded
-    * marker, run the body, then advance the marker. A failure BETWEEN the
-    * body and the marker write replays that one batch — each body is
-    * idempotent-or-overwriting for exactly that reason.
+    * marker, run the body, then advance the marker. The skeleton itself
+    * only guarantees AT-LEAST-ONCE for the body — a failure BETWEEN the
+    * body and the marker write replays that one batch — so each body must
+    * make its own peace with a replay: the refresh/upsert sinks overwrite
+    * idempotently, while the append-parquet dedup screens accept one
+    * batch of duplicate survivors in that (narrow) window.
     */
   private[graft] def exactlyOnceBatch(batch: Dataset[Row], batchId: Long,
                                       outPath: String, checkpoint: String)

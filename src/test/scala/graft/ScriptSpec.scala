@@ -768,6 +768,14 @@ class ScriptSpec extends SparkSpec {
     assert(rb.map(_.getLong(0)).toSeq == Seq(3L, 4L), rb.mkString(";"))
     assert(rb.map(_.getLong(1)).toSeq == Seq(103L, 104L),
       "a differently-cased LET truncated the first binding's scope")
+    // the scope-stop scan is quote-aware like the expression scan: a
+    // re-binding whose RHS holds a quoted ';' still ends where Spark says
+    val qrb = ScriptEngine.run(spark,
+      """LET X = 1;
+        |LET X = $X + length('a;b');
+        |g = FROM t GENERATE x + $X AS xs;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    assert(qrb.orderBy("xs").collect().map(_.getLong(0)).toSeq == Seq(5L, 6L))
   }
 
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {

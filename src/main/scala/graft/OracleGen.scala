@@ -1974,7 +1974,7 @@ object OracleGen {
          |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
          |e${r + 1} AS MATERIALIZED (SELECT e$r.u, e$r.v FROM e$r JOIN k$r a ON e$r.u = a.n JOIN k$r b ON e$r.v = b.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH raw AS (SELECT doc_id % 37 AS a, doc_id % 41 AS b FROM documents),
+    s"""WITH raw AS (SELECT doc_id // 8 AS a, doc_id // 8 + 1 + doc_id % 8 AS b FROM documents),
        |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
        |$peels
        |SELECT n AS node, CAST(count(1) AS BIGINT) AS degree

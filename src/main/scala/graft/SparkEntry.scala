@@ -941,11 +941,16 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       Behavior.retention(ev, "user_id", "ts_us")
     }),
-    // k-core of the synthetic graph: 8 peel rounds, survivors + degrees
+    // k-core of a block-circulant graph whose NODE SPACE GROWS WITH THE
+    // DATA (node = doc_id div 8, offsets 1..8 — ~N/8 nodes, degree ≤16;
+    // the old %37/%41 fixture had a cardinality-fixed key space, so scale
+    // sweeps over it were degenerate). k=10 erodes a boundary layer every
+    // round for the full 8 rounds at every sf, with a non-empty core.
     "q159_kcore" -> ((s, d) => {
       val edges = t(s, d, "documents")
-        .select((col("doc_id") % 37).as("a"), (col("doc_id") % 41).as("b"))
-      Matrix.kCore(edges, k = 14, maxIter = 8)
+        .select(expr("doc_id div 8").as("a"),
+          expr("doc_id div 8 + 1 + doc_id % 8").as("b"))
+      Matrix.kCore(edges, k = 10, maxIter = 8)
     }),
     // Flesch reading-ease over documents (punctuation salted so the
     // sentence splitter sees variety)
@@ -1165,11 +1170,16 @@ object SparkEntry {
           nBins = 4, k = 128)
         .select("event_id", "event_type", "value", "bin")
     }),
-    // exact triangle count on a deterministic synthetic graph, via
-    // degree-ordered orientation (oracle = the independent u<v<w 3-join)
+    // exact triangle count via degree-ordered orientation (oracle = the
+    // independent u<v<w 3-join) on a block-circulant graph whose node
+    // space grows with the data (node = doc_id div 8, offsets 1..8 →
+    // ~28 triangles per interior node, count linear in rows; the old
+    // %200 fixture had a cardinality-fixed key space and collapsed
+    // under distinct() at scale)
     "q155_triangles" -> ((s, d) => {
       val edges = t(s, d, "documents")
-        .select((col("doc_id") % 200).as("a"), ((col("doc_id") * 31 + 7) % 200).as("b"))
+        .select(expr("doc_id div 8").as("a"),
+          expr("doc_id div 8 + 1 + doc_id % 8").as("b"))
       Matrix.triangleCount(edges)
     }),
     // Welch z between every variant pair over the quantized metric
@@ -2263,7 +2273,7 @@ object SparkEntry {
     "q153_transitions" -> OracleGen.transitions,
     "q154_quantile_bins" -> OracleGen.quantileBins(nBins = 4, k = 128),
     "q156_corr_matrix" -> OracleGen.corrMatrix,
-    "q159_kcore" -> OracleGen.kCore(k = 14, rounds = 8),
+    "q159_kcore" -> OracleGen.kCore(k = 10, rounds = 8),
     "q160_readability" -> OracleGen.readability,
     "q161_concurrency" -> OracleGen.concurrency,
     "q175_concurrency_by" ->
@@ -2417,7 +2427,7 @@ object SparkEntry {
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
         |FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1""".stripMargin,
     "q155_triangles" ->
-      """WITH raw AS (SELECT doc_id % 200 AS a, (doc_id * 31 + 7) % 200 AS b FROM documents),
+      """WITH raw AS (SELECT doc_id // 8 AS a, doc_id // 8 + 1 + doc_id % 8 AS b FROM documents),
         |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b)
         |SELECT CAST(count(1) AS BIGINT) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,

@@ -114,31 +114,41 @@ object Dedup {
     * guardrail that turns an all-pairs shingle join's worst case from
     * |hottest shingle|² into cap².
     */
-  /** One-partition pass-through census over a METADATA-SIZED relation:
-    * funnel the rows through a single task so `observe` (logging +
-    * accumulator adds — capture only Serializable things, the closure
-    * ships to executors) fires exactly once per execution.
-    * repartition(1), NOT coalesce(1): coalesce would pull the whole
-    * upstream final aggregation into a single task, while repartition
-    * exchanges only the already-tiny rows. With `pin = true` the result
-    * is EAGERLY localCheckpointed — one tiny job NOW — so downstream
-    * branch duplication (self-joins, size routing) can never re-run the
-    * subtree and double-fire the observation; a lazy checkpoint still
-    * races on a multi-executor cluster (two stages can compute the
-    * unmaterialized partition on different BlockManagers before either
-    * caches it). Shared by the hot-shingle cap and the semDedup cell-cap
-    * census.
+  /** Census over a METADATA-SIZED relation (rows fit on the driver by
+    * contract — the hot-shingle set and the k-row cell-size aggregate).
+    *
+    * `pin = true` (accumulators at stake): collect NOW and run `observe`
+    * DRIVER-side — exactly once, full stop. An executor-side observe is
+    * only at-least-once even behind an eager checkpoint: a task retry of
+    * the single funnel partition re-fires it and double-adds the
+    * accumulators (transformation-stage accumulator updates carry no
+    * exactly-once guarantee). The collected rows return as a local
+    * relation, so downstream branch duplication (self-joins, size
+    * routing) re-reads driver memory, never the subtree.
+    *
+    * `pin = false` (log-only observers): stay lazy — a one-partition
+    * pass-through task (repartition(1), NOT coalesce(1): coalesce would
+    * pull the whole upstream final aggregation into a single task, while
+    * repartition exchanges only the already-tiny rows). The observe fires
+    * once per execution; log duplication under branch re-execution is
+    * harmless and the construction stays job-free.
     */
   private def observedOnce(df: DataFrame, pin: Boolean)(
       observe: Array[org.apache.spark.sql.Row] => Unit): DataFrame = {
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(df.schema)
-    val obs = df.repartition(1).mapPartitions { it =>
-      val rows = it.toArray
+    if (pin) {
+      val rows = df.collect()
       observe(rows)
-      rows.iterator
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    } else {
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(df.schema)
+      df.repartition(1).mapPartitions { it =>
+        val rows = it.toArray
+        observe(rows)
+        rows.iterator
+      }
     }
-    if (pin) obs.localCheckpoint(true) else obs
   }
 
   private def capHotShingles(sh: DataFrame, cap: Option[Int],
@@ -148,9 +158,10 @@ object Dedup {
       val hot0 = sh.groupBy("shingle").agg(count(lit(1)).as("__docs"))
         .filter(col("__docs") > c)
       // the hot set is metadata-sized and broadcast anyway; the census
-      // makes capped pair generation LOUD, never silent. Pinned only when
-      // metrics were asked for (the pin's eager job is a plan-time action;
-      // without accumulators at stake, log-duplication is harmless)
+      // makes capped pair generation LOUD, never silent. Pinned (driver-
+      // side collect, exactly-once adds) only when metrics were asked
+      // for — the pin costs an eager plan-time action; without
+      // accumulators at stake, log-duplication is harmless
       val accShingles = metrics.map(_.droppedShingles)
       val accMembers = metrics.map(_.droppedMemberships)
       val hot = observedOnce(hot0, pin = metrics.isDefined) { rows =>
@@ -689,6 +700,33 @@ object Dedup {
 
   // ---- duplicate clustering --------------------------------------------------
 
+  /** Normalize a pair relation's id columns for connected components.
+    * Integral ids widen to long (the historical behavior); string ids
+    * pass through untouched — min-id labeling is valid under ANY total
+    * order, and lexicographic min is as deterministic as numeric min.
+    * Every other type fails LOUDLY: the old unconditional cast("long")
+    * turned e.g. string UUIDs into nulls, and the clustering then
+    * silently no-opped (every label null-coalesced to the node itself).
+    */
+  private def ccEdgeIds(pairs: DataFrame, aCol: String, bCol: String,
+                        outA: String, outB: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType) match {
+      case (a, b) if integral(a) && integral(b) =>
+        pairs.select(col(aCol).cast("long").as(outA), col(bCol).cast("long").as(outB))
+      case (StringType, StringType) =>
+        pairs.select(col(aCol).as(outA), col(bCol).as(outB))
+      case (at, bt) => throw new IllegalArgumentException(
+        s"dupClusters id columns must both be integral or both string: " +
+          s"$aCol is ${at.simpleString}, $bCol is ${bt.simpleString} — a lossy " +
+          "cast would null the ids and silently no-op the clustering")
+    }
+  }
+
   /** Connected components over a near-dup pair relation: every document in a
     * transitively-connected duplicate group gets the group's minimum id as
     * its cluster label — the step that turns pairwise matches into "keep one
@@ -756,7 +794,7 @@ object Dedup {
           "reliableCheckpoint requires SparkContext.setCheckpointDir to be set")
         df.checkpoint(true)
       } else df.localCheckpoint(true)
-    val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val e0 = ccEdgeIds(pairs, aCol, bCol, "u", "v")
     val allNodes = e0.select(col("u").as("id"))
       .union(e0.select(col("v").as("id"))).distinct().persist()
     // localCheckpoint (not persist) per round: each star round nests the
@@ -797,7 +835,7 @@ object Dedup {
     */
   def dupClustersMinLabel(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 50): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val e = ccEdgeIds(pairs, aCol, bCol, "src", "dst")
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -1037,10 +1075,10 @@ object Dedup {
       .agg(count(lit(1)).as("__cell_n"))
     // cap observability: the cell-size aggregate is k rows (metadata-
     // sized), so when a caller asked for overflow metrics the oversize
-    // census runs as ONE eager tiny job here — repartition(1) so the
-    // overflow logs exactly once, eager localCheckpoint so the routing
-    // branches below reuse the materialized rows instead of re-firing the
-    // accumulators (and so the counts are exact, never retry-inflated)
+    // census collects it NOW and observes driver-side (observedOnce
+    // pin=true) — the counts are exact because the adds happen on the
+    // driver, not in a retryable task; the routing branches below reuse
+    // the collected rows as a local relation
     val cellSizes = cellMetrics.fold(cellSizes0) { m =>
       val accCells = m.oversizedCells
       val accVecs = m.bandedVectors

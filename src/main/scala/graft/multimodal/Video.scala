@@ -39,9 +39,18 @@ object Video {
       java.util.Arrays.copyOfRange(payload, off, off + len)
     }
     def frames: Vector[Array[Byte]] = frameSpans.indices.map(frame).toVector
-    def durationMs: Long =
-      if (totalFrames > 0) microSecPerFrame * totalFrames / 1000L
-      else microSecPerFrame * nFrames / 1000L
+
+    /** Junk avih headers (u32 microSecPerFrame near 2^32 × clamped frame
+      * counts) can overflow the product; clamp to Long.MaxValue and floor
+      * at 0 rather than surfacing a negative duration for garbage input.
+      */
+    def durationMs: Long = {
+      val n = if (totalFrames > 0) totalFrames else nFrames
+      val product =
+        try Math.multiplyExact(microSecPerFrame, n.toLong)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      Math.max(0L, product / 1000L)
+    }
   }
 
   private def u32(b: Array[Byte], off: Int): Long =

@@ -329,6 +329,25 @@ object ScriptEngine {
     */
   private[graft] def expandIf(script: String, maxDepth: Int = 1000): String = {
     val Head = "(?is)\\bIF\\s*\\(([^)]*)\\)\\s*DO\\b".r
+    val LetHead = "(?m)^[ \\t]*(?i:LET)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    // LET expands AFTER IF (a LET in a dropped branch must never
+    // evaluate), so an IF condition referencing a LET binding would
+    // silently compare the literal "$name" token and take the wrong
+    // branch — fail loudly instead. CLI params and FOREACH vars are
+    // already substituted by the time conditions evaluate.
+    def rejectLetRefs(s: String, cond: String): Unit = {
+      val letNames = LetHead.findAllMatchIn(s).map(_.group(1)).toSet
+      val offending = letNames.filter { n =>
+        val q = java.util.regex.Pattern.quote(n)
+        ("\\$" + q + "(?![A-Za-z0-9_])|%" + q + "%").r.findFirstIn(cond).isDefined
+      }
+      require(offending.isEmpty,
+        s"IF (${cond.trim}): references ${offending.toSeq.sorted.map("$" + _).mkString(", ")} " +
+          "bound by LET, but LET expands AFTER IF (so a LET in a dropped " +
+          "branch never evaluates) — the condition would compare the literal " +
+          "token. Use a CLI param or FOREACH variable in IF conditions, or " +
+          "restructure so the LET decision happens in SQL (CASE).")
+    }
     // END IF on one line ([ \t]+): see expandForeach — a bare phase END
     // followed by a new "IF (…) DO" head must not read as END IF
     val Tok = "(?is)\\bIF\\s*\\([^)]*\\)\\s*DO\\b|\\bELSE\\s+DO\\b|\\bEND[ \\t]+IF\\s*;?".r
@@ -351,6 +370,7 @@ object ScriptEngine {
         } else { depth -= 1; if (depth == 0) { bodyEnd = t.start; afterEnd = t.end } }
       }
       require(bodyEnd >= 0, s"IF (${m.group(1).trim}): missing END IF")
+      rejectLetRefs(s, m.group(1))
       val taken =
         if (evalCond(m.group(1)))
           s.substring(m.end, if (elseAt >= 0) elseAt else bodyEnd)
@@ -383,9 +403,12 @@ object ScriptEngine {
     * param. LETs evaluate top-to-bottom, so later LETs and all following
     * statements see earlier bindings; they run after FOREACH/IF
     * expansion, so a LET inside a loop body binds per replica and a LET
-    * in a dropped IF branch never evaluates. Same caveats as the other
-    * preprocessor forms: don't spell `LET x =` inside a quoted literal,
-    * and the expression may not contain an unquoted `;`.
+    * in a dropped IF branch never evaluates. The flip side — an IF
+    * condition can NOT reference a LET binding — is enforced loudly in
+    * [[expandIf]] (the condition would otherwise compare the literal
+    * `$name` token). Same caveats as the other preprocessor forms: don't
+    * spell `LET x =` inside a quoted literal, and the expression may not
+    * contain an unquoted `;`.
     */
   private[graft] def expandLets(spark: SparkSession, script: String,
                                 maxDepth: Int = 1000): String = {
@@ -432,10 +455,26 @@ object ScriptEngine {
       // longest-first ordering).
       val quotedName = java.util.regex.Pattern.quote(name)
       val sameName = ("(?m)^[ \\t]*(?i:LET)\\s+" + quotedName + "\\s*=").r
-      val stop = sameName.findFirstMatchIn(rest).map { m2 =>
+      val rebind = sameName.findFirstMatchIn(rest)
+      val stop = rebind.map { m2 =>
         val e = exprEnd(rest, m2.end)
         if (e >= 0) e + 1 else rest.length // unterminated: next pass fails loudly
       }.getOrElse(rest.length)
+      // a value carrying a quote or semicolon that splices into a RE-
+      // BINDING's RHS would desynchronize the next pass's quote-aware
+      // exprEnd scan (the scope boundary above was computed on the
+      // PRE-substitution text) — fail loudly instead of mis-scoping
+      rebind.filter(_ => value.exists(c => c == '\'' || c == '"' || c == ';'))
+        .foreach { m2 =>
+          val rhsEnd = if (stop <= rest.length && stop > 0) stop - 1 else rest.length
+          val rhs = rest.substring(m2.end, math.max(m2.end, rhsEnd))
+          val token = ("\\$" + quotedName + "(?![A-Za-z0-9_])|%" + quotedName + "%").r
+          require(token.findFirstIn(rhs).isEmpty,
+            s"LET $name: value ${value.take(80)} contains a quote or ';' and is " +
+              s"referenced in a later re-binding of $name — the splice would " +
+              "desynchronize the re-binding's expression scan; bind a new name " +
+              "or strip the quote/semicolon from the value")
+        }
       val quotedVal = java.util.regex.Matcher.quoteReplacement(value)
       val substituted =
         ("%" + quotedName + "%").r.replaceAllIn(

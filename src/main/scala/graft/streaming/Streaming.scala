@@ -216,7 +216,10 @@ object Streaming {
     * [[graft.dedup.Dedup.dupClusters]] min-id survivor per transitive
     * cluster, the batch pipeline's exact rule), then the survivors screen
     * against the corpus. Surviving docs do NOT join the index mid-stream
-    * (rebuild it on corpus append).
+    * (rebuild it on corpus append). `idCol` may be integral or string
+    * (min-id survivor election is deterministic under either order); any
+    * other id type fails loudly in the clustering step instead of
+    * silently skipping the intra-batch pass.
     */
   def minHashScreenStream(stream: DataFrame, index: DataFrame, corpus: DataFrame,
                           outPath: String, checkpoint: String,

@@ -340,6 +340,25 @@ class MultimodalSourcesSpec extends SparkSpec {
   private def mjpegAvi(lums: Seq[Int], w: Int = 32, h: Int = 24): Array[Byte] =
     graft.multimodal.Video.writeAvi(lums.map(jpegBytes(w, h, _)), w, h, fps = 10)
 
+  test("AviInfo.durationMs clamps junk-header overflow instead of going negative") {
+    import graft.multimodal.Video.AviInfo
+    // the worst PARSEABLE header (u32-max rate × Int.MaxValue-clamped
+    // frames) fits a Long by a hair (2^63 - 2^32 - 2^31 + 1) — exact
+    val worst = AviInfo(width = 1, height = 1, microSecPerFrame = 0xFFFFFFFFL,
+      totalFrames = Int.MaxValue, frameSpans = Vector.empty, payload = Array.empty)
+    assert(worst.durationMs == 0xFFFFFFFFL * Int.MaxValue / 1000L
+      && worst.durationMs > 0)
+    // a hand-constructed overflow (the case class is public) clamps
+    // instead of wrapping negative
+    val junk = AviInfo(width = 1, height = 1, microSecPerFrame = Long.MaxValue,
+      totalFrames = Int.MaxValue, frameSpans = Vector.empty, payload = Array.empty)
+    assert(junk.durationMs == Long.MaxValue / 1000L, junk.durationMs.toString)
+    // sane headers are unaffected
+    val ok = AviInfo(1, 1, microSecPerFrame = 100000L, totalFrames = 6,
+      frameSpans = Vector.empty, payload = Array.empty)
+    assert(ok.durationMs == 600L)
+  }
+
   test("MJPEG AVI: real probe, frame sampling, and features through the SPI") {
     import graft.multimodal.{MjpegAviDecoder, Video}
     // roundtrip: 6 synthesized JPEG frames in a written container parse back

@@ -776,6 +776,39 @@ class ScriptSpec extends SparkSpec {
         |g = FROM t GENERATE x + $X AS xs;""".stripMargin,
       env0 = env("t" -> df))("g")
     assert(qrb.orderBy("xs").collect().map(_.getLong(0)).toSeq == Seq(5L, 6L))
+    // an IF condition referencing a LET binding fails LOUDLY: LET expands
+    // after IF, so the condition would silently compare the literal "$X"
+    val ifLet = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """LET X = 2 + 2;
+        |IF ('$X' == '4') DO
+        |  g = FROM t GENERATE x;
+        |END IF;""".stripMargin, env0 = env("t" -> df)))
+    assert(ifLet.getMessage.contains("LET expands AFTER IF"), ifLet.getMessage)
+    // ...including a LET defined after the IF (the token is equally
+    // unresolved at condition time)
+    val ifLet2 = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """IF (%Y% == 4) DO
+        |  g = FROM t GENERATE x;
+        |END IF;
+        |LET Y = 4;""".stripMargin, env0 = env("t" -> df)))
+    assert(ifLet2.getMessage.contains("LET expands AFTER IF"), ifLet2.getMessage)
+    // a value carrying a quote or ';' that splices into a RE-BINDING's
+    // RHS would desynchronize the quote-aware scope scan — loud failure
+    val desync = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """LET B = concat('a', ';', 'b');
+        |LET B = upper('$B');
+        |g = FROM t GENERATE x, '$B' AS s;""".stripMargin, env0 = env("t" -> df)))
+    assert(desync.getMessage.contains("desynchronize"), desync.getMessage)
+    // benign siblings still pass: a ';'-carrying value used only in
+    // statement text, and a re-binding that never references the value
+    val benign = ScriptEngine.run(spark,
+      """LET A = concat('a', ';', 'b');
+        |LET C = 'first';
+        |LET C = 'second';
+        |g = FROM t GENERATE x, '$A' AS s, '$C' AS c;""".stripMargin,
+      env0 = env("t" -> df))("g")
+    val bRow = benign.orderBy("x").collect().head
+    assert(bRow.getString(1) == "a;b" && bRow.getString(2) == "second")
   }
 
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {

@@ -290,6 +290,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: string ids cluster under lexicographic min (no silent long-cast no-op)") {
+    // the old unconditional cast("long") nulled string ids, so every doc
+    // self-labeled and the clustering silently no-opped
+    val pairs = Seq(("docB", "docA"), ("docB", "docC"), ("docZ", "docY"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docY" -> "docY", "docZ" -> "docY"))
+    val prop = Dedup.dupClustersMinLabel(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(prop == got)
+    // unsupported id types fail loudly instead of null-casting
+    val bin = Seq((Array[Byte](1), Array[Byte](2))).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException](Dedup.dupClusters(bin))
+    assert(err.getMessage.contains("integral or both string"), err.getMessage)
+  }
+
   test("ngram language id scores signature trigrams and breaks ties to the first profile") {
     val df = Seq((1L, "the thing standing and breathing"),
       (2L, "der schein und das schiff ich"),

@@ -1385,6 +1385,24 @@ object OracleGen {
     * logits (softmax is monotone, so no exp in the oracle); ties break to
     * the lowest class id, matching scoreSoftmax.
     */
+  /** Mirrors Classifier.score under the fixture logreg model: the margin
+    * replays dotConst's sequential fold (0.0 + t0) + t1 + … + bias with
+    * the identical double literals, so it hash-matches bit-for-bit; the
+    * label uses sigmoid's monotonicity (score >= 0.5 ⟺ margin >= 0) so
+    * the SQL never needs exp.
+    */
+  def logregScore(dim: Int): String = {
+    val (w, b) = graft.similarity.Classifier.fixtureLogregModel(dim)
+    val terms = (0 until dim).map(i =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * (${w(i)})")
+    s"""WITH m AS (SELECT vec_id,
+       |    (${terms.mkString(" + ")}) + ($b) AS margin
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS INT) AS quality,
+       |  margin
+       |FROM m""".stripMargin
+  }
+
   def softmaxClass(dim: Int, nClasses: Int): String = {
     val (w, b) = graft.similarity.Classifier.fixtureSoftmaxModel(dim, nClasses)
     val logits = (0 until nClasses).map { c =>

@@ -1753,8 +1753,9 @@ object SparkEntry {
     }),
     // classifier-based quality scoring (DCLM/fastText-style curation):
     // fit logistic regression on the labeled embeddings, score every row.
-    // Iterative GD over doubles — no SQL oracle; BpeKmeansSpec checks the
-    // learned accuracy against a numpy-verified bound
+    // Iterative GD over doubles — no SQL oracle for the FIT; the scoring
+    // path is hash-anchored by q210_logreg_score (fixture weights, exact
+    // margin replay) and BpeKmeansSpec bounds the learned accuracy
     "q108_quality_classifier" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val labeled = emb.withColumn("quality", (col("label") < 5).cast("int"))
@@ -1788,6 +1789,20 @@ object SparkEntry {
       val proj = graft.similarity.Pca.transform(emb, m, k = 4, whiten = true)
       proj.select(col("vec_id") +:
         (0 until 4).map(c => element_at(col("pca"), c + 1).as(s"pc$c")): _*)
+    }),
+    // binary logreg scoring under the FIXED fixture model — the hash
+    // anchor for q108's rows-only fitted path: the full sigmoid scoring
+    // runs in Spark; the oracle replays the margin's sequential fold
+    // bit-for-bit and derives the label via sigmoid's monotonicity
+    // (score >= 0.5 ⟺ margin >= 0 — no exp in SQL)
+    "q210_logreg_score" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (w, b) = graft.similarity.Classifier.fixtureLogregModel(dim = 64)
+      graft.similarity.Classifier.linearScore(
+          graft.similarity.Classifier.score(emb, w, b), w, b)
+        .select(col("vec_id"),
+          (col("quality_score") >= 0.5).cast("int").as("quality"),
+          col("margin"))
     }),
     // softmax multiclass scoring under FIXED integer weights: the full
     // probability path runs in Spark; the oracle checks the argmax via the
@@ -2089,6 +2104,7 @@ object SparkEntry {
     "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
     "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),
+    "q210_logreg_score" -> OracleGen.logregScore(dim = 64),
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
     "q133_ann_ivf_nprobe" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5, nprobe = 2),

@@ -233,6 +233,19 @@ object Classifier {
     (w, b)
   }
 
+  /** Deterministic fixture model for the BINARY logreg scoring path —
+    * the [[fixtureSoftmaxModel]] discipline applied to [[score]]: weights
+    * are small integers scaled by an exact binary fraction (2^-5), so an
+    * external engine replaying the same sequential fold reproduces the
+    * margin bit-for-bit, and the 2^-5 scale keeps 64-dim margins in
+    * ±~0.5 — deep inside sigmoid's strictly-monotone, non-saturating
+    * range, so `sigmoid(margin) >= 0.5 ⟺ margin >= 0` holds exactly
+    * (sigmoid(0) = 0.5 and double rounding cannot cross the threshold
+    * for margins of real-data magnitude).
+    */
+  def fixtureLogregModel(dim: Int): (Array[Double], Double) =
+    (Array.tabulate(dim)(i => (((i * 29 + 7) % 11) - 5) * 0.03125), 0.03125)
+
   /** Deterministic integer-weight fixture model (for oracle-checked
     * multiclass scoring queries: argmax of the softmax equals argmax of
     * the logits, so the oracle replays the raw dot products — no

@@ -155,9 +155,10 @@ object Incremental {
     * marker, run the body, then advance the marker. The skeleton itself
     * only guarantees AT-LEAST-ONCE for the body — a failure BETWEEN the
     * body and the marker write replays that one batch — so each body must
-    * make its own peace with a replay: the refresh/upsert sinks overwrite
-    * idempotently, while the append-parquet dedup screens accept one
-    * batch of duplicate survivors in that (narrow) window.
+    * be replay-idempotent: the refresh/upsert sinks overwrite their
+    * touched partitions, and the append-parquet dedup screens go through
+    * [[exactlyOnceAppend]], whose batch-id-partitioned dynamic overwrite
+    * makes the replayed batch rewrite exactly its own rows.
     */
   private[graft] def exactlyOnceBatch(batch: Dataset[Row], batchId: Long,
                                       outPath: String, checkpoint: String)
@@ -168,6 +169,35 @@ object Incremental {
       recordMergedBatch(spark, outPath, checkpoint, batchId)
     }
   }
+
+  /** Batch-id stamp column for [[exactlyOnceAppend]] sinks. No leading
+    * underscore: Spark's file index treats `_`-prefixed paths as hidden,
+    * which would hide the partition directories themselves.
+    */
+  val BatchIdCol = "graft_batch_id"
+
+  /** Effectively-exactly-once parquet APPEND under the marker discipline:
+    * stamp the batch's rows with its batch id and write them as a dynamic
+    * partition OVERWRITE of the `graft_batch_id=<id>` partition. A crash
+    * in the body→marker window replays the batch, and the replay rewrites
+    * exactly its own partition — every other batch's rows are untouched —
+    * so readers see exactly one copy without any dedup-on-read view. The
+    * stamp doubles as row lineage (which micro-batch appended this row).
+    * One directory per micro-batch: at minutes-scale triggers that is the
+    * same file count a plain append produces; compact downstream if the
+    * sink lives for months.
+    */
+  private[graft] def exactlyOnceAppend(batch: Dataset[Row], batchId: Long,
+                                       outPath: String, checkpoint: String)
+                                      (survivors: SparkSession => DataFrame): Unit =
+    exactlyOnceBatch(batch, batchId, outPath, checkpoint) { spark =>
+      survivors(spark)
+        .withColumn(BatchIdCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchIdCol)
+        .parquet(outPath)
+    }
 
   private[graft] def lastMergedBatch(spark: SparkSession, mvPath: String,
                                      checkpoint: String): Long = {

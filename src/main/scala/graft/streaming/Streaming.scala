@@ -206,9 +206,12 @@ object Streaming {
     * exact verification aggregates (checkpointed candidate spine, shingle
     * intersection), which an unbounded stream cannot.
     *
-    * Exactly-once under replay through the same marker discipline as
-    * `streamRefresh`: an append is not idempotent, so the last appended
-    * batchId is recorded beside the output and replayed batches skip.
+    * Exactly-once under replay: the marker discipline of `streamRefresh`
+    * skips already-recorded batches, and the append itself is idempotent —
+    * survivors land stamped with their batch id as a dynamic partition
+    * OVERWRITE of `graft_batch_id=<id>` — so even a crash BETWEEN the
+    * body and the marker write (where the batch replays) rewrites exactly
+    * its own rows rather than appending a second copy.
     *
     * Scope: batch-vs-corpus AND intra-batch — two near-identical documents
     * arriving in the SAME micro-batch cannot both survive: the batch first
@@ -232,7 +235,7 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        graft.operators.Incremental.exactlyOnceBatch(batch, batchId,
+        graft.operators.Incremental.exactlyOnceAppend(batch, batchId,
             outPath, checkpoint) { _ =>
           val b0 = batch.toDF()
           // intra-batch pass first (checkpointed so pair generation runs
@@ -253,8 +256,9 @@ object Streaming {
             val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
               intra, index, corpus, shingleN, k, bands, threshold, textCol, idCol)
               .select(col("batch_id").as(idCol)).distinct()
-            intra.join(dups, Seq(idCol), "left_anti")
-              .write.mode("append").parquet(outPath)
+            // the survivors materialize before exactlyOnceAppend's write
+            // so the finally-unpersist below cannot race the lazy plan
+            intra.join(dups, Seq(idCol), "left_anti").localCheckpoint(true)
           } finally clusters.foreach(_.unpersist())
         }
       }
@@ -266,8 +270,8 @@ object Streaming {
     * against itself ([[graft.dedup.Dedup.semDedupAgainstIndex]] is exactly
     * that composition: corpus screen, then the bounded in-batch pairing —
     * min-id survivor per similarity group), and the surviving batch rows
-    * append to `outPath` with the same exactly-once batch-marker
-    * discipline. Use this over the stateless
+    * append to `outPath` with the same exactly-once discipline (batch
+    * marker + batch-id-partitioned idempotent append). Use this over the stateless
     * [[graft.dedup.Dedup.semDedupScreenStream]] transform when intra-batch
     * duplicates matter or when an exactly-once parquet append is the sink;
     * use the stateless form when zero-state continuous flow is the point.
@@ -286,14 +290,13 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        graft.operators.Incremental.exactlyOnceBatch(batch, batchId,
+        graft.operators.Incremental.exactlyOnceAppend(batch, batchId,
             outPath, checkpoint) { _ =>
           val b0 = batch.toDF()
           val keep = graft.dedup.Dedup.semDedupAgainstIndex(
             b0, index, centroids, threshold, idCol, vecCol,
             maxCellSize, nPlanes, bands).select(idCol)
           b0.join(keep, Seq(idCol), "left_semi")
-            .write.mode("append").parquet(outPath)
         }
       }
       .start()

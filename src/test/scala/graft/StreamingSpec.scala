@@ -474,6 +474,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactlyOnceAppend: a body/marker crash-window replay leaves exactly one copy") {
+    import graft.operators.Incremental
+    val dir = Files.createTempDirectory("graft-e1-append").toString
+    val out = s"$dir/out"; val ck = s"$dir/ck"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    Incremental.exactlyOnceAppend(b0, 0L, out, ck)(_ => b0)
+    // simulate a crash BETWEEN the append body and the marker write: the
+    // marker vanishes, Structured Streaming re-invokes the same batch
+    val marker = new java.io.File(out, "_graft_last_batch")
+    assert(marker.exists(), "marker should exist after a completed batch")
+    assert(marker.delete())
+    Incremental.exactlyOnceAppend(b0, 0L, out, ck)(_ => b0)
+    val afterReplay = spark.read.parquet(out)
+    assert(afterReplay.count() == 2, "replayed batch appended a second copy")
+    assert(afterReplay.columns.contains(Incremental.BatchIdCol))
+    // a genuinely new batch appends alongside, and an already-recorded
+    // batch id is skipped outright (marker fast path)
+    val b1 = Seq((3L, "c")).toDF("doc_id", "text")
+    Incremental.exactlyOnceAppend(b1, 1L, out, ck)(_ => b1)
+    Incremental.exactlyOnceAppend(b1, 1L, out, ck)(_ =>
+      sys.error("body must not run for an already-recorded batch id"))
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    assert(all.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // the stamp records which micro-batch appended each row
+    val byBatch = all.groupBy(Incremental.BatchIdCol).count().collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(byBatch == Map(0L -> 2L, 1L -> 1L), byBatch.toString)
+  }
+
   test("stream-stream join matches within the time bound, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]

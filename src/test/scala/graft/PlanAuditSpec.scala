@@ -703,4 +703,54 @@ class PlanAuditSpec extends SparkSpec {
       "fold plan grew with the number of rounds")
     assert(!details(fold2).contains("Exchange"), "exchange in scalable fold")
   }
+
+  test("streaming dedup screens hold ZERO streaming state; the batch body is a stream-static join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audit-screen").toString
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("centroid_id", "cvec")
+    val corpus = Seq((500L, Array(2f, 0.1f))).toDF("vec_id", "embedding")
+    val index = graft.dedup.Dedup.semDedupIndex(corpus, cents)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streaming.embeddingScreenStream(
+      in.toDF().toDF("vec_id", "embedding"), index, cents,
+      s"$tmp/out", s"$tmp/ck", threshold = 0.97)
+    try {
+      in.addData((5L, Array(4f, 0.2f)), (6L, Array(-3f, 0.1f)))
+      q.processAllAvailable()
+      // every micro-batch screens against STATIC state (the stored index)
+      // — no StateStore operator anywhere, so executors carry nothing
+      // between batches and the screen restarts from the checkpoint alone
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.isEmpty,
+        s"streaming state operators present: ${prog.stateOperators.mkString(",")}")
+    } finally q.stop()
+    // the batch body's plan (identical code path) joins batch-vs-index
+    // with equi-joins and resolves survivors with a semi/anti join —
+    // never a product, never a window over the corpus
+    val b0 = Seq((5L, Array(4f, 0.2f)), (6L, Array(-3f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val keep = graft.dedup.Dedup.semDedupAgainstIndex(
+      b0, index, cents, threshold = 0.97).select("vec_id")
+    val d = details(b0.join(keep, Seq("vec_id"), "left_semi"))
+    assert(d.contains("LeftSemi"), s"no semi join resolving survivors:\n$d")
+    assert(!d.contains("CartesianProduct"), s"product join in screen body:\n$d")
+    assert(!d.contains("Window"), s"window in screen body:\n$d")
+  }
+
+  test("LET bindings leave no preprocessor residue: the executed plan holds the evaluated literal") {
+    import spark.implicits._
+    val df = Seq((1L, 4L), (2L, 5L)).toDF("x", "y")
+    val rels = graft.script.ScriptEngine.run(spark,
+      """LET THRESH = 2 + 2 + 1;
+        |g = FILTER t BY y >= $THRESH;""".stripMargin,
+      env0 = Map("t" -> df))
+    val d = details(rels("g"))
+    // the binding evaluated at preprocess time: the plan compares against
+    // the folded constant and carries no $-token or LET machinery
+    assert(d.contains("5"), s"evaluated LET constant missing from plan:\n$d")
+    assert(!d.contains("$THRESH") && !d.contains("THRESH"),
+      s"LET residue in executed plan:\n$d")
+  }
 }

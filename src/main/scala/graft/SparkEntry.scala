@@ -1804,6 +1804,17 @@ object SparkEntry {
           (col("quality_score") >= 0.5).cast("int").as("quality"),
           col("margin"))
     }),
+    // connected components over STRING ids (UUID-style doc keys): chains
+    // of 5 zero-padded ids per block — diameter 4 exercises the star
+    // rounds past one iteration, lexicographic min = numeric min under
+    // the padding, and the oracle replays the same transitive closure
+    "q211_string_clusters" -> ((s, d) => {
+      val pairs = t(s, d, "documents").filter(col("doc_id") % 5 =!= 4)
+        .select(format_string("doc_%06d", col("doc_id")).as("id_a"),
+          format_string("doc_%06d", col("doc_id") + 1).as("id_b"))
+      graft.dedup.Dedup.dupClusters(pairs)
+        .select(col("doc_id").as("doc_sid"), col("cluster"))
+    }),
     // softmax multiclass scoring under FIXED integer weights: the full
     // probability path runs in Spark; the oracle checks the argmax via the
     // raw logits (softmax is monotone — no transcendentals in SQL)
@@ -2105,6 +2116,21 @@ object SparkEntry {
     "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),
     "q210_logreg_score" -> OracleGen.logregScore(dim = 64),
+    "q211_string_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT printf('doc_%06d', doc_id) AS id_a,
+        |    printf('doc_%06d', doc_id + 1) AS id_b
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+        |)
+        |SELECT id AS doc_sid, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
     "q45_ann_lsh" -> OracleGen.annLsh(k = 5, nPlanes = 16, bands = 4, maxQueryId = 5),
     "q64_ann_ivf" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5),
     "q133_ann_ivf_nprobe" -> OracleGen.annIvf(k = 5, centroidMod = 50, maxQueryId = 5, nprobe = 2),

@@ -707,6 +707,12 @@ object Dedup {
     * Every other type fails LOUDLY: the old unconditional cast("long")
     * turned e.g. string UUIDs into nulls, and the clustering then
     * silently no-opped (every label null-coalesced to the node itself).
+    *
+    * Deliberate contract change for DIGIT-string ids (round 12): they
+    * used to long-cast silently (electing the NUMERIC min, long-typed
+    * labels); they now stay strings and elect the LEXICOGRAPHIC min
+    * ("10" < "9"), with string-typed labels. Pad ids to fixed width —
+    * or pass them as longs — if numeric election order matters.
     */
   private def ccEdgeIds(pairs: DataFrame, aCol: String, bCol: String,
                         outA: String, outB: String): DataFrame = {

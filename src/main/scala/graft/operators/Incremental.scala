@@ -170,32 +170,47 @@ object Incremental {
     }
   }
 
-  /** Batch-id stamp column for [[exactlyOnceAppend]] sinks. No leading
+  /** Stamp columns for [[exactlyOnceAppend]] sinks. No leading
     * underscore: Spark's file index treats `_`-prefixed paths as hidden,
     * which would hide the partition directories themselves.
     */
+  val LineageCol = "graft_lineage"
   val BatchIdCol = "graft_batch_id"
 
+  /** Deterministic 8-hex tag of a checkpoint path — the lineage scope for
+    * [[exactlyOnceAppend]] partitions (String.hashCode is specified, so
+    * the tag is stable across JVMs and restarts of the SAME checkpoint).
+    */
+  private[graft] def lineageTag(checkpoint: String): String =
+    f"${checkpoint.hashCode.toLong & 0xffffffffL}%08x"
+
   /** Effectively-exactly-once parquet APPEND under the marker discipline:
-    * stamp the batch's rows with its batch id and write them as a dynamic
-    * partition OVERWRITE of the `graft_batch_id=<id>` partition. A crash
-    * in the body→marker window replays the batch, and the replay rewrites
+    * stamp the batch's rows with a checkpoint-lineage tag and the batch id
+    * and write them as a dynamic partition OVERWRITE of the
+    * `graft_lineage=<tag>/graft_batch_id=<id>` partition. A crash in the
+    * body→marker window replays the batch, and the replay rewrites
     * exactly its own partition — every other batch's rows are untouched —
-    * so readers see exactly one copy without any dedup-on-read view. The
-    * stamp doubles as row lineage (which micro-batch appended this row).
-    * One directory per micro-batch: at minutes-scale triggers that is the
-    * same file count a plain append produces; compact downstream if the
-    * sink lives for months.
+    * so readers see exactly one copy without any dedup-on-read view.
+    * Batch ids only mean something within one checkpoint lineage (the
+    * marker discipline above), so the partition key carries BOTH: a
+    * stream restarted from a FRESH checkpoint renumbers from 0, and
+    * without the lineage scope its batch 0 would silently ERASE the old
+    * lineage's batch-0 survivors instead of appending beside them. The
+    * stamps double as row lineage (which stream incarnation + micro-batch
+    * appended this row). One directory per micro-batch: at minutes-scale
+    * triggers that is the same file count a plain append produces;
+    * compact downstream if the sink lives for months.
     */
   private[graft] def exactlyOnceAppend(batch: Dataset[Row], batchId: Long,
                                        outPath: String, checkpoint: String)
                                       (survivors: SparkSession => DataFrame): Unit =
     exactlyOnceBatch(batch, batchId, outPath, checkpoint) { spark =>
       survivors(spark)
+        .withColumn(LineageCol, lit(lineageTag(checkpoint)))
         .withColumn(BatchIdCol, lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchIdCol)
+        .partitionBy(LineageCol, BatchIdCol)
         .parquet(outPath)
     }
 

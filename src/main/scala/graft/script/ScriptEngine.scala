@@ -410,6 +410,9 @@ object ScriptEngine {
     * spell `LET x =` inside a quoted literal, and the expression may not
     * contain an unquoted `;`.
     */
+  /** All LET heads, any name — shared by the desync guard in expandLets. */
+  private val LetHeadAll = "(?m)^[ \\t]*(?i:LET)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+
   private[graft] def expandLets(spark: SparkSession, script: String,
                                 maxDepth: Int = 1000): String = {
     val Head = "(?m)^[ \\t]*(?i:LET)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
@@ -460,21 +463,25 @@ object ScriptEngine {
         val e = exprEnd(rest, m2.end)
         if (e >= 0) e + 1 else rest.length // unterminated: next pass fails loudly
       }.getOrElse(rest.length)
-      // a value carrying a quote or semicolon that splices into a RE-
-      // BINDING's RHS would desynchronize the next pass's quote-aware
-      // exprEnd scan (the scope boundary above was computed on the
-      // PRE-substitution text) — fail loudly instead of mis-scoping
-      rebind.filter(_ => value.exists(c => c == '\'' || c == '"' || c == ';'))
-        .foreach { m2 =>
-          val rhsEnd = if (stop <= rest.length && stop > 0) stop - 1 else rest.length
-          val rhs = rest.substring(m2.end, math.max(m2.end, rhsEnd))
-          val token = ("\\$" + quotedName + "(?![A-Za-z0-9_])|%" + quotedName + "%").r
+      // a value carrying a quote or semicolon that splices into ANY later
+      // LET's RHS (a re-binding of this name or a different binding that
+      // references it) would desynchronize the next pass's quote-aware
+      // exprEnd scan — the scope boundaries were computed on the
+      // PRE-substitution text — so an unquoted `;` in the value could
+      // even inject statements. Fail loudly instead of mis-scoping.
+      if (value.exists(c => c == '\'' || c == '"' || c == ';')) {
+        val token = ("\\$" + quotedName + "(?![A-Za-z0-9_])|%" + quotedName + "%").r
+        val inScope = rest.substring(0, stop)
+        LetHeadAll.findAllMatchIn(inScope).foreach { m2 =>
+          val e = exprEnd(inScope, m2.end)
+          val rhs = inScope.substring(m2.end, if (e >= 0) e else inScope.length)
           require(token.findFirstIn(rhs).isEmpty,
-            s"LET $name: value ${value.take(80)} contains a quote or ';' and is " +
-              s"referenced in a later re-binding of $name — the splice would " +
-              "desynchronize the re-binding's expression scan; bind a new name " +
-              "or strip the quote/semicolon from the value")
+            s"LET $name: value ${value.take(80)} contains a quote or ';' and " +
+              s"is referenced in the later binding LET ${m2.group(1)} — the " +
+              "splice would desynchronize that binding's expression scan; " +
+              "bind a new name or strip the quote/semicolon from the value")
         }
+      }
       val quotedVal = java.util.regex.Matcher.quoteReplacement(value)
       val substituted =
         ("%" + quotedName + "%").r.replaceAllIn(

@@ -235,30 +235,35 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        graft.operators.Incremental.exactlyOnceAppend(batch, batchId,
-            outPath, checkpoint) { _ =>
-          val b0 = batch.toDF()
-          // intra-batch pass first (checkpointed so pair generation runs
-          // once for the emptiness probe and the clustering)
-          val intraPairs = graft.dedup.Dedup.minHashDedup(
-            b0, shingleN, k, bands, threshold, textCol, idCol)
-            .localCheckpoint(false)
+        {
           // dupClusters returns its labels PERSISTED (documented caller
           // contract) — a long-running stream must unpersist per batch or
-          // the CacheManager grows one entry per near-dup micro-batch
-          val clusters =
-            if (intraPairs.isEmpty) None
-            else Some(graft.dedup.Dedup.dupClusters(intraPairs))
+          // the CacheManager grows one entry per near-dup micro-batch.
+          // The unpersist happens AFTER exactlyOnceAppend's write consumed
+          // the lazy survivor plan (an in-lambda finally would race it,
+          // and materializing the survivors to dodge the race would stack
+          // one eager checkpoint per micro-batch instead)
+          var clusters: Option[org.apache.spark.sql.DataFrame] = None
           try {
-            val intra = clusters.fold(b0)(c =>
-              graft.dedup.Dedup.clusterSurvivors(b0,
-                c.withColumnRenamed("doc_id", idCol), idCol))
-            val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
-              intra, index, corpus, shingleN, k, bands, threshold, textCol, idCol)
-              .select(col("batch_id").as(idCol)).distinct()
-            // the survivors materialize before exactlyOnceAppend's write
-            // so the finally-unpersist below cannot race the lazy plan
-            intra.join(dups, Seq(idCol), "left_anti").localCheckpoint(true)
+            graft.operators.Incremental.exactlyOnceAppend(batch, batchId,
+                outPath, checkpoint) { _ =>
+              val b0 = batch.toDF()
+              // intra-batch pass first (checkpointed so pair generation
+              // runs once for the emptiness probe and the clustering)
+              val intraPairs = graft.dedup.Dedup.minHashDedup(
+                b0, shingleN, k, bands, threshold, textCol, idCol)
+                .localCheckpoint(false)
+              clusters =
+                if (intraPairs.isEmpty) None
+                else Some(graft.dedup.Dedup.dupClusters(intraPairs))
+              val intra = clusters.fold(b0)(c =>
+                graft.dedup.Dedup.clusterSurvivors(b0,
+                  c.withColumnRenamed("doc_id", idCol), idCol))
+              val dups = graft.dedup.Dedup.minHashDedupAgainstIndex(
+                intra, index, corpus, shingleN, k, bands, threshold, textCol, idCol)
+                .select(col("batch_id").as(idCol)).distinct()
+              intra.join(dups, Seq(idCol), "left_anti")
+            }
           } finally clusters.foreach(_.unpersist())
         }
       }

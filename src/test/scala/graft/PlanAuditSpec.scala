@@ -740,16 +740,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("LET bindings leave no preprocessor residue: the executed plan holds the evaluated literal") {
-    import spark.implicits._
-    val df = Seq((1L, 4L), (2L, 5L)).toDF("x", "y")
+    // range-derived (NOT a local Seq): ConvertToLocalRelation would fold
+    // the filter away and leave nothing to audit
+    val df = spark.range(10).selectExpr("id AS x", "id AS y")
     val rels = graft.script.ScriptEngine.run(spark,
       """LET THRESH = 2 + 2 + 1;
         |g = FILTER t BY y >= $THRESH;""".stripMargin,
       env0 = Map("t" -> df))
     val d = details(rels("g"))
     // the binding evaluated at preprocess time: the plan compares against
-    // the folded constant and carries no $-token or LET machinery
-    assert(d.contains("5"), s"evaluated LET constant missing from plan:\n$d")
+    // the folded constant (delimited match — a bare "5" appears in any
+    // plan via expression ids) and carries no $-token or LET machinery
+    assert(">= 5\\b".r.findFirstIn(d).isDefined,
+      s"evaluated LET constant missing from plan:\n$d")
     assert(!d.contains("$THRESH") && !d.contains("THRESH"),
       s"LET residue in executed plan:\n$d")
   }

@@ -799,6 +799,14 @@ class ScriptSpec extends SparkSpec {
         |LET B = upper('$B');
         |g = FROM t GENERATE x, '$B' AS s;""".stripMargin, env0 = env("t" -> df)))
     assert(desync.getMessage.contains("desynchronize"), desync.getMessage)
+    // ...and equally loudly into a DIFFERENT binding's RHS — an unquoted
+    // ';' in the value would otherwise truncate that binding's scan and
+    // inject the remainder as statements
+    val desync2 = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """LET A = concat('1', ';', ' h = FILTER t BY x > 0');
+        |LET B = $A;
+        |g = FROM t GENERATE x;""".stripMargin, env0 = env("t" -> df)))
+    assert(desync2.getMessage.contains("LET B"), desync2.getMessage)
     // benign siblings still pass: a ';'-carrying value used only in
     // statement text, and a re-binding that never references the value
     val benign = ScriptEngine.run(spark,

@@ -502,6 +502,19 @@ class StreamingSpec extends SparkSpec {
     val byBatch = all.groupBy(Incremental.BatchIdCol).count().collect()
       .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
     assert(byBatch == Map(0L -> 2L, 1L -> 1L), byBatch.toString)
+    // a stream RESTARTED FROM A FRESH CHECKPOINT renumbers batches from 0
+    // — its batch 0 must append BESIDE the old lineage's batch 0, never
+    // overwrite it (the partition key carries the checkpoint lineage)
+    val ck2 = s"$dir/ck-fresh"
+    val b0v2 = Seq((9L, "z")).toDF("doc_id", "text")
+    Incremental.exactlyOnceAppend(b0v2, 0L, out, ck2)(_ => b0v2)
+    val both = spark.read.parquet(out)
+    assert(both.count() == 4, "fresh-checkpoint batch 0 clobbered the old lineage")
+    assert(both.select(Incremental.LineageCol).distinct().count() == 2)
+    // and the fresh lineage's own replay is still idempotent
+    assert(new java.io.File(out, "_graft_last_batch").delete())
+    Incremental.exactlyOnceAppend(b0v2, 0L, out, ck2)(_ => b0v2)
+    assert(spark.read.parquet(out).count() == 4)
   }
 
   test("stream-stream join matches within the time bound, drops beyond it") {

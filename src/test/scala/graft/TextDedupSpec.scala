@@ -306,6 +306,11 @@ class TextDedupSpec extends SparkSpec {
     val bin = Seq((Array[Byte](1), Array[Byte](2))).toDF("id_a", "id_b")
     val err = intercept[IllegalArgumentException](Dedup.dupClusters(bin))
     assert(err.getMessage.contains("integral or both string"), err.getMessage)
+    // DIGIT strings stay strings and elect the LEXICOGRAPHIC min — the
+    // documented contract ("10" < "9"); pad or pass longs for numeric order
+    val dig = Dedup.dupClusters(Seq(("9", "10")).toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dig == Map("9" -> "10", "10" -> "10"), dig.toString)
   }
 
   test("ngram language id scores signature trigrams and breaks ties to the first profile") {

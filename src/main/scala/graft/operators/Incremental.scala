@@ -198,8 +198,9 @@ object Incremental {
     * lineage's batch-0 survivors instead of appending beside them. The
     * stamps double as row lineage (which stream incarnation + micro-batch
     * appended this row). One directory per micro-batch: at minutes-scale
-    * triggers that is the same file count a plain append produces;
-    * compact downstream if the sink lives for months.
+    * triggers that is the same file count a plain append produces; use
+    * [[compactAppendSink]] when the sink lives for months, and
+    * [[readAppendSink]] to read without the stamps.
     */
   private[graft] def exactlyOnceAppend(batch: Dataset[Row], batchId: Long,
                                        outPath: String, checkpoint: String)
@@ -213,6 +214,44 @@ object Incremental {
         .partitionBy(LineageCol, BatchIdCol)
         .parquet(outPath)
     }
+
+  /** Read an [[exactlyOnceAppend]] sink as plain data: the lineage/batch
+    * stamp columns drop. Use the raw `spark.read.parquet(path)` when the
+    * per-batch provenance matters.
+    */
+  def readAppendSink(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    raw.drop(LineageCol, BatchIdCol)
+  }
+
+  /** Compact an [[exactlyOnceAppend]] sink NON-destructively: rewrite the
+    * accumulated one-directory-per-micro-batch layout as a plain
+    * unpartitioned parquet snapshot at `targetPath` (small files merged,
+    * provenance stamps dropped) and return the row count. The source is
+    * never touched — swap readers to the snapshot (and retire or truncate
+    * the source) once it lands. Deliberately NOT in-place: an in-place
+    * rewrite either reads and overwrites the same path in one job
+    * (disallowed) or needs a multi-step delete/rename dance whose crash
+    * states double- or under-count — transactional table formats exist
+    * for that; a marker-disciplined parquet sink should not fake one.
+    * Run against a paused stream or accept that batches appended after
+    * the read began are missing from the snapshot (they remain in the
+    * source — nothing is lost).
+    */
+  def compactAppendSink(spark: SparkSession, path: String, targetPath: String,
+                        targetPartitions: Int = 1): Long = {
+    require(targetPartitions >= 1, s"bad targetPartitions: $targetPartitions")
+    require(new Path(targetPath) != new Path(path),
+      "compactAppendSink is non-destructive: targetPath must differ from the source")
+    val raw = spark.read.parquet(path)
+    require(raw.columns.contains(LineageCol) && raw.columns.contains(BatchIdCol),
+      s"$path is not an exactlyOnceAppend sink (no $LineageCol/$BatchIdCol)")
+    val snap = raw.drop(LineageCol, BatchIdCol)
+      .repartition(targetPartitions)
+      .localCheckpoint(true) // pin ONE read; count and write see the same rows
+    snap.write.mode("overwrite").parquet(targetPath)
+    try snap.count() finally snap.unpersist()
+  }
 
   private[graft] def lastMergedBatch(spark: SparkSession, mvPath: String,
                                      checkpoint: String): Long = {

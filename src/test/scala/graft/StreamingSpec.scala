@@ -515,6 +515,20 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(out, "_graft_last_batch").delete())
     Incremental.exactlyOnceAppend(b0v2, 0L, out, ck2)(_ => b0v2)
     assert(spark.read.parquet(out).count() == 4)
+    // the convenience reader hides the stamps; compaction snapshots the
+    // sink (stamps dropped, small files merged) without touching it
+    val plain = Incremental.readAppendSink(spark, out)
+    assert(plain.columns.toSet == Set("doc_id", "text"), plain.columns.mkString(","))
+    val target = s"$dir/compacted"
+    assert(Incremental.compactAppendSink(spark, out, target) == 4L)
+    val snap = spark.read.parquet(target)
+    assert(snap.columns.toSet == Set("doc_id", "text"))
+    assert(snap.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 9L))
+    assert(spark.read.parquet(out).count() == 4, "compaction touched the source")
+    val notSink = intercept[IllegalArgumentException](
+      Incremental.compactAppendSink(spark, target, s"$dir/c2"))
+    assert(notSink.getMessage.contains("not an exactlyOnceAppend sink"))
   }
 
   test("stream-stream join matches within the time bound, drops beyond it") {

@@ -164,7 +164,23 @@ object Incremental {
                                       outPath: String, checkpoint: String)
                                      (body: SparkSession => Unit): Unit = {
     val spark = batch.sparkSession
-    if (!batch.isEmpty && batchId > lastMergedBatch(spark, outPath, checkpoint)) {
+    val last = lastMergedBatch(spark, outPath, checkpoint)
+    // batch ids only move FORWARD within one checkpoint lineage; Structured
+    // Streaming replays at most the batch the marker already recorded. A
+    // SMALLER id therefore means the checkpoint directory was wiped and
+    // the stream renumbered from 0 at the same path — whether those
+    // batches re-read old data (skip = correct) or carry genuinely new
+    // rows (skip = silent data loss) is unknowable here, so fail LOUDLY
+    // and make the operator decide (delete the sink's _graft_last_batch
+    // to accept the new incarnation, pointing it at a fresh outPath if
+    // the old rows must not be mixed with re-reads).
+    require(batchId >= last,
+      s"stream at checkpoint $checkpoint replayed batch $batchId but $outPath " +
+        s"already recorded batch $last from the same checkpoint path — the " +
+        "checkpoint was wiped and renumbered. Delete the sink's " +
+        "_graft_last_batch marker (and choose a fresh outPath if these " +
+        "batches re-read old data) before restarting from scratch.")
+    if (!batch.isEmpty && batchId > last) {
       body(spark)
       recordMergedBatch(spark, outPath, checkpoint, batchId)
     }
@@ -177,12 +193,14 @@ object Incremental {
   val LineageCol = "graft_lineage"
   val BatchIdCol = "graft_batch_id"
 
-  /** Deterministic 8-hex tag of a checkpoint path — the lineage scope for
-    * [[exactlyOnceAppend]] partitions (String.hashCode is specified, so
-    * the tag is stable across JVMs and restarts of the SAME checkpoint).
+  /** Deterministic 8-hex tag of a CANONICAL checkpoint path — the lineage
+    * scope for [[exactlyOnceAppend]] partitions (String.hashCode is
+    * specified, so the tag is stable across JVMs and restarts of the same
+    * checkpoint; callers must pass [[canonicalCheckpoint]] output so a
+    * respelled path cannot mint a second lineage for the same stream).
     */
-  private[graft] def lineageTag(checkpoint: String): String =
-    f"${checkpoint.hashCode.toLong & 0xffffffffL}%08x"
+  private[graft] def lineageTag(canonicalCk: String): String =
+    f"${canonicalCk.hashCode.toLong & 0xffffffffL}%08x"
 
   /** Effectively-exactly-once parquet APPEND under the marker discipline:
     * stamp the batch's rows with a checkpoint-lineage tag and the batch id
@@ -193,11 +211,18 @@ object Incremental {
     * so readers see exactly one copy without any dedup-on-read view.
     * Batch ids only mean something within one checkpoint lineage (the
     * marker discipline above), so the partition key carries BOTH: a
-    * stream restarted from a FRESH checkpoint renumbers from 0, and
-    * without the lineage scope its batch 0 would silently ERASE the old
-    * lineage's batch-0 survivors instead of appending beside them. The
-    * stamps double as row lineage (which stream incarnation + micro-batch
-    * appended this row). One directory per micro-batch: at minutes-scale
+    * stream restarted from a fresh checkpoint at a NEW path renumbers
+    * from 0, and without the lineage scope its batch 0 would silently
+    * ERASE the old lineage's batch-0 survivors instead of appending
+    * beside them. (Wiping and REUSING the old checkpoint path is the one
+    * restart the marker cannot disambiguate — [[exactlyOnceBatch]] fails
+    * that loudly instead of guessing.) The stamps double as row lineage
+    * (which stream incarnation + micro-batch appended this row). The
+    * two-level `graft_lineage=<tag>/graft_batch_id=<id>` layout is the
+    * sink's on-disk contract; earlier builds' screens appended FLAT
+    * parquet, which Spark's partition discovery cannot mix with this —
+    * point an upgraded stream at a fresh outPath (or compact the old
+    * sink first). One directory per micro-batch: at minutes-scale
     * triggers that is the same file count a plain append produces; use
     * [[compactAppendSink]] when the sink lives for months, and
     * [[readAppendSink]] to read without the stamps.
@@ -207,7 +232,8 @@ object Incremental {
                                       (survivors: SparkSession => DataFrame): Unit =
     exactlyOnceBatch(batch, batchId, outPath, checkpoint) { spark =>
       survivors(spark)
-        .withColumn(LineageCol, lit(lineageTag(checkpoint)))
+        .withColumn(LineageCol,
+          lit(lineageTag(canonicalCheckpoint(spark, checkpoint))))
         .withColumn(BatchIdCol, lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -241,16 +267,39 @@ object Incremental {
   def compactAppendSink(spark: SparkSession, path: String, targetPath: String,
                         targetPartitions: Int = 1): Long = {
     require(targetPartitions >= 1, s"bad targetPartitions: $targetPartitions")
-    require(new Path(targetPath) != new Path(path),
+    // qualify BOTH paths (scheme + working dir resolved) so aliased
+    // spellings of one location ("/data/s" vs "file:/data/s") cannot
+    // slip past the non-destructive guard and overwrite the source
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(s: String): Path = {
+      val p = new Path(s); p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(targetPath) != qualified(path),
       "compactAppendSink is non-destructive: targetPath must differ from the source")
     val raw = spark.read.parquet(path)
     require(raw.columns.contains(LineageCol) && raw.columns.contains(BatchIdCol),
       s"$path is not an exactlyOnceAppend sink (no $LineageCol/$BatchIdCol)")
-    val snap = raw.drop(LineageCol, BatchIdCol)
+    raw.drop(LineageCol, BatchIdCol)
       .repartition(targetPartitions)
-      .localCheckpoint(true) // pin ONE read; count and write see the same rows
-    snap.write.mode("overwrite").parquet(targetPath)
-    try snap.count() finally snap.unpersist()
+      .write.mode("overwrite").parquet(targetPath)
+    // count the SNAPSHOT, not the source: footer-only, sees exactly the
+    // rows written, and needs no whole-sink cache pin (a months-old sink
+    // must never be localCheckpointed wholesale just for a count)
+    spark.read.parquet(targetPath).count()
+  }
+
+  /** Canonical spelling of a checkpoint path (scheme-qualified, working
+    * dir resolved) — the identity used by BOTH the marker content and
+    * [[lineageTag]], so a respelled-but-equivalent path across a restart
+    * ("/ckpt" vs "file:/ckpt" vs a relative form) stays ONE lineage: the
+    * raw string would read as a different stream and turn a crash-window
+    * replay into a duplicated batch.
+    */
+  private[graft] def canonicalCheckpoint(spark: SparkSession,
+                                         checkpoint: String): String = {
+    val p = new Path(checkpoint)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
   }
 
   private[graft] def lastMergedBatch(spark: SparkSession, mvPath: String,
@@ -262,8 +311,9 @@ object Incremental {
       val in = fs.open(p)
       val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       content.split("\n") match {
-        case Array(ck, id) if ck == checkpoint => id.trim.toLong
-        case _                                 => -1L // different stream lineage
+        case Array(ck, id) if ck == canonicalCheckpoint(spark, checkpoint) =>
+          id.trim.toLong
+        case _ => -1L // different stream lineage
       }
     }
   }
@@ -273,7 +323,9 @@ object Incremental {
     val p = batchMarker(mvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$checkpoint\n$id".getBytes("UTF-8")) finally out.close()
+    try out.write(
+      s"${canonicalCheckpoint(spark, checkpoint)}\n$id".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Refresh a COUNT(DISTINCT member) summary: store distinct

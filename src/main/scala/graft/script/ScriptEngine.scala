@@ -463,20 +463,21 @@ object ScriptEngine {
         val e = exprEnd(rest, m2.end)
         if (e >= 0) e + 1 else rest.length // unterminated: next pass fails loudly
       }.getOrElse(rest.length)
-      // a value carrying a quote or semicolon that splices into ANY later
-      // LET's RHS (a re-binding of this name or a different binding that
-      // references it) would desynchronize the next pass's quote-aware
-      // exprEnd scan — the scope boundaries were computed on the
-      // PRE-substitution text — so an unquoted `;` in the value could
-      // even inject statements. Fail loudly instead of mis-scoping.
-      if (value.exists(c => c == '\'' || c == '"' || c == ';')) {
+      // a value carrying a quote, backslash, or semicolon that splices
+      // into ANY later LET's RHS (a re-binding of this name or a
+      // different binding that references it) would desynchronize the
+      // next pass's quote-aware exprEnd scan — the scope boundaries were
+      // computed on the PRE-substitution text — an unquoted `;` could
+      // even inject statements, and a trailing backslash escapes the
+      // host RHS's closing quote. Fail loudly instead of mis-scoping.
+      if (value.exists(c => c == '\'' || c == '"' || c == ';' || c == '\\')) {
         val token = ("\\$" + quotedName + "(?![A-Za-z0-9_])|%" + quotedName + "%").r
         val inScope = rest.substring(0, stop)
         LetHeadAll.findAllMatchIn(inScope).foreach { m2 =>
           val e = exprEnd(inScope, m2.end)
           val rhs = inScope.substring(m2.end, if (e >= 0) e else inScope.length)
           require(token.findFirstIn(rhs).isEmpty,
-            s"LET $name: value ${value.take(80)} contains a quote or ';' and " +
+            s"LET $name: value ${value.take(80)} contains a quote, '\\\\', or ';' and " +
               s"is referenced in the later binding LET ${m2.group(1)} — the " +
               "splice would desynchronize that binding's expression scan; " +
               "bind a new name or strip the quote/semicolon from the value")

@@ -208,10 +208,10 @@ object Streaming {
     *
     * Exactly-once under replay: the marker discipline of `streamRefresh`
     * skips already-recorded batches, and the append itself is idempotent —
-    * survivors land stamped with their batch id as a dynamic partition
-    * OVERWRITE of `graft_batch_id=<id>` — so even a crash BETWEEN the
-    * body and the marker write (where the batch replays) rewrites exactly
-    * its own rows rather than appending a second copy.
+    * survivors land stamped as a dynamic partition OVERWRITE of
+    * `graft_lineage=<tag>/graft_batch_id=<id>` — so even a crash BETWEEN
+    * the body and the marker write (where the batch replays) rewrites
+    * exactly its own rows rather than appending a second copy.
     *
     * Scope: batch-vs-corpus AND intra-batch — two near-identical documents
     * arriving in the SAME micro-batch cannot both survive: the batch first

@@ -807,6 +807,13 @@ class ScriptSpec extends SparkSpec {
         |LET B = $A;
         |g = FROM t GENERATE x;""".stripMargin, env0 = env("t" -> df)))
     assert(desync2.getMessage.contains("LET B"), desync2.getMessage)
+    // a trailing backslash would escape the host binding's closing quote
+    // — caught by the same guard
+    val desync3 = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """LET A = concat('x', chr(92));
+        |LET B = upper('$A');
+        |g = FROM t GENERATE x;""".stripMargin, env0 = env("t" -> df)))
+    assert(desync3.getMessage.contains("LET B"), desync3.getMessage)
     // benign siblings still pass: a ';'-carrying value used only in
     // statement text, and a re-binding that never references the value
     val benign = ScriptEngine.run(spark,

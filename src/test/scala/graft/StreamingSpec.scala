@@ -529,6 +529,24 @@ class StreamingSpec extends SparkSpec {
     val notSink = intercept[IllegalArgumentException](
       Incremental.compactAppendSink(spark, target, s"$dir/c2"))
     assert(notSink.getMessage.contains("not an exactlyOnceAppend sink"))
+    // an aliased spelling of the source cannot bypass the non-destructive
+    // guard (qualified-path comparison, not raw string)
+    val alias = intercept[IllegalArgumentException](
+      Incremental.compactAppendSink(spark, out, s"file:$out"))
+    assert(alias.getMessage.contains("non-destructive"), alias.getMessage)
+    // a RESPELLED-but-equivalent checkpoint path is the SAME lineage: a
+    // crash-window replay under the alias overwrites, never duplicates
+    assert(new java.io.File(out, "_graft_last_batch").delete())
+    Incremental.exactlyOnceAppend(b0v2, 0L, out, s"file:$ck2")(_ => b0v2)
+    assert(spark.read.parquet(out).count() == 4,
+      "respelled checkpoint path minted a second lineage for the same stream")
+    // a WIPED-and-reused checkpoint path (marker holds a higher id than
+    // the renumbered stream presents) fails loudly instead of silently
+    // dropping or double-processing the new incarnation's batches
+    Incremental.exactlyOnceAppend(b1, 7L, out, ck2)(_ => b1)
+    val wiped = intercept[IllegalArgumentException](
+      Incremental.exactlyOnceAppend(b0v2, 2L, out, ck2)(_ => b0v2))
+    assert(wiped.getMessage.contains("wiped"), wiped.getMessage)
   }
 
   test("stream-stream join matches within the time bound, drops beyond it") {

@@ -474,6 +474,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minHashScreenStream: STRING doc ids dedup intra-batch (no silent no-op)") {
+    // the round-12 claim: idCol may be integral or string — before the
+    // ccEdgeIds fix, string ids null-cast inside dupClusters and the
+    // intra-batch pass silently no-opped
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-mh-screen-sid").toString
+    val corpus = Seq(("c1", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val index = graft.dedup.Dedup.minHashIndex(corpus, shingleN = 2, k = 16, bands = 8)
+    val in = MemoryStream[(String, String)]
+    val q = Streaming.minHashScreenStream(
+      in.toDF().toDF("doc_id", "text"), index, corpus,
+      s"$dir/out", s"$dir/ck", shingleN = 2, k = 16, bands = 8, threshold = 0.5)
+    try {
+      // docB/docA are an intra-batch near-dup pair: lexicographic min
+      // docA must survive, docB must NOT (both are corpus-novel)
+      val nd = "red orange yellow green blue indigo violet cyan magenta white"
+      in.addData(("docB", nd), ("docA", nd.replace("white", "black")),
+        ("docZ", "wholly unrelated text goes here"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out").collect()
+        .map(_.getString(0)).toSet
+      assert(got == Set("docA", "docZ"), got.toString)
+    } finally q.stop()
+  }
+
   test("exactlyOnceAppend: a body/marker crash-window replay leaves exactly one copy") {
     import graft.operators.Incremental
     val dir = Files.createTempDirectory("graft-e1-append").toString

@@ -281,7 +281,8 @@ object Streaming {
     * duplicates matter or when an exactly-once parquet append is the sink;
     * use the stateless form when zero-state continuous flow is the point.
     * Surviving vectors do NOT join the index mid-stream (rebuild it on
-    * corpus append).
+    * corpus append). `idCol` may be integral or string — survivor
+    * election is a plain `min(idCol)`, deterministic under either order.
     */
   def embeddingScreenStream(stream: DataFrame, index: DataFrame, centroids: DataFrame,
                             outPath: String, checkpoint: String,

@@ -704,6 +704,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!details(fold2).contains("Exchange"), "exchange in scalable fold")
   }
 
+  test("graph pair: triangle wedges and k-core peels are equi-joins, never products (q155/q159)") {
+    // the round-12 scale-honest fixtures must keep the plans the sweep
+    // measured: orientation + wedge close as equi-joins over O(E), the
+    // peel as degree agg + semi-joins — a product anywhere is a 100 TB
+    // killer the correctness gate cannot see
+    val dTri = details(SparkEntry.queries("q155_triangles")(spark, dir))
+    assert(!dTri.contains("CartesianProduct"), s"product in triangle plan:\n$dTri")
+    assert(dTri.contains("LeftSemi"), s"wedge close is not a semi join:\n$dTri")
+    val dKc = details(SparkEntry.queries("q159_kcore")(spark, dir))
+    assert(!dKc.contains("CartesianProduct"), s"product in k-core plan:\n$dKc")
+    assert(!dKc.contains("Window"), s"window in k-core plan:\n$dKc")
+  }
+
   test("streaming dedup screens hold ZERO streaming state; the batch body is a stream-static join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

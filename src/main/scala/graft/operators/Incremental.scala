@@ -193,14 +193,19 @@ object Incremental {
   val LineageCol = "graft_lineage"
   val BatchIdCol = "graft_batch_id"
 
-  /** Deterministic 8-hex tag of a CANONICAL checkpoint path — the lineage
-    * scope for [[exactlyOnceAppend]] partitions (String.hashCode is
-    * specified, so the tag is stable across JVMs and restarts of the same
-    * checkpoint; callers must pass [[canonicalCheckpoint]] output so a
-    * respelled path cannot mint a second lineage for the same stream).
+  /** Deterministic 16-hex tag of a CANONICAL checkpoint path — the lineage
+    * scope for [[exactlyOnceAppend]] partitions. SHA-256-derived, NOT
+    * String.hashCode: 32-bit hashCode collisions are trivial to hit
+    * ("Aa" vs "BB"), and two checkpoints colliding into one lineage on a
+    * shared outPath would dynamic-overwrite each other's batches — the
+    * exact erasure the tag exists to prevent. Callers must pass
+    * [[canonicalCheckpoint]] output so a respelled path cannot mint a
+    * second lineage for the same stream.
     */
   private[graft] def lineageTag(canonicalCk: String): String =
-    f"${canonicalCk.hashCode.toLong & 0xffffffffL}%08x"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonicalCk.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
 
   /** Effectively-exactly-once parquet APPEND under the marker discipline:
     * stamp the batch's rows with a checkpoint-lineage tag and the batch id
@@ -265,22 +270,45 @@ object Incremental {
     * source — nothing is lost).
     */
   def compactAppendSink(spark: SparkSession, path: String, targetPath: String,
-                        targetPartitions: Int = 1): Long = {
-    require(targetPartitions >= 1, s"bad targetPartitions: $targetPartitions")
-    // qualify BOTH paths (scheme + working dir resolved) so aliased
-    // spellings of one location ("/data/s" vs "file:/data/s") cannot
-    // slip past the non-destructive guard and overwrite the source
+                        targetPartitions: Int = 0): Long = {
+    require(targetPartitions >= 0, s"bad targetPartitions: $targetPartitions")
+    // qualify BOTH paths (scheme + working dir resolved) and reject
+    // ancestor/descendant relationships, not just equality: overwriting
+    // an ANCESTOR of the sink deletes the sink itself, and writing a
+    // DESCENDANT plants a non-partition directory inside it that breaks
+    // every later partition discovery over the sink
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(s: String): Path = {
       val p = new Path(s); p.getFileSystem(conf).makeQualified(p)
     }
-    require(qualified(targetPath) != qualified(path),
-      "compactAppendSink is non-destructive: targetPath must differ from the source")
+    val src = qualified(path); val tgt = qualified(targetPath)
+    def isAncestorOrSelf(a: Path, b0: Path): Boolean = {
+      var b = b0
+      while (b != null) { if (a == b) return true; b = b.getParent }
+      false
+    }
+    require(!isAncestorOrSelf(tgt, src) && !isAncestorOrSelf(src, tgt),
+      s"compactAppendSink is non-destructive: targetPath $tgt must not equal, " +
+        s"contain, or live inside the source $src")
     val raw = spark.read.parquet(path)
-    require(raw.columns.contains(LineageCol) && raw.columns.contains(BatchIdCol),
-      s"$path is not an exactlyOnceAppend sink (no $LineageCol/$BatchIdCol)")
+    // stamped layouts: lineage+batch (current), batch-only (early round-12
+    // builds) — both compact; a directory with NEITHER stamp is some other
+    // dataset and is rejected loudly (flat pre-stamp screen sinks are
+    // plain parquet: snapshot those with an ordinary read->write)
+    require(raw.columns.contains(BatchIdCol),
+      s"$path is not an exactlyOnceAppend sink (no $BatchIdCol partition); " +
+        "flat legacy sinks are plain parquet — snapshot them with a direct " +
+        "read.parquet(...).write")
+    val parts =
+      if (targetPartitions > 0) targetPartitions
+      else {
+        // auto: ~512 MB of source bytes per output partition — a single
+        // forced task on a months-old sink is a one-executor bottleneck
+        val bytes = src.getFileSystem(conf).getContentSummary(src).getLength
+        math.max(1, (bytes / (512L * 1024 * 1024)).toInt)
+      }
     raw.drop(LineageCol, BatchIdCol)
-      .repartition(targetPartitions)
+      .repartition(parts)
       .write.mode("overwrite").parquet(targetPath)
     // count the SNAPSHOT, not the source: footer-only, sees exactly the
     // rows written, and needs no whole-sink cache pin (a months-old sink
@@ -311,7 +339,12 @@ object Incremental {
       val in = fs.open(p)
       val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       content.split("\n") match {
-        case Array(ck, id) if ck == canonicalCheckpoint(spark, checkpoint) =>
+        // accept the RAW spelling too: markers written by builds that
+        // predate canonicalCheckpoint hold the string as passed, and
+        // reading one as "different lineage" would replay a crash-window
+        // batch into a non-idempotent refresh/upsert merge (double count)
+        case Array(ck, id)
+            if ck == canonicalCheckpoint(spark, checkpoint) || ck == checkpoint =>
           id.trim.toLong
         case _ => -1L // different stream lineage
       }

@@ -329,7 +329,7 @@ object ScriptEngine {
     */
   private[graft] def expandIf(script: String, maxDepth: Int = 1000): String = {
     val Head = "(?is)\\bIF\\s*\\(([^)]*)\\)\\s*DO\\b".r
-    val LetHead = "(?m)^[ \\t]*(?i:LET)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    val LetHead = LetHeadAll
     // LET expands AFTER IF (a LET in a dropped branch must never
     // evaluate), so an IF condition referencing a LET binding would
     // silently compare the literal "$name" token and take the wrong
@@ -415,7 +415,7 @@ object ScriptEngine {
 
   private[graft] def expandLets(spark: SparkSession, script: String,
                                 maxDepth: Int = 1000): String = {
-    val Head = "(?m)^[ \\t]*(?i:LET)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=".r
+    val Head = LetHeadAll // one head grammar — the desync guard scans with it too
     // the expression runs from `from` to the first ; outside quotes; a
     // backslash inside a quoted literal escapes the next char (Spark
     // SQL's \' escaping must not desynchronize the scanner). Returns the
@@ -446,6 +446,16 @@ object ScriptEngine {
             s"LET $name: expression does not evaluate: $exprSql (${e.getMessage})")
         }
       require(value != null, s"LET $name: expression evaluated to NULL: $exprSql")
+      // a line break inside a value is rejected outright: every
+      // preprocessor head (LET/IF-block starts, FOREACH) is line-anchored,
+      // so a substituted "\nLET X = …;" would mint a PHANTOM binding on
+      // the next pass — evaluated and excised out of whatever statement
+      // text hosted the token. Preprocessor values are scalar constants;
+      // multi-line values have no legitimate use in this grammar.
+      require(!value.exists(c => c == '\n' || c == '\r'),
+        s"LET $name: value contains a line break — line-anchored " +
+          "preprocessor heads could match inside the substituted text; " +
+          "preprocessor values must be single-line")
       val rest = s.substring(i + 1)
       // the binding's scope ends AFTER a re-binding's own expression (the
       // re-binding's RHS still sees the old value — `LET X = $X + 1;`

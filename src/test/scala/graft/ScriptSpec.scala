@@ -814,6 +814,13 @@ class ScriptSpec extends SparkSpec {
         |LET B = upper('$A');
         |g = FROM t GENERATE x;""".stripMargin, env0 = env("t" -> df)))
     assert(desync3.getMessage.contains("LET B"), desync3.getMessage)
+    // a LINE BREAK in a value is rejected outright — substituted into any
+    // position it could mint a phantom line-anchored LET/IF/FOREACH head
+    // on the next pass (evaluated and excised out of the host statement)
+    val multiline = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """LET A = concat(chr(10), 'LET EVIL = 99;');
+        |g = FROM t GENERATE x, '$A' AS s;""".stripMargin, env0 = env("t" -> df)))
+    assert(multiline.getMessage.contains("line break"), multiline.getMessage)
     // benign siblings still pass: a ';'-carrying value used only in
     // statement text, and a re-binding that never references the value
     val benign = ScriptEngine.run(spark,

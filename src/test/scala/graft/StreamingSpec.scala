@@ -556,10 +556,26 @@ class StreamingSpec extends SparkSpec {
       Incremental.compactAppendSink(spark, target, s"$dir/c2"))
     assert(notSink.getMessage.contains("not an exactlyOnceAppend sink"))
     // an aliased spelling of the source cannot bypass the non-destructive
-    // guard (qualified-path comparison, not raw string)
+    // guard (qualified-path comparison, not raw string), and neither can
+    // a nested target (inside the sink) or an enclosing one (overwriting
+    // an ancestor would delete the sink itself)
     val alias = intercept[IllegalArgumentException](
       Incremental.compactAppendSink(spark, out, s"file:$out"))
     assert(alias.getMessage.contains("non-destructive"), alias.getMessage)
+    val nested = intercept[IllegalArgumentException](
+      Incremental.compactAppendSink(spark, out, s"$out/compact"))
+    assert(nested.getMessage.contains("non-destructive"), nested.getMessage)
+    val enclosing = intercept[IllegalArgumentException](
+      Incremental.compactAppendSink(spark, out, dir))
+    assert(enclosing.getMessage.contains("non-destructive"), enclosing.getMessage)
+    // an early batch-only layout (no lineage level) still compacts
+    val legacy = s"$dir/legacy"
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .withColumn(Incremental.BatchIdCol, org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy(Incremental.BatchIdCol).parquet(legacy)
+    assert(Incremental.compactAppendSink(spark, legacy, s"$dir/legacy-snap") == 1L)
+    assert(spark.read.parquet(s"$dir/legacy-snap").columns.toSet
+      == Set("doc_id", "text"))
     // a RESPELLED-but-equivalent checkpoint path is the SAME lineage: a
     // crash-window replay under the alias overwrites, never duplicates
     assert(new java.io.File(out, "_graft_last_batch").delete())

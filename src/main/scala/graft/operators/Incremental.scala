@@ -339,12 +339,15 @@ object Incremental {
       val in = fs.open(p)
       val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       content.split("\n") match {
-        // accept the RAW spelling too: markers written by builds that
-        // predate canonicalCheckpoint hold the string as passed, and
-        // reading one as "different lineage" would replay a crash-window
-        // batch into a non-idempotent refresh/upsert merge (double count)
-        case Array(ck, id)
-            if ck == canonicalCheckpoint(spark, checkpoint) || ck == checkpoint =>
+        // markers written by builds that predate canonicalCheckpoint hold
+        // the string as PASSED — canonicalize the stored spelling too
+        // (never compare raw == raw: two different pipelines' relative
+        // spellings can collide as strings while canonicalizing apart).
+        // Reading a legacy marker as "different lineage" would replay a
+        // crash-window batch into a non-idempotent refresh/upsert merge.
+        case Array(ck, id) if ck == canonicalCheckpoint(spark, checkpoint) ||
+            (scala.util.Try(canonicalCheckpoint(spark, ck)).toOption
+              .contains(canonicalCheckpoint(spark, checkpoint))) =>
           id.trim.toLong
         case _ => -1L // different stream lineage
       }

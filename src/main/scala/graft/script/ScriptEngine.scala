@@ -452,8 +452,12 @@ object ScriptEngine {
       // the next pass — evaluated and excised out of whatever statement
       // text hosted the token. Preprocessor values are scalar constants;
       // multi-line values have no legitimate use in this grammar.
-      require(!value.exists(c => c == '\n' || c == '\r'),
-        s"LET $name: value contains a line break — line-anchored " +
+      // the full Java (?m) line-terminator set, not just \n\r — U+0085,
+      // U+2028, U+2029 also anchor ^, so a NEL-carrying value would mint
+      // a phantom head past a \n\r-only check
+      require(!value.exists(c => c == '\n' || c == '\r' || c == 0x85.toChar ||
+          c == 0x2028.toChar || c == 0x2029.toChar),
+        s"LET $name: value contains a line terminator — line-anchored " +
           "preprocessor heads could match inside the substituted text; " +
           "preprocessor values must be single-line")
       val rest = s.substring(i + 1)
@@ -498,6 +502,17 @@ object ScriptEngine {
         ("%" + quotedName + "%").r.replaceAllIn(
           ("\\$" + quotedName + "(?![A-Za-z0-9_])").r
             .replaceAllIn(rest.substring(0, stop), quotedVal), quotedVal)
+      // injection backstop covering what the character guards cannot
+      // enumerate: substitution must never MINT a LET head that was not
+      // in the text before (e.g. a value spelling "LET Y = 1" landing
+      // where its token opened a continuation line — no line terminator
+      // in the value, yet the host line's own start anchors a phantom
+      // head the next pass would evaluate and excise)
+      require(LetHeadAll.findAllMatchIn(substituted).size <=
+          LetHeadAll.findAllMatchIn(rest.substring(0, stop)).size,
+        s"LET $name: substituting value ${value.take(80)} creates a new " +
+          "LET head in the script text — the next pass would evaluate it " +
+          "as a phantom binding; rephrase the value or the host statement")
       s.substring(0, m.start) + substituted + rest.substring(stop)
     }
     var cur = script

@@ -820,7 +820,18 @@ class ScriptSpec extends SparkSpec {
     val multiline = intercept[IllegalArgumentException](ScriptEngine.run(spark,
       """LET A = concat(chr(10), 'LET EVIL = 99;');
         |g = FROM t GENERATE x, '$A' AS s;""".stripMargin, env0 = env("t" -> df)))
-    assert(multiline.getMessage.contains("line break"), multiline.getMessage)
+    assert(multiline.getMessage.contains("line terminator"), multiline.getMessage)
+    // ...including the non-\n\r Java line terminators (NEL anchors (?m)^)
+    val nel = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      """LET A = concat(chr(133), 'LET EVIL = 99;');
+        |g = FROM t GENERATE x, '$A' AS s;""".stripMargin, env0 = env("t" -> df)))
+    assert(nel.getMessage.contains("line terminator"), nel.getMessage)
+    // and the backstop: a single-line value that MINTS a head where its
+    // token opened a continuation line fails loudly, never evaluates
+    val mint = intercept[IllegalArgumentException](ScriptEngine.run(spark,
+      "LET A = 'LET Y = 1';\ng = FROM t GENERATE x,\n$A AS s;",
+      env0 = env("t" -> df)))
+    assert(mint.getMessage.contains("new"), mint.getMessage)
     // benign siblings still pass: a ';'-carrying value used only in
     // statement text, and a re-binding that never references the value
     val benign = ScriptEngine.run(spark,

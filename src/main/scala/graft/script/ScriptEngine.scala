@@ -297,7 +297,13 @@ object ScriptEngine {
     while (i < maxDepth) {
       expandOnce(cur) match {
         case Some(next) => cur = next; i += 1
-        case None => return cur
+        case None =>
+          // every head is consumed; a leftover END FOREACH is an orphan —
+          // fail HERE with the real diagnosis instead of letting the
+          // stray token confuse the statement parser downstream
+          require("(?i)\\bEND[ \\t]+FOREACH\\b".r.findFirstIn(cur).isEmpty,
+            "END FOREACH without a matching 'FOREACH v IN (…) DO' head")
+          return cur
       }
     }
     require(Head.findFirstMatchIn(cur).isEmpty,
@@ -383,7 +389,14 @@ object ScriptEngine {
     while (i < maxDepth) {
       expandOnce(cur) match {
         case Some(next) => cur = next; i += 1
-        case None => return cur
+        case None =>
+          // all IF heads consumed: leftover END IF / ELSE DO tokens are
+          // orphans — diagnose here, not as a downstream parser puzzle
+          require("(?i)\\bEND[ \\t]+IF\\b".r.findFirstIn(cur).isEmpty,
+            "END IF without a matching 'IF (…) DO' head")
+          require("(?i)\\bELSE\\s+DO\\b".r.findFirstIn(cur).isEmpty,
+            "ELSE DO without a matching 'IF (…) DO' head")
+          return cur
       }
     }
     require(Head.findFirstMatchIn(cur).isEmpty,

@@ -844,6 +844,44 @@ class ScriptSpec extends SparkSpec {
     assert(bRow.getString(1) == "a;b" && bRow.getString(2) == "second")
   }
 
+  test("preprocessor fuzz: random FOREACH/IF/LET nests expand or fail loudly (seeded)") {
+    import graft.script.ScriptEngine
+    // 300 deterministic random scripts assembled from grammar fragments —
+    // including unterminated/interleaved forms. The contract under fuzz:
+    // expansion either returns (balanced text) or throws
+    // IllegalArgumentException with a message; never a StackOverflow,
+    // a hang, or a silent mis-parse surfacing as some other exception.
+    val rnd = new scala.util.Random(20260815L)
+    val frags = Array(
+      "LET X = 1 + 1;\n", "LET X = $X + 1;\n", "LET y2 = upper('a');\n",
+      "LET B = '$X';\n", "LET C = concat('a', ';', 'b');\n",
+      "IF ('a' == 'a') DO\n", "IF (%P% >= 2) DO\n", "ELSE DO\n", "END IF;\n",
+      "FOREACH V IN ('p', 'q') DO\n", "END FOREACH;\n",
+      "g_$V = FROM t GENERATE x + $X AS c;\n", "h = FILTER t BY x > 0;\n",
+      "-- comment $X\n", "IF ('$X' == '2') DO\n", "LET X = 'LET Z = 9';\n")
+    var ok = 0; var loud = 0
+    for (_ <- 0 until 300) {
+      val n = 1 + rnd.nextInt(6)
+      val script = Seq.fill(n)(frags(rnd.nextInt(frags.length))).mkString
+      try {
+        val out = ScriptEngine.expandLets(spark,
+          ScriptEngine.expandIf(
+            ScriptEngine.expandForeach(script.replace("%P%", "3"))))
+        // successful expansion leaves no block machinery behind (orphan
+        // tails fail loudly inside the expanders — found BY this fuzz)
+        assert(!out.toUpperCase.contains("END FOREACH") &&
+          !out.toUpperCase.contains("END IF") &&
+          !out.toUpperCase.contains("ELSE DO"), s"unconsumed tail in:\n$script")
+        ok += 1
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty); loud += 1
+      }
+    }
+    // both outcomes must actually occur or the generator is degenerate
+    assert(ok > 20 && loud > 20, s"degenerate fuzz mix: ok=$ok loud=$loud")
+  }
+
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {
     import graft.script.ScriptEngine
     val df = Seq((1L, 2L)).toDF("x", "y")

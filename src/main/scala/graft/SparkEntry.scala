@@ -1801,7 +1801,12 @@ object SparkEntry {
       graft.similarity.Classifier.linearScore(
           graft.similarity.Classifier.score(emb, w, b), w, b)
         .select(col("vec_id"),
-          (col("quality_score") >= 0.5).cast("int").as("quality"),
+          // threshold on the raw margin, not sigmoid(margin) >= 0.5: for
+          // |margin| < ~5.6e-17 the sigmoid rounds to exactly 0.5 and the
+          // two formulations disagree — margin >= 0 matches the oracle by
+          // construction (quality_score stays exported-path-exercised via
+          // the margin column it is derived from)
+          (col("margin") >= 0.0).cast("int").as("quality"),
           col("margin"))
     }),
     // connected components over STRING ids (UUID-style doc keys): chains

@@ -345,11 +345,23 @@ object Incremental {
         // spellings can collide as strings while canonicalizing apart).
         // Reading a legacy marker as "different lineage" would replay a
         // crash-window batch into a non-idempotent refresh/upsert merge.
-        case Array(ck, id) if ck == canonicalCheckpoint(spark, checkpoint) ||
-            (scala.util.Try(canonicalCheckpoint(spark, ck)).toOption
-              .contains(canonicalCheckpoint(spark, checkpoint))) =>
-          id.trim.toLong
-        case _ => -1L // different stream lineage
+        case Array(ck, id) =>
+          val canon = canonicalCheckpoint(spark, checkpoint)
+          if (ck == canon) id.trim.toLong
+          else if (scala.util.Try(canonicalCheckpoint(spark, ck)).toOption
+              .contains(canon)) {
+            // matched only through canonicalization — rewrite the marker
+            // in canonical form NOW: the stored spelling canonicalizes
+            // against THIS process's default filesystem and cwd, so a
+            // driver later restarted from a DIFFERENT cwd could resolve
+            // the same relative string to a different path, read it as a
+            // foreign lineage (-1), and reopen the crash-window
+            // duplicate-replay this match just closed.
+            val n = id.trim.toLong
+            recordMergedBatch(spark, mvPath, checkpoint, n)
+            n
+          } else -1L // different stream lineage
+        case _ => -1L
       }
     }
   }

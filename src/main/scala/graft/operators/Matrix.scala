@@ -280,6 +280,9 @@ object Matrix {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
     var e = ckpt(e0, true, reliableCheckpoint)
+    // carry the previous round's cardinality forward: `e` was already
+    // counted as `next` last round, so re-counting it is a redundant job
+    var eCount = e.count()
     var i = 0
     var done = false
     while (i < maxIter && !done) {
@@ -290,8 +293,10 @@ object Matrix {
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select("u", "v"), true, reliableCheckpoint)
-      done = next.count() == e.count()
+      val nextCount = next.count()
+      done = nextCount == eCount
       e = next
+      eCount = nextCount
       i += 1
     }
     e.select(explode(array(col("u"), col("v"))).as("node"))

@@ -265,6 +265,37 @@ object ScriptEngine {
     * malformed script from spinning. The macro scanner is token-ish, not
     * string-aware — don't spell END FOREACH inside a quoted literal.
     */
+  /** Text with quoted-literal contents and `--` line comments blanked to
+    * spaces (length-preserving). The ORPHAN-token diagnostics scan this
+    * instead of the raw script: a statement that merely contains the words
+    * `end if` in a string literal or a comment is not an orphan token and
+    * must keep passing through to SQL unchanged, exactly as it did before
+    * the guards existed. (The EXPANSION scanners stay raw-text token-ish by
+    * design — their caveat "don't spell END FOREACH inside a quoted
+    * literal" only bites when a matching head exists; the orphan scan runs
+    * precisely when none does.) Quote tracking mirrors [[expandLets]]'
+    * exprEnd: ' and " delimit, backslash escapes the next char in-quote.
+    */
+  private[graft] def maskLiteralsAndComments(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    var q = 0: Char
+    while (i < s.length) {
+      val c = s(i)
+      if (q != 0) {
+        if (c == '\\' && i + 1 < s.length) { out(i) = ' '; i += 1; out(i) = ' ' }
+        else if (c == q) q = 0
+        else if (c != '\n' && c != '\r') out(i) = ' '
+      } else if (c == '\'' || c == '"') q = c
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        while (i < s.length && s(i) != '\n') { out(i) = ' '; i += 1 }
+        i -= 1
+      }
+      i += 1
+    }
+    new String(out)
+  }
+
   private[graft] def expandForeach(script: String, maxDepth: Int = 1000): String = {
     val Head = "(?is)\\bFOREACH\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*\\(([^)]*)\\)\\s*DO\\b".r
     // END and FOREACH must sit on ONE line ([ \t]+, not \s+): the grammar
@@ -300,8 +331,11 @@ object ScriptEngine {
         case None =>
           // every head is consumed; a leftover END FOREACH is an orphan —
           // fail HERE with the real diagnosis instead of letting the
-          // stray token confuse the statement parser downstream
-          require("(?i)\\bEND[ \\t]+FOREACH\\b".r.findFirstIn(cur).isEmpty,
+          // stray token confuse the statement parser downstream. Scan the
+          // literal/comment-masked text: 'end foreach' inside a quoted
+          // string is data, not a token
+          require("(?i)\\bEND[ \\t]+FOREACH\\b".r
+              .findFirstIn(maskLiteralsAndComments(cur)).isEmpty,
             "END FOREACH without a matching 'FOREACH v IN (…) DO' head")
           return cur
       }
@@ -391,10 +425,13 @@ object ScriptEngine {
         case Some(next) => cur = next; i += 1
         case None =>
           // all IF heads consumed: leftover END IF / ELSE DO tokens are
-          // orphans — diagnose here, not as a downstream parser puzzle
-          require("(?i)\\bEND[ \\t]+IF\\b".r.findFirstIn(cur).isEmpty,
+          // orphans — diagnose here, not as a downstream parser puzzle.
+          // Scan the literal/comment-masked text: 'end if' inside a
+          // quoted string or -- comment is data, not a token
+          val masked = maskLiteralsAndComments(cur)
+          require("(?i)\\bEND[ \\t]+IF\\b".r.findFirstIn(masked).isEmpty,
             "END IF without a matching 'IF (…) DO' head")
-          require("(?i)\\bELSE\\s+DO\\b".r.findFirstIn(cur).isEmpty,
+          require("(?i)\\bELSE\\s+DO\\b".r.findFirstIn(masked).isEmpty,
             "ELSE DO without a matching 'IF (…) DO' head")
           return cur
       }

@@ -278,4 +278,31 @@ class IncrementalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(onlyV(4L) == "unchanged")
   }
+
+  test("legacy batch marker: canonicalized match rewrites the marker in canonical form") {
+    val dir = Files.createTempDirectory("graft-marker").toString
+    val mv = s"$dir/mv"
+    new java.io.File(mv).mkdirs()
+    val ckptCanonical = Incremental.canonicalCheckpoint(spark, s"$dir/ckpt")
+    // fabricate a pre-canonicalCheckpoint marker: same path, NON-canonical
+    // spelling (no scheme). It must read as the SAME lineage...
+    val raw = s"$dir/ckpt\n7"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mv, "_graft_last_batch"),
+      raw.getBytes("UTF-8"))
+    assert(Incremental.lastMergedBatch(spark, mv, s"$dir/ckpt") == 7L)
+    // ...and the read must have REWRITTEN the marker canonically, so a
+    // driver restarted from a different cwd can match it exactly instead
+    // of re-canonicalizing a relative spelling against the wrong base
+    val stored = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mv, "_graft_last_batch")), "UTF-8")
+    assert(stored == s"$ckptCanonical\n7", stored)
+    // exact-match reads (the steady state) do not rewrite: content stable
+    assert(Incremental.lastMergedBatch(spark, mv, s"$dir/ckpt") == 7L)
+    // a genuinely different checkpoint still reads as a foreign lineage
+    assert(Incremental.lastMergedBatch(spark, mv, s"$dir/other") == -1L)
+    // ...and the foreign read must NOT clobber the stored marker
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mv, "_graft_last_batch")), "UTF-8")
+    assert(after == s"$ckptCanonical\n7", after)
+  }
 }

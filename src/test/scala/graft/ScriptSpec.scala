@@ -882,6 +882,36 @@ class ScriptSpec extends SparkSpec {
     assert(ok > 20 && loud > 20, s"degenerate fuzz mix: ok=$ok loud=$loud")
   }
 
+  test("orphan-token guards ignore quoted literals and -- comments") {
+    import graft.script.ScriptEngine
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    // a script with NO block heads that merely contains the reserved words
+    // inside string literals / comments must pass through to SQL unchanged
+    // (pre-guard behavior) — the guards scan literal/comment-masked text
+    val rels = ScriptEngine.run(spark,
+      """-- note: end if / else do / end foreach here are just words
+        |g = FROM t GENERATE x, 'end if' AS a, "ELSE DO" AS b,
+        |    'END FOREACH' AS c;""".stripMargin, env0 = env("t" -> df))
+    val row = rels("g").collect().head
+    assert(row.getString(1) == "end if" && row.getString(2) == "ELSE DO" &&
+      row.getString(3) == "END FOREACH")
+    // real orphans (outside literals) still fail loudly with the diagnosis
+    for ((bad, msg) <- Seq(
+        ("g = FROM t GENERATE x;\nEND IF;", "END IF without"),
+        ("g = FROM t GENERATE x;\nELSE DO", "ELSE DO without"),
+        ("g = FROM t GENERATE x;\nEND FOREACH;", "END FOREACH without"))) {
+      val e = intercept[IllegalArgumentException](
+        ScriptEngine.run(spark, bad, env0 = env("t" -> df)))
+      assert(e.getMessage.contains(msg), s"$bad => ${e.getMessage}")
+    }
+    // masking is escape-aware: a backslash-escaped quote doesn't
+    // desynchronize the scanner into masking real tokens
+    val masked = ScriptEngine.maskLiteralsAndComments(
+      "a = 'it\\'s END IF data'; END IF;")
+    assert(!masked.substring(0, 24).contains("END IF"))
+    assert(masked.contains("END IF;"))
+  }
+
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {
     import graft.script.ScriptEngine
     val df = Seq((1L, 2L)).toDF("x", "y")

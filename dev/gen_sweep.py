@@ -12,14 +12,24 @@ This generator keeps the copy structure (same strides as gen_sf1.py) but
 salts values so duplicate density per row stays CONSTANT across decades:
 
 - documents (q101 edit join, q142 prefix join, q189 sorted-neighborhood):
-  copy i > 0 gets (a) a 6-char copy tag prepended — any two tags differ in
-  >= 3 positions, so cross-copy 16-char edit keys sit beyond the join's
-  k=2 — and (b) six of the ~30 vocabulary words renamed with a copy
-  suffix. Word renaming is a BIJECTION on the shingle vocabulary: within-
-  copy pairwise Jaccard is exactly preserved (the planted near-dup pairs
-  survive per copy), while cross-copy Jaccard of originally-identical
-  texts drops to ~(1-f)/(1+f) with f = 1-(24/30)^2 ≈ 0.36 → ≈ 0.47,
-  far under q142's 0.8 threshold. Copy 0 stays byte-identical to sf0.1.
+  every copy i renames the fixture's closed 31-word vocabulary with a
+  copy-unique suffix (word -> word_tag(i)) and prepends a 5-char codeword
+  from a [5,2] MDS code over GF(31). The rename is a BIJECTION from the
+  base vocabulary to copy i's vocabulary, so within-copy pairwise
+  (word-level shingle) similarity is preserved exactly — the planted
+  near-dup pairs survive per copy — while the GLOBAL shingle vocabulary
+  grows linearly in copies, exactly like a real corpus: cross-copy shingle
+  sets are disjoint STRINGS, so q142's prefix buckets stay copy-local and
+  candidate volume stays linear. (Two rejected designs, kept here as a
+  warning: suffix-only collapsed q101's 16-char key space ~470x because
+  longer words mean fewer words per key window; an affine vocab
+  PERMUTATION preserved key entropy but kept the global shingle vocabulary
+  CLOSED, so q142's buckets mixed all copies and candidates grew
+  quadratically. The fixture knob that matters at scale is which
+  vocabulary grows with N.) The codeword (pairwise Hamming >= 4, far over
+  the join's k=2) gives cross-copy edit keys guaranteed distance and
+  restores per-copy key diversity; all copies are salted identically in
+  structure (including copy 0) so every decade is apples-to-apples.
   n_chars is recomputed from the salted text.
 - part (q162/q178 skyline): p_retailprice gets a deterministic per-row
   jitter keyed on the (already copy-offset) p_partkey, so scaled data is
@@ -44,23 +54,35 @@ SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sw1"
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-RENAMED = ["spark", "window", "merge", "table", "column", "vector"]
+# the fixture corpus's closed vocabulary (dev-time check:
+# SELECT DISTINCT unnest(string_split(text,' ')) over sf0.1 = these 31)
+VOCAB = ("spark window merge table column vector stream value data small "
+         "join filter big group hash customer sort order slow line part "
+         "fast the row agg key query a scan batch dup").split()
+P = len(VOCAB)  # 31, prime
+
+
+ALPHA = "0123456789abcdefghijklmnopqrstu"  # 31 symbols
 
 
 def tag(i):
-    """6-char copy tag; any two distinct tags differ in >= 3 chars (each
-    base-26 'digit' is repeated 3x), keeping cross-copy edit keys > k=2."""
-    return chr(97 + i // 26) * 3 + chr(97 + i % 26) * 3
+    """2-char copy tag (base-31)."""
+    return ALPHA[i // P] + ALPHA[i % P]
+
+
+def codeword(i):
+    """[5,2] MDS codeword over GF(31) for copy i = (x, y): symbols
+    (x, y, x+y, x+2y, x+3y) mod 31 — any two distinct codewords differ in
+    >= 4 of 5 positions, far beyond the edit join's k=2."""
+    x, y = i % P, i // P
+    return "".join(ALPHA[(x + k * y) % P] for k in range(5))
 
 
 def doc_select(i):
-    if i == 0:
-        return f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{SRC}/documents.parquet')"
-    t = "text"
-    for w in RENAMED:
-        # word-boundary-safe: the vocab is space-separated single words
-        t = f"replace({t}, '{w}', '{w}_{tag(i)}')"
-    t = f"'{tag(i)} ' || {t}"
+    cases = " ".join(f"WHEN '{w}' THEN '{w}_{tag(i)}'" for w in VOCAB)
+    t = ("array_to_string(list_transform(string_split(text, ' '), "
+         f"w -> CASE w {cases} ELSE w END), ' ')")
+    t = f"'{codeword(i)} ' || {t}"
     return (f"SELECT doc_id + {i * 100_000} AS doc_id, {t} AS text, lang, "
             f"source, length({t}) AS n_chars "
             f"FROM read_parquet('{SRC}/documents.parquet')")

@@ -107,7 +107,11 @@ object Bench {
     val selected: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(csv) if csv.trim.nonEmpty =>
         val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        headline.filter(want.contains)
+        // any SparkEntry query is selectable in subset mode (the scale
+        // sweeps measure some non-headline variants, e.g. q178_skyline3);
+        // headline order first, then the extras in name order
+        headline.filter(want.contains) ++
+          (want -- headline.toSet).toSeq.sorted.filter(SparkEntry.queries.contains)
       case _ => headline
     }
     val spark = SparkSession.builder()

@@ -29,8 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size(array_intersect(sorted-distinct, sorted-distinct)) → the
     // allocation-free merge-count kernel (graft.plans.IntersectCountRewrite)
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
-    // opt-in planning-time guard against accidental large cartesians
-    // (spark.graft.guard.cartesian=true; graft.plans.CartesianGuard)
+    // default-on planning-time guard against accidental large cartesians
+    // (disable with spark.graft.guard.cartesian=false; graft.plans.CartesianGuard)
     ext.injectOptimizerRule(_ => graft.plans.CartesianGuard)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),

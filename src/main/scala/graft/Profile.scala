@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_SF_DIR=... dev/run.sh graft.Profile
   */
 object Profile {
+  // SPARK_GRAFT_PROFILE_ONLY=q101 runs just the sections whose labels
+  // contain the token — a 10x-scale dataset makes the full battery slow
+  private val only = sys.env.get("SPARK_GRAFT_PROFILE_ONLY").map(_.trim).filter(_.nonEmpty)
+
   private def time(label: String)(f: => Long): Unit = {
-    val ts = (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    if (only.forall(label.contains)) {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"PROFILE ${ts.map(_._1).min}%8.3f s  rows=${ts.head._2}%-9d $label")
     }
-    println(f"PROFILE ${ts.map(_._1).min}%8.3f s  rows=${ts.head._2}%-9d $label")
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,26 +114,9 @@ object Profile {
     time("q16 full")(SparkEntry.queries("q16_join_hash")(spark, sfDir).count())
     time("q10 full")(SparkEntry.queries("q10_groupby")(spark, sfDir).count())
 
-    // q101 decomposition: variant generation vs candidate join vs verify
-    locally {
-      val docs = t("documents").filter(col("doc_id") % 3 === 0)
-      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 16).as("__key"))
-      val d1 = "transform(sequence(0, length(__key)-1), i -> " +
-        "concat(substring(__key, 1, i), substring(__key, i+2)))"
-      val d2 = s"flatten(transform($d1, v -> transform(sequence(0, length(v)-1), j -> " +
-        "concat(substring(v, 1, j), substring(v, j+2)))))"
-      val variants = array_distinct(expr(s"concat(array(__key), $d1, $d2)"))
-      val exploded = keyed.withColumn("__v", explode(variants))
-        .select(col("doc_id"), col("__key"), xxhash64(col("__v")).as("__vh"))
-      time("q101 variant explode only (noop)")(noop(exploded))
-      val a = exploded.as("a"); val b = exploded.as("b")
-      val cand = a.join(b, col("a.__vh") === col("b.__vh") && col("a.doc_id") < col("b.doc_id"))
-      time("q101 + candidate join")(cand.count())
-      time("q101 + distinct")(cand
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.__key").as("__ka"), col("b.__key").as("__kb")).distinct().count())
-      time("q101 full")(SparkEntry.queries("q101_edit_join")(spark, sfDir).count())
-    }
+    // (the per-ROW FastSS decomposition that used to sit here measured the
+    // pre-round-13 operator shape — editDistanceJoin now dedupes keys
+    // first; see the "q101 decomposition" section below)
     time("q93 full")(SparkEntry.queries("q93_duplicate_spans")(spark, sfDir).count())
 
     // q93 decomposition: position explode vs hot-count vs hot-join vs window
@@ -166,6 +155,39 @@ object Profile {
         maxCols = Seq("p_retailprice"), minCols = Seq("p_size")).count())
     }
     time("q161 full")(SparkEntry.queries("q161_concurrency")(spark, sfDir).count())
+
+    // q101 decomposition: distinct keys vs variant explode vs candidate
+    // key-pair join vs verify vs id-group expansion
+    locally {
+      import graft.functions.expressions.NativeExpressions
+      val keyed = t("documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("__key"))
+      val uniq = keyed.select("__key").distinct()
+      time("q101 distinct keys")(uniq.count())
+      val exploded = uniq.withColumn("__vh",
+        explode(NativeExpressions.deletionVariantHashes(col("__key"), 2)))
+      time("q101 variant explode (noop)")(noop(exploded))
+      val a = exploded.as("a"); val b = exploded.as("b")
+      val rawPairs = a.join(b,
+        col("a.__vh") === col("b.__vh") && col("a.__key") < col("b.__key"))
+        .select(col("a.__key").as("__ka"), col("b.__key").as("__kb"))
+      time("q101 raw candidate key pairs")(rawPairs.count())
+      val rawMat = rawPairs.localCheckpoint()
+      time("q101 distinct only (isolated)")(rawMat.distinct().count())
+      time("q101 levenshtein only (isolated)")(rawMat
+        .withColumn("dist", levenshtein(col("__ka"), col("__kb"), 2).cast("long"))
+        .filter(col("dist") >= 0).count())
+      time("q101 join+distinct composed (no lev)")(rawPairs.distinct().count())
+      val keyPairs = rawPairs.distinct()
+        .withColumn("dist", levenshtein(col("__ka"), col("__kb"), 2).cast("long"))
+        .filter(col("dist") >= 0)
+      time("q101 verified key pairs")(keyPairs.count())
+      println(keyPairs.queryExecution.executedPlan.toString.take(4000))
+      val xx = keyed.as("x"); val yy = keyed.as("y")
+      time("q101 same-key id pairs")(xx.join(yy,
+        col("x.__key") === col("y.__key") && col("x.doc_id") < col("y.doc_id")).count())
+      time("q101 full")(SparkEntry.queries("q101_edit_join")(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

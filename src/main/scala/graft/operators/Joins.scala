@@ -339,25 +339,50 @@ object Joins {
     */
   def editDistanceJoin(df: DataFrame, k: Int, key: Column,
                        idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, levenshtein}
+    import org.apache.spark.sql.functions.{col, explode, greatest, least, levenshtein, lit, max}
     require(k >= 1 && k <= 2, s"editDistanceJoin supports k in 1..2, got $k")
     val keyed = df.select(col(idCol), key.as("__key"))
+    // FastSS over DISTINCT keys, not rows: duplicate keys (the common case
+    // in record linkage — g rows sharing one key) would otherwise collide
+    // on every one of the ~1+n+C(n,2) variant hashes, inflating the
+    // candidate join by g²·variants rows that distinct() then pays to
+    // collapse. Deduping first makes the variant stage ∝ unique keys and
+    // re-expands id groups only for the (few) surviving key pairs.
+    val uniq = keyed.select("__key").distinct()
     // variant hashes come from the native kernel (one codegen'd call, no
     // variant strings ever materialize — see NativeKernels.deletionVariantHashes)
-    val exploded = keyed
-      .withColumn("__vh", explode(
-        graft.functions.expressions.NativeExpressions.deletionVariantHashes(col("__key"), k)))
-      .select(col(idCol), col("__key"), col("__vh"))
+    val exploded = uniq.withColumn("__vh", explode(
+      graft.functions.expressions.NativeExpressions.deletionVariantHashes(col("__key"), k)))
     val a = exploded.as("a"); val b = exploded.as("b")
-    a.join(b, col("a.__vh") === col("b.__vh") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.__key").as("__ka"), col("b.__key").as("__kb"))
-      .distinct()
-      // thresholded levenshtein runs the banded O(k·n) DP and early-exits
-      // with -1 past the bound — exact distance for every surviving pair
+    // candidate DISTINCT-KEY pairs, verified by the banded O(k·n) DP
+    // (levenshtein with threshold early-exits to -1 past the bound).
+    // The dedup is a groupBy whose OUTPUT keys are max() aggregates (equal
+    // to the grouping strings) rather than distinct(): a filter over
+    // grouping columns would be pushed through the aggregate and INTO the
+    // sort-merge join as a per-candidate condition — measured 3x slower at
+    // scale, the DP running on every duplicate variant collision instead
+    // of once per surviving pair. Referencing aggregate outputs makes the
+    // verify un-pushable, pinning it after the dedup.
+    val keyPairs = a.join(b,
+        col("a.__vh") === col("b.__vh") && col("a.__key") < col("b.__key"))
+      .groupBy(col("a.__key").as("__g1"), col("b.__key").as("__g2"))
+      .agg(max(col("a.__key")).as("__ka"), max(col("b.__key")).as("__kb"))
+      .select(col("__ka"), col("__kb"))
       .withColumn("dist", levenshtein(col("__ka"), col("__kb"), k).cast("long"))
       .filter(col("dist") >= 0)
-      .select("id_a", "id_b", "dist")
+    // same-key pairs: every id pair within one key group, distance 0
+    val x = keyed.as("x"); val y = keyed.as("y")
+    val sameKey = x.join(y,
+        col("x.__key") === col("y.__key") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(0L).as("dist"))
+    // cross-key pairs: expand each surviving key pair to its id groups
+    val crossKey = keyPairs
+      .join(keyed.select(col(idCol).as("__ia"), col("__key").as("__ka")), "__ka")
+      .join(keyed.select(col(idCol).as("__ib"), col("__key").as("__kb")), "__kb")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+    sameKey.unionByName(crossKey)
   }
 
   /** Sorted-neighborhood blocking (the OTHER classic entity-resolution

@@ -5,16 +5,25 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Opt-in guardrail against accidental cartesian products — the classic
-  * 100 TB incident: a join whose condition was misspelled (or references
-  * only one side) silently plans as a cross product and runs for days.
-  * With `spark.graft.guard.cartesian=true`, any Inner/Cross join with NO
-  * usable equality condition whose BOTH sides exceed
-  * `spark.graft.guard.cartesian.maxBytes` (default 64 MB — anything
-  * bigger than a broadcastable dim) fails at PLANNING time with the
-  * offending plan fragment, before a single task launches. Small-side
-  * cartesians (dim × dim, the pivot/duple/chi-square shapes) stay legal,
-  * and the guard is off by default so deliberate products still work.
+/** Default-on guardrail against accidental cartesian products — the
+  * classic 100 TB incident: a join whose condition was misspelled (or
+  * references only one side) silently plans as a cross product and runs
+  * for days. Any Inner/Cross join with NO usable equality condition whose
+  * BOTH sides exceed `spark.graft.guard.cartesian.maxBytes` (default
+  * 256 MB — generous: 4x the broadcast ceiling, so every deliberate
+  * dim-side product in the engine clears it with room) fails at PLANNING
+  * time with the offending plan fragment, before a single task launches.
+  * Small-side cartesians (dim × dim, the pivot/duple/chi-square shapes)
+  * stay legal, and so are joins over inputs with UNKNOWN stats
+  * (localCheckpoint/RDD-backed/streaming nodes report
+  * `spark.sql.defaultSizeInBytes` = Long.MaxValue, which is "no idea",
+  * not "huge" — killing those would break every deliberate
+  * small-broadcast product above a checkpoint). The incident this guard
+  * targets — two big FILE SCANS crossed by a typo — always has real
+  * stats. The guard is ON by default (round 13 — it is planning-time
+  * only, false-positive-safe post-pushdown, and the incident it kills is
+  * common); set `spark.graft.guard.cartesian=false` to restore the old
+  * permissive behavior for a deliberate huge product.
   *
   * An optimizer rule, not an analyzer one, so it sees the join AFTER
   * predicate pushdown has had the chance to turn a WHERE clause into the
@@ -23,17 +32,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object CartesianGuard extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.graft.guard.cartesian", "false").toBoolean)
+    if (!conf.getConfString("spark.graft.guard.cartesian", "true").toBoolean)
       return plan
     val maxBytes = conf
-      .getConfString("spark.graft.guard.cartesian.maxBytes", (64L << 20).toString)
+      .getConfString("spark.graft.guard.cartesian.maxBytes", (256L << 20).toString)
       .toLong
     plan.foreach {
       case j @ Join(left, right, Inner | Cross, cond, _)
           if !cond.exists(hasEquiJoinKey(_, left, right)) =>
+        val unknown = BigInt(conf.defaultSizeInBytes)
         val l = left.stats.sizeInBytes
         val r = right.stats.sizeInBytes
-        if (l > maxBytes && r > maxBytes)
+        if (l > maxBytes && r > maxBytes && l != unknown && r != unknown)
           throw new IllegalStateException(
             s"CartesianGuard: unconditioned ${j.joinType} join of two large " +
               s"inputs (left ~$l bytes, right ~$r bytes, cap $maxBytes). " +

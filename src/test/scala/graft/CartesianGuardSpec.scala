@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The opt-in CartesianGuard optimizer rule: fails unconditioned large×
-  * large joins at planning time, leaves equi-joins, broadcastable dims,
-  * and theta joins with equality untouched, and is inert when off.
+/** The default-on CartesianGuard optimizer rule: fails unconditioned
+  * large×large joins at planning time, leaves equi-joins, broadcastable
+  * dims, and theta joins with equality untouched, and can be switched off
+  * for a deliberate huge product.
   */
 class CartesianGuardSpec extends SparkSpec {
   import spark.implicits._
@@ -45,9 +46,41 @@ class CartesianGuardSpec extends SparkSpec {
       assert(big.join(big.select(col("id").as("id2")),
         col("id") === col("id2") && col("id") > 5).queryExecution.optimizedPlan != null)
     }
-    // off by default: the same product plans fine
+    // explicitly off: the same product plans fine
+    spark.conf.set("spark.graft.guard.cartesian", "false")
+    try assert(big.crossJoin(big.select(col("id").as("id2")))
+      .queryExecution.optimizedPlan != null)
+    finally spark.conf.unset("spark.graft.guard.cartesian")
+  }
+
+  test("default behavior: on with a generous cap; generous-cap products still pass") {
+    // no conf set at all: the guard is ACTIVE with the 256 MB default cap.
+    // A 10k-row frame sits far under it, so this deliberate small product
+    // plans fine out of the box...
     assert(big.crossJoin(big.select(col("id").as("id2")))
       .queryExecution.optimizedPlan != null)
+    // ...while the same shape with both sides above the cap fails with
+    // only the CAP overridden (proving the on-switch needed no opt-in)
+    spark.conf.set("spark.graft.guard.cartesian.maxBytes", "1024")
+    try {
+      val e = intercept[Exception] {
+        big.crossJoin(big.select(col("id").as("id2"))).queryExecution.optimizedPlan
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("CartesianGuard")), e.toString)
+      // and the documented escape hatch restores the old behavior
+      spark.conf.set("spark.graft.guard.cartesian", "false")
+      try assert(big.crossJoin(big.select(col("id").as("id2")))
+        .queryExecution.optimizedPlan != null)
+      finally spark.conf.unset("spark.graft.guard.cartesian")
+      // unknown-stats inputs (localCheckpoint → LogicalRDD reports the
+      // defaultSizeInBytes sentinel) are exempt even above the cap: "no
+      // stats" must not read as "huge" or every deliberate broadcast
+      // product above a checkpoint dies
+      val ckpt = big.localCheckpoint()
+      assert(ckpt.crossJoin(Seq(1).toDF("b")).count() == 10000)
+    } finally spark.conf.unset("spark.graft.guard.cartesian.maxBytes")
   }
 
   test("equality under an OR, or not spanning both sides, does not satisfy the guard") {

@@ -169,6 +169,32 @@ class ExamplesSpec extends SparkSpec {
     assert(reuse.columns.toSet == Set("id_a", "id_b", "shared", "overlap"))
   }
 
+  test("quickstart.cmr: the README walkthrough runs verbatim, end to end") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = runExample("quickstart")
+    // the exported training order: contiguous positions, capacity-bounded
+    // packs, deduped doc ids
+    val train = spark.read.parquet(s"$out/train_order")
+    assert(train.columns.toSet ==
+      Set("pos", "doc_id", "source", "n_tokens", "pack_id", "pack_pos"))
+    val n = train.count()
+    assert(n > 0, "quickstart selected nothing")
+    assert(train.select("pos").collect().map(_.getLong(0)).sorted.toSeq == (1L to n))
+    assert(train.select("doc_id").distinct().count() == n, "duplicate doc in order")
+    val overs = train.groupBy("source", "pack_id").agg(sum("n_tokens").as("s"))
+      .filter(col("s") > 512L).count()
+    assert(overs == 0, s"$overs packs exceed capacity")
+    // the card accounts for exactly the exported rows, per source
+    val card = spark.read.parquet(s"$out/card")
+    assert(card.columns.toSet == Set("source", "n_docs", "sum_tokens", "n_packs"))
+    assert(card.agg(sum("n_docs")).head().getLong(0) == n)
+    // determinism: the README's replay promise holds byte-for-byte
+    val out2 = runExample("quickstart")
+    val t2 = spark.read.parquet(s"$out2/train_order")
+    assert(t2.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == train.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("training_order.cmr plans, takes, interleaves, and packs a training order") {
     val out = runExample("training_order")
     val train = spark.read.parquet(s"$out/train_order")

@@ -882,6 +882,74 @@ class ScriptSpec extends SparkSpec {
     assert(ok > 20 && loud > 20, s"degenerate fuzz mix: ok=$ok loud=$loud")
   }
 
+  test("LET value fuzz: adversarial values substitute consistently or fail loudly (seeded)") {
+    import graft.script.ScriptEngine
+    // value-level companion to the block-structure fuzz: the VALUES are
+    // adversarial (quotes, backslashes, semicolons, $/% metacharacters,
+    // line terminators, NULL, phantom-LET spellings) rather than the
+    // nesting. Contract: expandLets either returns text with every head
+    // consumed AND is idempotent on its own output (a second pass is a
+    // no-op — phantom heads minted by substitution would violate this),
+    // or throws IllegalArgumentException with a message.
+    val rnd = new scala.util.Random(20260815L)
+    val names = Array("X", "X2", "Y")
+    val exprs = Array(
+      "1 + 1", "'a' || 'b'", "upper('qq')", "chr(36) || 'Y'", "'%Y%'",
+      "concat('a', ';', 'b')", "chr(10) || 'x'", "NULL", "''",
+      "'LET Q = 9'", "repeat('z', 5)", "$X + 1", "'$X2'", "0.5 * 4",
+      "chr(92)", "'$'", "trim('  p  ')")
+    val stmts = Array(
+      "g = FROM t GENERATE x, '$X' AS a;\n", "h = FILTER t BY x > $Y;\n",
+      "k = FROM t GENERATE x, '%X2%' AS b;\n", "-- comment $X %Y%\n",
+      "m = FROM t GENERATE x + $X2 AS c;\n")
+    val letHead = "(?m)^[ \\t]*(?i:LET)\\s+[A-Za-z_][A-Za-z0-9_]*\\s*=".r
+    var ok = 0; var loud = 0
+    for (_ <- 0 until 300) {
+      val n = 1 + rnd.nextInt(5)
+      val lets = Seq.fill(n)(
+        s"LET ${names(rnd.nextInt(names.length))} = ${exprs(rnd.nextInt(exprs.length))};\n")
+      val body = Seq.fill(1 + rnd.nextInt(3))(stmts(rnd.nextInt(stmts.length)))
+      val script = rnd.shuffle(lets ++ body).mkString
+      try {
+        val out = ScriptEngine.expandLets(spark, script)
+        assert(letHead.findFirstIn(out).isEmpty, s"unconsumed LET in:\n$script\n->\n$out")
+        assert(ScriptEngine.expandLets(spark, out) == out,
+          s"expansion not idempotent (phantom head?) for:\n$script\n->\n$out")
+        ok += 1
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty); loud += 1
+      }
+    }
+    assert(ok > 20 && loud > 20, s"degenerate fuzz mix: ok=$ok loud=$loud")
+  }
+
+  test("LET metacharacter values: cascade and boundary semantics are pinned") {
+    import graft.script.ScriptEngine
+    // textual-macro cascade: a value that SPELLS a later binding's token
+    // is rewritten when that binding expands (LETs run top-to-bottom on
+    // the text) — macro semantics, same as the reference's JS templating
+    val casc = ScriptEngine.expandLets(spark,
+      "LET A = '%B%';\nLET B = 2;\ng = FROM t GENERATE '$A' AS a;")
+    assert(casc.contains("'2' AS a"), casc)
+    val dollar = ScriptEngine.expandLets(spark,
+      "LET D = chr(36) || 'B';\nLET B = 3;\ng = FROM t GENERATE '$D' AS a;")
+    assert(dollar.contains("'3' AS a"), dollar)
+    // self-spelling value: $X's value is the literal text "$X" — the
+    // substitution is a single pass, so it stays literal (no loop)
+    val self = ScriptEngine.expandLets(spark,
+      "LET X = chr(36) || 'X';\ng = FROM t GENERATE '$X' AS a;")
+    assert(self.contains("'$X' AS a"), self)
+    // identifier-boundary: binding X never corrupts the $X2 token
+    val bnd = ScriptEngine.expandLets(spark,
+      "LET X = 5;\nLET X2 = 7;\ng = FROM t GENERATE $X2 AS a, $X AS b;")
+    assert(bnd.contains("7 AS a") && bnd.contains("5 AS b"), bnd)
+    // %-spelling cascade composes with the %name% form too
+    val pct = ScriptEngine.expandLets(spark,
+      "LET P = 9;\ng = FROM t GENERATE %P% AS a;")
+    assert(pct.contains("9 AS a"), pct)
+  }
+
   test("orphan-token guards ignore quoted literals and -- comments") {
     import graft.script.ScriptEngine
     val df = Seq((1L, 2L)).toDF("x", "y")

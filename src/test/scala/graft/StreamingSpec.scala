@@ -591,6 +591,86 @@ class StreamingSpec extends SparkSpec {
     assert(wiped.getMessage.contains("wiped"), wiped.getMessage)
   }
 
+  test("append sink lifecycle: batches → crash replays → compact → resume equals no-crash run") {
+    // the round-12 pieces composed end to end, against a reference stream
+    // that never crashed: N micro-batches, a body→marker crash replay, a
+    // marker→commit crash replay, a mid-life compaction snapshot, then
+    // more batches — readAppendSink must equal the no-crash run throughout
+    import graft.operators.Incremental
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sink-life").toString
+    val corpus = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val index = graft.dedup.Dedup.minHashIndex(corpus, shingleN = 2, k = 16, bands = 8)
+    val batchA = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine zen"))
+    val batchB = Seq((200L, "red orange yellow green blue indigo violet cyan"),
+      (201L, "one two three four five six seven eight nine urn"))
+    val nd = "spring summer autumn winter solstice equinox dawn dusk noon night"
+    val batchC = Seq((300L, nd), (301L, nd.replace("night", "midnight")))
+    def screen(in: MemoryStream[(Long, String)], out: String, ck: String) =
+      Streaming.minHashScreenStream(in.toDF().toDF("doc_id", "text"), index,
+        corpus, out, ck, shingleN = 2, k = 16, bands = 8, threshold = 0.5)
+    def ids(path: String): Set[Long] =
+      Incremental.readAppendSink(spark, path).collect().map(_.getLong(0)).toSet
+
+    // reference: the same three batches, uninterrupted
+    val refIn = MemoryStream[(Long, String)]
+    val refQ = screen(refIn, s"$dir/ref-out", s"$dir/ref-ck")
+    try {
+      for (b <- Seq(batchA, batchB, batchC)) {
+        refIn.addData(b: _*); refQ.processAllAvailable()
+      }
+    } finally refQ.stop()
+    assert(ids(s"$dir/ref-out") == Set(100L, 200L, 300L))
+
+    // lifecycle run, batch A then B
+    val out = s"$dir/out"; val ck = s"$dir/ck"
+    val in = MemoryStream[(Long, String)]
+    val q1 = screen(in, out, ck)
+    try {
+      in.addData(batchA: _*); q1.processAllAvailable()
+      in.addData(batchB: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash window 1 (body ran, marker write lost): rewind the marker to
+    // batch 0 and drop Spark's commit for batch 1 — the restart re-runs
+    // batch 1 through the real foreachBatch path
+    Incremental.recordMergedBatch(spark, out, ck, 0L)
+    def dropCommit(): Unit = {
+      assert(new java.io.File(s"$ck/commits/1").delete(), "no commit file to drop")
+      // the checksum sidecar must go too — a stale .crc makes Hadoop's
+      // ChecksumFs fail the replayed commit's rename
+      new java.io.File(s"$ck/commits/.1.crc").delete()
+    }
+    dropCommit()
+    val q2 = screen(in, out, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(out) == Set(100L, 200L), "crash-window replay duplicated or lost rows")
+    // mid-life compaction: snapshot equals the live sink, source untouched
+    val snap = s"$dir/snap"
+    assert(Incremental.compactAppendSink(spark, out, snap) == 2L)
+    assert(spark.read.parquet(snap).collect().map(_.getLong(0)).toSet
+      == Set(100L, 200L))
+    assert(ids(out) == Set(100L, 200L), "compaction touched the source sink")
+    // crash window 2 (marker recorded, Spark's commit lost): the replay
+    // arrives with batchId <= marker and must SKIP the body — no
+    // duplicate partition write — then the stream continues with batch C
+    dropCommit()
+    val q3 = screen(in, out, ck)
+    try {
+      q3.processAllAvailable()
+      assert(ids(out) == Set(100L, 200L), "marker-covered replay re-ran the body")
+      in.addData(batchC: _*); q3.processAllAvailable()
+    } finally q3.stop()
+    // the resumed lifecycle converges on the no-crash reference exactly
+    assert(ids(out) == ids(s"$dir/ref-out"))
+    // and per-batch provenance survived the whole lifecycle: one lineage,
+    // three batch partitions
+    val raw = spark.read.parquet(out)
+    assert(raw.select(Incremental.LineageCol).distinct().count() == 1)
+    assert(raw.select(Incremental.BatchIdCol).distinct().count() == 3)
+  }
+
   test("stream-stream join matches within the time bound, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]

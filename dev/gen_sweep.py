@@ -72,8 +72,9 @@ def tag(i):
 
 def codeword(i):
     """[5,2] MDS codeword over GF(31) for copy i = (x, y): symbols
-    (x, y, x+y, x+2y, x+3y) mod 31 — any two distinct codewords differ in
-    >= 4 of 5 positions, far beyond the edit join's k=2."""
+    (x, x+y, x+2y, x+3y, x+4y) mod 31 — the degree-<=1 polynomial x+ky
+    evaluated at k = 0..4, so any two distinct codewords differ in >= 4
+    of 5 positions, far beyond the edit join's k=2."""
     x, y = i % P, i // P
     return "".join(ALPHA[(x + k * y) % P] for k in range(5))
 

@@ -157,8 +157,11 @@ object Profile {
     time("q161 full")(SparkEntry.queries("q161_concurrency")(spark, sfDir).count())
 
     // q101 decomposition: distinct keys vs variant explode vs candidate
-    // key-pair join vs verify vs id-group expansion
-    locally {
+    // key-pair join vs verify vs id-group expansion. The whole block is
+    // gated (not just its time() calls): the eager localCheckpoint below
+    // would otherwise materialize the multi-million-row candidate join
+    // even when SPARK_GRAFT_PROFILE_ONLY excludes q101
+    if (only.forall("q101 full".contains)) locally {
       import graft.functions.expressions.NativeExpressions
       val keyed = t("documents").filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), substring(col("text"), 1, 16).as("__key"))
@@ -182,7 +185,6 @@ object Profile {
         .withColumn("dist", levenshtein(col("__ka"), col("__kb"), 2).cast("long"))
         .filter(col("dist") >= 0)
       time("q101 verified key pairs")(keyPairs.count())
-      println(keyPairs.queryExecution.executedPlan.toString.take(4000))
       val xx = keyed.as("x"); val yy = keyed.as("y")
       time("q101 same-key id pairs")(xx.join(yy,
         col("x.__key") === col("y.__key") && col("x.doc_id") < col("y.doc_id")).count())

@@ -356,9 +356,15 @@ object Incremental {
             // driver later restarted from a DIFFERENT cwd could resolve
             // the same relative string to a different path, read it as a
             // foreign lineage (-1), and reopen the crash-window
-            // duplicate-replay this match just closed.
+            // duplicate-replay this match just closed. Best-effort: the
+            // rewrite is an optimization of a READ — a read-only
+            // filesystem or transient failure must not fail the read
+            // itself (the legacy marker is still intact and matched).
             val n = id.trim.toLong
-            recordMergedBatch(spark, mvPath, checkpoint, n)
+            scala.util.Try(recordMergedBatch(spark, mvPath, checkpoint, n))
+              .failed.foreach(e => System.err.println(
+                s"graft: legacy marker canonical rewrite failed (read still " +
+                  s"served from the legacy spelling): $e"))
             n
           } else -1L // different stream lineage
         case _ => -1L
@@ -369,11 +375,20 @@ object Incremental {
   private[graft] def recordMergedBatch(spark: SparkSession, mvPath: String,
                                        checkpoint: String, id: Long): Unit = {
     val p = batchMarker(mvPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    // write-temp-then-rename, never truncate-in-place: the marker is also
+    // REWRITTEN on the read path (legacy canonicalization), and a crash
+    // between a truncating create and its close would destroy the very
+    // marker whose loss reopens the crash-window duplicate replay
+    val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       s"${canonicalCheckpoint(spark, checkpoint)}\n$id".getBytes("UTF-8"))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Refresh a COUNT(DISTINCT member) summary: store distinct

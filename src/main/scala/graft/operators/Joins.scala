@@ -341,7 +341,10 @@ object Joins {
                        idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, greatest, least, levenshtein, lit, max}
     require(k >= 1 && k <= 2, s"editDistanceJoin supports k in 1..2, got $k")
-    val keyed = df.select(col(idCol), key.as("__key"))
+    // row-level dedup up front: the pre-round-13 implementation ran its
+    // distinct() over exploded candidates, so a literally duplicated
+    // (id, key) row never multiplied output pairs — preserve that
+    val keyed = df.select(col(idCol), key.as("__key")).distinct()
     // FastSS over DISTINCT keys, not rows: duplicate keys (the common case
     // in record linkage — g rows sharing one key) would otherwise collide
     // on every one of the ~1+n+C(n,2) variant hashes, inflating the
@@ -376,10 +379,14 @@ object Joins {
         col("x.__key") === col("y.__key") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         lit(0L).as("dist"))
-    // cross-key pairs: expand each surviving key pair to its id groups
+    // cross-key pairs: expand each surviving key pair to its id groups.
+    // An id carrying BOTH keys of a pair (two rows, two nearby keys) would
+    // pair with itself here — the old a.id < b.id join never emitted
+    // self-pairs, so filter them
     val crossKey = keyPairs
       .join(keyed.select(col(idCol).as("__ia"), col("__key").as("__ka")), "__ka")
       .join(keyed.select(col(idCol).as("__ib"), col("__key").as("__kb")), "__kb")
+      .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
     sameKey.unionByName(crossKey)

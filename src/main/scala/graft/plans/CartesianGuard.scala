@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Default-on guardrail against accidental cartesian products — the
@@ -13,17 +13,28 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * 256 MB — generous: 4x the broadcast ceiling, so every deliberate
   * dim-side product in the engine clears it with room) fails at PLANNING
   * time with the offending plan fragment, before a single task launches.
-  * Small-side cartesians (dim × dim, the pivot/duple/chi-square shapes)
-  * stay legal, and so are joins over inputs with UNKNOWN stats
-  * (localCheckpoint/RDD-backed/streaming nodes report
-  * `spark.sql.defaultSizeInBytes` = Long.MaxValue, which is "no idea",
-  * not "huge" — killing those would break every deliberate
-  * small-broadcast product above a checkpoint). The incident this guard
-  * targets — two big FILE SCANS crossed by a typo — always has real
-  * stats. The guard is ON by default (round 13 — it is planning-time
-  * only, false-positive-safe post-pushdown, and the incident it kills is
+  * Three deliberate-product shapes stay legal under the default:
+  *
+  *  - small-side cartesians (dim × dim, the pivot/duple shapes) — both
+  *    sides under the cap;
+  *  - BROADCAST-HINTED joins (`crossJoin(broadcast(dim))`, the
+  *    chi-square/quantile-bounds/PQ-codebook shapes): an explicit hint is
+  *    the author SAYING the product is intentional and one side tiny, and
+  *    size-only stats routinely over-estimate a grouped aggregate (it
+  *    inherits its child scan's size), so hinted joins are exempt no
+  *    matter what the estimate claims;
+  *  - inputs with UNKNOWN stats: RDD-backed/streaming leaves report
+  *    `spark.sql.defaultSizeInBytes` (Long.MaxValue) — "no idea", not
+  *    "huge" — and projections above such a leaf SCALE the sentinel by a
+  *    width ratio, so anything above ~72 PB (2^56) is treated as a
+  *    propagated unknown too. No real input is that large; the incident
+  *    this guard targets — two big FILE SCANS crossed by a typo — always
+  *    carries real stats.
+  *
+  * The guard is ON by default (round 13 — planning-time only,
+  * false-positive-safe post-pushdown, and the incident it kills is
   * common); set `spark.graft.guard.cartesian=false` to restore the old
-  * permissive behavior for a deliberate huge product.
+  * permissive behavior for a deliberate huge unhinted product.
   *
   * An optimizer rule, not an analyzer one, so it sees the join AFTER
   * predicate pushdown has had the chance to turn a WHERE clause into the
@@ -38,12 +49,17 @@ object CartesianGuard extends Rule[LogicalPlan] {
       .getConfString("spark.graft.guard.cartesian.maxBytes", (256L << 20).toString)
       .toLong
     plan.foreach {
-      case j @ Join(left, right, Inner | Cross, cond, _)
-          if !cond.exists(hasEquiJoinKey(_, left, right)) =>
-        val unknown = BigInt(conf.defaultSizeInBytes)
+      case j @ Join(left, right, Inner | Cross, cond, hint)
+          if !cond.exists(hasEquiJoinKey(_, left, right)) &&
+            !broadcastHinted(hint.leftHint) && !broadcastHinted(hint.rightHint) =>
+        // sizes at or above 2^56 (~72 PB) are propagated unknowns, not
+        // measurements: RDD/streaming leaves report the defaultSizeInBytes
+        // sentinel and projections scale it by a width ratio
+        val unknownFloor = BigInt(1L << 56)
+        def known(s: BigInt) = s < unknownFloor && s != BigInt(conf.defaultSizeInBytes)
         val l = left.stats.sizeInBytes
         val r = right.stats.sizeInBytes
-        if (l > maxBytes && r > maxBytes && l != unknown && r != unknown)
+        if (l > maxBytes && r > maxBytes && known(l) && known(r))
           throw new IllegalStateException(
             s"CartesianGuard: unconditioned ${j.joinType} join of two large " +
               s"inputs (left ~$l bytes, right ~$r bytes, cap $maxBytes). " +
@@ -53,6 +69,9 @@ object CartesianGuard extends Rule[LogicalPlan] {
     }
     plan
   }
+
+  private def broadcastHinted(h: Option[HintInfo]): Boolean =
+    h.exists(_.strategy.contains(BROADCAST))
 
   /** Mirrors ExtractEquiJoinKeys' notion of a usable key: an equality that
     * is a TOP-LEVEL CONJUNCT (an `=` under an OR — `a.k = b.k OR a.j =

@@ -266,15 +266,20 @@ object ScriptEngine {
     * string-aware — don't spell END FOREACH inside a quoted literal.
     */
   /** Text with quoted-literal contents and `--` line comments blanked to
-    * spaces (length-preserving). The ORPHAN-token diagnostics scan this
+    * `#` (length-preserving). The ORPHAN-token diagnostics scan this
     * instead of the raw script: a statement that merely contains the words
     * `end if` in a string literal or a comment is not an orphan token and
     * must keep passing through to SQL unchanged, exactly as it did before
     * the guards existed. (The EXPANSION scanners stay raw-text token-ish by
     * design — their caveat "don't spell END FOREACH inside a quoted
     * literal" only bites when a matching head exists; the orphan scan runs
-    * precisely when none does.) Quote tracking mirrors [[expandLets]]'
-    * exprEnd: ' and " delimit, backslash escapes the next char in-quote.
+    * precisely when none does.) The filler is `#`, NOT a space: the ELSE
+    * DO orphan pattern's \s+ may cross newlines, and space-blanking a
+    * trailing `-- comment` between an `ELSE` and a next-line `DO` would
+    * MINT an orphan match the raw text never had — `#` is neither \s nor
+    * \w, so it can neither bridge tokens nor extend them. Quote tracking
+    * mirrors [[expandLets]]' exprEnd: ' and " delimit, backslash escapes
+    * the next char in-quote.
     */
   private[graft] def maskLiteralsAndComments(s: String): String = {
     val out = s.toCharArray
@@ -283,12 +288,12 @@ object ScriptEngine {
     while (i < s.length) {
       val c = s(i)
       if (q != 0) {
-        if (c == '\\' && i + 1 < s.length) { out(i) = ' '; i += 1; out(i) = ' ' }
+        if (c == '\\' && i + 1 < s.length) { out(i) = '#'; i += 1; out(i) = '#' }
         else if (c == q) q = 0
-        else if (c != '\n' && c != '\r') out(i) = ' '
+        else if (c != '\n' && c != '\r') out(i) = '#'
       } else if (c == '\'' || c == '"') q = c
       else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
-        while (i < s.length && s(i) != '\n') { out(i) = ' '; i += 1 }
+        while (i < s.length && s(i) != '\n') { out(i) = '#'; i += 1 }
         i -= 1
       }
       i += 1

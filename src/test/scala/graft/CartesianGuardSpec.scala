@@ -74,12 +74,29 @@ class CartesianGuardSpec extends SparkSpec {
       try assert(big.crossJoin(big.select(col("id").as("id2")))
         .queryExecution.optimizedPlan != null)
       finally spark.conf.unset("spark.graft.guard.cartesian")
-      // unknown-stats inputs (localCheckpoint → LogicalRDD reports the
-      // defaultSizeInBytes sentinel) are exempt even above the cap: "no
-      // stats" must not read as "huge" or every deliberate broadcast
-      // product above a checkpoint dies
-      val ckpt = big.localCheckpoint()
-      assert(ckpt.crossJoin(Seq(1).toDF("b")).count() == 10000)
+      // unknown-stats inputs are exempt even above the cap: an RDD-backed
+      // frame (no originStats) reports the defaultSizeInBytes sentinel —
+      // "no stats" must not read as "huge". Both sides sentinel here, so
+      // without the exemption this product would throw at the 1 KB cap.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(StructField("id", LongType)))
+      def unk = spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to 1000L).map(Row(_))), schema)
+      assert(unk.crossJoin(unk.select(col("id").as("id2")))
+        .queryExecution.optimizedPlan != null)
+      // a projection above a sentinel leaf SCALES the sentinel (huge but
+      // != the exact default) — the 2^56 unknown floor must still exempt it
+      assert(unk.select((col("id") + 1).as("id3"))
+        .crossJoin(unk.select(col("id").as("id2")))
+        .queryExecution.optimizedPlan != null)
+      // an EXPLICIT broadcast hint exempts a product regardless of the
+      // estimate — grouped aggregates inherit their child scan's size, so
+      // the engine's own crossJoin(broadcast(dimAgg)) shapes must pass
+      val bigAgg = big.groupBy("pad").agg(count(lit(1)).as("n"))
+      assert(big.crossJoin(broadcast(bigAgg)).queryExecution.optimizedPlan != null)
+      assert(broadcast(bigAgg).crossJoin(big.select(col("id").as("id2")))
+        .queryExecution.optimizedPlan != null)
     } finally spark.conf.unset("spark.graft.guard.cartesian.maxBytes")
   }
 

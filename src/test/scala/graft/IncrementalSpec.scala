@@ -304,5 +304,9 @@ class IncrementalSpec extends SparkSpec {
     val after = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(mv, "_graft_last_batch")), "UTF-8")
     assert(after == s"$ckptCanonical\n7", after)
+    // the atomic temp-then-rename write leaves no droppings behind
+    val leftovers = new java.io.File(mv).listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 }

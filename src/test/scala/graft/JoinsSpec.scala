@@ -115,6 +115,21 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0L), (3L, 4L, 0L))) // exact dups at dist 0; '' vs 'xyz' not within 1
   }
 
+  test("edit-distance join: no self-pairs from multi-keyed ids, no dup-row inflation") {
+    // id 1 carries TWO keys within distance 1 of each other — the key-pair
+    // expansion must never emit (1, 1); and a literally duplicated (id,
+    // key) row must not multiply the pairs it participates in
+    val df = Seq((1L, "ab"), (1L, "ac"), (2L, "ab"), (2L, "ab"))
+      .toDF("doc_id", "key")
+    val got = Joins.editDistanceJoin(df, 1, $"key", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(p => p._1 != p._2), s"self-pair emitted: ${got.mkString(",")}")
+    // (1,2) via ab==ab at 0 and via ac~ab at 1 — one row per key pair,
+    // regardless of row duplication
+    assert(got.toSet == Set((1L, 2L, 0L), (1L, 2L, 1L)), got.mkString(","))
+    assert(got.length == 2, s"duplicate rows inflated pairs: ${got.mkString(",")}")
+  }
+
   test("scdJoin picks the version valid at fact time; expired versions mask") {
     val facts = Seq(
       (1L, 5L),   // before any version → no match

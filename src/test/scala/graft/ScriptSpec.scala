@@ -978,6 +978,17 @@ class ScriptSpec extends SparkSpec {
       "a = 'it\\'s END IF data'; END IF;")
     assert(!masked.substring(0, 24).contains("END IF"))
     assert(masked.contains("END IF;"))
+    // the filler is # not space: a trailing comment between ELSE and a
+    // next-line DO must not space-blank into a phantom "ELSE DO" orphan
+    // (\s+ in that pattern crosses newlines) — this script has no IF head
+    // and must keep passing through to SQL as it did pre-guard
+    val rels2 = ScriptEngine.run(spark,
+      """g = FROM t GENERATE x, CASE WHEN x > 0 THEN 1 ELSE -- fallback
+        |DO_NOT_MIND_ME END AS c;""".stripMargin
+        .replace("DO_NOT_MIND_ME", "0"), env0 = env("t" -> df))
+    assert(rels2("g").collect().head.getInt(1) == 1)
+    val m2 = ScriptEngine.maskLiteralsAndComments("ELSE -- note\nDO x")
+    assert(!"(?i)\\bELSE\\s+DO\\b".r.findFirstIn(m2).isDefined, m2)
   }
 
   test("preprocessor IF/ELSE includes and excludes statements (JS-templating parity)") {

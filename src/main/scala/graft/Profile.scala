@@ -158,10 +158,14 @@ object Profile {
 
     // q101 decomposition: distinct keys vs variant explode vs candidate
     // key-pair join vs verify vs id-group expansion. The whole block is
-    // gated (not just its time() calls): the eager localCheckpoint below
-    // would otherwise materialize the multi-million-row candidate join
-    // even when SPARK_GRAFT_PROFILE_ONLY excludes q101
-    if (only.forall("q101 full".contains)) locally {
+    // gated on its LABEL SET (not just its time() calls): the eager
+    // localCheckpoint below would otherwise materialize the multi-million-
+    // row candidate join even when SPARK_GRAFT_PROFILE_ONLY excludes q101
+    val q101Labels = Seq("q101 distinct keys", "q101 variant explode (noop)",
+      "q101 raw candidate key pairs", "q101 distinct only (isolated)",
+      "q101 levenshtein only (isolated)", "q101 join+distinct composed (no lev)",
+      "q101 verified key pairs", "q101 same-key id pairs", "q101 full")
+    if (only.forall(t => q101Labels.exists(_.contains(t)))) locally {
       import graft.functions.expressions.NativeExpressions
       val keyed = t("documents").filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), substring(col("text"), 1, 16).as("__key"))
@@ -175,11 +179,17 @@ object Profile {
         col("a.__vh") === col("b.__vh") && col("a.__key") < col("b.__key"))
         .select(col("a.__key").as("__ka"), col("b.__key").as("__kb"))
       time("q101 raw candidate key pairs")(rawPairs.count())
-      val rawMat = rawPairs.localCheckpoint()
-      time("q101 distinct only (isolated)")(rawMat.distinct().count())
-      time("q101 levenshtein only (isolated)")(rawMat
-        .withColumn("dist", levenshtein(col("__ka"), col("__kb"), 2).cast("long"))
-        .filter(col("dist") >= 0).count())
+      // the isolated stages need the candidates materialized; gate the
+      // eager checkpoint on THEIR labels so "ONLY=q101 full" doesn't pay
+      // an untimed multi-million-row materialization it never reads
+      if (only.forall(t => Seq("q101 distinct only (isolated)",
+          "q101 levenshtein only (isolated)").exists(_.contains(t)))) {
+        val rawMat = rawPairs.localCheckpoint()
+        time("q101 distinct only (isolated)")(rawMat.distinct().count())
+        time("q101 levenshtein only (isolated)")(rawMat
+          .withColumn("dist", levenshtein(col("__ka"), col("__kb"), 2).cast("long"))
+          .filter(col("dist") >= 0).count())
+      }
       time("q101 join+distinct composed (no lev)")(rawPairs.distinct().count())
       val keyPairs = rawPairs.distinct()
         .withColumn("dist", levenshtein(col("__ka"), col("__kb"), 2).cast("long"))

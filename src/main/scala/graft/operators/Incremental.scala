@@ -382,13 +382,31 @@ object Incremental {
     // between a truncating create and its close would destroy the very
     // marker whose loss reopens the crash-window duplicate replay
     val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"${canonicalCheckpoint(spark, checkpoint)}\n$id".getBytes("UTF-8"))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"${canonicalCheckpoint(spark, checkpoint)}\n$id".getBytes("UTF-8"))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        // no AbstractFileSystem binding for this scheme (FileContext is a
+        // separate registry from FileSystem — vendor connectors often ship
+        // only the latter): fall back to delete+rename. Non-atomic, but
+        // the temp file survives a crash in the gap, and wedging the
+        // exactly-once WRITE path on an optional API would be worse.
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(p, false)
+          require(fs.rename(tmp, p), s"marker rename failed: $tmp -> $p")
+      }
+    } catch {
+      case e: Throwable =>
+        // never leak temp droppings into the MV directory on failure
+        scala.util.Try(fs.delete(tmp, false))
+        throw e
+    }
   }
 
   /** Refresh a COUNT(DISTINCT member) summary: store distinct

@@ -336,6 +336,12 @@ object Joins {
     * whole documents use the shingle/MinHash family instead. Hot variants
     * (shared prefixes of very frequent keys) are the skew axis — cap or
     * pre-dedup keys when key multiplicity is high.
+    *
+    * Output multiplicity: one row per (id pair, matching KEY pair) — two
+    * ids sharing several nearby keys repeat, one row per key-pair of
+    * evidence (the multiset the brute-force `a.id < b.id` cross filter
+    * produces; JoinsSpec pins it). Dedup downstream if pair-uniqueness is
+    * wanted.
     */
   def editDistanceJoin(df: DataFrame, k: Int, key: Column,
                        idCol: String = "doc_id"): DataFrame = {

@@ -25,11 +25,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    matter what the estimate claims;
   *  - inputs with UNKNOWN stats: RDD-backed/streaming leaves report
   *    `spark.sql.defaultSizeInBytes` (Long.MaxValue) — "no idea", not
-  *    "huge" — and projections above such a leaf SCALE the sentinel by a
-  *    width ratio, so anything above ~72 PB (2^56) is treated as a
-  *    propagated unknown too. No real input is that large; the incident
+  *    "huge" — and projections/samples above such a leaf SCALE the
+  *    sentinel by a width/fraction ratio, so anything above ~1 PB (2^50)
+  *    is treated as a propagated unknown too (covers scalings down to
+  *    ~1e-4; a sub-petabyte REAL estimate stays guarded). The incident
   *    this guard targets — two big FILE SCANS crossed by a typo — always
-  *    carries real stats.
+  *    carries real stats well under the floor.
   *
   * The guard is ON by default (round 13 — planning-time only,
   * false-positive-safe post-pushdown, and the incident it kills is
@@ -52,10 +53,11 @@ object CartesianGuard extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner | Cross, cond, hint)
           if !cond.exists(hasEquiJoinKey(_, left, right)) &&
             !broadcastHinted(hint.leftHint) && !broadcastHinted(hint.rightHint) =>
-        // sizes at or above 2^56 (~72 PB) are propagated unknowns, not
+        // sizes at or above 2^50 (~1 PB) are propagated unknowns, not
         // measurements: RDD/streaming leaves report the defaultSizeInBytes
-        // sentinel and projections scale it by a width ratio
-        val unknownFloor = BigInt(1L << 56)
+        // sentinel and projections/samples scale it by width/fraction
+        // ratios (a 1e-4 sample of the sentinel is still ~2^53)
+        val unknownFloor = BigInt(1L << 50)
         def known(s: BigInt) = s < unknownFloor && s != BigInt(conf.defaultSizeInBytes)
         val l = left.stats.sizeInBytes
         val r = right.stats.sizeInBytes

@@ -128,6 +128,24 @@ class JoinsSpec extends SparkSpec {
     // regardless of row duplication
     assert(got.toSet == Set((1L, 2L, 0L), (1L, 2L, 1L)), got.mkString(","))
     assert(got.length == 2, s"duplicate rows inflated pairs: ${got.mkString(",")}")
+    // output MULTIPLICITY contract, pinned: one row per (id pair, matching
+    // KEY pair) — ids sharing several nearby keys repeat, with the key
+    // pair as the evidence. Identical to the pre-rewrite implementation
+    // (its distinct() kept the key columns, its final select dropped them
+    // without re-deduping), and to the brute-force multiset below.
+    val multi = Seq((1L, "ab"), (1L, "ac"), (2L, "ab"), (2L, "ac"))
+      .toDF("doc_id", "key")
+    val gotM = Joins.editDistanceJoin(multi, 1, $"key", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val a2 = multi.as("a"); val b2 = multi.as("b")
+    val bruteM = a2.join(b2, $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        levenshtein($"a.key", $"b.key").cast("long").as("d"))
+      .filter($"d" <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gotM == bruteM, s"got=$gotM brute=$bruteM")
   }
 
   test("scdJoin picks the version valid at fact time; expired versions mask") {

@@ -148,6 +148,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 1, s"asof join should shuffle exactly once, got $shuffles:\n$p")
   }
 
+  test("edit join verifies AFTER the candidate dedup — levenshtein never in a join condition (q101)") {
+    // the round-13 barrier: Catalyst will push a deterministic filter over
+    // grouping columns through the dedup-aggregate and INTO the sort-merge
+    // join, where the banded DP runs per raw variant collision (measured
+    // 3x at the 500k-doc decade) instead of once per surviving pair. The
+    // max()-aggregate outputs pin it above the HashAggregate — keep it there.
+    val d = details(SparkEntry.queries("q101_edit_join")(spark, dir))
+    val joinConds = d.linesIterator.filter(_.contains("Join condition"))
+      .mkString("\n")
+    assert(!joinConds.toLowerCase.contains("levenshtein"),
+      s"levenshtein pushed into a join condition:\n$joinConds")
+    // ...and it still runs somewhere (a Filter's Condition after the dedup)
+    assert(d.contains("levenshtein"), s"verify disappeared from the plan:\n$d")
+  }
+
   test("range join never falls back to a product join (q84)") {
     val p = executedPlan(SparkEntry.queries("q84_join_range")(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

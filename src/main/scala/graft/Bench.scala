@@ -174,7 +174,16 @@ object Bench {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // materialize the FULL output via the noop sink, never count():
+          // count() lets Catalyst prune the output project and then
+          // eliminate cardinality-preserving left joins wholesale —
+          // q120_cut_spans benched at 0.11 s while CONTAINING
+          // q93_duplicate_spans' 0.66 s of work (its entire span-detection
+          // side was optimized away under count). The noop write sinks
+          // every output column, so the number measures producing the
+          // result (round-13 methodology; totals shift up slightly vs
+          // count()-based rounds — BASELINE.md records the change).
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

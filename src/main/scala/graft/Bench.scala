@@ -183,7 +183,12 @@ object Bench {
           // every output column, so the number measures producing the
           // result (round-13 methodology; totals shift up slightly vs
           // count()-based rounds — BASELINE.md records the change).
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          // SPARK_GRAFT_BENCH_CONSUME=count restores the old body for
+          // same-session methodology A/Bs only.
+          if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("count"))
+            fn(spark, sfDir).count()
+          else
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

@@ -45,7 +45,9 @@ object Profile {
         col("l_linenumber"))
         .agg(count(lit(1)), sum("l_orderkey"), min("l_quantity"), max("l_quantity")))
     }
-    time("q55 full")(SparkEntry.queries("q55_cube_wide")(spark, sfDir).count())
+    // deliberate count-vs-noop probe pair (kept as the historical r5-era
+    // comparison; the preagg/AQE toggles below are count-based too)
+    time("q55 full (count)")(SparkEntry.queries("q55_cube_wide")(spark, sfDir).count())
     time("q55 full (noop)")(noop(SparkEntry.queries("q55_cube_wide")(spark, sfDir)))
     locally {
       val df = SparkEntry.queries("q55_cube_wide")(spark, sfDir)
@@ -85,10 +87,10 @@ object Profile {
       time("q15 j1..j4 + agg (noop)")(noop(
         j4.groupBy("r_name").agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))))
     }
-    time("q15 full")(SparkEntry.queries("q15_join_merge")(spark, sfDir).count())
+    time("q15 full (count)")(SparkEntry.queries("q15_join_merge")(spark, sfDir).count())
     time("q15 full (noop)")(noop(SparkEntry.queries("q15_join_merge")(spark, sfDir)))
 
-    time("q40 full")(SparkEntry.queries("q40_dedup_ngram")(spark, sfDir).count())
+    time("q40 full")(noop(SparkEntry.queries("q40_dedup_ngram")(spark, sfDir)))
     locally {
       import graft.functions.PortableHash
       val base = t("documents").filter(col("doc_id") % 5 === 0)
@@ -110,14 +112,14 @@ object Profile {
           .count()
       }
     }
-    time("q41 full")(SparkEntry.queries("q41_dedup_minhash")(spark, sfDir).count())
-    time("q16 full")(SparkEntry.queries("q16_join_hash")(spark, sfDir).count())
-    time("q10 full")(SparkEntry.queries("q10_groupby")(spark, sfDir).count())
+    time("q41 full")(noop(SparkEntry.queries("q41_dedup_minhash")(spark, sfDir)))
+    time("q16 full")(noop(SparkEntry.queries("q16_join_hash")(spark, sfDir)))
+    time("q10 full")(noop(SparkEntry.queries("q10_groupby")(spark, sfDir)))
 
     // (the per-ROW FastSS decomposition that used to sit here measured the
     // pre-round-13 operator shape — editDistanceJoin now dedupes keys
     // first; see the "q101 decomposition" section below)
-    time("q93 full")(SparkEntry.queries("q93_duplicate_spans")(spark, sfDir).count())
+    time("q93 full")(noop(SparkEntry.queries("q93_duplicate_spans")(spark, sfDir)))
 
     // q93 decomposition: position explode vs hot-count vs hot-join vs window
     locally {
@@ -136,7 +138,7 @@ object Profile {
       val dup = pos.join(hot, Seq("__h")).select(col("doc_id"), col("__i"))
       time("q93 + hot join (noop)")(noop(dup))
     }
-    time("q90 full")(SparkEntry.queries("q90_mixture_take")(spark, sfDir).count())
+    time("q90 full")(noop(SparkEntry.queries("q90_mixture_take")(spark, sfDir)))
 
     // q162 decomposition: grid-bin pass vs candidate checkpoint vs refine
     locally {
@@ -154,7 +156,7 @@ object Profile {
       time("q162 full")(Relational.skyline(p,
         maxCols = Seq("p_retailprice"), minCols = Seq("p_size")).count())
     }
-    time("q161 full")(SparkEntry.queries("q161_concurrency")(spark, sfDir).count())
+    time("q161 full")(noop(SparkEntry.queries("q161_concurrency")(spark, sfDir)))
 
     // q101 decomposition: distinct keys vs variant explode vs candidate
     // key-pair join vs verify vs id-group expansion. The whole block is
@@ -198,7 +200,7 @@ object Profile {
       val xx = keyed.as("x"); val yy = keyed.as("y")
       time("q101 same-key id pairs")(xx.join(yy,
         col("x.__key") === col("y.__key") && col("x.doc_id") < col("y.doc_id")).count())
-      time("q101 full")(SparkEntry.queries("q101_edit_join")(spark, sfDir).count())
+      time("q101 full")(noop(SparkEntry.queries("q101_edit_join")(spark, sfDir)))
     }
     spark.stop()
   }

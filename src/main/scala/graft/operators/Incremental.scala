@@ -363,8 +363,8 @@ object Incremental {
             val n = id.trim.toLong
             scala.util.Try(recordMergedBatch(spark, mvPath, checkpoint, n))
               .failed.foreach(e => System.err.println(
-                s"graft: legacy marker canonical rewrite failed (read still " +
-                  s"served from the legacy spelling): $e"))
+                s"graft: legacy marker canonical rewrite failed (this read " +
+                  s"already matched; see cause for marker state): $e"))
             n
           } else -1L // different stream lineage
         case _ => -1L
@@ -382,6 +382,11 @@ object Incremental {
     // between a truncating create and its close would destroy the very
     // marker whose loss reopens the crash-window duplicate replay
     val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    // Once the OLD marker at p has been deleted (non-atomic fallback below),
+    // tmp holds the ONLY surviving copy — the failure-path cleanup must
+    // leave it in place, or a failed rename destroys both copies and
+    // reopens the crash-window duplicate replay the marker exists to close.
+    var tmpIsOnlyCopy = false
     try {
       val out = fs.create(tmp, true)
       try out.write(
@@ -394,17 +399,27 @@ object Incremental {
       } catch {
         // no AbstractFileSystem binding for this scheme (FileContext is a
         // separate registry from FileSystem — vendor connectors often ship
-        // only the latter): fall back to delete+rename. Non-atomic, but
-        // the temp file survives a crash in the gap, and wedging the
-        // exactly-once WRITE path on an optional API would be worse.
+        // only the latter): fall back to rename, delete+rename only if the
+        // destination blocks it. Non-atomic, but the temp file survives a
+        // crash in the gap, and wedging the exactly-once WRITE path on an
+        // optional API would be worse.
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          fs.delete(p, false)
-          require(fs.rename(tmp, p), s"marker rename failed: $tmp -> $p")
+          // try non-destructively first: when p doesn't exist yet (first
+          // marker) the rename succeeds without ever deleting anything
+          if (!fs.rename(tmp, p)) {
+            fs.delete(p, false)
+            tmpIsOnlyCopy = true
+            require(fs.rename(tmp, p),
+              s"marker rename failed: $tmp -> $p (old marker deleted; " +
+                s"marker content preserved at $tmp)")
+            tmpIsOnlyCopy = false
+          }
       }
     } catch {
       case e: Throwable =>
-        // never leak temp droppings into the MV directory on failure
-        scala.util.Try(fs.delete(tmp, false))
+        // never leak temp droppings into the MV directory on failure —
+        // UNLESS tmp is the only copy of the marker (see tmpIsOnlyCopy)
+        if (!tmpIsOnlyCopy) scala.util.Try(fs.delete(tmp, false))
         throw e
     }
   }

@@ -26,9 +26,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - inputs with UNKNOWN stats: RDD-backed/streaming leaves report
   *    `spark.sql.defaultSizeInBytes` (Long.MaxValue) — "no idea", not
   *    "huge" — and projections/samples above such a leaf SCALE the
-  *    sentinel by a width/fraction ratio, so anything above ~1 PB (2^50)
-  *    is treated as a propagated unknown too (covers scalings down to
-  *    ~1e-4; a sub-petabyte REAL estimate stays guarded). The incident
+  *    sentinel by a width/fraction ratio, so anything above ~281 TB
+  *    (2^48) is treated as a propagated unknown too (covers scalings of
+  *    the sentinel down to ~3e-5 — in particular the documented 1e-4
+  *    sample case, which lands at ~2^49.7; a sub-2^48 REAL estimate
+  *    stays guarded). The incident
   *    this guard targets — two big FILE SCANS crossed by a typo — always
   *    carries real stats well under the floor.
   *
@@ -53,11 +55,15 @@ object CartesianGuard extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner | Cross, cond, hint)
           if !cond.exists(hasEquiJoinKey(_, left, right)) &&
             !broadcastHinted(hint.leftHint) && !broadcastHinted(hint.rightHint) =>
-        // sizes at or above 2^50 (~1 PB) are propagated unknowns, not
+        // sizes at or above 2^48 (~281 TB) are propagated unknowns, not
         // measurements: RDD/streaming leaves report the defaultSizeInBytes
-        // sentinel and projections/samples scale it by width/fraction
-        // ratios (a 1e-4 sample of the sentinel is still ~2^53)
-        val unknownFloor = BigInt(1L << 50)
+        // sentinel (Long.MaxValue ≈ 2^63) and projections/samples scale it
+        // by width/fraction ratios — a 1e-4 scaling of the sentinel is
+        // ~2^49.7, so the floor must sit BELOW that to actually cover the
+        // documented 1e-4 case (2^50 did not; 2^48 covers scalings down to
+        // ~3e-5 while staying far above any real single-table file-scan
+        // estimate)
+        val unknownFloor = BigInt(1L << 48)
         def known(s: BigInt) = s < unknownFloor && s != BigInt(conf.defaultSizeInBytes)
         val l = left.stats.sizeInBytes
         val r = right.stats.sizeInBytes

@@ -86,9 +86,16 @@ class CartesianGuardSpec extends SparkSpec {
       assert(unk.crossJoin(unk.select(col("id").as("id2")))
         .queryExecution.optimizedPlan != null)
       // a projection above a sentinel leaf SCALES the sentinel (huge but
-      // != the exact default) — the 2^56 unknown floor must still exempt it
+      // != the exact default) — the 2^48 unknown floor must still exempt it
       assert(unk.select((col("id") + 1).as("id3"))
         .crossJoin(unk.select(col("id").as("id2")))
+        .queryExecution.optimizedPlan != null)
+      // the documented boundary: a 1e-4 SAMPLE of the sentinel lands at
+      // ~2^49.7 — above the 2^48 floor (exempt), but BELOW the old 2^50
+      // floor, which falsely read it as a real estimate. Pair it with a
+      // KNOWN above-cap side so only the sampled side's classification
+      // decides the outcome: exempt → plans; falsely-known → would throw.
+      assert(unk.sample(1e-4).crossJoin(big.select(col("id").as("id2")))
         .queryExecution.optimizedPlan != null)
       // an EXPLICIT broadcast hint exempts a product regardless of the
       // estimate — grouped aggregates inherit their child scan's size, so

@@ -234,6 +234,51 @@ object Dedup {
     * (applied to the prefix stream; same lower-bound caveat as
     * [[ngramJaccard]]).
     */
+  /** Shared verification epilogue of the candidate-pair Jaccard joins:
+    * merge-count the two sorted shingle-hash sets ONCE per candidate, then
+    * pin the division + threshold filter ABOVE an aggregation barrier.
+    * Without the barrier Catalyst pushes the jaccard predicate down into
+    * the candidate-attach equi-join, where join codegen evaluates
+    * `sortedIntersectCount` once in the pushed predicate and AGAIN in the
+    * output projection — ~1.3× on the verify stage (SCALING.md round 13;
+    * same pushdown q101's FastSS verify hit). The candidate streams are
+    * all deduped before attachment, so the max() aggregates are a
+    * semantic no-op; the barrier's exchange carries five scalar columns
+    * (the arrays are projected away below it) and partial aggregation
+    * keeps it metadata-sized. The division form is UNCHANGED —
+    * `common / (n_a + n_b − common)` over the same int inputs — so
+    * results are bit-identical to the pre-barrier plan.
+    *
+    * A WEAK single-occurrence prune is left pushable into the join so the
+    * barrier never shuffles the non-qualifying candidate mass (measured:
+    * barrier-without-prune LOST 1.3× at sw10 — late filtering out-costs
+    * the double-eval it removes): `jaccard ≥ t ⟺ common·(1+t) ≥
+    * t·(n_a+n_b)` in real arithmetic, and the −1.0 slack absorbs double
+    * rounding in both this product form and the oracle's division form
+    * (inputs are ints < 2³¹, so each product's absolute rounding error is
+    * ≪ 1) — the prune can only ADMIT a boundary candidate the exact
+    * filter then rejects, never drop one.
+    */
+  private def verifiedJaccard(attached: DataFrame, keyA: String, keyB: String,
+                              nA: Column, nB: Column,
+                              threshold: Double): DataFrame =
+    attached
+      .filter(graft.functions.expressions.NativeExpressions
+          .sortedIntersectCount(col("__sa"), col("__sb")).cast("double") *
+          lit(1.0 + threshold) >=
+        (nA + nB).cast("double") * lit(threshold) - lit(1.0))
+      .select(col(keyA), col(keyB),
+        graft.functions.expressions.NativeExpressions
+          .sortedIntersectCount(col("__sa"), col("__sb")).as("__common"),
+        nA.as("__na"), nB.as("__nb"))
+      .groupBy(keyA, keyB)
+      .agg(max("__common").as("__common"),
+        max("__na").as("__na"), max("__nb").as("__nb"))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(keyA), col(keyB), col("jaccard"))
+
   def ngramJaccardPrefix(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
                          textCol: String = "text", idCol: String = "doc_id",
                          maxDocsPerShingle: Option[Int] = None,
@@ -296,14 +341,9 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
     val aSets = withN.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
     val bSets = withN.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
-    cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
-      // sets are sorted: one allocation-free merge-count per candidate
-      .withColumn("common", graft.functions.expressions.NativeExpressions
-        .sortedIntersectCount(col("__sa"), col("__sb")))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // sets are sorted: one allocation-free merge-count per candidate
+    verifiedJaccard(cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b")),
+      "id_a", "id_b", col("n_a"), col("n_b"), threshold)
   }
 
   /** Cross-corpus set-similarity join: n-gram Jaccard ≥ `threshold` between
@@ -405,13 +445,8 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
     val aSets = la.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
     val bSets = rb.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
-    cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
-      .withColumn("common", graft.functions.expressions.NativeExpressions
-        .sortedIntersectCount(col("__sa"), col("__sb")))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifiedJaccard(cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b")),
+      "id_a", "id_b", col("n_a"), col("n_b"), threshold)
   }
 
   // ---- winnowing fingerprints ---------------------------------------------
@@ -651,15 +686,10 @@ object Dedup {
                    idCol: String = "doc_id"): DataFrame = {
     val cands = minHashLsh(df, shingleN, k, bands, textCol, idCol)
     val sets = shingleSets(df, shingleN, textCol, idCol)
-    cands
-      .join(sets.select(col(idCol).as("id_a"), col("__shs").as("__sa")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("__shs").as("__sb")), "id_b")
-      .withColumn("__common", graft.functions.expressions.NativeExpressions
-        .sortedIntersectCount(col("__sa"), col("__sb")))
-      .withColumn("jaccard", col("__common").cast("double") /
-        (size(col("__sa")) + size(col("__sb")) - col("__common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifiedJaccard(cands
+        .join(sets.select(col(idCol).as("id_a"), col("__shs").as("__sa")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("__shs").as("__sb")), "id_b"),
+      "id_a", "id_b", size(col("__sa")), size(col("__sb")), threshold)
   }
 
   /** The full incremental near-dup pipeline: candidates from
@@ -685,17 +715,12 @@ object Dedup {
       .localCheckpoint(false)
     val touched = corpus.join(
       cands.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    cands
-      .join(shingleSets(batch, shingleN, textCol, idCol)
-        .select(col(idCol).as("batch_id"), col("__shs").as("__sa")), "batch_id")
-      .join(shingleSets(touched, shingleN, textCol, idCol)
-        .select(col(idCol).as("corpus_id"), col("__shs").as("__sb")), "corpus_id")
-      .withColumn("__common", graft.functions.expressions.NativeExpressions
-        .sortedIntersectCount(col("__sa"), col("__sb")))
-      .withColumn("jaccard", col("__common").cast("double") /
-        (size(col("__sa")) + size(col("__sb")) - col("__common")))
-      .filter(col("jaccard") >= threshold)
-      .select("batch_id", "corpus_id", "jaccard")
+    verifiedJaccard(cands
+        .join(shingleSets(batch, shingleN, textCol, idCol)
+          .select(col(idCol).as("batch_id"), col("__shs").as("__sa")), "batch_id")
+        .join(shingleSets(touched, shingleN, textCol, idCol)
+          .select(col(idCol).as("corpus_id"), col("__shs").as("__sb")), "corpus_id"),
+      "batch_id", "corpus_id", size(col("__sa")), size(col("__sb")), threshold)
   }
 
   // ---- duplicate clustering --------------------------------------------------

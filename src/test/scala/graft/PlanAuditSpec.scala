@@ -577,6 +577,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(opt.contains("__pos"), s"positional filter missing from plan:\n$opt")
     val p = executedPlan(df)
     assert(!p.contains("CartesianProduct"), s"product join in prefix path:\n$p")
+    // round-14 barrier (same trick as q101's levenshtein pin): the EXACT
+    // jaccard division must sit ABOVE the max()-aggregate barrier, never
+    // pushed into the candidate-attach join, where join-condition codegen
+    // does not CSE and would evaluate the sorted-set merge-count twice
+    // per candidate (~1.3x on the verify stage). The WEAK single-
+    // occurrence product-form prune is deliberately pushable (it keeps
+    // the barrier's exchange at ~output size) — so each join condition
+    // may reference the merge-count AT MOST ONCE.
+    val d = details(df)
+    val joinConds = d.linesIterator.filter(_.contains("Join condition"))
+      .mkString("\n").toLowerCase
+    assert(!joinConds.contains("sortedintersectcount") ||
+        joinConds.linesIterator.forall(l =>
+          "sortedintersectcount".r.findAllIn(l).size <= 1),
+      s"verify merge-count evaluated more than once in a join condition:\n$joinConds")
+    assert(d.toLowerCase.contains("sortedintersectcount"),
+      s"verify disappeared from the plan:\n$d")
+    // ...and the exact jaccard division never lands in a join condition
+    // (the pair-generation join's own positional bound legitimately
+    // divides, but over scalar length columns — never the merge-count)
+    assert(joinConds.linesIterator.forall(l =>
+        !(l.contains("sortedintersectcount") && l.contains(" / "))),
+      s"exact jaccard division pushed into a join condition:\n$joinConds")
   }
 
   test("bloom: one partial aggregation builds the cells; the probe join broadcasts the sketch (q143)") {

@@ -88,7 +88,14 @@ object ScriptEngine {
   private class P(toks: Vector[Tok]) {
     var pos = 0
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
-    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def next(): Tok = {
+      // loud EOF, not an IndexOutOfBounds from the Vector: a truncated
+      // script (or a parse that consumed past a malformed statement) must
+      // read as a syntax error (found by the round-14 grammar fuzz)
+      require(pos < toks.length,
+        s"unexpected end of script (after ${toks.takeRight(5).mkString(" ")})")
+      val t = toks(pos); pos += 1; t
+    }
     def kw(s: String): Boolean = peek match {
       case Some(Word(w)) if w.equalsIgnoreCase(s) => pos += 1; true
       case _ => false

@@ -924,6 +924,121 @@ class ScriptSpec extends SparkSpec {
     assert(ok > 20 && loud > 20, s"degenerate fuzz mix: ok=$ok loud=$loud")
   }
 
+  test("operator-grammar fuzz: seeded statement chains analyze; token mutants fail loudly") {
+    import graft.script.ScriptEngine
+    // Round-14 companion to the two preprocessor fuzzes: the OPERATOR-
+    // STATEMENT grammar itself. Valid scripts are chains of composable
+    // productions (every production's output keeps (id, k, v), so any
+    // production can feed any other); mutants are token-level typos over
+    // a valid chain. Contract:
+    //  - a generated-valid script MUST run (dryRun analysis) — a throw is
+    //    either a generator bug or a parser bug, both loud test failures;
+    //  - a mutant either still runs or throws a MESSAGE-FUL error of a
+    //    parse/analysis kind (IllegalArgumentException from the parser,
+    //    AnalysisException/ParseException from Catalyst, the engine's
+    //    "undefined relation" RuntimeException, NumberFormatException on a
+    //    mangled literal) — never a StackOverflow, NPE, MatchError,
+    //    index-out-of-bounds, or hang.
+    val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)).toDF("id", "k", "v")
+    val rnd = new scala.util.Random(20260815L)
+    // prelude relations every chain may reference: a dictionary for
+    // ENCODE/DECODE and a join side with non-colliding column names
+    val prelude = "d0 = DICTIONARY t ON k;\nr0 = FROM t GENERATE k, v AS vr;\n"
+    def prods(n: String, a: String): Array[String] = Array(
+      s"$n = FILTER $a BY v > 1;",
+      s"$n = FROM $a GENERATE id, k, v, v * 2 AS v2;",
+      s"$n = FROM $a GENERATE id, upper(k) AS k, v;",
+      s"$n = LIMIT $a 2;",
+      s"$n = DISTINCT $a;",
+      s"$n = DUPLICATE $a 2 TIMES COUNTER AS cnum;",
+      s"$n = NO_OP $a;",
+      s"$n = PIVOT $a ON k;",
+      s"$n = COMBINE $a, $a SORTED ON id;",
+      s"$n = SORT $a ON id, v DESC;",
+      s"$n = SHUFFLE $a PARTITIONED ON k SORTED ON id;",
+      s"$n = GROUP $a BY k AGGREGATES SUM(v) AS v, MIN(id) AS id;",
+      s"$n = CUBE $a BY k AGGREGATES SUM(v) AS v, MAX(id) AS id;",
+      s"$n = ROLLUP $a BY k AGGREGATES SUM(v) AS v, MIN(id) AS id;",
+      s"$n = TOP 2 FROM $a GROUP BY k ORDER BY v DESC;",
+      s"$n = RANK $a AS rnk GROUP BY k ORDER BY v;",
+      s"$n = JOIN $a BY k, r0 BY k;",
+      s"$n = HASH-JOIN $a BY k, r0 BY k;",
+      s"$n = GATHER $a, $a;",
+      s"$n = TEE $a INTO '/tmp/graft-fuzz-tee' USING PARQUET IF v > 1;",
+      s"${n}_e = ENCODE $a ON k USING d0;\n$n = DECODE ${n}_e ON k USING d0;")
+    // terminal productions may change the schema (nothing consumes them)
+    def terminals(n: String, a: String): Array[String] = Array(
+      s"$n = GROUP $a BY ALL AGGREGATES SUM(v) AS sv;",
+      s"$n = CUBE $a BY k INNER id AGGREGATES MAX(SUM(v)) AS mv;",
+      s"$n = CUBE $a BY k AGGREGATES COUNT(1) AS n_rows GROUPING COMBOS 1;")
+    def genValid(): String = {
+      val sb = new StringBuilder(prelude)
+      var rels = Vector("t")
+      val n = 1 + rnd.nextInt(6)
+      for (i <- 0 until n) {
+        val name = s"x$i"
+        val src = rels(rnd.nextInt(rels.length))
+        sb.append(prods(name, src)(rnd.nextInt(prods(name, src).length))).append('\n')
+        rels :+= name
+      }
+      if (rnd.nextBoolean())
+        sb.append(terminals("z", rels.last)(rnd.nextInt(3))).append('\n')
+      sb.toString
+    }
+    val kws = Array("FILTER", "GENERATE", "BY", "USING", "GROUP", "AGGREGATES",
+      "ORDER", "JOIN", "ON", "INTO", "AS", "FROM", "DISTINCT", "SORTED")
+    def mutate(s: String): String = rnd.nextInt(7) match {
+      case 0 => // delete a short span
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1 + rnd.nextInt(3))
+      case 1 => // duplicate a word token
+        val ws = "[A-Za-z_][A-Za-z0-9_]*".r.findAllMatchIn(s).toVector
+        if (ws.isEmpty) s else { val m = ws(rnd.nextInt(ws.length))
+          s.take(m.end) + " " + m.matched + s.drop(m.end) }
+      case 2 => // swap one keyword for another
+        val hits = kws.flatMap(k => ("\\b" + k + "\\b").r.findAllMatchIn(s)
+          .map(m => (m.start, m.end))).toVector
+        if (hits.isEmpty) s else { val (a, b) = hits(rnd.nextInt(hits.length))
+          s.take(a) + kws(rnd.nextInt(kws.length)) + s.drop(b) }
+      case 3 => // drop a semicolon
+        val is = s.zipWithIndex.filter(_._1 == ';').map(_._2)
+        if (is.isEmpty) s else { val i = is(rnd.nextInt(is.length))
+          s.take(i) + s.drop(i + 1) }
+      case 4 => s.take(1 + rnd.nextInt(s.length)) // truncate
+      case 5 => // inject a stray punct
+        val i = rnd.nextInt(s.length)
+        s.take(i) + ";,()=.#".charAt(rnd.nextInt(7)) + s.drop(i)
+      case _ => // reference an undefined relation
+        "\\bx\\d+\\b".r.replaceFirstIn(s, "zzz_undefined")
+    }
+    def isLoud(e: Throwable): Boolean = e match {
+      case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException |
+           _: NumberFormatException => e.getMessage != null && e.getMessage.nonEmpty
+      case r: RuntimeException if r.getClass == classOf[RuntimeException] =>
+        r.getMessage != null && r.getMessage.nonEmpty
+      case _ => false
+    }
+    var validOk = 0; var mutOk = 0; var mutLoud = 0
+    for (_ <- 0 until 120) {
+      val script = genValid()
+      val out = ScriptEngine.run(spark, script, env0 = env("t" -> df), dryRun = true)
+      assert(out.nonEmpty && out.values.forall(_.schema.nonEmpty), s"empty result for:\n$script")
+      validOk += 1
+      for (_ <- 0 until 2) {
+        val m = mutate(script)
+        try { ScriptEngine.run(spark, m, env0 = env("t" -> df), dryRun = true); mutOk += 1 }
+        catch {
+          case e: Throwable =>
+            assert(isLoud(e),
+              s"non-loud failure ${e.getClass.getName}: ${e.getMessage}\nscript:\n$m")
+            mutLoud += 1
+        }
+      }
+    }
+    // the generator must exercise both mutant outcomes to mean anything
+    assert(validOk == 120 && mutOk > 20 && mutLoud > 100,
+      s"degenerate fuzz mix: valid=$validOk mutOk=$mutOk mutLoud=$mutLoud")
+  }
+
   test("LET metacharacter values: cascade and boundary semantics are pinned") {
     import graft.script.ScriptEngine
     // textual-macro cascade: a value that SPELLS a later binding's token

@@ -114,7 +114,7 @@ object Bench {
           (want -- headline.toSet).toSeq.sorted.filter(SparkEntry.queries.contains)
       case _ => headline
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -123,6 +123,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    // Scan-split size override for scale measurement on multi-row-group
+    // fixtures (dev/gen_rowgroups.py). The default 128 MB is byte-based
+    // packing; the compressed-text tables are CPU-bound at tiny byte
+    // sizes (documents at sf10 = 6 MB for 5M rows), so splitting them
+    // across cores needs a much smaller target — the same
+    // maxPartitionBytes tuning a CPU-heavy scan needs on a real cluster.
+    // Row groups are the split GRANULARITY (a one-row-group file is one
+    // task no matter what this is set to); this knob is the split SIZE.
+    val spark = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .filter(_.trim.nonEmpty)
+      .fold(builder)(b => builder.config("spark.sql.files.maxPartitionBytes", b.trim))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -202,6 +202,39 @@ object Profile {
         col("x.__key") === col("y.__key") && col("x.doc_id") < col("y.doc_id")).count())
       time("q101 full")(noop(SparkEntry.queries("q101_edit_join")(spark, sfDir)))
     }
+
+    // q141 decomposition (round 14): which Gopher feature dominates the
+    // per-row map once the scan parallelizes (multi-row-group fixture)?
+    locally {
+      import graft.text.TextAnalysis
+      val salted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- bullet item\n- second bullet\n* third")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\ntrailing line...\nsecond trailer…")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ## # ###")).otherwise(lit("")))
+      val base = t("documents").select(col("doc_id"), salted.as("text"))
+      val tc = col("text")
+      val toks = TextAnalysis.tokens(tc)
+      val lines = filter(split(tc, "\n"), l => trim(l) =!= "")
+      time("q141 salted scan only (noop)")(noop(base))
+      time("q141 tokenize only (noop)")(noop(base.select(col("doc_id"), size(toks).as("n"))))
+      time("q141 mean_word_len fold (noop)")(noop(base.select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).as("s"))))
+      time("q141 alpha rlike filter (noop)")(noop(base.select(col("doc_id"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).as("a"))))
+      time("q141 line split+rlikes (noop)")(noop(base.select(col("doc_id"),
+        size(filter(lines, l => trim(l).rlike("^[-*•]"))).as("b"),
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).as("e"))))
+      time("q141 symbol replaces (noop)")(noop(base.select(col("doc_id"),
+        (length(tc) - length(replace(tc, lit("#"), lit("")))).as("h"),
+        ((length(tc) - length(replace(tc, lit("..."), lit("")))) / lit(3) +
+          (length(tc) - length(replace(tc, lit("…"), lit(""))))).as("e"))))
+      time("q141 stop_hits (noop)")(noop(base.select(col("doc_id"),
+        size(filter(array(TextAnalysis.defaultStopwords.map(lit): _*),
+          w => array_contains(transform(toks, lower _), w))).as("s"))))
+      time("q141 full")(noop(SparkEntry.queries("q141_gopher_quality")(spark, sfDir)))
+    }
     spark.stop()
   }
 }

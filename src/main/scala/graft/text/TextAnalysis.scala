@@ -85,10 +85,15 @@ object TextAnalysis {
                       maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
                       minAlphaWordRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // materialize the token and line arrays ONCE as their own projection:
+    // every feature below references them, and inlined they would be
+    // re-split per reference (CollapseProject keeps multiply-referenced
+    // non-trivial expressions un-inlined; codegen subexpression elimination
+    // does not reach the conditional branches they appear in)
+    val toks = col("__gopher_toks")
+    val lines = col("__gopher_lines")
     val nW = size(toks).cast("long")
     val nWd = nW.cast("double")
-    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
     val nLines = size(lines).cast("double")
     val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double")
     val ellipsisLines = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
@@ -97,9 +102,18 @@ object TextAnalysis {
       (length(t) - length(replace(t, lit("…"), lit(""))))
     val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
     val stop = array(defaultStopwords.map(lit): _*)
-    val lowToks = transform(toks, lower _)
-    val stopHits = size(filter(stop, w => array_contains(lowToks, w))).cast("long")
+    // distinct stopwords present = |stop ∩ lowercased tokens|. MUST be
+    // array_intersect, not filter(stop, w => array_contains(lowToks, w)):
+    // a non-literal array referenced inside a lambda is re-evaluated per
+    // lambda invocation (the token array was lowercased 15x per row —
+    // 9.3 s of q141's 9.9 s at sf10), and pre-projecting it doesn't stick
+    // (referenced once, CollapseProject inlines it back into the lambda).
+    // array_intersect evaluates each side once and hash-probes.
+    val stopHits =
+      size(array_intersect(stop, transform(toks, lower _))).cast("long")
     val out = df
+      .withColumn("__gopher_toks", tokens(t))
+      .withColumn("__gopher_lines", filter(split(t, "\n"), l => trim(l) =!= ""))
       .withColumn("n_words", nW)
       .withColumn("mean_word_len",
         when(nW > 0, aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWd)
@@ -120,6 +134,7 @@ object TextAnalysis {
         col("ellipsis_line_ratio") < maxEllipsisRatio &&
         col("alpha_word_ratio") > minAlphaWordRatio &&
         col("stop_hits") >= minStopHits)
+      .drop("__gopher_toks", "__gopher_lines")
   }
 
   /** Language ID by stopword-profile voting: score each candidate language
@@ -400,19 +415,28 @@ object TextAnalysis {
     * explicit codepoint ranges (Latin letters, digits, CJK, Cyrillic,
     * Arabic) plus the dominant script — the pre-language-ID routing signal
     * of a multilingual pipeline. Explicit ranges, not \\p{script} classes,
-    * so Java and RE2 regex agree character-for-character; ratios are
-    * single exactly-rounded divisions. Narrow codegen'd map.
+    * so engines agree character-for-character; ratios are single
+    * exactly-rounded divisions. All six counts come from ONE codepoint
+    * pass ([[graft.functions.expressions.NativeKernels.scriptCounts]]) —
+    * the per-range regexp_replace formulation materialized five stripped
+    * copies of the text per row, and that allocation (not the scan) was
+    * the bottleneck: memory-bound, it gained only 1.4× from 32-way scan
+    * parallelism at sf10. The counts array is kept as a separate
+    * projection so the kernel evaluates once (CollapseProject keeps
+    * multiply-referenced non-trivial expressions un-inlined).
     */
   def withScriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
-    def cnt(range: String): Column =
-      length(regexp_replace(col(textCol), s"[^$range]", "")).cast("long")
-    val n = length(col(textCol)).cast("long")
+    val sc = col("__script_counts")
+    def cnt(i: Int): Column = sc.getItem(i)
+    val n = cnt(0)
     def ratio(c: Column): Column =
       when(n > 0, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
-    val latin = cnt("A-Za-z"); val digit = cnt("0-9")
-    val cjk = cnt("\\x{4e00}-\\x{9fff}"); val cyr = cnt("\\x{0400}-\\x{04ff}")
-    val ara = cnt("\\x{0600}-\\x{06ff}")
-    df.withColumn("n_chars_total", n)
+    val latin = cnt(1); val digit = cnt(2)
+    val cjk = cnt(3); val cyr = cnt(4)
+    val ara = cnt(5)
+    df.withColumn("__script_counts",
+        graft.functions.expressions.NativeExpressions.scriptCounts(col(textCol)))
+      .withColumn("n_chars_total", n)
       .withColumn("latin_ratio", ratio(latin))
       .withColumn("digit_ratio", ratio(digit))
       .withColumn("cjk_ratio", ratio(cjk))
@@ -424,6 +448,7 @@ object TextAnalysis {
           .when(cyr.geq(ara) && cyr > 0, lit("cyrillic"))
           .when(ara > 0, lit("arabic"))
           .otherwise(lit("other")))
+      .drop("__script_counts")
   }
 
   /** Repetitiveness via DEFLATE ratio (compressed/raw bytes): boilerplate

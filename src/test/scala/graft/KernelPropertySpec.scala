@@ -182,4 +182,59 @@ class KernelPropertySpec extends SparkSpec {
     assert(full.select(NativeExpressions.sortedIntersectCount(col("a"), col("b")))
       .collect().head.getInt(0) == 3)
   }
+
+  test("scriptCounts kernel == regexp_replace counting on multilingual inputs") {
+    // adversarial: mixed scripts, whitespace, and supplementary-plane
+    // codepoints (emoji — surrogate PAIRS in the UTF-16 loop, ONE char to
+    // both numChars and Java-regex character classes)
+    val rnd = new scala.util.Random(7)
+    val pools: Seq[Seq[Int]] = Seq(
+      (('A' to 'Z') ++ ('a' to 'z')).map(_.toInt),
+      ('0' to '9').map(_.toInt),
+      (0x4e00 to 0x4e20).toSeq, (0x0400 to 0x0420).toSeq, (0x0600 to 0x0620).toSeq,
+      Seq(' ', '\n', '\t', '.', '#').map(_.toInt) ++ Seq(0x1F600, 0x1F680, 0x00e9, 0x20ac))
+    def randMulti(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(80)).foreach { _ =>
+        val p = pools(rnd.nextInt(pools.length))
+        sb.appendAll(Character.toChars(p(rnd.nextInt(p.length))))
+      }
+      sb.toString
+    }
+    val inputs = Seq("", " ", "é", "😀") ++ (0 until 200).map(_ => randMulti())
+    val df = inputs.toDF("s")
+    def cnt(range: String): Column =
+      length(regexp_replace(col("s"), s"[^$range]", "")).cast("long")
+    val got = df.select(
+      NativeExpressions.scriptCounts(col("s")).as("k"),
+      array(length(col("s")).cast("long"), cnt("A-Za-z"), cnt("0-9"),
+        cnt("\\x{4e00}-\\x{9fff}"), cnt("\\x{0400}-\\x{04ff}"),
+        cnt("\\x{0600}-\\x{06ff}")).as("r")).collect()
+    got.zip(inputs).foreach { case (row, s) =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"input=$s")
+    }
+  }
+
+  test("gopher stop_hits: array_intersect == filter/array_contains formulation") {
+    // the array_intersect rewrite (round 14) must count exactly what the
+    // original counted: distinct stopwords present among lowercased tokens
+    val rnd = new scala.util.Random(13)
+    val stopwords = graft.text.TextAnalysis.defaultStopwords
+    def randDoc(): String = (0 until rnd.nextInt(30)).map { _ =>
+      val w = if (rnd.nextBoolean()) stopwords(rnd.nextInt(stopwords.length))
+              else ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(4))
+      if (rnd.nextInt(3) == 0) w.toUpperCase else w
+    }.mkString(" ")
+    val inputs = Seq("", "the THE tHe", "the a an and or") ++ (0 until 150).map(_ => randDoc())
+    val df = inputs.toDF("s")
+    val stop = array(stopwords.map(lit): _*)
+    val toks = graft.text.TextAnalysis.tokens(col("s"))
+    val lowToks = transform(toks, lower _)
+    val got = df.select(
+      size(array_intersect(stop, lowToks)).cast("long"),
+      size(filter(stop, w => array_contains(lowToks, w))).cast("long")).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"input=$s")
+    }
+  }
 }

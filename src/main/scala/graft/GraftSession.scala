@@ -12,8 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * — on Spark the whole script is one DAG under one session.
   */
 object GraftSession {
-  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
-    SparkSession
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -29,6 +29,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", sys.props.getOrElse("graft.warehouse", "/tmp/graft-warehouse"))
+    // Scan-split-size override for scale measurement on multi-row-group
+    // fixtures — same knob Bench honors (see Bench.scala); row groups are
+    // the split granularity, this is the split size. Unset → Spark default.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .filter(_.trim.nonEmpty)
+      .fold(b)(v => b.config("spark.sql.files.maxPartitionBytes", v.trim))
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -269,6 +269,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(d.contains("minhashsig"), s"native MinHash kernel missing:\n$d")
   }
 
+  test("script profile evaluates the scriptCounts kernel exactly once per row (q137)") {
+    // the one-pass kernel feeds six derived columns plus the dominant-
+    // script CASE; it stays single-evaluation only because the counts
+    // array is its own projection and CollapseProject declines to inline
+    // a multiply-referenced non-trivial expression. If a future optimizer
+    // change inlines it, the kernel re-runs per reference — this pin
+    // catches that regression (the round-14 win was 24.5 s -> 0.25 s at
+    // sf10, so a silent re-inline would be a 10x-class loss).
+    val p = executedPlan(SparkEntry.queries("q137_script_profile")(spark, dir))
+    val n = "scriptcounts\\(".r.findAllIn(p).length
+    assert(n == 1, s"scriptcounts evaluated $n times (want 1) in:\n$p")
+  }
+
+  test("gopher rules tokenize once and count stopwords via array_intersect (q141)") {
+    val p = executedPlan(SparkEntry.queries("q141_gopher_quality")(spark, dir))
+    val n = "tokenize\\(".r.findAllIn(p).length
+    assert(n == 1, s"tokenize evaluated $n times (want 1) in:\n$p")
+    // stop_hits must be the hash-probing set intersection, never the
+    // filter/array_contains form whose lambda re-lowercased the token
+    // array once per stopword (9.3 s of q141's 9.9 s at sf10)
+    assert(p.contains("array_intersect"), s"stop_hits lost array_intersect:\n$p")
+  }
+
   test("LM scoring resolves counts with equi-joins and partial-aggregates per doc (q114)") {
     val d = details(SparkEntry.queries("q114_lm_score")(spark, dir))
     assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),

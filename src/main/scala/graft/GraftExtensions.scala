@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // default-on planning-time guard against accidental large cartesians
     // (disable with spark.graft.guard.cartesian=false; graft.plans.CartesianGuard)
     ext.injectOptimizerRule(_ => graft.plans.CartesianGuard)
+    // plan screen-pipeline pushdown fences as identity projections
+    // (graft.plans.PushdownBarrier — must survive the whole optimizer, so
+    // it is a planner strategy, not a strip rule)
+    ext.injectPlannerStrategy(_ => graft.plans.PushdownBarrierStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "graft_poly_hash(str) - portable polynomial char hash mod 2^31-1"),

@@ -235,6 +235,23 @@ object Profile {
           w => array_contains(transform(toks, lower _), w))).as("s"))))
       time("q141 full")(noop(SparkEntry.queries("q141_gopher_quality")(spark, sfDir)))
     }
+
+    // q61 decomposition (round 14): quality features + langid + filter
+    locally {
+      import graft.text.TextAnalysis
+      val base = t("documents")
+      time("q61 bare scan (noop)")(noop(base))
+      time("q61 quality features only (noop)")(noop(TextAnalysis.withQualityFeatures(base)))
+      time("q61 langid only (noop)")(noop(TextAnalysis.withLangId(base)))
+      val toks = TextAnalysis.tokens(col("text"))
+      time("q61 tokenize only (noop)")(noop(base.select(col("doc_id"), size(toks).as("n"))))
+      time("q61 mean_token_len fold (noop)")(noop(base.select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).as("s"))))
+      time("q61 stopword_ratio only (noop)")(noop(base.select(col("doc_id"),
+        size(filter(transform(toks, lower _),
+          w => array_contains(array(TextAnalysis.defaultStopwords.map(lit): _*), w))).as("s"))))
+      time("q61 full")(noop(SparkEntry.queries("q61_quality_filter")(spark, sfDir)))
+    }
     spark.stop()
   }
 }

@@ -620,8 +620,13 @@ object SparkEntry {
     }),
     // composed training-data filter: quality features + language id +
     // C4-style keep rules, in one codegen'd pass over documents
+    // the screen composition: the pushdown fence keeps the quality filter
+    // ABOVE the feature projection — pushed into it, the predicate
+    // re-derives every feature per row interpreted (see
+    // plans/PushdownBarrier.scala; ~1.4x at sf10)
     "q61_quality_filter" -> ((s, d) =>
-      TextAnalysis.withLangId(TextAnalysis.withQualityFeatures(t(s, d, "documents")))
+      graft.plans.PushdownBarrier(
+        TextAnalysis.withLangId(TextAnalysis.withQualityFeatures(t(s, d, "documents"))))
         .filter(col("n_tokens") >= 10 && col("alpha_ratio") > 0.5 &&
           col("stopword_ratio") >= 0.02 && col("lang_pred") === "en")
         .select("doc_id", "n_tokens", "lang_pred")),

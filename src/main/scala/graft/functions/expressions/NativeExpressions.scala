@@ -323,29 +323,31 @@ object NativeKernels {
 
   /** Script/charset codepoint counts in ONE pass: [total, latin (A-Za-z),
     * digit (0-9), CJK (U+4E00–U+9FFF), Cyrillic (U+0400–U+04FF), Arabic
-    * (U+0600–U+06FF)]. Equals length() on the five
+    * (U+0600–U+06FF), space (U+0020)]. Equals length() on the
     * regexp_replace(text, "[^range]", "") stripped copies — which
     * materialize a new string per range per row (five text-sized
     * allocations a row made q137 memory-bound: 32-way parallelism bought
-    * only 1.4× at sf10 until this kernel). Counting codepoints matches
-    * both Java-regex character classes and UTF8String.numChars.
+    * only 1.4× at sf10 until this kernel; the quality-feature ratios of
+    * withQualityFeatures draw on the same counts). Counting codepoints
+    * matches both Java-regex character classes and UTF8String.numChars.
     */
   def scriptCounts(s: UTF8String): ArrayData = {
     val js = s.toString
     var total = 0L; var latin = 0L; var digit = 0L
-    var cjk = 0L; var cyr = 0L; var ara = 0L
+    var cjk = 0L; var cyr = 0L; var ara = 0L; var space = 0L
     var i = 0
     while (i < js.length) {
       val cp = js.codePointAt(i)
       total += 1
       if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) latin += 1
       else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp == ' ') space += 1
       else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
       else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
       else if (cp >= 0x0600 && cp <= 0x06ff) ara += 1
       i += Character.charCount(cp)
     }
-    new GenericArrayData(Array[Long](total, latin, digit, cjk, cyr, ara))
+    new GenericArrayData(Array[Long](total, latin, digit, cjk, cyr, ara, space))
   }
 }
 

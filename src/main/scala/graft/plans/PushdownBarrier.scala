@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.PlanBridge
+
+/** A predicate-pushdown fence for screen pipelines.
+  *
+  * The canonical training-data screen — compute quality features, then
+  * `.filter` on them — hits a Catalyst composition hazard: pushing the
+  * filter through the feature projection substitutes every referenced
+  * alias, so the predicate RECOMPUTES the features (and, containing
+  * higher-order functions, the Filter falls out of whole-stage codegen and
+  * evaluates them interpreted, without common-subexpression elimination).
+  * Measured on q61 at sf10: tokenize ran 8× per row inside the pushed
+  * predicate and the surviving rows re-ran the full feature projection —
+  * pushdown through the projection that DEFINES the predicate's inputs
+  * can never win, because those inputs must be evaluated for every row
+  * either way.
+  *
+  * `PushdownBarrier(df)` wraps the frame in a logical node that
+  * `PushPredicateThroughNonJoin` cannot cross (its pushdown whitelist is
+  * closed over known node types), so downstream filters stay ABOVE the
+  * feature projection and read computed columns. The node must survive
+  * ALL logical optimization — a strip-after-pushdown optimizer rule is
+  * NOT enough, because SparkOptimizer re-runs `PushDownPredicates` in the
+  * late "Pushdown Filters from PartitionPruning" batch, after every
+  * injectable optimizer/pre-CBO point (measured: a pre-CBO strip rule let
+  * that batch re-push q61's predicate). Instead
+  * [[PushdownBarrierStrategy]] (injected by [[graft.GraftExtensions]])
+  * plans the node as an identity `ProjectExec`, which whole-stage codegen
+  * fuses away — the fence costs nothing physical.
+  *
+  * Trade-offs, deliberately accepted for screens: column pruning and
+  * CHEAP-predicate pushdown (e.g. a partition-pruning filter on a raw
+  * column) also stop at the fence — place the barrier directly above the
+  * feature projection, below nothing you want pushed further down.
+  * Requires GraftExtensions (true everywhere in this engine); without the
+  * strategy, planning fails loudly on the unknown node rather than
+  * silently mis-planning.
+  */
+case class PushdownBarrier(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): PushdownBarrier =
+    copy(child = newChild)
+}
+
+object PushdownBarrier {
+  /** Wrap a frame so downstream filters are not pushed into it. */
+  def apply(df: DataFrame): DataFrame =
+    PlanBridge.ofRows(df.sparkSession, new PushdownBarrier(df.queryExecution.analyzed))
+}
+
+/** Plans [[PushdownBarrier]] as an identity projection — `ProjectExec`
+  * participates in whole-stage codegen, so the fence leaves zero runtime
+  * footprint; its whole effect is having been opaque during optimization.
+  */
+object PushdownBarrierStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan match {
+      case PushdownBarrier(child) =>
+        org.apache.spark.sql.execution.ProjectExec(child.output, planLater(child)) :: Nil
+      case _ => Nil
+    }
+}

@@ -42,29 +42,35 @@ object TextAnalysis {
 
   def withQualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t).cast("double")
-    val toks = tokens(t)
+    // char-class counts from ONE codepoint pass and the token array from
+    // ONE tokenize — both pre-projected so the multi-reference keeps them
+    // un-inlined (same round-14 rationale as withScriptProfile: the
+    // regexp_replace-to-count formulation allocated a stripped copy of
+    // the text per ratio per row)
+    val sc = col("__q_counts")
+    val toks = col("__q_toks")
+    val nChars = sc.getItem(0).cast("double")
     val nToks = size(toks).cast("double")
     val stop = array(defaultStopwords.map(lit): _*)
-    df.withColumn("n_chars_m", length(t).cast("long"))
+    def ratio(c: Column): Column =
+      when(nChars > 0, c.cast("double") / nChars).otherwise(lit(0.0))
+    df.withColumn("__q_counts",
+        graft.functions.expressions.NativeExpressions.scriptCounts(t))
+      .withColumn("__q_toks", tokens(t))
+      .withColumn("n_chars_m", sc.getItem(0))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",
         when(nToks > 0,
           aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
           .otherwise(lit(0.0)))
-      .withColumn("alpha_ratio",
-        when(nChars > 0, length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nChars)
-          .otherwise(lit(0.0)))
-      .withColumn("digit_ratio",
-        when(nChars > 0, length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars)
-          .otherwise(lit(0.0)))
-      .withColumn("space_ratio",
-        when(nChars > 0, length(regexp_replace(t, "[^ ]", "")).cast("double") / nChars)
-          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio", ratio(sc.getItem(1)))
+      .withColumn("digit_ratio", ratio(sc.getItem(2)))
+      .withColumn("space_ratio", ratio(sc.getItem(6)))
       .withColumn("stopword_ratio",
         when(nToks > 0,
           size(filter(transform(toks, lower _), w => array_contains(stop, w))).cast("double") / nToks)
           .otherwise(lit(0.0)))
+      .drop("__q_counts", "__q_toks")
   }
 
   /** Gopher-style document-quality rules (Rae et al. 2021, Appendix A1.1 —
@@ -151,14 +157,19 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "zhe"))
 
   def withLangId(df: DataFrame, textCol: String = "text", as: String = "lang_pred"): DataFrame = {
-    val toks = transform(tokens(col(textCol)), lower _)
+    // tokenize+lowercase ONCE as a projection: each language profile
+    // references the token array, and inlined the tokenize+transform pair
+    // would re-run per profile (5x per row)
+    val toks = col("__langid_toks")
     val scored = langProfiles.map { case (lang, words) =>
       val wl = array(words.map(lit): _*)
       struct(size(filter(toks, w => array_contains(wl, w))).as("score"), lit(lang).as("lang"))
     }
     // array_max on (score, lang) structs: max score, ties by lang string desc
     // — deterministic either way since profiles are disjoint enough.
-    df.withColumn(as, array_max(array(scored: _*)).getField("lang"))
+    df.withColumn("__langid_toks", transform(tokens(col(textCol)), lower _))
+      .withColumn(as, array_max(array(scored: _*)).getField("lang"))
+      .drop("__langid_toks")
   }
 
   /** Language ID by character-n-gram profile counting: each language has a

@@ -209,7 +209,7 @@ class KernelPropertySpec extends SparkSpec {
       NativeExpressions.scriptCounts(col("s")).as("k"),
       array(length(col("s")).cast("long"), cnt("A-Za-z"), cnt("0-9"),
         cnt("\\x{4e00}-\\x{9fff}"), cnt("\\x{0400}-\\x{04ff}"),
-        cnt("\\x{0600}-\\x{06ff}")).as("r")).collect()
+        cnt("\\x{0600}-\\x{06ff}"), cnt(" ")).as("r")).collect()
     got.zip(inputs).foreach { case (row, s) =>
       assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"input=$s")
     }

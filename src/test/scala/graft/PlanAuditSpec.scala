@@ -292,6 +292,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("array_intersect"), s"stop_hits lost array_intersect:\n$p")
   }
 
+  test("quality screen filters ABOVE the feature projection — predicate never re-derives features (q61)") {
+    // without the PushdownBarrier fence, Catalyst pushes the filter below
+    // the feature Projects and the predicate recomputes every feature per
+    // row (tokenize ran 8x per row interpreted at sf10; ~1.4x total)
+    val p = executedPlan(SparkEntry.queries("q61_quality_filter")(spark, dir))
+    val cond = "Condition : .*".r.findAllIn(p).mkString("\n")
+    assert(cond.nonEmpty, s"no Filter in:\n$p")
+    assert(!cond.contains("tokenize("),
+      s"filter predicate re-derives tokenize — pushdown crossed the barrier:\n$cond")
+    assert(!cond.contains("scriptcounts("),
+      s"filter predicate re-derives scriptcounts — pushdown crossed the barrier:\n$cond")
+  }
+
   test("LM scoring resolves counts with equi-joins and partial-aggregates per doc (q114)") {
     val d = details(SparkEntry.queries("q114_lm_score")(spark, dir))
     assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),

@@ -34,8 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CartesianGuard)
     // plan screen-pipeline pushdown fences as identity projections
     // (graft.plans.PushdownBarrier — must survive the whole optimizer, so
-    // it is a planner strategy, not a strip rule)
+    // it is a planner strategy, not a strip rule); pass-through-attribute
+    // conjuncts may still cross the fence toward the scan
     ext.injectPlannerStrategy(_ => graft.plans.PushdownBarrierStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushThroughBarrier)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "graft_poly_hash(str) - portable polynomial char hash mod 2^31-1"),

@@ -50,7 +50,7 @@ object Curation {
     //    PII-redacted text (narrow maps, fused into the scan)
     val scrubbed = TextAnalysis.withPiiScrub(docs)
       .select(col("doc_id"), col("text_redacted").as("text"))
-    val quality = TextAnalysis.withQualityFeatures(scrubbed)
+    val quality = graft.plans.PushdownBarrier(TextAnalysis.withQualityFeatures(scrubbed))
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
         col("stopword_ratio") <= cfg.maxStopwordRatio)
       .select("doc_id", "text")

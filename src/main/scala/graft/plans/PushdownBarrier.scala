@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.PlanBridge
 
@@ -52,6 +52,43 @@ object PushdownBarrier {
   /** Wrap a frame so downstream filters are not pushed into it. */
   def apply(df: DataFrame): DataFrame =
     PlanBridge.ofRows(df.sparkSession, new PushdownBarrier(df.queryExecution.analyzed))
+}
+
+/** Selective permeability for the fence: a filter conjunct that references
+  * ONLY pass-through attributes (columns the projection below the barrier
+  * forwards untouched from its input — e.g. a raw `doc_id` range predicate
+  * above a quality screen) is moved below the barrier, where the standard
+  * pushdown batches carry it on to the scan (partition/row-group pruning
+  * intact). Conjuncts referencing any COMPUTED column stay above — pushing
+  * those is exactly the re-derivation hazard the barrier exists to stop.
+  * Runs in the operator-optimization fixpoint; idempotent (after the move,
+  * nothing above the barrier is pushable).
+  */
+object PushThroughBarrier extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, barrier @ PushdownBarrier(child)) =>
+      // pass-through = output attributes NOT defined by an Alias anywhere
+      // in the subtree below the fence. A one-level projectList check is
+      // wrong: after a two-operator screen the TOP project forwards
+      // n_tokens as a bare attribute while the project two levels down
+      // computes it — letting its predicate cross re-derives the feature
+      // at the scan. Aliases are collected subtree-wide (projections,
+      // aggregates, windows), so a crossed conjunct can never be
+      // substituted into a computation by the standard pushdown batches;
+      // renames are conservatively treated as computations.
+      val aliased = AttributeSet(child.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute })
+      }.flatten)
+      val passThrough = child.outputSet -- aliased
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(passThrough))
+      if (push.isEmpty) f
+      else {
+        val below = barrier.copy(child = Filter(push.reduce(And), child))
+        keep.reduceOption(And).map(Filter(_, below)).getOrElse(below)
+      }
+  }
 }
 
 /** Plans [[PushdownBarrier]] as an identity projection — `ProjectExec`

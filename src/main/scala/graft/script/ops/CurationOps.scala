@@ -20,8 +20,12 @@ class QualityFilter extends UserOperator {
   def apply(inputs: Seq[DataFrame], params: Map[String, String]): DataFrame = {
     val minTokens = params.getOrElse("minTokens", "10").toLong
     val minAlpha = params.getOrElse("minAlpha", "0.5").toDouble
-    val base = graft.text.TextAnalysis.withLangId(
-      graft.text.TextAnalysis.withQualityFeatures(inputs.head))
+    // fence: the screen predicate must read the computed columns, not be
+    // pushed into the feature projection and re-derive them per row
+    // (plans/PushdownBarrier.scala); raw-column predicates a script FILTER
+    // adds later still cross toward the scan (PushThroughBarrier)
+    val base = graft.plans.PushdownBarrier(graft.text.TextAnalysis.withLangId(
+      graft.text.TextAnalysis.withQualityFeatures(inputs.head)))
     val filtered = base.filter(col("n_tokens") >= minTokens && col("alpha_ratio") > minAlpha)
     params.get("lang").fold(filtered)(l => filtered.filter(col("lang_pred") === l))
   }
@@ -608,7 +612,7 @@ class GopherRules extends UserOperator {
       params.getOrElse("minAlphaWordRatio", "0.8").toDouble,
       params.getOrElse("minStopHits", "2").toInt)
     if (params.getOrElse("keepOnly", "false").toBoolean)
-      out.filter(col("keep_gopher"))
+      graft.plans.PushdownBarrier(out).filter(col("keep_gopher"))
     else out
   }
 }

@@ -305,6 +305,24 @@ class PlanAuditSpec extends SparkSpec {
       s"filter predicate re-derives scriptcounts — pushdown crossed the barrier:\n$cond")
   }
 
+  test("barrier is selectively permeable: raw-column predicates still reach the scan") {
+    // a doc_id range filter above a fenced quality screen must cross the
+    // barrier (PushThroughBarrier) and land in the scan's PushedFilters,
+    // while the feature predicates stay above the projection
+    spark.catalog.clearCache()
+    val docs = Tables.load(spark, dir, "documents")
+    val screened = graft.plans.PushdownBarrier(
+      graft.text.TextAnalysis.withQualityFeatures(docs))
+      .filter(org.apache.spark.sql.functions.col("alpha_ratio") > 0.5 &&
+        org.apache.spark.sql.functions.col("doc_id") < 100)
+    val d = details(screened)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id".r.findFirstIn(d).isDefined,
+      s"doc_id predicate did not cross the barrier to the scan:\n$d")
+    val cond = "Condition : .*".r.findAllIn(d).mkString("\n")
+    assert(!cond.contains("scriptcounts("),
+      s"feature predicate crossed the barrier and re-derives counts:\n$cond")
+  }
+
   test("LM scoring resolves counts with equi-joins and partial-aggregates per doc (q114)") {
     val d = details(SparkEntry.queries("q114_lm_score")(spark, dir))
     assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),

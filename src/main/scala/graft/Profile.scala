@@ -252,6 +252,37 @@ object Profile {
           w => array_contains(array(TextAnalysis.defaultStopwords.map(lit): _*), w))).as("s"))))
       time("q61 full")(noop(SparkEntry.queries("q61_quality_filter")(spark, sfDir)))
     }
+
+    // q79 decomposition (round 14): which normalize stage dominates?
+    locally {
+      val base = t("documents").select(col("doc_id"), col("text"))
+      time("q79 lower only (noop)")(noop(base.select(col("doc_id"), lower(col("text")).as("x"))))
+      time("q79 charclass regex only (noop)")(noop(base.select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " ").as("x"))))
+      time("q79 ws-collapse regex only (noop)")(noop(base.select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("x"))))
+      time("q79 full normalize (noop)")(noop(base.select(col("doc_id"),
+        graft.text.TextAnalysis.normalize(col("text")).as("x"))))
+      time("q79 md5 only (noop)")(noop(base.select(col("doc_id"), md5(col("text")).as("x"))))
+      time("q79 bisect: literal-z regex (noop)")(noop(base.select(col("doc_id"),
+        regexp_replace(col("text"), "z", " ").as("x"))))
+      time("q79 bisect: charclass no-lower (noop)")(noop(base.select(col("doc_id"),
+        regexp_replace(col("text"), "[^a-z0-9\\s]", " ").as("x"))))
+      time("q79 bisect: charclass-nospace (noop)")(noop(base.select(col("doc_id"),
+        regexp_replace(col("text"), "[^a-z0-9 ]", " ").as("x"))))
+      time("q79 bisect: translate (noop)")(noop(base.select(col("doc_id"),
+        translate(col("text"), ".,!?", "    ").as("x"))))
+      time("q79 bisect: scan partitions") {
+        println(s"NUM_PARTITIONS=${base.rdd.getNumPartitions}"); 0L
+      }
+      time("q79 bisect: rdd-map same regex") {
+        base.select(col("text")).rdd.mapPartitions { it =>
+          val rx = java.util.regex.Pattern.compile("[^a-z0-9\\s]")
+          it.map(r => rx.matcher(r.getString(0)).replaceAll(" ").length.toLong)
+        }.sum().toLong
+      }
+      time("q79 full")(noop(SparkEntry.queries("q79_normalize")(spark, sfDir)))
+    }
     spark.stop()
   }
 }

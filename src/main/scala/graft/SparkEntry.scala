@@ -1264,9 +1264,9 @@ object SparkEntry {
       Dedup.crossDocShingleStats(t(s, d, "documents"), n = 8)),
     // canonical normalization for dedup keys (case/punctuation-robust)
     "q79_normalize" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.normalize(col("text")).as("norm_text"),
-        md5(TextAnalysis.normalize(col("text"))).as("norm_fp"))),
+      t(s, d, "documents")
+        .withColumn("norm_text", TextAnalysis.normalize(col("text")))
+        .select(col("doc_id"), col("norm_text"), md5(col("norm_text")).as("norm_fp"))),
     // C4-style blocklist screening by token membership
     "q80_blocklist" -> ((s, d) =>
       TextAnalysis.withBlocklistFlag(t(s, d, "documents"),

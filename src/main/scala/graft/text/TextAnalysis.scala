@@ -322,8 +322,16 @@ object TextAnalysis {
     * near-dup detection robust to case and punctuation noise; narrow
     * codegen'd map, identical regex semantics in RE2 (the oracle).
     */
+  /** Lowercase, strip to [a-z0-9] words, single-space separators —
+    * equals trim(regexp_replace(regexp_replace(lower(t),
+    * "[^a-z0-9\\s]", " "), "\\s+", " ")). One-pass native kernel: the
+    * regex chain was ~70x slower per char AND anti-scaled under
+    * concurrency (this JDK's char-class scan runs no faster on 32 regex
+    * threads than on 1 — q79 measured 14 s at both 4 and 32 cores); see
+    * NativeKernels.normalizeText.
+    */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    graft.functions.expressions.NativeExpressions.normalizeText(text)
 
   /** HTML/markup stripping — the WET-extraction step of a web-crawl
     * pipeline: drop script/style blocks wholesale, comments, then all

@@ -215,6 +215,33 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("normalizeText kernel == regex-chain formulation on multilingual inputs") {
+    // same adversarial pool as scriptCounts: mixed scripts, whitespace
+    // (incl. \\u000B \f \r — java \s members), punctuation, digits,
+    // uppercase, supplementary-plane codepoints, é (lowercases to itself,
+    // non-alnum → space), plus all-whitespace and empty strings
+    val rnd = new scala.util.Random(23)
+    val pool: Seq[Int] =
+      (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).map(_.toInt) ++
+        Seq(' ', ' ', '\t', '\n', '\u000B', '\f', '\r', '.', ',', '#', '-').map(_.toInt) ++
+        Seq(0x4e00, 0x0400, 0x0600, 0x1F600, 0x00e9, 0x00c9, 0x20ac)
+    def randMulti(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(60)).foreach { _ =>
+        sb.appendAll(Character.toChars(pool(rnd.nextInt(pool.length)))) }
+      sb.toString
+    }
+    val inputs = Seq("", " ", "\t\n ", "A.b,C", "  a  b  ", "É😀9") ++
+      (0 until 300).map(_ => randMulti())
+    val df = inputs.toDF("s")
+    val regexForm = trim(regexp_replace(
+      regexp_replace(lower(col("s")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val got = df.select(NativeExpressions.normalizeText(col("s")), regexForm).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"input=${s.map(_.toInt)}")
+    }
+  }
+
   test("gopher stop_hits: array_intersect == filter/array_contains formulation") {
     // the array_intersect rewrite (round 14) must count exactly what the
     // original counted: distinct stopwords present among lowercased tokens

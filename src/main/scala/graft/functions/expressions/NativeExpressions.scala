@@ -350,6 +350,41 @@ object NativeKernels {
     new GenericArrayData(Array[Long](total, latin, digit, cjk, cyr, ara, space))
   }
 
+  /** BPE-ish subword segment count in ONE pass — equals
+    * size(regexp_extract_all(t, "[A-Z][a-z]+|[A-Z]+|[a-z]+|[0-9]+|[^A-Za-z0-9\\s]", 0)).
+    * Java regex alternation is ordered with greedy quantifiers and no
+    * inter-alternative backtracking on failure past the first char, so the
+    * match sequence is exactly: at an uppercase char, one-upper+lowercase-run
+    * if the NEXT char is lowercase else the uppercase run; at a lowercase
+    * char, the lowercase run; at a digit, the digit run; any other
+    * non-whitespace char is a single one-char match; whitespace (java \s)
+    * separates. Counting needs no match materialization — the regex form
+    * paid the same anti-scaling char-class tax as normalizeText.
+    */
+  def subwordCount(s: UTF8String): Long = {
+    val js = s.toString
+    @inline def upper(c: Char) = c >= 'A' && c <= 'Z'
+    @inline def lowerC(c: Char) = c >= 'a' && c <= 'z'
+    @inline def digit(c: Char) = c >= '0' && c <= '9'
+    var i = 0
+    var n = 0L
+    while (i < js.length) {
+      val c = js.charAt(i)
+      if (upper(c)) {
+        n += 1
+        i += 1
+        if (i < js.length && lowerC(js.charAt(i))) { while (i < js.length && lowerC(js.charAt(i))) i += 1 }
+        else { while (i < js.length && upper(js.charAt(i))) i += 1 }
+      } else if (lowerC(c)) { n += 1; while (i < js.length && lowerC(js.charAt(i))) i += 1 }
+      else if (digit(c)) { n += 1; while (i < js.length && digit(js.charAt(i))) i += 1 }
+      else if (isWs(c)) i += 1
+      // the one-char alternative matches per CODEPOINT: a supplementary
+      // char (surrogate pair) is ONE match, not two
+      else { n += 1; i += Character.charCount(js.codePointAt(i)) }
+    }
+    n
+  }
+
   /** Text normalization in ONE pass: lowercase, then reduce to [a-z0-9]
     * words joined by single spaces. Equals
     * trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\\s]", " "),
@@ -427,6 +462,20 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.compressionRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** One-pass BPE-ish subword segment count — see NativeKernels.subwordCount. */
+case class SubwordCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.subwordCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.subwordCount($c)")
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
@@ -664,6 +713,7 @@ object NativeExpressions {
   def compressionRatio(s: Column): Column = c(CompressionRatio(e(s)))
   def scriptCounts(s: Column): Column = c(ScriptCounts(e(s)))
   def normalizeText(s: Column): Column = c(NormalizeText(e(s)))
+  def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

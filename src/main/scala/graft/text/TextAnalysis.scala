@@ -30,8 +30,14 @@ object TextAnalysis {
     */
   val subwordPattern = """[A-Z][a-z]+|[A-Z]+|[a-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
+  /** Segment count from the one-pass kernel — equals
+    * size(regexp_extract_all(text, subwordPattern, 0)); the ordered
+    * alternation reduces to a char-class state machine (the regex form
+    * paid the anti-scaling char-class tax; see
+    * NativeKernels.normalizeText's doc for the measurements).
+    */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(subwordPattern), lit(0))).cast("long")
+    graft.functions.expressions.NativeExpressions.subwordCount(text)
 
   /** Quality-scoring feature columns: lengths, alpha/punct/space/digit
     * ratios, mean token length, stopword ratio. Cheap heuristics of the

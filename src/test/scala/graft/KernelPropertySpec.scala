@@ -242,6 +242,26 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("subwordCount kernel == regexp_extract_all count on case-run boundaries") {
+    // adversarial around the ordered-alternation boundaries: ABc (upper
+    // run then lone lowercase), Abc (title case), AAbc, aB, digit runs,
+    // punctuation singles, supplementary-plane chars (one match, not two)
+    val rnd = new scala.util.Random(31)
+    val frags = Seq("A", "a", "0", "Ab", "AB", "ABc", "AAbc", "aB", "a1",
+      "Hello", "HTTPServer", "camelCase", "x2y", ".", ",", "#", "😀", " ", "\t", "\n")
+    def randDoc(): String =
+      (0 until rnd.nextInt(25)).map(_ => frags(rnd.nextInt(frags.length))).mkString
+    val inputs = Seq("", " ", "ABcDEfg0 12..", "é É") ++ (0 until 300).map(_ => randDoc())
+    val df = inputs.toDF("s")
+    val got = df.select(
+      NativeExpressions.subwordCount(col("s")),
+      size(regexp_extract_all(col("s"),
+        lit(graft.text.TextAnalysis.subwordPattern), lit(0))).cast("long")).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"input=$s")
+    }
+  }
+
   test("gopher stop_hits: array_intersect == filter/array_contains formulation") {
     // the array_intersect rewrite (round 14) must count exactly what the
     // original counted: distinct stopwords present among lowercased tokens

@@ -385,6 +385,27 @@ object NativeKernels {
     n
   }
 
+  /** Count of MAXIMAL runs of characters from `set` — equals
+    * size(regexp_extract_all(t, "[<set>]+", 0)) for a literal BMP char
+    * set (readability's sentence/syllable counts). One linear pass,
+    * membership by scan of the tiny set — no regex (see normalizeText's
+    * doc for why per-char regex is a scale hazard on this JDK).
+    */
+  def runCountInSet(s: UTF8String, set: UTF8String): Long = {
+    val js = s.toString
+    val cs = set.toString
+    var n = 0L
+    var inRun = false
+    var i = 0
+    while (i < js.length) {
+      val m = cs.indexOf(js.charAt(i)) >= 0
+      if (m && !inRun) n += 1
+      inRun = m
+      i += 1
+    }
+    n
+  }
+
   /** Text normalization in ONE pass: lowercase, then reduce to [a-z0-9]
     * words joined by single spaces. Equals
     * trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\\s]", " "),
@@ -462,6 +483,24 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.compressionRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** Count of maximal runs of chars from a literal set — see
+  * NativeKernels.runCountInSet. */
+case class RunCountInSet(child: Expression, set: String) extends UnaryExpression {
+  private val setU = UTF8String.fromString(set)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.runCountInSet(input.asInstanceOf[UTF8String], setU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("runSet", setU, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.runCountInSet($c, $setRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
@@ -714,6 +753,7 @@ object NativeExpressions {
   def scriptCounts(s: Column): Column = c(ScriptCounts(e(s)))
   def normalizeText(s: Column): Column = c(NormalizeText(e(s)))
   def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
+  def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

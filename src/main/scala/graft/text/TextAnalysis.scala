@@ -356,11 +356,12 @@ object TextAnalysis {
     * cheap proxy (exact syllabification needs a dictionary).
     */
   def withReadability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.NativeExpressions.runCountInSet
     val words = tokenCount(col(textCol))
-    val sentences = greatest(lit(1L),
-      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
-    val syllables =
-      size(regexp_extract_all(col(textCol), lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    // maximal-run counts via the one-pass kernel — equal to
+    // size(regexp_extract_all(t, "[set]+", 0)), minus the per-char regex tax
+    val sentences = greatest(lit(1L), runCountInSet(col(textCol), ".!?"))
+    val syllables = runCountInSet(col(textCol), "aeiouyAEIOUY")
     val wps = words.cast("double") / sentences.cast("double")
     val spw = syllables.cast("double") / words.cast("double")
     df.withColumn("n_words", words)

@@ -262,6 +262,25 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("runCountInSet kernel == regexp_extract_all run count") {
+    val rnd = new scala.util.Random(37)
+    def randDoc(): String = (0 until rnd.nextInt(80)).map { _ =>
+      "a e i o u y A E b c . ! ? , x".split(" ")(rnd.nextInt(15)).charAt(0)
+    }.mkString
+    val inputs = Seq("", "...", "a", "!?.", "aeiou", "xxx", ".a.", "!!b??") ++
+      (0 until 300).map(_ => randDoc())
+    val df = inputs.toDF("s")
+    for (set <- Seq(".!?", "aeiouyAEIOUY")) {
+      val escaped = set.replace(".", "\\.").replace("!", "!").replace("?", "\\?")
+      val got = df.select(
+        NativeExpressions.runCountInSet(col("s"), set),
+        size(regexp_extract_all(col("s"), lit(s"[$escaped]+"), lit(0))).cast("long")).collect()
+      got.zip(inputs).foreach { case (r, s) =>
+        assert(r.getLong(0) == r.getLong(1), s"set=$set input=$s")
+      }
+    }
+  }
+
   test("gopher stop_hits: array_intersect == filter/array_contains formulation") {
     // the array_intersect rewrite (round 14) must count exactly what the
     // original counted: distinct stopwords present among lowercased tokens

@@ -568,14 +568,24 @@ object TextAnalysis {
     val t = col(textCol)
     def count(p: String): Column =
       size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
-    df.withColumn("n_emails", count(emailPattern))
-      .withColumn("n_phones", count(phonePattern))
-      .withColumn("n_ipv4", count(ipv4Pattern))
+    // trigger-char gates: every email match contains '@' and every
+    // phone/IP match a digit, so rows without the trigger skip the regex
+    // entirely (identity/zero — values unchanged, the regex semantics are
+    // NOT re-implemented; these patterns backtrack and \b-anchor, exactly
+    // what a hand kernel would get wrong). The regex engine pays its
+    // per-char tax only on rows that can match — the win is proportional
+    // to how rare the trigger chars are in the corpus.
+    val hasAt = t.contains("@")
+    val hasDigit = col("__pii_counts").getItem(2) > 0
+    val r1 = when(hasAt, regexp_replace(t, emailPattern, "<EMAIL>")).otherwise(t)
+    val r2 = when(hasDigit, regexp_replace(r1, phonePattern, "<PHONE>")).otherwise(r1)
+    df.withColumn("__pii_counts",
+        graft.functions.expressions.NativeExpressions.scriptCounts(t))
+      .withColumn("n_emails", when(hasAt, count(emailPattern)).otherwise(lit(0L)))
+      .withColumn("n_phones", when(hasDigit, count(phonePattern)).otherwise(lit(0L)))
+      .withColumn("n_ipv4", when(hasDigit, count(ipv4Pattern)).otherwise(lit(0L)))
       .withColumn("text_redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, emailPattern, "<EMAIL>"),
-            phonePattern, "<PHONE>"),
-          ipv4Pattern, "<IP>"))
+        when(hasDigit, regexp_replace(r2, ipv4Pattern, "<IP>")).otherwise(r2))
+      .drop("__pii_counts")
   }
 }

@@ -385,6 +385,38 @@ object NativeKernels {
     n
   }
 
+  /** Per-document top-token statistics in ONE pass:
+    * (top_token, top_cnt, n_tokens) over whitespace tokens — the most
+    * frequent token, ties to the BINARY-smallest (UTF8String ordering,
+    * matching min_by over struct(-cnt, tok)). Replaces an
+    * explode → groupBy(doc, tok) → groupBy(doc) → join-back pipeline: a
+    * per-document statistic must never shuffle the corpus — the explode
+    * form moved |corpus tokens| rows through two exchanges.
+    * Empty/whitespace-only input → (null, 0, 0), the left join's shape.
+    */
+  def topTokenStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(s)
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      counts.merge(toks.getUTF8String(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var top: UTF8String = null
+    var topCnt = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > topCnt || (c == topCnt && (top == null || e.getKey.compareTo(top) < 0))) {
+        top = e.getKey; topCnt = c
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top, topCnt.toLong, n.toLong))
+  }
+
   /** Count of MAXIMAL runs of characters from `set` — equals
     * size(regexp_extract_all(t, "[<set>]+", 0)) for a literal BMP char
     * set (readability's sentence/syllable counts). One linear pass,
@@ -483,6 +515,24 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.compressionRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** Per-document (top_token, top_cnt, n_tokens) — see
+  * NativeKernels.topTokenStats. */
+case class TopTokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_token", StringType, nullable = true),
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.topTokenStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.topTokenStats($c)")
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
@@ -754,6 +804,7 @@ object NativeExpressions {
   def normalizeText(s: Column): Column = c(NormalizeText(e(s)))
   def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
   def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
+  def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

@@ -264,19 +264,20 @@ object TextAnalysis {
     */
   def topTokenStats(df: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val counts = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
-    val top = counts.groupBy(col(idCol)).agg(
-      min_by(col("__tok"), struct((-col("__cnt")).as("nc"), col("__tok"))).as("top_token"),
-      max(col("__cnt")).as("top_cnt"),
-      sum(col("__cnt")).as("n_tokens"))
-    df.select(col(idCol)).join(top, Seq(idCol), "left")
-      .select(col(idCol), col("top_token"),
-        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        when(col("n_tokens") > 0,
-          col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+    // per-document statistic = per-row kernel; the explode → two-level
+    // groupBy → join-back formulation shuffled |corpus tokens| rows
+    // through two exchanges for values each row can compute alone
+    // (ties break to the binary-smallest token, matching the old
+    // min_by(tok, struct(-cnt, tok)))
+    val t = col("__tts")
+    df.select(col(idCol),
+        graft.functions.expressions.NativeExpressions
+          .topTokenStats(col(textCol)).as("__tts"))
+      .select(col(idCol), t.getField("top_token").as("top_token"),
+        coalesce(t.getField("top_cnt"), lit(0L)).as("top_cnt"),
+        coalesce(t.getField("n_tokens"), lit(0L)).as("n_tokens"),
+        when(t.getField("n_tokens") > 0,
+          t.getField("top_cnt").cast("double") / t.getField("n_tokens").cast("double"))
           .otherwise(lit(0.0)).as("top_frac"))
   }
 

@@ -323,6 +323,16 @@ class PlanAuditSpec extends SparkSpec {
       s"feature predicate crossed the barrier and re-derives counts:\n$cond")
   }
 
+  test("top-token stats are a shuffle-free per-row map (q123)") {
+    // a per-document statistic must never shuffle the corpus — the old
+    // explode -> groupBy(doc, tok) -> groupBy(doc) -> join-back form
+    // moved |corpus tokens| rows through two exchanges
+    spark.catalog.clearCache()
+    val p = executedPlan(SparkEntry.queries("q123_top_token")(spark, dir))
+    assert(!p.contains("Exchange ("), s"top-token stats shuffled:\n$p")
+    assert(p.contains("toptokenstats"), s"kernel missing from plan:\n$p")
+  }
+
   test("LM scoring resolves counts with equi-joins and partial-aggregates per doc (q114)") {
     val d = details(SparkEntry.queries("q114_lm_score")(spark, dir))
     assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"),

@@ -417,6 +417,42 @@ object NativeKernels {
       Array[Any](top, topCnt.toLong, n.toLong))
   }
 
+  /** Stopword-profile language vote in ONE pass: for each token
+    * (lowercased), add its profile-membership bitmask; the winner is the
+    * max (score, lang) pair with lang compared binary — exactly
+    * array_max over struct(score, lang) built per profile, including the
+    * all-zero case (binary-largest lang wins). The declarative form ran
+    * one filter-over-tokens per language; membership against ASCII word
+    * lists makes per-token lowercase equivalent to whole-string lower()
+    * (exotic-case divergences can never match a profile word either way).
+    */
+  def langIdPick(s: UTF8String, mask: java.util.HashMap[UTF8String, Integer],
+                 langs: Array[UTF8String]): UTF8String = {
+    val toks = tokenize(s)
+    val n = toks.numElements()
+    val scores = new Array[Int](langs.length)
+    var i = 0
+    while (i < n) {
+      val m = mask.get(toks.getUTF8String(i).toLowerCase)
+      if (m != null) {
+        var b = 0
+        while (b < langs.length) {
+          if ((m.intValue() & (1 << b)) != 0) scores(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var b = 1
+    while (b < langs.length) {
+      if (scores(b) > scores(best) ||
+        (scores(b) == scores(best) && langs(b).compareTo(langs(best)) > 0)) best = b
+      b += 1
+    }
+    langs(best)
+  }
+
   /** Count of MAXIMAL runs of characters from `set` — equals
     * size(regexp_extract_all(t, "[<set>]+", 0)) for a literal BMP char
     * set (readability's sentence/syllable counts). One linear pass,
@@ -515,6 +551,37 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.compressionRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** One-pass stopword-profile language vote — see NativeKernels.langIdPick. */
+case class LangIdPick(child: Expression, langs: Seq[String],
+                      wordSets: Seq[Seq[String]]) extends UnaryExpression {
+  require(langs.length == wordSets.length && langs.length <= 32)
+  @transient private lazy val maskMap: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    wordSets.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.merge(k, Integer.valueOf(1 << i), (a, b) => a | b)
+      }
+    }
+    m
+  }
+  @transient private lazy val langsU: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.langIdPick(input.asInstanceOf[UTF8String], maskMap, langsU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("langMask", maskMap, classOf[java.util.HashMap[_, _]].getName)
+    val l = ctx.addReferenceObj("langNames", langsU, s"${classOf[UTF8String].getName}[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.langIdPick($c, $m, $l)")
+  }
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
@@ -805,6 +872,8 @@ object NativeExpressions {
   def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
   def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
   def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
+  def langIdPick(s: Column, langs: Seq[String], wordSets: Seq[Seq[String]]): Column =
+    c(LangIdPick(e(s), langs, wordSets))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

@@ -162,21 +162,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "zhe"))
 
-  def withLangId(df: DataFrame, textCol: String = "text", as: String = "lang_pred"): DataFrame = {
-    // tokenize+lowercase ONCE as a projection: each language profile
-    // references the token array, and inlined the tokenize+transform pair
-    // would re-run per profile (5x per row)
-    val toks = col("__langid_toks")
-    val scored = langProfiles.map { case (lang, words) =>
-      val wl = array(words.map(lit): _*)
-      struct(size(filter(toks, w => array_contains(wl, w))).as("score"), lit(lang).as("lang"))
-    }
-    // array_max on (score, lang) structs: max score, ties by lang string desc
-    // — deterministic either way since profiles are disjoint enough.
-    df.withColumn("__langid_toks", transform(tokens(col(textCol)), lower _))
-      .withColumn(as, array_max(array(scored: _*)).getField("lang"))
-      .drop("__langid_toks")
-  }
+  def withLangId(df: DataFrame, textCol: String = "text", as: String = "lang_pred"): DataFrame =
+    // one-pass kernel vote — equal to array_max over per-profile
+    // struct(size(filter(lowercased-tokens, in-profile)), lang) structs:
+    // max score, ties to the binary-larger lang (all-zero docs included)
+    df.withColumn(as, graft.functions.expressions.NativeExpressions.langIdPick(
+      col(textCol), langProfiles.map(_._1), langProfiles.map(_._2)))
 
   /** Language ID by character-n-gram profile counting: each language has a
     * signature trigram list; score = total characters matched by its

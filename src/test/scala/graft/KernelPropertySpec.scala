@@ -281,6 +281,32 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("langIdPick kernel == array_max over per-profile filter scores") {
+    // docs salted with profile words from multiple languages (incl. the
+    // fr/es shared tokens), mixed case, plus empty/no-hit docs where the
+    // all-zero tie must pick the binary-largest lang
+    val rnd = new scala.util.Random(41)
+    val profiles = graft.text.TextAnalysis.langProfiles
+    val vocab = profiles.flatMap(_._2) ++ Seq("xyz", "qqq", "123")
+    def randDoc(): String = (0 until rnd.nextInt(20)).map { _ =>
+      val w = vocab(rnd.nextInt(vocab.length))
+      if (rnd.nextInt(4) == 0) w.toUpperCase else w
+    }.mkString(" ")
+    val inputs = Seq("", "xyz", "la la le", "que que") ++ (0 until 200).map(_ => randDoc())
+    val df = inputs.toDF("s")
+    val toks = transform(graft.text.TextAnalysis.tokens(col("s")), lower _)
+    val scored = profiles.map { case (lang, words) =>
+      val wl = array(words.map(lit): _*)
+      struct(size(filter(toks, w => array_contains(wl, w))).as("score"), lit(lang).as("lang"))
+    }
+    val got = df.select(
+      NativeExpressions.langIdPick(col("s"), profiles.map(_._1), profiles.map(_._2)),
+      array_max(array(scored: _*)).getField("lang")).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"input=$s")
+    }
+  }
+
   test("gopher stop_hits: array_intersect == filter/array_contains formulation") {
     // the array_intersect rewrite (round 14) must count exactly what the
     // original counted: distinct stopwords present among lowercased tokens

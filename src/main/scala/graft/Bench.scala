@@ -178,6 +178,7 @@ object Bench {
     // (JIT/codegen warmup excluded — measured still settling on run 2)
     // while every run re-reads parquet, re-plans, re-shuffles, and
     // re-broadcasts — standard warm single-node throughput methodology
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = selected.map { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
       // a failed query must never masquerade as a fast one: record -1 and
@@ -208,11 +209,32 @@ object Bench {
             -1.0
         }
       }
+      rawRuns(name) = times
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-archive the full result set: the driver's BENCH_rN.json keeps
+    // only a truncated stdout tail (r13/r14 both lost q01–q11 per-query
+    // numbers to the pipe), so the one JSON line above is ALSO written to a
+    // file — same content plus the per-run raw times — making the
+    // cross-round trend record machine-parseable without tail regexing.
+    // run.sh cds to the repo root, so the default lands beside dev/.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try {
+      val runsJson = results.map { case (k, _) =>
+        "\"" + k + "\":[" + rawRuns(k).map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val full =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","cpus":$cpus,"consume":"${if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("count")) "count" else "noop"}"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH ARCHIVE FAIL $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -400,4 +400,19 @@ class ExamplesSpec extends SparkSpec {
       s"DIR=$dir", s"OUT=$out2", "ENV=prod"), stopSession = false)
     assert(spark.read.parquet(s"$out2/urgent").count() >= urgent.count())
   }
+
+  test("README query index: every qNN it names exists in SparkEntry.queries") {
+    // the round-14 audit found one rotted link (the decontamination row
+    // pointed at q144 instead of q81); this pins the whole index so doc
+    // rot is caught mechanically, not by a judge spot-check
+    val readme = new String(Files.readAllBytes(java.nio.file.Paths.get("README.md")))
+    val tokens = "q[0-9]+(?:_[a-z0-9_]+)?".r.findAllIn(readme).toSeq.distinct
+    assert(tokens.nonEmpty, "README stopped naming queries?")
+    val keys = SparkEntry.queries.keySet
+    val dangling = tokens.filterNot { t =>
+      if (t.contains("_")) keys.contains(t)
+      else keys.exists(_.startsWith(t + "_"))
+    }
+    assert(dangling.isEmpty, s"README names queries that don't exist: $dangling")
+  }
 }

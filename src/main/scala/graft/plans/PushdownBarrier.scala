@@ -63,6 +63,17 @@ object PushdownBarrier {
   * those is exactly the re-derivation hazard the barrier exists to stop.
   * Runs in the operator-optimization fixpoint; idempotent (after the move,
   * nothing above the barrier is pushable).
+  *
+  * The rewrite pattern matches `Filter` DIRECTLY above the fence only, and
+  * that is sufficient: a user select interposed between their raw-column
+  * filter and the barrier is a plain deterministic `Project`, which
+  * Catalyst's own `PushPredicateThroughNonJoin` rebases the filter through
+  * (alias-substituting) in the SAME operator-optimization fixpoint — the
+  * filter arrives at the fence a few iterations later and crosses here
+  * (pinned by PlanAuditSpec "barrier permeability survives an interposed
+  * select"). The only selects the composition refuses are ones containing
+  * nondeterministic fields, where Spark itself never reorders a filter —
+  * being more permissive than Spark there would change evaluation counts.
   */
 object PushThroughBarrier extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -76,11 +87,22 @@ object PushThroughBarrier extends Rule[LogicalPlan] with PredicateHelper {
       // aggregates, windows), so a crossed conjunct can never be
       // substituted into a computation by the standard pushdown batches;
       // renames are conservatively treated as computations.
+      // A Union below the fence defeats the alias scan entirely — Union
+      // output attrs take the FIRST child's exprIds, so a column forwarded
+      // raw in branch 1 but computed via Alias in branch 2 would classify
+      // as pass-through and the crossed conjunct would re-derive the
+      // expensive expression inside branch 2. With any Union in the
+      // subtree, every output is conservatively treated as computed.
+      val hasUnion = child.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Union => true
+        case _ => false
+      }
       val aliased = AttributeSet(child.collect {
         case n => n.expressions.flatMap(_.collect {
           case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute })
       }.flatten)
-      val passThrough = child.outputSet -- aliased
+      val passThrough =
+        if (hasUnion) AttributeSet.empty else child.outputSet -- aliased
       val (push, keep) = splitConjunctivePredicates(cond)
         .partition(c => c.deterministic && c.references.subsetOf(passThrough))
       if (push.isEmpty) f

@@ -323,6 +323,48 @@ class PlanAuditSpec extends SparkSpec {
       s"feature predicate crossed the barrier and re-derives counts:\n$cond")
   }
 
+  test("barrier permeability survives an interposed select (Filter -> Project -> Barrier)") {
+    // an API user who selects columns between their raw-column filter and
+    // the fence must not silently lose partition/row-group pruning: the
+    // doc_id range predicate has to cross BOTH the projection and the
+    // barrier into PushedFilters, while feature predicates stay above
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val screened = graft.plans.PushdownBarrier(
+      graft.text.TextAnalysis.withQualityFeatures(docs))
+      .select(col("doc_id"), col("text"), col("alpha_ratio"), col("n_tokens").as("toks"))
+      .filter(col("alpha_ratio") > 0.5 && col("doc_id") < 100 && col("toks") > 1)
+    val d = details(screened)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id".r.findFirstIn(d).isDefined,
+      s"doc_id predicate did not cross the interposed select + barrier:\n$d")
+    val cond = "Condition : .*".r.findAllIn(d).mkString("\n")
+    assert(!cond.contains("scriptcounts("),
+      s"feature predicate crossed the barrier and re-derives counts:\n$cond")
+    assert(!cond.contains("tokenize("),
+      s"feature predicate crossed the barrier and re-derives tokenize:\n$cond")
+  }
+
+  test("barrier permeability is conservative below a Union") {
+    // Union output attrs take the FIRST child's exprIds: a column forwarded
+    // raw in branch 1 but computed via Alias in branch 2 must NOT classify
+    // as pass-through — a crossed conjunct would re-derive the branch-2
+    // expression inside the fence, the exact hazard the barrier stops
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val shifted = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val screened = graft.plans.PushdownBarrier(docs.union(shifted))
+      .filter(col("doc_id") < 100)
+    val opt = screened.queryExecution.optimizedPlan
+    val belowBarrier = opt.collect { case b: graft.plans.PushdownBarrier => b.child }
+    assert(belowBarrier.nonEmpty, "barrier optimized away")
+    assert(!belowBarrier.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _ => false
+    }), s"raw-column conjunct crossed a fence over a Union:\n$opt")
+  }
+
   test("top-token stats are a shuffle-free per-row map (q123)") {
     // a per-document statistic must never shuffle the corpus — the old
     // explode -> groupBy(doc, tok) -> groupBy(doc) -> join-back form

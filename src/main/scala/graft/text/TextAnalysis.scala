@@ -46,7 +46,22 @@ object TextAnalysis {
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
+  /** Guard for operators that stage helper columns via withColumn + drop:
+    * if the caller's frame already has a column by one of these names,
+    * withColumn would silently REPLACE it and the epilogue drop would then
+    * remove the caller's data — fail loudly instead. (The `__`-prefixed
+    * names are this module's reserved namespace; the error names the
+    * clash so the caller can rename.)
+    */
+  private def requireFreshHelpers(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved helper column(s) ${clash.mkString(", ")} — " +
+        "rename them before calling this operator (they would be silently overwritten and dropped)")
+  }
+
   def withQualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    requireFreshHelpers(df, "__q_counts", "__q_toks")
     val t = col(textCol)
     // char-class counts from ONE codepoint pass and the token array from
     // ONE tokenize — both pre-projected so the multi-reference keeps them
@@ -96,6 +111,7 @@ object TextAnalysis {
                       maxSymbolWordRatio: Double = 0.1,
                       maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
                       minAlphaWordRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    requireFreshHelpers(df, "__gopher_toks", "__gopher_lines")
     val t = col(textCol)
     // materialize the token and line arrays ONCE as their own projection:
     // every feature below references them, and inlined they would be
@@ -162,6 +178,15 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "zhe"))
 
+  /** NULL contract: a NULL text yields a NULL prediction (standard
+    * expression null propagation). This is a deliberate round-14 change —
+    * the previous array_max-over-structs formulation returned the
+    * binary-largest language ('zh') for NULL docs, because the struct
+    * scores were null and the tie broke on the lang field; NULL-in-NULL-out
+    * is the contract a consumer branching on lang_pred should see. An
+    * EMPTY or all-zero-score document still gets the tie-break winner
+    * (binary-largest lang), not NULL.
+    */
   def withLangId(df: DataFrame, textCol: String = "text", as: String = "lang_pred"): DataFrame =
     // one-pass kernel vote — equal to array_max over per-profile
     // struct(size(filter(lowercased-tokens, in-profile)), lang) structs:
@@ -281,6 +306,7 @@ object TextAnalysis {
     * cost linear in document length.
     */
   def withRepetitionFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    requireFreshHelpers(df, "__th")
     val th = graft.functions.PortableHash.tokenHashes(col(textCol))
     def dupFrac(arr: Column): Column = {
       val n = size(arr).cast("double")
@@ -444,6 +470,7 @@ object TextAnalysis {
     * multiply-referenced non-trivial expressions un-inlined).
     */
   def withScriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    requireFreshHelpers(df, "__script_counts")
     val sc = col("__script_counts")
     def cnt(i: Int): Column = sc.getItem(i)
     val n = cnt(0)
@@ -557,6 +584,7 @@ object TextAnalysis {
   }
 
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    requireFreshHelpers(df, "__pii_counts")
     val t = col(textCol)
     def count(p: String): Column =
       size(regexp_extract_all(t, lit(p), lit(0))).cast("long")

@@ -329,4 +329,47 @@ class KernelPropertySpec extends SparkSpec {
       assert(r.getLong(0) == r.getLong(1), s"input=$s")
     }
   }
+
+  test("topTokenStats kernel == explode/groupBy/min_by pipeline, ties included") {
+    // the kernel replaced an explode -> groupBy(doc, tok) -> per-doc
+    // min_by(tok, struct(-cnt, tok)) -> join-back formulation; its
+    // tie-break (max count, ties to the binary-SMALLEST token) must match
+    // on documents built to contain equal-count ties
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("pear", "apple", "zzz", "Apple", "b", "bb", "42", "#", "ému")
+    def tiedDoc(): String = {
+      // pick 2-4 tokens and repeat each the SAME number of times, shuffled —
+      // every token ties for top
+      val k = 2 + rnd.nextInt(3)
+      val reps = 1 + rnd.nextInt(4)
+      rnd.shuffle(rnd.shuffle(vocab.toList).take(k).flatMap(w => List.fill(reps)(w)))
+        .mkString(" ")
+    }
+    def randDoc(): String =
+      (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val inputs = Seq("", " ", "a a b b", "b a a b", "zzz apple zzz apple") ++
+      (0 until 120).map(_ => if (rnd.nextBoolean()) tiedDoc() else randDoc())
+    val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+
+    val kernel = graft.text.TextAnalysis.topTokenStats(df).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the OLD formulation, reconstructed verbatim
+    val counts = df.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val old = counts.groupBy("doc_id").agg(
+        min_by(col("tok"), struct((-col("cnt")).as("nc"), col("tok"))).as("top_token"),
+        max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+      .toMap
+    inputs.indices.foreach { i =>
+      val k = kernel(i.toLong)
+      old.get(i.toLong) match {
+        case Some(o) => assert(k == o, s"doc=${inputs(i)}")
+        case None => // empty doc: old pipeline emits no row; kernel emits zeros
+          assert(k == ((None, 0L, 0L)), s"empty doc=${inputs(i)}")
+      }
+    }
+  }
 }

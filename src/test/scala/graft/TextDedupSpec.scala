@@ -106,6 +106,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) == "en" && out(2L) == "de")
   }
 
+  test("langid NULL contract: null text -> null prediction, empty -> tie-break winner") {
+    // round-14 contract change, pinned: the old array_max-over-structs
+    // form returned the binary-largest lang for NULL docs (struct fields
+    // null, tie broken on the lang field); the kernel null-propagates.
+    // All-zero-score docs (empty/no profile hits) still get the tie-break
+    // winner, not null.
+    val df = Seq((1L, null: String), (2L, ""), (3L, "qqq www"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).isEmpty, "null text must predict null")
+    assert(out(2L).contains("zh") && out(3L).contains("zh"),
+      "zero-score docs keep the binary-largest tie-break winner")
+  }
+
+  test("helper-column collision fails loudly instead of silently dropping data") {
+    val df = Seq((1L, "some text", 42)).toDF("doc_id", "text", "__q_toks")
+    val e = intercept[IllegalArgumentException](TextAnalysis.withQualityFeatures(df))
+    assert(e.getMessage.contains("__q_toks"))
+    val df2 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__gopher_lines")
+    intercept[IllegalArgumentException](TextAnalysis.withGopherRules(df2))
+    val df3 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__pii_counts")
+    intercept[IllegalArgumentException](TextAnalysis.withPiiScrub(df3))
+  }
+
   test("exact dedup keeps min id per content (hash groupBy)") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.exactSurvivors(df).collect().map(_.getLong(0)).sorted.toSeq

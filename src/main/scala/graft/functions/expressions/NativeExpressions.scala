@@ -518,6 +518,136 @@ object NativeKernels {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Aho–Corasick automaton over a literal gram set, compiled to a dense
+    * DFA over the grams' compact alphabet — built ONCE per plan (a
+    * codegen reference object) and shared by every task. Matching is one
+    * array step per UTF-16 code unit: chars outside the gram alphabet
+    * reset to the root (no gram contains them, so every fail chain would
+    * land there anyway). Duplicate grams (the same trigram in two
+    * languages' profiles — "ion" is in both en and fr) are separate
+    * pattern ids ending at the same node; each keeps its own
+    * non-overlap cursor so both languages score the occurrence.
+    *
+    * Occurrence semantics per pattern are regexp_replace's: leftmost
+    * non-overlapping. AC reports matches by end position; counting a
+    * match only when its start clears the pattern's previous counted end
+    * reproduces the greedy left-to-right scan exactly (matches of one
+    * pattern all have equal length, so greedy-by-end = greedy-by-start).
+    */
+  final class GramAutomaton(grams: Array[String], val langOf: Array[Int],
+                            val nLangs: Int) extends Serializable {
+    require(grams.length == langOf.length)
+    val nPatterns: Int = grams.length
+    val patLen: Array[Int] = grams.map(_.length)
+    // score weight = CHARACTER (codepoint) count, matching
+    // length(t) - length(regexp_replace(t, g, '')) in Spark and DuckDB
+    val patWeight: Array[Long] = grams.map(g => g.codePointCount(0, g.length).toLong)
+
+    // compact alphabet: chars appearing in any gram; everything else resets
+    val symOf: Array[Short] = {
+      val a = Array.fill[Short](Char.MaxValue + 1)(-1)
+      var next = 0
+      grams.foreach(_.foreach { ch =>
+        if (a(ch) < 0) { a(ch) = next.toShort; next += 1 }
+      })
+      a
+    }
+    private val nSym: Int = {
+      var m = 0
+      symOf.foreach(s => if (s >= m) m = s + 1)
+      m
+    }
+
+    // trie + BFS fail links, then flattened to a full DFA delta table
+    val (delta: Array[Array[Int]], out: Array[Array[Int]]) = {
+      val kids = scala.collection.mutable.ArrayBuffer(Array.fill(nSym)(-1))
+      val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      grams.zipWithIndex.foreach { case (g, p) =>
+        var node = 0
+        g.foreach { ch =>
+          val sym = symOf(ch)
+          if (kids(node)(sym) < 0) {
+            kids += Array.fill(nSym)(-1)
+            outs += Nil
+            kids(node)(sym) = kids.length - 1
+          }
+          node = kids(node)(sym)
+        }
+        outs(node) = p :: outs(node)
+      }
+      val n = kids.length
+      val fail = new Array[Int](n)
+      val d = Array.ofDim[Int](n, nSym)
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      var s = 0
+      while (s < nSym) {
+        val c = kids(0)(s)
+        if (c >= 0) { fail(c) = 0; queue += c; d(0)(s) = c } else d(0)(s) = 0
+        s += 1
+      }
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        outs(u) = outs(u) ++ outs(fail(u))
+        var s2 = 0
+        while (s2 < nSym) {
+          val c = kids(u)(s2)
+          if (c >= 0) { fail(c) = d(fail(u))(s2); queue += c; d(u)(s2) = c }
+          else d(u)(s2) = d(fail(u))(s2)
+          s2 += 1
+        }
+      }
+      (d, outs.map(_.toArray.sorted).toArray)
+    }
+  }
+
+  /** Multi-pattern length-weighted gram vote in ONE pass over the
+    * lowercased text: score(lang) = Σ over its grams of
+    * (non-overlapping occurrences × gram chars) — exactly
+    * Σ (length(t) − length(regexp_replace(t, g, ''))) — winner is the
+    * max score, ties to the FIRST language listed. The declarative form
+    * ran one regexp_replace scan per gram (20 stripped copies of every
+    * document per row for the 4×5 default profiles) and paid the per-char
+    * regex tax on each; this is one DFA step per char. Lowercasing uses
+    * UTF8String.toLowerCase — the same code lower() runs.
+    */
+  def ngramLangPick(s: UTF8String, a: GramAutomaton,
+                    langs: Array[UTF8String]): UTF8String = {
+    val js = s.toLowerCase.toString
+    val counts = new Array[Long](a.nPatterns)
+    val nextOk = new Array[Int](a.nPatterns)
+    val symOf = a.symOf
+    val delta = a.delta
+    val out = a.out
+    var state = 0
+    var i = 0
+    while (i < js.length) {
+      val sym = symOf(js.charAt(i))
+      state = if (sym < 0) 0 else delta(state)(sym)
+      val o = out(state)
+      var k = 0
+      while (k < o.length) {
+        val p = o(k)
+        val start = i - a.patLen(p) + 1
+        if (start >= nextOk(p)) { counts(p) += 1; nextOk(p) = i + 1 }
+        k += 1
+      }
+      i += 1
+    }
+    val scores = new Array[Long](a.nLangs)
+    var p = 0
+    while (p < a.nPatterns) {
+      scores(a.langOf(p)) += counts(p) * a.patWeight(p)
+      p += 1
+    }
+    var best = 0
+    var b = 1
+    while (b < a.nLangs) {
+      if (scores(b) > scores(best)) best = b
+      b += 1
+    }
+    langs(best)
+  }
 }
 
 /** h = fold (h*31 + codepoint) mod `mod` over the string's codepoints. */
@@ -581,6 +711,40 @@ case class LangIdPick(child: Expression, langs: Seq[String],
     val l = ctx.addReferenceObj("langNames", langsU, s"${classOf[UTF8String].getName}[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.langIdPick($c, $m, $l)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** One-pass length-weighted character-n-gram language vote — see
+  * NativeKernels.ngramLangPick. NULL text → NULL prediction (standard
+  * null propagation; empty/zero-score docs get the first language).
+  */
+case class NgramLangPick(child: Expression, langs: Seq[String],
+                         gramSets: Seq[Seq[String]]) extends UnaryExpression {
+  require(langs.length == gramSets.length && langs.nonEmpty)
+  require(gramSets.forall(_.forall(_.nonEmpty)), "empty gram")
+  @transient private lazy val automaton: NativeKernels.GramAutomaton = {
+    // grams are matched VERBATIM against the lowercased text, exactly like
+    // regexp_replace(lower(t), gram, ...) — an uppercase gram never matches
+    // there either, so it must not match here
+    val flat = gramSets.zipWithIndex.flatMap { case (gs, i) => gs.map(g => (g, i)) }
+    new NativeKernels.GramAutomaton(
+      flat.map(_._1).toArray, flat.map(_._2).toArray, langs.length)
+  }
+  @transient private lazy val langsU: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.ngramLangPick(input.asInstanceOf[UTF8String], automaton, langsU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("gramAutomaton", automaton,
+      classOf[NativeKernels.GramAutomaton].getName)
+    val l = ctx.addReferenceObj("gramLangs", langsU, s"${classOf[UTF8String].getName}[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.ngramLangPick($c, $a, $l)")
   }
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
@@ -874,6 +1038,8 @@ object NativeExpressions {
   def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
   def langIdPick(s: Column, langs: Seq[String], wordSets: Seq[Seq[String]]): Column =
     c(LangIdPick(e(s), langs, wordSets))
+  def ngramLangPick(s: Column, langs: Seq[String], gramSets: Seq[Seq[String]]): Column =
+    c(NgramLangPick(e(s), langs, gramSets))
   def lshSignatureF(vec: Column, nPlanes: Int): Column = c(LshSignatureF(e(vec), nPlanes))
   def deletionVariantHashes(s: Column, k: Int): Column = c(DeletionVariantHashes(e(s), k))
 }

@@ -208,16 +208,17 @@ object TextAnalysis {
     "es" -> Seq("que", "los", "ndo", "ado", "nte"))
 
   def withLangIdNgram(df: DataFrame, textCol: String = "text",
-                      as: String = "lang_ngram"): DataFrame = {
-    val t = lower(col(textCol))
-    val scored = ngramProfiles.zipWithIndex.map { case ((lang, grams), i) =>
-      val score = grams.map(g =>
-        length(t) - length(regexp_replace(t, g, ""))).reduce(_ + _)
-      // tie-break to the FIRST profile: pack (score, -index) and take max
-      struct(score.cast("long").as("score"), lit(-i).as("ord"), lit(lang).as("lang"))
-    }
-    df.withColumn(as, array_max(array(scored: _*)).getField("lang"))
-  }
+                      as: String = "lang_ngram"): DataFrame =
+    // one-pass Aho–Corasick kernel — equal to scoring each profile with
+    // Σ (length(lower(t)) - length(regexp_replace(lower(t), gram, "")))
+    // and taking the argmax with ties to the FIRST profile listed. The
+    // declarative form ran one regexp_replace per gram: 20 stripped
+    // copies of every document per row for the default 4×5 profiles, at
+    // ~68 ns/char each with zero speedup from cores (the round-14 regex
+    // finding); the kernel is one DFA step per char. NULL text → NULL
+    // (the old array_max form returned the first profile for NULL docs).
+    df.withColumn(as, graft.functions.expressions.NativeExpressions.ngramLangPick(
+      col(textCol), ngramProfiles.map(_._1), ngramProfiles.map(_._2)))
 
   /** Document fingerprint: md5 of the whitespace-normalized token stream.
     * Equal fingerprints ⇒ equal token sequences regardless of whitespace

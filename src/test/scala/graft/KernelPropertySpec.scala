@@ -330,6 +330,58 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramLangPick kernel == regexp_replace length-diff scoring") {
+    // the kernel replaced 20 per-gram regexp_replace scans; scores must be
+    // Σ (length(lower(t)) - length(regexp_replace(lower(t), g, ''))) per
+    // profile, argmax with ties to the FIRST profile listed
+    val profiles = graft.text.TextAnalysis.ngramProfiles
+    val rnd = new scala.util.Random(99)
+    val pieces = profiles.flatMap(_._2) ++ Seq(" ", "x", "Q", "THE", "Sch", "ión", "…")
+    def randDoc(): String =
+      (0 until rnd.nextInt(40)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    val inputs = Seq("", " ", "theth", "derder", "quequeque", "ingingING",
+      "lesent que eur", "sch und ich ein") ++ (0 until 200).map(_ => randDoc())
+    val df = inputs.toDF("s")
+    val t = lower(col("s"))
+    val scored = profiles.zipWithIndex.map { case ((lang, grams), i) =>
+      val score = grams.map(g =>
+        length(t) - length(regexp_replace(t, g, ""))).reduce(_ + _)
+      struct(score.cast("long").as("score"), lit(-i).as("ord"), lit(lang).as("lang"))
+    }
+    val got = df.select(
+      NativeExpressions.ngramLangPick(col("s"), profiles.map(_._1), profiles.map(_._2)),
+      array_max(array(scored: _*)).getField("lang")).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"input=$s")
+    }
+  }
+
+  test("ngramLangPick non-overlap cursor matches regexp_replace on self-overlapping grams") {
+    // "aa" in "aaaa" is TWO non-overlapping matches (regexp_replace
+    // semantics), not three; a shared-suffix pair ("aba"/"ba") must each
+    // count independently at the same end positions
+    // weights chosen so overlap-counting FLIPS the winner: on "aaaaa" the
+    // correct scores are p = 2 matches × 2 = 4, q = 1 × 3 = 3 (p wins);
+    // counting overlapping occurrences would give p = 8, q = 9 (q wins)
+    val langs = Seq("p", "q")
+    val grams = Seq(Seq("aa"), Seq("aaa"))
+    val inputs = Seq("", "aaaa", "aaaaa", "aaaaaa", "aaaaaaa", "aa aaa aaaa",
+      "ababa", "baaa ab aba", "aabaabaa")
+    val df = inputs.toDF("s")
+    val t = lower(col("s"))
+    val scored = langs.zip(grams).zipWithIndex.map { case ((lang, gs), i) =>
+      val score = gs.map(g =>
+        length(t) - length(regexp_replace(t, g, ""))).reduce(_ + _)
+      struct(score.cast("long").as("score"), lit(-i).as("ord"), lit(lang).as("lang"))
+    }
+    val got = df.select(
+      NativeExpressions.ngramLangPick(col("s"), langs, grams),
+      array_max(array(scored: _*)).getField("lang")).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"input=$s")
+    }
+  }
+
   test("topTokenStats kernel == explode/groupBy/min_by pipeline, ties included") {
     // the kernel replaced an explode -> groupBy(doc, tok) -> per-doc
     // min_by(tok, struct(-cnt, tok)) -> join-back formulation; its

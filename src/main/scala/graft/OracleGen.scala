@@ -1419,6 +1419,29 @@ object OracleGen {
        |FROM z""".stripMargin
   }
 
+  /** OvR scoring anchor (q212): per-class margins under the 2^-5-quantized
+    * fixture models; argmax via sigmoid monotonicity (the fixture scale
+    * keeps every margin non-saturating, so argmax(sigmoid(z)) = argmax(z)
+    * — no transcendentals in SQL), ties to the lowest class id exactly
+    * like Classifier.scoreOvr's struct(s, -c) greatest().
+    */
+  def ovrScore(dim: Int, nClasses: Int): String = {
+    val models = graft.similarity.Classifier.fixtureOvrModels(dim, nClasses)
+    val margins = (0 until nClasses).map { c =>
+      val (w, b) = models(c)
+      val terms = (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${w(i)})")
+      s"(${terms.mkString(" + ")}) + ($b) AS z$c"
+    }
+    val pick = (0 until nClasses - 1).map { c =>
+      val geAll = (c + 1 until nClasses).map(o => s"z$c >= z$o").mkString(" AND ")
+      s"WHEN $geAll THEN $c"
+    }.mkString(" ")
+    s"""WITH z AS (SELECT vec_id, ${margins.mkString(", ")} FROM embeddings)
+       |SELECT vec_id, CAST(CASE $pick ELSE ${nClasses - 1} END AS INT) AS predicted_class
+       |FROM z""".stripMargin
+  }
+
   // ---- q75 mixture plan ---------------------------------------------------
 
   /** Token-budget mixture allocation — mirrors Sampling.mixturePlan (integer

@@ -1759,8 +1759,10 @@ object SparkEntry {
     // classifier-based quality scoring (DCLM/fastText-style curation):
     // fit logistic regression on the labeled embeddings, score every row.
     // Iterative GD over doubles — no SQL oracle for the FIT; the scoring
-    // path is hash-anchored by q210_logreg_score (fixture weights, exact
-    // margin replay) and BpeKmeansSpec bounds the learned accuracy
+    // path is hash-anchored DIRECTLY by q210_logreg_score (binary
+    // sigmoid: fixture weights, exact margin replay) and q212_ovr_score
+    // (the multi-model argmax composition), and BpeKmeansSpec bounds the
+    // learned accuracy
     "q108_quality_classifier" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val labeled = emb.withColumn("quality", (col("label") < 5).cast("int"))
@@ -1824,6 +1826,18 @@ object SparkEntry {
           format_string("doc_%06d", col("doc_id") + 1).as("id_b"))
       graft.dedup.Dedup.dupClusters(pairs)
         .select(col("doc_id").as("doc_sid"), col("cluster"))
+    }),
+    // one-vs-rest multiclass scoring under FIXED 2^-5-quantized weights —
+    // the direct anchor for q108's classifier family: the full per-class
+    // sigmoid + argmax path (Classifier.scoreOvr, the same score() stage
+    // q108 runs per fitted model) executes in Spark; the oracle replays
+    // the raw margins and derives the argmax via sigmoid's monotonicity
+    // (non-saturating by the fixture's scale — see fixtureOvrModels)
+    "q212_ovr_score" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val models = graft.similarity.Classifier.fixtureOvrModels(dim = 64, nClasses = 3)
+      graft.similarity.Classifier.scoreOvr(emb, models)
+        .select(col("vec_id"), col("predicted_class"))
     }),
     // softmax multiclass scoring under FIXED integer weights: the full
     // probability path runs in Spark; the oracle checks the argmax via the
@@ -2125,6 +2139,7 @@ object SparkEntry {
     "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
     "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),
+    "q212_ovr_score" -> OracleGen.ovrScore(dim = 64, nClasses = 3),
     "q210_logreg_score" -> OracleGen.logregScore(dim = 64),
     "q211_string_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -255,6 +255,21 @@ object Classifier {
     (Array.tabulate(nClasses, dim)((k, i) => (((i * 29 + k * 13) % 11) - 5).toDouble),
       Array.tabulate(nClasses)(k => (k - 1).toDouble))
 
+  /** Deterministic fixture models for the ONE-VS-REST scoring path
+    * ([[scoreOvr]]): [[fixtureLogregModel]]'s integer-times-2^-5 weights,
+    * one pattern per class. The 2^-5 scale keeps every class margin in
+    * sigmoid's strictly-monotone non-saturating range (integer weights
+    * would saturate several classes to exactly 1.0 and turn the argmax
+    * into a tie), so argmax of the per-class sigmoids equals argmax of
+    * the raw margins — which an external engine replays with no
+    * transcendentals (the q210/q112 discipline).
+    */
+  def fixtureOvrModels(dim: Int, nClasses: Int): Map[Int, (Array[Double], Double)] =
+    (0 until nClasses).map { k =>
+      k -> (Array.tabulate(dim)(i => (((i * 29 + k * 13) % 11) - 5) * 0.03125),
+        (k - 1) * 0.03125)
+    }.toMap
+
   /** Score with a fitted softmax model: adds per-class probability columns
     * `prob_0..prob_{C-1}` and the argmax `as` column (ties to the lowest
     * class id). One narrow codegen'd pass over the corpus.

@@ -9,9 +9,12 @@ base of 10x users, not 10x events per user); dimension tables (region,
 nation) keep their fixed TPC-H cardinality. Deterministic, no RNG.
 
 Bench-only data: correctness still gates on the driver's sf0.01 + DuckDB.
-Usage: python3 dev/gen_sf1.py [outdir] [copies]
-  (defaults /tmp/graft-sf1, 10; copies=100 builds an sf10-equivalent —
-  key strides leave headroom for up to ~1000 copies before collision)
+Usage: python3 dev/gen_sf1.py [outdir] [copies] [table,table,...]
+  (defaults /tmp/graft-sf1, 10, all tables; copies=100 builds an
+  sf10-equivalent, copies=1000 an sf100 — key strides leave headroom for
+  up to ~1000 copies before collision. The optional table filter builds
+  just the named fact tables plus the as-is dims, for single-query
+  scale sweeps where a 23 GB full fixture is waste.)
 """
 import sys
 
@@ -20,6 +23,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 # per-table key columns to offset by copy_index * stride (stride = a round
 # power of ten above the sf0.1 max key, keeping ids disjoint and readable)
@@ -40,21 +44,43 @@ def main():
     import os
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-copy fixture unrolls into a 1000-way UNION ALL; the default
+    # parser depth limit rejects it
+    con.execute("SET max_expression_depth TO 250000")
+    # chunk size: a COPY of a giant UNION ALL does not stream (a 1000-copy
+    # lineitem buffered >60 GB before writing a byte); above one chunk the
+    # output becomes a parquet DIRECTORY of per-chunk files, which Spark
+    # reads identically and keeps generator memory bounded
+    CHUNK = 50
     for table, offs in OFFSETS.items():
+        if ONLY is not None and table not in ONLY:
+            continue
         src = f"{SRC}/{table}.parquet"
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
-        parts = []
-        for i in range(COPIES):
-            sel = ", ".join(
-                f"{c} + {i * offs[c]} AS {c}" if c in offs else c for c in cols)
-            parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
-        union = " UNION ALL ".join(parts)
-        con.execute(
-            f"COPY ({union}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+
+        def union_of(lo, hi):
+            parts = []
+            for i in range(lo, hi):
+                sel = ", ".join(
+                    f"{c} + {i * offs[c]} AS {c}" if c in offs else c for c in cols)
+                parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
+            return " UNION ALL ".join(parts)
+
+        if COPIES <= CHUNK:
+            con.execute(f"COPY ({union_of(0, COPIES)}) "
+                        f"TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+        else:
+            os.makedirs(f"{OUT}/{table}.parquet", exist_ok=True)
+            for lo in range(0, COPIES, CHUNK):
+                hi = min(lo + CHUNK, COPIES)
+                con.execute(
+                    f"COPY ({union_of(lo, hi)}) TO "
+                    f"'{OUT}/{table}.parquet/chunk_{lo:05d}.parquet' (FORMAT PARQUET)")
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')").fetchone()[0]
-        print(f"{table}: {n} rows")
+            f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet"
+            + ("/*.parquet" if COPIES > CHUNK else "") + "')").fetchone()[0]
+        print(f"{table}: {n} rows", flush=True)
     for table in ASIS:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "

@@ -121,6 +121,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle-partition policy knobs (GraftSession's defaults: ceiling =
+      // cpus, advisory 64m — the fixed-count behavior, which the round-15
+      // sf100 interleaved A/B measured as the winner on one JVM; see
+      // GraftSession.scala and SCALING.md round 15).
+      // SPARK_GRAFT_INITIAL_PARTITIONS raises the ceiling for
+      // partitions-∝-bytes sweeps; SPARK_GRAFT_ADVISORY sets the
+      // per-partition byte target (memory-per-core emulation).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
     // Scan-split size override for scale measurement on multi-row-group

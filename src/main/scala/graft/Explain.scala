@@ -28,7 +28,25 @@ object Explain {
       val broadcasts = "(?<!Reused)BroadcastExchange \\(".r.findAllIn(finalTree).size
       val scans = "Scan parquet".r.findAllIn(finalTree).size
       val codegen = "codegen id : (\\d+)".r.findAllMatchIn(formatted).map(_.group(1)).toSet.size
-      println(s"==== $name  shuffles=$exchanges broadcasts=$broadcasts scans=$scans codegenSpans=$codegen")
+      // AQE's decisions are the scale story: report the FINAL partition
+      // count of every coalesced shuffle read (formatted explain only says
+      // "coalesced") so partition-policy changes are observable
+      val aqeReads = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+            aqeReads += a.partitionSpecs.size
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      val reads = if (aqeReads.isEmpty) "" else s" aqePartitions=${aqeReads.mkString(",")}"
+      println(s"==== $name  shuffles=$exchanges broadcasts=$broadcasts scans=$scans codegenSpans=$codegen$reads")
       if (sys.env.contains("GRAFT_EXPLAIN_FULL")) {
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))

@@ -22,6 +22,29 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffle-partition policy knobs. AQE stages START at the
+      // initialPartitionNum ceiling and coalesce down to
+      // clamp(bytes/parallelism, 1 MB, advisory) from measured map-output
+      // stats, so raising the ceiling makes partition count grow ∝ bytes
+      // once a shuffle outgrows cores × advisory — bounding per-partition
+      // sort/build size. The DEFAULT keeps the ceiling at cores because
+      // the growth regime was measured and LOST on this execution model
+      // (SCALING.md round 15, q15_join_merge at sf100 = a 15 GB shuffle,
+      // interleaved A/B): per-partition sorts of 470 MB at ~1 GB-per-core
+      // heap stay in memory and fixed-count wins every pairwise run, while
+      // 59-partition/256 MB configs cost ~5-20% and 234-partition/64 MB
+      // configs +25-125% — on one JVM, reduce-side fetch/task overhead
+      // above ~cores exceeds what bounded sorts save until memory is the
+      // binding constraint. Deployments whose per-partition bytes WOULD
+      // outgrow memory-per-core (≳ sf300 here, or any real multi-node
+      // cluster, where the same knobs are per-executor) raise
+      // SPARK_GRAFT_INITIAL_PARTITIONS (the ceiling — size it from input
+      // bytes like Bench does) and set SPARK_GRAFT_ADVISORY to the
+      // per-partition byte budget; the engine's plans need no other change.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // earlier testdata generations carried INT64 TIMESTAMP(NANOS); the
       // current events table is TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ),

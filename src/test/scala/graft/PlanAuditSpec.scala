@@ -365,6 +365,62 @@ class PlanAuditSpec extends SparkSpec {
     }), s"raw-column conjunct crossed a fence over a Union:\n$opt")
   }
 
+  test("scale-aware shuffle partitioning: partitions grow past parallelism once bytes demand it") {
+    // the engine's shuffle-partition knobs: AQE stages START at the
+    // initialPartitionNum ceiling and coalesce to
+    // clamp(total/parallelism, minPartitionSize, advisory); with the
+    // ceiling raised and the advisory bounding per-partition bytes,
+    // partition count grows ∝ bytes so sort/build size stays bounded —
+    // the configuration a deployment engages when per-partition data
+    // would outgrow memory-per-core (SCALING.md round 15: measured, and
+    // deliberately NOT the default — fixed-count won the sf100 A/B on
+    // one JVM). Pin that the machinery works when engaged: a ~24 MB
+    // shuffle over a 1 MB advisory must coalesce to MORE partitions than
+    // defaultParallelism — under the fixed cores-sized ceiling this plan
+    // can never exceed the core count.
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val ceilingKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val old = spark.conf.get(advisoryKey)
+    val oldCeiling = spark.conf.get(ceilingKey)
+    try {
+      spark.conf.set(advisoryKey, "1m")
+      spark.conf.set(ceilingKey, "64")
+      // pad must be incompressible — AQE's stats are post-LZ4 map-output
+      // bytes, and a constant pad compresses below the 1 MB partition floor
+      // key must NOT be the range id itself: Range reports an ordered
+      // partitioning on id, so groupBy(id) plans with no exchange at all
+      val df = spark.range(300000).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("id")),
+          org.apache.spark.sql.functions.lit(1000000)).as("k"),
+        org.apache.spark.sql.functions.sha2(col("id").cast("string"), 256).as("pad"))
+        .groupBy("k").agg(fmax("pad").as("p"))
+      df.queryExecution.toRdd.foreach(_ => ())
+      val reads = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+            reads += a.partitionSpecs.size
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      val par = spark.sparkContext.defaultParallelism
+      assert(reads.nonEmpty, "no AQE shuffle read in the plan")
+      assert(reads.max > par,
+        s"shuffle stayed at $reads partitions (parallelism $par) — the byte-" +
+          s"proportional growth regime never engaged")
+    } finally {
+      spark.conf.set(advisoryKey, old)
+      spark.conf.set(ceilingKey, oldCeiling)
+    }
+  }
+
   test("top-token stats are a shuffle-free per-row map (q123)") {
     // a per-document statistic must never shuffle the corpus — the old
     // explode -> groupBy(doc, tok) -> groupBy(doc) -> join-back form

@@ -519,6 +519,69 @@ object NativeKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Quality-feature token statistics in ONE pass, NO token-array
+    * materialization: (n_tokens, sum_token_len, stop_hits) over
+    * whitespace tokens, where sum_token_len is the codepoint total
+    * (= aggregate(toks, 0L, acc + length(tok))) and stop_hits counts
+    * tokens (WITH multiplicity) whose lowercase form is in the stopword
+    * set (= size(filter(transform(toks, lower), array_contains(stop)))).
+    * Tokens longer than the longest stopword skip the lowercase + probe
+    * entirely, so the common case allocates nothing per token; short
+    * tokens lowercase via the same branch structure as lower() (ASCII
+    * map, else String.toLowerCase — the LangIdPick argument: an
+    * exotic-case divergence can never lowercase INTO an ASCII stopword
+    * differently than lower() does, because both end at
+    * String.toLowerCase for non-ASCII input).
+    */
+  def tokenStats(s: UTF8String, stop: java.util.HashSet[String],
+                 maxStopLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val js = s.toString
+    var nTokens = 0L
+    var sumLen = 0L
+    var stopHits = 0L
+    var i = 0
+    while (i < js.length) {
+      if (isWs(js.charAt(i))) i += 1
+      else {
+        val start = i
+        var cps = 0L
+        while (i < js.length && !isWs(js.charAt(i))) {
+          cps += 1
+          i += Character.charCount(js.codePointAt(i))
+        }
+        nTokens += 1
+        sumLen += cps
+        if (i - start <= maxStopLen) {
+          val tok = js.substring(start, i)
+          var ascii = true
+          var j = 0
+          while (ascii && j < tok.length) { if (tok.charAt(j) >= 0x80) ascii = false; j += 1 }
+          val low = if (ascii) {
+            var anyUpper = false
+            j = 0
+            while (!anyUpper && j < tok.length) {
+              val c = tok.charAt(j); if (c >= 'A' && c <= 'Z') anyUpper = true; j += 1
+            }
+            if (!anyUpper) tok
+            else {
+              val a = new Array[Char](tok.length)
+              j = 0
+              while (j < tok.length) {
+                val c = tok.charAt(j)
+                a(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+                j += 1
+              }
+              new String(a)
+            }
+          } else tok.toLowerCase
+          if (stop.contains(low)) stopHits += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, sumLen, stopHits))
+  }
+
   /** Aho–Corasick automaton over a literal gram set, compiled to a dense
     * DFA over the grams' compact alphabet — built ONCE per plan (a
     * codegen reference object) and shared by every task. Matching is one
@@ -751,6 +814,36 @@ case class NgramLangPick(child: Expression, langs: Seq[String],
 
 /** Per-document (top_token, top_cnt, n_tokens) — see
   * NativeKernels.topTokenStats. */
+/** One-pass quality token stats (n_tokens, sum_token_len, stop_hits) with
+  * no token-array materialization — see NativeKernels.tokenStats. */
+case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  // entries kept VERBATIM: the declarative form tests
+  // array_contains(stopList, lower(token)), so an uppercase list entry
+  // never matches there and must not match here
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(w => s.add(w))
+    s
+  }
+  @transient private lazy val maxStopLen: Int =
+    if (stopwords.isEmpty) 0 else stopwords.map(_.length).max
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.tokenStats(input.asInstanceOf[UTF8String], stopSet, maxStopLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("stopSet", stopSet, classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.tokenStats($c, $s, $maxStopLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 case class TopTokenStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("top_token", StringType, nullable = true),
@@ -1036,6 +1129,7 @@ object NativeExpressions {
   def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
   def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
   def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
+  def tokenStats(s: Column, stopwords: Seq[String]): Column = c(TokenStats(e(s), stopwords))
   def langIdPick(s: Column, langs: Seq[String], wordSets: Seq[Seq[String]]): Column =
     c(LangIdPick(e(s), langs, wordSets))
   def ngramLangPick(s: Column, langs: Seq[String], gramSets: Seq[Seq[String]]): Column =

@@ -61,37 +61,43 @@ object TextAnalysis {
   }
 
   def withQualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
-    requireFreshHelpers(df, "__q_counts", "__q_toks")
+    requireFreshHelpers(df, "__q_counts", "__q_ts")
     val t = col(textCol)
-    // char-class counts from ONE codepoint pass and the token array from
-    // ONE tokenize — both pre-projected so the multi-reference keeps them
-    // un-inlined (same round-14 rationale as withScriptProfile: the
-    // regexp_replace-to-count formulation allocated a stripped copy of
-    // the text per ratio per row)
+    // TWO codepoint passes total, no token-array materialization:
+    // char-class counts from scriptCounts and (n_tokens, Σ token length,
+    // stopword hits) from the fused tokenStats kernel — the previous form
+    // materialized the token array and then re-walked it THREE times
+    // (aggregate for mean length, transform(lower) + array_contains per
+    // token for stopwords), which was the residual cost of the q61 screen
+    // after round 14's fence (2.4 s of sf10 wall-clock; SCALING.md round
+    // 15). Values are bit-identical: n_tokens = size(tokenize),
+    // sum_token_len = aggregate(toks, 0L, acc+length), stop_hits =
+    // size(filter(transform(toks, lower), array_contains(stop))) —
+    // property-tested in KernelPropertySpec, and both pre-projected so
+    // multi-reference keeps them un-inlined.
     val sc = col("__q_counts")
-    val toks = col("__q_toks")
+    val ts = col("__q_ts")
     val nChars = sc.getItem(0).cast("double")
-    val nToks = size(toks).cast("double")
-    val stop = array(defaultStopwords.map(lit): _*)
+    val nToksL = ts.getField("n_tokens")
+    val nToks = nToksL.cast("double")
     def ratio(c: Column): Column =
       when(nChars > 0, c.cast("double") / nChars).otherwise(lit(0.0))
     df.withColumn("__q_counts",
         graft.functions.expressions.NativeExpressions.scriptCounts(t))
-      .withColumn("__q_toks", tokens(t))
+      .withColumn("__q_ts",
+        graft.functions.expressions.NativeExpressions.tokenStats(t, defaultStopwords))
       .withColumn("n_chars_m", sc.getItem(0))
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens", nToksL)
       .withColumn("mean_token_len",
-        when(nToks > 0,
-          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+        when(nToks > 0, ts.getField("sum_token_len").cast("double") / nToks)
           .otherwise(lit(0.0)))
       .withColumn("alpha_ratio", ratio(sc.getItem(1)))
       .withColumn("digit_ratio", ratio(sc.getItem(2)))
       .withColumn("space_ratio", ratio(sc.getItem(6)))
       .withColumn("stopword_ratio",
-        when(nToks > 0,
-          size(filter(transform(toks, lower _), w => array_contains(stop, w))).cast("double") / nToks)
+        when(nToks > 0, ts.getField("stop_hits").cast("double") / nToks)
           .otherwise(lit(0.0)))
-      .drop("__q_counts", "__q_toks")
+      .drop("__q_counts", "__q_ts")
   }
 
   /** Gopher-style document-quality rules (Rae et al. 2021, Appendix A1.1 —

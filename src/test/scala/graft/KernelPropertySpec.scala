@@ -330,6 +330,38 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenStats kernel == size/aggregate/filter-array_contains triple") {
+    // the fused quality kernel must reproduce, with multiplicity:
+    // n_tokens = size(tokenize), sum_token_len = aggregate(+length),
+    // stop_hits = size(filter(transform(toks, lower), array_contains))
+    val stop = graft.text.TextAnalysis.defaultStopwords
+    val rnd = new scala.util.Random(31)
+    val pieces = stop ++ stop.map(_.toUpperCase) ++ stop.map(_.capitalize) ++
+      Seq("x", "wordy", "überlang", "汉字词", "ThE", "THAT.", "a-and", "ño", "和the")
+    def doc(): String = (0 until rnd.nextInt(30)).map { _ =>
+      val w = pieces(rnd.nextInt(pieces.length))
+      w + (if (rnd.nextInt(4) == 0) "\t" else " ") * (1 + rnd.nextInt(2))
+    }.mkString
+    val inputs = Seq("", " ", "the THE tHe and", "that that that", "汉 字 the") ++
+      (0 until 200).map(_ => doc())
+    val df = inputs.toDF("s")
+    val stopArr = array(stop.map(lit): _*)
+    val toks = graft.text.TextAnalysis.tokens(col("s"))
+    val ts = NativeExpressions.tokenStats(col("s"), stop)
+    val got = df.select(
+      ts.getField("n_tokens"), size(toks).cast("long"),
+      ts.getField("sum_token_len"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+      ts.getField("stop_hits"),
+      size(filter(transform(toks, lower _), w => array_contains(stopArr, w))).cast("long")
+    ).collect()
+    got.zip(inputs).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"n_tokens input=$s")
+      assert(r.getLong(2) == r.getLong(3), s"sum_token_len input=$s")
+      assert(r.getLong(4) == r.getLong(5), s"stop_hits input=$s")
+    }
+  }
+
   test("ngramLangPick kernel == regexp_replace length-diff scoring") {
     // the kernel replaced 20 per-gram regexp_replace scans; scores must be
     // Σ (length(lower(t)) - length(regexp_replace(lower(t), g, ''))) per

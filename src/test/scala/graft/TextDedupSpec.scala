@@ -122,9 +122,9 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("helper-column collision fails loudly instead of silently dropping data") {
-    val df = Seq((1L, "some text", 42)).toDF("doc_id", "text", "__q_toks")
+    val df = Seq((1L, "some text", 42)).toDF("doc_id", "text", "__q_ts")
     val e = intercept[IllegalArgumentException](TextAnalysis.withQualityFeatures(df))
-    assert(e.getMessage.contains("__q_toks"))
+    assert(e.getMessage.contains("__q_ts"))
     val df2 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__gopher_lines")
     intercept[IllegalArgumentException](TextAnalysis.withGopherRules(df2))
     val df3 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__pii_counts")

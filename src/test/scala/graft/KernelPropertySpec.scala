@@ -336,8 +336,12 @@ class KernelPropertySpec extends SparkSpec {
     // stop_hits = size(filter(transform(toks, lower), array_contains))
     val stop = graft.text.TextAnalysis.defaultStopwords
     val rnd = new scala.util.Random(31)
+    // include supplementary-plane codepoints (surrogate pairs): token
+    // lengths count CODEPOINTS (🙂 is one), and a surrogate inside a short
+    // token must not corrupt the stopword probe
     val pieces = stop ++ stop.map(_.toUpperCase) ++ stop.map(_.capitalize) ++
-      Seq("x", "wordy", "überlang", "汉字词", "ThE", "THAT.", "a-and", "ño", "和the")
+      Seq("x", "wordy", "überlang", "汉字词", "ThE", "THAT.", "a-and", "ño", "和the",
+        "🙂", "a🙂", "🙂the", "the🙂", "𝔱𝔥𝔢", "🙂🙃🙂🙃")
     def doc(): String = (0 until rnd.nextInt(30)).map { _ =>
       val w = pieces(rnd.nextInt(pieces.length))
       w + (if (rnd.nextInt(4) == 0) "\t" else " ") * (1 + rnd.nextInt(2))
@@ -368,7 +372,8 @@ class KernelPropertySpec extends SparkSpec {
     // profile, argmax with ties to the FIRST profile listed
     val profiles = graft.text.TextAnalysis.ngramProfiles
     val rnd = new scala.util.Random(99)
-    val pieces = profiles.flatMap(_._2) ++ Seq(" ", "x", "Q", "THE", "Sch", "ión", "…")
+    val pieces = profiles.flatMap(_._2) ++
+      Seq(" ", "x", "Q", "THE", "Sch", "ión", "…", "🙂", "t🙂he", "🙂ing")
     def randDoc(): String =
       (0 until rnd.nextInt(40)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
     val inputs = Seq("", " ", "theth", "derder", "quequeque", "ingingING",

@@ -786,6 +786,12 @@ case class NgramLangPick(child: Expression, langs: Seq[String],
                          gramSets: Seq[Seq[String]]) extends UnaryExpression {
   require(langs.length == gramSets.length && langs.nonEmpty)
   require(gramSets.forall(_.forall(_.nonEmpty)), "empty gram")
+  // grams are matched as LITERALS (Aho–Corasick); the regexp_replace
+  // formulation this kernel replaced would have treated a metacharacter
+  // as regex syntax, so a gram containing one must fail loudly rather
+  // than silently diverge from an external replay of the regexp form
+  require(gramSets.forall(_.forall(g => !g.exists("\\^$.|?*+()[]{}".contains(_)))),
+    "grams are literal strings; regex metacharacters are not supported")
   @transient private lazy val automaton: NativeKernels.GramAutomaton = {
     // grams are matched VERBATIM against the lowercased text, exactly like
     // regexp_replace(lower(t), gram, ...) — an uppercase gram never matches

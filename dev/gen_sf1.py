@@ -71,7 +71,15 @@ def main():
             con.execute(f"COPY ({union_of(0, COPIES)}) "
                         f"TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
         else:
-            os.makedirs(f"{OUT}/{table}.parquet", exist_ok=True)
+            # clear stale chunks: re-running with fewer copies into the same
+            # outdir must not leave old chunk files silently inflating the
+            # fixture (read_parquet('*.parquet') would count them all)
+            d = f"{OUT}/{table}.parquet"
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    if f.startswith("chunk_") and f.endswith(".parquet"):
+                        os.remove(os.path.join(d, f))
+            os.makedirs(d, exist_ok=True)
             for lo in range(0, COPIES, CHUNK):
                 hi = min(lo + CHUNK, COPIES)
                 con.execute(

@@ -7,7 +7,12 @@ for f in sorted(glob.glob('dev/r14-anchor/sweep_sf10_chunk*.out')):
         if line.startswith('{"metric"'):
             c.update(json.loads(line)['queries'])
 print(f"sf10 queries collected: {len(c)}")
-rows=[(k,a[k],b[k],c[k],b[k]/a[k],c[k]/b[k]) for k in a if k in b and k in c]
+# Bench records a query whose every run failed as -1.0; a sentinel in any
+# scale would make the ratios negative nonsense — exclude and report
+bad=sorted(k for k in a if k in b and k in c and min(a[k],b[k],c[k])<0)
+if bad: print(f"excluded (failed at some scale): {bad}")
+rows=[(k,a[k],b[k],c[k],b[k]/a[k],c[k]/b[k]) for k in a
+      if k in b and k in c and min(a[k],b[k],c[k])>=0]
 rows.sort(key=lambda r:-r[5])
 print(f"{'query':32s} {'sf0.1':>7s} {'sf1':>8s} {'sf10':>8s} {'d1':>6s} {'d2':>6s}")
 for k,x,y,z,d1,d2 in rows:

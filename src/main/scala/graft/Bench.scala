@@ -121,13 +121,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // shuffle-partition policy knobs (GraftSession's defaults: ceiling =
-      // cpus, advisory 64m — the fixed-count behavior, which the round-15
-      // sf100 interleaved A/B measured as the winner on one JVM; see
-      // GraftSession.scala and SCALING.md round 15).
-      // SPARK_GRAFT_INITIAL_PARTITIONS raises the ceiling for
-      // partitions-∝-bytes sweeps; SPARK_GRAFT_ADVISORY sets the
-      // per-partition byte target (memory-per-core emulation).
+      // shuffle-partition policy knobs (same defaults as GraftSession:
+      // ceiling = cpus, advisory 64m — the fixed-count behavior, which the
+      // round-15 sf100 interleaved A/B measured as the winner on one JVM;
+      // see GraftSession.scala and SCALING.md round 15). There is NO
+      // automatic byte-based sizing: SPARK_GRAFT_INITIAL_PARTITIONS raises
+      // the ceiling for partitions-∝-bytes sweeps; SPARK_GRAFT_ADVISORY
+      // sets the per-partition byte target (memory-per-core emulation).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -189,6 +189,10 @@ object Bench {
     // (JIT/codegen warmup excluded — measured still settling on run 2)
     // while every run re-reads parquet, re-plans, re-shuffles, and
     // re-broadcasts — standard warm single-node throughput methodology
+    // computed ONCE: the timing loop and the archive's "consume" field must
+    // never drift apart on which body produced the numbers
+    val consume =
+      if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("count")) "count" else "noop"
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = selected.map { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
@@ -208,7 +212,7 @@ object Bench {
           // count()-based rounds — BASELINE.md records the change).
           // SPARK_GRAFT_BENCH_CONSUME=count restores the old body for
           // same-session methodology A/Bs only.
-          if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("count"))
+          if (consume == "count")
             fn(spark, sfDir).count()
           else
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -239,7 +243,7 @@ object Bench {
         "\"" + k + "\":[" + rawRuns(k).map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","cpus":$cpus,"consume":"${if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("count")) "count" else "noop"}"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","cpus":$cpus,"consume":"$consume"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {

@@ -38,9 +38,11 @@ object GraftSession {
       // binding constraint. Deployments whose per-partition bytes WOULD
       // outgrow memory-per-core (≳ sf300 here, or any real multi-node
       // cluster, where the same knobs are per-executor) raise
-      // SPARK_GRAFT_INITIAL_PARTITIONS (the ceiling — size it from input
-      // bytes like Bench does) and set SPARK_GRAFT_ADVISORY to the
-      // per-partition byte budget; the engine's plans need no other change.
+      // SPARK_GRAFT_INITIAL_PARTITIONS (the ceiling — sizing it from
+      // input bytes over the advisory, the way a production job sizes
+      // shuffle partitions from scan stats, is the right call for a known
+      // job) and set SPARK_GRAFT_ADVISORY to the per-partition byte
+      // budget; the engine's plans need no other change.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",

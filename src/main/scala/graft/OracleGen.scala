@@ -45,10 +45,16 @@ object OracleGen {
     }
     val values = TextAnalysis.langProfiles
       .map { case (lang, _) => s"(s_$lang, '$lang')" }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, lang, list_transform($toks, x -> lower(x)) AS ts FROM documents),
-       |scored AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM t)
+    // NULL text → NULL prediction, matching LangIdPick's null propagation
+    // (the r14 contract change, pinned in TextDedupSpec): without the CASE
+    // the all-NULL scores tie-break to the binary-largest lang, so the
+    // oracle would silently disagree on any NULL-text row
+    s"""WITH t AS (SELECT doc_id, lang, text, list_transform($toks, x -> lower(x)) AS ts FROM documents),
+       |scored AS (SELECT doc_id, lang, text, ${scores.mkString(", ")} FROM t)
        |SELECT doc_id, lang,
-       |  (SELECT l FROM (VALUES $values) v(s, l) ORDER BY s DESC, l DESC LIMIT 1) AS lang_pred
+       |  CASE WHEN text IS NULL THEN NULL ELSE
+       |    (SELECT l FROM (VALUES $values) v(s, l) ORDER BY s DESC, l DESC LIMIT 1)
+       |  END AS lang_pred
        |FROM scored""".stripMargin
   }
 

@@ -2667,9 +2667,14 @@ object SparkEntry {
             .mkString(" + ")
           s"($score, ${-i}, '$lang')"
       }.mkString(", ")
+      // NULL text → NULL prediction (NgramLangPick null-propagates; the
+      // old regexp form's all-NULL scores would tie-break to the first
+      // profile here and silently disagree on any NULL-text row)
       s"""WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents)
         |SELECT doc_id, lang,
-        |  (SELECT l FROM (VALUES $values) v(s, o, l) ORDER BY s DESC, o DESC LIMIT 1) AS lang_ngram
+        |  CASE WHEN t IS NULL THEN NULL ELSE
+        |    (SELECT l FROM (VALUES $values) v(s, o, l) ORDER BY s DESC, o DESC LIMIT 1)
+        |  END AS lang_ngram
         |FROM lowered""".stripMargin
     },
     "q95_intersect" ->

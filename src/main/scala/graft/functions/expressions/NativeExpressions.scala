@@ -818,8 +818,6 @@ case class NgramLangPick(child: Expression, langs: Seq[String],
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
-/** Per-document (top_token, top_cnt, n_tokens) — see
-  * NativeKernels.topTokenStats. */
 /** One-pass quality token stats (n_tokens, sum_token_len, stop_hits) with
   * no token-array materialization — see NativeKernels.tokenStats. */
 case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
@@ -850,6 +848,8 @@ case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryEx
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+/** Per-document (top_token, top_cnt, n_tokens) — see
+  * NativeKernels.topTokenStats. */
 case class TopTokenStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("top_token", StringType, nullable = true),

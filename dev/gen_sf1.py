@@ -42,6 +42,14 @@ ASIS = ["region", "nation"]
 
 def main():
     import os
+    import shutil
+    if ONLY is not None:
+        unknown = ONLY - set(OFFSETS) - set(ASIS)
+        if unknown:
+            # a typo here would silently leave stale fixture data in the
+            # outdir that a subsequent sweep would measure
+            sys.exit(f"unknown table(s) in filter: {sorted(unknown)}; "
+                     f"valid: {sorted(set(OFFSETS) | set(ASIS))}")
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     # a 1000-copy fixture unrolls into a 1000-way UNION ALL; the default
@@ -68,13 +76,21 @@ def main():
             return " UNION ALL ".join(parts)
 
         if COPIES <= CHUNK:
+            # a prior chunked fixture at this path is a DIRECTORY; COPY to
+            # a single file needs it gone (crossing the threshold downward)
+            if os.path.isdir(f"{OUT}/{table}.parquet"):
+                shutil.rmtree(f"{OUT}/{table}.parquet")
             con.execute(f"COPY ({union_of(0, COPIES)}) "
                         f"TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
         else:
             # clear stale chunks: re-running with fewer copies into the same
             # outdir must not leave old chunk files silently inflating the
-            # fixture (read_parquet('*.parquet') would count them all)
+            # fixture (read_parquet('*.parquet') would count them all); a
+            # prior single-FILE fixture at the path blocks makedirs when
+            # crossing the threshold upward
             d = f"{OUT}/{table}.parquet"
+            if os.path.isfile(d):
+                os.remove(d)
             if os.path.isdir(d):
                 for f in os.listdir(d):
                     if f.startswith("chunk_") and f.endswith(".parquet"):

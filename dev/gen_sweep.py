@@ -43,7 +43,10 @@ salts values so duplicate density per row stays CONSTANT across decades:
 Bench-only data; correctness still gates on the driver's sf0.01 + DuckDB.
 Usage: python3 dev/gen_sweep.py [outdir] [copies]
   (defaults /tmp/graft-sw1, 10; run with copies=1 for the sf0.1-scale
-  baseline decade and copies=100 for sf10)
+  baseline decade, copies=100 for sf10, copies=1000 for sf100. Above 50
+  copies each table becomes a parquet DIRECTORY of per-chunk files —
+  same layout and rationale as gen_sf1.py: a single COPY of a 1000-way
+  UNION ALL buffers the whole result before writing a byte.)
 """
 import os
 import sys
@@ -53,6 +56,11 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sw1"
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+# the 2-char base-31 tag and the [5,2] GF(31) codeword address at most
+# 31^2 copies; a longer tag would change word lengths and break
+# cross-decade comparability, so the cap is hard (use 960 for the
+# "sf100" decade — a 9.6x step; normalize factors by the actual ratio)
+assert COPIES <= 961, f"copies={COPIES} exceeds the 31^2 tag space"
 
 # the fixture corpus's closed vocabulary (dev-time check:
 # SELECT DISTINCT unnest(string_split(text,' ')) over sf0.1 = these 31)
@@ -104,15 +112,42 @@ def emb_select(i):
 
 
 def main():
+    import shutil
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-copy fixture unrolls into a 1000-way UNION ALL; the default
+    # parser depth limit rejects it (same as gen_sf1.py)
+    con.execute("SET max_expression_depth TO 250000")
+    CHUNK = 50
     for table, sel in [("documents", doc_select), ("part", part_select),
                        ("embeddings", emb_select)]:
-        union = " UNION ALL ".join(sel(i) for i in range(COPIES))
-        con.execute(f"COPY ({union}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+        path = f"{OUT}/{table}.parquet"
+        if COPIES <= CHUNK:
+            # a prior chunked fixture at this path is a DIRECTORY; COPY to
+            # a single file needs it gone
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            union = " UNION ALL ".join(sel(i) for i in range(COPIES))
+            con.execute(f"COPY ({union}) TO '{path}' (FORMAT PARQUET)")
+        else:
+            # chunked: bounded generator memory; clear stale chunks and a
+            # conflicting single-file fixture (threshold crossings)
+            if os.path.isfile(path):
+                os.remove(path)
+            if os.path.isdir(path):
+                for f in os.listdir(path):
+                    if f.startswith("chunk_") and f.endswith(".parquet"):
+                        os.remove(os.path.join(path, f))
+            os.makedirs(path, exist_ok=True)
+            for lo in range(0, COPIES, CHUNK):
+                hi = min(lo + CHUNK, COPIES)
+                union = " UNION ALL ".join(sel(i) for i in range(lo, hi))
+                con.execute(f"COPY ({union}) TO "
+                            f"'{path}/chunk_{lo:05d}.parquet' (FORMAT PARQUET)")
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')").fetchone()[0]
-        print(f"{table}: {n} rows")
+            f"SELECT count(*) FROM read_parquet('{path}"
+            + ("/*.parquet" if COPIES > CHUNK else "") + "')").fetchone()[0]
+        print(f"{table}: {n} rows", flush=True)
 
 
 if __name__ == "__main__":

@@ -242,8 +242,19 @@ object Bench {
       val runsJson = results.map { case (k, _) =>
         "\"" + k + "\":[" + rawRuns(k).map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
+      // per-query stability: max/min over the successful raw runs (1.0 =
+      // perfectly stable; q201_label_prop has shown 1.39 inside one
+      // session) — lets cross-round trend reads weight by stability
+      // mechanically instead of re-deriving it from the raw runs
+      val spreadJson = results.map { case (k, _) =>
+        val ok = rawRuns(k).filter(_ >= 0)
+        val ratio = if (ok.size >= 2 && ok.min > 0) ok.max / ok.min else -1.0
+        "\"" + k + f"\":$ratio%.3f"
+      }.mkString("{", ",", "}")
+      // cpus is quoted: SPARK_GRAFT_CPUS="*" is a valid local[*] setting
+      // and must not produce invalid JSON here
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","cpus":$cpus,"consume":"$consume"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir","cpus":"$cpus","consume":"$consume"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {

@@ -582,6 +582,134 @@ object NativeKernels {
       Array[Any](nTokens, sumLen, stopHits))
   }
 
+  // ---- PII scan kernels (q71) ------------------------------------------
+  // One-pass replacements for the email / IPv4 regexes of withPiiScrub.
+  // Both patterns are REGULAR (no backreferences), and for both the Java
+  // greedy leftmost-first match coincides with leftmost-longest (argued
+  // per-pattern below), so a deterministic left-to-right scan reproduces
+  // regexp_extract_all counts AND regexp_replace redaction spans exactly
+  // — including in the DuckDB/RE2 oracle, which is leftmost-longest by
+  // construction. Property-tested char-for-char against the JVM regex on
+  // adversarial inputs (KernelPropertySpec). The phone pattern keeps the
+  // digit-gated regex: its optional-group alternation is cheap and rare
+  // relative to the per-char tax these two were paying.
+
+  private def isEmailLocalChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+  private def isEmailDomainChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == '.' || c == '-'
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  // Java's default \b (no UNICODE_CHARACTER_CLASS) and RE2's \b both use
+  // the ASCII \w = [A-Za-z0-9_] — the withPiiScrub doc's portability
+  // argument, now load-bearing for the kernel too.
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}` — count of
+    * non-overlapping matches plus the text with each match replaced by
+    * `<EMAIL>`. Greedy = longest here: the local part is a maximal run
+    * (the char after any shorter prefix is a local char, never `@`), and
+    * among dot-splits of the domain run the LAST dot followed by ≥2
+    * letters yields the longest match, which is exactly the split greedy
+    * backtracking reaches first (longest `[A-Za-z0-9.-]+` prefix).
+    */
+  def piiEmailScan(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val js = s.toString
+    val len = js.length
+    var count = 0L
+    var sb: java.lang.StringBuilder = null
+    var consumed = 0
+    var q = js.indexOf('@')
+    while (q >= 0) {
+      var end = -1
+      if (q > consumed && isEmailLocalChar(js.charAt(q - 1))) {
+        var st = q - 1
+        while (st > consumed && isEmailLocalChar(js.charAt(st - 1))) st -= 1
+        var de = q + 1
+        while (de < len && isEmailDomainChar(js.charAt(de))) de += 1
+        // last dot with at least one domain char before it and ≥2 letters
+        // after it; the TLD run stops at the first non-letter (which may
+        // be inside the domain run — "a@b.co-x" matches "a@b.co")
+        var k = de - 1
+        while (end < 0 && k > q + 1) {
+          if (js.charAt(k) == '.') {
+            var m = k + 1
+            while (m < len && isAsciiLetter(js.charAt(m))) m += 1
+            if (m - k - 1 >= 2) end = m
+          }
+          if (end < 0) k -= 1
+        }
+        if (end >= 0) {
+          if (sb == null) sb = new java.lang.StringBuilder(len)
+          sb.append(js, consumed, st).append("<EMAIL>")
+          consumed = end
+          count += 1
+        }
+      }
+      q = js.indexOf('@', if (end >= 0) consumed else q + 1)
+    }
+    val red = if (count == 0L) s else {
+      sb.append(js, consumed, len)
+      UTF8String.fromString(sb.toString)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count, red))
+  }
+
+  /** `\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b` — count plus
+    * `<IP>` redaction. With `\b` on both ends every octet must be a FULL
+    * digit run of length 1–3 (a longer run leaves a digit after any 1–3
+    * digit choice, failing the dot / the trailing boundary for every
+    * backtracking alternative), so the match at a boundary start is
+    * unique when it exists — greedy, longest, and this scan agree.
+    * Boundaries are evaluated against the real neighboring chars, as
+    * Java's find() does after a previous match.
+    */
+  def piiIpv4Scan(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val js = s.toString
+    val len = js.length
+    var count = 0L
+    var sb: java.lang.StringBuilder = null
+    var consumed = 0
+    var p = 0
+    while (p < len) {
+      val c = js.charAt(p)
+      if (c >= '0' && c <= '9' && (p == 0 || !isWordChar(js.charAt(p - 1)))) {
+        var pos = p
+        var oct = 0
+        var ok = true
+        while (ok && oct < 4) {
+          var r = 0
+          while (pos + r < len && { val d = js.charAt(pos + r); d >= '0' && d <= '9' }) r += 1
+          if (r < 1 || r > 3) ok = false
+          else {
+            pos += r
+            if (oct < 3) {
+              if (pos < len && js.charAt(pos) == '.') pos += 1 else ok = false
+            } else if (pos < len && isWordChar(js.charAt(pos))) ok = false
+          }
+          oct += 1
+        }
+        if (ok) {
+          if (sb == null) sb = new java.lang.StringBuilder(len)
+          sb.append(js, consumed, p).append("<IP>")
+          consumed = pos
+          count += 1
+          p = pos
+        } else p += 1
+      } else p += 1
+    }
+    val red = if (count == 0L) s else {
+      sb.append(js, consumed, len)
+      UTF8String.fromString(sb.toString)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count, red))
+  }
+
   /** Aho–Corasick automaton over a literal gram set, compiled to a dense
     * DFA over the grams' compact alphabet — built ONCE per plan (a
     * codegen reference object) and shared by every task. Matching is one
@@ -845,6 +973,40 @@ case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryEx
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.tokenStats($c, $s, $maxStopLen)")
   }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** One-pass email count + `<EMAIL>` redaction — see
+  * NativeKernels.piiEmailScan. */
+case class PiiEmailScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.piiEmailScan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.piiEmailScan($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** One-pass IPv4 count + `<IP>` redaction — see
+  * NativeKernels.piiIpv4Scan. */
+case class PiiIpv4Scan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.piiIpv4Scan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.piiIpv4Scan($c)")
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
@@ -1135,6 +1297,8 @@ object NativeExpressions {
   def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
   def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
   def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
+  def piiEmailScan(s: Column): Column = c(PiiEmailScan(e(s)))
+  def piiIpv4Scan(s: Column): Column = c(PiiIpv4Scan(e(s)))
   def tokenStats(s: Column, stopwords: Seq[String]): Column = c(TokenStats(e(s), stopwords))
   def langIdPick(s: Column, langs: Seq[String], wordSets: Seq[Seq[String]]): Column =
     c(LangIdPick(e(s), langs, wordSets))

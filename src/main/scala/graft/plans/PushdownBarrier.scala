@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, UnaryNode, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.PlanBridge
 
@@ -76,33 +76,54 @@ object PushdownBarrier {
   * being more permissive than Spark there would change evaluation counts.
   */
 object PushThroughBarrier extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Outputs of `plan` forwarded raw from a leaf — never defined by an
+    * Alias at any node on their path up. A one-level projectList check is
+    * wrong: after a two-operator screen the TOP project forwards
+    * n_tokens as a bare attribute while the project two levels down
+    * computes it — letting its predicate cross re-derives the feature
+    * at the scan. Renames are conservatively treated as computations, so
+    * a crossed conjunct can never be substituted into a computation by
+    * the standard pushdown batches.
+    *
+    * A Union needs positional treatment, not an exprId scan — Union
+    * output attrs take the FIRST child's exprIds, so a column forwarded
+    * raw in branch 1 but computed via Alias in branch 2 would classify
+    * as pass-through under a flat alias collection, and the crossed
+    * conjunct would re-derive the expensive expression inside branch 2.
+    * Here a Union output is raw only when the attribute at the SAME
+    * position is raw in EVERY branch; otherwise it is computed. This
+    * keeps partition pruning for unioned-corpus screens where all
+    * branches forward the filter column untouched, while the
+    * branch-computed case stays fenced (both pinned by PlanAuditSpec).
+    */
+  private def rawOutputs(plan: LogicalPlan): AttributeSet = plan match {
+    case leaf: LeafNode => leaf.outputSet
+    case u: Union =>
+      val childRaw = u.children.map(rawOutputs)
+      val byPosition = u.children.map(_.output).transpose
+      AttributeSet(u.output.zip(byPosition).collect {
+        case (out, branchAttrs)
+            if branchAttrs.zip(childRaw).forall { case (a, raw) => raw.contains(a) } =>
+          out
+      })
+    case other =>
+      val childRaw = other.children.foldLeft(AttributeSet.empty)(_ ++ rawOutputs(_))
+      val childOut = other.children.foldLeft(AttributeSet.empty)(_ ++ _.outputSet)
+      val aliasedHere = AttributeSet(other.expressions.flatMap(_.collect {
+        case a: Alias => a.toAttribute
+      }))
+      // An output is raw when not aliased at this node and either raw in a
+      // child or node-generated without an Alias (e.g. a Generate output —
+      // crossing such a conjunct is sound: below the fence it references
+      // the same value and Catalyst's own rules take over).
+      AttributeSet(other.output.filter(a =>
+        !aliasedHere.contains(a) && (!childOut.contains(a) || childRaw.contains(a))))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, barrier @ PushdownBarrier(child)) =>
-      // pass-through = output attributes NOT defined by an Alias anywhere
-      // in the subtree below the fence. A one-level projectList check is
-      // wrong: after a two-operator screen the TOP project forwards
-      // n_tokens as a bare attribute while the project two levels down
-      // computes it — letting its predicate cross re-derives the feature
-      // at the scan. Aliases are collected subtree-wide (projections,
-      // aggregates, windows), so a crossed conjunct can never be
-      // substituted into a computation by the standard pushdown batches;
-      // renames are conservatively treated as computations.
-      // A Union below the fence defeats the alias scan entirely — Union
-      // output attrs take the FIRST child's exprIds, so a column forwarded
-      // raw in branch 1 but computed via Alias in branch 2 would classify
-      // as pass-through and the crossed conjunct would re-derive the
-      // expensive expression inside branch 2. With any Union in the
-      // subtree, every output is conservatively treated as computed.
-      val hasUnion = child.exists {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Union => true
-        case _ => false
-      }
-      val aliased = AttributeSet(child.collect {
-        case n => n.expressions.flatMap(_.collect {
-          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute })
-      }.flatten)
-      val passThrough =
-        if (hasUnion) AttributeSet.empty else child.outputSet -- aliased
+      val passThrough = rawOutputs(child)
       val (push, keep) = splitConjunctivePredicates(cond)
         .partition(c => c.deterministic && c.references.subsetOf(passThrough))
       if (push.isEmpty) f

@@ -340,8 +340,11 @@ object TextAnalysis {
     * through the redaction (e.g. "555-123-4567" redacting to
     * "555-<PHONE>"). Redaction is applied email → phone → ip, in that
     * order (order is observable when patterns overlap). A narrow codegen'd
-    * map — the 100 TB shape is exactly this: regex passes fused into the
-    * scan projection.
+    * map — the 100 TB shape is exactly this: scan passes fused into the
+    * scan projection. The email/IPv4 patterns are evaluated by one-pass
+    * kernels (NativeKernels.piiEmailScan/piiIpv4Scan) that reproduce
+    * these regexes exactly; the patterns remain the contract (and what
+    * the property tests replay through the JVM regex engine).
     */
   val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val phonePattern = """\b([0-9]{3}-)?[0-9]{3}-[0-9]{4}\b"""
@@ -591,28 +594,29 @@ object TextAnalysis {
   }
 
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
-    requireFreshHelpers(df, "__pii_counts")
+    requireFreshHelpers(df, "__pii_counts", "__pii_email")
     val t = col(textCol)
+    import graft.functions.expressions.NativeExpressions.{piiEmailScan, piiIpv4Scan}
+    // email and IPv4 are one-pass DFA-style kernels (r16 — see
+    // NativeKernels.piiEmailScan/piiIpv4Scan for the greedy≡longest
+    // argument; property-tested char-for-char against these regexes). The
+    // phone pattern keeps the regex behind a digit-trigger gate: rows
+    // without a digit skip it entirely (identity/zero — values unchanged),
+    // so the backtracking engine pays its per-char tax only on rows that
+    // can match. Counts are over the ORIGINAL text; redaction chains
+    // email → phone → ip (order observable when patterns overlap).
     def count(p: String): Column =
       size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
-    // trigger-char gates: every email match contains '@' and every
-    // phone/IP match a digit, so rows without the trigger skip the regex
-    // entirely (identity/zero — values unchanged, the regex semantics are
-    // NOT re-implemented; these patterns backtrack and \b-anchor, exactly
-    // what a hand kernel would get wrong). The regex engine pays its
-    // per-char tax only on rows that can match — the win is proportional
-    // to how rare the trigger chars are in the corpus.
-    val hasAt = t.contains("@")
     val hasDigit = col("__pii_counts").getItem(2) > 0
-    val r1 = when(hasAt, regexp_replace(t, emailPattern, "<EMAIL>")).otherwise(t)
+    val r1 = col("__pii_email").getField("redacted")
     val r2 = when(hasDigit, regexp_replace(r1, phonePattern, "<PHONE>")).otherwise(r1)
     df.withColumn("__pii_counts",
         graft.functions.expressions.NativeExpressions.scriptCounts(t))
-      .withColumn("n_emails", when(hasAt, count(emailPattern)).otherwise(lit(0L)))
+      .withColumn("__pii_email", piiEmailScan(t))
+      .withColumn("n_emails", col("__pii_email").getField("n"))
       .withColumn("n_phones", when(hasDigit, count(phonePattern)).otherwise(lit(0L)))
-      .withColumn("n_ipv4", when(hasDigit, count(ipv4Pattern)).otherwise(lit(0L)))
-      .withColumn("text_redacted",
-        when(hasDigit, regexp_replace(r2, ipv4Pattern, "<IP>")).otherwise(r2))
-      .drop("__pii_counts")
+      .withColumn("n_ipv4", piiIpv4Scan(t).getField("n"))
+      .withColumn("text_redacted", piiIpv4Scan(r2).getField("redacted"))
+      .drop("__pii_counts", "__pii_email")
   }
 }

@@ -461,4 +461,90 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // the JVM regex engine itself as the reference: non-overlapping find()
+  // with appendReplacement, exactly what regexp_extract_all(size) and
+  // regexp_replace compute
+  private def refRegexScan(s: String, pattern: String, repl: String): (Long, String) = {
+    val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+    var n = 0L
+    val sb = new StringBuffer
+    while (m.find()) { n += 1; m.appendReplacement(sb, repl) }
+    m.appendTail(sb)
+    (n, sb.toString)
+  }
+
+  // adversarial generator for the PII kernels: heavy in '@', '.', digits,
+  // dashes and boundary-relevant chars so local/domain/octet edge shapes
+  // (runs > 3, dots at run edges, word chars after a candidate match,
+  // adjacent candidates) occur constantly
+  private def piiSamples(seed: Int): Seq[String] = {
+    val r = new scala.util.Random(seed)
+    val pool = "a b z A Z _ % + - . . . @ @ 0 1 2 9 12 123 1234 .. -. é é \t"
+      .split(" ").toSeq :+ " "
+    val handPicked = Seq(
+      "", "@", "a@b.co", "a@b.c", "a@b.co.uk", "a@b.comx", "a@b.co-x",
+      "x@y.com@z.com", "a@@b.com", "a@.com", "a@b..com", ".a.@.b.cc.",
+      "é@b.com", "a@é.com", "user.name+tag@sub.domain-x.org extra",
+      "1.2.3.4", "01.002.3.255", "1.2.3.4.5", "1234.5.6.7", "1.2345.6.7",
+      "1.2.3.45678", "5.1.2.3.4", "a1.2.3.4", ".1.2.3.4", "1.2.3.4a",
+      "1.2.3.4_", "-1.2.3.4-", "1..2.3.4", "1.2.3.4.5.6", "x 999.999.999.999 y",
+      "1.2.3.4 5.6.7.8", "1.2.3.45.6.7.8.9", "a@1.2.3.4 and 1.2.3.4@b.com",
+      "mail me at a@b.io or 10.0.0.1!", "@@@...---___", "1.2.3.", "1.2.3")
+    handPicked ++ (0 until 400).map { _ =>
+      (0 until r.nextInt(30)).map(_ => pool(r.nextInt(pool.length))).mkString
+    }
+  }
+
+  test("piiEmailScan kernel == email regex (count and redaction spans)") {
+    val inputs = piiSamples(61)
+    val got = inputs.toDF("s")
+      .select(NativeExpressions.piiEmailScan(col("s")).as("r"))
+      .select(col("r.n"), col("r.redacted")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    inputs.zip(got).foreach { case (s, g) =>
+      val ref = refRegexScan(s, graft.text.TextAnalysis.emailPattern, "<EMAIL>")
+      assert(g == ref, s"input=[$s]")
+    }
+  }
+
+  test("piiIpv4Scan kernel == ipv4 regex (count and redaction spans)") {
+    val inputs = piiSamples(62)
+    val got = inputs.toDF("s")
+      .select(NativeExpressions.piiIpv4Scan(col("s")).as("r"))
+      .select(col("r.n"), col("r.redacted")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    inputs.zip(got).foreach { case (s, g) =>
+      val ref = refRegexScan(s, graft.text.TextAnalysis.ipv4Pattern, "<IP>")
+      assert(g == ref, s"input=[$s]")
+    }
+  }
+
+  test("withPiiScrub full pipeline matches the pre-kernel regex formulation") {
+    // the r15 formulation, reconstructed verbatim (gated regexes for all
+    // three patterns), vs the r16 kernel path — on the adversarial pool
+    import graft.text.TextAnalysis.{emailPattern, phonePattern, ipv4Pattern}
+    val inputs = piiSamples(63) ++ Seq(
+      "call 555-123-4567 or 123-4567 at 10.0.0.1 a@b.com", "555-12345-678")
+    val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val t = col("text")
+    def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    val hasAt = t.contains("@")
+    val hasDigit = col("__pc").getItem(2) > 0
+    val r1 = when(hasAt, regexp_replace(t, emailPattern, "<EMAIL>")).otherwise(t)
+    val r2 = when(hasDigit, regexp_replace(r1, phonePattern, "<PHONE>")).otherwise(r1)
+    val old = df.withColumn("__pc", NativeExpressions.scriptCounts(t))
+      .withColumn("n_emails", when(hasAt, cnt(emailPattern)).otherwise(lit(0L)))
+      .withColumn("n_phones", when(hasDigit, cnt(phonePattern)).otherwise(lit(0L)))
+      .withColumn("n_ipv4", when(hasDigit, cnt(ipv4Pattern)).otherwise(lit(0L)))
+      .withColumn("text_redacted",
+        when(hasDigit, regexp_replace(r2, ipv4Pattern, "<IP>")).otherwise(r2))
+      .drop("__pc")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    val kernel = graft.text.TextAnalysis.withPiiScrub(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    inputs.indices.foreach { i =>
+      assert(kernel(i.toLong) == old(i.toLong), s"doc=[${inputs(i)}]")
+    }
+  }
 }

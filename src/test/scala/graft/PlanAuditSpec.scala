@@ -345,11 +345,12 @@ class PlanAuditSpec extends SparkSpec {
       s"feature predicate crossed the barrier and re-derives tokenize:\n$cond")
   }
 
-  test("barrier permeability is conservative below a Union") {
+  test("barrier permeability is conservative below a Union (branch-computed column)") {
     // Union output attrs take the FIRST child's exprIds: a column forwarded
     // raw in branch 1 but computed via Alias in branch 2 must NOT classify
     // as pass-through — a crossed conjunct would re-derive the branch-2
-    // expression inside the fence, the exact hazard the barrier stops
+    // expression inside the fence, the exact hazard the barrier stops.
+    // The per-branch positional scan (r16) must keep refusing this case.
     spark.catalog.clearCache()
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
@@ -363,6 +364,30 @@ class PlanAuditSpec extends SparkSpec {
       case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
       case _ => false
     }), s"raw-column conjunct crossed a fence over a Union:\n$opt")
+  }
+
+  test("barrier permeability crosses a Union when ALL branches forward the column raw") {
+    // The common unioned-corpus screen: two parquet scans unioned, features
+    // computed above the fence. Every branch forwards doc_id untouched, so
+    // the per-branch positional scan classifies it pass-through and the
+    // raw-column predicate must land in BOTH branches' PushedFilters —
+    // partition/row-group pruning preserved across the union (r16, VERDICT
+    // r15 task 4). The feature predicate still must not cross.
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.{col, length}
+    def branch() = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"))
+    val screened = graft.plans.PushdownBarrier(branch().union(branch()))
+      .filter(col("doc_id") < 100 && col("n_chars") > 10)
+    val d = screened.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[[^\\]]*LessThan\\(doc_id,100\\)[^\\]]*\\]".r
+      .findAllIn(d).length
+    assert(pushed == 2,
+      s"doc_id predicate should reach BOTH union branches' scans (got $pushed):\n$d")
+    val cond = "Condition : .*".r.findAllIn(d).mkString("\n")
+    assert(cond.contains("n_chars"),
+      s"feature (branch-aliased) predicate should stay above the fence:\n$d")
   }
 
   test("scale-aware shuffle partitioning: partitions grow past parallelism once bytes demand it") {

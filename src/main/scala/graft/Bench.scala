@@ -242,12 +242,17 @@ object Bench {
       val runsJson = results.map { case (k, _) =>
         "\"" + k + "\":[" + rawRuns(k).map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
-      // per-query stability: max/min over the successful raw runs (1.0 =
-      // perfectly stable; q201_label_prop has shown 1.39 inside one
-      // session) — lets cross-round trend reads weight by stability
-      // mechanically instead of re-deriving it from the raw runs
+      // per-query stability: max/min over the WARM raw runs — run 1 is
+      // excluded when all runs succeeded, because it is codegen/JIT
+      // warmup and dominates every query's max (measured: the suite's
+      // largest all-runs ratios were uniformly run-1 artifacts), which
+      // min-of-3 already discards. 1.0 = perfectly stable;
+      // q201_label_prop has shown 1.39 WARM spread inside one session.
+      // Lets cross-round trend reads weight by stability mechanically.
       val spreadJson = results.map { case (k, _) =>
-        val ok = rawRuns(k).filter(_ >= 0)
+        val raw = rawRuns(k)
+        val ok = (if (raw.forall(_ >= 0) && raw.size >= 3) raw.tail else raw)
+          .filter(_ >= 0)
         val ratio = if (ok.size >= 2 && ok.min > 0) ok.max / ok.min else -1.0
         "\"" + k + f"\":$ratio%.3f"
       }.mkString("{", ",", "}")

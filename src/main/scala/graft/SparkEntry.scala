@@ -1847,6 +1847,22 @@ object SparkEntry {
       val (w, b) = graft.similarity.Classifier.fixtureSoftmaxModel(dim = 64, nClasses = 3)
       graft.similarity.Classifier.scoreSoftmax(emb, w, b)
         .select(col("vec_id"), col("predicted_class"))
+    }),
+
+    // quality screen over a UNIONED corpus (two sources unioned below the
+    // feature projection and the fence): exercises PushThroughBarrier's
+    // per-branch Union classification end-to-end — the raw doc_id conjunct
+    // crosses the fence AND the union into BOTH branches' PushedFilters
+    // (partition pruning preserved across a multi-source corpus), the
+    // n_tokens conjunct stays above the fence (r16; PlanAuditSpec pins
+    // the plan shape, this query pins the values)
+    "q213_union_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("source") === "src0").select("doc_id", "text")
+      val b = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+      graft.plans.PushdownBarrier(TextAnalysis.withQualityFeatures(a.unionAll(b)))
+        .filter(col("doc_id") % 7 === 0 && col("n_tokens") >= 5)
+        .select("doc_id", "n_tokens")
     })
   )
 
@@ -2139,6 +2155,14 @@ object SparkEntry {
     "q110_exact_l2_topk" -> OracleGen.annL2(k = 10, maxQueryId = 5),
     "q111_pca_whiten" -> OracleGen.pcaWhiten(dim = 64, k = 4),
     "q112_softmax_class" -> OracleGen.softmaxClass(dim = 64, nClasses = 3),
+    "q213_union_screen" ->
+      s"""SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
+        |FROM documents WHERE source = 'src0'
+        |  AND doc_id % 7 = 0 AND len($duckToks) >= 5
+        |UNION ALL
+        |SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
+        |FROM documents WHERE source <> 'src0'
+        |  AND doc_id % 7 = 0 AND len($duckToks) >= 5""".stripMargin,
     "q212_ovr_score" -> OracleGen.ovrScore(dim = 64, nClasses = 3),
     "q210_logreg_score" -> OracleGen.logregScore(dim = 64),
     "q211_string_clusters" ->

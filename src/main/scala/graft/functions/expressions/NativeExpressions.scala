@@ -710,6 +710,59 @@ object NativeKernels {
       Array[Any](count, red))
   }
 
+  /** `\b([0-9]{3}-)?[0-9]{3}-[0-9]{4}\b` — count plus `<PHONE>` redaction.
+    * Exact quantifiers leave the optional area-code group as the only
+    * choice point, so the match attempt at a boundary start is a
+    * two-case check over full digit runs (a run longer than its
+    * quantifier leaves a digit where `-` or the trailing boundary must
+    * be, failing every alternative — same argument as the IPv4 kernel):
+    * case A (group present) needs runs 3-3-4 dash-separated; case B
+    * (group absent, tried second exactly as backtracking does) needs
+    * 3-4. A failed A never rescues via a shorter group — the group
+    * matches all of `[0-9]{3}-` or nothing.
+    */
+  def piiPhoneScan(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val js = s.toString
+    val len = js.length
+    var count = 0L
+    var sb: java.lang.StringBuilder = null
+    var consumed = 0
+    def digitRun(from: Int): Int = {
+      var r = 0
+      while (from + r < len && { val d = js.charAt(from + r); d >= '0' && d <= '9' }) r += 1
+      r
+    }
+    var p = 0
+    while (p < len) {
+      val c = js.charAt(p)
+      var end = -1
+      if (c >= '0' && c <= '9' && (p == 0 || !isWordChar(js.charAt(p - 1)))) {
+        if (digitRun(p) == 3 && p + 3 < len && js.charAt(p + 3) == '-') {
+          val r2 = digitRun(p + 4)
+          // case A: 3-3-4 with a trailing boundary
+          if (r2 == 3 && p + 7 < len && js.charAt(p + 7) == '-' &&
+              digitRun(p + 8) == 4 &&
+              (p + 12 >= len || !isWordChar(js.charAt(p + 12)))) end = p + 12
+          // case B: 3-4 with a trailing boundary
+          else if (r2 == 4 && (p + 8 >= len || !isWordChar(js.charAt(p + 8)))) end = p + 8
+        }
+      }
+      if (end >= 0) {
+        if (sb == null) sb = new java.lang.StringBuilder(len)
+        sb.append(js, consumed, p).append("<PHONE>")
+        consumed = end
+        count += 1
+        p = end
+      } else p += 1
+    }
+    val red = if (count == 0L) s else {
+      sb.append(js, consumed, len)
+      UTF8String.fromString(sb.toString)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count, red))
+  }
+
   /** Aho–Corasick automaton over a literal gram set, compiled to a dense
     * DFA over the grams' compact alphabet — built ONCE per plan (a
     * codegen reference object) and shared by every task. Matching is one
@@ -990,6 +1043,23 @@ case class PiiEmailScan(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.NativeKernels.piiEmailScan($c)")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+/** One-pass phone count + `<PHONE>` redaction — see
+  * NativeKernels.piiPhoneScan. */
+case class PiiPhoneScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.piiPhoneScan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.piiPhoneScan($c)")
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
@@ -1298,6 +1368,7 @@ object NativeExpressions {
   def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
   def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
   def piiEmailScan(s: Column): Column = c(PiiEmailScan(e(s)))
+  def piiPhoneScan(s: Column): Column = c(PiiPhoneScan(e(s)))
   def piiIpv4Scan(s: Column): Column = c(PiiIpv4Scan(e(s)))
   def tokenStats(s: Column, stopwords: Seq[String]): Column = c(TokenStats(e(s), stopwords))
   def langIdPick(s: Column, langs: Seq[String], wordSets: Seq[Seq[String]]): Column =

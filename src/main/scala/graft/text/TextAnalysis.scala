@@ -341,10 +341,10 @@ object TextAnalysis {
     * "555-<PHONE>"). Redaction is applied email → phone → ip, in that
     * order (order is observable when patterns overlap). A narrow codegen'd
     * map — the 100 TB shape is exactly this: scan passes fused into the
-    * scan projection. The email/IPv4 patterns are evaluated by one-pass
-    * kernels (NativeKernels.piiEmailScan/piiIpv4Scan) that reproduce
-    * these regexes exactly; the patterns remain the contract (and what
-    * the property tests replay through the JVM regex engine).
+    * scan projection. All three patterns are evaluated by one-pass
+    * kernels (NativeKernels.piiEmailScan/piiPhoneScan/piiIpv4Scan) that
+    * reproduce these regexes exactly; the patterns remain the contract
+    * (and what the property tests replay through the JVM regex engine).
     */
   val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val phonePattern = """\b([0-9]{3}-)?[0-9]{3}-[0-9]{4}\b"""
@@ -594,29 +594,25 @@ object TextAnalysis {
   }
 
   def withPiiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
-    requireFreshHelpers(df, "__pii_counts", "__pii_email")
+    requireFreshHelpers(df, "__pii_email")
     val t = col(textCol)
-    import graft.functions.expressions.NativeExpressions.{piiEmailScan, piiIpv4Scan}
-    // email and IPv4 are one-pass DFA-style kernels (r16 — see
-    // NativeKernels.piiEmailScan/piiIpv4Scan for the greedy≡longest
-    // argument; property-tested char-for-char against these regexes). The
-    // phone pattern keeps the regex behind a digit-trigger gate: rows
-    // without a digit skip it entirely (identity/zero — values unchanged),
-    // so the backtracking engine pays its per-char tax only on rows that
-    // can match. Counts are over the ORIGINAL text; redaction chains
-    // email → phone → ip (order observable when patterns overlap).
-    def count(p: String): Column =
-      size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
-    val hasDigit = col("__pii_counts").getItem(2) > 0
+    import graft.functions.expressions.NativeExpressions.{piiEmailScan, piiIpv4Scan, piiPhoneScan}
+    // all three patterns are one-pass scan kernels (r16 — see
+    // NativeKernels.piiEmailScan/piiPhoneScan/piiIpv4Scan for the
+    // per-pattern greedy≡longest arguments; each is property-tested
+    // char-for-char against its regex, plus a full-pipeline equivalence
+    // test against the pre-kernel gated-regex formulation). Counts are
+    // over the ORIGINAL text; redaction chains email → phone → ip
+    // (order observable when patterns overlap). The r15 trigger-char
+    // gates are gone with the regexes — a kernel pass over a row with no
+    // candidate chars costs the one scan the gate itself would.
     val r1 = col("__pii_email").getField("redacted")
-    val r2 = when(hasDigit, regexp_replace(r1, phonePattern, "<PHONE>")).otherwise(r1)
-    df.withColumn("__pii_counts",
-        graft.functions.expressions.NativeExpressions.scriptCounts(t))
-      .withColumn("__pii_email", piiEmailScan(t))
+    df.withColumn("__pii_email", piiEmailScan(t))
       .withColumn("n_emails", col("__pii_email").getField("n"))
-      .withColumn("n_phones", when(hasDigit, count(phonePattern)).otherwise(lit(0L)))
+      .withColumn("n_phones", piiPhoneScan(t).getField("n"))
       .withColumn("n_ipv4", piiIpv4Scan(t).getField("n"))
-      .withColumn("text_redacted", piiIpv4Scan(r2).getField("redacted"))
-      .drop("__pii_counts", "__pii_email")
+      .withColumn("text_redacted",
+        piiIpv4Scan(piiPhoneScan(r1).getField("redacted")).getField("redacted"))
+      .drop("__pii_email")
   }
 }

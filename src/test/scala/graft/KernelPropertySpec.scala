@@ -508,6 +508,22 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("piiPhoneScan kernel == phone regex (count and redaction spans)") {
+    val inputs = piiSamples(64) ++ Seq(
+      "555-123-4567", "123-4567", "12-345-6789", "1234-567-8901",
+      "123-456-789", "123-456-78901", "123-456-7890a", "123-456-7890_",
+      "0123-456-7890", "123-45-6789", "555-123-4567 x 123-4567",
+      "a123-4567", "123-4567b", "-123-4567-", "123--4567", "123-45678")
+    val got = inputs.toDF("s")
+      .select(NativeExpressions.piiPhoneScan(col("s")).as("r"))
+      .select(col("r.n"), col("r.redacted")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    inputs.zip(got).foreach { case (s, g) =>
+      val ref = refRegexScan(s, graft.text.TextAnalysis.phonePattern, "<PHONE>")
+      assert(g == ref, s"input=[$s]")
+    }
+  }
+
   test("piiIpv4Scan kernel == ipv4 regex (count and redaction spans)") {
     val inputs = piiSamples(62)
     val got = inputs.toDF("s")

@@ -390,6 +390,23 @@ class PlanAuditSpec extends SparkSpec {
       s"feature (branch-aliased) predicate should stay above the fence:\n$d")
   }
 
+  test("q213_union_screen: doc_id predicate reaches both union branches' scans") {
+    // the end-to-end pin for the per-branch Union crossing: the REAL q213
+    // query (feature projection between fence and union, source-filtered
+    // branches) must land the raw doc_id conjunct in BOTH branch scans'
+    // data filters while n_tokens stays above the fence
+    spark.catalog.clearCache()
+    val q = graft.SparkEntry.queries("q213_union_screen")(spark, dir)
+    val d = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[[^\\]]*doc_id[^\\]]*\\]".r.findAllIn(d).length
+    assert(pushed == 2,
+      s"doc_id should reach BOTH union branches' PushedFilters (got $pushed):\n$d")
+    val cond = "Condition : .*".r.findAllIn(d).mkString("\n")
+    assert(cond.contains("n_tokens"),
+      s"n_tokens predicate should stay above the fence:\n$d")
+  }
+
   test("scale-aware shuffle partitioning: partitions grow past parallelism once bytes demand it") {
     // the engine's shuffle-partition knobs: AQE stages START at the
     // initialPartitionNum ceiling and coalesce to

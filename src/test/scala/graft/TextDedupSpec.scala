@@ -127,7 +127,7 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("__q_ts"))
     val df2 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__gopher_lines")
     intercept[IllegalArgumentException](TextAnalysis.withGopherRules(df2))
-    val df3 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__pii_counts")
+    val df3 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__pii_email")
     intercept[IllegalArgumentException](TextAnalysis.withPiiScrub(df3))
   }
 

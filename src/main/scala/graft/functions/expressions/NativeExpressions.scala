@@ -582,6 +582,113 @@ object NativeKernels {
       Array[Any](nTokens, sumLen, stopHits))
   }
 
+  /** One-pass Gopher-rule feature stats (q141) — replaces the token and
+    * line array materializations plus three per-element regex lambdas
+    * (`rlike("[A-Za-z]")` per token, `^[-*•]` and `(\.\.\.|…)$` per line)
+    * and the mean-word-length aggregate lambda with a single fused scan.
+    * Field-for-field contracts (property-tested against the declarative
+    * forms in KernelPropertySpec):
+    *  - n_words / sum_word_len: whitespace tokens (Java regex \s), token
+    *    length in CODEPOINTS like length() — the tokenStats arguments.
+    *  - alpha_words: tokens containing an ASCII letter (rlike "[A-Za-z]").
+    *  - stop_distinct: |stop ∩ transform(toks, lower)| — DISTINCT
+    *    stopwords present (array_intersect semantics, NOT occurrence
+    *    count), lowercasing via the same ASCII-else-String.toLowerCase
+    *    branch as lower(); bitmask over the ≤64 stopword indexes.
+    *  - hash_cnt / ellch_cnt: '#' and '…' char counts (the
+    *    length-minus-replace formulation); ell3_cnt: non-overlapping
+    *    leftmost "..." occurrences = Σ floor(dotRun/3) per maximal run,
+    *    exactly what replace(t, "...", "") removes.
+    *  - n_lines / bullet_lines / ellipsis_lines: split on '\n', trim
+    *    SPACES (0x20) only — Spark's trim() — count nonblank lines, those
+    *    whose first char is '-', '*' or '•', and those ending with "..."
+    *    or '…'.
+    */
+  def gopherStats(s: UTF8String, stopIdx: java.util.HashMap[String, Integer],
+                  maxStopLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val js = s.toString
+    val len = js.length
+    var nWords = 0L; var sumLen = 0L; var alphaWords = 0L; var stopMask = 0L
+    var hashCnt = 0L; var ell3 = 0L; var ellCh = 0L
+    var nLines = 0L; var bulletLines = 0L; var ellipsisLines = 0L
+    var dotRun = 0
+    @inline def flushDots(): Unit = { ell3 += dotRun / 3; dotRun = 0 }
+    def scanLine(ls: Int, le: Int): Unit = {
+      var a = ls; var b = le
+      while (a < b && js.charAt(a) == ' ') a += 1
+      while (b > a && js.charAt(b - 1) == ' ') b -= 1
+      if (a < b) {
+        nLines += 1
+        val c0 = js.charAt(a)
+        if (c0 == '-' || c0 == '*' || c0 == '•') bulletLines += 1
+        if (js.charAt(b - 1) == '…' ||
+            (b - a >= 3 && js.charAt(b - 1) == '.' && js.charAt(b - 2) == '.' &&
+              js.charAt(b - 3) == '.')) ellipsisLines += 1
+      }
+    }
+    var i = 0
+    var lineStart = 0
+    while (i < len) {
+      val c = js.charAt(i)
+      if (isWs(c)) {
+        // whitespace is never '.'/'#'/'…', so it only ends a dot run and
+        // possibly a line
+        flushDots()
+        if (c == '\n') { scanLine(lineStart, i); lineStart = i + 1 }
+        i += 1
+      } else {
+        // token scan: every non-ws char is examined exactly once here,
+        // feeding the token stats AND the dot/hash/ellipsis counters
+        val start = i
+        var cps = 0L
+        var alpha = false
+        while (i < len && !isWs(js.charAt(i))) {
+          val ch = js.charAt(i)
+          if (ch == '.') dotRun += 1 else flushDots()
+          if (ch == '#') hashCnt += 1
+          if (ch == '…') ellCh += 1
+          if (!alpha && ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))) alpha = true
+          cps += 1
+          i += Character.charCount(js.codePointAt(i))
+        }
+        nWords += 1
+        sumLen += cps
+        if (alpha) alphaWords += 1
+        if (i - start <= maxStopLen) {
+          val tok = js.substring(start, i)
+          var ascii = true
+          var j = 0
+          while (ascii && j < tok.length) { if (tok.charAt(j) >= 0x80) ascii = false; j += 1 }
+          val low = if (ascii) {
+            var anyUpper = false
+            j = 0
+            while (!anyUpper && j < tok.length) {
+              val ch = tok.charAt(j); if (ch >= 'A' && ch <= 'Z') anyUpper = true; j += 1
+            }
+            if (!anyUpper) tok
+            else {
+              val a = new Array[Char](tok.length)
+              j = 0
+              while (j < tok.length) {
+                val ch = tok.charAt(j)
+                a(j) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+                j += 1
+              }
+              new String(a)
+            }
+          } else tok.toLowerCase
+          val idx = stopIdx.get(low)
+          if (idx != null) stopMask |= (1L << idx.intValue())
+        }
+      }
+    }
+    flushDots()
+    scanLine(lineStart, len)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, alphaWords, java.lang.Long.bitCount(stopMask).toLong,
+        hashCnt, ell3, ellCh, nLines, bulletLines, ellipsisLines))
+  }
+
   // ---- PII scan kernels (q71) ------------------------------------------
   // One-pass replacements for the email / IPv4 regexes of withPiiScrub.
   // Both patterns are REGULAR (no backreferences), and for both the Java
@@ -1029,6 +1136,40 @@ case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryEx
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
 }
 
+/** One-pass Gopher-rule feature stats — see NativeKernels.gopherStats. */
+case class GopherStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  require(stopwords.size <= 64, "stop_distinct uses a 64-bit presence mask")
+  @transient private lazy val stopIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    stopwords.zipWithIndex.foreach { case (w, i) => m.put(w, Integer.valueOf(i)) }
+    m
+  }
+  @transient private lazy val maxStopLen: Int =
+    if (stopwords.isEmpty) 0 else stopwords.map(_.length).max
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("alpha_words", LongType, nullable = false),
+    StructField("stop_distinct", LongType, nullable = false),
+    StructField("hash_cnt", LongType, nullable = false),
+    StructField("ell3_cnt", LongType, nullable = false),
+    StructField("ellch_cnt", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("bullet_lines", LongType, nullable = false),
+    StructField("ellipsis_lines", LongType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects STRING")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.gopherStats(input.asInstanceOf[UTF8String], stopIdx, maxStopLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("gopherStopIdx", stopIdx, classOf[java.util.HashMap[_, _]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NativeKernels.gopherStats($c, $m, $maxStopLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
 /** One-pass email count + `<EMAIL>` redaction — see
   * NativeKernels.piiEmailScan. */
 case class PiiEmailScan(child: Expression) extends UnaryExpression {
@@ -1367,6 +1508,7 @@ object NativeExpressions {
   def subwordCount(s: Column): Column = c(SubwordCount(e(s)))
   def runCountInSet(s: Column, set: String): Column = c(RunCountInSet(e(s), set))
   def topTokenStats(s: Column): Column = c(TopTokenStats(e(s)))
+  def gopherStats(s: Column, stopwords: Seq[String]): Column = c(GopherStats(e(s), stopwords))
   def piiEmailScan(s: Column): Column = c(PiiEmailScan(e(s)))
   def piiPhoneScan(s: Column): Column = c(PiiPhoneScan(e(s)))
   def piiIpv4Scan(s: Column): Column = c(PiiIpv4Scan(e(s)))

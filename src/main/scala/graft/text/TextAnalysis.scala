@@ -117,40 +117,34 @@ object TextAnalysis {
                       maxSymbolWordRatio: Double = 0.1,
                       maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
                       minAlphaWordRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
-    requireFreshHelpers(df, "__gopher_toks", "__gopher_lines")
+    requireFreshHelpers(df, "__gopher")
     val t = col(textCol)
-    // materialize the token and line arrays ONCE as their own projection:
-    // every feature below references them, and inlined they would be
-    // re-split per reference (CollapseProject keeps multiply-referenced
-    // non-trivial expressions un-inlined; codegen subexpression elimination
-    // does not reach the conditional branches they appear in)
-    val toks = col("__gopher_toks")
-    val lines = col("__gopher_lines")
-    val nW = size(toks).cast("long")
+    // ALL ten feature inputs come from one fused scan kernel (r16 — see
+    // NativeKernels.gopherStats): the previous form materialized the token
+    // and line arrays and ran three per-element regex lambdas
+    // (rlike("[A-Za-z]") per token, ^[-*•] and (\.\.\.|…)$ per line — the
+    // per-char regex tax of the round-14 lesson) plus an aggregate lambda
+    // for mean word length. Values are bit-identical field by field
+    // (property-tested against the declarative forms, incl. the
+    // non-overlapping "..." replace semantics and trim's space-only
+    // contract); stop_hits keeps the array_intersect DISTINCT-stopwords
+    // semantics its comment derived in round 13.
+    val g = col("__gopher")
+    val nW = g.getField("n_words")
     val nWd = nW.cast("double")
-    val nLines = size(lines).cast("double")
-    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double")
-    val ellipsisLines = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
-    val hashCount = length(t) - length(replace(t, lit("#"), lit("")))
-    val ellCount = (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3) +
-      (length(t) - length(replace(t, lit("…"), lit(""))))
-    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
-    val stop = array(defaultStopwords.map(lit): _*)
-    // distinct stopwords present = |stop ∩ lowercased tokens|. MUST be
-    // array_intersect, not filter(stop, w => array_contains(lowToks, w)):
-    // a non-literal array referenced inside a lambda is re-evaluated per
-    // lambda invocation (the token array was lowercased 15x per row —
-    // 9.3 s of q141's 9.9 s at sf10), and pre-projecting it doesn't stick
-    // (referenced once, CollapseProject inlines it back into the lambda).
-    // array_intersect evaluates each side once and hash-probes.
-    val stopHits =
-      size(array_intersect(stop, transform(toks, lower _))).cast("long")
+    val nLines = g.getField("n_lines").cast("double")
+    val bulletLines = g.getField("bullet_lines").cast("double")
+    val ellipsisLines = g.getField("ellipsis_lines").cast("double")
+    val hashCount = g.getField("hash_cnt")
+    val ellCount = g.getField("ell3_cnt").cast("double") + g.getField("ellch_cnt")
+    val alphaWords = g.getField("alpha_words").cast("double")
+    val stopHits = g.getField("stop_distinct")
     val out = df
-      .withColumn("__gopher_toks", tokens(t))
-      .withColumn("__gopher_lines", filter(split(t, "\n"), l => trim(l) =!= ""))
+      .withColumn("__gopher", graft.functions.expressions.NativeExpressions
+        .gopherStats(t, defaultStopwords))
       .withColumn("n_words", nW)
       .withColumn("mean_word_len",
-        when(nW > 0, aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWd)
+        when(nW > 0, g.getField("sum_word_len").cast("double") / nWd)
           .otherwise(lit(0.0)))
       .withColumn("alpha_word_ratio", when(nW > 0, alphaWords / nWd).otherwise(lit(0.0)))
       .withColumn("bullet_line_ratio",

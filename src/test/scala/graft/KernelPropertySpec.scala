@@ -462,6 +462,46 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("gopherStats kernel == token/line array + regex-lambda formulation") {
+    // the r15 withGopherRules internals, reconstructed verbatim, vs the
+    // fused kernel — on inputs heavy in bullets, ellipses, dot runs,
+    // blank/tab lines, mixed case stopwords and surrogate pairs
+    val stop = graft.text.TextAnalysis.defaultStopwords
+    val rnd = new scala.util.Random(16)
+    val pool = Seq("the", "The", "AND", "of", "x", "-", "*", "•", "...", "....",
+      ".....", "…", "#", "##", "a#b", "é", "😀", "word", "-lead",
+      "tail...", "tail…", " ", "\n", "\n\n", " \n", "\t\n", "a.b.c", ".", "..")
+    val inputs = Seq("", " ", "\n", "\t", "- bullet\nplain\n* star\n• dot",
+      "end...\nend…\nmid...x", "## # ###", "...", "....x....", "the The THE",
+      "  - spaced bullet  \n  tail...  ", "\t- tab bullet\n x \t") ++
+      (0 until 300).map(_ => (0 until rnd.nextInt(25)).map(_ => pool(rnd.nextInt(pool.length))).mkString(""))
+    val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val t = col("text")
+    val toks = graft.text.TextAnalysis.tokens(t)
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val old = df.select(col("id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+        size(array_intersect(array(stop.map(lit): _*), transform(toks, lower _)))
+          .cast("long").as("stop_distinct"),
+        (length(t) - length(replace(t, lit("#"), lit("")))).cast("long").as("hash_cnt"),
+        ((length(t) - length(replace(t, lit("..."), lit("")))) / lit(3)).cast("long").as("ell3_cnt"),
+        (length(t) - length(replace(t, lit("…"), lit("")))).cast("long").as("ellch_cnt"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long").as("bullet_lines"),
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long").as("ellipsis_lines"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val kernel = df.select(col("id"),
+        NativeExpressions.gopherStats(t, stop).as("g"))
+      .select(col("id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    inputs.indices.foreach { i =>
+      assert(kernel(i.toLong) == old(i.toLong),
+        s"doc=[${inputs(i)}]\nkernel=${kernel(i.toLong)}\nold=${old(i.toLong)}")
+    }
+  }
+
   // the JVM regex engine itself as the reference: non-overlapping find()
   // with appendReplacement, exactly what regexp_extract_all(size) and
   // regexp_replace compute

@@ -282,14 +282,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"scriptcounts evaluated $n times (want 1) in:\n$p")
   }
 
-  test("gopher rules tokenize once and count stopwords via array_intersect (q141)") {
+  test("gopher rules evaluate the fused gopherStats kernel exactly once per row (q141)") {
+    // r16: all ten feature inputs come from ONE gopherStats call — no
+    // token/line array materialization, no per-element regex lambda, and
+    // never a second kernel evaluation from CollapseProject inlining a
+    // multiply-referenced struct (the r13 hazard this pin existed for:
+    // tokenize re-ran per reference; then array_intersect's predecessor
+    // re-lowercased the token array once per stopword — 9.3 s of q141's
+    // 9.9 s at sf10)
     val p = executedPlan(SparkEntry.queries("q141_gopher_quality")(spark, dir))
-    val n = "tokenize\\(".r.findAllIn(p).length
-    assert(n == 1, s"tokenize evaluated $n times (want 1) in:\n$p")
-    // stop_hits must be the hash-probing set intersection, never the
-    // filter/array_contains form whose lambda re-lowercased the token
-    // array once per stopword (9.3 s of q141's 9.9 s at sf10)
-    assert(p.contains("array_intersect"), s"stop_hits lost array_intersect:\n$p")
+    val n = "gopherstats\\(".r.findAllIn(p.toLowerCase).length
+    assert(n == 1, s"gopherStats evaluated $n times (want 1) in:\n$p")
+    assert(!p.contains("tokenize("), s"token array re-materialized:\n$p")
+    assert(!p.toLowerCase.contains("rlike"), s"per-element regex survived:\n$p")
   }
 
   test("quality screen filters ABOVE the feature projection — predicate never re-derives features (q61)") {

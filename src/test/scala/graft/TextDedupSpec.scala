@@ -125,7 +125,7 @@ class TextDedupSpec extends SparkSpec {
     val df = Seq((1L, "some text", 42)).toDF("doc_id", "text", "__q_ts")
     val e = intercept[IllegalArgumentException](TextAnalysis.withQualityFeatures(df))
     assert(e.getMessage.contains("__q_ts"))
-    val df2 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__gopher_lines")
+    val df2 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__gopher")
     intercept[IllegalArgumentException](TextAnalysis.withGopherRules(df2))
     val df3 = Seq((1L, "some text", 7)).toDF("doc_id", "text", "__pii_email")
     intercept[IllegalArgumentException](TextAnalysis.withPiiScrub(df3))

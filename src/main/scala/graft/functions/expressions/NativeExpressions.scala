@@ -621,9 +621,19 @@ object NativeKernels {
         nLines += 1
         val c0 = js.charAt(a)
         if (c0 == '-' || c0 == '*' || c0 == '•') bulletLines += 1
-        if (js.charAt(b - 1) == '…' ||
-            (b - a >= 3 && js.charAt(b - 1) == '.' && js.charAt(b - 2) == '.' &&
-              js.charAt(b - 3) == '.')) ellipsisLines += 1
+        // Java's non-MULTILINE `$` also matches immediately before ONE
+        // final line terminator — on a '\n'-split segment that can be
+        // '\r' (CRLF corpora), NEL, LS or PS. The regex formulation this
+        // kernel replaces counted "end...\r" as an ellipsis line, so the
+        // kernel must too (property-tested with '\r' in the pool).
+        val e = {
+          val last = js.charAt(b - 1)
+          if (b - 1 > a && (last == '\r' || last == '\u0085' ||
+              last == '\u2028' || last == '\u2029')) b - 1 else b
+        }
+        if (e > a && (js.charAt(e - 1) == '…' ||
+            (e - a >= 3 && js.charAt(e - 1) == '.' && js.charAt(e - 2) == '.' &&
+              js.charAt(e - 3) == '.'))) ellipsisLines += 1
       }
     }
     var i = 0

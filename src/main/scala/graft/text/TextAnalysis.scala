@@ -162,7 +162,7 @@ object TextAnalysis {
         col("ellipsis_line_ratio") < maxEllipsisRatio &&
         col("alpha_word_ratio") > minAlphaWordRatio &&
         col("stop_hits") >= minStopHits)
-      .drop("__gopher_toks", "__gopher_lines")
+      .drop("__gopher")
   }
 
   /** Language ID by stopword-profile voting: score each candidate language

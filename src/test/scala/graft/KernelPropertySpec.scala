@@ -470,10 +470,15 @@ class KernelPropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(16)
     val pool = Seq("the", "The", "AND", "of", "x", "-", "*", "•", "...", "....",
       ".....", "…", "#", "##", "a#b", "é", "😀", "word", "-lead",
-      "tail...", "tail…", " ", "\n", "\n\n", " \n", "\t\n", "a.b.c", ".", "..")
+      "tail...", "tail…", " ", "\n", "\n\n", " \n", "\t\n", "a.b.c", ".", "..",
+      "\r\n", "\r", "...\r", "…\r", "\u0085", "\u2028")
     val inputs = Seq("", " ", "\n", "\t", "- bullet\nplain\n* star\n• dot",
       "end...\nend…\nmid...x", "## # ###", "...", "....x....", "the The THE",
-      "  - spaced bullet  \n  tail...  ", "\t- tab bullet\n x \t") ++
+      "  - spaced bullet  \n  tail...  ", "\t- tab bullet\n x \t",
+      // CRLF corpora: Java's $ matches before ONE final line terminator,
+      // so "end...\r" IS an ellipsis line (and "end... \r" is not)
+      "end...\r\nnext", "end… \r\nnext", "end...\r\r\nx", "tail…\nx",
+      "crlf only\r\n- b\r\nend...\r") ++
       (0 until 300).map(_ => (0 until rnd.nextInt(25)).map(_ => pool(rnd.nextInt(pool.length))).mkString(""))
     val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
     val t = col("text")

@@ -259,6 +259,60 @@ object Dedup {
     * ≪ 1) — the prune can only ADMIT a boundary candidate the exact
     * filter then rejects, never drop one.
     */
+  /** Value pivot of the staged verification's lo/hi set split: shingle
+    * hashes are uniform in [0, P), so `hash < P/2` names ~half of every
+    * doc's set. Any fixed pivot is correct; P/2 maximizes the prune's
+    * information per shipped byte.
+    */
+  private val VerifySplitPivot: Int = (PortableHash.P / 2).toInt
+
+  /** Staged verification of candidate pairs (`cand`: id_a, id_b) against
+    * per-doc sorted INT shingle sets (`aN`/`bN`: idCol, __shs, n_sh) —
+    * the fix for the verification record-join's disk wall (SCALING.md
+    * round 16: attaching both ~850 B sorted sets once per candidate is
+    * ~77 GB of transient shuffle at sw50, more than a single box's free
+    * disk, even though it is ordinary linear shuffle on a cluster).
+    *
+    * Stage 1 attaches only each doc's LO HALF (values < [[VerifySplitPivot]])
+    * and prunes with an EXACT bound: the intersection splits by the value
+    * pivot, so `common = common_lo + common_hi` with
+    * `common_hi <= min(n_a − n_la, n_b − n_lb)`; a pair can reach
+    * `jaccard >= t  ⟺  common·(1+t) >= t·(n_a+n_b)` only if the bound
+    * does. The −1.0 slack absorbs double rounding exactly as in
+    * [[verifiedJaccard]]'s weak prune (all inputs are ints < 2^31, so
+    * each product's absolute error is ≪ 1) — the prune can only ADMIT a
+    * boundary pair the exact filter then rejects, never drop one. At the
+    * production thresholds (t = 0.8) the bound kills candidates with
+    * jaccard ≲ 0.7 — in measured corpora that is ~99.99% of candidates —
+    * so stage 2 (the unchanged full-array [[verifiedJaccard]] epilogue,
+    * whose exact division decides every answer) runs on a survivor
+    * stream ~10^4× smaller. Bytes per candidate drop ~8× total: half the
+    * elements shipped, int-packed (4 B vs 8 B), and the full arrays only
+    * ever travel once per SURVIVOR.
+    */
+  private def stagedVerifiedJaccard(cand: DataFrame, aN: DataFrame, bN: DataFrame,
+                                    idCol: String, threshold: Double): DataFrame = {
+    val pivot = lit(VerifySplitPivot)
+    val aLo = aN.select(col(idCol).as("id_a"),
+        filter(col("__shs"), _ < pivot).as("__la"), col("n_sh").as("n_a"))
+      .withColumn("n_la", size(col("__la")))
+    val bLo = bN.select(col(idCol).as("id_b"),
+        filter(col("__shs"), _ < pivot).as("__lb"), col("n_sh").as("n_b"))
+      .withColumn("n_lb", size(col("__lb")))
+    val survivors = cand
+      .join(aLo, Seq("id_a")).join(bLo, Seq("id_b"))
+      .filter((graft.functions.expressions.NativeExpressions
+          .sortedIntersectCount(col("__la"), col("__lb")) +
+          least(col("n_a") - col("n_la"), col("n_b") - col("n_lb"))).cast("double") *
+          lit(1.0 + threshold) >=
+        (col("n_a") + col("n_b")).cast("double") * lit(threshold) - lit(1.0))
+      .select("id_a", "id_b")
+    val aSets = aN.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
+    val bSets = bN.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
+    verifiedJaccard(survivors.join(aSets, Seq("id_a")).join(bSets, Seq("id_b")),
+      "id_a", "id_b", col("n_a"), col("n_b"), threshold)
+  }
+
   private def verifiedJaccard(attached: DataFrame, keyA: String, keyB: String,
                               nA: Column, nB: Column,
                               threshold: Double): DataFrame =
@@ -291,12 +345,15 @@ object Dedup {
     // the candidate self-join: lazy localCheckpoints make each sub-DAG run
     // once instead of per consumer (same trick as semDedup's rep stream —
     // plan construction stays execution-free; ~2× on the bench shape)
+    // int-packed: every shingle hash is mod P = 2^31−1, so the cast is
+    // lossless and order-preserving — it halves the checkpoint, the
+    // prefix stream, and (above all) the verification joins' bytes
     val withN = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol),
         sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
-          col("__th"), n, PortableHash.B, PortableHash.P)).as("__shs"))
+          col("__th"), n, PortableHash.B, PortableHash.P)).cast("array<int>").as("__shs"))
       .select(col(idCol), col("__shs"), size(col("__shs")).as("n_sh"))
       .localCheckpoint(false)
     val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int")
@@ -339,11 +396,9 @@ object Dedup {
             .cast("double") >=
             (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
-    val aSets = withN.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
-    val bSets = withN.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
-    // sets are sorted: one allocation-free merge-count per candidate
-    verifiedJaccard(cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b")),
-      "id_a", "id_b", col("n_a"), col("n_b"), threshold)
+    // sets are sorted: one allocation-free merge-count per candidate,
+    // staged so full arrays only travel once per bound-surviving pair
+    stagedVerifiedJaccard(cand, withN, withN, idCol, threshold)
   }
 
   /** Cross-corpus set-similarity join: n-gram Jaccard ≥ `threshold` between
@@ -405,7 +460,7 @@ object Dedup {
       .filter(size(col("__th")) >= n)
       .select(col(idCol),
         sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
-          col("__th"), n, PortableHash.B, PortableHash.P)).as("__shs"))
+          col("__th"), n, PortableHash.B, PortableHash.P)).cast("array<int>").as("__shs"))
       .select(col(idCol), col("__shs"), size(col("__shs")).as("n_sh"))
       .localCheckpoint(false)
     val la = withN(left)
@@ -443,10 +498,7 @@ object Dedup {
             .cast("double") >=
             (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
-    val aSets = la.select(col(idCol).as("id_a"), col("__shs").as("__sa"), col("n_sh").as("n_a"))
-    val bSets = rb.select(col(idCol).as("id_b"), col("__shs").as("__sb"), col("n_sh").as("n_b"))
-    verifiedJaccard(cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b")),
-      "id_a", "id_b", col("n_a"), col("n_b"), threshold)
+    stagedVerifiedJaccard(cand, la, rb, idCol, threshold)
   }
 
   // ---- winnowing fingerprints ---------------------------------------------

@@ -308,6 +308,23 @@ object NativeKernels {
     cnt
   }
 
+  /** [[sortedIntersectCount]] over sorted distinct INT arrays — the
+    * int-packed shingle-set representation (every PortableHash shingle is
+    * mod P = 2^31−1, so it fits an int losslessly; packing halves the
+    * bytes the set-similarity verification joins shuffle per candidate).
+    */
+  def sortedIntersectCountI(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -1474,21 +1491,36 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
 }
 
 
-/** size(array_intersect(a, b)) for sorted distinct long arrays, without
-  * materializing the intersection.
+/** size(array_intersect(a, b)) for sorted distinct long OR int arrays
+  * (both sides the same element type), without materializing the
+  * intersection. The int form exists because PortableHash shingles are
+  * mod 2^31−1: int-packing the sorted sets halves every byte the
+  * verification record-joins shuffle.
   */
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  private def intElems: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
   override def checkInputDataTypes() = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("expects two ARRAY<BIGINT>")
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "expects two ARRAY<BIGINT> or two ARRAY<INT>")
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    NativeKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (intElems)
+      NativeKernels.sortedIntersectCountI(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      NativeKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (intElems) "sortedIntersectCountI" else "sortedIntersectCount"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.expressions.NativeKernels.sortedIntersectCount($a, $b)")
+      s"graft.functions.expressions.NativeKernels.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
     copy(left = newLeft, right = newRight)
 }

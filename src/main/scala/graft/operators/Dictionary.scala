@@ -11,12 +11,45 @@ import org.apache.spark.sql.functions._
   * analyzer/physical/ShuffleRewriter.java:128-245).
   *
   * A dictionary is a small DataFrame (colvalue STRING, code INT) per encoded
-  * column — broadcast-joined against the data, so encode/decode never
-  * shuffles the fact table. Codes are assigned by sorted order for
-  * determinism (the reference assigned by arrival order within its
-  * single-reducer dictionary job, which is not reproducible in parallel).
+  * column — broadcast-joined against the data while it provably-by-estimate
+  * fits ([[BroadcastDictMaxBytes]]), so encode/decode never shuffles the
+  * fact table in the common case, and falls back to a plain shuffle join
+  * for pathologically large dictionaries instead of OOMing. Codes are
+  * assigned by sorted order for determinism (the reference assigned by
+  * arrival order within its single-reducer dictionary job, which is not
+  * reproducible in parallel).
   */
 object Dictionary {
+
+  /** Broadcast ceiling for the dictionary side of ENCODE/DECODE, compared
+    * against the dictionary plan's Catalyst size estimate
+    * (`optimizedPlan.stats.sizeInBytes` — plan-time, no job). The
+    * reference assumed an in-memory dictionary unconditionally
+    * (DictionaryEncodeOperator.java:48); at the 100 TB design point a
+    * high-cardinality dictionary (URLs, user ids) under a forced
+    * broadcast hint is a guaranteed driver/executor OOM, so — like
+    * [[Matrix.BroadcastNodeThreshold]] — encode/decode broadcast only
+    * while the dictionary provably-by-estimate fits, and fall back to a
+    * plain shuffle join above. 1 GiB is deliberately generous: a LOADED
+    * dictionary's estimate is its exact file size, while an in-query
+    * computed dictionary inherits a conservative-HIGH estimate from its
+    * distinct's child, so small computed dictionaries (the common case —
+    * a few MB of estimate) keep today's broadcast plan, and the
+    * TB-estimate pathological ones are exactly the OOM candidates the
+    * switch exists to catch. Callers who know better force either side
+    * via `broadcastDict`.
+    */
+  val BroadcastDictMaxBytes: Long = 1L << 30
+
+  /** The dictionary side of the encode/decode join: explicit override
+    * wins, otherwise the plan-stats estimate vs [[BroadcastDictMaxBytes]]
+    * decides.
+    */
+  private def dictSide(dict: DataFrame, forced: Option[Boolean]): DataFrame = {
+    val doBroadcast = forced.getOrElse(
+      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(BroadcastDictMaxBytes))
+    if (doBroadcast) broadcast(dict) else dict
+  }
 
   /** CREATE DICTIONARY — distinct values of `column`, codes 1..N assigned in
     * value-sorted order (codes start at 1 per CodeDictionary.java:41; code 0
@@ -64,21 +97,25 @@ object Dictionary {
     * dictionary (reference grammar: ENCODE ID on columns — plural).
     */
   def encodeMulti(df: DataFrame, cols: Seq[String], dict: DataFrame,
-                  nullsAs: Int = 0, unknownsAs: Option[Int] = None): DataFrame =
-    cols.foldLeft(df)((d, c) => encode(d, c, forColumn(dict, c), nullsAs, unknownsAs))
+                  nullsAs: Int = 0, unknownsAs: Option[Int] = None,
+                  broadcastDict: Option[Boolean] = None): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      encode(d, c, forColumn(dict, c), nullsAs, unknownsAs, broadcastDict))
 
   /** DECODE over several columns against a (possibly multi-column) dictionary. */
   def decodeMulti(df: DataFrame, cols: Seq[String], dict: DataFrame,
-                  unknownsAs: Option[String] = None): DataFrame =
-    cols.foldLeft(df)((d, c) => decode(d, c, forColumn(dict, c), unknownsAs))
+                  unknownsAs: Option[String] = None,
+                  broadcastDict: Option[Boolean] = None): DataFrame =
+    cols.foldLeft(df)((d, c) => decode(d, c, forColumn(dict, c), unknownsAs, broadcastDict))
 
   /** ENCODE x ON col USING dict [NULLS AS v] [UNKNOWNS AS n] — replace the
     * string column by its int code via broadcast join
     * (reference: DictionaryEncodeOperator.java:48).
     */
   def encode(df: DataFrame, column: String, dict: DataFrame,
-             nullsAs: Int = 0, unknownsAs: Option[Int] = None): DataFrame = {
-    val d = broadcast(dict.select(col("colvalue"), col("code")))
+             nullsAs: Int = 0, unknownsAs: Option[Int] = None,
+             broadcastDict: Option[Boolean] = None): DataFrame = {
+    val d = dictSide(dict.select(col("colvalue"), col("code")), broadcastDict)
     val joined = df.join(d, df(column).cast("string") === d("colvalue"), "left_outer")
     // Without UNKNOWNS AS, a value missing from the dictionary fails loudly
     // — the reference's DictionaryEncodeOperator throws for unknown values
@@ -99,8 +136,9 @@ object Dictionary {
     * (reference: DictionaryDecodeOperator.java:41).
     */
   def decode(df: DataFrame, column: String, dict: DataFrame,
-             unknownsAs: Option[String] = None): DataFrame = {
-    val d = broadcast(dict.select(col("colvalue"), col("code")))
+             unknownsAs: Option[String] = None,
+             broadcastDict: Option[Boolean] = None): DataFrame = {
+    val d = dictSide(dict.select(col("colvalue"), col("code")), broadcastDict)
     val joined = df.join(d, df(column) === d("code"), "left_outer")
     val value = unknownsAs match {
       case Some(u) => when(df(column) === 0, lit(null)).otherwise(coalesce(col("colvalue"), lit(u)))

@@ -105,6 +105,45 @@ class WindowDictSpec extends SparkSpec {
     assert(math.abs(out(4).getAs[Double]("zscore") + math.sqrt(0.5)) < 1e-12)
   }
 
+  test("encode/decode broadcast the dictionary only while it fits — and answer identically either way") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the optimizer folds ResolvedHint into Join.hint, so the pin reads
+    // the join's own hint info
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst { case j: Join => j.hint }
+        .exists(h => Seq(h.leftHint, h.rightHint).flatten.exists(_.strategy.isDefined))
+    val df = Seq(("a", 1), ("b", 2), ("c", 3), (null, 4)).toDF("v", "k")
+    val dict = Dictionary.create(df, "v")
+    // small dictionary (estimate ≪ BroadcastDictMaxBytes): broadcast hint present
+    assert(hinted(Dictionary.encode(df, "v", dict, unknownsAs = Some(-1))))
+    // a dictionary whose plan-stats estimate exceeds the ceiling plans a
+    // NON-broadcast join (spark.range has exact 8 B/row stats: 2^28 rows
+    // of (id, string, code) estimate past 1 GiB) — never executed, the
+    // pin is on the plan
+    val huge = spark.range(1L << 28)
+      .select(format_string("v%d", $"id").as("colvalue"), $"id".cast("int").as("code"))
+    assert(huge.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(Dictionary.BroadcastDictMaxBytes))
+    assert(!hinted(Dictionary.encode(df, "v", huge, unknownsAs = Some(-1))))
+    // the override knob wins in both directions
+    assert(hinted(Dictionary.encode(df, "v", huge, unknownsAs = Some(-1),
+      broadcastDict = Some(true))))
+    assert(!hinted(Dictionary.encode(df, "v", dict, unknownsAs = Some(-1),
+      broadcastDict = Some(false))))
+    // and the shuffle-join path answers identically to the broadcast path
+    def encPairs(b: Option[Boolean]) =
+      Dictionary.encode(df, "v", dict, unknownsAs = Some(-1), broadcastDict = b)
+        .collect().map(r => (r.getAs[Int]("k"), r.getAs[Int]("v"))).sortBy(_._1).toSeq
+    assert(encPairs(None) == encPairs(Some(false)))
+    def decPairs(b: Option[Boolean]) =
+      Dictionary.decode(
+          Dictionary.encode(df, "v", dict, unknownsAs = Some(-1)), "v", dict,
+          broadcastDict = b)
+        .collect().map(r => (r.getAs[Int]("k"), Option(r.getAs[String]("v"))))
+        .sortBy(_._1).toSeq
+    assert(decPairs(None) == decPairs(Some(false)))
+  }
+
   test("encodeAll/decodeAll round-trip several columns through their dictionaries") {
     val df = Seq(("a", "x"), ("b", "y"), ("a", "y")).toDF("c1", "c2")
     val dicts = Map(

@@ -325,7 +325,7 @@ object OracleGen {
     val pairs = minHashDedup(shingleN, k, bands, threshold)
     s"""WITH RECURSIVE pairs AS (
        |$pairs
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION
        |  SELECT id_b, id_a FROM pairs
@@ -2414,5 +2414,158 @@ object OracleGen {
        |FROM got g
        |FULL OUTER JOIN ideal i USING (query_id)
        |LEFT JOIN agg a USING (query_id)""".stripMargin
+  }
+
+  // ---- q214 end-to-end curation pipeline -----------------------------------
+
+  /** The composed Curation.curate pipeline, hash-replayed stage-for-stage
+    * in one WITH chain built from the already-proven per-stage oracles:
+    * PII synthesis+redaction (q71), quality screen (q61's feature SQL),
+    * normalize + exact dedup (q79/q39), MinHash LSH + exact-Jaccard verify
+    * (q57), connected components + survivors (q60/q65), decontamination
+    * (q81), chunking (q86), hash split (q89), greedy packing (q74 —
+    * per-split, ordered by the STRING chunk_key exactly as
+    * Packing.packGreedy is called). Every stage is deterministic, so the
+    * composition is too; a stage-wiring regression in Curation.curate
+    * (wrong column threading, a dropped filter) breaks this hash even when
+    * every stage passes alone.
+    */
+  def curation(evalMod: Int, minTokens: Long, maxTokens: Long,
+               maxStopwordRatio: Double, shingleN: Int, k: Int, bands: Int,
+               threshold: Double, decontamN: Int, chunkTokens: Int,
+               overlap: Int, capacity: Long): String = {
+    val email = graft.text.TextAnalysis.emailPattern
+    val phone = graft.text.TextAnalysis.phonePattern
+    val ip = graft.text.TextAnalysis.ipv4Pattern
+    val stops = graft.text.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val rows = k / bands
+    val shingle = horner((0 until shingleN).map(j => s"hs[i + $j]"))
+    val shingleD = horner((0 until decontamN).map(j => s"hs[i + $j]"))
+    val sigs = minHashCoefs(k)
+      .map { case (a, b) => s"list_min(list_transform(shs, x -> ($a * x + $b) % $P))" }
+      .mkString("[", ",\n    ", "]")
+    val bucket = horner((1 to rows).map(j => s"sg[band * $rows + $j]"))
+    val stride = chunkTokens - overlap
+    s"""WITH RECURSIVE syn AS (
+       |  SELECT doc_id,
+       |    text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-' ||
+       |    CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |    '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
+       |  FROM documents WHERE doc_id % $evalMod <> 0
+       |), red AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS text
+       |  FROM syn
+       |), qt AS (
+       |  SELECT doc_id, text, $toks AS ts FROM red
+       |), q AS (
+       |  SELECT doc_id, text FROM qt
+       |  WHERE len(ts) BETWEEN $minTokens AND $maxTokens
+       |    AND (CASE WHEN len(ts) > 0
+       |      THEN CAST(len(list_filter(list_transform(ts, x -> lower(x)),
+       |           w -> list_contains($stops, w))) AS DOUBLE) / len(ts)
+       |      ELSE 0.0 END) <= $maxStopwordRatio
+       |), nrm AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+       |  FROM q
+       |), keepx AS (
+       |  SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(nt)
+       |), ex AS (
+       |  SELECT n.doc_id, n.text FROM nrm n JOIN keepx USING (doc_id)
+       |), th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM ex
+       |), sh AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(hs) - ${shingleN - 1}), i -> $shingle) AS shs
+       |  FROM th WHERE len(hs) >= $shingleN
+       |), sig AS (
+       |  SELECT doc_id, $sigs AS sg FROM sh
+       |), banded AS (
+       |  SELECT doc_id, band, $bucket AS bucket
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(shs) AS shs FROM sh
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
+       |    FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
+       |  WHERE jaccard >= $threshold
+       |), edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       |), clusters AS (
+       |  SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
+       |), surv AS (
+       |  SELECT e.doc_id, e.text FROM ex e
+       |  LEFT JOIN clusters c ON e.doc_id = c.doc_id AND c.doc_id <> c.cluster
+       |  WHERE c.doc_id IS NULL
+       |), evh AS (
+       |  SELECT DISTINCT unnest(shs) AS h FROM (
+       |    SELECT list_distinct(CASE WHEN len(hs) >= $decontamN
+       |      THEN list_transform(generate_series(1, len(hs) - ${decontamN - 1}), i -> $shingleD)
+       |      ELSE CAST([] AS BIGINT[]) END) AS shs
+       |    FROM (SELECT list_transform($toks, t -> ${charHash("t")}) AS hs
+       |          FROM documents WHERE doc_id % $evalMod = 0))
+       |), trh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(hs) >= $decontamN
+       |      THEN list_transform(generate_series(1, len(hs) - ${decontamN - 1}), i -> $shingleD)
+       |      ELSE CAST([] AS BIGINT[]) END) AS shs
+       |  FROM (SELECT doc_id, list_transform($toks, t -> ${charHash("t")}) AS hs FROM surv)
+       |), hits AS (
+       |  SELECT s.doc_id, count(1) AS n_ov
+       |  FROM (SELECT doc_id, unnest(shs) AS h FROM trh) s JOIN evh USING (h)
+       |  GROUP BY s.doc_id
+       |), clean AS (
+       |  SELECT s.doc_id, s.text FROM surv s LEFT JOIN hits USING (doc_id)
+       |  WHERE COALESCE(hits.n_ov, 0) < 1
+       |), ct AS (
+       |  SELECT doc_id, $toks AS ts FROM clean
+       |), st AS (
+       |  SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - $overlap, 1), $stride)) AS s
+       |  FROM ct WHERE len(ts) >= 1
+       |), chunks AS (
+       |  SELECT doc_id,
+       |    CAST((s - 1) // $stride AS BIGINT) AS chunk_idx,
+       |    array_to_string(list_slice(ts, s, s + ${chunkTokens - 1}), ' ') AS chunk_text,
+       |    CAST(least($chunkTokens, len(ts) - s + 1) AS BIGINT) AS n_chunk_tokens
+       |  FROM st
+       |), keyed AS (
+       |  SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens,
+       |    CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_idx AS VARCHAR) AS chunk_key
+       |  FROM chunks
+       |), spl AS (
+       |  SELECT *, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *, ${hashBucket("chunk_key", "split", 1000)} AS b FROM keyed)
+       |), num AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing: both recursions below re-read
+       |  -- their inputs once PER ITERATION, and without it DuckDB
+       |  -- re-evaluates the whole upstream pipeline chain each time
+       |  -- (~1700 iterations x 3 s at sf0.01)
+       |  SELECT split, doc_id, chunk_idx, chunk_text, n_chunk_tokens, chunk_key,
+       |    row_number() OVER (PARTITION BY split ORDER BY chunk_key) AS rn
+       |  FROM spl
+       |), packed(split, rn, doc_id, chunk_idx, chunk_text, n_chunk_tokens, cum, pack_id, pack_pos) AS (
+       |  SELECT split, rn, doc_id, chunk_idx, chunk_text, n_chunk_tokens, n_chunk_tokens,
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM num WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.split, n.rn, n.doc_id, n.chunk_idx, n.chunk_text, n.n_chunk_tokens,
+       |    CASE WHEN p.cum + n.n_chunk_tokens <= $capacity THEN p.cum + n.n_chunk_tokens ELSE n.n_chunk_tokens END,
+       |    CASE WHEN p.cum + n.n_chunk_tokens <= $capacity THEN p.pack_id ELSE p.pack_id + 1 END,
+       |    CASE WHEN p.cum + n.n_chunk_tokens <= $capacity THEN p.pack_pos + 1 ELSE CAST(0 AS BIGINT) END
+       |  FROM num n JOIN packed p ON n.split = p.split AND n.rn = p.rn + 1
+       |)
+       |SELECT split, pack_id, pack_pos, doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM packed""".stripMargin
   }
 }

@@ -1863,6 +1863,30 @@ object SparkEntry {
       graft.plans.PushdownBarrier(TextAnalysis.withQualityFeatures(a.unionAll(b)))
         .filter(col("doc_id") % 7 === 0 && col("n_tokens") >= 5)
         .select("doc_id", "n_tokens")
+    }),
+
+    // the flagship composition end-to-end: quality screen → PII scrub →
+    // exact dedup → MinHash near-dedup → decontaminate → chunk → split →
+    // pack, with q71's PII synthesis up front so the scrub stage does
+    // real work. Every stage is individually oracle-anchored; this entry
+    // hash-gates the WIRING (column threading, filter placement) of the
+    // composition itself
+    "q214_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val synth = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com ph 555-"), (lit(1000) + col("doc_id") % 9000).cast("string"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), synth.as("text"))
+      val evalSet = docs.filter(col("doc_id") % 20 === 0).select("text")
+      graft.pipelines.Curation.curate(train, evalSet,
+        graft.pipelines.Curation.Config(
+          minTokens = 20L, maxTokens = 10000L, maxStopwordRatio = 0.5,
+          dedupShingleN = 3, dedupK = 16, dedupBands = 4, dedupThreshold = 0.2,
+          decontamN = 8, chunkTokens = 20, chunkOverlap = 5,
+          packCapacity = 200L))
     })
   )
 
@@ -2164,6 +2188,10 @@ object SparkEntry {
         |FROM documents WHERE source <> 'src0'
         |  AND doc_id % 7 = 0 AND len($duckToks) >= 5""".stripMargin,
     "q212_ovr_score" -> OracleGen.ovrScore(dim = 64, nClasses = 3),
+    "q214_curation" -> OracleGen.curation(evalMod = 20, minTokens = 20L,
+      maxTokens = 10000L, maxStopwordRatio = 0.5, shingleN = 3, k = 16,
+      bands = 4, threshold = 0.2, decontamN = 8, chunkTokens = 20,
+      overlap = 5, capacity = 200L),
     "q210_logreg_score" -> OracleGen.logregScore(dim = 64),
     "q211_string_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -96,7 +96,12 @@ object Bench {
     // rounds of narrow literal-scored scans — the bench tracks their
     // fixed per-round cost the way q199/q201 track the graph loops)
     "q208_kcenter_greedy",
-    "q209_mmr_select")
+    "q209_mmr_select",
+    // round-17 additions: the r15/r16 correctness-only paths join the
+    // trend record (cross-round matched-set reads restrict to the common
+    // 77 — BASELINE.md round 17)
+    "q212_ovr_score",
+    "q213_union_screen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -251,15 +256,22 @@ object Bench {
       // Lets cross-round trend reads weight by stability mechanically.
       val spreadJson = results.map { case (k, _) =>
         val raw = rawRuns(k)
-        val ok = (if (raw.forall(_ >= 0) && raw.size >= 3) raw.tail else raw)
+        // run 1 is warmup whenever it RAN (succeeded), regardless of how
+        // later runs fared — a later-run failure must not smuggle the
+        // cold run-1 time back into the warm-only ratio
+        val ok = (if (raw.size >= 3 && raw.headOption.exists(_ >= 0)) raw.tail else raw)
           .filter(_ >= 0)
         val ratio = if (ok.size >= 2 && ok.min > 0) ok.max / ok.min else -1.0
         "\"" + k + f"\":$ratio%.3f"
       }.mkString("{", ",", "}")
-      // cpus is quoted: SPARK_GRAFT_CPUS="*" is a valid local[*] setting
-      // and must not produce invalid JSON here
+      // cpus stays a JSON number when numeric (matching the r15-era rows;
+      // r16's rows are quoted strings — trend reads coerce); only a
+      // non-numeric setting like SPARK_GRAFT_CPUS="*" (valid for local[*])
+      // is quoted to keep the JSON well-formed
+      val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+        else "\"" + cpus + "\""
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir","cpus":"$cpus","consume":"$consume"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir","cpus":$cpusJson,"consume":"$consume"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {

@@ -114,9 +114,14 @@ object PushThroughBarrier extends Rule[LogicalPlan] with PredicateHelper {
         case a: Alias => a.toAttribute
       }))
       // An output is raw when not aliased at this node and either raw in a
-      // child or node-generated without an Alias (e.g. a Generate output —
-      // crossing such a conjunct is sound: below the fence it references
-      // the same value and Catalyst's own rules take over).
+      // child or node-generated without an Alias (e.g. a Generate output;
+      // Expand reuses child exprIds while changing values per projection,
+      // so its outputs classify raw too). Crossing such a conjunct is
+      // sound NOT because the attribute names the same value below —
+      // Expand shows it may not — but because this rule only moves the
+      // filter to just above `child`, i.e. above the ENTIRE subtree that
+      // computes the attribute; any further descent is Catalyst's own
+      // pushdown rules, which carry their own correctness arguments.
       AttributeSet(other.output.filter(a =>
         !aliasedHere.contains(a) && (!childOut.contains(a) || childRaw.contains(a))))
   }

@@ -297,6 +297,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("rlike"), s"per-element regex survived:\n$p")
   }
 
+  test("PII scrub evaluates each scan kernel exactly once per row (q71)") {
+    // __pii_email is a multiply-referenced struct (n_emails plus the
+    // text_redacted chain) that stays single-evaluation only because
+    // CollapseProject declines to inline a multiply-referenced
+    // non-trivial expression — the same silent-reinline hazard the q137
+    // and q141 pins exist for (a reinline re-runs the email scan per
+    // reference: a 2-3x-class loss on the r16 5.1x win)
+    val p = executedPlan(SparkEntry.queries("q71_pii_scrub")(spark, dir)).toLowerCase
+    // phone/ip run twice BY DESIGN (counts scan the original text, the
+    // redaction chain scans the email-redacted text — different inputs);
+    // only the email scan is shared through the struct, so 1/2/2 is the
+    // exact expected census and anything higher is a reinline
+    for ((k, want) <- Seq("piiemailscan" -> 1, "piiphonescan" -> 2, "piiipv4scan" -> 2)) {
+      val n = (k + "\\(").r.findAllIn(p).length
+      assert(n == want, s"$k evaluated $n times (want $want) in:\n$p")
+    }
+  }
+
   test("quality screen filters ABOVE the feature projection — predicate never re-derives features (q61)") {
     // without the PushdownBarrier fence, Catalyst pushes the filter below
     // the feature Projects and the predicate recomputes every feature per

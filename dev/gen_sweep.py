@@ -41,7 +41,7 @@ salts values so duplicate density per row stays CONSTANT across decades:
   the honest shape, and identical index vectors only pad cells.
 
 Bench-only data; correctness still gates on the driver's sf0.01 + DuckDB.
-Usage: python3 dev/gen_sweep.py [outdir] [copies]
+Usage: python3 dev/gen_sweep.py [outdir] [copies] [table,table,...]
   (defaults /tmp/graft-sw1, 10; run with copies=1 for the sf0.1-scale
   baseline decade, copies=100 for sf10, copies=1000 for sf100. Above 50
   copies each table becomes a parquet DIRECTORY of per-chunk files —
@@ -111,6 +111,25 @@ def emb_select(i):
             f"FROM read_parquet('{SRC}/embeddings.parquet')")
 
 
+def orders_select(i):
+    # graph decade (q199/q201): customers and orders are copy-offset (the
+    # customer side of the bipartite graph grows linearly in copies) while
+    # l_suppkey stays SHARED across copies, so supplier hub in-degree grows
+    # x copies — the honest skew shape for a growing corpus, unlike
+    # gen_sf1's disjoint-copy graphs. Strides leave headroom: o_orderkey
+    # max 6e5 + 960*1e7 < 1e10; o_custkey max 1.5e4 + 960*1e6 < 1e9, far
+    # under custSuppGraph's 1e12 supplier-node offset guard.
+    return (f"SELECT * REPLACE (o_orderkey + {i * 10_000_000} AS o_orderkey, "
+            f"o_custkey + {i * 1_000_000} AS o_custkey) "
+            f"FROM read_parquet('{SRC}/orders.parquet')")
+
+
+def lineitem_select(i):
+    # l_suppkey deliberately NOT offset — see orders_select
+    return (f"SELECT * REPLACE (l_orderkey + {i * 10_000_000} AS l_orderkey) "
+            f"FROM read_parquet('{SRC}/lineitem.parquet')")
+
+
 def main():
     import shutil
     os.makedirs(OUT, exist_ok=True)
@@ -119,8 +138,15 @@ def main():
     # parser depth limit rejects it (same as gen_sf1.py)
     con.execute("SET max_expression_depth TO 250000")
     CHUNK = 50
-    for table, sel in [("documents", doc_select), ("part", part_select),
-                       ("embeddings", emb_select)]:
+    all_tables = [("documents", doc_select), ("part", part_select),
+                  ("embeddings", emb_select), ("orders", orders_select),
+                  ("lineitem", lineitem_select)]
+    # optional 3rd arg: comma-separated table filter (like gen_sf1.py) —
+    # orders/lineitem are OFF by default (graph-sweep-only; the similarity
+    # sweeps symlink them from sf0.1)
+    want = (sys.argv[3].split(",") if len(sys.argv) > 3
+            else ["documents", "part", "embeddings"])
+    for table, sel in [(t, f) for t, f in all_tables if t in want]:
         path = f"{OUT}/{table}.parquet"
         if COPIES <= CHUNK:
             # a prior chunked fixture at this path is a DIRECTORY; COPY to

@@ -283,6 +283,48 @@ object Profile {
       }
       time("q79 full")(noop(SparkEntry.queries("q79_normalize")(spark, sfDir)))
     }
+
+    // graphpin: re-assert the partial-agg-before-exchange pins on the
+    // EXECUTED plan at whatever scale sfDir points to (the SkewStressSpec
+    // pins prove the property on a synthetic 10^5-in-degree hub; this
+    // section proves AQE keeps the same shape on the real scale fixtures
+    // — e.g. /tmp/graft-gr100, where shared suppliers give ~10^5+
+    // in-degree hubs). Prints GRAPHPIN OK/FAIL per query.
+    if (only.forall("graphpin".contains)) {
+      def pin(name: String, df: DataFrame, needles: Seq[String]): Unit = {
+        df.write.mode("overwrite").format("noop").save()
+        val plan = df.queryExecution.executedPlan.toString.toLowerCase
+        val missing = needles.filterNot(plan.contains)
+        println(if (missing.isEmpty) s"GRAPHPIN OK $name"
+          else s"GRAPHPIN FAIL $name missing=${missing.mkString(",")}")
+      }
+      // q199/q201 unroll iterations behind localCheckpoints, so the final
+      // executedPlan only shows the last fragment — pin the per-round
+      // subplans (same shapes SkewStressSpec pins on the synthetic hub)
+      // over the fixture's REAL cust-supp edges
+      val edges = t("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000000L).as("dst"))
+        .distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ranks = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(9999L).as("r"))
+      pin("q199_pagerank (contribution round)",
+        graft.operators.Matrix.prContribution(edges,
+          graft.operators.Matrix.perSrcContribution(ranks, deg), identity),
+        Seq("partial_sum"))
+      val labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      pin("q201_label_prop (LPA round)",
+        graft.operators.Matrix.lpaRound(edges, labels, identity),
+        Seq("partial_count", "partial_min"))
+      pin("q155_triangles", SparkEntry.queries("q155_triangles")(spark, sfDir),
+        Seq("partial_count"))
+      pin("q159_kcore", SparkEntry.queries("q159_kcore")(spark, sfDir),
+        Seq("partial_count"))
+    }
     spark.stop()
   }
 }

@@ -183,6 +183,34 @@ class KernelPropertySpec extends SparkSpec {
       .collect().head.getInt(0) == 3)
   }
 
+  test("sortedIntersectCount int dispatch == long path on the same sets (incl. Int.MaxValue-1 boundary)") {
+    // the int-packed shingle representation (values mod P = 2^31−1) must
+    // count identically to the long form — same sets, both element types
+    val rnd = new scala.util.Random(23)
+    val pairs = (1 to 60).map { _ =>
+      // bias values toward the P boundary so the int path sees the
+      // largest representable shingle hashes (P−1 = Int.MaxValue−1)
+      def set() = Seq.fill(rnd.nextInt(40))(
+        if (rnd.nextBoolean()) rnd.nextInt(50) else Int.MaxValue - 1 - rnd.nextInt(3))
+        .distinct.sorted
+      (set(), set())
+    }
+    val df = pairs.toDF("a", "b")
+    val viaInt = df.select(NativeExpressions.sortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    val viaLong = df.select(NativeExpressions.sortedIntersectCount(
+        col("a").cast("array<long>"), col("b").cast("array<long>")))
+      .collect().map(_.getInt(0)).toSeq
+    val oracle = df.select(size(array_intersect(col("a"), col("b"))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaInt == viaLong && viaInt == oracle)
+    // mixed element types are a loud analysis error, never a wrong count
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(NativeExpressions.sortedIntersectCount(
+        col("a"), col("b").cast("array<long>"))).collect()
+    }
+  }
+
   test("scriptCounts kernel == regexp_replace counting on multilingual inputs") {
     // adversarial: mixed scripts, whitespace, and supplementary-plane
     // codepoints (emoji — surrogate PAIRS in the UTF-16 loop, ONE char to

@@ -862,6 +862,13 @@ class TextDedupSpec extends SparkSpec {
     val pair = Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
     val out = Dedup.ngramJaccardPrefix(pair, n = 2, threshold = 0.8).collect()
     assert(out.length == 1 && out.head.getDouble(2) >= 0.8)
+    // EXACT-boundary pair: 5 tokens vs the same + 1 → bigram shingle sets
+    // of 4 ⊂ 5, jaccard = 4/5 = 0.8 exactly at threshold 0.8 — the staged
+    // verification's bound prune and weak prune (both carry the −1.0
+    // rounding slack) must keep it, and the exact filter must emit it
+    val edge = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val eo = Dedup.ngramJaccardPrefix(edge, n = 2, threshold = 0.8).collect()
+    assert(eo.length == 1 && eo.head.getDouble(2) == 0.8, eo.mkString(";"))
   }
 
   test("crossCorpusJaccardPrefix reproduces the all-pairs cross answer, both orders") {

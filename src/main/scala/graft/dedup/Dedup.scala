@@ -340,11 +340,12 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(order == "df" || order == "hash", s"order must be df|hash: $order")
-    // the sorted shingle sets feed THREE consumers (the prefix stream and
-    // both verification sides) and the prefix stream feeds BOTH sides of
-    // the candidate self-join: lazy localCheckpoints make each sub-DAG run
-    // once instead of per consumer (same trick as semDedup's rep stream —
-    // plan construction stays execution-free; ~2× on the bench shape)
+    // the sorted shingle sets feed FIVE consumers (the prefix stream,
+    // both stage-1 lo-half sides, and both stage-2 full-set sides) and
+    // the prefix stream feeds BOTH sides of the candidate self-join:
+    // lazy localCheckpoints make each sub-DAG run once instead of per
+    // consumer (same trick as semDedup's rep stream — plan construction
+    // stays execution-free; ~2× on the bench shape)
     // int-packed: every shingle hash is mod P = 2^31−1, so the cast is
     // lossless and order-preserving — it halves the checkpoint, the
     // prefix stream, and (above all) the verification joins' bytes

@@ -146,6 +146,9 @@ def main():
     # sweeps symlink them from sf0.1)
     want = (sys.argv[3].split(",") if len(sys.argv) > 3
             else ["documents", "part", "embeddings"])
+    unknown = set(want) - {t for t, _ in all_tables}
+    assert not unknown, f"unknown table(s) {sorted(unknown)}; " \
+        f"choose from {[t for t, _ in all_tables]}"
     for table, sel in [(t, f) for t, f in all_tables if t in want]:
         path = f"{OUT}/{table}.parquet"
         if COPIES <= CHUNK:

@@ -268,7 +268,9 @@ object Bench {
       // r16's rows are quoted strings — trend reads coerce); only a
       // non-numeric setting like SPARK_GRAFT_CPUS="*" (valid for local[*])
       // is quoted to keep the JSON well-formed
-      val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      // round-trip through Int so "08" (leading zero — illegal JSON) and
+      // non-ASCII Unicode digits are quoted, not emitted as bare tokens
+      val cpusJson = if (cpus.toIntOption.map(_.toString).contains(cpus)) cpus
         else "\"" + cpus + "\""
       val full =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"spread":$spreadJson,"sf":"$sfDir","cpus":$cpusJson,"consume":"$consume"}"""

@@ -290,14 +290,22 @@ object Profile {
     // section proves AQE keeps the same shape on the real scale fixtures
     // — e.g. /tmp/graft-gr100, where shared suppliers give ~10^5+
     // in-degree hubs). Prints GRAPHPIN OK/FAIL per query.
-    if (only.forall("graphpin".contains)) {
-      def pin(name: String, df: DataFrame, needles: Seq[String]): Unit = {
-        df.write.mode("overwrite").format("noop").save()
-        val plan = df.queryExecution.executedPlan.toString.toLowerCase
-        val missing = needles.filterNot(plan.contains)
-        println(if (missing.isEmpty) s"GRAPHPIN OK $name"
-          else s"GRAPHPIN FAIL $name missing=${missing.mkString(",")}")
-      }
+    val graphPins = Seq("graphpin q199_pagerank (contribution round)",
+      "graphpin q201_label_prop (LPA round)", "graphpin q155_triangles",
+      "graphpin q159_kcore")
+    if (graphPins.exists(l => only.forall(l.contains))) {
+      def pin(name: String, df: => DataFrame, needles: Seq[String]): Unit =
+        if (only.forall(name.contains)) {
+          val d = df
+          // finalize AQE on THIS QueryExecution (a write would execute a
+          // SEPARATE one and leave d.queryExecution at the initial,
+          // never-replanned adaptive plan — the pin would pass vacuously)
+          d.queryExecution.toRdd.foreach(_ => ())
+          val plan = d.queryExecution.executedPlan.toString.toLowerCase
+          val missing = needles.filterNot(plan.contains)
+          println(if (missing.isEmpty) s"GRAPHPIN OK $name"
+            else s"GRAPHPIN FAIL $name missing=${missing.mkString(",")}")
+        }
       // q199/q201 unroll iterations behind localCheckpoints, so the final
       // executedPlan only shows the last fragment — pin the per-round
       // subplans (same shapes SkewStressSpec pins on the synthetic hub)
@@ -311,18 +319,18 @@ object Profile {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val ranks = edges.select(col("src").as("node")).distinct()
         .select(col("node"), lit(9999L).as("r"))
-      pin("q199_pagerank (contribution round)",
+      pin(graphPins(0),
         graft.operators.Matrix.prContribution(edges,
           graft.operators.Matrix.perSrcContribution(ranks, deg), identity),
         Seq("partial_sum"))
       val labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
-      pin("q201_label_prop (LPA round)",
+      pin(graphPins(1),
         graft.operators.Matrix.lpaRound(edges, labels, identity),
         Seq("partial_count", "partial_min"))
-      pin("q155_triangles", SparkEntry.queries("q155_triangles")(spark, sfDir),
+      pin(graphPins(2), SparkEntry.queries("q155_triangles")(spark, sfDir),
         Seq("partial_count"))
-      pin("q159_kcore", SparkEntry.queries("q159_kcore")(spark, sfDir),
+      pin(graphPins(3), SparkEntry.queries("q159_kcore")(spark, sfDir),
         Seq("partial_count"))
     }
     spark.stop()

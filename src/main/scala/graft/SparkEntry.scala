@@ -1865,9 +1865,10 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
     }),
 
-    // the flagship composition end-to-end: quality screen → PII scrub →
-    // exact dedup → MinHash near-dedup → decontaminate → chunk → split →
-    // pack, with q71's PII synthesis up front so the scrub stage does
+    // the flagship composition end-to-end: PII scrub → quality screen
+    // (on the redacted text) → exact dedup → MinHash near-dedup →
+    // decontaminate → chunk → split → pack, with q71's PII synthesis up
+    // front so the scrub stage does
     // real work. Every stage is individually oracle-anchored; this entry
     // hash-gates the WIRING (column threading, filter placement) of the
     // composition itself

@@ -21,33 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Dictionary {
 
-  /** Broadcast ceiling for the dictionary side of ENCODE/DECODE, compared
-    * against the dictionary plan's Catalyst size estimate
-    * (`optimizedPlan.stats.sizeInBytes` — plan-time, no job). The
+  /** Broadcast ceiling for the dictionary side of ENCODE/DECODE. The
     * reference assumed an in-memory dictionary unconditionally
     * (DictionaryEncodeOperator.java:48); at the 100 TB design point a
     * high-cardinality dictionary (URLs, user ids) under a forced
     * broadcast hint is a guaranteed driver/executor OOM, so — like
     * [[Matrix.BroadcastNodeThreshold]] — encode/decode broadcast only
-    * while the dictionary provably-by-estimate fits, and fall back to a
-    * plain shuffle join above. 1 GiB is deliberately generous: a LOADED
-    * dictionary's estimate is its exact file size, while an in-query
-    * computed dictionary inherits a conservative-HIGH estimate from its
-    * distinct's child, so small computed dictionaries (the common case —
-    * a few MB of estimate) keep today's broadcast plan, and the
-    * TB-estimate pathological ones are exactly the OOM candidates the
-    * switch exists to catch. Callers who know better force either side
-    * via `broadcastDict`.
+    * while the dictionary provably fits, and fall back to a plain
+    * shuffle join above. Two tiers keep the common case free:
+    * the plan-stats estimate (`optimizedPlan.stats.sizeInBytes` —
+    * plan-time, no job; EXACT for a LOADED dictionary, the production
+    * shape per [[save]]/[[load]]) accepts under [[BroadcastDictMaxBytes]];
+    * past that, one bounded count job decides — necessary because
+    * without CBO a dictionary COMPUTED in-query inherits its distinct's
+    * CHILD size (Catalyst's Aggregate/Window estimate never shrinks for
+    * cardinality), so a 5-value dictionary built from a 100 GB table
+    * estimates 100 GB and would otherwise silently shuffle the whole
+    * fact table. Callers who know better force either side via
+    * `broadcastDict` and skip both tiers.
     */
   val BroadcastDictMaxBytes: Long = 1L << 30
 
+  /** Row ceiling for tier two: ~48 B per (colvalue, code) entry puts 10^7
+    * rows at ~0.5 GB of broadcast hash relation.
+    */
+  val BroadcastDictMaxRows: Long = 10000000L
+
   /** The dictionary side of the encode/decode join: explicit override
-    * wins, otherwise the plan-stats estimate vs [[BroadcastDictMaxBytes]]
-    * decides.
+    * wins; then the plan-stats estimate; then a bounded count.
     */
   private def dictSide(dict: DataFrame, forced: Option[Boolean]): DataFrame = {
-    val doBroadcast = forced.getOrElse(
-      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(BroadcastDictMaxBytes))
+    val doBroadcast = forced.getOrElse {
+      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(BroadcastDictMaxBytes) ||
+        dict.limit((BroadcastDictMaxRows + 1).toInt).count() <= BroadcastDictMaxRows
+    }
     if (doBroadcast) broadcast(dict) else dict
   }
 

@@ -116,15 +116,24 @@ class WindowDictSpec extends SparkSpec {
     val dict = Dictionary.create(df, "v")
     // small dictionary (estimate ≪ BroadcastDictMaxBytes): broadcast hint present
     assert(hinted(Dictionary.encode(df, "v", dict, unknownsAs = Some(-1))))
-    // a dictionary whose plan-stats estimate exceeds the ceiling plans a
-    // NON-broadcast join (spark.range has exact 8 B/row stats: 2^28 rows
-    // of (id, string, code) estimate past 1 GiB) — never executed, the
-    // pin is on the plan
+    // a dictionary that is genuinely huge (stats AND bounded count past
+    // the ceilings) plans a NON-broadcast join — the encode itself is
+    // never executed, the pin is on the plan (the decision does run the
+    // tier-two bounded count)
     val huge = spark.range(1L << 28)
       .select(format_string("v%d", $"id").as("colvalue"), $"id".cast("int").as("code"))
     assert(huge.queryExecution.optimizedPlan.stats.sizeInBytes >
       BigInt(Dictionary.BroadcastDictMaxBytes))
     assert(!hinted(Dictionary.encode(df, "v", huge, unknownsAs = Some(-1))))
+    // the q30-at-scale shape: a LOW-cardinality dictionary computed from
+    // a big-estimate input (Catalyst's Aggregate stats never shrink for
+    // cardinality) must KEEP its broadcast — tier two's bounded count
+    // rescues what tier one's estimate would wrongly demote
+    val smallFromBig = spark.range(1L << 28).filter($"id" < 5)
+      .select(format_string("v%d", $"id").as("colvalue"), $"id".cast("int").as("code"))
+    assert(smallFromBig.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(Dictionary.BroadcastDictMaxBytes))
+    assert(hinted(Dictionary.encode(df, "v", smallFromBig, unknownsAs = Some(-1))))
     // the override knob wins in both directions
     assert(hinted(Dictionary.encode(df, "v", huge, unknownsAs = Some(-1),
       broadcastDict = Some(true))))

@@ -386,8 +386,39 @@ object Dedup {
     // and Jaccard ≥ t needs overlap ≥ ceil(t·(n_a+n_b)/(1+t)) and sizes
     // within a factor t of each other — both prune candidate pairs BEFORE
     // the distinct and the verification join ever see them
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol") &&
+    val cand = ppjoinCandidates(pref.as("a"), pref.as("b"),
+      col(s"a.$idCol") < col(s"b.$idCol"), idCol, threshold)
+    // sets are sorted: one allocation-free merge-count per candidate,
+    // staged so full arrays only travel once per bound-surviving pair
+    stagedVerifiedJaccard(cand, withN, withN, idCol, threshold)
+  }
+
+  /** Candidate pairs of a prefix self/cross join under the FULL PPJoin+
+    * bound. The per-row positional filter inside the join keeps each
+    * co-occurrence only while `1 + min(n_a − pos_a, n_b − pos_b)` can
+    * reach the required overlap α = t·(n_a+n_b)/(1+t) (the classic
+    * positional filter — sound for the FIRST shared prefix element, and
+    * monotone in position, so a pair survives iff its first shared
+    * element's bound passes). The aggregation then tightens it: with o
+    * surviving co-occurrences and LAST matched positions (pa, pb) —
+    * max() per side lands on the same shingle because per-doc positions
+    * are ranks in one global order —
+    * `common ≤ o + min(n_a − pa, n_b − pb)`: every common element not
+    * among the o counted ones ranks after (pa, pb) in BOTH docs (a
+    * shared-in-both-prefixes element before the last kept one is itself
+    * kept — the per-row filter passes a position-prefix; an element
+    * outside either prefix ranks after both prefix ends). Since
+    * pa − pa_first ≥ o − 1, this bound is ALWAYS ≤ the single-row bound:
+    * strictly more pruning, applied BEFORE any array travels. The same
+    * −1.0 double-rounding slack as the verification prunes (admit-only).
+    * Replaces `.distinct()` — the groupBy dedups and the map-side
+    * partial aggregation keeps the shuffle at distinct-pair width.
+    */
+  private def ppjoinCandidates(prefA: DataFrame, prefB: DataFrame,
+                               pairCond: Column, idCol: String,
+                               threshold: Double): DataFrame =
+    prefA.join(prefB,
+        col("a.shingle") === col("b.shingle") && pairCond &&
           col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
           col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
           // compare against the real-valued overlap bound t·(n_a+n_b)/(1+t)
@@ -396,11 +427,15 @@ object Dedup {
           (lit(1) + least(col("a.n_sh") - col("a.__pos"), col("b.n_sh") - col("b.__pos")))
             .cast("double") >=
             (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
-    // sets are sorted: one allocation-free merge-count per candidate,
-    // staged so full arrays only travel once per bound-surviving pair
-    stagedVerifiedJaccard(cand, withN, withN, idCol, threshold)
-  }
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__o"),
+        max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"),
+        max(col("a.n_sh")).as("__na"), max(col("b.n_sh")).as("__nb"))
+      .filter((col("__o") +
+          least(col("__na") - col("__pa"), col("__nb") - col("__pb"))).cast("double") *
+          lit(1.0 + threshold) >=
+        (col("__na") + col("__nb")).cast("double") * lit(threshold) - lit(1.0))
+      .select("id_a", "id_b")
 
   /** Cross-corpus set-similarity join: n-gram Jaccard ≥ `threshold` between
     * documents of TWO corpora (fresh crawl vs existing corpus — the "is this
@@ -491,14 +526,8 @@ object Dedup {
         .localCheckpoint(false))
     val prefA = capHotShingles(prefixOf(la, dfreq), maxDocsPerShingle)
     val prefB = capHotShingles(prefixOf(rb, dfreq), maxDocsPerShingle)
-    val cand = prefA.as("a").join(prefB.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-          (lit(1) + least(col("a.n_sh") - col("a.__pos"), col("b.n_sh") - col("b.__pos")))
-            .cast("double") >=
-            (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
+    val cand = ppjoinCandidates(prefA.as("a"), prefB.as("b"), lit(true),
+      idCol, threshold)
     stagedVerifiedJaccard(cand, la, rb, idCol, threshold)
   }
 

@@ -413,6 +413,12 @@ object Dedup {
     * −1.0 double-rounding slack as the verification prunes (admit-only).
     * Replaces `.distinct()` — the groupBy dedups and the map-side
     * partial aggregation keeps the shuffle at distinct-pair width.
+    *
+    * Cap interaction: under an opt-in `maxDocsPerShingle` cap a capped
+    * shingle can rank EARLY, so o under-counts and this bound can prune
+    * a pair the uncapped stream would keep — the cap's documented
+    * lower-bound caveat gets correspondingly deeper. With the default
+    * (no cap, the prefix paths' production posture) the bound is exact.
     */
   private def ppjoinCandidates(prefA: DataFrame, prefB: DataFrame,
                                pairCond: Column, idCol: String,

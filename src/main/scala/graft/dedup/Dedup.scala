@@ -231,8 +231,13 @@ object Dedup {
     * candidate id pairs back to the full sorted shingle arrays and
     * intersects: full sets travel once per CANDIDATE, never per shingle.
     * The hot-shingle cap still composes for boilerplate-heavy corpora
-    * (applied to the prefix stream; same lower-bound caveat as
-    * [[ngramJaccard]]).
+    * (applied to the prefix stream) — but its caveat is DEEPER here than
+    * [[ngramJaccard]]'s: a capped shingle can rank early in the shared
+    * order, so the PPJoin+ aggregate bound under-counts and a pair can
+    * be MISSED outright, not just reported with a lowered jaccard. The
+    * prefix paths' production posture is the default no-cap (the df
+    * order already sinks boilerplate to the suffixes), where every
+    * bound is exact.
     */
   /** Shared verification epilogue of the candidate-pair Jaccard joins:
     * merge-count the two sorted shingle-hash sets ONCE per candidate, then
@@ -386,7 +391,7 @@ object Dedup {
     // and Jaccard ≥ t needs overlap ≥ ceil(t·(n_a+n_b)/(1+t)) and sizes
     // within a factor t of each other — both prune candidate pairs BEFORE
     // the distinct and the verification join ever see them
-    val cand = ppjoinCandidates(pref.as("a"), pref.as("b"),
+    val cand = ppjoinCandidates(pref, pref,
       col(s"a.$idCol") < col(s"b.$idCol"), idCol, threshold)
     // sets are sorted: one allocation-free merge-count per candidate,
     // staged so full arrays only travel once per bound-surviving pair
@@ -423,16 +428,29 @@ object Dedup {
   private def ppjoinCandidates(prefA: DataFrame, prefB: DataFrame,
                                pairCond: Column, idCol: String,
                                threshold: Double): DataFrame =
-    prefA.join(prefB,
+    // the aliases are applied HERE; pairCond is built against the
+    // documented names "a"/"b" (the one extra-condition caller uses
+    // col("a.<id>") < col("b.<id>") for the self-join ordering)
+    prefA.as("a").join(prefB.as("b"),
         col("a.shingle") === col("b.shingle") && pairCond &&
+          // single IEEE products are safe unslacked: a real product of two
+          // doubles that is ≤ an integer never ROUNDS above it (the
+          // integer is representable, so round-to-nearest cannot
+          // overshoot past it) — these length filters can only admit
           col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
           col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-          // compare against the real-valued overlap bound t·(n_a+n_b)/(1+t)
-          // directly (an integer ≥ x iff ≥ ceil(x)) — no ceil, so float
-          // rounding can only admit an extra candidate, never drop a pair
+          // the overlap bound α = t·(n_a+n_b)/(1+t) is NOT safe in
+          // divided form: multiply-then-divide compounds two roundings
+          // and crosses integers upward ((63)·0.8/1.8 reads
+          // 28.000000000000004 > the true 28, silently dropping an
+          // exact-boundary pair — e.g. a 28-shingle doc contained in a
+          // 35-shingle doc at t = 0.8 IS jaccard 0.8 and must survive).
+          // Compare multiplied through by (1+t) with the file's standard
+          // −1.0 admit-only slack instead, exactly like the aggregate
+          // and verification prunes below
           (lit(1) + least(col("a.n_sh") - col("a.__pos"), col("b.n_sh") - col("b.__pos")))
-            .cast("double") >=
-            (col("a.n_sh") + col("b.n_sh")) * lit(threshold) / lit(1.0 + threshold))
+            .cast("double") * lit(1.0 + threshold) >=
+            (col("a.n_sh") + col("b.n_sh")).cast("double") * lit(threshold) - lit(1.0))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("__o"),
         max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"),
@@ -532,8 +550,7 @@ object Dedup {
         .localCheckpoint(false))
     val prefA = capHotShingles(prefixOf(la, dfreq), maxDocsPerShingle)
     val prefB = capHotShingles(prefixOf(rb, dfreq), maxDocsPerShingle)
-    val cand = ppjoinCandidates(prefA.as("a"), prefB.as("b"), lit(true),
-      idCol, threshold)
+    val cand = ppjoinCandidates(prefA, prefB, lit(true), idCol, threshold)
     stagedVerifiedJaccard(cand, la, rb, idCol, threshold)
   }
 

@@ -869,6 +869,20 @@ class TextDedupSpec extends SparkSpec {
     val edge = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val eo = Dedup.ngramJaccardPrefix(edge, n = 2, threshold = 0.8).collect()
     assert(eo.length == 1 && eo.head.getDouble(2) == 0.8, eo.mkString(";"))
+    // float-rounding regression (r17 review): a 28-shingle doc contained
+    // in a 35-shingle doc is jaccard 28/35 = 0.8 exactly, but the
+    // required-overlap bound in DIVIDED float form reads
+    // 63·0.8/1.8 = 28.000000000000004 > 28 and silently dropped the pair
+    // before the fix (multiply-through + the −1.0 admit-only slack)
+    val w = (1 to 36).map(i => s"w$i")
+    val big = Seq((1L, w.take(29).mkString(" ")), (2L, w.mkString(" ")))
+      .toDF("doc_id", "text")
+    val bo = Dedup.ngramJaccardPrefix(big, n = 2, threshold = 0.8).collect()
+    assert(bo.length == 1 && bo.head.getDouble(2) == 0.8, bo.mkString(";"))
+    val bc = Dedup.crossCorpusJaccardPrefix(
+      big.filter(col("doc_id") === 1), big.filter(col("doc_id") === 2),
+      n = 2, threshold = 0.8).collect()
+    assert(bc.length == 1 && bc.head.getDouble(2) == 0.8, bc.mkString(";"))
   }
 
   test("crossCorpusJaccardPrefix reproduces the all-pairs cross answer, both orders") {

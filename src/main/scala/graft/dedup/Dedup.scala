@@ -389,8 +389,9 @@ object Dedup {
     // positional + length filters (PPJoin): a colliding prefix position
     // caps the achievable overlap at 1 + min(n_a − pos_a, n_b − pos_b),
     // and Jaccard ≥ t needs overlap ≥ ceil(t·(n_a+n_b)/(1+t)) and sizes
-    // within a factor t of each other — both prune candidate pairs BEFORE
-    // the distinct and the verification join ever see them
+    // within a factor t of each other — both prune co-occurrences inside
+    // the prefix join, and the pair-dedup groupBy then applies the
+    // aggregate PPJoin+ bound, all BEFORE the verification join sees a pair
     val cand = ppjoinCandidates(pref, pref,
       col(s"a.$idCol") < col(s"b.$idCol"), idCol, threshold)
     // sets are sorted: one allocation-free merge-count per candidate,
@@ -451,10 +452,12 @@ object Dedup {
           (lit(1) + least(col("a.n_sh") - col("a.__pos"), col("b.n_sh") - col("b.__pos")))
             .cast("double") * lit(1.0 + threshold) >=
             (col("a.n_sh") + col("b.n_sh")).cast("double") * lit(threshold) - lit(1.0))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      // per-doc constants n_sh ride as group keys (the sibling joins'
+      // form — ngramJaccard, winnowOverlapJoin), not as max() buffers
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_sh").as("__na"), col("b.n_sh").as("__nb"))
       .agg(count(lit(1)).as("__o"),
-        max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"),
-        max(col("a.n_sh")).as("__na"), max(col("b.n_sh")).as("__nb"))
+        max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"))
       .filter((col("__o") +
           least(col("__na") - col("__pa"), col("__nb") - col("__pb"))).cast("double") *
           lit(1.0 + threshold) >=
@@ -505,7 +508,11 @@ object Dedup {
     * per surviving candidate. The 100 TB shape for the "is this new
     * document a near-dup of anything we already have" screen at high
     * thresholds — pair generation touches ~(1−t) of the shingles instead
-    * of all of them, with no lower-bound caveat.
+    * of all of them. With the default `maxDocsPerShingle = None` there is
+    * no lower-bound caveat; under an opt-in cap the caveat is the DEEP
+    * one documented on [[ngramJaccardPrefix]] — a capped shingle that
+    * ranks early in the shared order makes the PPJoin+ aggregate bound
+    * under-count, so a qualifying pair can be MISSED outright.
     */
   def crossCorpusJaccardPrefix(left: DataFrame, right: DataFrame, n: Int = 3,
                                threshold: Double = 0.8, textCol: String = "text",

@@ -877,12 +877,17 @@ class TextDedupSpec extends SparkSpec {
     val w = (1 to 36).map(i => s"w$i")
     val big = Seq((1L, w.take(29).mkString(" ")), (2L, w.mkString(" ")))
       .toDF("doc_id", "text")
-    val bo = Dedup.ngramJaccardPrefix(big, n = 2, threshold = 0.8).collect()
-    assert(bo.length == 1 && bo.head.getDouble(2) == 0.8, bo.mkString(";"))
-    val bc = Dedup.crossCorpusJaccardPrefix(
-      big.filter(col("doc_id") === 1), big.filter(col("doc_id") === 2),
-      n = 2, threshold = 0.8).collect()
-    assert(bc.length == 1 && bc.head.getDouble(2) == 0.8, bc.mkString(";"))
+    for (ord <- Seq("df", "hash")) { // hash order assigns different __pos
+      val bo = Dedup.ngramJaccardPrefix(big, n = 2, threshold = 0.8,
+        order = ord).collect()
+      assert(bo.length == 1 && bo.head.getDouble(2) == 0.8,
+        s"$ord: ${bo.mkString(";")}")
+      val bc = Dedup.crossCorpusJaccardPrefix(
+        big.filter(col("doc_id") === 1), big.filter(col("doc_id") === 2),
+        n = 2, threshold = 0.8, order = ord).collect()
+      assert(bc.length == 1 && bc.head.getDouble(2) == 0.8,
+        s"$ord: ${bc.mkString(";")}")
+    }
   }
 
   test("crossCorpusJaccardPrefix reproduces the all-pairs cross answer, both orders") {

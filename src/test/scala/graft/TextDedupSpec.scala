@@ -850,7 +850,10 @@ class TextDedupSpec extends SparkSpec {
 
   test("ngramJaccardPrefix reproduces the all-pairs answer with a smaller pair-generation stream") {
     val docs = sf("documents").limit(300)
-    for (t <- Seq(0.2, 0.5, 0.8); ord <- Seq("df", "hash")) {
+    // 2.0/3.0 (non-terminating in binary AND decimal) and 0.9 exercise
+    // rounding paths in the length/positional/aggregate bounds that the
+    // decimal-friendly thresholds never hit
+    for (t <- Seq(0.2, 0.5, 2.0 / 3.0, 0.8, 0.9); ord <- Seq("df", "hash")) {
       val full = Dedup.ngramJaccard(docs, n = 2, threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val pref = Dedup.ngramJaccardPrefix(docs, n = 2, threshold = t, order = ord)
@@ -894,7 +897,7 @@ class TextDedupSpec extends SparkSpec {
     val docs = sf("documents").limit(300)
     val left = docs.filter(col("doc_id") % 2 === 0)
     val right = docs.filter(col("doc_id") % 2 === 1)
-    for (t <- Seq(0.2, 0.8); ord <- Seq("df", "hash")) {
+    for (t <- Seq(0.2, 2.0 / 3.0, 0.8); ord <- Seq("df", "hash")) {
       val full = Dedup.crossCorpusJaccard(left, right, n = 2, threshold = t,
           maxDocsPerShingle = None)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -365,6 +365,19 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(docs, n = 2, threshold = 0.0).count() == 0)
     // exact dedup groups by content hash; null hashes to null group
     assert(Dedup.exact(docs).count() == 4)
+    // prefix paths: same exclusion contract, both orders, and an entirely
+    // empty corpus (empty dfreq + empty checkpoint + empty window) is fine
+    val none = docs.limit(0)
+    for (ord <- Seq("df", "hash")) {
+      assert(Dedup.ngramJaccardPrefix(docs, n = 2, threshold = 0.5,
+        order = ord).count() == 0)
+      assert(Dedup.ngramJaccardPrefix(none, n = 2, threshold = 0.5,
+        order = ord).count() == 0)
+      assert(Dedup.crossCorpusJaccardPrefix(docs, none, n = 2,
+        threshold = 0.5, order = ord).count() == 0)
+      assert(Dedup.crossCorpusJaccardPrefix(none, docs, n = 2,
+        threshold = 0.5, order = ord).count() == 0)
+    }
   }
 
   test("dupClusters == brute-force union-find on seeded random graphs") {

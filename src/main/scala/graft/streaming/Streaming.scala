@@ -35,6 +35,7 @@ object Streaming {
   def windowedGroupBy(df: DataFrame, tsCol: String, windowDur: String,
                       keys: Seq[String], aggs: Seq[(String, Column, String)],
                       watermark: String, slideDur: Option[String] = None): DataFrame = {
+    require(aggs.nonEmpty, "windowedGroupBy: aggs must be non-empty")
     val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
     val win = slideDur match {
       case Some(s) => window(col(tsCol), windowDur, s)
@@ -51,6 +52,7 @@ object Streaming {
   def sessionGroupBy(df: DataFrame, tsCol: String, gap: String,
                      keys: Seq[String], aggs: Seq[(String, Column, String)],
                      watermark: String): DataFrame = {
+    require(aggs.nonEmpty, "sessionGroupBy: aggs must be non-empty")
     val exprs = aggs.map { case (t, c, n) => Aggregations.aggExpr(t, c).as(n) }
     df.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
@@ -62,44 +64,71 @@ object Streaming {
     * macro, SURVEY §2.6).
     */
   def distinctStream(df: DataFrame, idCols: Seq[String], tsCol: String,
-                     watermark: String): DataFrame =
+                     watermark: String): DataFrame = {
+    require(idCols.nonEmpty, "distinctStream: idCols must be non-empty")
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+  }
 
   /** Custom per-key running state via mapGroupsWithState: running count +
-    * sum per key with processing-time timeout — the streaming analog of a
-    * user-defined aggregation operator (SURVEY §2.4 UDAF row).
+    * sum per key — the streaming analog of a user-defined aggregation
+    * operator (SURVEY §2.4 UDAF row). With `idleTimeout = None` (default)
+    * state is NEVER evicted — running totals over all time cannot be
+    * dropped without changing their meaning, so this posture is for
+    * bounded key spaces only. For unbounded key spaces pass a
+    * processing-time TTL (e.g. `Some("1 hour")`): a key idle that long
+    * emits its final aggregate once more and its state is evicted — a
+    * later event for the key restarts from zero (the standard TTL trade).
     */
   case class KeyedEvent(key: String, value: Double)
   case class RunningAgg(key: String, n: Long, sum: Double)
 
-  def runningAggPerKey(events: org.apache.spark.sql.Dataset[KeyedEvent])
+  def runningAggPerKey(events: org.apache.spark.sql.Dataset[KeyedEvent],
+                       idleTimeout: Option[String] = None)
       : org.apache.spark.sql.Dataset[RunningAgg] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
-      .mapGroupsWithState[RunningAgg, RunningAgg](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[RunningAgg, RunningAgg](timeoutConf) {
         (key: String, batch: Iterator[KeyedEvent], state: GroupState[RunningAgg]) =>
           val prev = state.getOption.getOrElse(RunningAgg(key, 0L, 0.0))
-          var n = prev.n; var s = prev.sum
-          batch.foreach { e => n += 1; s += e.value }
-          val next = RunningAgg(key, n, s)
-          state.update(next)
-          next
+          if (state.hasTimedOut) { // idle TTL: final emission, then evict
+            state.remove()
+            prev
+          } else {
+            var n = prev.n; var s = prev.sum
+            batch.foreach { e => n += 1; s += e.value }
+            val next = RunningAgg(key, n, s)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 
   /** Closed-session emission via flatMapGroupsWithState: per key, events
-    * accumulate into an open session; an event past the gap CLOSES the
-    * previous session (emitting it downstream, zero or more outputs per
-    * invocation — the flatMap shape) and opens a new one. Event-time
-    * timeout evicts idle state at the watermark. The streaming analog of
-    * WindowOps.sessionize that emits each session exactly once, when it
-    * can no longer grow.
+    * merge into gap-separated session FRAGMENTS (the same interval-merge
+    * Spark's own session_window runs in its state store); a fragment is
+    * emitted exactly once, when the event-time watermark proves it can no
+    * longer grow (`end + gap < watermark` — every future admitted event
+    * has ts ≥ watermark, so it cannot merge). Holding a LIST of fragments
+    * rather than one open session makes admitted-late events exact: an
+    * event within the gap BEFORE a fragment extends its start backward,
+    * an event between two fragments bridges them, and an event older than
+    * every fragment opens its own — matching WindowOps.sessionize on
+    * every event the watermark admits. State per key is bounded by the
+    * watermark delay (fragments older than it close and leave). The
+    * event-time timeout fires at the OLDEST live fragment's expiry, so an
+    * idle key still emits; by construction the timeout timestamp is never
+    * below the current watermark (a below-watermark timeout throws in
+    * GroupStateImpl — the fragment would already have closed).
     */
   case class SessionEvent(key: String, ts: java.sql.Timestamp) {
     def tsMs: Long = ts.getTime
   }
   case class OpenSession(key: String, startMs: Long, lastMs: Long, n: Long)
+  case class SessionFragments(frags: Seq[OpenSession])
   case class ClosedSession(key: String, startMs: Long, endMs: Long, n: Long)
 
   /** The `ts` field must carry the input's watermark (withWatermark on the
@@ -109,33 +138,33 @@ object Streaming {
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionFragments, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
-          val sorted = batch.toSeq.sortBy(_.tsMs)
-          var open = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          if (sorted.isEmpty && state.hasTimedOut) {
-            open.foreach(o => closed += ClosedSession(key, o.startMs, o.lastMs, o.n))
-            state.remove()
-          } else {
-            sorted.foreach { e =>
-              open match {
-                case Some(o) if e.tsMs - o.lastMs <= gapMs =>
-                  open = Some(o.copy(lastMs = math.max(o.lastMs, e.tsMs), n = o.n + 1))
-                case Some(o) =>
-                  closed += ClosedSession(key, o.startMs, o.lastMs, o.n)
-                  open = Some(OpenSession(key, e.tsMs, e.tsMs, 1))
-                case None =>
-                  open = Some(OpenSession(key, e.tsMs, e.tsMs, 1))
-              }
-            }
-            open.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp(o.lastMs + gapMs)
-            }
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[SessionFragments]) =>
+          // one pass over (state fragments ++ batch points) sorted by start
+          // merges everything mergeable: state fragments are themselves
+          // sorted and non-mergeable, so the merged list is canonical
+          val all = (state.getOption.map(_.frags).getOrElse(Seq.empty) ++
+            batch.map(e => OpenSession(key, e.tsMs, e.tsMs, 1L)))
+            .sortBy(f => (f.startMs, f.lastMs))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+          all.foreach { f =>
+            if (merged.nonEmpty && f.startMs - merged.last.lastMs <= gapMs) {
+              val m = merged.last
+              merged(merged.length - 1) =
+                m.copy(lastMs = math.max(m.lastMs, f.lastMs), n = m.n + f.n)
+            } else merged += f
           }
-          closed.result().iterator
+          // strict <: a future event at exactly ts = watermark = end + gap
+          // would still merge, so that fragment must stay live
+          val wm = state.getCurrentWatermarkMs()
+          val (done, live) = merged.partition(_.lastMs + gapMs < wm)
+          if (live.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionFragments(live.toVector))
+            state.setTimeoutTimestamp(live.map(_.lastMs).min + gapMs)
+          }
+          done.iterator.map(o => ClosedSession(key, o.startMs, o.lastMs, o.n))
       }
   }
 

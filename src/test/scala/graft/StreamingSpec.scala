@@ -154,6 +154,114 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closedSessions survives a watermark jump larger than the gap (r17 review)") {
+    // Before the fragment rewrite this sequence KILLED the query: batch 3's
+    // lagging event passes the late filter (which uses the PREVIOUS batch's
+    // watermark) and merges into the open session, but lastMs + gap is far
+    // below the CURRENT eviction watermark, and
+    // GroupStateImpl.setTimeoutTimestamp throws on a below-watermark value.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val ds = in.toDF().toDF("ts", "key")
+      .withWatermark("ts", "10 seconds")
+      .select("key", "ts")
+      .as[Streaming.SessionEvent]
+    // no-data micro-batches would fire the session's event-time timer
+    // between addData calls and close it early — the crash window needs
+    // the straggler batch to DIRECTLY follow the jump batch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = Streaming.closedSessions(ds, gapMs = 60000)
+      .writeStream.format("memory").queryName("wm_jump_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), "a"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 01:00:00"), "b")) // watermark jumps ~1h
+      q.processAllAvailable()
+      // admitted-late straggler for "a": the late filter uses the PREVIOUS
+      // batch's watermark (23:59:50, below it) while the eviction watermark
+      // is already 00:59:50 — far past lastMs + gap
+      in.addData((ts("2024-01-01 00:00:30"), "a"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      val aRows = spark.table("wm_jump_sessions").as[Streaming.ClosedSession]
+        .collect().filter(_.key == "a")
+      assert(aRows.length == 1, aRows.mkString(";"))
+      assert(aRows.head.n == 2 && aRows.head.startMs == ts("2024-01-01 00:00:00").getTime
+        && aRows.head.endMs == ts("2024-01-01 00:00:30").getTime, aRows.head.toString)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    }
+  }
+
+  test("closedSessions is exact on admitted-late events: backward extension and own-session split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val ds = in.toDF().toDF("ts", "key")
+      .withWatermark("ts", "1 hour") // generous delay: stragglers are admitted
+      .select("key", "ts")
+      .as[Streaming.SessionEvent]
+    val q = Streaming.closedSessions(ds, gapMs = 60000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 02:00:00"), "a"))
+      q.processAllAvailable()
+      // within the gap BEFORE the session start: extends it backward
+      in.addData((ts("2024-01-01 01:59:30"), "a"))
+      q.processAllAvailable()
+      // far before every fragment: its OWN session, not absorbed (the old
+      // single-session merge guard was vacuously true for earlier events)
+      in.addData((ts("2024-01-01 01:00:30"), "a"))
+      q.processAllAvailable()
+      // advance the watermark to 03:00:00 so both early fragments close
+      in.addData((ts("2024-01-01 04:00:00"), "a"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 04:30:00"), "b")) // one more advance to flush
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      val aRows = spark.table("late_sessions").as[Streaming.ClosedSession]
+        .collect().filter(_.key == "a")
+        .map(r => (r.startMs, r.endMs, r.n)).toSet
+      assert(aRows == Set(
+        (ts("2024-01-01 01:00:30").getTime, ts("2024-01-01 01:00:30").getTime, 1L),
+        (ts("2024-01-01 01:59:30").getTime, ts("2024-01-01 02:00:00").getTime, 2L)),
+        aRows.toString)
+    } finally q.stop()
+  }
+
+  test("runningAggPerKey idle TTL evicts state; a later event restarts from zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.KeyedEvent]
+    val q = Streaming.runningAggPerKey(in.toDS(), idleTimeout = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("running_agg_ttl")
+      .outputMode("update").start()
+    // processing-time timers keep the engine cycling no-data batches, which
+    // can starve processAllAvailable — poll the sink with a deadline instead
+    def awaitRow(pred: org.apache.spark.sql.Row => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!spark.table("running_agg_ttl").collect().exists(pred)) {
+        assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+        assert(System.nanoTime() < deadline, s"timed out waiting for: $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      in.addData(Streaming.KeyedEvent("a", 1.0), Streaming.KeyedEvent("a", 2.0))
+      awaitRow(r => r.getString(0) == "a" && r.getLong(1) == 2L, "pre-TTL (a,2,3.0)")
+      Thread.sleep(1200) // let the processing-time TTL elapse
+      in.addData(Streaming.KeyedEvent("b", 9.0)) // keeps batches flowing
+      awaitRow(r => r.getString(0) == "b", "(b,1,9.0)")
+      in.addData(Streaming.KeyedEvent("a", 5.0)) // state was evicted → restarts
+      awaitRow(r => r.getString(0) == "a" && r.getLong(1) == 1L &&
+        r.getDouble(2) == 5.0, "post-TTL restart (a,1,5.0)")
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+  }
+
   test("file stream end-to-end: read csv dir, window, write parquet") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$dir/in"; val outDir = s"$dir/out"; val ck = s"$dir/ck"

@@ -117,7 +117,8 @@ object Rubix {
           .map(_.asText()).getOrElse("DEFAULT")
 
         // key section entries: key tuple datum, offset, blockId, numRecords
-        val kin = new DataInputStream(new java.io.ByteArrayInputStream(keySection))
+        val bais = new java.io.ByteArrayInputStream(keySection)
+        val kin = new DataInputStream(bais)
         val blocks = ArrayBuffer.empty[BlockInfo]
         var i = 0
         while (i < nBlocks) {
@@ -131,6 +132,12 @@ object Rubix {
           blocks += BlockInfo(p.toString, key, offset, 0L, blockId, numRecords)
           i += 1
         }
+        // an UNDERSTATED numberOfBlocks would silently drop the trailing
+        // blocks (an overstated one already fails loudly with EOF) — the
+        // key section must be exactly consumed
+        require(bais.available() == 0,
+          s"rubix trailer inconsistent in $p: numberOfBlocks=$nBlocks left " +
+            s"${bais.available()} unread bytes of the $keySectionSize-byte key section")
         // lengths: gap to the next block's offset; last block ends at trailer
         val sized = blocks.toSeq.zipWithIndex.map { case (b, j) =>
           val end = if (j + 1 < blocks.length) blocks(j + 1).offset else trailerStart
@@ -151,8 +158,11 @@ object Rubix {
     * codec stream (RubixRecordWriter finishes/resets the codec at block
     * boundaries precisely so ranges stay independently readable).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val metas = describe(spark, path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, describe(spark, path))
+
+  /** As [[read]], reusing already-parsed trailers (convert's single-parse path). */
+  private def read(spark: SparkSession, path: String, metas: Seq[FileMeta]): DataFrame = {
     val schema = metas.head.schema
     require(metas.forall(_.schema == schema),
       s"rubix files under $path disagree on schema")
@@ -247,6 +257,8 @@ object Rubix {
       if (partitionKeys.nonEmpty)
         df.repartition(partitionKeys.map(col): _*)
           .sortWithinPartitions((partitionKeys ++ sortKeys).map(col): _*)
+      else if (sortKeys.nonEmpty) // the trailer records sortKeys — honor them
+        df.sortWithinPartitions(sortKeys.map(col): _*)
       else df
     val keyIdx = partitionKeys.map(schema.fieldIndex)
     val fieldTypes = schema.fields.map(_.dataType).toSeq
@@ -255,7 +267,10 @@ object Rubix {
       case "deflate" => ".deflate"
       case "gzip"    => ".gz"
     }.getOrElse("")
-    arranged.foreachPartition { (it: Iterator[Row]) =>
+    // job abort: write() owns `path` (it cleared any pre-existing data
+    // above), so a failed job must not leave the partitions that DID
+    // commit looking like a complete dataset to a later read()
+    try arranged.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val taskId = TaskContext.getPartitionId()
         // two-phase commit (the AvroNative discipline): write to an
@@ -283,7 +298,8 @@ object Rubix {
         // finalization: track it explicitly and end() it per block
         var blockDeflater: java.util.zip.Deflater = null
         var dout: DataOutputStream = new DataOutputStream(counting)
-
+        var sealedOk = false
+        try {
         def closeBlock(): Unit = if (blockRecords >= 0) {
           keyOut.writeLong(blockRecords); blockRecords = -1L
           if (blockZip != null) {
@@ -291,7 +307,7 @@ object Rubix {
             blockDeflater.end(); blockDeflater = null
           }
         }
-        def openBlock(key: Seq[Any]): Unit = {
+        def openBlock(key: Seq[Any], canonical: Seq[Any]): Unit = {
           closeBlock()
           PigSedes.writeDatum(keyOut, Row.fromSeq(key),
             StructType(keyIdx.map(schema.fields)))
@@ -299,7 +315,7 @@ object Rubix {
           keyOut.writeLong((taskId.toLong << 32) | nBlocks.toLong)
           nBlocks += 1
           blockRecords = 0L
-          currentKey = key
+          currentKey = canonical
           codec.foreach { c =>
             blockZip =
               if (c == "deflate") {
@@ -315,9 +331,20 @@ object Rubix {
           }
         }
 
+        // block-break comparison needs VALUE equality: Array[Byte] keys
+        // compare by reference and boxed NaN fails == — canonicalize
+        // (bits-compare floats, +0.0 normalization keeps -0.0 == 0.0 runs
+        // contiguous the way the sort ordered them)
+        def canonKey(key: Seq[Any]): Seq[Any] = key.map {
+          case a: Array[Byte] => a.toSeq
+          case f: java.lang.Float  => java.lang.Float.floatToIntBits(f + 0.0f)
+          case d: java.lang.Double => java.lang.Double.doubleToLongBits(d + 0.0d)
+          case v => v
+        }
         it.foreach { row =>
-          val key = keyIdx.map(row.get)
-          if (blockRecords < 0 || key != currentKey) openBlock(key)
+          val key = canonKey(keyIdx.map(row.get))
+          if (blockRecords < 0 || key != currentKey)
+            openBlock(keyIdx.map(row.get), key)
           if (serialization == "COMPACT")
             fieldTypes.zipWithIndex.foreach { case (dt, i) =>
               Vle.encodeField(dout, row.get(i), dt) }
@@ -344,8 +371,20 @@ object Rubix {
             s"rubix commit failed: could not rename $tmp to $file " +
               "and no winning attempt's file exists")
         }
+        sealedOk = true
+        } finally if (!sealedOk) {
+          // task abort: release the native Deflater, the file lease, and
+          // this attempt's temp file — never leave them to GC/retry luck
+          if (blockDeflater != null) blockDeflater.end()
+          try fsOut.close() catch { case _: Exception => () }
+          try wfs.delete(tmp, false) catch { case _: Exception => () }
+        }
         ()
       }
+    } catch {
+      case t: Throwable =>
+        try fs.delete(out, true) catch { case _: Exception => () }
+        throw t
     }
     // job commit: clear attempt garbage from aborted/losing attempts
     fs.delete(new Path(out, "_temporary"), true)
@@ -360,7 +399,7 @@ object Rubix {
   def convert(spark: SparkSession, rubixPath: String, table: String,
               buckets: Option[Int] = None): DataFrame = {
     val metas = describe(spark, rubixPath)
-    val df = read(spark, rubixPath)
+    val df = read(spark, rubixPath, metas) // one trailer parse, not two
     val pk = metas.head.partitionKeys
     val sk = metas.head.sortKeys
     if (pk.nonEmpty)

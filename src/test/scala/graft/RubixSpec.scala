@@ -290,6 +290,65 @@ class RubixSpec extends SparkSpec {
     }
   }
 
+  test("write honors sortKeys without partitionKeys; trailer matches the data (r17 review)") {
+    val dir = tmp("graft-rubix-sk") + "/data"
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("x", "s").coalesce(1)
+    Rubix.write(df, dir, partitionKeys = Nil, sortKeys = Seq("x"))
+    val metas = Rubix.describe(spark, dir)
+    assert(metas.head.sortKeys == Seq("x"))
+    // the block data must actually BE sorted the way the trailer claims
+    // (one block, one read task — collect preserves the block's row order)
+    val got = Rubix.read(spark, dir).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 3), got.toString)
+  }
+
+  test("describe rejects an understated numberOfBlocks instead of dropping blocks (r17 review)") {
+    val dir = tmp("graft-rubix-ub") + "/data"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1)
+    Rubix.write(df, dir, partitionKeys = Seq("k")) // 2 blocks
+    // patch numberOfBlocks 2 -> 1 byte-for-byte: same length, so every
+    // trailer offset stays valid — only the count now understates
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".rubix")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val needle = "\"numberOfBlocks\":2".getBytes("UTF-8").toSeq
+    val idx = bytes.toSeq.indexOfSlice(needle)
+    assert(idx >= 0, "trailer json not found")
+    bytes(idx + needle.length - 1) = '1'.toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    // drop the local-fs checksum sidecar the patch just invalidated
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    val e = intercept[IllegalArgumentException](Rubix.describe(spark, dir))
+    assert(e.getMessage.contains("numberOfBlocks"), e.getMessage)
+  }
+
+  test("binary partition keys block by value, not reference (r17 review)") {
+    val dir = tmp("graft-rubix-bin") + "/data"
+    val schema = StructType(Seq(
+      StructField("bk", BinaryType), StructField("v", IntegerType)))
+    val rows = Seq(Row(Array[Byte](1, 2), 1), Row(Array[Byte](1, 2), 2),
+      Row(Array[Byte](3), 3))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    Rubix.write(df, dir, partitionKeys = Seq("bk"))
+    // was one block per ROW before the canonical-key fix (Array reference ==)
+    val blocks = Rubix.describe(spark, dir).flatMap(_.blocks)
+    assert(blocks.length == 2, blocks.mkString(";"))
+    assert(Rubix.read(spark, dir).count() == 3)
+  }
+
+  test("a failed write aborts the whole output instead of leaving a partial dataset (r17 review)") {
+    val dir = tmp("graft-rubix-abort") + "/data"
+    val boom = udf((i: Int) => {
+      if (i == 42) throw new RuntimeException("boom"); i
+    })
+    val df = spark.range(0, 100, 1, 4).select(boom(col("id").cast("int")).as("x"))
+    intercept[Exception](Rubix.write(df, dir, partitionKeys = Nil))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(p),
+      "aborted write must not leave a readable partial dataset")
+  }
+
   test("convert: legacy rubix dataset lands as a bucketed table with its keys") {
     val dir = tmp("graft-rubix-conv") + "/data"
     val df = (1 to 100).map(i => (i % 5, i.toLong, s"r$i"))

@@ -45,9 +45,13 @@ object Incremental {
     }
   }
 
-  /** High-water mark of the MV (max date present), if any. */
+  /** High-water mark of the MV (max date present), if any. Gated on actual
+    * DATA, not directory existence: a data-less MV dir (only _SUCCESS/
+    * markers — an empty first refresh, or a reset that kept the marker)
+    * must read as "no MV yet", not crash schema inference forever.
+    */
   def highWaterMark(spark: SparkSession, mvPath: String, dateCol: String): Option[Any] =
-    if (!exists(spark, mvPath)) None
+    if (!hasTableData(spark, mvPath)) None
     else spark.read.parquet(mvPath).agg(max(col(dateCol))).collect().headOption
       .flatMap(r => Option(r.get(0)))
 
@@ -61,6 +65,14 @@ object Incremental {
   def refresh(spark: SparkSession, fact: DataFrame, mvPath: String,
               dateCol: String, keys: Seq[String],
               aggs: Seq[(String, Column, String)]): Unit = {
+    // same additivity contract streamRefresh enforces — a non-additive
+    // partial (AVG, COUNT_DISTINCT) would make query()'s rollup silently
+    // wrong, not fail
+    aggs.foreach { case (t, _, n) =>
+      require(Set("SUM", "COUNT", "MIN", "MAX").contains(t.toUpperCase),
+        s"refresh needs additive aggregates (SUM/COUNT/MIN/MAX); got $t for $n " +
+          "— use refreshDistinct/refreshDistinctSketch for COUNT(DISTINCT)")
+    }
     val delta = highWaterMark(spark, mvPath, dateCol) match {
       case Some(hwm) => fact.filter(col(dateCol) > lit(hwm))
       case None      => fact
@@ -92,11 +104,15 @@ object Incremental {
     * The MV stays queryable with the same `query` rollup, and a streaming
     * pipeline and a daily batch job can feed the SAME view — the
     * reference's daily-MV reuse generalized to continuous arrival.
-    * Exactly-once: a read-modify-write merge is NOT idempotent under
-    * replay, so the last merged batchId is recorded in a marker file
-    * inside the MV and replayed batches (id ≤ marker) are skipped —
-    * a crash between the MV write and the streaming commit log therefore
-    * cannot double-count.
+    * Exactly-once: the batch marker skips batches the streaming engine
+    * replays from BEFORE the crash window, and the crash-window batch
+    * itself (MV written, marker not yet) is made replay-idempotent by a
+    * PRE-STATE snapshot — before the MV write, the touched dates' current
+    * partials are staged under `_graft_prestate_<lineage>` keyed by the
+    * batch id; a replay of the same batch merges against that snapshot
+    * rather than the live (possibly already-merged) MV, producing the
+    * identical overwrite. A read-modify-write against the live MV alone
+    * would double-count exactly that one batch.
     */
   def streamRefresh(stream: DataFrame, mvPath: String, dateCol: String,
                     keys: Seq[String], aggs: Seq[(String, Column, String)],
@@ -121,19 +137,55 @@ object Incremental {
           val partial = batch
             .groupBy((dateCol +: keys).map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
-          val merged =
-            if (!exists(spark, mvPath)) partial
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val preRoot = new Path(mvPath,
+            s"_graft_prestate_${lineageTag(canonicalCheckpoint(spark, checkpoint))}")
+          val preData = new Path(preRoot, "data")
+          val preMark = new Path(preRoot, "_batch")
+          val fs = preRoot.getFileSystem(hconf)
+          def stagedBatch(): Long =
+            if (!fs.exists(preMark)) -1L
             else {
-              // merge only the dates this batch touched: existing partials
-              // for those dates union the new ones, re-aggregated additively
-              val touched = partial.select(dateCol).distinct()
-              val existing = spark.read.parquet(mvPath)
-                .join(broadcast(touched), Seq(dateCol))
-              existing.unionByName(partial)
-                .groupBy((dateCol +: keys).map(col): _*)
-                .agg(mergeExprs.head, mergeExprs.tail: _*)
+              val in = fs.open(preMark)
+              try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+              finally in.close()
             }
-          merged.write.mode("overwrite")
+          // an empty snapshot (first data-bearing batch) stages a dir with
+          // no data files — schema inference can't read that back
+          def readStaged(): DataFrame = {
+            val files = fs.globStatus(new Path(preData, "*.parquet"))
+            if (files == null || files.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], partial.schema)
+            else spark.read.parquet(preData.toString)
+          }
+          val preState =
+            if (stagedBatch() == batchId)
+              // crash-window replay: the live MV may already hold this
+              // batch's merge — the staged snapshot IS the pre-batch state
+              readStaged()
+            else {
+              // merge only the dates this batch touched. Stage data FIRST,
+              // then the batch marker: a crash mid-stage leaves a stale
+              // marker and the next attempt re-stages from the live MV,
+              // which the crash left untouched (the MV write comes later)
+              val existing =
+                if (!hasTableData(spark, mvPath))
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], partial.schema)
+                else {
+                  val touched = partial.select(dateCol).distinct()
+                  spark.read.parquet(mvPath).join(broadcast(touched), Seq(dateCol))
+                }
+              existing.write.mode("overwrite").parquet(preData.toString)
+              val out = fs.create(preMark, true)
+              try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+              readStaged()
+            }
+          preState.unionByName(partial)
+            .groupBy((dateCol +: keys).map(col): _*)
+            .agg(mergeExprs.head, mergeExprs.tail: _*)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(dateCol).parquet(mvPath)
         }
@@ -637,21 +689,27 @@ object Incremental {
     require(keyCols.nonEmpty, "need at least one key column")
     require(!keyCols.contains(partitionCol),
       "partition column cannot be a key column")
-    val latest = seqCol match {
+    // the dedup result feeds several actions (touched collect, optional
+    // stability probe, the staging write) — cache OUR derived frame so the
+    // max-of-struct shuffle runs once per call, never the caller's input
+    val (latest, ownCache) = seqCol match {
       case Some(sc) =>
         val dataCols = updates.columns.toSeq
         val ordered = sc +: dataCols.filterNot(_ == sc)
-        updates.groupBy(keyCols.map(col): _*)
+        val l = updates.groupBy(keyCols.map(col): _*)
           .agg(max(struct(ordered.map(col): _*)).as("__m"))
           .select(dataCols.map(c => col(s"__m.$c")): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (l, true)
       case None =>
         val dup = updates.groupBy(keyCols.map(col): _*)
           .count().filter(col("count") > 1).limit(1).count()
         require(dup == 0L,
           "upsert: duplicate keys in updates with no seqCol to pick a " +
             "winner — pass seqCol (last-writer-wins by it) or dedupe first")
-        updates
+        (updates, false)
     }
+    try {
     val touched = latest.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return // empty delta: nothing to merge, nothing to stage
@@ -739,6 +797,7 @@ object Incremental {
       val sp = new Path(staging)
       sp.getFileSystem(hconf).delete(sp, true)
     }
+    } finally if (ownCache) latest.unpersist()
   }
 
   /** Streaming CDC apply: each micro-batch of change rows MERGEs into the
@@ -760,13 +819,13 @@ object Incremental {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         exactlyOnceBatch(batch, batchId, targetPath, checkpoint) { spark =>
-          val dataCols = batch.columns.toSeq
-          val ordered = seqCol +: dataCols.filterNot(_ == seqCol)
-          val latest = batch
-            .groupBy(keyCols.map(col): _*)
-            .agg(max(struct(ordered.map(col): _*)).as("__m"))
-            .select(dataCols.map(c => col(s"__m.$c")): _*)
           if (!hasTableData(spark, targetPath)) {
+            val dataCols = batch.columns.toSeq
+            val ordered = seqCol +: dataCols.filterNot(_ == seqCol)
+            val latest = batch
+              .groupBy(keyCols.map(col): _*)
+              .agg(max(struct(ordered.map(col): _*)).as("__m"))
+              .select(dataCols.map(c => col(s"__m.$c")): _*)
             // first DATA-BEARING batch creates the table (the batch
             // marker alone doesn't count — an all-delete first batch or
             // a fully-deleted table must not look like a readable one):
@@ -785,7 +844,9 @@ object Incremental {
             if (!creates.isEmpty)
               creates.write.mode("append").partitionBy(partitionCol).parquet(targetPath)
           } else
-            upsert(spark, targetPath, latest, keyCols, partitionCol,
+            // pass the RAW batch: upsert runs the max-of-struct dedup itself
+            // (seqCol set), so pre-deduplicating here would shuffle twice
+            upsert(spark, targetPath, batch.toDF(), keyCols, partitionCol,
               opCol = opCol, seqCol = Some(seqCol), deleteOp = deleteOp)
         }
       }

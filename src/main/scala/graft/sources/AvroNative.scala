@@ -74,8 +74,17 @@ object AvroNative {
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
       case StringType  => Schema.create(Schema.Type.STRING)
       case BinaryType  => Schema.create(Schema.Type.BYTES)
-      case ArrayType(et, _) => Schema.createArray(field(et, nm + "_item"))
-      case MapType(StringType, vt, _) => Schema.createMap(field(vt, nm + "_value"))
+      case ArrayType(et, containsNull) =>
+        val es = field(et, nm + "_item")
+        // a null element needs a [null, T] element union or append() NPEs
+        Schema.createArray(
+          if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), es)
+          else es)
+      case MapType(StringType, vt, valueContainsNull) =>
+        val vs = field(vt, nm + "_value")
+        Schema.createMap(
+          if (valueContainsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), vs)
+          else vs)
       case st: StructType => toAvroSchema(st, nm)
       case other => throw new IllegalArgumentException(s"unsupported spark type for avro: $other")
     }
@@ -149,11 +158,20 @@ object AvroNative {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf)
+    // accept a single file, a directory (its *.avro children), or a glob
+    // (matching files directly; matched dirs expand to their *.avro)
+    def avroIn(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(d, "*.avro")))
+        .map(_.toSeq.filter(_.isFile)).getOrElse(Seq.empty)
+    val statuses: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (path.exists(c => "*?[{".contains(c)))
+        Option(fs.globStatus(dir)).map(_.toSeq).getOrElse(Seq.empty)
+          .flatMap(st => if (st.isFile) Seq(st) else avroIn(st.getPath))
+      else if (fs.exists(dir) && fs.getFileStatus(dir).isFile)
+        Seq(fs.getFileStatus(dir))
+      else avroIn(dir)
     val files: Seq[(String, Long)] =
-      fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.avro")) match {
-        case null => Seq.empty
-        case sts  => sts.toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
-      }
+      statuses.map(s => (s.getPath.toString, s.getLen))
     require(files.nonEmpty, s"no .avro files under $path")
     val firstSchemaJson = {
       val in = new DataFileStream[GenericRecord](
@@ -228,13 +246,17 @@ object AvroNative {
     * reader trivially parallel.
     */
   def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    require(Set("overwrite", "append", "error", "errorifexists", "ignore")
+      .contains(mode), s"unknown save mode: $mode")
     val conf = new org.apache.hadoop.conf.Configuration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) {
       if (mode == "overwrite") fs.delete(p, true)
-      else if (mode == "errorifexists") throw new IllegalStateException(s"$path exists")
+      else if (mode == "error" || mode == "errorifexists")
+        throw new IllegalStateException(s"$path exists")
+      else if (mode == "ignore") return
     }
     fs.mkdirs(p)
     val schemaJson = toAvroSchema(df.schema).toString
@@ -242,33 +264,57 @@ object AvroNative {
     // job-unique filename token so append mode never collides with the
     // part files of an earlier write (same convention as Spark's writers)
     val job = java.util.UUID.randomUUID().toString.take(8)
-    df.rdd.mapPartitionsWithIndex { (i, it) =>
-      // executor-side: default Configuration resolves the same FS for
-      // file:// and cluster-default HDFS; one container file per task.
+    // ship the DRIVER's hadoop conf to the write tasks (same as the read
+    // path) — a default executor Configuration would drop programmatic
+    // spark.hadoop.* settings (credentials, fs.defaultFS) and could even
+    // resolve a scheme-less path against a DIFFERENT filesystem than the
+    // driver's mkdirs above
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    try df.rdd.mapPartitionsWithIndex { (i, it) =>
       // Two-phase commit: write to an attempt-unique temp name, rename into
       // place once the container is sealed — speculative attempts never
       // touch the same path, and exactly one rename wins.
       val schema = new Schema.Parser().parse(schemaJson)
-      val outFs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val outFs = new org.apache.hadoop.fs.Path(path).getFileSystem(confBc.value.value)
       val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
       val tmp = new org.apache.hadoop.fs.Path(
         path, f"_temporary/part-$job-$i%05d-a$attempt.avro")
       val dst = new org.apache.hadoop.fs.Path(path, f"part-$job-$i%05d.avro")
       val out = outFs.create(tmp, true)
-      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, out)
-      it.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        schema.getFields.asScala.zipWithIndex.foreach { case (f, j) =>
-          rec.put(f.name(), toAvro(row.get(structSchema.fieldIndex(f.name())), f.schema())) }
-        w.append(rec)
+      var sealedOk = false
+      try {
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, out)
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          schema.getFields.asScala.zipWithIndex.foreach { case (f, j) =>
+            rec.put(f.name(), toAvro(row.get(structSchema.fieldIndex(f.name())), f.schema())) }
+          w.append(rec)
+        }
+        w.close()
+        // a losing speculative twin finds dst taken; drop its temp file
+        if (!outFs.rename(tmp, dst)) outFs.delete(tmp, false)
+        sealedOk = true
+      } finally if (!sealedOk) {
+        // task abort: release the file lease and this attempt's temp file
+        try out.close() catch { case _: Exception => () }
+        try outFs.delete(tmp, false) catch { case _: Exception => () }
       }
-      w.close()
-      // a losing speculative twin finds dst taken; drop its temp file
-      if (!outFs.rename(tmp, dst)) outFs.delete(tmp, false)
       Iterator.empty[Int].iterator
     }.count() // force the write job
+    catch {
+      case t: Throwable =>
+        // job abort: this job's token makes its committed part files
+        // identifiable — remove them so a failed append/overwrite never
+        // reads back as a complete dataset (pre-existing files survive)
+        try {
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, s"part-$job-*.avro")))
+            .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+          fs.delete(new org.apache.hadoop.fs.Path(p, "_temporary"), true)
+        } catch { case _: Exception => () }
+        throw t
+    }
     // job commit: clear attempt garbage (aborted/losing attempts)
     fs.delete(new org.apache.hadoop.fs.Path(p, "_temporary"), true)
   }

@@ -103,6 +103,47 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Sources.load(spark, dir, "avro").count() == 3)
   }
 
+  test("avro: null array/map elements survive the round trip (r17 review)") {
+    import graft.sources.AvroNative
+    val df = Seq(
+      (1L, Seq[String]("a", null, "c"), Map("k" -> "v", "n" -> null)),
+      (2L, Seq.empty[String], Map.empty[String, String]))
+      .toDF("id", "tags", "props")
+    val dir = Files.createTempDirectory("graft-avro-nullel").toString + "/t"
+    AvroNative.write(df, dir) // threw NPE before [null, T] element unions
+    val back = AvroNative.read(spark, dir).orderBy("id").collect()
+    assert(back(0).getSeq[String](1) == Seq("a", null, "c"), back(0).toString)
+    assert(back(0).getMap[String, String](2).get("n").contains(null))
+  }
+
+  test("avro write modes: error throws, ignore is a no-op (r17 review)") {
+    import graft.sources.AvroNative
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val dir = Files.createTempDirectory("graft-avro-mode").toString + "/t"
+    AvroNative.write(df, dir)
+    val before = AvroNative.read(spark, dir).count()
+    // 'error' is Spark's canonical fail-if-exists spelling — it must not
+    // fall through to an append
+    intercept[IllegalStateException](AvroNative.write(df, dir, mode = "error"))
+    intercept[IllegalStateException](AvroNative.write(df, dir, mode = "errorifexists"))
+    AvroNative.write(df, dir, mode = "ignore") // no-op, not an append
+    assert(AvroNative.read(spark, dir).count() == before)
+    intercept[IllegalArgumentException](AvroNative.write(df, dir, mode = "bogus"))
+  }
+
+  test("avro read accepts a single file and a glob (r17 review)") {
+    import graft.sources.AvroNative
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+    val dir = Files.createTempDirectory("graft-avro-glob").toString
+    AvroNative.write(df, s"$dir/d1")
+    AvroNative.write(df, s"$dir/d2")
+    val one = new java.io.File(s"$dir/d1").listFiles()
+      .filter(_.getName.endsWith(".avro")).head.getPath
+    assert(AvroNative.read(spark, one).count() == 2)          // single file
+    assert(AvroNative.read(spark, s"$dir/d*").count() == 4)   // dir glob
+    assert(AvroNative.read(spark, s"$dir/d1/*.avro").count() == 2) // file glob
+  }
+
   test("a single multi-block avro file splits into many sync-range tasks") {
     import graft.sources.AvroNative
     // one container file (one partition), enough data to span many sync

@@ -444,6 +444,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamRefresh crash-window replay does not double-count (r17 review)") {
+    // the crash window: MV written, but neither the graft batch marker nor
+    // Spark's commit log recorded the batch. On restart the batch REPLAYS;
+    // the merge must run against the staged PRE-batch snapshot, not the
+    // live (already-merged) MV — before the prestate fix this double-
+    // counted the replayed batch's rows
+    val base = Files.createTempDirectory("graft-mv-crash").toString
+    val inDir = s"$base/in"; val mv = s"$base/mv"; val ck = s"$base/ck"
+    Seq((20240101, "a", 10L), (20240101, "a", 5L))
+      .toDF("dt", "k", "v").coalesce(1)
+      .write.option("header", "false").csv(inDir)
+    def start() = graft.operators.Incremental.streamRefresh(
+      Streaming.readStream(spark, inDir, "csv", "INT dt, STRING k, LONG v",
+        Map("maxFilesPerTrigger" -> "1")),
+      mv, "dt", Seq("k"),
+      Seq(("SUM", col("v"), "sv"), ("COUNT", lit(1), "n")), ck)
+    def run(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.processAllAvailable() finally q.stop()
+      // stop() can race the next start() on the same checkpoint — wait for
+      // the active-query registry to drain before restarting
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id)) {
+        assert(System.nanoTime() < deadline, "query did not deregister")
+        Thread.sleep(50)
+      }
+    }
+    val q1 = start()
+    run(q1)
+    def totals() = graft.operators.Incremental.query(spark, mv, Seq("k"),
+      Seq(("SUM", "sv", "sum_v"), ("SUM", "n", "n_rows")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(totals() == Set(("a", 15L, 2L)))
+    // simulate the crash: drop batch 0 from Spark's commit log AND the
+    // graft marker (both writes happen AFTER the MV merge)
+    assert(new java.io.File(s"$ck/commits/0").delete(), "no commit log?")
+    new java.io.File(s"$ck/commits/.0.crc").delete() // orphaned checksum
+    new java.io.File(s"$ck/commits/.0.crc.crc").delete()
+    val marker = new org.apache.hadoop.fs.Path(mv, "_graft_last_batch")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false), "no graft marker?")
+    val q2 = start() // restart → batch 0 replays
+    run(q2)
+    assert(totals() == Set(("a", 15L, 2L)), s"replay double-counted: ${totals()}")
+    // and the stream keeps accumulating normally after the recovery
+    Thread.sleep(1100) // distinct mod time keeps file-batch order stable
+    Seq((20240101, "a", 1L), (20240102, "b", 2L))
+      .toDF("dt", "k", "v").coalesce(1)
+      .write.mode("append").option("header", "false").csv(inDir)
+    val q3 = start()
+    run(q3)
+    assert(totals() == Set(("a", 16L, 3L), ("b", 2L, 1L)), totals().toString)
+  }
+
   test("curation operators run unchanged on a stream (quality + sampling)") {
     // the corpus-curation maps are narrow/stateless, so the SAME operator
     // calls work under readStream — and must agree with the batch results

@@ -32,7 +32,17 @@ object SchemaCodec {
     case MapType(_, v, _)  => s"MAP<${renderType(v)}>"
     case ArrayType(e, _)   => s"ARRAY<${renderType(e)}>"
     case s: StructType     => s"TUPLE(${render(s)})"
-    case other             => other.simpleString.toUpperCase
+    // extensions beyond Cubert's lattice, paired with parseType below so
+    // render∘parse round-trips for the types Spark relations produce
+    case ShortType         => "SHORT"
+    case DateType          => "DATE"
+    case TimestampType     => "TIMESTAMP"
+    case TimestampNTZType  => "TIMESTAMP_NTZ"
+    case d: DecimalType    => s"DECIMAL(${d.precision},${d.scale})"
+    // loud, not simpleString.toUpperCase: emitting a string parse() itself
+    // rejects would silently break the documented codec round-trip
+    case other => throw new IllegalArgumentException(
+      s"type ${other.simpleString} has no Cubert schema-string form")
   }
 
   // --- parsing ---------------------------------------------------------
@@ -86,6 +96,14 @@ object SchemaCodec {
       case "DOUBLE"          => DoubleType
       case "STRING" | "CHARARRAY" | "ENUM" => StringType
       case "BYTES" | "BYTEARRAY" => BinaryType
+      case "SHORT" | "SMALLINT"  => ShortType
+      case "DATE"                => DateType
+      case "TIMESTAMP"           => TimestampType
+      case "TIMESTAMP_NTZ"       => TimestampNTZType
+      case _ if upper.startsWith("DECIMAL(") && upper.endsWith(")") =>
+        val args = t.substring(8, t.length - 1).split(",").map(_.trim.toInt)
+        require(args.length == 2, s"malformed DECIMAL type: $t")
+        DecimalType(args(0), args(1))
       case "MAP"             => MapType(StringType, StringType)
       case _ if upper.startsWith("MAP<") =>
         MapType(StringType, parseType(t.substring(4, t.length - 1)))

@@ -64,9 +64,22 @@ object ScriptEngine {
       else if (c == '-' && i + 1 < n && src(i + 1) == '-') { // -- comment
         while (i < n && src(i) != '\n') i += 1
       } else if (c == '\'' || c == '"') {
-        val j = src.indexOf(c, i + 1)
-        require(j > 0, s"unterminated string literal at offset $i")
-        out += Str(src.substring(i + 1, j)); i = j + 1
+        // backslash-escape-aware, matching the preprocessor's masked scans
+        // (and exprUntil emits \' itself): \' and \\ unescape, any other
+        // \x passes through for Catalyst to interpret
+        val lit = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val ch = src(j)
+          if (ch == '\\' && j + 1 < n) {
+            if (src(j + 1) != c && src(j + 1) != '\\') lit.append('\\')
+            lit.append(src(j + 1)); j += 2
+          } else if (ch == c) closed = true
+          else { lit.append(ch); j += 1 }
+        }
+        require(closed, s"unterminated string literal at offset $i")
+        out += Str(lit.toString); i = j + 1
       } else if (c.isLetter || c == '_') {
         var j = i + 1
         // HASH-JOIN is one keyword: allow '-' inside a word when both sides
@@ -77,6 +90,16 @@ object ScriptEngine {
       } else if (c.isDigit) {
         var j = i + 1
         while (j < n && (src(j).isDigit || src(j) == '.')) j += 1
+        // scientific notation: 1e5, 2.5E-3 — else Num+Word re-render as
+        // invalid SQL ("1 e5")
+        if (j < n && (src(j) == 'e' || src(j) == 'E')) {
+          var k = j + 1
+          if (k < n && (src(k) == '+' || src(k) == '-')) k += 1
+          if (k < n && src(k).isDigit) {
+            while (k < n && src(k).isDigit) k += 1
+            j = k
+          }
+        }
         out += Num(src.substring(i, j)); i = j
       } else { out += Punct(c.toString); i += 1 }
     }
@@ -149,7 +172,10 @@ object ScriptEngine {
           t match {
             case Word(w)  => sb.append(' ').append(w).append(' ')
             case Num(s)   => sb.append(s)
-            case Str(s)   => sb.append('\'').append(s.replace("'", "\\'")).append('\'')
+            // re-escape what the lexer unescaped (backslashes FIRST) so the
+            // rendered SQL literal round-trips through Catalyst's parser
+            case Str(s)   => sb.append('\'')
+              .append(s.replace("\\", "\\\\").replace("'", "\\'")).append('\'')
             case Punct(p) => sb.append(p)
           }
       }
@@ -157,21 +183,77 @@ object ScriptEngine {
     }
   }
 
-  /** Translate Cubert-specific expression syntax to Spark SQL, then parse
-    * with Catalyst: `$3` → 3rd column of `rel`, `m#'key'` → `m['key']`.
+  /** Translate Cubert-specific expression syntax to Spark SQL: `$0` → the
+    * FIRST column of `rel` (Pig's 0-based positional convention, which the
+    * reference inherited), `m#'key'` → `m['key']`. Both rewrites apply
+    * only OUTSIDE string literals — `'win $1'` and `'#tag'` are literal
+    * text, not references.
     */
-  private def toColumn(raw: String, df: DataFrame): Column = {
-    var s = raw
-    s = "\\$(\\d+)".r.replaceAllIn(s, m => s"`${df.columns(m.group(1).toInt)}`")
-    s = "#\\s*'([^']*)'".r.replaceAllIn(s, m => s"['${m.group(1)}']")
-    expr(s)
+  private[script] def translateExpr(raw: String, df: DataFrame): String = {
+    // split into alternating code / literal runs (backslash-escape-aware)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    val code = new StringBuilder
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      if (raw(i) == '\'') {
+        runs += ((false, code.toString)); code.clear()
+        val lit = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (raw(j) == '\\' && j + 1 < n) { lit.append(raw(j)).append(raw(j + 1)); j += 2 }
+          else if (raw(j) == '\'') closed = true
+          else { lit.append(raw(j)); j += 1 }
+        }
+        runs += ((true, lit.toString)); i = j + 1
+      } else { code.append(raw(i)); i += 1 }
+    }
+    runs += ((false, code.toString))
+    def positional(s: String): String =
+      "\\$(\\d+)".r.replaceAllIn(s, m => {
+        val idx = m.group(1).toInt
+        require(idx < df.columns.length,
+          s"positional reference $$$idx out of range for a " +
+            s"${df.columns.length}-column relation (positions are 0-based)")
+        java.util.regex.Matcher.quoteReplacement(s"`${df.columns(idx)}`")
+      })
+    val out = new StringBuilder
+    var k = 0
+    val TrailingHash = "#\\s*$".r
+    while (k < runs.length) {
+      runs(k) match {
+        case (false, text) =>
+          val c = positional(text)
+          TrailingHash.findFirstIn(c) match {
+            // m#'key': the code run ends with # and the literal that
+            // follows is the key — fuse to m['key']
+            case Some(h) if k + 1 < runs.length && runs(k + 1)._1 =>
+              out.append(c.substring(0, c.length - h.length))
+                .append("['").append(runs(k + 1)._2).append("']")
+              k += 2
+            case _ => out.append(c); k += 1
+          }
+        case (true, lit) =>
+          out.append('\'').append(lit).append('\''); k += 1
+      }
+    }
+    out.toString
   }
+
+  private def toColumn(raw: String, df: DataFrame): Column =
+    expr(translateExpr(raw, df))
 
   private def aliasedExprs(p: P, df: DataFrame, stop: Set[String]): Seq[(Column, Option[String])] = {
     val out = Seq.newBuilder[(Column, Option[String])]
     var more = true
     while (more) {
       val e = p.exprUntil(stop + "AS")
+      require(e.nonEmpty,
+        s"empty expression before ${p.peek.getOrElse("end of statement")} — " +
+          "note the clause keywords (" + stop.mkString(", ") + ") end the " +
+          "list at paren depth 0; parenthesize a function call with a " +
+          "clause-keyword name, e.g. (IF(c,a,b)) AS x")
       val alias = if (p.kw("AS")) Some(p.ident()) else None
       out += ((toColumn(e, df), alias))
       more = p.punct(",")
@@ -236,7 +318,11 @@ object ScriptEngine {
       p.expectPunct(")")
       p.expectKw("AS")
       val alias = p.ident()
-      out += (((name, toColumn(arg, df), alias), s"$name($arg) AS $alias"))
+      // the raw-SQL form feeds the grouping-sets paths, which hand it to
+      // Spark SQL directly — run the same Cubert→SQL translation the
+      // Column path gets, or $N / m#'key' work in plain CUBE only
+      out += (((name, toColumn(arg, df), alias),
+        s"$name(${translateExpr(arg, df)}) AS $alias"))
       more = p.punct(",")
     }
     out.result()
@@ -331,8 +417,13 @@ object ScriptEngine {
       }
       require(bodyEnd >= 0, s"FOREACH $varName: missing END FOREACH")
       val body = s.substring(m.end, bodyEnd)
+      // boundary-aware like the LET path: a plain replace("$D", v) would
+      // corrupt a longer name such as $D2 into "<v>2"
+      val varTok = ("\\$" + java.util.regex.Pattern.quote(varName) +
+        "(?![A-Za-z0-9_])").r
       val expanded = values.map(v =>
-        body.replace(s"%$varName%", v).replace("$" + varName, v)).mkString("\n")
+        varTok.replaceAllIn(body.replace(s"%$varName%", v),
+          java.util.regex.Matcher.quoteReplacement(v))).mkString("\n")
       s.substring(0, m.start) + expanded + s.substring(afterEnd)
     }
     var cur = script
@@ -773,10 +864,14 @@ object ScriptEngine {
         })))
       }
     // both our %name% and the reference's $NAME property substitution
-    // (CmrExecutor.java:46-49); longest names first so $DIR2 is never
-    // clobbered by a $DIR replacement
+    // (CmrExecutor.java:46-49); identifier-boundary-aware so a param D
+    // never clobbers a LET/FOREACH/param named D2 (longest-first kept as
+    // belt-and-braces among the params themselves)
     val substituted = params.toSeq.sortBy(-_._1.length).foldLeft(script) {
-      case (s, (k, v)) => s.replace(s"%$k%", v).replace("$" + k, v)
+      case (s, (k, v)) =>
+        ("\\$" + java.util.regex.Pattern.quote(k) + "(?![A-Za-z0-9_])").r
+          .replaceAllIn(s.replace(s"%$k%", v),
+            java.util.regex.Matcher.quoteReplacement(v))
     }
     // preprocessor order: FOREACH first (loop vars feed IF conditions and
     // DATE bases), then IF (drops dead branches before they cost anything),
@@ -969,6 +1064,13 @@ object ScriptEngine {
           f.toInt
         }
         (wp.get("zorder"), wp.get("partition_by")) match {
+          case (Some(_), Some(_)) =>
+            // silently ignoring one of them wrote a layout the caller did
+            // not ask for — refuse instead
+            throw new IllegalArgumentException(
+              "STORE: \"zorder\" and \"partition_by\" cannot combine — " +
+                "z-order clusters files within one directory; partition the " +
+                "data first and zorder each partition separately if needed")
           case (Some(zc), _) =>
             require(fmt == "parquet" || fmt == "rubix",
               s"zorder storage param requires parquet, got $fmt")
@@ -987,12 +1089,15 @@ object ScriptEngine {
               nFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)))
           case (None, Some(pb)) =>
             val pCols = resolved("partition_by", pb)
+            // "files" bounds the file count per written partition dir
+            val rr = nFiles.map(r.repartition(_, pCols.map(col): _*)).getOrElse(r)
             if (dryRun) store(r, path, fmt)
             else if (!selected) { r.schema; () }
             else submitStore(relName, r, path)(
-              graft.sources.Sources.store(r, path, fmt, partitionBy = pCols))
+              graft.sources.Sources.store(rr, path, fmt, partitionBy = pCols))
           case _ =>
-            if (selected) submitStore(relName, r, path)(store(r, path, fmt))
+            val rr = nFiles.map(r.repartition(_)).getOrElse(r)
+            if (selected) submitStore(relName, r, path)(store(rr, path, fmt))
             else { r.schema; () }
         }
         p.expectPunct(";")

@@ -1415,6 +1415,66 @@ class ScriptSpec extends SparkSpec {
     }
   }
 
+  test("substitution is identifier-boundary-aware across FOREACH/LET/params (r17 review)") {
+    val df = Seq(("x2", 1), ("ab", 2)).toDF("s", "v")
+    // FOREACH var D must not corrupt the LET name D2 into "x2"
+    val out = ScriptEngine.run(spark,
+      """FOREACH D IN ('x') DO
+        |LET D2 = concat('a', 'b');
+        |r$D = FILTER t BY s == '$D2';
+        |END FOREACH""".stripMargin, env0 = env("t" -> df))("rx")
+    assert(out.collect().map(_.getInt(1)).toSeq == Seq(2), "\\$D clobbered $D2")
+    // a CLI param P must not corrupt a longer LET name P2 either
+    val out2 = ScriptEngine.run(spark,
+      """LET P2 = concat('a', 'b');
+        |r = FILTER t BY s == '$P2';""".stripMargin,
+      env0 = env("t" -> df), params = Map("P" -> "zz"))("r")
+    assert(out2.collect().map(_.getInt(1)).toSeq == Seq(2), "param P clobbered $P2")
+  }
+
+  test("positional refs and map projection leave string literals alone (r17 review)") {
+    val df = Seq(("win $1", 1), ("other", 2)).toDF("label", "v")
+    // '$1' inside the literal must stay literal text, while the bare $0
+    // resolves to the first column (0-based, Pig's convention)
+    val out = ScriptEngine.run(spark,
+      "r = FILTER t BY $0 == 'win $1';", env0 = env("t" -> df))("r")
+    assert(out.collect().map(_.getInt(1)).toSeq == Seq(1))
+    // out-of-range positional refs fail loudly with context
+    val e = intercept[IllegalArgumentException] {
+      ScriptEngine.run(spark, "r = FILTER t BY $5 > 0;", env0 = env("t" -> df))
+    }
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
+
+  test("escaped quotes and scientific notation lex correctly (r17 review)") {
+    val df = Seq(("O'Brien", 200000.0), ("Smith", 1.0)).toDF("name", "x")
+    val out = ScriptEngine.run(spark,
+      "r = FILTER t BY name == 'O\\'Brien' AND x > 1e5;", env0 = env("t" -> df))("r")
+    assert(out.count() == 1)
+  }
+
+  test("grouping-sets aggregates accept positional refs like plain CUBE (r17 review)") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
+      .toDF("d1", "d2", "m")
+    val out = ScriptEngine.run(spark,
+      "c = CUBE t BY d1, d2 AGGREGATES SUM($2) AS s GROUPING SETS ((d1), ());",
+      env0 = env("t" -> df))("c")
+    val got = out.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == Set((Some("a"), 3L), (Some("b"), 3L), (None, 6L)), got.toString)
+  }
+
+  test("STORE refuses zorder combined with partition_by (r17 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-zp").toString
+    val df = Seq((1, 20240101), (2, 20240102)).toDF("a", "dt")
+    val e = intercept[IllegalArgumentException] {
+      ScriptEngine.run(spark,
+        s"""STORE t INTO '$dir/out' USING PARQUET ("zorder": "a", "partition_by": "dt");""",
+        env0 = env("t" -> df))
+    }
+    assert(e.getMessage.contains("cannot combine"), e.getMessage)
+  }
+
 }
 
 /** Sample user operator for the OPERATOR statement test (needs a stable

@@ -50,13 +50,22 @@ object Dictionary {
   /** The dictionary side of the encode/decode join: explicit override
     * wins; then the plan-stats estimate; then a bounded count.
     */
-  private def dictSide(dict: DataFrame, forced: Option[Boolean]): DataFrame = {
-    val doBroadcast = forced.getOrElse {
-      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(BroadcastDictMaxBytes) ||
-        dict.limit((BroadcastDictMaxRows + 1).toInt).count() <= BroadcastDictMaxRows
+  private def dictSide(dict: DataFrame, forced: Option[Boolean]): DataFrame =
+    forced match {
+      case Some(b) => if (b) broadcast(dict) else dict
+      case None =>
+        if (dict.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(BroadcastDictMaxBytes)) broadcast(dict)
+        else {
+          // tier two needs a job anyway — snapshot first so an expensive
+          // in-query dictionary (distinct + window over the fact) computes
+          // once for BOTH the bounded probe and the join, not twice
+          val snap = dict.localCheckpoint(false)
+          if (snap.limit((BroadcastDictMaxRows + 1).toInt).count() <= BroadcastDictMaxRows)
+            broadcast(snap)
+          else snap
+        }
     }
-    if (doBroadcast) broadcast(dict) else dict
-  }
 
   /** CREATE DICTIONARY — distinct values of `column`, codes 1..N assigned in
     * value-sorted order (codes start at 1 per CodeDictionary.java:41; code 0
@@ -75,6 +84,12 @@ object Dictionary {
     * DictionaryRefreshMapSideOperator.java:34 / ReduceSideOperator.java:29).
     */
   def refresh(existing: DataFrame, df: DataFrame, column: String): DataFrame = {
+    // a multi-column dictionary's colvalue is only unique per colname; the
+    // anti-join below would suppress cross-column values and the union
+    // would fail on the missing colname — use refreshMulti for that shape
+    require(!existing.columns.contains("colname"),
+      "refresh takes a single-column dictionary; use refreshMulti for the " +
+        "multi-column (colname, colvalue, code) shape")
     val maxCode = existing.agg(coalesce(max("code"), lit(0))).first().getInt(0)
     val newVals = df.select(col(column).cast("string").as("colvalue"))
       .filter(col("colvalue").isNotNull)
@@ -82,6 +97,20 @@ object Dictionary {
       .join(existing.select("colvalue"), Seq("colvalue"), "left_anti")
       .withColumn("code", row_number().over(Window.orderBy(col("colvalue"))) + lit(maxCode))
     existing.unionByName(newVals)
+  }
+
+  /** Refresh a MULTI-column dictionary: each listed column's slice keeps
+    * its codes and appends codes for new values (per-column numbering, as
+    * [[createMulti]] assigns); slices for columns not listed pass through.
+    */
+  def refreshMulti(existing: DataFrame, df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(existing.columns.contains("colname"),
+      "refreshMulti takes the multi-column (colname, colvalue, code) shape")
+    val untouched = existing.filter(!col("colname").isin(cols: _*))
+    cols.map { c =>
+      val slice = existing.filter(col("colname") === c).drop("colname")
+      refresh(slice, df, c).withColumn("colname", lit(c))
+    }.foldLeft(untouched)(_ unionByName _)
   }
 
   /** Multi-column dictionary — the reference's global dictionary shape:
@@ -122,38 +151,62 @@ object Dictionary {
   def encode(df: DataFrame, column: String, dict: DataFrame,
              nullsAs: Int = 0, unknownsAs: Option[Int] = None,
              broadcastDict: Option[Boolean] = None): DataFrame = {
-    val d = dictSide(dict.select(col("colvalue"), col("code")), broadcastDict)
-    val joined = df.join(d, df(column).cast("string") === d("colvalue"), "left_outer")
+    // both sides ride under private positional names: a fact table with
+    // its own 'code'/'colvalue' column — or duplicate column names from an
+    // upstream join — must neither become ambiguous nor lose a column
+    val idx = df.columns.indexOf(column)
+    require(idx >= 0, s"encode: no column $column in ${df.columns.mkString(", ")}")
+    val names = df.columns.toSeq
+    val tmp = names.indices.map(i => s"__graft_in_$i")
+    val dfT = df.toDF(tmp: _*)
+    val target = col(tmp(idx))
+    val d = dictSide(dict.select(col("colvalue").as("__graft_dict_value"),
+      col("code").as("__graft_dict_code")), broadcastDict)
+    val joined = dfT.join(d,
+      target.cast("string") === col("__graft_dict_value"), "left_outer")
     // Without UNKNOWNS AS, a value missing from the dictionary fails loudly
     // — the reference's DictionaryEncodeOperator throws for unknown values
     // rather than emitting silent NULL codes.
-    val code = when(df(column).isNull, lit(nullsAs))
+    val code = when(target.isNull, lit(nullsAs))
       .otherwise(unknownsAs match {
-        case Some(u) => coalesce(col("code"), lit(u))
-        case None    => coalesce(col("code"),
+        case Some(u) => coalesce(col("__graft_dict_code"), lit(u))
+        case None    => coalesce(col("__graft_dict_code"),
           raise_error(concat(lit(s"ENCODE: value not in dictionary for $column: "),
-            df(column).cast("string"))))
+            target.cast("string"))))
       })
-    joined.withColumn(s"${column}__enc", code)
-      .drop("colvalue", "code", column)
-      .withColumnRenamed(s"${column}__enc", column)
+    // replace in place — the reference operator keeps the column position,
+    // and positional consumers (text STORE + declared-schema reload)
+    // depend on it
+    joined.select(tmp.indices.map(i =>
+      if (i == idx) code.as(column) else col(tmp(i)).as(names(i))): _*)
   }
 
   /** DECODE x ON col USING dict [UNKNOWNS AS s] — inverse of encode
-    * (reference: DictionaryDecodeOperator.java:41).
+    * (reference: DictionaryDecodeOperator.java:41). `nullsAs` names the
+    * code [[encode]] wrote for NULL (default 0) so those rows decode back
+    * to NULL rather than to the unknowns string.
     */
   def decode(df: DataFrame, column: String, dict: DataFrame,
              unknownsAs: Option[String] = None,
-             broadcastDict: Option[Boolean] = None): DataFrame = {
-    val d = dictSide(dict.select(col("colvalue"), col("code")), broadcastDict)
-    val joined = df.join(d, df(column) === d("code"), "left_outer")
+             broadcastDict: Option[Boolean] = None,
+             nullsAs: Int = 0): DataFrame = {
+    val idx = df.columns.indexOf(column)
+    require(idx >= 0, s"decode: no column $column in ${df.columns.mkString(", ")}")
+    val names = df.columns.toSeq
+    val tmp = names.indices.map(i => s"__graft_in_$i")
+    val dfT = df.toDF(tmp: _*)
+    val target = col(tmp(idx))
+    val d = dictSide(dict.select(col("colvalue").as("__graft_dict_value"),
+      col("code").as("__graft_dict_code")), broadcastDict)
+    val joined = dfT.join(d, target === col("__graft_dict_code"), "left_outer")
     val value = unknownsAs match {
-      case Some(u) => when(df(column) === 0, lit(null)).otherwise(coalesce(col("colvalue"), lit(u)))
-      case None    => col("colvalue")
+      case Some(u) =>
+        when(target.isNull || target === lit(nullsAs), lit(null))
+          .otherwise(coalesce(col("__graft_dict_value"), lit(u)))
+      case None => col("__graft_dict_value")
     }
-    joined.withColumn(s"${column}__dec", value)
-      .drop("colvalue", "code", column)
-      .withColumnRenamed(s"${column}__dec", column)
+    joined.select(tmp.indices.map(i =>
+      if (i == idx) value.as(column) else col(tmp(i)).as(names(i))): _*)
   }
 
   /** ENCODE over several columns at once (reference ENCODE takes a column

@@ -37,7 +37,13 @@ object Layout {
     */
   def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double]): Column = {
     require(cols.nonEmpty && cols.length <= 4, "z-order supports 1..4 columns")
-    val top = (1L << BitsPerDim) - 1 // 65535
+    val d = cols.length
+    // stay off bit 63: at 4 columns a full 16 bits would land the 4th
+    // column's top bit on the SIGN bit, making upper-half values sort
+    // negative and inverting Morton order for that dimension — 15 bits at
+    // d=4 keeps every interleaved position <= 59
+    val bits = math.min(BitsPerDim, 63 / d)
+    val top = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, j) =>
       val (lo, hi) = (mins(j), maxs(j))
       val s =
@@ -46,10 +52,9 @@ object Layout {
           floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble)).cast("long")))
       coalesce(s, lit(0L))
     }
-    val d = scaled.length
     // bit i of column j lands at position i*d + j: columns interleave
     // round-robin from the low bit, so every dimension shares the high bits
-    val terms = for { j <- 0 until d; i <- 0 until BitsPerDim } yield
+    val terms = for { j <- 0 until d; i <- 0 until bits } yield
       shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * d + j)
     terms.reduce(_ bitwiseOR _)
   }

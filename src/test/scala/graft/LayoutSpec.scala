@@ -38,6 +38,22 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zValue with 4 columns never crosses the sign bit (r17 review)") {
+    // 16 bits x 4 dims put the 4th column's top bit at position 63: rows in
+    // that column's upper half sorted NEGATIVE, inverting Morton order —
+    // 15 bits/dim at d=4 keeps every z-value non-negative and monotone in
+    // each dimension
+    val df = Seq(
+      (0L, 0L, 0L, 0L),
+      (0L, 0L, 0L, 40000L),   // upper half of the 4th dim — was negative
+      (65535L, 65535L, 65535L, 65535L)).toDF("a", "b", "c", "d")
+    val zs = df.select(Layout.zValue(
+      Seq(col("a"), col("b"), col("c"), col("d")),
+      Seq.fill(4)(0.0), Seq.fill(4)(65535.0))).collect().map(_.getLong(0))
+    assert(zs.forall(_ >= 0L), zs.mkString(","))
+    assert(zs(0) < zs(1) && zs(1) < zs(2), zs.mkString(","))
+  }
+
   test("zValue handles nulls, constants, and out-of-range as documented") {
     val df = Seq[(java.lang.Long, java.lang.Long)]((null, 5L), (7L, 7L))
       .toDF("x", "y")

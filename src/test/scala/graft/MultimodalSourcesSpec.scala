@@ -70,6 +70,31 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Sources.virtual(spark, 5).count() == 5)
   }
 
+  test("TEXT roundtrip: quote-leading values and typed single columns (r17 review)") {
+    val dir = Files.createTempDirectory("graft-text-rt").toString
+    // a field value starting with '"' must not open a csv quote on read
+    // (the write side emits raw unquoted TSV)
+    val df = Seq((1L, "\"42 rue\" Paris", "x"), (2L, "plain", "y"))
+      .toDF("id", "addr", "t")
+    Sources.store(df, s"$dir/q", "text")
+    val back = Sources.load(spark, s"$dir/q", "text",
+      Some("LONG id, STRING addr, STRING t")).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("\"42 rue\" Paris", "plain"),
+      back.mkString(";"))
+    assert(back.map(_.getString(2)).toSeq == Seq("x", "y"))
+    // a single-column TYPED text schema loads via the csv parser (text()
+    // supports only one STRING column)
+    Sources.store(Seq(7, 8).toDF("n"), s"$dir/n", "text")
+    val ns = Sources.load(spark, s"$dir/n", "text", Some("INT n"))
+      .collect().map(_.getInt(0)).toSet
+    assert(ns == Set(7, 8), ns.toString)
+    // partition_by on text/avro refuses loudly instead of writing flat
+    intercept[IllegalArgumentException](
+      Sources.store(df, s"$dir/p", "text", partitionBy = Seq("t")))
+    intercept[IllegalArgumentException](
+      Sources.store(df, s"$dir/a", "avro", partitionBy = Seq("t")))
+  }
+
   test("loadRobust splits clean rows from quarantined corrupt records") {
     val dir = Files.createTempDirectory("graft-robust").toString
     Files.write(java.nio.file.Paths.get(s"$dir/in.json"),

@@ -73,6 +73,52 @@ class WindowDictSpec extends SparkSpec {
     assert(dec.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("encode/decode survive clashing and duplicate fact columns, keep order (r17 review)") {
+    // a fact with its own 'code' and 'colvalue' columns: the old unqualified
+    // join refs were ambiguous / dropped the fact's columns
+    val dict = Dictionary.create(Seq("x", "y").toDF("c"), "c")
+    val fact = Seq(("x", 7, "keepme"), ("y", 8, "also"))
+      .toDF("c", "code", "colvalue")
+    val enc = Dictionary.encode(fact, "c", dict)
+    assert(enc.columns.toSeq == Seq("c", "code", "colvalue"), "column order/set")
+    assert(enc.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+      == Set((1, 7, "keepme"), (2, 8, "also")))
+    val dec = Dictionary.decode(enc, "c", dict)
+    assert(dec.columns.toSeq == Seq("c", "code", "colvalue"))
+    assert(dec.collect().map(_.getString(0)).toSet == Set("x", "y"))
+    // in-place replacement: the encoded column keeps its position
+    val abc = Dictionary.encode(
+      Seq(("x", 1L, true)).toDF("a", "b", "cc").withColumnRenamed("a", "k"),
+      "k", dict)
+    assert(abc.columns.toSeq == Seq("k", "b", "cc"))
+  }
+
+  test("decode nullsAs: encoded NULLs decode to NULL, not the unknowns string (r17 review)") {
+    val dict = Dictionary.create(Seq("a", "b").toDF("c"), "c")
+    val data = Seq(Some("a"), None).toDF("c")
+    val enc = Dictionary.encode(data, "c", dict, nullsAs = -1)
+    val dec = Dictionary.decode(enc, "c", dict,
+      unknownsAs = Some("?"), nullsAs = -1)
+    val got = dec.collect().map(r => Option(r.getString(0))).toSet
+    assert(got == Set(Some("a"), None), got.toString) // was Some("?") for the null
+  }
+
+  test("refreshMulti keeps per-column codes; refresh refuses the multi shape (r17 review)") {
+    val base = Seq(("a", "p"), ("b", "q")).toDF("c1", "c2")
+    val multi = Dictionary.createMulti(base, Seq("c1", "c2"))
+    intercept[IllegalArgumentException](
+      Dictionary.refresh(multi, base, "c1"))
+    // new value for c1 that ALREADY exists under c2 must still get a c1 code
+    val more = Seq(("q", "r")).toDF("c1", "c2")
+    val refreshed = Dictionary.refreshMulti(multi, more, Seq("c1", "c2"))
+    val c1 = refreshed.filter(col("colname") === "c1")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(c1 == Map("a" -> 1, "b" -> 2, "q" -> 3), c1.toString)
+    val c2 = refreshed.filter(col("colname") === "c2")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(c2 == Map("p" -> 1, "q" -> 2, "r" -> 3), c2.toString)
+  }
+
   test("gapFill densifies to the step grid and fills forward deterministically") {
     val ev = Seq((1L, 100L, 1.0, 1L), (1L, 145L, 2.0, 2L), (1L, 310L, 3.0, 3L),
       (2L, 55L, 9.0, 4L)).toDF("k", "ts", "v", "id")

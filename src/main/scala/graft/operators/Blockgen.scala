@@ -25,12 +25,19 @@ object Blockgen {
     */
   def blockgen(df: DataFrame, table: String, partitionKeys: Seq[String],
                sortKeys: Seq[String], buckets: Int): Unit = {
+    // validate BEFORE the destructive drop below — a bad call must not
+    // cost the previous incarnation of the table
+    require(partitionKeys.nonEmpty, "blockgen needs at least one partition key")
     val spark = df.sparkSession
     // drop any previous incarnation, including a stale location left by a
-    // prior session (in-memory catalog forgets tables; the files survive)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    // prior session (in-memory catalog forgets tables; the files survive).
+    // Resolve the path the CATALOG uses (name formatting, db directories)
+    // rather than concatenating the raw name under the warehouse dir —
+    // 'Events' stores as .../events, 'db.tbl' as .../db.db/tbl
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val writer = df.write

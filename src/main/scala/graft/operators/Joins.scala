@@ -26,6 +26,17 @@ object Joins {
     case other => other
   }
 
+  /** The union-window and bucketed join plans ride on internal __-prefixed
+    * columns; an input that already carries one would be silently
+    * overwritten (and in the union forms, CROSS-WIRED into the other
+    * side's payload) — refuse loudly instead.
+    */
+  private def requireNoReserved(df: DataFrame, names: Seq[String], op: String): Unit = {
+    val bad = df.columns.filter(names.contains)
+    require(bad.isEmpty,
+      s"$op reserves internal column(s) ${bad.mkString(", ")} — rename them first")
+  }
+
   /** MERGE JOIN — sort-merge join of co-partitioned, co-sorted inputs
     * (reference: operator/MergeJoinOperator.java:36, merge loop :148-210).
     * Spark's SortMergeJoin IS this operator; when both sides are bucketed
@@ -83,6 +94,11 @@ object Joins {
     val jt = joinType(how)
     require(Set("inner", "left_outer", "left_semi", "left_anti").contains(jt),
       s"saltedJoin replicates the right side; $jt would duplicate unmatched right rows")
+    // salts = 0 would be SILENTLY wrong, not slow: pmod(h, 0) is NULL,
+    // which equi-joins nothing — inner returns empty, anti returns all
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    requireNoReserved(leftDf, Seq("__salt"), "saltedJoin")
+    requireNoReserved(rightDf, Seq("__salt"), "saltedJoin")
     val l = leftDf.withColumn("__salt",
       pmod(hash(leftDf.columns.map(col(_)): _*), lit(salts)))
     val r = rightDf.withColumn("__salt",
@@ -118,6 +134,8 @@ object Joins {
     val payload = right.columns.filterNot(keys.contains).toSeq
     val clash = payload.intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right payload columns collide with left: $clash")
+    requireNoReserved(left, Seq("__ts", "__side", "__p", "__m"), "asofJoin")
+    requireNoReserved(right, Seq("__ts", "__side", "__p", "__m"), "asofJoin")
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
@@ -160,6 +178,10 @@ object Joins {
     val payload = right.columns.filterNot(keys.contains).toSeq
     val clash = payload.intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right payload columns collide with left: $clash")
+    requireNoReserved(left,
+      Seq("__ts", "__side", "__p", "__m", "__bkt", "__c", "__last"), "asofJoinBucketed")
+    requireNoReserved(right,
+      Seq("__ts", "__side", "__p", "__m", "__bkt", "__c", "__last"), "asofJoinBucketed")
     // floor-division bucket (exact in the Long domain; `div` truncates
     // toward zero, so shift negative remainders down one bucket)
     def bkt = expr(s"__ts div ${bucketWidth}L - " +
@@ -224,6 +246,8 @@ object Joins {
     val jt = joinType(how)
     require(Set("inner", "left_outer").contains(jt),
       s"scdJoin preserves fact rows only; got $how")
+    requireNoReserved(facts, Seq("__live"), "scdJoin")
+    requireNoReserved(dim, Seq("__live"), "scdJoin")
     // bucketWidth opts into the hot-key two-phase plan (numeric ts only)
     val asOf = bucketWidth match {
       case Some(w) =>
@@ -232,14 +256,18 @@ object Joins {
         asofJoin(facts, dim, keys, factTs, validFrom, how = "left_outer")
     }
     // evaluate liveness ONCE, before any dimension column is masked —
-    // masking validTo first would make later columns read it as "open"
+    // masking validTo first would make later columns read it as "open".
+    // One projection masks every dimension column (a withColumn per column
+    // would re-analyze the plan once per column — quadratic on wide dims)
     val joined = asOf.withColumn("__live", col(validFrom).isNotNull &&
       (col(validTo).isNull || col(factTs) < col(validTo)))
-    val dimCols = dim.columns.filterNot(keys.contains).toSeq
-    val masked = dimCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, when(col("__live"), col(c)).otherwise(lit(null).cast(
-        joined.schema(c).dataType)))
-    }
+    val dimCols = dim.columns.filterNot(keys.contains).toSet
+    val masked = joined.select(joined.columns.toSeq.map { c =>
+      if (dimCols.contains(c))
+        when(col("__live"), col(c))
+          .otherwise(lit(null).cast(joined.schema(c).dataType)).as(c)
+      else col(c)
+    }: _*)
     (if (jt == "inner") masked.filter(col("__live")) else masked)
       .drop("__live")
   }
@@ -257,21 +285,33 @@ object Joins {
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String,
                 lower: Long, upper: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, sequence}
     require(upper >= lower, s"empty band [$lower, $upper]")
     val payload = right.columns.filterNot(keys.contains).toSeq
     val clash = payload.intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right payload columns collide with left: $clash")
+    requireNoReserved(left, Seq("__bin", "__rjts"), "rangeJoin")
+    requireNoReserved(right, Seq("__bin", "__rjts"), "rangeJoin")
     val width = math.max(upper - lower, 1L)
+    // integral floor-division bucketing (the asofJoinBucketed idiom):
+    // float floor(col/width) rounds timestamps past 2^52 — epoch nanos —
+    // and can bin a row beside its match, silently DROPPING the pair (the
+    // residual filter only trims false candidates, it cannot recover one
+    // the equi-join never produced)
+    def bin(off: Long): Column = expr(
+      s"(__rjts + ${off}L) div ${width}L - " +
+        s"(CASE WHEN (__rjts + ${off}L) % ${width}L < 0 THEN 1 ELSE 0 END)")
     // explicit aliases: left/right often derive from the same source (two
     // filters of one table), and positional l(k) === r(k) on shared lineage
     // is ambiguous
-    val l = left.withColumn("__bin", floor(col(leftTs) / lit(width))).alias("l")
-    val r = right.withColumn("__bin", explode(sequence(
-      floor((col(rightTs) + lit(lower)) / lit(width)),
-      floor((col(rightTs) + lit(upper)) / lit(width))))).alias("r")
-    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
-      col("l.__bin") === col("r.__bin") &&
+    val l = left.withColumn("__rjts", col(leftTs).cast("long"))
+      .withColumn("__bin", bin(0L)).alias("l")
+    val r = right.withColumn("__rjts", col(rightTs).cast("long"))
+      .withColumn("__bin", explode(sequence(bin(lower), bin(upper)))).alias("r")
+    // an empty key list is the pure band join — the bin equi-condition is
+    // the conjunction base, so reduce never sees an empty list
+    val cond = (keys.map(k => col(s"l.$k") === col(s"r.$k")) :+
+      (col("l.__bin") === col("r.__bin"))).reduce(_ && _) &&
       col(s"l.$leftTs") >= col(s"r.$rightTs") + lit(lower) &&
       col(s"l.$leftTs") <= col(s"r.$rightTs") + lit(upper)
     l.join(r, cond).select(
@@ -297,11 +337,25 @@ object Joins {
     val jt = joinType(how)
     require(Set("inner", "left_semi", "right_outer").contains(jt),
       s"bloomPrunedJoin drops left rows pre-join; $jt would change results")
-    val keyHash = xxhash64(keys.map(col): _*)
-    val bf = right.stat.bloomFilter(keyHash, expectedItems, fpp)
+    // hash through a COMMON type: xxhash64 hashes an IntegerType and a
+    // LongType of the same value differently, so type-mismatched (but
+    // joinable) keys would never hit the bloom and matching left rows
+    // would silently drop. Numeric mismatches widen to double (collisions
+    // only ADD false positives, which the join removes); other mismatches
+    // canonicalize as strings
+    def hashCols(df: DataFrame): Column = xxhash64(keys.map { k =>
+      val lt = left.schema(k).dataType
+      val rt = right.schema(k).dataType
+      if (lt == rt) df(k)
+      else if (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+               rt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        df(k).cast("double")
+      else df(k).cast("string")
+    }: _*)
+    val bf = right.stat.bloomFilter(hashCols(right), expectedItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bf)
     val might = udf((h: Long) => bc.value.mightContainLong(h))
-    left.filter(might(keyHash)).join(right, keys, jt)
+    left.filter(might(hashCols(left))).join(right, keys, jt)
   }
 
   /** MeshJoin pattern — LOAD BLOCK ... MATCHING + MERGE JOIN (reference:

@@ -55,6 +55,25 @@ class BlockgenSpec extends SparkSpec {
     assert(m2.bucketSpec.get.numBuckets == 4)
   }
 
+  test("blockgen cleans the CATALOG-cased stale location; validates before dropping (r17 review)") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    // stale location under the lowercased name a fresh session's catalog
+    // would use — the old raw-name path missed it on a case-sensitive FS
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    val stale = new java.io.File(s"$wh/evcase")
+    stale.mkdirs()
+    new java.io.File(stale, "junk").createNewFile()
+    Blockgen.blockgen(df, "EvCase", Seq("k"), Seq("v"), 2)
+    assert(spark.table("EvCase").count() == 2)
+    // a bad call must fail BEFORE the destructive drop — table survives
+    intercept[IllegalArgumentException](
+      Blockgen.blockgen(df, "EvCase", Seq.empty, Seq("v"), 2))
+    assert(spark.table("EvCase").count() == 2)
+    spark.sql("DROP TABLE IF EXISTS EvCase")
+  }
+
   test("blockgen is idempotent across overwrites (stale-location handling)") {
     val r = sf("region")
     Blockgen.blockgen(r, "t_idem", Seq("r_regionkey"), Nil, 2)

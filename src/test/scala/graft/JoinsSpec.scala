@@ -173,6 +173,33 @@ class JoinsSpec extends SparkSpec {
     assert(inner == Set((1L, 15L), (1L, 35L)), inner.toString)
   }
 
+  test("rangeJoin bins exactly beyond 2^53 and supports keyless bands (r17 review)") {
+    // epoch-nano-scale longs: float floor(ts/width) rounds and binned a row
+    // beside its match before the integral-div fix
+    val base = 1700000000000000000L // ~1.7e18 > 2^52
+    val l = Seq((1L, base + 1000L)).toDF("k", "lts")
+    val r = Seq((1L, base + 500L)).toDF("k", "rts")
+    val got = Joins.rangeJoin(l, r, Seq("k"), "lts", "rts", 0L, 1000L)
+    assert(got.count() == 1, "exact-band match at nano scale must survive")
+    // keyless pure band join (used to throw empty.reduce)
+    val g2 = Joins.rangeJoin(l.drop("k"), r.drop("k"), Seq.empty, "lts", "rts", 0L, 1000L)
+    assert(g2.count() == 1)
+    // reserved internal names refuse loudly instead of silent corruption
+    intercept[IllegalArgumentException](
+      Joins.rangeJoin(l.withColumn("__bin", lit(1)), r, Seq("k"), "lts", "rts", 0L, 1L))
+    intercept[IllegalArgumentException](
+      Joins.saltedJoin(l, r.withColumnRenamed("rts", "lts"), Seq("k"), salts = 0))
+  }
+
+  test("bloomPrunedJoin matches across joinable-but-mismatched key types (r17 review)") {
+    val l = Seq((42, "a"), (7, "b")).toDF("k", "v") // IntegerType key
+    val r = Seq((42L, 1.0)).toDF("k", "w")          // LongType key
+    val got = Joins.bloomPrunedJoin(l, r, Seq("k"))
+    // int-vs-long hashes differed pre-fix, so the bloom dropped the match
+    assert(got.count() == 1 && got.collect().head.getString(1) == "a",
+      got.collect().mkString(";"))
+  }
+
   test("sortedNeighborhood pairs everything within the rank window, across grid cells") {
     // global order by (block, size, id): b/1, b/2, b/9, c/5, c/6 — window 2
     // pairs ONLY adjacent positions, including the b→c block boundary

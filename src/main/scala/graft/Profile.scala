@@ -317,11 +317,13 @@ object Profile {
           (col("l_suppkey") + 1000000000000L).as("dst"))
         .distinct()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val ranks = edges.select(col("src").as("node")).distinct()
+      val state = edges.select(col("src").as("node")).distinct()
         .select(col("node"), lit(9999L).as("r"))
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("r"), col("deg"))
       pin(graphPins(0),
         graft.operators.Matrix.prContribution(edges,
-          graft.operators.Matrix.perSrcContribution(ranks, deg), identity),
+          graft.operators.Matrix.perSrcContribution(state), identity),
         Seq("partial_sum"))
       val labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))

@@ -49,13 +49,36 @@ object Matrix {
     * cost of a write per round — the right posture for long iterative
     * runs at 100 TB, where losing one executor over N rounds approaches
     * certainty. Requires `spark.sparkContext.setCheckpointDir(...)`.
+    *
+    * Local checkpoints may be taken LAZILY (`eager = false`, the r17
+    * optimization posture of the iterative loops): the plan is truncated
+    * (LogicalRDD) and the blocks persist exactly as before, but the
+    * round's result stage is computed inside the FIRST consuming stage of
+    * the next round instead of a dedicated per-round materialization job
+    * — RDDs are identity-deduped in the scheduler and the localCheckpoint
+    * persist makes any second consumer read the cached blocks, so no work
+    * is duplicated. This removes one job barrier plus one full
+    * write-then-reread pass over the O(V) state per round. Callers that
+    * need a value (e.g. a termination count) materialize by calling an
+    * action on the returned frame; callers that unpersist helper
+    * relations before the result is consumed must stay eager. Reliable
+    * checkpoints stay EAGER regardless: `RDD.checkpoint` recomputes the
+    * lineage a second time at materialization unless the RDD was computed
+    * by the checkpointing job itself, so a lazy reliable checkpoint would
+    * double every round's work. `spark.graft.iter.eagerLocalCkpt=true`
+    * restores the pre-r17 all-eager behavior (the measurement A/B
+    * toggle).
     */
   private def ckpt(df: DataFrame, eager: Boolean, reliable: Boolean): DataFrame =
     if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliableCheckpoint requires SparkContext.setCheckpointDir to be set")
-      df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
+      df.checkpoint(true)
+    } else {
+      val forceEager = df.sparkSession.conf
+        .getOption("spark.graft.iter.eagerLocalCkpt").contains("true")
+      df.localCheckpoint(eager || forceEager)
+    }
 
   /** C = A × B over COO triples: A(i,k,v), B(k,j,w) → C(i,j) = Σ_k v·w.
     * Column names are positional contracts: a = (i, k, v), b = (k, j, w).
@@ -159,11 +182,13 @@ object Matrix {
     // round 11 measured the old deg-riding-every-edge-row form (a second
     // full-edge checkpoint) going super-linear at the 100M-edge decade
     // (16.2x for 10x rows) purely from the duplicated edge materialization
-    val e = ckpt(edges.toDF("src", "dst").distinct(), true, reliableCheckpoint)
-    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("deg")),
-      true, reliableCheckpoint)
+    // eager = false throughout the loop (see ckpt): `nodes.count()` below
+    // materializes e→nodes in one job; each round materializes inside its
+    // first consuming stage instead of per-round jobs
+    val e = ckpt(edges.toDF("src", "dst").distinct(), false, reliableCheckpoint)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = ckpt(e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct(), true, reliableCheckpoint)
+      .union(e.select(col("dst"))).distinct(), false, reliableCheckpoint)
     val n = nodes.count()
     require(n > 0, "empty graph")
     require(n <= scale,
@@ -176,26 +201,39 @@ object Matrix {
     // already-measured node count, overridable either way
     val side = stateSide(n, broadcastRanks, broadcastMaxNodes)
     val base = (scale * (100 - dampingPct) / 100) / n
-    var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
+    // deg rides the checkpointed state (node, r, deg) — joined ONCE here,
+    // never re-joined per round: checkpointed relations are LogicalRDDs
+    // with neither stats nor a known partitioning, so the old per-round
+    // ranks⋈deg join planned as a SortMergeJoin with two exchanges and
+    // two sorts of O(V) rows EVERY round (r17 before-plan,
+    // plans/r17/q199_round_before.txt ops 7-13). deg is O(V) — 8 bytes
+    // per state row — not the O(E) every-edge-row deg that round 11
+    // measured going super-linear. Nodes without out-edges carry NULL.
+    var state = ckpt(nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), lit(scale / n).as("r"), col("deg")),
+      false, reliableCheckpoint)
     for (_ <- 0 until iters) {
-      val contrib = prContribution(e, perSrcContribution(ranks, deg), side)
-      ranks = ckpt(nodes.join(side(contrib), Seq("node"), "left")
+      val contrib = prContribution(e, perSrcContribution(state), side)
+      state = ckpt(state.join(side(contrib), Seq("node"), "left")
         .withColumn("__s", coalesce(col("s"), lit(0L)))
         .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r")),
-        eager = true, reliable = reliableCheckpoint)
+          (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r"),
+          col("deg")),
+        eager = false, reliable = reliableCheckpoint)
     }
-    ranks
+    state.select("node", "r")
   }
 
-  /** Per-source contribution mass `r div deg` — an O(V) relation computed
-    * ONCE PER SOURCE and mapped onto the edges, instead of carrying `deg`
-    * on every edge row and dividing per edge (identical integer values;
-    * O(E) work and a full second edge materialization removed).
+  /** Per-source contribution mass `r div deg` — a pure PROJECTION over the
+    * iteration state (node, r, deg): identical integer values to the old
+    * ranks⋈deg inner join (deg is NULL exactly where that join dropped the
+    * row — nodes with no out-edges), with the per-round join and its two
+    * O(V) exchanges removed (see [[pageRankPortable]]'s state comment).
     */
-  private[graft] def perSrcContribution(ranks: DataFrame, deg: DataFrame): DataFrame =
-    ranks.withColumnRenamed("node", "src").join(deg, "src")
-      .select(col("src"), expr("r div deg").as("c"))
+  private[graft] def perSrcContribution(state: DataFrame): DataFrame =
+    state.filter(col("deg").isNotNull)
+      .select(col("node").as("src"), expr("r div deg").as("c"))
 
   /** One [[pageRankPortable]] contribution round: bare (src, dst) edges ⋈
     * the O(V) per-source mass, partial+final sum by destination. Factored
@@ -229,9 +267,9 @@ object Matrix {
                        broadcastMaxNodes: Long = BroadcastNodeThreshold,
                        reliableCheckpoint: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = ckpt(edges.toDF("src", "dst").distinct(), true, reliableCheckpoint)
+    val e = ckpt(edges.toDF("src", "dst").distinct(), false, reliableCheckpoint)
     val nodes = ckpt(e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct(), true, reliableCheckpoint)
+      .union(e.select(col("dst"))).distinct(), false, reliableCheckpoint)
     val n = nodes.count()
     // same posture as pageRankPortable: the (node, label) relation — and
     // the equally O(V) per-round winner relation — ride to the edges only
@@ -243,7 +281,7 @@ object Matrix {
       val winner = lpaRound(e, labels, side)
       labels = ckpt(labels.join(side(winner), Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label")),
-        eager = true, reliable = reliableCheckpoint)
+        eager = false, reliable = reliableCheckpoint)
     }
     labels
   }
@@ -279,7 +317,7 @@ object Matrix {
     val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-    var e = ckpt(e0, true, reliableCheckpoint)
+    var e = ckpt(e0, false, reliableCheckpoint)
     // carry the previous round's cardinality forward: `e` was already
     // counted as `next` last round, so re-counting it is a redundant job
     var eCount = e.count()
@@ -292,7 +330,7 @@ object Matrix {
       val next = ckpt(e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select("u", "v"), true, reliableCheckpoint)
+        .select("u", "v"), false, reliableCheckpoint)
       val nextCount = next.count()
       done = nextCount == eCount
       e = next

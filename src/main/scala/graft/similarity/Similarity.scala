@@ -413,21 +413,30 @@ object Similarity {
       return kCenterGreedyScalable(df, k, scale, idCol, vecCol)
     val spark = df.sparkSession
     import spark.implicits._
+    // persist the quantized projection for the duration of the k driver
+    // rounds (r17 optimization): every round scans the whole corpus, and
+    // without this each of the k jobs re-reads and re-quantizes the
+    // parquet input — k source scans collapse to one read + (k−1) cached
+    // scans. MEMORY_AND_DISK so an over-RAM corpus degrades to local disk
+    // instead of failing; released before returning.
     val q = df.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol).cast("array<double>"),
         x => floor(x * lit(scale.toDouble)).cast("long")).as("xq"))
-    val seed = q.orderBy("vec_id").limit(1).collect()
-    require(seed.nonEmpty, "kCenterGreedyPortable: empty input")
-    var selected = Vector[(Long, Seq[Long], Long)](
-      (seed(0).getLong(0), seed(0).getSeq[Long](1), 0L))
-    for (_ <- 2 to k) {
-      val next = kCenterRound(q, selected.map(t => (t._1, t._2))).limit(1).collect()
-      require(next.nonEmpty, s"kCenterGreedyPortable: k=$k exceeds input size")
-      selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
-    }
-    selected.zipWithIndex
-      .map { case ((id, _, d), i) => (i + 1L, id, d) }
-      .toDF("sel_rank", "vec_id", "mindist_sq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = q.orderBy("vec_id").limit(1).collect()
+      require(seed.nonEmpty, "kCenterGreedyPortable: empty input")
+      var selected = Vector[(Long, Seq[Long], Long)](
+        (seed(0).getLong(0), seed(0).getSeq[Long](1), 0L))
+      for (_ <- 2 to k) {
+        val next = kCenterRound(q, selected.map(t => (t._1, t._2))).limit(1).collect()
+        require(next.nonEmpty, s"kCenterGreedyPortable: k=$k exceeds input size")
+        selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
+      }
+      selected.zipWithIndex
+        .map { case ((id, _, d), i) => (i + 1L, id, d) }
+        .toDF("sel_rank", "vec_id", "mindist_sq")
+    } finally q.unpersist()
   }
 
   /** Selected-set size above which [[kCenterGreedyPortable]] abandons the
@@ -567,29 +576,34 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val qvec: Seq[Long] = query.map(x => math.floor(x * scale).toLong)
+    // persist the quantized shortlist across the k rounds — same rationale
+    // and lifecycle as kCenterGreedyPortable's corpus persist
     val q = df.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol).cast("array<double>"),
         x => floor(x * lit(scale.toDouble)).cast("long")).as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def idot(v: Seq[Long]) =
       aggregate(zip_with(col("xq"), typedLit(v), (a, b) => a * b),
         lit(0L), (acc, d) => acc + d)
     val rel = idot(qvec)
-    var selected = Vector.empty[(Long, Seq[Long], Long)] // (id, xq, score)
-    for (_ <- 1 to k) {
-      val score =
-        if (selected.isEmpty) lit(lambdaPct.toLong) * rel
-        else lit(lambdaPct.toLong) * rel -
-          lit((100 - lambdaPct).toLong) *
-            array_max(array(selected.map { case (_, sq, _) => idot(sq) }: _*))
-      val next = q.filter(!col("vec_id").isin(selected.map(_._1): _*))
-        .select(col("vec_id"), col("xq"), score.as("sc"))
-        .orderBy(col("sc").desc, col("vec_id")).limit(1).collect()
-      require(next.nonEmpty, s"mmrSelectPortable: k=$k exceeds input size")
-      selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
-    }
-    selected.zipWithIndex
-      .map { case ((id, _, s), i) => (i + 1L, id, s) }
-      .toDF("sel_rank", "vec_id", "mmr_score")
+    try {
+      var selected = Vector.empty[(Long, Seq[Long], Long)] // (id, xq, score)
+      for (_ <- 1 to k) {
+        val score =
+          if (selected.isEmpty) lit(lambdaPct.toLong) * rel
+          else lit(lambdaPct.toLong) * rel -
+            lit((100 - lambdaPct).toLong) *
+              array_max(array(selected.map { case (_, sq, _) => idot(sq) }: _*))
+        val next = q.filter(!col("vec_id").isin(selected.map(_._1): _*))
+          .select(col("vec_id"), col("xq"), score.as("sc"))
+          .orderBy(col("sc").desc, col("vec_id")).limit(1).collect()
+        require(next.nonEmpty, s"mmrSelectPortable: k=$k exceeds input size")
+        selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1), next(0).getLong(2)))
+      }
+      selected.zipWithIndex
+        .map { case ((id, _, s), i) => (i + 1L, id, s) }
+        .toDF("sel_rank", "vec_id", "mmr_score")
+    } finally q.unpersist()
   }
 
   /** IVF ANN search end-to-end: assign the corpus to its nearest centroid

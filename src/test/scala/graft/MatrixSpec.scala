@@ -121,9 +121,11 @@ class MatrixSpec extends SparkSpec {
     // AQE's size-based auto-broadcast is disabled so the pin tests OUR
     // decision, not the optimizer's small-table shortcut.
     val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ranks = g.select(col("src").as("node")).distinct()
+    val state = g.select(col("src").as("node")).distinct()
       .select(col("node"), lit(100L).as("r"))
-    val perSrc = Matrix.perSrcContribution(ranks, deg)
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("r"), col("deg"))
+    val perSrc = Matrix.perSrcContribution(state)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -140,8 +142,8 @@ class MatrixSpec extends SparkSpec {
       assert(planB.contains("BroadcastExchange"),
         s"below threshold the rank side should broadcast:\n$planB")
       // the forced override beats the count in both directions
-      assert(Matrix.stateSide(n = 1, forced = Some(false), maxNodes = 100)(ranks)
-        .queryExecution.logical.toString == ranks.queryExecution.logical.toString)
+      assert(Matrix.stateSide(n = 1, forced = Some(false), maxNodes = 100)(state)
+        .queryExecution.logical.toString == state.queryExecution.logical.toString)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 

@@ -293,10 +293,12 @@ class SkewStressSpec extends SparkSpec {
     // plan pin: the contribution aggregate is partial+final (the exchange
     // sees one row per (reducer, node), never the raw 10^5 hub rows)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ranks = edges.select(col("src").as("node")).distinct()
+    val state = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(9999L).as("r"))
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("r"), col("deg"))
     val contrib = graft.operators.Matrix.prContribution(edges,
-      graft.operators.Matrix.perSrcContribution(ranks, deg), identity)
+      graft.operators.Matrix.perSrcContribution(state), identity)
     contrib.queryExecution.toRdd.foreach(_ => ())
     val plan = contrib.queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"),

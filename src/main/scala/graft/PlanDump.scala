@@ -67,6 +67,30 @@ object PlanDump {
         labels.join(side(winner), Seq("node"), "left")
           .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
       }),
+      // EXECUTED (AQE-final) q26 plan: runs the query, then reports the
+      // final plan — the initial plan shows one Exchange per union branch,
+      // reuse only materializes at runtime
+      "q26_executed_probe" -> (() => {
+        val df = SparkEntry.queries("q26_duple_cube")(spark, sfDir)
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val recs = new java.util.concurrent.atomic.AtomicLong
+        val stages = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        df.write.mode("overwrite").format("noop").save()
+        Thread.sleep(2000) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        println(s"PROBE stages=${stages.get} shuffleWriteBytes=${bytes.get} " +
+          s"shuffleWriteRecords=${recs.get}")
+        df
+      }),
       "q159_round" -> (() => {
         val edges = t("documents")
           .select(expr("doc_id div 8").as("a"),

@@ -335,6 +335,68 @@ object Profile {
       pin(graphPins(3), SparkEntry.queries("q159_kcore")(spark, sfDir),
         Seq("partial_count"))
     }
+
+    // q26 duple cube decomposition (r17): where does the Expand-over-raw-rows
+    // inner aggregate spend its time, and does a union-of-grouping-sets
+    // rewrite (grouping sets enumerated as branches over one
+    // REPARTITION(inner-key) exchange, reused across branches) beat it?
+    locally {
+      val li = t("lineitem")
+      time("q26 full")(noop(SparkEntry.queries("q26_duple_cube")(spark, sfDir)))
+      time("q26 inner cube agg only (noop)") {
+        val v = "__prof_q26_inner"
+        li.createOrReplaceTempView(v)
+        noop(spark.sql(
+          s"""SELECT l_returnflag, l_linestatus, grouping_id() AS __gid,
+             |       sum(l_quantity) AS __inner
+             |FROM $v GROUP BY l_orderkey, CUBE(l_returnflag, l_linestatus)""".stripMargin))
+      }
+      time("q26 leaf agg by (okey,rf,ls) only (noop)") {
+        noop(li.groupBy("l_orderkey", "l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("s")))
+      }
+      time("q26 union-no-repartition (noop)") {
+        val base = li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+        def branch(gid: Long, keep: Seq[String]) = {
+          val grp = "l_orderkey" +: keep
+          base.groupBy(grp.map(col): _*).agg(sum("l_quantity").as("__inner"))
+            .select(
+              (if (keep.contains("l_returnflag")) col("l_returnflag")
+               else lit(null).cast("string")).as("l_returnflag"),
+              (if (keep.contains("l_linestatus")) col("l_linestatus")
+               else lit(null).cast("string")).as("l_linestatus"),
+              lit(gid).as("__gid"), col("__inner"))
+        }
+        noop(branch(0, Seq("l_returnflag", "l_linestatus"))
+          .unionAll(branch(1, Seq("l_returnflag")))
+          .unionAll(branch(2, Seq("l_linestatus")))
+          .unionAll(branch(3, Nil))
+          .groupBy("l_returnflag", "l_linestatus", "__gid")
+          .agg(max("__inner").as("max_order_qty"))
+          .select("l_returnflag", "l_linestatus", "max_order_qty"))
+      }
+      time("q26 union-rewrite (noop)") {
+        val base = li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+          .repartition(col("l_orderkey"))
+        def branch(gid: Long, keep: Seq[String]) = {
+          val grp = "l_orderkey" +: keep
+          base.groupBy(grp.map(col): _*).agg(sum("l_quantity").as("__inner"))
+            .select(
+              (if (keep.contains("l_returnflag")) col("l_returnflag")
+               else lit(null).cast("string")).as("l_returnflag"),
+              (if (keep.contains("l_linestatus")) col("l_linestatus")
+               else lit(null).cast("string")).as("l_linestatus"),
+              lit(gid).as("__gid"), col("__inner"))
+        }
+        noop(branch(0, Seq("l_returnflag", "l_linestatus"))
+          .unionAll(branch(1, Seq("l_returnflag")))
+          .unionAll(branch(2, Seq("l_linestatus")))
+          .unionAll(branch(3, Nil))
+          .groupBy("l_returnflag", "l_linestatus", "__gid")
+          .agg(max("__inner").as("max_order_qty"))
+          .select("l_returnflag", "l_linestatus", "max_order_qty"))
+      }
+    }
     spark.stop()
   }
 }

@@ -157,6 +157,32 @@ object Profile {
         maxCols = Seq("p_retailprice"), minCols = Seq("p_size")).count())
     }
     time("q161 full")(noop(SparkEntry.queries("q161_concurrency")(spark, sfDir)))
+    // r17: the pre-r17 concurrency form inline (range probe over the
+    // boundary aggregate, no checkpoint) vs the shipped one
+    time("q161 old-form inline") {
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val iv = t("events").select(us.as("st"),
+        (us + floor(col("value") * lit(6.0e7)).cast("long")).as("en"))
+      val deltas = iv
+        .select(col("st").cast("long").as("t"), lit(1L).as("__d"))
+        .unionAll(iv.select(col("en").cast("long").as("t"), lit(-1L).as("__d")))
+        .groupBy(col("t")).agg(sum("__d").as("net"))
+      val range = deltas.agg(min("t"), max("t")).head()
+      val tMin = range.getLong(0)
+      val width = math.max((range.getLong(1) - tMin) / 1024 + 1, 1L)
+      val b = deltas.withColumn("__b", ((col("t") - tMin) / width).cast("int"))
+      val ow = org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy("__b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = b.groupBy(col("__b")).agg(sum("net").as("__n"))
+        .withColumn("__off", coalesce(sum("__n").over(ow), lit(0L)))
+        .select(col("__b"), col("__off"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__b")).orderBy("t")
+      noop(b.join(broadcast(offs), Seq("__b"))
+        .withColumn("concurrent", col("__off") + sum("net").over(rw))
+        .select(col("t"), col("net"), col("concurrent")))
+    }
 
     // q101 decomposition: distinct keys vs variant explode vs candidate
     // key-pair join vs verify vs id-group expansion. The whole block is

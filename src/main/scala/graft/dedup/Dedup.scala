@@ -198,11 +198,17 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id",
                    maxDocsPerShingle: Option[Int] = Some(DefaultMaxDocsPerShingle),
                    capMetrics: Option[CapMetrics] = None): DataFrame = {
+    // lazy localCheckpoint (r17): the tokenize→shingle-set kernel is the
+    // scan-side cost and the plan consumes it twice (the hot-shingle
+    // census and the self-join's capped stream) — materializing the
+    // per-doc sets once makes the second consumer a cached read instead
+    // of a second full text pass. Per-invocation RDD: no cross-run reuse.
     val base = df
       .select(col(idCol), PortableHash.tokenHashes(col(textCol)).as("__th"))
       .filter(size(col("__th")) >= n)
       .select(col(idCol), graft.functions.expressions.NativeExpressions.shingleHashSet(
         col("__th"), n, PortableHash.B, PortableHash.P).as("__shs"))
+      .localCheckpoint(false)
     val sh = capHotShingles(base.select(col(idCol), size(col("__shs")).as("n_sh"),
       explode(col("__shs")).as("shingle")), maxDocsPerShingle, capMetrics)
     val a = sh.as("a"); val b = sh.as("b")

@@ -474,6 +474,18 @@ object Behavior {
                   buckets: Int = 1024, groupCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 1, s"bad buckets: $buckets")
     val gs = groupCols
+    // r17: the range probe is a NARROW min/max scan of the raw interval
+    // columns (identical values: min over the boundary union = least of
+    // the two per-column mins, and min/max ignore NULLs on both paths) —
+    // the old probe executed the whole boundary union+aggregation once
+    // just to read two longs. The offsets branch and the final join still
+    // reference the boundary aggregate twice, but they share its exchange
+    // (identical subtree in one plan — AQE stage reuse; measured: adding a
+    // localCheckpoint to force single evaluation was wall-neutral at
+    // sf0.1 and costs O(boundaries) cache at scale, so it stays out).
+    val rangeRow = intervals.agg(
+      min(col(startCol).cast("long")), max(col(startCol).cast("long")),
+      min(col(endCol).cast("long")), max(col(endCol).cast("long"))).head()
     val deltas = intervals
       .select(gs.map(col) :+ col(startCol).cast("long").as("t") :+ lit(1L).as("__d"): _*)
       .unionAll(intervals
@@ -481,10 +493,11 @@ object Behavior {
       .groupBy((gs :+ "t").map(col): _*).agg(sum("__d").as("net"))
     // one GLOBAL time range buckets every group: bucket order = time
     // order inside any group, and only two longs reach the driver
-    val range = deltas.agg(min("t"), max("t")).head()
-    if (range.isNullAt(0)) return deltas.withColumn("concurrent", lit(0L))
-    val tMin = range.getLong(0)
-    val width = math.max((range.getLong(1) - tMin) / buckets + 1, 1L)
+    val mins = Seq(0, 2).filterNot(rangeRow.isNullAt).map(rangeRow.getLong)
+    val maxs = Seq(1, 3).filterNot(rangeRow.isNullAt).map(rangeRow.getLong)
+    if (mins.isEmpty) return deltas.withColumn("concurrent", lit(0L))
+    val tMin = mins.min
+    val width = math.max((maxs.max - tMin) / buckets + 1, 1L)
     val b = deltas.withColumn("__b", ((col("t") - tMin) / width).cast("int"))
     val ow = org.apache.spark.sql.expressions.Window
       .partitionBy(gs.map(col): _*).orderBy("__b")

@@ -91,72 +91,31 @@ object CubeOps {
     * which is the scale story of the reference's partitioned-additive trick.
     * `innerAggSql` is e.g. "sum(l_quantity)", `outerAggSql` e.g. "max".
     */
-  /** Grouping-set count up to which [[dupleCube]] enumerates the cube as
-    * UNION branches over one shared inner-key exchange instead of the
-    * Expand form. Measured at sf0.1 (Profile "q26" sections, r17): the
-    * Expand form copies every RAW row 2^n times into a partial aggregate
-    * whose keys are near-unique (the inner key), so the partial collapses
-    * nothing and the exchange carries ~|rows|·2^n partials; the union form
-    * shuffles the raw rows ONCE (repartition by the inner key — a subset
-    * of every branch's grouping key, so all 2^n branch aggregates are
-    * exchange-free and ReuseExchange shares the one shuffle), 2.09 s →
-    * 0.67 s on q26. Past this cap the 2^n branch passes over the base
-    * outgrow the one Expand pass and the plan itself gets large.
+  /** r17 optimization note — a union-of-grouping-sets rewrite was built,
+    * measured, and REJECTED here. At sf0.1 enumerating the 2^n grouping
+    * sets as aggregate branches over a repartition-by-inner-key exchange
+    * beat the Expand form 3x (2.09 s -> 0.67 s, q26: the inner key is
+    * near-unique, so Expand's partial aggregate collapses nothing and the
+    * exchange carries the 2^n-multiplied stream). But the branch
+    * aggregates are SINGLE-PHASE downstream of the repartition: per-task
+    * hash state is unbounded by map input (60M-row fixture, 32
+    * partitions: ~2M groups x 4 branches per task), and the interleaved
+    * A/B at that scale read best-of-3 24.6 s vs the Expand form's 18.5 s
+    * with one arm failing outright under memory pressure — the sf0.1 win
+    * inverts exactly where scale matters, so the Expand form (bounded
+    * partials, graceful spill) stays. Evidence: OPTIMIZATION_r17.md,
+    * Profile's "q26" sections, dev/r17-opt.
     */
-  val MaxUnionGroupingSets: Int = 8
-
   def dupleCube(df: DataFrame, dims: Seq[String], inner: Seq[String],
-                outerAggSql: String, innerAggSql: String, as: String): DataFrame = {
-    val nSets = if (dims.length < 31) 1 << dims.length else Int.MaxValue
-    if (inner.nonEmpty && dims.nonEmpty && nSets <= MaxUnionGroupingSets)
-      dupleCubeUnion(df, dims, inner, outerAggSql, innerAggSql, as)
-    else withTempView(df, "duple") { v =>
-      df.sparkSession.sql(
-        s"""SELECT ${dims.mkString(", ")}, $outerAggSql(__inner) AS $as FROM (
-           |  SELECT ${dims.mkString(", ")}, grouping_id() AS __gid,
-           |         $innerAggSql AS __inner
-           |  FROM $v
-           |  GROUP BY ${inner.mkString(", ")}, CUBE(${dims.mkString(", ")})
-           |) GROUP BY ${dims.mkString(", ")}, __gid""".stripMargin)
-    }
-  }
-
-  /** [[dupleCube]]'s union form: every cube grouping set becomes one
-    * aggregate branch over a SHARED repartition-by-inner-key exchange.
-    * The inner key is a subset of every branch's grouping key, so
-    * hashpartitioning(inner) satisfies each branch's clustering
-    * requirement — the 2^n inner aggregates run exchange-free off one
-    * shuffle of the raw rows, where the Expand form shuffles the ~2^n-
-    * multiplied near-unique partials. Branch output replays the Expand
-    * convention exactly: aggregated-away dims are NULL literals (typed
-    * from the input schema) and __gid is the grouping_id() bit vector
-    * (bit n-1-i set when dims(i) is aggregated), so the final
-    * (dims, __gid) re-aggregation — and therefore every output row —
-    * is identical to the Expand form's.
-    */
-  private def dupleCubeUnion(df: DataFrame, dims: Seq[String], inner: Seq[String],
-                             outerAggSql: String, innerAggSql: String,
-                             as: String): DataFrame = {
-    val base = df.repartition(inner.map(col): _*)
-    val subsets: Seq[Seq[String]] =
-      (0 to dims.length).flatMap(k => dims.combinations(k).toSeq)
-    val branches = subsets.map { kept =>
-      val keptSet = kept.toSet
-      val gid = dims.zipWithIndex
-        .collect { case (d, i) if !keptSet.contains(d) => 1L << (dims.length - 1 - i) }
-        .sum
-      val dimCols = dims.map { d =>
-        if (keptSet.contains(d)) col(d)
-        else lit(null).cast(df.schema(d).dataType).as(d)
-      }
-      base.groupBy((inner ++ kept).map(col): _*)
-        .agg(expr(innerAggSql).as("__inner"))
-        .select(dimCols :+ lit(gid).as("__gid") :+ col("__inner"): _*)
-    }
-    branches.reduce(_ unionAll _)
-      .groupBy((dims :+ "__gid").map(col): _*)
-      .agg(expr(s"$outerAggSql(__inner)").as(as))
-      .select((dims :+ as).map(col): _*)
+                outerAggSql: String, innerAggSql: String, as: String): DataFrame =
+    withTempView(df, "duple") { v =>
+    df.sparkSession.sql(
+      s"""SELECT ${dims.mkString(", ")}, $outerAggSql(__inner) AS $as FROM (
+         |  SELECT ${dims.mkString(", ")}, grouping_id() AS __gid,
+         |         $innerAggSql AS __inner
+         |  FROM $v
+         |  GROUP BY ${inner.mkString(", ")}, CUBE(${dims.mkString(", ")})
+         |) GROUP BY ${dims.mkString(", ")}, __gid""".stripMargin)
   }
 
   /** Exact COUNT DISTINCT under CUBE — the reference's partitioned-additive

@@ -60,6 +60,19 @@ class MatrixSpec extends SparkSpec {
     assert(total <= 1000000000L && total > 999000000L, total.toString)
   }
 
+  test("pageRankPortable: sink nodes ride the state with NULL degree (r17 deg-in-state)") {
+    // a → b, b dangling: deg(b) is NULL in the state tuple — the r17
+    // rewrite must treat it exactly like the old ranks⋈deg INNER join
+    // (b contributes nothing, keeps collecting base + damped-in mass).
+    // Hand-unrolled: n=2, base=75e6, r0=5e8 each.
+    //   iter1: a = base = 75e6;               b = base + (85·(5e8 div 1)) div 100 = 5e8
+    //   iter2: a = base = 75e6;               b = base + (85·(75e6 div 1)) div 100 = 138,750,000
+    val g = Seq(("a", "b")).toDF("src", "dst")
+    val r = Matrix.pageRankPortable(g, iters = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r == Map("a" -> 75000000L, "b" -> 138750000L), r.toString)
+  }
+
   test("transpose swaps coordinates and spMV broadcasts the vector") {
     val at = Matrix.transpose(a.toDF("i", "k", "v"))
       .orderBy("i", "k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -482,8 +482,14 @@ object Similarity {
     def distTo(c: Seq[Long]) =
       aggregate(zip_with(col("xq"), typedLit(c), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, d) => acc + d)
+    // local checkpoints are LAZY (r17, the Matrix-iterative posture): the
+    // round's top-1 collect is the action that materializes-and-caches the
+    // folded state, so each round is one job instead of two (fold job +
+    // pick job); the fold's second reference reads the cached blocks.
+    // Reliable checkpoints stay eager (RDD.checkpoint recomputes lineage
+    // at materialization otherwise).
     def ckpt(s: DataFrame): DataFrame =
-      if (reliableCheckpoint) s.checkpoint(true) else s.localCheckpoint(true)
+      if (reliableCheckpoint) s.checkpoint(true) else s.localCheckpoint(false)
     var state = ckpt(q.select(col("vec_id"), col("xq"),
       distTo(seedXq).as("md"), (col("vec_id") === lit(seedId)).as("sel")))
     var selected = Vector[(Long, Long)]((seedId, 0L))

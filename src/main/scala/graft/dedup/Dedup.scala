@@ -937,12 +937,16 @@ object Dedup {
     // reliableCheckpoint = true writes each round to the configured
     // checkpoint dir instead: slower per round, survives executor loss —
     // the posture for long runs at cluster scale
+    // local checkpoints are LAZY (r17, the Matrix-iterative posture): the
+    // per-round count() is the action that materializes-and-caches the
+    // round, so a round is one job instead of an eager-checkpoint job
+    // plus a count job; reliable checkpoints stay eager
     def ck(df: DataFrame): DataFrame =
       if (reliableCheckpoint) {
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           "reliableCheckpoint requires SparkContext.setCheckpointDir to be set")
         df.checkpoint(true)
-      } else df.localCheckpoint(true)
+      } else df.localCheckpoint(false)
     val e0 = ccEdgeIds(pairs, aCol, bCol, "u", "v")
     val allNodes = e0.select(col("u").as("id"))
       .union(e0.select(col("v").as("id"))).distinct().persist()
@@ -953,13 +957,18 @@ object Dedup {
     var edges = ck(e0.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
+    // carry the cardinality forward (the kCore idiom): `edges` was already
+    // counted as `next` last round — re-counting it was a redundant job
+    var eCount = edges.count()
     var i = 0
-    var done = edges.isEmpty
+    var done = eCount == 0
     while (!done && i < maxIter) {
       val next = ck(smallStar(largeStar(edges)))
-      done = next.count() == edges.count() && next.except(edges).count() == 0
+      val nextCount = next.count()
+      done = nextCount == eCount && next.except(edges).count() == 0
       edges.unpersist()
       edges = next
+      eCount = nextCount
       i += 1
     }
     require(done || i < maxIter,

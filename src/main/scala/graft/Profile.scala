@@ -362,6 +362,39 @@ object Profile {
         Seq("partial_count"))
     }
 
+    // q201 LPA argmax experiment (r17): the min(struct(-cnt,label)) winner
+    // election plans as SortAggregate (struct buffers are not hash-
+    // aggregable) — does an order-preserving decimal(38,0) linearization
+    // ((-cnt)·2^64 + (label+2^63), hash-aggregable) beat the two keyed
+    // sorts per round?
+    locally {
+      val edges = t("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+        .distinct().localCheckpoint()
+      val labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")).localCheckpoint()
+      time("q201 lpaRound struct form, pre-r17 (sortagg, noop)") {
+        noop(graft.operators.Matrix.lpaRound(edges, labels, identity))
+      }
+      time("q201 lpaRound decimal form, shipped (hashagg, noop)") {
+        val L = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+        val HALF = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+        val cnts = edges
+          .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val ord = (col("cnt").cast("decimal(38,0)") * lit(-1) * lit(L)) +
+          (col("label").cast("decimal(38,0)") + lit(HALF))
+        noop(cnts.select(col("node"), ord.as("__ord"))
+          .groupBy("node").agg(min("__ord").as("__m"))
+          .select(col("node"),
+            (pmod(col("__m"), lit(L)) - lit(HALF)).cast("long").as("__new")))
+      }
+    }
+
     // q26 duple cube decomposition (r17): where does the Expand-over-raw-rows
     // inner aggregate spend its time, and does a union-of-grouping-sets
     // rewrite (grouping sets enumerated as branches over one

@@ -291,14 +291,46 @@ object Matrix {
     * partial-aggregating stages, no window. Factored out for the plan
     * audit (the loop's checkpoints erase iteration plans).
     */
+  /** 2^64 / 2^63 as exact decimal literals for [[lpaRound]]'s argmax
+    * linearization, and the count ceiling the decimal(38,0) headroom
+    * allows: |ord| ≤ (cnt+1)·2^64 must stay below 10^38, so cnt ≤
+    * ~5.42·10^18 — guarded LOUDLY per (node,label) group because Spark's
+    * non-ANSI decimal overflow is a silent NULL, which would elect a
+    * wrong winner instead of failing.
+    */
+  private val OrdL = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+  private val OrdHalf = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+  private val MaxEncodableCount = 5000000000000000000L // 5e18 < (10^38/2^64 − 1)
+
   private[graft] def lpaRound(e: DataFrame, labels: DataFrame,
-                              side: DataFrame => DataFrame): DataFrame =
+                              side: DataFrame => DataFrame): DataFrame = {
+    // argmax(count) with min-label ties as min over the order-preserving
+    // scalar ord = (−cnt)·2^64 + (label + 2^63): lexicographic (−cnt,
+    // label) order equals numeric ord order because label + 2^63 ∈
+    // [0, 2^64) for every signed-long label. The r17 before-plan's
+    // min(struct(−cnt, label)) form planned as a SortAggregate (struct
+    // buffers are not hash-aggregable) — two keyed sorts of the collapsed
+    // (node, label, cnt) relation per round; the decimal(38,0) scalar is
+    // hash-aggregable (partial_min pins still green) and measured 0.53 s
+    // vs 0.69 s per round at sf0.1 (Profile "lpaRound" pair). All decimal
+    // arithmetic here is exact integer arithmetic within the guarded
+    // range, so the elected winner — and every q201 oracle hash — is
+    // bit-identical to the struct form.
+    val guardedCnt = when(col("cnt") > MaxEncodableCount,
+      raise_error(concat(lit("lpaRound: per-(node,label) count "), col("cnt"),
+        lit(s" exceeds the decimal(38,0)-encodable ceiling $MaxEncodableCount"))))
+      .otherwise(col("cnt"))
+    val ord = (guardedCnt.cast("decimal(38,0)") * lit(-1) * lit(OrdL)) +
+      (col("label").cast("decimal(38,0)") + lit(OrdHalf))
     e.join(side(labels.withColumnRenamed("node", "src")), "src")
       .groupBy(col("dst").as("node"), col("label"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("node"), ord.as("__ord"))
       .groupBy("node")
-      .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
-      .select(col("node"), col("__w.label").as("__new"))
+      .agg(min(col("__ord")).as("__m"))
+      .select(col("node"),
+        (pmod(col("__m"), lit(OrdL)) - lit(OrdHalf)).cast("long").as("__new"))
+  }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes with
     * (current) degree < k until none remain or `maxIter` rounds ran —

@@ -73,6 +73,38 @@ class MatrixSpec extends SparkSpec {
     assert(r == Map("a" -> 75000000L, "b" -> 138750000L), r.toString)
   }
 
+  test("lpaRound: decimal-linearized argmax == min(struct) reference, extreme labels included") {
+    // the r17 ord = (−cnt)·2^64 + (label + 2^63) encoding must elect the
+    // struct form's winner for EVERY signed-long label, ties to min label
+    val rnd = new scala.util.Random(17)
+    val extremes = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L, Long.MaxValue)
+    val labelPool = extremes ++ Seq.fill(40)(rnd.nextLong())
+    // edges: dst 0..9, each with 3-8 in-neighbors whose labels draw from
+    // the pool (duplicate labels → count ties broken by min label)
+    val rows = (0L to 9L).flatMap { dst =>
+      Seq.fill(3 + rnd.nextInt(6))((labelPool(rnd.nextInt(labelPool.size)), dst))
+    }
+    // src ids double as labels (labels = identity map on src)
+    val e = rows.toDF("src", "dst")
+    val labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val got = Matrix.lpaRound(e, labels, identity).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = e.join(labels.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
+      .select(col("node"), col("__w.label")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"decimal argmax diverges: $got vs $want")
+    // the winner column stays non-null across the extremes (a decimal
+    // overflow would surface as NULL under non-ANSI semantics — the
+    // count-ceiling guard exists precisely so that can never be silent)
+    assert(Matrix.lpaRound(e, labels, identity)
+      .filter(col("__new").isNull).isEmpty, "NULL winner — silent overflow")
+  }
+
   test("transpose swaps coordinates and spMV broadcasts the vector") {
     val at = Matrix.transpose(a.toDF("i", "k", "v"))
       .orderBy("i", "k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

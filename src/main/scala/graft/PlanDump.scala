@@ -47,12 +47,8 @@ object PlanDump {
           .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
           .select(col("node"), lit(62500L).as("r"), col("deg"))
           .localCheckpoint()
-        val contrib = graft.operators.Matrix.prContribution(e,
-          graft.operators.Matrix.perSrcContribution(state), side)
-        state.join(side(contrib), Seq("node"), "left")
-          .withColumn("__s", coalesce(col("s"), lit(0L)))
-          .select(col("node"), (lit(9375L) + expr("(85 * __s) div 100")).as("r"),
-            col("deg"))
+        graft.operators.Matrix.prRound(e, state, side,
+          base = 9375L, dampingPct = 85)
       }),
       "q201_round" -> (() => {
         val e = graph().toDF("src", "dst").distinct().localCheckpoint()
@@ -63,9 +59,7 @@ object PlanDump {
           graft.operators.Matrix.BroadcastNodeThreshold)
         val labels = nodes.select(col("node"), col("node").as("label"))
           .localCheckpoint()
-        val winner = graft.operators.Matrix.lpaRound(e, labels, side)
-        labels.join(side(winner), Seq("node"), "left")
-          .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        graft.operators.Matrix.lpaRound(e, labels, side)
       }),
       // EXECUTED (AQE-final) q26 plan: runs the query, then reports the
       // final plan — the initial plan shows one Exchange per union branch,

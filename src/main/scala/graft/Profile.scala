@@ -348,8 +348,8 @@ object Profile {
         .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), col("r"), col("deg"))
       pin(graphPins(0),
-        graft.operators.Matrix.prContribution(edges,
-          graft.operators.Matrix.perSrcContribution(state), identity),
+        graft.operators.Matrix.prRound(edges, state, identity,
+          base = 1499L, dampingPct = 85),
         Seq("partial_sum"))
       val labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
@@ -376,10 +376,10 @@ object Profile {
         .distinct().localCheckpoint()
       val labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label")).localCheckpoint()
-      time("q201 lpaRound struct form, pre-r17 (sortagg, noop)") {
-        noop(graft.operators.Matrix.lpaRound(edges, labels, identity))
-      }
-      time("q201 lpaRound decimal form, shipped (hashagg, noop)") {
+      // r17 round = decimal election + winner⋈labels LEFT join; r18 round
+      // (the shipped lpaRound) folds the join into the election as a
+      // zero-count self-vote — this pair is the per-round A/B
+      time("q201 round r17 form: election + winner join (noop)") {
         val L = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
         val HALF = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
         val cnts = edges
@@ -388,10 +388,229 @@ object Profile {
           .agg(count(lit(1)).as("cnt"))
         val ord = (col("cnt").cast("decimal(38,0)") * lit(-1) * lit(L)) +
           (col("label").cast("decimal(38,0)") + lit(HALF))
-        noop(cnts.select(col("node"), ord.as("__ord"))
+        val winner = cnts.select(col("node"), ord.as("__ord"))
           .groupBy("node").agg(min("__ord").as("__m"))
           .select(col("node"),
-            (pmod(col("__m"), lit(L)) - lit(HALF)).cast("long").as("__new")))
+            (pmod(col("__m"), lit(L)) - lit(HALF)).cast("long").as("__new"))
+        noop(labels.join(broadcast(winner), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__new"), col("label")).as("label")))
+      }
+      time("q201 round r18 form: self-vote union, shipped (noop)") {
+        noop(graft.operators.Matrix.lpaRound(edges, labels,
+          df => broadcast(df)))
+      }
+    }
+
+    // q142 prefix-pipeline decomposition (r18): where does the prefix path
+    // spend — the shingle kernel, the df-order prefix selection (dfreq
+    // join + per-doc row_number window over the FULL exploded stream), the
+    // PPJoin candidate join, or the staged verification? Also A/Bs the
+    // window-form prefix selection against an aggregate form (collect_list
+    // + per-group array sort + slice — same (doc, shingle, pos) rows).
+    locally {
+      val thr = 0.8
+      val docs = t("documents").filter(col("doc_id") % 2 === 0)
+      def kernel = docs
+        .select(col("doc_id"),
+          graft.functions.PortableHash.tokenHashes(col("text")).as("__th"))
+        .filter(size(col("__th")) >= 2)
+        .select(col("doc_id"),
+          sort_array(graft.functions.expressions.NativeExpressions.shingleHashSet(
+            col("__th"), 2, graft.functions.PortableHash.B,
+            graft.functions.PortableHash.P)).cast("array<int>").as("__shs"))
+        .select(col("doc_id"), col("__shs"), size(col("__shs")).as("n_sh"))
+      time("q142x withN kernel only (noop)")(noop(kernel))
+      val withN = kernel.localCheckpoint() // eager: probes below exclude it
+      val prefLenCap = (col("n_sh") - ceil(col("n_sh") * lit(thr)) + 1)
+      def shExp = withN.select(col("doc_id"), col("n_sh"), explode(col("__shs")).as("shingle"))
+      def dfreq = shExp.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      def prefWindow = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+        shExp.join(dfreq, Seq("shingle"))
+          .withColumn("__pos", row_number().over(w))
+          .filter(col("__pos") <= prefLenCap)
+          .select(col("doc_id"), col("n_sh"), col("shingle"), col("__pos"))
+      }
+      def prefAgg = shExp.join(dfreq, Seq("shingle"))
+        .groupBy(col("doc_id"), col("n_sh"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("shingle")))).as("__a"))
+        .select(col("doc_id"), col("n_sh"),
+          posexplode(slice(col("__a"), lit(1), prefLenCap.cast("int")))
+            .as(Seq("__p0", "__e")))
+        .select(col("doc_id"), col("n_sh"), col("__e.shingle").as("shingle"),
+          (col("__p0") + 1).cast("int").as("__pos"))
+      time("q142x prefix selection, window form (noop)")(noop(prefWindow))
+      time("q142x prefix selection, agg form (noop)")(noop(prefAgg))
+      val pref = prefWindow.localCheckpoint()
+      time("q142x ppjoin candidates from cached pref (count)") {
+        graft.dedup.Dedup.ppjoinCandidates(pref, pref,
+          col("a.doc_id") < col("b.doc_id"), "doc_id", thr).count()
+      }
+      val cand = graft.dedup.Dedup.ppjoinCandidates(pref, pref,
+        col("a.doc_id") < col("b.doc_id"), "doc_id", thr).localCheckpoint()
+      time("q142x staged verification from cached candidates (noop)") {
+        noop(graft.dedup.Dedup.stagedVerifiedJaccard(cand, withN, withN, "doc_id", thr))
+      }
+      time("q142x full (noop)")(noop(SparkEntry.queries("q142_dedup_prefix")(spark, sfDir)))
+    }
+
+    // q159 kCore runtime-reuse probe (r18): the static round plan computes
+    // the degree aggregation TWICE (one subtree per semi-join build) — does
+    // AQE's exchange reuse collapse them at runtime, or is an explicit
+    // per-round materialization of `keep` worth it? Counts stages and
+    // shuffle volume via a listener (counts are noise-immune, times are not).
+    locally {
+      def probe(label: String)(body: => Unit): Unit =
+        if (only.forall(label.contains)) {
+          val stages = new java.util.concurrent.atomic.AtomicLong
+          val tasks = new java.util.concurrent.atomic.AtomicLong
+          val sbytes = new java.util.concurrent.atomic.AtomicLong
+          val inrecs = new java.util.concurrent.atomic.AtomicLong
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              stages.incrementAndGet()
+              tasks.addAndGet(sc.stageInfo.numTasks)
+              sbytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+              inrecs.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          body
+          Thread.sleep(1500) // listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"PROBE ${(System.nanoTime() - t0) / 1e9}%8.3f s stages=${stages.get}%-4d " +
+            f"tasks=${tasks.get}%-5d shuffleWriteBytes=${sbytes.get}%-12d " +
+            f"inputRecords=${inrecs.get} $label")
+        }
+      val edges = t("documents")
+        .select(expr("doc_id div 8").as("a"),
+          expr("doc_id div 8 + 1 + doc_id % 8").as("b"))
+      probe("q159x kCore shipped (noop)") {
+        noop(graft.operators.Matrix.kCore(edges, k = 10, maxIter = 8))
+      }
+      probe("q159x kCore keep materialized per round (noop)") {
+        val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+          .distinct()
+        var e = e0.localCheckpoint(false)
+        var eCount = e.count()
+        var i = 0
+        var done = false
+        while (i < 8 && !done) {
+          val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+            .groupBy("n").agg(count(lit(1)).as("d"))
+          val keep = deg.filter(col("d") >= 10).select("n").localCheckpoint(true)
+          val next = e
+            .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+            .select("u", "v").localCheckpoint(false)
+          val nextCount = next.count()
+          done = nextCount == eCount
+          e = next
+          eCount = nextCount
+          i += 1
+        }
+        noop(e.select(explode(array(col("u"), col("v"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("degree")))
+      }
+    }
+
+    // q199/q201 FULL-LOOP probes (r18): the r17 loop (election + winner
+    // join / contribution + state join per round) inlined, vs the shipped
+    // r18 union-form rounds — job/stage counts + wall, same JVM.
+    locally {
+      def probe(label: String)(body: => Unit): Unit =
+        if (only.forall(label.contains)) {
+          val stages = new java.util.concurrent.atomic.AtomicLong
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val sbytes = new java.util.concurrent.atomic.AtomicLong
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              stages.incrementAndGet()
+              sbytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            }
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); ()
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          body
+          Thread.sleep(1500) // listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"PROBE ${(System.nanoTime() - t0) / 1e9}%8.3f s jobs=${jobs.get}%-4d " +
+            f"stages=${stages.get}%-4d shuffleWriteBytes=${sbytes.get} $label")
+        }
+      val L = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+      val HALF = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+      def edges = t("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000000L).as("dst"))
+      def q201Old(tag: String): Unit = probe(s"q201x$tag OLD loop (election + winner join x4, noop)") {
+        val e = edges.toDF("src", "dst").distinct().localCheckpoint(false)
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst"))).distinct().localCheckpoint(false)
+        nodes.count()
+        var labels = nodes.select(col("node"), col("node").as("label"))
+        for (_ <- 0 until 4) {
+          val cnts = e.join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+            .groupBy(col("dst").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          val ord = (col("cnt").cast("decimal(38,0)") * lit(-1) * lit(L)) +
+            (col("label").cast("decimal(38,0)") + lit(HALF))
+          val winner = cnts.select(col("node"), ord.as("__ord"))
+            .groupBy("node").agg(min("__ord").as("__m"))
+            .select(col("node"),
+              (pmod(col("__m"), lit(L)) - lit(HALF)).cast("long").as("__new"))
+          labels = labels.join(broadcast(winner), Seq("node"), "left")
+            .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+            .localCheckpoint(false)
+        }
+        noop(labels)
+      }
+      def q201New(tag: String): Unit =
+        probe(s"q201x$tag NEW loop (self-vote union x4, shipped, noop)") {
+          noop(graft.operators.Matrix.labelPropagation(edges, iters = 4))
+        }
+      // order-balanced in one JVM: OLD,NEW,NEW,OLD,NEW,OLD,OLD,NEW — the
+      // warm tail (positions 4-8) holds interleaved samples of both arms
+      q201Old("a"); q201New("b"); q201New("c"); q201Old("d")
+      q201New("e"); q201Old("f"); q201Old("g"); q201New("h")
+      probe("q199x OLD loop (contribution + state join x5, noop)") {
+        val e = edges.toDF("src", "dst").distinct().localCheckpoint(false)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst"))).distinct().localCheckpoint(false)
+        val n = nodes.count()
+        val scale = 1000000000L
+        val base = (scale * 15 / 100) / n
+        var state = nodes
+          .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("node"), lit(scale / n).as("r"), col("deg"))
+          .localCheckpoint(false)
+        for (_ <- 0 until 5) {
+          val contrib = e.join(broadcast(
+              state.filter(col("deg").isNotNull)
+                .select(col("node").as("src"), expr("r div deg").as("c"))), "src")
+            .select(col("dst").as("node"), col("c"))
+            .groupBy("node").agg(sum("c").as("s"))
+          state = state.join(broadcast(contrib), Seq("node"), "left")
+            .withColumn("__s", coalesce(col("s"), lit(0L)))
+            .select(col("node"), (lit(base) + expr("(85 * __s) div 100")).as("r"),
+              col("deg"))
+            .localCheckpoint(false)
+        }
+        noop(state.select("node", "r"))
+      }
+      probe("q199x NEW loop (state rides contribution agg x5, shipped, noop)") {
+        noop(graft.operators.Matrix.pageRankPortable(edges, iters = 5))
       }
     }
 

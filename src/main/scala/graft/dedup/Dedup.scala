@@ -301,7 +301,7 @@ object Dedup {
     * elements shipped, int-packed (4 B vs 8 B), and the full arrays only
     * ever travel once per SURVIVOR.
     */
-  private def stagedVerifiedJaccard(cand: DataFrame, aN: DataFrame, bN: DataFrame,
+  private[graft] def stagedVerifiedJaccard(cand: DataFrame, aN: DataFrame, bN: DataFrame,
                                     idCol: String, threshold: Double): DataFrame = {
     val pivot = lit(VerifySplitPivot)
     val aLo = aN.select(col(idCol).as("id_a"),
@@ -432,7 +432,7 @@ object Dedup {
     * lower-bound caveat gets correspondingly deeper. With the default
     * (no cap, the prefix paths' production posture) the bound is exact.
     */
-  private def ppjoinCandidates(prefA: DataFrame, prefB: DataFrame,
+  private[graft] def ppjoinCandidates(prefA: DataFrame, prefB: DataFrame,
                                pairCond: Column, idCol: String,
                                threshold: Double): DataFrame =
     // the aliases are applied HERE; pairCond is built against the

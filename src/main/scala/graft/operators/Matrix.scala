@@ -214,12 +214,7 @@ object Matrix {
       .select(col("node"), lit(scale / n).as("r"), col("deg")),
       false, reliableCheckpoint)
     for (_ <- 0 until iters) {
-      val contrib = prContribution(e, perSrcContribution(state), side)
-      state = ckpt(state.join(side(contrib), Seq("node"), "left")
-        .withColumn("__s", coalesce(col("s"), lit(0L)))
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r"),
-          col("deg")),
+      state = ckpt(prRound(e, state, side, base, dampingPct),
         eager = false, reliable = reliableCheckpoint)
     }
     state.select("node", "r")
@@ -235,17 +230,31 @@ object Matrix {
     state.filter(col("deg").isNotNull)
       .select(col("node").as("src"), expr("r div deg").as("c"))
 
-  /** One [[pageRankPortable]] contribution round: bare (src, dst) edges ⋈
-    * the O(V) per-source mass, partial+final sum by destination. Factored
-    * out so the plan audit can pin the iteration's physical shape (join
-    * strategy, partial aggregation) directly — the loop's checkpoints
-    * erase it.
+  /** One FULL [[pageRankPortable]] round: bare (src, dst) edges ⋈ the O(V)
+    * per-source mass, then ONE partial+final aggregation by destination
+    * that also folds the old state⋈contribution LEFT join in (r18): the
+    * state rides the contribution exchange as zero-contribution rows —
+    * `sum(c)` over {contributions ∪ 0} equals the old
+    * `coalesce(s, 0)` (exact long arithmetic, order-free), and `max(deg)`
+    * recovers each node's degree from its single state row (contribution
+    * rows carry NULL deg; max ignores NULLs, so a sink node's NULL deg
+    * stays NULL). Deletes the per-round O(V) contribution broadcast
+    * (collect + replicate) — or, in the shuffle regime, a full O(V)
+    * shuffle join — per iteration. Factored out so the plan audit can pin
+    * the iteration's physical shape (join strategy, partial aggregation)
+    * directly — the loop's checkpoints erase it.
     */
-  private[graft] def prContribution(e: DataFrame, perSrc: DataFrame,
-                                    side: DataFrame => DataFrame): DataFrame =
-    e.join(side(perSrc), "src")
-      .select(col("dst").as("node"), col("c"))
-      .groupBy("node").agg(sum("c").as("s"))
+  private[graft] def prRound(e: DataFrame, state: DataFrame,
+                             side: DataFrame => DataFrame,
+                             base: Long, dampingPct: Int): DataFrame =
+    e.join(side(perSrcContribution(state)), "src")
+      .select(col("dst").as("node"), col("c"), lit(null).cast("long").as("deg"))
+      .unionByName(state.select(col("node"), lit(0L).as("c"), col("deg")))
+      .groupBy("node")
+      .agg(sum("c").as("__s"), max("deg").as("deg"))
+      .select(col("node"),
+        (lit(base) + expr(s"($dampingPct * __s) div 100")).as("r"),
+        col("deg"))
 
   /** Synchronous label propagation (community detection): every node
     * starts as its own community; each round it adopts the most frequent
@@ -259,8 +268,10 @@ object Matrix {
     * guarantee (standard for sync LPA).
     *
     * Scale shape per round: one edges⋈labels join, one (node, label)
-    * partial-aggregated count, one per-node min-struct argmax (also
-    * partial-aggregated — no window), localCheckpoint for O(1) lineage.
+    * partial-aggregated count, one per-node hash-aggregated argmax whose
+    * exchange also carries the keep-own-label fallback as zero-count
+    * self-votes (no per-round winner join — see [[lpaRound]]),
+    * localCheckpoint for O(1) lineage.
     */
   def labelPropagation(edges: DataFrame, iters: Int,
                        broadcastLabels: Option[Boolean] = None,
@@ -278,17 +289,17 @@ object Matrix {
     val side = stateSide(n, broadcastLabels, broadcastMaxNodes)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 0 until iters) {
-      val winner = lpaRound(e, labels, side)
-      labels = ckpt(labels.join(side(winner), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__new"), col("label")).as("label")),
+      labels = ckpt(lpaRound(e, labels, side),
         eager = false, reliable = reliableCheckpoint)
     }
     labels
   }
 
   /** One [[labelPropagation]] round: argmax(count) with min-label ties as
-    * a MIN of (-count, label) — lexicographic struct ordering, two
-    * partial-aggregating stages, no window. Factored out for the plan
+    * a MIN of the order-preserving decimal scalar — two partial-aggregating
+    * stages, no window, and (r18) NO per-round winner⋈labels join: the
+    * keep-own-label fallback rides the election aggregation as a zero-count
+    * SELF-VOTE unioned under the final min. Factored out for the plan
     * audit (the loop's checkpoints erase iteration plans).
     */
   /** 2^64 / 2^63 as exact decimal literals for [[lpaRound]]'s argmax
@@ -322,14 +333,28 @@ object Matrix {
       .otherwise(col("cnt"))
     val ord = (guardedCnt.cast("decimal(38,0)") * lit(-1) * lit(OrdL)) +
       (col("label").cast("decimal(38,0)") + lit(OrdHalf))
-    e.join(side(labels.withColumnRenamed("node", "src")), "src")
+    val votes = e.join(side(labels.withColumnRenamed("node", "src")), "src")
       .groupBy(col("dst").as("node"), col("label"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("node"), ord.as("__ord"))
+      .select(col("node"), ord.cast("decimal(38,0)").as("__ord"))
+    // keep-own-label fallback as a zero-count SELF-VOTE (r18): ord with
+    // cnt = 0 is label + 2^63 ∈ [0, 2^64) — nonnegative, while every real
+    // vote (cnt ≥ 1) has ord ≤ −2^64 + (2^64 − 1) < 0, so the self-vote
+    // wins the min exactly when the node has no in-neighbors and decodes
+    // to the node's current label bit-for-bit (pmod(label + 2^63, 2^64) −
+    // 2^63 = label for every signed long). This replaces the old per-round
+    // winner⋈labels LEFT join + coalesce: one O(V) broadcast (collect +
+    // replicate) — or, in the shuffle regime, one O(V) shuffle join — per
+    // round deleted; the O(V) self-vote rows ride the election exchange's
+    // partial min instead.
+    val selfVotes = labels.select(col("node"),
+      (col("label").cast("decimal(38,0)") + lit(OrdHalf))
+        .cast("decimal(38,0)").as("__ord"))
+    votes.unionByName(selfVotes)
       .groupBy("node")
       .agg(min(col("__ord")).as("__m"))
       .select(col("node"),
-        (pmod(col("__m"), lit(OrdL)) - lit(OrdHalf)).cast("long").as("__new"))
+        (pmod(col("__m"), lit(OrdL)) - lit(OrdHalf)).cast("long").as("label"))
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes with

@@ -84,25 +84,33 @@ class MatrixSpec extends SparkSpec {
     val rows = (0L to 9L).flatMap { dst =>
       Seq.fill(3 + rnd.nextInt(6))((labelPool(rnd.nextInt(labelPool.size)), dst))
     }
-    // src ids double as labels (labels = identity map on src)
+    // node ids double as labels (labels = identity map on src ∪ dst — the
+    // loop invariant: labelPropagation always carries EVERY node, so a
+    // round's vote targets are a subset of the labeled nodes)
     val e = rows.toDF("src", "dst")
-    val labels = e.select(col("src").as("node")).distinct()
+    val labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
       .select(col("node"), col("node").as("label"))
     val got = Matrix.lpaRound(e, labels, identity).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = e.join(labels.withColumnRenamed("node", "src"), "src")
+    // reference = the pre-r18 round: struct-min winner election LEFT-joined
+    // back onto labels with the keep-own-label coalesce (lpaRound now
+    // folds that join into the election as a zero-count self-vote)
+    val winner = e.join(labels.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst").as("node"), col("label"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy("node")
       .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("__w"))
-      .select(col("node"), col("__w.label")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("node"), col("__w.label").as("__new"))
+    val want = labels.join(winner, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want, s"decimal argmax diverges: $got vs $want")
-    // the winner column stays non-null across the extremes (a decimal
+    // the label column stays non-null across the extremes (a decimal
     // overflow would surface as NULL under non-ANSI semantics — the
     // count-ceiling guard exists precisely so that can never be silent)
     assert(Matrix.lpaRound(e, labels, identity)
-      .filter(col("__new").isNull).isEmpty, "NULL winner — silent overflow")
+      .filter(col("label").isNull).isEmpty, "NULL winner — silent overflow")
   }
 
   test("transpose swaps coordinates and spMV broadcasts the vector") {
@@ -170,18 +178,17 @@ class MatrixSpec extends SparkSpec {
       .select(col("node"), lit(100L).as("r"))
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), col("r"), col("deg"))
-    val perSrc = Matrix.perSrcContribution(state)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val autoShuffle = Matrix.stateSide(n = 6, forced = None, maxNodes = 2)
-      val pShuffle = Matrix.prContribution(g, perSrc, autoShuffle)
+      val pShuffle = Matrix.prRound(g, state, autoShuffle, base = 100L, dampingPct = 85)
       pShuffle.queryExecution.toRdd.foreach(_ => ())
       val planS = pShuffle.queryExecution.executedPlan.toString
       assert(!planS.contains("BroadcastExchange"),
         s"auto-switch above threshold still broadcasts:\n$planS")
       val autoBcast = Matrix.stateSide(n = 6, forced = None, maxNodes = 100)
-      val pBcast = Matrix.prContribution(g, perSrc, autoBcast)
+      val pBcast = Matrix.prRound(g, state, autoBcast, base = 100L, dampingPct = 85)
       pBcast.queryExecution.toRdd.foreach(_ => ())
       val planB = pBcast.queryExecution.executedPlan.toString
       assert(planB.contains("BroadcastExchange"),

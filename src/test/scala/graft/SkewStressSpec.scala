@@ -297,8 +297,8 @@ class SkewStressSpec extends SparkSpec {
       .select(col("node"), lit(9999L).as("r"))
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), col("r"), col("deg"))
-    val contrib = graft.operators.Matrix.prContribution(edges,
-      graft.operators.Matrix.perSrcContribution(state), identity)
+    val contrib = graft.operators.Matrix.prRound(edges, state, identity,
+      base = 1499L, dampingPct = 85)
     contrib.queryExecution.toRdd.foreach(_ => ())
     val plan = contrib.queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"),

@@ -447,12 +447,75 @@ object Profile {
         graft.dedup.Dedup.ppjoinCandidates(pref, pref,
           col("a.doc_id") < col("b.doc_id"), "doc_id", thr).count()
       }
+      time("q142x ppjoin candidates, asymmetric index prefix (count)") {
+        graft.dedup.Dedup.ppjoinCandidates(pref, pref,
+          (col("a.n_sh") < col("b.n_sh")) ||
+            (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id")),
+          "doc_id", thr, indexSideA = true).count()
+      }
       val cand = graft.dedup.Dedup.ppjoinCandidates(pref, pref,
         col("a.doc_id") < col("b.doc_id"), "doc_id", thr).localCheckpoint()
       time("q142x staged verification from cached candidates (noop)") {
         noop(graft.dedup.Dedup.stagedVerifiedJaccard(cand, withN, withN, "doc_id", thr))
       }
       time("q142x full (noop)")(noop(SparkEntry.queries("q142_dedup_prefix")(spark, sfDir)))
+    }
+
+    // q135 stored-index decomposition (r18): the bench shape screens a
+    // 100-vector batch against a STORED parquet cell index — ~1 s for a
+    // tiny batch smells like job/plan overhead, not data. Time the screen
+    // and the in-batch stage separately, and count jobs/stages.
+    locally {
+      def probe(label: String)(body: => Unit): Unit =
+        if (only.forall(label.contains)) {
+          val stages = new java.util.concurrent.atomic.AtomicLong
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              stages.incrementAndGet(); ()
+            }
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); ()
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          body
+          Thread.sleep(1500)
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"PROBE ${(System.nanoTime() - t0) / 1e9}%8.3f s jobs=${jobs.get}%-4d " +
+            f"stages=${stages.get}%-4d $label")
+        }
+      if (only.exists("q135x".contains)) { // whole block gated: the index build is setup
+        val emb = t("embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        val semDir = java.nio.file.Files.createTempDirectory("graft-semidx-prof").toString
+        graft.dedup.Dedup.semDedupIndex(emb.filter(col("vec_id") >= 100), cents)
+          .write.mode("overwrite").parquet(s"$semDir/index")
+        cents.write.mode("overwrite").parquet(s"$semDir/cents")
+        def batch = emb.filter(col("vec_id") < 100)
+        def idx = spark.read.parquet(s"$semDir/index")
+        def cts = spark.read.parquet(s"$semDir/cents")
+        probe("q135x screen only (noop)") {
+          noop(graft.dedup.Dedup.semDedupScreen(batch, idx, cts, 0.45))
+        }
+        if (only.contains("q135xplan")) {
+          val d = graft.dedup.Dedup.semDedupScreen(batch, idx, cts, 0.45)
+          d.queryExecution.toRdd.foreach(_ => ())
+          println("SCREEN FINAL PLAN:\n" + d.queryExecution.executedPlan.toString)
+        }
+        probe("q135x full againstIndex (noop)") {
+          noop(graft.dedup.Dedup.semDedupAgainstIndex(batch, idx, cts, threshold = 0.45)
+            .select("vec_id", "centroid_id"))
+        }
+        probe("q135x full againstIndex, second run (noop)") {
+          noop(graft.dedup.Dedup.semDedupAgainstIndex(batch, idx, cts, threshold = 0.45)
+            .select("vec_id", "centroid_id"))
+        }
+      }
     }
 
     // q159 kCore runtime-reuse probe (r18): the static round plan computes

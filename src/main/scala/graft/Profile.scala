@@ -488,7 +488,7 @@ object Profile {
           println(f"PROBE ${(System.nanoTime() - t0) / 1e9}%8.3f s jobs=${jobs.get}%-4d " +
             f"stages=${stages.get}%-4d $label")
         }
-      if (only.exists("q135x".contains)) { // whole block gated: the index build is setup
+      if (only.exists(_.startsWith("q135x"))) { // whole block gated: the index build is setup
         val emb = t("embeddings")
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))

@@ -851,6 +851,14 @@ object Dedup {
     * [[minHashDedup]] pass over the batch alone. Batch-mode only (the
     * candidate set is checkpointed to feed both the corpus pruning and
     * the verify spine without recomputation).
+    *
+    * Storage lifecycle: the candidate checkpoint's executor blocks are
+    * candidate-set-sized (id pairs) and are reclaimed by the
+    * ContextCleaner once this call's result is consumed and dropped —
+    * there is no handle to release eagerly. Long-lived sessions invoking
+    * this per batch should consume each result before the next batch so
+    * superseded checkpoints become unreachable (the same lifecycle note
+    * as [[dupClustersMinLabel]]'s persisted labeling).
     */
   def minHashDedupAgainstIndex(batch: DataFrame, index: DataFrame, corpus: DataFrame,
                                shingleN: Int = 3, k: Int = 16, bands: Int = 4,
@@ -996,7 +1004,10 @@ object Dedup {
       val next = ck(smallStar(largeStar(edges)))
       val nextCount = next.count()
       done = nextCount == eCount && next.except(edges).count() == 0
-      edges.unpersist()
+      // no unpersist: `edges` is checkpoint-backed (LogicalRDD), which
+      // Dataset.unpersist cannot release (the cacheManager has no entry) —
+      // per-round block reclamation is the ContextCleaner's job once the
+      // superseded round's RDD becomes unreachable here
       edges = next
       eCount = nextCount
       i += 1
@@ -1012,7 +1023,7 @@ object Dedup {
       .persist()
     labels.count() // materialize before dropping inputs
     allNodes.unpersist()
-    edges.unpersist()
+    // (edges is checkpoint-backed — see the loop note; nothing to unpersist)
     (labels, i)
   }
 
@@ -1371,25 +1382,35 @@ object Dedup {
     * novelty against a stored corpus, no in-batch dedup. Also the
     * auditable form: [[semDedupAgainstIndex]] checkpoints this result, so
     * its own plan hides the screen stage.
+    *
+    * Scale shape (r18): the corpus side is ONE map-only probe — the
+    * assigned batch broadcasts as a hash relation keyed on centroid_id
+    * (the batch ≪ corpus premise of every stored-index screen; the old
+    * `broadcast(touched)` baked in the same bound), so an index row in
+    * an untouched cell misses the build and drops inside the join, the
+    * same row-level prune the former touched-cell semi-join performed
+    * with an extra aggregation + broadcast. The former
+    * `idxTouched.distinct()` — a full shuffle of the touched corpus
+    * VECTORS per batch, the only O(corpus) exchange in the screen — is
+    * gone: duplicate corpus copies now cost one extra map-side cosine
+    * each instead of a corpus-wide exchange every batch (dup-heavy
+    * corpora should collapse copies once, at index-build time, not per
+    * screen). Outcome-identical: a batch vector drops iff ≥ 1 indexed
+    * cell-mate matches, and the id-level distinct below already
+    * collapses multiplicity. The anti-join's build side is the matched
+    * batch ids (≤ batch rows), broadcast statically for the same reason.
     */
   def semDedupScreen(batch: DataFrame, index: DataFrame, centroids: DataFrame,
                      threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bAssigned = graft.similarity.Similarity.ivfAssign(batch, centroids, idCol, vecCol)
-    val touched = bAssigned.select(col("centroid_id")).distinct()
-    // prune to touched cells, then screen against DISTINCT corpus vectors:
-    // outcome-identical (a batch vector drops iff ≥ 1 match — duplicate
-    // corpus copies add nothing) and it collapses a 10^8-copy boilerplate
-    // cell to one row before the pairwise join, same adversary as the
-    // in-batch identical-collapse
-    val idxTouched = index.join(broadcast(touched), Seq("centroid_id"))
-      .select(col("centroid_id"), col(vecCol).as("cv")).distinct()
-    val corpusDup = bAssigned
-      .select(col("centroid_id"), col(idCol).as("__bid"), col(vecCol).as("bv"))
-      .join(idxTouched, Seq("centroid_id"))
+    val corpusDup = index
+      .select(col("centroid_id"), col(vecCol).as("cv"))
+      .join(broadcast(bAssigned.select(col("centroid_id"), col(idCol).as("__bid"),
+        col(vecCol).as("bv"))), Seq("centroid_id"))
       .filter(graft.similarity.Similarity.cosine(col("bv"), col("cv")) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
-    bAssigned.join(corpusDup, Seq(idCol), "left_anti")
+    bAssigned.join(broadcast(corpusDup), Seq(idCol), "left_anti")
   }
 
   /** Stream-safe form of [[semDedupScreen]]: the cell assignment is the

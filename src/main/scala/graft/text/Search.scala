@@ -99,7 +99,10 @@ object Search {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    bm25ScoreProfile(idx, terms.distinct.toDF("term"), k1, b)
+    // terms are deduped HERE, driver-side: the plan-side distinct the
+    // profile variant needs (an Exchange + two HashAggregates + an extra
+    // AQE stage per query) is pure overhead for a driver-known term list
+    scoreDedupedTerms(idx, terms.distinct.toDF("term"), k1, b)
   }
 
   /** Table-driven variant: the keyword profile is a DataFrame with a
@@ -108,8 +111,13 @@ object Search {
     * BM25-rank the corpus by the profile). Duplicate terms are collapsed.
     */
   def bm25ScoreProfile(idx: Bm25Index, termsDf: DataFrame,
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val q = broadcast(termsDf.select("term").distinct())
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreDedupedTerms(idx, termsDf.select("term").distinct(), k1, b)
+
+  /** Scoring body over an already-distinct term relation. */
+  private def scoreDedupedTerms(idx: Bm25Index, termsDistinct: DataFrame,
+                                k1: Double, b: Double): DataFrame = {
+    val q = broadcast(termsDistinct)
     val tfFactor = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(idx.avgDl)))
